@@ -1,0 +1,73 @@
+"""astro_spark — a PySpark-native rebuild of the Astro SDK's ELT surface.
+
+Public API parity with ``python-sdk/src/astro/sql/__init__.py:20-50`` in
+the reference (load_file, transform, transform_file, run_raw_sql,
+dataframe, append, merge, drop_table, cleanup, export_to_file,
+check_column, check_table, get_value_list, get_file_list) — executed by
+one engine: Spark SQL + DataFrames.
+
+Beyond-reference additions (``astro_spark.functions``): deduplication
+(exact / minhash-LSH / simhash / n-gram jaccard), embedding similarity
+search, text analysis — the LLM-training-data pipeline layer.
+"""
+
+from .exceptions import (
+    AstroSparkError,
+    FileExistsConflictError,
+    IllegalIdentifierError,
+    MergeConflictError,
+    NonExistentTableError,
+)
+from .file import File, FileType
+from .operators import (
+    append,
+    check_column,
+    check_table,
+    cleanup,
+    dataframe,
+    drop_table,
+    export_to_file,
+    get_file_list,
+    get_value_list,
+    load_file,
+    merge,
+    run_raw_sql,
+    transform,
+    transform_file,
+    truncate_table,
+)
+from .operators.transform import run_transform
+from .session import get_session
+from .table import Metadata, Table, TempTable
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AstroSparkError",
+    "File",
+    "FileType",
+    "FileExistsConflictError",
+    "IllegalIdentifierError",
+    "MergeConflictError",
+    "Metadata",
+    "NonExistentTableError",
+    "Table",
+    "TempTable",
+    "append",
+    "check_column",
+    "check_table",
+    "cleanup",
+    "dataframe",
+    "drop_table",
+    "export_to_file",
+    "get_file_list",
+    "get_session",
+    "get_value_list",
+    "load_file",
+    "merge",
+    "run_raw_sql",
+    "run_transform",
+    "transform",
+    "transform_file",
+    "truncate_table",
+]

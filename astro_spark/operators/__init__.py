@@ -1,0 +1,31 @@
+from .append import append
+from .checks import check_column, check_table
+from .cleanup import cleanup, register_temp_table, temp_registry
+from .dataframe import dataframe
+from .drop import drop_table, truncate_table
+from .export import export_to_file
+from .files import get_file_list
+from .load_file import load_file
+from .merge import merge
+from .raw_sql import get_value_list, run_raw_sql
+from .transform import transform, transform_file
+
+__all__ = [
+    "append",
+    "check_column",
+    "check_table",
+    "cleanup",
+    "dataframe",
+    "drop_table",
+    "export_to_file",
+    "get_file_list",
+    "get_value_list",
+    "load_file",
+    "merge",
+    "register_temp_table",
+    "run_raw_sql",
+    "temp_registry",
+    "transform",
+    "transform_file",
+    "truncate_table",
+]

@@ -1,0 +1,150 @@
+"""check_column / check_table: data-quality gates.
+
+Reference:
+- ``check_column`` (``sql/operators/data_validations/check_column.py:13-210``):
+  per-column checks ``null_check, distinct_check, unique_check, min, max``
+  compared with ``equal_to/greater_than/less_than/geq_to/leq_to`` ±
+  ``tolerance``; optional ``partition_clause`` filter.
+- ``check_table`` (``.../check_table.py:12-109``): boolean SQL snippets,
+  e.g. ``{"row_count": {"check_statement": "COUNT(*) = 1000"}}``, executed
+  as ``SELECT <stmt> AS ok FROM t [WHERE partition]``.
+
+Spark rebuild: check_column compiles ALL requested column metrics into ONE
+aggregate pass (single job, map-side partial aggregation — at 100 TB this
+is one scan regardless of how many checks are requested; the reference
+issues one SQL query per check through SQLColumnCheckOperator).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..table import Table
+
+_METRICS = ("null_check", "distinct_check", "unique_check", "min", "max")
+
+
+def _metric_expr(col: str, metric: str):
+    c = F.col(col)
+    if metric == "null_check":
+        return F.sum(c.isNull().cast("long"))
+    if metric == "distinct_check":
+        return F.count_distinct(c)
+    if metric == "unique_check":
+        # reference: count(col) - count(distinct col) == 0 means unique
+        return F.count(c) - F.count_distinct(c)
+    if metric == "min":
+        return F.min(c)
+    if metric == "max":
+        return F.max(c)
+    raise ValueError(f"unknown column check {metric!r}")
+
+
+def _passes(value: Any, spec: dict[str, Any]) -> bool:
+    tol = spec.get("tolerance", 0)
+
+    def lo(x):  # tolerance only applies to numeric comparisons
+        return x * (1 - tol) if tol and isinstance(x, (int, float)) else x
+
+    def hi(x):
+        return x * (1 + tol) if tol and isinstance(x, (int, float)) else x
+
+    ok = True
+    if value is None:
+        return False
+    if "equal_to" in spec:
+        ok &= lo(spec["equal_to"]) <= value <= hi(spec["equal_to"])
+    if "greater_than" in spec:
+        ok &= value > lo(spec["greater_than"])
+    if "less_than" in spec:
+        ok &= value < hi(spec["less_than"])
+    if "geq_to" in spec:
+        ok &= value >= lo(spec["geq_to"])
+    if "leq_to" in spec:
+        ok &= value <= hi(spec["leq_to"])
+    return bool(ok)
+
+
+def check_column(
+    spark: SparkSession,
+    table: Table | DataFrame,
+    column_mapping: dict[str, dict[str, dict[str, Any]]],
+    partition_clause: str | None = None,
+    raise_on_failure: bool = True,
+) -> DataFrame:
+    """Run all column checks in one aggregate pass.
+
+    ``column_mapping``: {column: {metric: {comparison: value, tolerance: t}}}
+    Returns a DataFrame (col_name, check_name, value, passed); raises on
+    any failure when ``raise_on_failure`` (reference raises
+    AirflowException listing failed checks).
+    """
+    df = spark.table(table.qualified_name) if isinstance(table, Table) else table
+    if partition_clause:
+        df = df.where(partition_clause)
+
+    aggs, slots = [], []
+    for col, checks in column_mapping.items():
+        for metric in checks:
+            if metric not in _METRICS:
+                raise ValueError(f"unknown column check {metric!r}")
+            aggs.append(_metric_expr(col, metric).alias(f"{col}__{metric}"))
+            slots.append((col, metric))
+    row = df.agg(*aggs).collect()[0]
+
+    results = []
+    for col, metric in slots:
+        value = row[f"{col}__{metric}"]
+        spec = column_mapping[col][metric]
+        # null_check/unique_check with no comparison default to equal_to 0
+        effective = spec if spec else {"equal_to": 0}
+        if metric in ("null_check", "unique_check") and not any(
+            k in effective for k in ("equal_to", "greater_than", "less_than", "geq_to", "leq_to")
+        ):
+            effective = {**effective, "equal_to": 0}
+        passed = _passes(value, effective)
+        try:
+            numeric = float(value) if value is not None else None
+        except (TypeError, ValueError):
+            numeric = None  # min/max of string/timestamp columns
+        results.append(Row(col_name=col, check_name=metric, value=numeric, passed=passed))
+
+    out = spark.createDataFrame(results)
+    if raise_on_failure:
+        failed = [r for r in results if not r.passed]
+        if failed:
+            raise AssertionError(f"column checks failed: {failed}")
+    return out
+
+
+def check_table(
+    spark: SparkSession,
+    table: Table,
+    checks: dict[str, dict[str, str]],
+    partition_clause: str | None = None,
+    raise_on_failure: bool = True,
+) -> DataFrame:
+    """Table-level boolean checks.
+
+    Each check runs as ``SELECT CAST(<stmt> AS BOOLEAN) ... FROM t`` —
+    combined into a single scan via one SELECT of all statements
+    (reference wraps each separately, check_table.py:59).
+    """
+    where = f" WHERE {partition_clause}" if partition_clause else ""
+    exprs = ", ".join(
+        f"CAST(({spec['check_statement']}) AS BOOLEAN) AS {name}"
+        for name, spec in checks.items()
+    )
+    row = spark.sql(
+        f"SELECT {exprs} FROM {table.qualified_name}{where}"
+    ).collect()[0]
+    results = [Row(check_name=name, passed=bool(row[name])) for name in checks]
+    out = spark.createDataFrame(results)
+    if raise_on_failure:
+        failed = [r.check_name for r in results if not r.passed]
+        if failed:
+            raise AssertionError(f"table checks failed: {failed}")
+    return out

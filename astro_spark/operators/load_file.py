@@ -1,0 +1,117 @@
+"""load_file: file(s) → catalog table (or DataFrame).
+
+Reference: ``sql/operators/load_file.py:37-406`` + engine half at
+``databases/base.py:474-542``.  Semantics kept:
+- ``output_table=None`` → return the DataFrame (reference returns pandas;
+  we return a *lazy Spark* DataFrame — the 100 TB-safe analog)
+- ``if_exists`` ∈ {replace, append}            (constants.py:86)
+- ``columns_names_capitalization`` ∈ {original, lower, upper}
+- explicit columns (schema) vs autodetect      (databases/base.py:396-444)
+- nested NDJSON flatten via normalize_config   (load_file.py:205-243)
+
+Dropped by design: the native-path-vs-pandas duality and its fallback
+allowlists (``base.py:523-542,591-637``) — Spark's executor-parallel read
+IS the native path for every store/format; permissive CSV parsing covers
+the "fallback" role.
+
+Scale notes: the write lands as parquet through ``saveAsTable`` with
+partition-parallel tasks; pass ``partition_by`` to lay out big tables for
+partition pruning downstream (something the reference cannot express).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..file import File
+from ..sources.readers import read_file
+from ..table import Table
+from .cleanup import register_temp_table
+
+
+def load_file(
+    spark: SparkSession,
+    input_file: File | str,
+    output_table: Table | None = None,
+    if_exists: str = "replace",
+    columns_names_capitalization: str = "original",
+    schema: StructType | None = None,
+    partition_by: list[str] | None = None,
+    csv_options: dict | None = None,
+) -> DataFrame | Table:
+    if isinstance(input_file, str):
+        input_file = File(path=input_file)
+
+    if schema is None and output_table is not None and output_table.columns:
+        schema = StructType(output_table.columns)
+
+    df = read_file(
+        spark,
+        input_file,
+        schema=schema,
+        columns_names_capitalization=columns_names_capitalization,
+        csv_options=csv_options,
+    )
+
+    if output_table is None:
+        return df
+
+    save_dataframe_as_table(df, output_table, if_exists=if_exists, partition_by=partition_by)
+    return output_table
+
+
+def save_dataframe_as_table(
+    df: DataFrame,
+    table: Table,
+    if_exists: str = "replace",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Materialize a DataFrame under a Table handle.
+
+    Temp tables become session temp views (they die with the session —
+    the reference needs an explicit cleanup pass for this,
+    ``sql/operators/cleanup.py``); permanent tables land in the catalog as
+    parquet via saveAsTable.
+    """
+    spark = df.sparkSession
+    if table.temp:
+        df.createOrReplaceTempView(table.name)
+        register_temp_table(spark, table)
+        return
+
+    if table.metadata.schema:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {table.metadata.schema}")
+
+    mode = "overwrite" if if_exists == "replace" else "append"
+    if mode == "overwrite" and not spark.catalog.tableExists(table.qualified_name):
+        # an orphaned location (e.g. left by a previous process sharing the
+        # warehouse dir) blocks managed-table creation; clear it
+        _delete_orphan_location(spark, table)
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "append" and spark.catalog.tableExists(table.qualified_name):
+        # align by name: Spark insertInto is position-based; the reference
+        # appends by name through pandas to_sql (SURVEY §7 risk list)
+        existing = spark.table(table.qualified_name)
+        df = df.select(*[c for c in existing.columns if c in df.columns])
+        writer = df.write.mode("append").format("parquet")
+    writer.saveAsTable(table.qualified_name)
+
+
+def _delete_orphan_location(spark: SparkSession, table: Table) -> None:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not warehouse:
+        return
+    db = table.metadata.schema
+    location = (
+        f"{warehouse.rstrip('/')}/{db}.db/{table.name}"
+        if db
+        else f"{warehouse.rstrip('/')}/{table.name}"
+    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)

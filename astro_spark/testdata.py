@@ -1,0 +1,46 @@
+"""Helpers for the driver-generated testdata tables (TESTDATA.md).
+
+``read_table`` loads one of the known tables from an sf directory and
+normalizes physical quirks so downstream queries see clean logical types:
+
+- ``events.ts`` is written as parquet TIMESTAMP(NANOS); with
+  ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType
+  nanoseconds — converted here back to a proper TimestampType (UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        ts_field = df.schema["ts"]
+        if isinstance(ts_field.dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every testdata table as a temp view (oracle parity: the
+    driver pre-registers the same names as DuckDB views)."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
