@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
+implemented operator (SURVEY.md §2 + the LLM-pipeline layer) as
+(spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB twin of
+each query.  Portable-hash queries (minhash/simhash/fingerprint/LSH)
+share all constants with their oracles via
+``astro_spark.functions.constants`` / ``oracles``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import astro_spark as a
+from astro_spark.functions import dedup, multimodal, oracles, similarity, text
+from astro_spark.testdata import read_table
+
+# --------------------------------------------------------------------------
+# session prep (the driver owns the SparkSession; align its confs)
+# --------------------------------------------------------------------------
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    _prep(spark)
+    from astro_spark.testdata import register_views
+
+    register_views(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# shared ANSI SQL (identical text runs on Spark AND DuckDB)
+# --------------------------------------------------------------------------
+
+# exact-decimal sum idiom: CAST to DECIMAL(18,2) per row (deterministic),
+# exact integer-cent summation (associative → shuffle-order independent),
+# CAST back to DOUBLE for a stable canonical value.
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3 = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+_Q6 = """
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_QWINDOW = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rn AS rank
+FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+) ranked
+WHERE rn <= 3
+"""
+
+_QROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+_QEXISTS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+)
+GROUP BY o_orderpriority
+"""
+
+_QSETOPS = """
+SELECT COUNT(*) AS n_customers_without_orders
+FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders
+) t
+"""
+
+_QRAWSQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR((s_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_SHARED_SQL = {
+    "q1_pricing_summary": _Q1,
+    "q3_shipping_priority": _Q3,
+    "q5_local_supplier_volume": _Q5,
+    "q6_revenue_forecast": _Q6,
+    "q10_returned_customers": _Q10,
+    "q_window_top_suppliers": _QWINDOW,
+    "q_rollup_lineitem": _QROLLUP,
+    "q_exists_big_quantity": _QEXISTS,
+    "q_setops_customers": _QSETOPS,
+    "op_raw_sql": _QRAWSQL,
+}
+
+# --------------------------------------------------------------------------
+# dialect-divergent SQL (same semantics, per-engine text)
+# --------------------------------------------------------------------------
+
+_QEVENTS_HOURLY_SPARK = """
+SELECT date_format(ts, 'yyyy-MM-dd HH') AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events
+GROUP BY date_format(ts, 'yyyy-MM-dd HH'), event_type
+"""
+
+_QEVENTS_HOURLY_DUCK = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_QEVENTS_JSON_SPARK = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+_QEVENTS_JSON_DUCK = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+_QSESSIONS_SPARK = """
+WITH x AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL
+                  OR unix_timestamp(ts) - unix_timestamp(prev) > 1800
+                  THEN 1 ELSE 0 END) AS n_sessions
+  FROM x GROUP BY user_id
+)
+SELECT n_sessions, COUNT(*) AS n_users FROM s GROUP BY n_sessions
+"""
+
+_QSESSIONS_DUCK = """
+WITH x AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                  THEN 1 ELSE 0 END) AS n_sessions
+  FROM x GROUP BY user_id
+)
+SELECT n_sessions::BIGINT AS n_sessions, COUNT(*) AS n_users FROM s GROUP BY n_sessions
+"""
+
+
+# --------------------------------------------------------------------------
+# operator-semantics queries (exercise the astro_spark operator layer)
+# --------------------------------------------------------------------------
+
+
+def _op_load_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_file → export_to_file(parquet dir) → load back → checksum."""
+    _views(spark, sf_dir)
+    df = a.load_file(spark, f"{sf_dir}/lineitem.parquet")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="astro_rt_"), "lineitem_out")
+    a.export_to_file(spark, df, a.File(out_dir, filetype="parquet"), single_file=False)
+    back = a.load_file(spark, a.File(out_dir, filetype="parquet"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def _op_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export nation to a single CSV file → load with explicit schema."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.mkdtemp(prefix="astro_csv_"), "nation.csv")
+    a.export_to_file(spark, nation, path)
+    return a.load_file(
+        spark, a.File(path), schema=nation.schema, csv_options={"header": "true"}
+    )
+
+
+def _op_ndjson_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested NDJSON export → load_file with json_normalize-style flatten."""
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").where("o_orderkey % 97 = 0")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.struct(F.col("o_custkey").alias("key")).alias("cust"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("info"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="astro_nd_"), "orders_nested")
+    nested.write.mode("overwrite").json(path)
+    return a.load_file(spark, a.File(path, filetype="ndjson"))
+
+
+def _op_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    region = read_table(spark, sf_dir, "region")
+    tgt, src = a.Table("op_append_target"), a.Table("op_append_source")
+    spark.sql("DROP TABLE IF EXISTS op_append_target")
+    spark.sql("DROP TABLE IF EXISTS op_append_source")
+    nation.write.format("parquet").saveAsTable("op_append_target")
+    region.write.format("parquet").saveAsTable("op_append_source")
+    a.append(
+        spark,
+        src,
+        tgt,
+        columns={"r_regionkey": "n_nationkey", "r_name": "n_name"},
+    )
+    return spark.table("op_append_target")
+
+
+def _make_merge_tables(spark: SparkSession, sf_dir: str, suffix: str) -> tuple[a.Table, a.Table]:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.where("o_orderkey % 4 IN (0, 1)")
+    source = orders.where("o_orderkey % 4 IN (1, 2)").select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    tname, sname = f"op_merge_target_{suffix}", f"op_merge_source_{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(f"DROP TABLE IF EXISTS {sname}")
+    target.write.format("parquet").saveAsTable(tname)
+    source.write.format("parquet").saveAsTable(sname)
+    return a.Table(sname), a.Table(tname)
+
+
+def _op_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    src, tgt = _make_merge_tables(spark, sf_dir, "upd")
+    a.merge(spark, src, tgt, ["o_orderkey"], if_conflicts="update")
+    return spark.table(tgt.qualified_name)
+
+
+def _op_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    src, tgt = _make_merge_tables(spark, sf_dir, "ign")
+    a.merge(spark, src, tgt, ["o_orderkey"], if_conflicts="ignore")
+    return spark.table(tgt.qualified_name)
+
+
+def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform operator: {{table}} substitution + CTAS materialization."""
+    _views(spark, sf_dir)
+    out = a.run_transform(
+        spark,
+        "SELECT p_brand, COUNT(*) AS n_parts, "
+        "CAST(SUM(CAST(FLOOR((p_retailprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_price "
+        "FROM {{part}} WHERE p_size >= {{min_size}} GROUP BY p_brand",
+        {"part": a.Table("part"), "min_size": 25},
+    )
+    return spark.table(out.name)
+
+
+def _op_transform_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    sql_path = os.path.join(tempfile.mkdtemp(prefix="astro_sql_"), "q.sql")
+    with open(sql_path, "w") as fh:
+        fh.write(
+            "SELECT r_name, COUNT(*) AS n_nations FROM {{region}} "
+            "JOIN {{nation}} ON n_regionkey = r_regionkey GROUP BY r_name"
+        )
+    out = a.transform_file(
+        spark,
+        sql_path,
+        parameters={"region": a.Table("region"), "nation": a.Table("nation")},
+    )
+    return spark.table(out.name)
+
+
+def _op_dataframe_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@dataframe decorator with the pandas-annotation compat path."""
+    import pandas as pd
+
+    _views(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS op_df_nation")
+    read_table(spark, sf_dir, "nation").write.format("parquet").saveAsTable(
+        "op_df_nation"
+    )
+
+    @a.dataframe
+    def regions(nation: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            nation.groupby("n_regionkey", as_index=False)
+            .agg(n_nations=("n_nationkey", "count"), max_key=("n_nationkey", "max"))
+        )
+        g["n_nations"] = g["n_nations"].astype("int64")
+        g["max_key"] = g["max_key"].astype("int64")
+        return g
+
+    out = regions(spark, a.Table("op_df_nation"), output_table=a.TempTable())
+    return spark.table(out.name)
+
+
+def _op_check_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return a.check_column(
+        spark,
+        read_table(spark, sf_dir, "lineitem"),
+        {
+            "l_quantity": {
+                "null_check": {},
+                "min": {"geq_to": 1},
+                "max": {"leq_to": 50},
+            },
+            "l_orderkey": {"null_check": {}, "distinct_check": {"greater_than": 0}},
+        },
+        raise_on_failure=False,
+    )
+
+
+def _op_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return a.check_table(
+        spark,
+        a.Table("lineitem"),
+        {
+            "row_count": {"check_statement": "COUNT(*) > 1000"},
+            "qty_bounds": {"check_statement": "MIN(l_quantity) >= 1 AND MAX(l_quantity) <= 50"},
+            "no_null_keys": {"check_statement": "COUNT(*) = COUNT(l_orderkey)"},
+        },
+        raise_on_failure=False,
+    )
+
+
+def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return a.run_raw_sql(spark, _QRAWSQL, results_format="dataframe")
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline queries
+# --------------------------------------------------------------------------
+
+
+def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    metrics = text.quality_metrics(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in metrics.items()])
+
+
+def _t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint62(F.col("text")).alias("fingerprint"))
+
+
+def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where("vec_id < 5"), k=5)
+
+
+def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.lsh_bucket_table(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _s_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return similarity.lsh_cosine_pairs(read_table(spark, sf_dir, "embeddings"))
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary via the operator layer."""
+    _views(spark, "/root/testdata/sf0.001")
+    out = a.run_transform(spark, _Q1, {})
+    return spark.table(out.name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _shared(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+        def _fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+            _views(spark, sf_dir)
+            return spark.sql(_sql)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return _fn
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _shared(sql) for name, sql in _SHARED_SQL.items() if name != "op_raw_sql"
+    }
+    out.update(
+        {
+            "q_events_hourly": _shared(_QEVENTS_HOURLY_SPARK),
+            "q_events_json": _shared(_QEVENTS_JSON_SPARK),
+            "q_events_sessions": _shared(_QSESSIONS_SPARK),
+            "op_load_export_roundtrip": _op_load_export_roundtrip,
+            "op_csv_roundtrip": _op_csv_roundtrip,
+            "op_ndjson_flatten": _op_ndjson_flatten,
+            "op_append": _op_append,
+            "op_merge_update": _op_merge_update,
+            "op_merge_ignore": _op_merge_ignore,
+            "op_transform_ctas": _op_transform_ctas,
+            "op_transform_file": _op_transform_file,
+            "op_dataframe_bridge": _op_dataframe_bridge,
+            "op_check_column": _op_check_column,
+            "op_check_table": _op_check_table,
+            "op_raw_sql": _op_raw_sql,
+            "t_quality_metrics": _t_quality,
+            "t_lang_id": _t_lang_id,
+            "t_fingerprint": _t_fingerprint,
+            "dd_exact": _dd_exact,
+            "dd_minhash_lsh": _dd_minhash,
+            "dd_simhash": _dd_simhash,
+            "dd_ngram_jaccard": _dd_jaccard,
+            "s_brute_topk": _s_topk,
+            "s_lsh_buckets": _s_lsh_buckets,
+            "s_lsh_pairs": _s_lsh_pairs,
+            "mm_features": _mm_features,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_SHARED_SQL)
+    out.update(
+        {
+            "q_events_hourly": _QEVENTS_HOURLY_DUCK,
+            "q_events_json": _QEVENTS_JSON_DUCK,
+            "q_events_sessions": _QSESSIONS_DUCK,
+            "op_load_export_roundtrip": (
+                "SELECT COUNT(*) AS n_rows, "
+                "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "
+                "FROM lineitem"
+            ),
+            "op_csv_roundtrip": "SELECT * FROM nation",
+            "op_ndjson_flatten": (
+                "SELECT o_orderkey, o_custkey AS info_cust_key, "
+                "o_totalprice AS info_price FROM orders WHERE o_orderkey % 97 = 0"
+            ),
+            "op_append": (
+                "SELECT n_nationkey, n_name FROM nation "
+                "UNION ALL SELECT r_regionkey, r_name FROM region"
+            ),
+            "op_merge_update": """
+                SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 4 IN (1, 2)
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 4 = 0
+            """,
+            "op_merge_ignore": """
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 4 IN (0, 1)
+                UNION ALL
+                SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 4 = 2
+            """,
+            "op_transform_ctas": (
+                "SELECT p_brand, COUNT(*) AS n_parts, "
+                "CAST(SUM(CAST(FLOOR((p_retailprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_price "
+                "FROM part WHERE p_size >= 25 GROUP BY p_brand"
+            ),
+            "op_transform_file": (
+                "SELECT r_name, COUNT(*) AS n_nations FROM region "
+                "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name"
+            ),
+            "op_dataframe_bridge": (
+                "SELECT n_regionkey, COUNT(*)::BIGINT AS n_nations, "
+                "MAX(n_nationkey)::BIGINT AS max_key FROM nation GROUP BY n_regionkey"
+            ),
+            "op_check_column": """
+                SELECT 'l_quantity' AS col_name, 'null_check' AS check_name,
+                       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value,
+                       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', 'min', CAST(MIN(l_quantity) AS DOUBLE),
+                       MIN(l_quantity) >= 1 FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', 'max', CAST(MAX(l_quantity) AS DOUBLE),
+                       MAX(l_quantity) <= 50 FROM lineitem
+                UNION ALL
+                SELECT 'l_orderkey', 'null_check',
+                       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+                       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_orderkey', 'distinct_check',
+                       CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE),
+                       COUNT(DISTINCT l_orderkey) > 0
+                FROM lineitem
+            """,
+            "op_check_table": """
+                SELECT 'row_count' AS check_name, (SELECT COUNT(*) FROM lineitem) > 1000 AS passed
+                UNION ALL
+                SELECT 'qty_bounds',
+                       (SELECT MIN(l_quantity) >= 1 AND MAX(l_quantity) <= 50 FROM lineitem)
+                UNION ALL
+                SELECT 'no_null_keys',
+                       (SELECT COUNT(*) = COUNT(l_orderkey) FROM lineitem)
+            """,
+            "t_quality_metrics": oracles.quality_metrics_sql(),
+            "t_lang_id": oracles.lang_id_sql(),
+            "t_fingerprint": oracles.fingerprint_sql(),
+            "dd_exact": oracles.exact_dedup_sql(),
+            "dd_minhash_lsh": oracles.minhash_pairs_sql(),
+            "dd_simhash": oracles.simhash_pairs_sql(),
+            "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
+            "s_brute_topk": oracles.brute_topk_sql(),
+            "s_lsh_buckets": oracles.lsh_buckets_sql(),
+            "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
+            "mm_features": oracles.multimodal_features_sql(),
+        }
+    )
+    return out

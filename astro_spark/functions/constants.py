@@ -1,0 +1,67 @@
+"""Shared constants for the portable (Spark ⇔ SQL oracle) text/dedup ops.
+
+Every hash/LSH parameter lives here so the Spark implementation and the
+DuckDB oracle SQL are generated from the SAME numbers — the correctness
+gate hash-compares results, so both engines must agree bit-for-bit.
+
+All hashing is char-level polynomial mod a 31-bit prime: small enough
+that every intermediate (acc*MULT + codepoint) stays far below int64
+overflow in both engines (DuckDB raises on BIGINT overflow rather than
+wrapping, so 64-bit-wrapping hashes like xxhash64 are NOT portable).
+"""
+
+from __future__ import annotations
+
+import random
+
+P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MULT1 = 31
+MULT2 = 37
+
+# --- MinHash ---------------------------------------------------------------
+MINHASH_K = 32  # signature length
+LSH_BANDS = 8  # bands of r = K / BANDS = 4 rows
+SHINGLE_K = 3  # words per shingle
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+_rng = random.Random(42)
+#: (a, b) pairs for h_i(x) = (a*x + b) mod P31
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, P31), _rng.randrange(0, P31)) for _ in range(MINHASH_K)
+]
+
+# --- SimHash ---------------------------------------------------------------
+SIMHASH_BITS = 62  # two 31-bit poly hashes concatenated
+SIMHASH_CHUNKS = 4  # banding: pairs must share >= 1 chunk of ~16 bits
+SIMHASH_MAX_HAMMING = 4
+
+# --- N-gram jaccard --------------------------------------------------------
+NGRAM_JACCARD_THRESHOLD = 0.30
+
+# --- Embedding LSH (random hyperplanes) ------------------------------------
+N_HYPERPLANES = 8
+EMBEDDING_DIM = 64
+_rng_hp = random.Random(4242)
+#: row-major planes, values rounded to 6 dp so SQL literals round-trip
+HYPERPLANES: list[list[float]] = [
+    [round(_rng_hp.gauss(0.0, 1.0), 6) for _ in range(EMBEDDING_DIM)]
+    for _ in range(N_HYPERPLANES)
+]
+COSINE_DUP_THRESHOLD = 0.30
+
+# --- Language-ID marker words ----------------------------------------------
+# Real pipelines use per-language stopword lists; the synthetic corpus
+# shares one vocabulary, so these are fixed marker sets — the operator
+# semantics (score = |tokens ∩ markers| / |tokens|, argmax with
+# alphabetical tie-break) are what is being exercised.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["table", "hash", "sort", "key", "vector"],
+    "en": ["the", "a", "row", "scan", "fast"],
+    "es": ["data", "query", "small", "slow", "stream"],
+    "fr": ["window", "order", "value", "agg", "big"],
+    "zh": ["merge", "spark", "batch", "join", "line"],
+}
+
+# --- Quality scoring -------------------------------------------------------
+QUALITY_MIN_CHARS = 60
+QUALITY_MIN_DISTINCT_RATIO = 0.35

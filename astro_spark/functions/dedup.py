@@ -1,0 +1,319 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+These are the beyond-reference LLM-training-data operators (BASELINE.json
+north star).  Design-for-scale notes per operator:
+
+- exact_dedup: one hash-shuffle on the text hash (group by a 62-bit
+  fingerprint, not the full text, so shuffle rows are tiny; the full text
+  comparison happens only within a fingerprint bucket).
+- minhash_lsh_pairs: shingle→signature is a map-only projection (built-in
+  higher-order functions, no UDF); candidate generation shuffles ONLY
+  (band_id, band_hash, doc_id) tuples — the classic MinHash/LSH layout
+  that scales linearly with corpus size instead of O(n²) all-pairs.
+- simhash_pairs: 62-bit simhash per doc (map-only), then banding on
+  bit-chunks (pigeonhole: pairs within hamming ≤ k share a chunk when
+  k < chunks) → candidate join, exact hamming verify.
+- ngram_jaccard_pairs: exact Jaccard via inverted-index join (explode
+  shingles, join on shingle hash, count shared) — no approximation, one
+  shuffle on shingle hash; skew-guarded by dropping ultra-common shingles
+  (document-frequency cap) when requested.
+- embedding near-dup: see similarity.py (hyperplane LSH).
+
+All arithmetic is portable to the DuckDB oracle (see constants.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .constants import (
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_JACCARD_THRESHOLD,
+    MINHASH_K,
+    MULT1,
+    NGRAM_JACCARD_THRESHOLD,
+    P31,
+    SHINGLE_K,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_HAMMING,
+)
+from .text import char_poly_hash, fingerprint62, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per distinct text.
+
+    Groups on the 62-bit fingerprint + text (fingerprint prunes the
+    shuffle comparison; text guards against collisions) and keeps
+    min(id) — deterministic representative selection.
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col), fingerprint62(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, text_col, "dup_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash
+# --------------------------------------------------------------------------
+def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct, sorted hashes of the k-word shingles of ``text``.
+
+    shingle string = k tokens joined by single spaces; hash = char poly
+    hash mod P31.  Sorted+distinct so set semantics are explicit.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles,
+                lambda s: F.aggregate(
+                    F.transform(F.split(s, ""), F.ascii),
+                    F.lit(0).cast("long"),
+                    lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
+                ),
+            )
+        )
+    )
+
+
+def minhash_signature(shingle_hashes: Column) -> Column:
+    """K-element MinHash signature: min_i over shingles of (a_i*x+b_i)%P."""
+    sig = [
+        F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P31),
+            )
+        )
+        for a, b in MINHASH_COEFFS
+    ]
+    return F.array(*sig)
+
+
+def _band_hash(sig: Column, band: int, rows: int) -> Column:
+    """Combine one band's signature rows into a single 31-bit hash."""
+    acc = F.lit(0).cast("long")
+    for r in range(rows):
+        acc = (acc * F.lit(MULT1) + F.element_at(sig, band * rows + r + 1)) % F.lit(P31)
+    return acc
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = MINHASH_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard over shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+    """
+    rows = MINHASH_K // LSH_BANDS
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hash_array(F.col(text_col)).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh")))
+
+    bands = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_hash(F.col("sig"), b, rows).alias("bh")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — 62-bit SimHash over whitespace tokens, weight = tf.
+
+    bit_j(doc) = 1 iff Σ_tokens tf · (±1 from bit_j(h(token))) > 0, with
+    h(token) = two 31-bit poly hashes concatenated.
+
+    Implemented as explode → (id, token) tf counts → 62 conditional sums
+    in ONE groupBy (map-side partial aggregation) — 62 tiny agg columns
+    keep the Catalyst tree linear instead of nesting 62 array-aggregates,
+    and the whole thing is two key-shuffles regardless of corpus size.
+    """
+    from .constants import MULT2
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h1 = char_poly_hash(F.col("tok"), MULT1)
+    h2 = char_poly_hash(F.col("tok"), MULT2)
+    hashed = tf.withColumn("h", h1 * F.lit(P31 + 1) + h2)
+    weights = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"w{j}")
+        for j in range(62)
+    ]
+    agg = hashed.groupBy("id").agg(*weights)
+    sim = None
+    for j in range(62):
+        bit = F.when(F.col(f"w{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs: share ≥1 of SIMHASH_CHUNKS bit-chunks AND hamming ≤ k.
+
+    Banding on chunks keeps the join linear; the hamming verify is exact.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 16
+    base = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", "sh")
+    chunks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ch"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"))
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.ch") == F.col("r.ch"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram jaccard via inverted index
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs over k-word shingle sets.
+
+    Inverted-index join: explode shingle hashes, self-join on hash,
+    count shared shingles per pair, jaccard = shared/(|A|+|B|-shared).
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (skew guard for 100 TB corpora; off by default for exactness).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
+    )
+    sizes = base.select("id", F.size("sh").alias("n"))
+    inv = base.select("id", F.explode("sh").alias("h"))
+    if max_shingle_df is not None:
+        doc_freq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(doc_freq.where(F.col("df") <= max_shingle_df), "h")
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.h") == F.col("r.h"), F.col("l.id") < F.col("r.id")])
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,328 @@
+"""DuckDB oracle-SQL generators for the portable text/dedup/similarity ops.
+
+Each function returns a SQL string that reproduces — value-for-value — the
+corresponding Spark implementation in ``text.py`` / ``dedup.py`` /
+``similarity.py``.  Both sides are generated from ``constants.py``:
+same primes, multipliers, MinHash coefficients, hyperplanes, marker
+words, thresholds.  The fold order of every reduction is left-to-right
+in both engines, so even float results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    COSINE_DUP_THRESHOLD,
+    EMBEDDING_DIM,
+    HYPERPLANES,
+    LANG_MARKERS,
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_JACCARD_THRESHOLD,
+    MINHASH_K,
+    MULT1,
+    MULT2,
+    NGRAM_JACCARD_THRESHOLD,
+    P31,
+    SHINGLE_K,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_HAMMING,
+)
+
+# --------------------------------------------------------------------------
+# scalar building blocks
+# --------------------------------------------------------------------------
+
+
+def poly_hash(expr: str, mult: int = MULT1) -> str:
+    """(fold chars: acc*mult + codepoint mod P31) — mirrors
+    text.char_poly_hash."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (a, b) -> (a * {mult} + b) % {P31})"
+    )
+
+
+def tokens(expr: str) -> str:
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def fingerprint62(expr: str) -> str:
+    return f"({poly_hash(expr, MULT1)} * {P31 + 1} + {poly_hash(expr, MULT2)})"
+
+
+def shingle_hashes(toks: str, k: int = SHINGLE_K) -> str:
+    """Distinct sorted hashes of k-word shingles — mirrors
+    dedup.shingle_hash_array (Spark sequence(1, greatest(n-k+1, 1)))."""
+    shingles = (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+    hashed = f"list_transform({shingles}, s -> {poly_hash('s', MULT1)})"
+    return f"list_sort(list_distinct({hashed}))"
+
+
+def dot(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
+    """Left-to-right fold of products — mirrors similarity.dot."""
+    prods = f"list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i])"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (x, y) -> x + y)"
+
+
+def cosine(a: str, b: str) -> str:
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def plane_literal(i: int) -> str:
+    vals = ", ".join(f"{v!r}::DOUBLE" for v in HYPERPLANES[i])
+    return f"[{vals}]"
+
+
+def hyperplane_bucket(vec: str) -> str:
+    terms = []
+    for i in range(len(HYPERPLANES)):
+        terms.append(
+            f"(CASE WHEN {dot(vec, plane_literal(i))} > 0 THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# text analysis oracles
+# --------------------------------------------------------------------------
+
+
+def quality_metrics_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) AS nsp,
+         {tokens('text')} AS toks
+  FROM {table}
+)
+SELECT doc_id,
+       nc::BIGINT AS n_chars,
+       len(toks)::BIGINT AS n_tokens,
+       round((nc - nsp) / greatest(len(toks), 1), 4)::DOUBLE AS avg_token_len,
+       round(len(list_distinct(toks)) / greatest(len(toks), 1), 4)::DOUBLE AS distinct_ratio,
+       round(nsp / greatest(nc, 1), 4)::DOUBLE AS space_ratio
+FROM t
+"""
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def lang_score(lang: str, toks: str = "toks") -> str:
+    return (
+        f"round(len(list_filter({toks}, t -> list_contains({_marker_list(lang)}, t)))"
+        f" / greatest(len({toks}), 1), 4)::DOUBLE"
+    )
+
+
+def predict_lang_case() -> str:
+    """Nested CASE replicating text.predict_lang: earliest alphabetical
+    language whose score >= every later language's score."""
+    langs = sorted(LANG_MARKERS)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    scores = ",\n         ".join(
+        f"{lang_score(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM {table}
+),
+scored AS (
+  SELECT doc_id,
+         {scores}
+  FROM t
+)
+SELECT {predict_lang_case()} AS pred_lang, count(*)::BIGINT AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return f"SELECT doc_id, {fingerprint62('text')} AS fingerprint FROM {table}"
+
+
+# --------------------------------------------------------------------------
+# dedup oracles
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT min(doc_id)::BIGINT AS doc_id, text, count(*)::BIGINT AS dup_count
+FROM {table} GROUP BY text
+"""
+
+
+def minhash_pairs_sql(table: str = "documents") -> str:
+    rows = MINHASH_K // LSH_BANDS
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        expr = "0::BIGINT"
+        for r in range(rows):
+            expr = f"(({expr}) * {MULT1} + sig[{band * rows + r + 1}]) % {P31}"
+        band_selects.append(
+            f"SELECT id, {band} AS band, {expr} AS bh FROM sig"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingle_hashes(tokens('text'))} AS sh FROM {table}
+),
+sig AS (
+  SELECT id, [{sig_items}] AS sig FROM base
+),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+               4) AS jaccard
+  FROM cand c JOIN base a ON a.id = c.id_a JOIN base b ON b.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+def simhash_pairs_sql(table: str = "documents") -> str:
+    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 16 — mirrors dedup.simhash_pairs
+    mask = (1 << chunk_bits) - 1
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT id, sh, {c} AS chunk, (sh >> {c * chunk_bits}) & {mask} AS ch FROM sim"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({tokens('text')}) AS tok FROM {table}
+),
+tf AS (
+  SELECT id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY id, tok
+),
+hashed AS (
+  SELECT id, tf,
+         ({poly_hash('tok', MULT1)} * {P31 + 1} + {poly_hash('tok', MULT2)}) AS h
+  FROM tf
+),
+weights AS (
+  SELECT id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS w
+  FROM hashed CROSS JOIN (SELECT unnest(range(62)) AS j) GROUP BY id, j
+),
+sim AS (
+  SELECT id, sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+  FROM weights GROUP BY id
+),
+chunks AS ({chunk_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.ch = r.ch AND l.id < r.id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def ngram_jaccard_sql(table: str = "documents") -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingle_hashes(tokens('text'))} AS sh FROM {table}
+),
+sizes AS (SELECT id, len(sh) AS n FROM base),
+inv AS (SELECT id, unnest(sh) AS h FROM base),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS shared
+  FROM inv l JOIN inv r ON l.h = r.h AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / (sa.n + sb.n - s.shared), 4) AS jaccard
+FROM shared s JOIN sizes sa ON sa.id = s.id_a JOIN sizes sb ON sb.id = s.id_b
+WHERE round(s.shared::DOUBLE / (sa.n + sb.n - s.shared), 4) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity oracles
+# --------------------------------------------------------------------------
+
+
+def brute_topk_sql(table: str = "embeddings", k: int = 5, max_query_id: int = 5) -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cosine('c.v', 'q.v')}, 4) AS cos_sim
+  FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_buckets_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+)
+SELECT {hyperplane_bucket('v')} AS bucket, count(*)::BIGINT AS n_vectors
+FROM c GROUP BY 1
+"""
+
+
+def lsh_cosine_pairs_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+b AS (SELECT id, v, {hyperplane_bucket('v')} AS bucket FROM c),
+cand AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+         round({cosine('l.v', 'r.v')}, 4) AS cos_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+)
+SELECT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal oracle (byte-level features over utf-8 payload)
+# --------------------------------------------------------------------------
+
+
+def multimodal_features_sql(table: str = "documents") -> str:
+    # payload = utf-8 bytes of text; corpus is ASCII so byte==codepoint and
+    # the char-level poly hash equals the byte-level one.
+    return f"""
+SELECT doc_id,
+       'text/fake' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ({poly_hash('text', MULT1)} * {P31 + 1} + {poly_hash('text', MULT2)}) AS content_hash
+FROM {table}
+"""

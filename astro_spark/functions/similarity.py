@@ -1,0 +1,130 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+random-hyperplane LSH bucketing (scale path).
+
+Scale notes:
+- ``cosine`` is a zip_with + left-fold over array<double> — built-in
+  higher-order functions, JVM-side, no UDF.  The fold order is fixed
+  (left-to-right) so results are bit-identical across engines/runs.
+- brute-force top-k broadcasts the (small) query set against the corpus:
+  one broadcast-nested-loop + a per-query window rank.  Exact, O(n·q).
+- the LSH path buckets vectors by the sign pattern of N_HYPERPLANES dot
+  products (map-only projection).  Same-bucket candidates then get exact
+  cosine — the standard "ANN via LSH" layout whose cost is O(n + collisions)
+  instead of O(n²); at 100 TB the bucket id also serves as a partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .constants import COSINE_DUP_THRESHOLD, HYPERPLANES
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of element products (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank); excludes self-matches;
+    cos_sim rounded to 4dp; ties broken by neighbor_id (deterministic).
+    The query side is broadcast — corpus is never shuffled.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec: Column) -> Column:
+    """LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(HYPERPLANES):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + bit * F.lit(2**i).cast("long")
+    return acc
+
+
+def lsh_bucket_table(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket) assignment — the IVF/LSH partitioning step."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        hyperplane_bucket(as_double(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ t.
+
+    Returns (id_a, id_b, cos_sim), id_a < id_b, rounded to 4dp.  The
+    bucket equi-join keeps candidate generation linear in corpus size.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", hyperplane_bucket(F.col("v")))
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r,
+        on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")],
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("cos_sim"),
+    )
+    return cand.where(F.col("cos_sim") >= F.lit(threshold)).select(
+        "id_a", "id_b", "cos_sim"
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis column functions (token stats, quality, lang-ID,
+fingerprinting).
+
+All pure built-in ``pyspark.sql.functions`` — JVM-side, whole-stage
+codegen, zero Python in the hot path.  At 100 TB these run as map-only
+projections over the scan (no shuffle).
+
+Portability contract: char-level polynomial hashing + regex-free token
+splits chosen so a DuckDB oracle can reproduce every value exactly (see
+``functions/constants.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .constants import LANG_MARKERS, MULT1, MULT2, P31
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_poly_hash(col: Column | str, mult: int = MULT1) -> Column:
+    """fold(chars): acc = (acc * mult + codepoint) mod P31.
+
+    Mirrors DuckDB ``list_reduce(list_prepend(0, list_transform(
+    string_split(s, ''), c -> ascii(c))), (a,b) -> (a*m+b) % p)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.transform(F.split(c, ""), F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(mult) + ch) % F.lit(P31),
+    )
+
+
+def fingerprint62(col: Column | str) -> Column:
+    """62-bit document fingerprint: two independent 31-bit poly hashes
+    concatenated (h1 << 31 | h2).  Reference analog: content hashing for
+    change detection; here the base for simhash and exact-dup detection."""
+    c = F.col(col) if isinstance(col, str) else col
+    h1 = char_poly_hash(c, MULT1)
+    h2 = char_poly_hash(c, MULT2)
+    return (h1 * F.lit(P31 + 1) + h2).alias("fingerprint")
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / uniqueness heuristics.
+
+    Returns named columns: n_chars, n_tokens, avg_token_len,
+    distinct_ratio (type-token ratio), space_ratio.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_spaces = n_chars - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            (n_chars - n_spaces) / F.greatest(n_tokens, F.lit(1)), 4
+        ).cast("double"),
+        "distinct_ratio": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 4
+        ).cast("double"),
+        "space_ratio": F.round(n_spaces / F.greatest(n_chars, F.lit(1)), 4).cast(
+            "double"
+        ),
+    }
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """score_<lang> = |tokens ∩ markers(lang)| / |tokens| per language."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        out[lang] = F.round(hits / n, 4).cast("double")
+    return out
+
+
+def predict_lang(col: Column | str) -> Column:
+    """argmax over lang_scores, alphabetical tie-break (first max wins)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    expr = F.lit(langs[-1])
+    # build reverse CASE: earliest alphabetical lang wins ties via >=
+    for lang in reversed(langs[:-1]):
+        later = [scores[other] for other in langs if other > lang]
+        cond = None
+        for s in later:
+            c = scores[lang] >= s
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr

@@ -26,10 +26,21 @@ from ..table import Table
 from .load_file import save_dataframe_as_table
 
 
+def _is_pandas_annotation(annotation: Any) -> bool:
+    """Handle both live types and PEP-563 string annotations."""
+    if annotation is pd.DataFrame:
+        return True
+    return isinstance(annotation, str) and annotation.replace(" ", "") in (
+        "pd.DataFrame",
+        "pandas.DataFrame",
+        "pandas.core.frame.DataFrame",
+    )
+
+
 def _resolve_arg(spark: SparkSession, value: Any, annotation: Any) -> Any:
     if isinstance(value, Table):
         sdf = spark.table(value.qualified_name)
-        if annotation is pd.DataFrame:
+        if _is_pandas_annotation(annotation):
             return sdf.toPandas()
         return sdf
     return value
