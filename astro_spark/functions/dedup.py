@@ -126,10 +126,17 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
     """
     rows = MINHASH_K // LSH_BANDS
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hash_array(F.col(text_col)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh")))
+    # materialize the signature table once: it is referenced by every band
+    # AND by the verify join (3+ consumers); at scale this would be a
+    # persisted table / shuffle-reused stage, locally a memory cache
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hash_array(F.col(text_col)).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh")))
+        .persist()
+    )
 
     bands = base.select(
         "id",
@@ -230,7 +237,12 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
     chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 16
-    base = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", "sh")
+    # the simhash table is self-joined (2 consumers) — compute once
+    base = (
+        simhash_table(df, text_col, id_col)
+        .withColumnRenamed("simhash", "sh")
+        .persist()
+    )
     chunks = base.select(
         "id",
         "sh",
@@ -293,9 +305,11 @@ def ngram_jaccard_pairs(
     (skew guard for 100 TB corpora; off by default for exactness).
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4.
     """
+    # shingle table feeds both the inverted index and the size lookup —
+    # persist so the char-level hashing runs once
     base = df.select(
         F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
-    )
+    ).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("h"))
     if max_shingle_df is not None:

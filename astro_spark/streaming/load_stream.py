@@ -1,0 +1,85 @@
+"""Structured-Streaming incremental file ingestion (Autoloader analog).
+
+Reference: Databricks Autoloader ingestion mode (``constants.py:77-79``,
+``databases/databricks/load_options.py:38``,
+``load_file/load_file_job.py:77-79`` — which downgrades Autoloader to
+COPY INTO for single files).  The reference is otherwise batch-only
+(SURVEY §1.4); this module is the Spark-native extension that gives
+``load_file`` an incremental mode:
+
+- ``readStream`` on a file-source directory discovers NEW files only
+  (checkpointed), exactly Autoloader's contract;
+- ``trigger(availableNow=True)`` processes the current backlog and stops —
+  the "COPY INTO"-like batch-incremental mode;
+- leaving ``available_now=False`` runs continuous micro-batches.
+
+At scale: file listing is incremental via the checkpoint log;
+``maxFilesPerTrigger`` bounds micro-batch size; the sink appends to a
+catalog parquet table (swap for Delta/Iceberg in production for exactly-
+once semantics on top of the checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from ..file import File, FileType
+from ..table import Table
+
+
+def load_file_stream(
+    spark: SparkSession,
+    input_file: File | str,
+    output_table: Table,
+    schema: StructType | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """Incrementally load new files under a directory into a table.
+
+    Returns the StreamingQuery (already finished when ``available_now``
+    and ``await_termination``).
+    """
+    if isinstance(input_file, str):
+        input_file = File(path=input_file)
+    ftype = input_file.filetype or FileType.PARQUET
+    if schema is None:
+        # file-source streams require a schema: infer from current files
+        # (Autoloader's schema-inference step)
+        schema = spark.read.format(ftype.value if ftype != FileType.NDJSON else "json").load(
+            input_file.path
+        ).schema
+
+    fmt = "json" if ftype == FileType.NDJSON else ftype.value
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_file.path)
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_ckpt_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    table_path = os.path.join(warehouse, f"{output_table.name}_stream")
+
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", table_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+        # surface the sink directory as the output table
+        df = spark.read.schema(schema).parquet(table_path)
+        df.createOrReplaceTempView(output_table.name)
+    return query

@@ -1,0 +1,157 @@
+"""Tests for the LLM-pipeline function layer + plan-shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_spark.functions import dedup, multimodal, similarity, text
+from astro_spark.functions.constants import MINHASH_K
+from astro_spark.testdata import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").persist()
+
+
+class TestText:
+    def test_char_poly_hash_known_value(self, spark):
+        # h("abc") = ((0*31+97)*31+98)*31+99 = 96354 — pinned so the oracle
+        # contract (functions/oracles.py) can never drift silently
+        df = spark.createDataFrame([("abc",)], ["t"])
+        assert df.select(text.char_poly_hash("t").alias("h")).collect()[0].h == 96354
+
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("  a  b   c ",)], ["t"])
+        assert df.select(text.token_count("t").alias("n")).collect()[0].n == 3
+
+    def test_quality_metrics_ranges(self, docs):
+        m = text.quality_metrics(F.col("text"))
+        row = docs.select(*[v.alias(k) for k, v in m.items()]).agg(
+            F.min("distinct_ratio"), F.max("distinct_ratio"), F.min("n_tokens")
+        ).collect()[0]
+        assert 0 <= row[0] <= row[1] <= 1 and row[2] > 0
+
+    def test_predict_lang_deterministic(self, docs):
+        p1 = {r.doc_id: r.l for r in docs.select("doc_id", text.predict_lang(F.col("text")).alias("l")).collect()}
+        p2 = {r.doc_id: r.l for r in docs.select("doc_id", text.predict_lang(F.col("text")).alias("l")).collect()}
+        assert p1 == p2 and set(p1.values()) <= {"de", "en", "es", "fr", "zh"}
+
+
+class TestDedup:
+    def test_exact_dedup_no_dups_identity(self, docs):
+        out = dedup.exact_dedup(docs)
+        assert out.count() == docs.count()
+        assert out.agg(F.max("dup_count")).collect()[0][0] == 1
+
+    def test_exact_dedup_finds_injected_dup(self, spark, docs):
+        dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+        out = dedup.exact_dedup(docs.unionByName(dup))
+        assert out.count() == docs.count()
+        assert out.agg(F.max("dup_count")).collect()[0][0] == 2
+
+    def test_minhash_signature_length(self, docs):
+        sig = docs.limit(2).select(
+            dedup.minhash_signature(
+                dedup.shingle_hash_array(F.col("text"))
+            ).alias("sig")
+        ).collect()
+        assert all(len(r.sig) == MINHASH_K for r in sig)
+
+    def test_minhash_pairs_symmetric_threshold(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs).collect()
+        assert all(r.id_a < r.id_b and r.jaccard >= 0.5 for r in pairs)
+        assert len(pairs) > 0  # corpus contains near-dups
+
+    def test_simhash_near_identical_texts(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "the quick brown fox jumps over the lazy dog again and again!"),
+                (3, "completely different content about spark shuffles and joins")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sims = {r.id: r.simhash for r in dedup.simhash_table(df).collect()}
+        h12 = bin(sims[1] ^ sims[2]).count("1")
+        h13 = bin(sims[1] ^ sims[3]).count("1")
+        assert h12 < h13
+
+    def test_ngram_jaccard_exactness(self, spark):
+        rows = [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in
+                 dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+        # shingles(1): {abc,bcd,cde}, shingles(2): {abc,bcd,cdx} → J = 2/4
+        assert pairs == {(1, 2): 0.5}
+
+
+class TestSimilarity:
+    def test_cosine_self_is_one(self, emb):
+        row = emb.limit(1).select(
+            F.round(
+                similarity.cosine(
+                    similarity.as_double(F.col("embedding")),
+                    similarity.as_double(F.col("embedding")),
+                ),
+                6,
+            ).alias("c")
+        ).collect()[0]
+        assert row.c == 1.0
+
+    def test_topk_shape(self, emb):
+        out = similarity.brute_force_topk(emb, emb.where("vec_id < 3"), k=4)
+        rows = out.collect()
+        assert len(rows) == 12
+        assert all(1 <= r.rank <= 4 and r.query_id != r.neighbor_id for r in rows)
+
+    def test_lsh_buckets_cover_all(self, emb):
+        buckets = similarity.lsh_bucket_table(emb)
+        assert buckets.count() == emb.count()
+        assert buckets.agg(F.count_distinct("bucket")).collect()[0][0] > 1
+
+    def test_broadcast_in_topk_plan(self, emb):
+        """Scale assertion: the query side must broadcast (no corpus shuffle)."""
+        plan = similarity.brute_force_topk(emb, emb.where("vec_id < 3"))._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+
+
+class TestMultimodal:
+    def test_feature_extraction_schema_and_values(self, docs):
+        out = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+        assert out.columns == ["doc_id", "media_type", "n_bytes", "content_hash"]
+        joined = out.join(docs, "doc_id").where(F.col("n_bytes") != F.col("n_chars"))
+        assert joined.count() == 0  # ascii corpus: bytes == chars
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"x", "image/png")
+
+
+class TestPlanShape:
+    """Scale-oriented plan assertions (.explain contract)."""
+
+    def test_filter_pushdown_reaches_parquet(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+            "l_quantity > 45"
+        ).select("l_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+    def test_column_pruning(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+    def test_small_dim_join_broadcasts(self, spark, sf_dir):
+        nation = read_table(spark, sf_dir, "nation")
+        supplier = read_table(spark, sf_dir, "supplier")
+        plan = (
+            supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan

@@ -1,0 +1,208 @@
+"""Operator integration tests against a local SparkSession + testdata.
+
+Collapses the reference's tier-2 backend matrix (SURVEY §5) into one
+Spark engine; golden comparisons via DataFrame equality."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import astro_spark as a
+from astro_spark.exceptions import MergeConflictError, NonExistentTableError
+from astro_spark.testdata import read_table
+
+
+@pytest.fixture()
+def nation_table(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS t_nation")
+    read_table(spark, sf_dir, "nation").write.format("parquet").saveAsTable("t_nation")
+    return a.Table("t_nation")
+
+
+class TestLoadFile:
+    def test_parquet_to_dataframe(self, spark, sf_dir):
+        df = a.load_file(spark, f"{sf_dir}/region.parquet")
+        assert df.count() == 5
+
+    def test_parquet_to_table_replace_and_append(self, spark, sf_dir):
+        t = a.Table("t_load_region")
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t)
+        assert t.row_count(spark) == 5
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t, if_exists="append")
+        assert t.row_count(spark) == 10
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t)  # replace
+        assert t.row_count(spark) == 5
+
+    def test_capitalization(self, spark, sf_dir):
+        df = a.load_file(
+            spark, f"{sf_dir}/region.parquet", columns_names_capitalization="upper"
+        )
+        assert df.columns == ["R_REGIONKEY", "R_NAME"]
+
+    def test_csv_with_inference(self, spark, sf_dir, tmp_path):
+        p = str(tmp_path / "r.csv")
+        a.export_to_file(spark, read_table(spark, sf_dir, "region"), p)
+        df = a.load_file(spark, p)
+        assert df.count() == 5
+        assert dict(df.dtypes)["r_regionkey"] in ("int", "bigint")
+
+    def test_glob_pattern(self, spark, sf_dir, tmp_path):
+        region = read_table(spark, sf_dir, "region")
+        a.export_to_file(spark, region, str(tmp_path / "a.csv"))
+        a.export_to_file(spark, region, str(tmp_path / "b.csv"))
+        df = a.load_file(spark, str(tmp_path / "*.csv"))
+        assert df.count() == 10
+
+
+class TestTransform:
+    def test_decorator(self, spark, nation_table):
+        @a.transform
+        def big_nations(nation: a.Table, min_key: int) -> str:
+            return "SELECT * FROM {{nation}} WHERE n_nationkey >= {{min_key}}"
+
+        out = big_nations(spark, nation_table, 20, output_table=a.TempTable())
+        assert spark.table(out.name).count() == 5
+
+    def test_ctas_materializes(self, spark, nation_table):
+        out = a.run_transform(
+            spark, "SELECT COUNT(*) AS n FROM {{t}}", {"t": nation_table}
+        )
+        assert spark.table(out.name).collect()[0].n == 25
+
+
+class TestAppendMerge:
+    def test_append_missing_target_raises(self, spark):
+        with pytest.raises(NonExistentTableError):
+            a.append(spark, a.Table("nope_src"), a.Table("nope_tgt"))
+
+    def test_merge_source_dups_deduped(self, spark, sf_dir):
+        """Delta MERGE would error on dup source keys; we pre-dedupe
+        deterministically (SURVEY §7 decision)."""
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS m_tgt")
+        spark.sql("DROP TABLE IF EXISTS m_src")
+        region.write.format("parquet").saveAsTable("m_tgt")
+        dup = region.union(region.withColumn("r_name", F.lit("ZZZ")))
+        dup.write.format("parquet").saveAsTable("m_src")
+        a.merge(spark, a.Table("m_src"), a.Table("m_tgt"), ["r_regionkey"], if_conflicts="update")
+        res = spark.table("m_tgt")
+        assert res.count() == 5  # still 5 keys
+        # deterministic winner: first row by stable sort over all cols
+        names = {r.r_regionkey: r.r_name for r in res.collect()}
+        assert all(v is not None for v in names.values())
+
+    def test_merge_exception(self, spark, sf_dir):
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS me_tgt")
+        spark.sql("DROP TABLE IF EXISTS me_src")
+        region.write.format("parquet").saveAsTable("me_tgt")
+        region.write.format("parquet").saveAsTable("me_src")
+        with pytest.raises(MergeConflictError):
+            a.merge(spark, a.Table("me_src"), a.Table("me_tgt"), ["r_regionkey"])
+
+    def test_merge_exception_disjoint_ok(self, spark, sf_dir):
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS md_tgt")
+        spark.sql("DROP TABLE IF EXISTS md_src")
+        region.write.format("parquet").saveAsTable("md_tgt")
+        region.selectExpr("r_regionkey + 100 AS r_regionkey", "r_name").write.format(
+            "parquet"
+        ).saveAsTable("md_src")
+        a.merge(spark, a.Table("md_src"), a.Table("md_tgt"), ["r_regionkey"])
+        assert spark.table("md_tgt").count() == 10
+
+
+class TestChecks:
+    def test_check_column_raises_on_failure(self, spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        with pytest.raises(AssertionError, match="column checks failed"):
+            a.check_column(spark, li, {"l_quantity": {"max": {"leq_to": 1}}})
+
+    def test_check_column_partition_clause(self, spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        res = a.check_column(
+            spark,
+            li,
+            {"l_quantity": {"min": {"geq_to": 30}}},
+            partition_clause="l_quantity >= 30",
+        )
+        assert res.collect()[0].passed
+
+    def test_check_table(self, spark, nation_table):
+        res = a.check_table(
+            spark, nation_table, {"rc": {"check_statement": "COUNT(*) = 25"}}
+        )
+        assert res.collect()[0].passed
+
+
+class TestExport:
+    def test_single_file_and_exception_mode(self, spark, sf_dir, tmp_path):
+        p = str(tmp_path / "n.csv")
+        a.export_to_file(spark, read_table(spark, sf_dir, "nation"), p)
+        assert os.path.isfile(p)
+        with pytest.raises(a.FileExistsConflictError):
+            a.export_to_file(
+                spark, read_table(spark, sf_dir, "nation"), p, if_exists="exception"
+            )
+
+    def test_directory_parquet(self, spark, sf_dir, tmp_path):
+        d = str(tmp_path / "outdir")
+        a.export_to_file(
+            spark,
+            read_table(spark, sf_dir, "nation"),
+            a.File(d, filetype="parquet"),
+            single_file=False,
+        )
+        assert spark.read.parquet(d).count() == 25
+
+
+class TestDataframeOp:
+    def test_pandas_annotation_string(self, spark, nation_table):
+        @a.dataframe
+        def head3(n: pd.DataFrame) -> pd.DataFrame:
+            return n.nsmallest(3, "n_nationkey")
+
+        out = head3(spark, nation_table)
+        assert isinstance(out, pd.DataFrame) and len(out) == 3
+
+    def test_spark_native(self, spark, nation_table):
+        @a.dataframe
+        def filt(n):
+            return n.where("n_nationkey < 5")
+
+        t = filt(spark, nation_table, output_table=a.TempTable())
+        assert spark.table(t.name).count() == 5
+
+
+class TestCleanup:
+    def test_cleanup_drops_temp_views(self, spark, nation_table):
+        out = a.run_transform(spark, "SELECT * FROM {{t}}", {"t": nation_table})
+        assert spark.catalog.tableExists(out.name) or spark.table(out.name) is not None
+        dropped = a.cleanup(spark)
+        assert out.name in dropped
+
+
+class TestStreaming:
+    def test_available_now_incremental(self, spark, sf_dir, tmp_path):
+        from astro_spark.streaming import load_file_stream
+
+        src = str(tmp_path / "incoming")
+        os.makedirs(src)
+        region = read_table(spark, sf_dir, "region")
+        region.write.mode("overwrite").parquet(src + "/batch1")
+        # file-source stream over a glob of parquet files
+        ckpt = str(tmp_path / "ckpt")
+        out = a.Table("stream_out")
+        load_file_stream(
+            spark, a.File(src + "/batch1", filetype="parquet"), out, checkpoint_dir=ckpt
+        )
+        assert spark.table(out.name).count() == 5
+        # second trigger with same checkpoint: no new files → no new rows
+        load_file_stream(
+            spark, a.File(src + "/batch1", filetype="parquet"), out, checkpoint_dir=ckpt
+        )
+        assert spark.table(out.name).count() == 5
