@@ -34,6 +34,7 @@ from .constants import (
     MINHASH_JACCARD_THRESHOLD,
     MINHASH_K,
     MULT1,
+    MULT2,
     NGRAM_JACCARD_THRESHOLD,
     P31,
     SHINGLE_K,
@@ -69,26 +70,45 @@ def exact_dedup(
 def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
     """Distinct, sorted hashes of the k-word shingles of ``text``.
 
-    shingle string = k tokens joined by single spaces; hash = char poly
-    hash mod P31.  Sorted+distinct so set semantics are explicit.
+    Two-level hashing: each token is char-poly-hashed ONCE (mod P31,
+    mult MULT1), then a shingle hash folds its k token-hashes with MULT2.
+    This is ~10× cheaper than hashing every shingle's characters (each
+    char would otherwise be hashed k times) while staying exactly
+    reproducible in the DuckDB oracle (oracles.shingle_hashes).
     """
     toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
+        ),
     )
-    return F.array_sort(
-        F.array_distinct(
-            F.transform(
-                shingles,
-                lambda s: F.aggregate(
-                    F.transform(F.split(s, ""), F.ascii),
-                    F.lit(0).cast("long"),
-                    lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
-                ),
+
+    def _shingles(th: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
+        )
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.aggregate(
+                        F.slice(th, i, k),
+                        F.lit(0).cast("long"),
+                        lambda acc, h: (acc * F.lit(MULT2) + h) % F.lit(P31),
+                    ),
+                )
             )
         )
+
+    # let-binding trick: evaluate tok_hashes ONCE by passing it through a
+    # single-element transform — Catalyst re-evaluates free subexpressions
+    # inside lambda bodies on every iteration, but a lambda VARIABLE is
+    # bound once
+    return F.element_at(
+        F.transform(F.array(tok_hashes), _shingles), 1
     )
 
 
@@ -198,8 +218,6 @@ def simhash_table(
     keep the Catalyst tree linear instead of nesting 62 array-aggregates,
     and the whole thing is two key-shuffles regardless of corpus size.
     """
-    from .constants import MULT2
-
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )

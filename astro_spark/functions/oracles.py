@@ -52,13 +52,15 @@ def fingerprint62(expr: str) -> str:
 
 def shingle_hashes(toks: str, k: int = SHINGLE_K) -> str:
     """Distinct sorted hashes of k-word shingles — mirrors
-    dedup.shingle_hash_array (Spark sequence(1, greatest(n-k+1, 1)))."""
+    dedup.shingle_hash_array's two-level hashing (token char-hash with
+    MULT1, then fold k token-hashes with MULT2)."""
+    th = f"list_transform({toks}, t -> {poly_hash('t', MULT1)})"
     shingles = (
-        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+        f"list_transform(range(1, greatest(len({th}) - {k - 1}, 1) + 1), "
+        f"i -> list_reduce(list_prepend(0::BIGINT, list_slice({th}, i, i + {k - 1})), "
+        f"(a, b) -> (a * {MULT2} + b) % {P31}))"
     )
-    hashed = f"list_transform({shingles}, s -> {poly_hash('s', MULT1)})"
-    return f"list_sort(list_distinct({hashed}))"
+    return f"list_sort(list_distinct({shingles}))"
 
 
 def dot(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
