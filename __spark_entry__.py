@@ -151,6 +151,52 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+_QANTIJOIN = """
+SELECT n_name, COUNT(*) AS n_customers_no_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 420000)
+GROUP BY n_name
+"""
+
+_QSEMIJOIN = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+GROUP BY p_brand
+"""
+
+_QCUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+_QMULTIDISTINCT = """
+SELECT l_linestatus,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+_QHAVING = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 18
+"""
+
+_QCORRSCALAR = """
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+WHERE c_custkey <= 100
+"""
+
 _SHARED_SQL = {
     "q1_pricing_summary": _Q1,
     "q3_shipping_priority": _Q3,
@@ -161,6 +207,12 @@ _SHARED_SQL = {
     "q_rollup_lineitem": _QROLLUP,
     "q_exists_big_quantity": _QEXISTS,
     "q_setops_customers": _QSETOPS,
+    "q_antijoin_nations": _QANTIJOIN,
+    "q_semijoin_parts": _QSEMIJOIN,
+    "q_cube_orders": _QCUBE,
+    "q_multi_distinct": _QMULTIDISTINCT,
+    "q_having_top_customers": _QHAVING,
+    "q_correlated_scalar": _QCORRSCALAR,
     "op_raw_sql": _QRAWSQL,
 }
 
@@ -473,6 +525,12 @@ def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.where("vec_id < 5"), k=5)
 
 
+def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.partitioned_topk(emb, emb.where("vec_id < 5"), k=3)
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -542,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
             "s_brute_topk": _s_topk,
+            "s_ivf_label_topk": _s_ivf_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "mm_features": _mm_features,
@@ -637,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),
+            "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
             "mm_features": oracles.multimodal_features_sql(),

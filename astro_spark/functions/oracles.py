@@ -288,6 +288,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def partitioned_topk_sql(
+    table: str = "embeddings", k: int = 3, max_query_id: int = 5
+) -> str:
+    return f"""
+WITH c AS (
+  SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+q AS (SELECT label, vec_id, v FROM c WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cosine('c.v', 'q.v')}, 4) AS cos_sim
+  FROM c JOIN q ON c.label = q.label AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_buckets_sql(table: str = "embeddings") -> str:
     return f"""
 WITH c AS (

@@ -80,6 +80,52 @@ def brute_force_topk(
     )
 
 
+def partitioned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    partition_col: str = "label",
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only within the query's partition (cluster).
+
+    The partition column plays the role of an IVF cell assignment (here a
+    pre-assigned cluster id; swap in k-means assignments in production).
+    At 100 TB the corpus is laid out partitioned-by-cell so each query
+    touches one partition — the equi-join on the cell id IS the pruning.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    c = corpus.select(
+        F.col(partition_col).alias("part"),
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(partition_col).alias("part"),
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    joined = c.join(F.broadcast(q), on="part").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column) -> Column:
     """LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
     acc = F.lit(0).cast("long")
