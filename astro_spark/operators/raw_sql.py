@@ -16,6 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.identifiers import render_sql
 
 
+class QueryModifier:
+    """Pre/post statements around the main query.
+
+    Reference: ``astro/query_modifier.py:6-29`` — e.g. Snowflake session
+    tags.  In Spark these are typically ``SET`` conf statements or DDL.
+    """
+
+    def __init__(self, pre_queries: list[str] | None = None, post_queries: list[str] | None = None):
+        self.pre_queries = pre_queries or []
+        self.post_queries = post_queries or []
+
+
 def run_raw_sql(
     spark: SparkSession,
     sql: str,
@@ -24,24 +36,38 @@ def run_raw_sql(
     results_format: str | None = None,  # None | "list" | "pandas_dataframe" | "dataframe"
     fail_on_empty: bool = False,
     response_size: int = -1,
+    query_modifier: QueryModifier | None = None,
 ) -> Any:
+    if query_modifier:
+        for q in query_modifier.pre_queries:
+            spark.sql(q)
     rendered = render_sql(sql, parameters or {})
     df = spark.sql(rendered)
+
+    def _finish(result: Any) -> Any:
+        # post-queries run AFTER the result is materialized (Spark plans
+        # are lazy; the reference's engines execute eagerly)
+        if query_modifier:
+            for q in query_modifier.post_queries:
+                spark.sql(q)
+        return result
 
     if fail_on_empty and df.isEmpty():
         raise ValueError("run_raw_sql(fail_on_empty=True): query returned no rows")
 
     if handler is not None:
-        return handler(df)
+        return _finish(handler(df))
     if results_format == "list":
         limited = df.limit(response_size) if response_size >= 0 else df
-        return limited.collect()
+        return _finish(limited.collect())
     if results_format == "pandas_dataframe":
         limited = df.limit(response_size) if response_size >= 0 else df
-        return limited.toPandas()
+        return _finish(limited.toPandas())
     if results_format == "dataframe":
-        return df
-    return None  # reference returns None for plain DDL/DML execution
+        # caller gets the lazy plan; post-queries still run now — avoid
+        # post-queries that invalidate the plan's inputs in this mode
+        return _finish(df)
+    return _finish(None)  # reference returns None for plain DDL/DML
 
 
 def get_value_list(spark: SparkSession, sql: str, max_length: int = 1000) -> list:

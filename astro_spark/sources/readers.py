@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..file import File, FileType
@@ -42,8 +44,10 @@ def read_file(
     (``databases/base.py:474-542``) minus the per-backend native/pandas
     duality — Spark *is* the parallel native path for every format.
     """
+    from .locations import stage_if_needed
+
     ftype = file.filetype or FileType.PARQUET
-    path = file.path
+    path = stage_if_needed(file.path)
 
     if ftype == FileType.PARQUET:
         df = spark.read.parquet(path)
@@ -57,7 +61,10 @@ def read_file(
         if schema is not None:
             df = reader.schema(schema).csv(path)
         else:
-            df = reader.option("inferSchema", "true").csv(path)
+            inferred = _infer_csv_schema_capped(
+                spark, path, opts, infer_sample_rows
+            )
+            df = reader.schema(inferred).csv(path)
     elif ftype == FileType.JSON:
         # whole-document JSON (reference files/types/json.py): multiLine
         reader = spark.read.option("multiLine", "true")
@@ -77,6 +84,35 @@ def read_file(
     elif columns_names_capitalization == "upper":
         df = df.toDF(*[c.upper() for c in df.columns])
     return df
+
+
+def _infer_csv_schema_capped(
+    spark: SparkSession, path: str, opts: dict, sample_rows: int
+):
+    """Infer a CSV schema from the first ``sample_rows`` rows of the FIRST
+    matching file only.
+
+    Reference parity: LOAD_TABLE_AUTODETECT_ROWS_COUNT = 1000 rows of the
+    first file (``databases/base.py:283-319``, first-file-only comment at
+    438-441).  Scale win: Spark's stock ``inferSchema`` runs a SECOND full
+    pass over the input; sampling the head keeps inference O(sample) for
+    a 100 TB CSV load.
+    """
+    from ..operators.files import get_file_list
+
+    files = [
+        f
+        for f in get_file_list(spark, path)
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    first = files[0] if files else path
+    head = spark.read.text(first).limit(sample_rows + 1)  # +1 header line
+    return (
+        spark.read.options(**opts)
+        .option("inferSchema", "true")
+        .csv(head.rdd.map(lambda r: r.value))
+        .schema
+    )
 
 
 def _maybe_flatten(df: DataFrame, file: File) -> DataFrame:

@@ -62,7 +62,12 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
     spark = df.sparkSession
     if ftype in (FileType.XLSX, FileType.XLS):
         pdf = df.toPandas()
-        pdf.to_excel(path, index=False)
+        try:
+            pdf.to_excel(path, index=False)
+        except ImportError as exc:  # openpyxl absent in this container
+            raise NotImplementedError(
+                "XLSX export requires openpyxl which is not installed"
+            ) from exc
         return
 
     tmp_dir = path.rstrip("/") + "._astro_tmp"

@@ -1,0 +1,92 @@
+"""Tests for source/location handling: staging, capped inference, XLSX
+stubs, QueryModifier."""
+
+from __future__ import annotations
+
+import http.server
+import os
+import threading
+
+import pytest
+
+import astro_spark as a
+from astro_spark.operators.raw_sql import QueryModifier, run_raw_sql
+from astro_spark.sources.locations import stage_if_needed
+from astro_spark.testdata import read_table
+
+
+class TestLocations:
+    def test_hadoop_schemes_pass_through(self):
+        assert stage_if_needed("/local/p.csv") == "/local/p.csv"
+        assert stage_if_needed("s3a://bucket/k.parquet") == "s3a://bucket/k.parquet"
+        assert stage_if_needed("gs://bucket/k.csv") == "gs://bucket/k.csv"
+
+    def test_sftp_raises_clean(self):
+        with pytest.raises(NotImplementedError, match="sftp"):
+            stage_if_needed("sftp://host/file.csv")
+
+    def test_http_staging_roundtrip(self, spark, sf_dir, tmp_path):
+        """Serve a CSV over localhost HTTP; load_file stages + reads it."""
+        src = str(tmp_path / "n.csv")
+        a.export_to_file(spark, read_table(spark, sf_dir, "nation"), src)
+        handler = lambda *args: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+            *args, directory=str(tmp_path)
+        )
+        httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = a.load_file(spark, f"http://127.0.0.1:{port}/n.csv")
+            assert df.count() == 25 and "n_nationkey" in df.columns
+        finally:
+            httpd.shutdown()
+
+
+class TestCappedInference:
+    def test_infer_uses_first_file_head(self, spark, sf_dir, tmp_path):
+        region = read_table(spark, sf_dir, "region")
+        a.export_to_file(spark, region, str(tmp_path / "a.csv"))
+        a.export_to_file(spark, region, str(tmp_path / "b.csv"))
+        df = a.load_file(spark, str(tmp_path / "*.csv"), csv_options={"header": "true"})
+        assert df.count() == 10
+        assert dict(df.dtypes)["r_regionkey"] in ("int", "bigint")
+
+    def test_small_sample_cap(self, spark, sf_dir, tmp_path):
+        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        p = str(tmp_path / "li.csv")
+        a.export_to_file(spark, li, p)
+        from astro_spark.sources.readers import read_file
+
+        df = read_file(spark, a.File(p), infer_sample_rows=10)
+        assert df.count() == li.count()
+
+
+class TestXlsxStub:
+    def test_export_error_without_openpyxl(self, spark, sf_dir, tmp_path):
+        try:
+            import openpyxl  # noqa: F401
+
+            pytest.skip("openpyxl installed; error path not reachable")
+        except ImportError:
+            pass
+        with pytest.raises((NotImplementedError, ValueError)):
+            a.export_to_file(
+                spark, read_table(spark, sf_dir, "region"), str(tmp_path / "r.xlsx")
+            )
+
+
+class TestQueryModifier:
+    def test_pre_post_queries_execute(self, spark, sf_dir):
+        read_table(spark, sf_dir, "region").createOrReplaceTempView("qm_region")
+        out = run_raw_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM qm_pre_view",
+            results_format="list",
+            query_modifier=QueryModifier(
+                pre_queries=["CREATE OR REPLACE TEMP VIEW qm_pre_view AS SELECT * FROM qm_region"],
+                post_queries=["DROP VIEW qm_pre_view"],
+            ),
+        )
+        assert out[0].n == 5
+        assert not any(t.name == "qm_pre_view" for t in spark.catalog.listTables())
