@@ -499,6 +499,16 @@ def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint62(F.col("text")).alias("fingerprint"))
 
 
+def _t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("ws_tokens"),
+        text.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -517,6 +527,11 @@ def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.cosine_dup_pairs(read_table(spark, sf_dir, "embeddings"))
 
 
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,10 +610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_quality_metrics": _t_quality,
             "t_lang_id": _t_lang_id,
             "t_fingerprint": _t_fingerprint,
+            "t_token_counts": _t_token_counts,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
+            "dd_embedding_cosine": _dd_embedding_cosine,
             "s_brute_topk": _s_topk,
             "s_ivf_label_topk": _s_ivf_topk,
             "s_lsh_buckets": _s_lsh_buckets,
@@ -695,6 +712,8 @@ def oracle_sql() -> dict[str, str]:
             "dd_minhash_lsh": oracles.minhash_pairs_sql(),
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
+            "t_token_counts": oracles.token_counts_sql(),
+            "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),

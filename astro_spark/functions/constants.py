@@ -49,6 +49,12 @@ HYPERPLANES: list[list[float]] = [
 ]
 COSINE_DUP_THRESHOLD = 0.30
 
+# BPE-ish pre-tokenizer pattern (GPT-style, RE2-safe): letter runs,
+# 1-3-digit number chunks, single non-alnum marks.  Alternatives are
+# disjoint at any position, so Java (Spark) leftmost-first and RE2
+# (DuckDB) semantics agree exactly.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
 # --- Language-ID marker words ----------------------------------------------
 # Real pipelines use per-language stopword lists; the synthetic corpus
 # shares one vocabulary, so these are fixed marker sets — the operator

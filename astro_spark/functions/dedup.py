@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .constants import (
+    COSINE_DUP_THRESHOLD,
     LSH_BANDS,
     MINHASH_COEFFS,
     MINHASH_JACCARD_THRESHOLD,
@@ -349,3 +350,40 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (exact baseline; LSH scale path in similarity.py)
+# --------------------------------------------------------------------------
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    Vectors are unit-normalized once (map-only), so each pair costs a
+    single dot product instead of three folds.  The self-join is the
+    exact O(n²) baseline — at corpus scale use
+    ``similarity.lsh_cosine_pairs`` (same threshold, bucketed candidate
+    generation) and keep this as the verification oracle on samples.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, rounded to 4dp.
+    """
+    from .similarity import as_double, dot, norm
+
+    base = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    unit = base.select(
+        "id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    l, r = unit.alias("l"), unit.alias("r")
+    pairs = l.join(
+        F.broadcast(r), on=F.col("l.id") < F.col("r.id")
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(dot(F.col("l.u"), F.col("r.u")), 4).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= F.lit(threshold))

@@ -11,6 +11,7 @@ in both engines, so even float results are bit-identical.
 from __future__ import annotations
 
 from .constants import (
+    BPE_TOKEN_PATTERN,
     COSINE_DUP_THRESHOLD,
     EMBEDDING_DIM,
     HYPERPLANES,
@@ -155,6 +156,16 @@ def fingerprint_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, {fingerprint62('text')} AS fingerprint FROM {table}"
 
 
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len({tokens('text')})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS bpe_tokens
+FROM {table}
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup oracles
 # --------------------------------------------------------------------------
@@ -239,6 +250,25 @@ cand AS (
 )
 SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def cosine_dup_pairs_sql(
+    table: str = "embeddings", threshold: float = COSINE_DUP_THRESHOLD
+) -> str:
+    """Exact all-pairs cosine near-dup — mirrors dedup.cosine_dup_pairs
+    (unit-normalize once, then a single dot per pair)."""
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+n AS (SELECT id, v, sqrt({dot('v', 'v')}) AS nrm FROM c),
+u AS (SELECT id, list_transform(v, x -> x / nrm) AS u FROM n),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b, round({dot('l.u', 'r.u')}, 4) AS cos_sim
+  FROM u l JOIN u r ON l.id < r.id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """
 
 

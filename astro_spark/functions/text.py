@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .constants import LANG_MARKERS, MULT1, MULT2, P31
+from .constants import BPE_TOKEN_PATTERN, LANG_MARKERS, MULT1, MULT2, P31
 
 
 def tokens(col: Column | str) -> Column:
@@ -26,6 +26,14 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens — the standard LLM-pipeline proxy for
+    token budget accounting.  Built-in ``regexp_count``: JVM-side,
+    map-only at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
 
 
 def char_poly_hash(col: Column | str, mult: int = MULT1) -> Column:

@@ -31,6 +31,11 @@ class TestText:
         df = spark.createDataFrame([("  a  b   c ",)], ["t"])
         assert df.select(text.token_count("t").alias("n")).collect()[0].n == 3
 
+    def test_bpe_token_count(self, spark):
+        # "ab 12345 x-y." → [ab][123][45][x][-][y][.] = 7 pre-tokens
+        df = spark.createDataFrame([("ab 12345 x-y.",)], ["t"])
+        assert df.select(text.bpe_token_count("t").alias("n")).collect()[0].n == 7
+
     def test_quality_metrics_ranges(self, docs):
         m = text.quality_metrics(F.col("text"))
         row = docs.select(*[v.alias(k) for k, v in m.items()]).agg(
@@ -89,6 +94,17 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_cosine_dup_pairs_exact_superset_of_lsh(self, emb):
+        # exact all-pairs must contain every LSH pair (same threshold);
+        # same-bucket is a candidate filter, never a score changer
+        exact = {
+            (r.id_a, r.id_b) for r in dedup.cosine_dup_pairs(emb).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b) for r in similarity.lsh_cosine_pairs(emb).collect()
+        }
+        assert lsh <= exact and len(exact) > 0
+
     def test_cosine_self_is_one(self, emb):
         row = emb.limit(1).select(
             F.round(
