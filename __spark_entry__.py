@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -568,6 +569,109 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming queries (Structured-Streaming extension layer)
+# --------------------------------------------------------------------------
+
+#: per-process cache of staged multi-file event directories (sf_dir -> path)
+_STAGED_EVENTS: dict[str, str] = {}
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a 4-file parquet directory (normalized micros ts).
+
+    File-source streams need a directory of discoverable files; the
+    testdata ships one TIMESTAMP(NANOS) file.  Staged once per process.
+    """
+    d = _STAGED_EVENTS.get(sf_dir)
+    if d and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="astro_events_stage_")
+    read_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    _STAGED_EVENTS[sf_dir] = d
+    return d
+
+
+def _st_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoloader-style incremental ingest: drain a file backlog with a
+    checkpointed availableNow stream, then aggregate the loaded table."""
+    from astro_spark.streaming import load_file_stream
+
+    _views(spark, sf_dir)
+    staged = _staged_events_dir(spark, sf_dir)
+    out = a.Table(f"st_inc_{uuid.uuid4().hex[:8]}")
+    load_file_stream(
+        spark,
+        a.File(path=staged, filetype=a.FileType.PARQUET),
+        output_table=out,
+        max_files_per_trigger=2,  # force multi-micro-batch draining
+    )
+    return spark.table(out.name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+            / 100
+        ).alias("sum_value"),
+    )
+
+
+def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.streaming import windowed_counts_stream
+
+    _views(spark, sf_dir)
+    return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
+
+
+def _st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.streaming import sessionize_stream
+
+    _views(spark, sf_dir)
+    return sessionize_stream(spark, _staged_events_dir(spark, sf_dir))
+
+
+_ST_INCREMENTAL_DUCK = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+_ST_WINDOWED_DUCK = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
+
+# closed sessions only: each user's trailing session stays open in the
+# stream's state store, so the oracle excludes every user's last session
+_ST_SESSIONS_DUCK = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, event_id,
+         SUM(CASE WHEN prev IS NULL
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+s AS (
+  SELECT user_id, sid,
+         min(floor(epoch(ts))::BIGINT) AS session_start,
+         max(floor(epoch(ts))::BIGINT) AS session_end,
+         count(*)::BIGINT AS n_events
+  FROM g GROUP BY 1, 2
+),
+last AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY 1)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM s JOIN last ON s.user_id = last.user_id AND s.sid < last.last_sid
+"""
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -621,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "mm_features": _mm_features,
+            "st_incremental_load": _st_incremental_load,
+            "st_windowed_counts": _st_windowed_counts,
+            "st_sessions": _st_sessions,
         }
     )
     return out
@@ -719,6 +826,9 @@ def oracle_sql() -> dict[str, str]:
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
             "mm_features": oracles.multimodal_features_sql(),
+            "st_incremental_load": _ST_INCREMENTAL_DUCK,
+            "st_windowed_counts": _ST_WINDOWED_DUCK,
+            "st_sessions": _ST_SESSIONS_DUCK,
         }
     )
     return out

@@ -1,0 +1,125 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The reference has no streaming at all; this is the canonical "operator
+Spark lacks as a built-in" (SURVEY §2.4 extension path (b)): per-key
+imperative state, expressed with Arrow-batched pandas, never row-at-a-
+time Python.
+
+Semantics:
+- events are grouped by ``user_id``; within a group, consecutive events
+  whose (floor-second) gap exceeds ``gap_seconds`` belong to different
+  sessions;
+- a CLOSED session (a newer event proved the gap) is emitted
+  immediately; the trailing open session stays in the state store and
+  is emitted only when a later batch closes it — so the stream never
+  speculates about still-open sessions.
+
+Scale notes:
+- state is one fixed-size tuple per active user — the state store
+  shards on user_id across shuffle partitions; skewed users cost only
+  their event rows, not state size;
+- ``applyInPandasWithState`` moves each group as Arrow batches, one
+  Python roundtrip per user per micro-batch.
+
+Ordering contract: events are sorted within each micro-batch, but
+MICRO-BATCHES must arrive in event-time order per user (true for
+append-only logs drained ``availableNow``, and for live ingestion whose
+producers emit in order).  For sources with cross-batch disorder use
+the declarative ``F.session_window`` + watermark instead — that form
+tolerates lateness up to the watermark delay but cannot express the
+"emit only proven-closed sessions" contract this operator guarantees.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-exported pattern)
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, n_events bigint"
+)
+STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def _make_session_fn(gap_seconds: int):
+    def close_sessions(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter))
+        # event-time order with a deterministic tie-break (ts, event_id) —
+        # micro-batch delivery order is arbitrary
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # floor-second epochs (portable: DuckDB floor(epoch(ts)))
+        secs = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[int, int, int, int]] = []
+        for s in secs:
+            s = int(s)
+            if start is None:
+                start, last, n = s, s, 1
+            elif s - last > gap_seconds:
+                closed.append((int(key[0]), start, last, n))
+                start, last, n = s, s, 1
+            else:
+                last, n = s, n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return close_sessions
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Drain the file backlog under ``input_path`` through stateful
+    sessionization and return the CLOSED sessions as a DataFrame.
+
+    Columns: (user_id, session_start, session_end, n_events) with epoch-
+    second bounds.  Each user's trailing session remains open in state
+    and is not emitted — the oracle twin must exclude each user's last
+    session.
+    """
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    sessions = (
+        stream.select(F.col(user_col).alias("user_id"), "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    name = f"st_sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events FROM {name}"
+    )

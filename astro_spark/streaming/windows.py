@@ -1,0 +1,70 @@
+"""Watermarked tumbling-window aggregation over a file-source stream.
+
+The reference is batch-only (SURVEY §1.4); this is the Structured-
+Streaming extension for event-time rollups a training-data pipeline
+needs (hourly ingest counts, per-type rates).
+
+Semantics and scale notes:
+- ``withWatermark(ts, delay)`` bounds state: windows older than
+  ``max(event_time) - delay`` are finalized and their state dropped.
+- Output mode matters: ``append`` emits each window exactly once when
+  the watermark passes it (the production mode — bounded state, late
+  data beyond the delay dropped); ``complete`` keeps every window in
+  the state store and re-emits — used here with ``availableNow`` for a
+  deterministic batch-equivalent result (nothing depends on how the
+  backlog splits into micro-batches).
+- The aggregation is a standard partial-agg + shuffle on (window) —
+  at scale the state store is partitioned by the group key, so hot
+  windows shard across ``spark.sql.shuffle.partitions`` tasks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_path: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream files under ``input_path`` through a watermarked tumbling
+    window count; drain the backlog (``availableNow``) and return the
+    result as a DataFrame.
+
+    Returns columns (hour, n_events) where ``hour`` is the window start
+    formatted ``yyyy-MM-dd HH`` (epoch-aligned tumbling windows).
+    """
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    agg = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+            "n_events",
+        )
+    )
+
+    name = f"st_win_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(f"SELECT hour, n_events FROM {name}")

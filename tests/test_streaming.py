@@ -1,0 +1,64 @@
+"""Tests for the Structured-Streaming extension layer (windows, sessions).
+
+Incremental load is covered in test_operators.py; these cover the
+watermarked window aggregation and the stateful sessionizer, including
+the cross-micro-batch state carry that the oracle harness (single
+batch) cannot exercise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from astro_spark.streaming import sessionize_stream, windowed_counts_stream
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Tiny 2-user event log staged as TWO parquet files so multi-batch
+    runs (maxFilesPerTrigger=1) split the data mid-session."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 3600s between e2 and e3), then open tail
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=600), 1, "a", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=600 + 3600 + 1), 1, "a", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=600 + 3600 + 2), 1, "a", 1.0, "{}"),
+        # user 2: one long session only (never closed)
+        (5, base, 2, "b", 1.0, "{}"),
+        (6, base + dt.timedelta(seconds=100), 2, "b", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="astro_test_events_")
+    df.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+class TestWindowedCounts:
+    def test_complete_mode_counts_everything(self, spark, events_dir):
+        out = windowed_counts_stream(spark, events_dir).collect()
+        assert sum(r.n_events for r in out) == 6
+        hours = {r.hour for r in out}
+        assert "2024-01-01 00" in hours and "2024-01-01 01" in hours
+
+    def test_multi_batch_same_result(self, spark, events_dir):
+        one = windowed_counts_stream(spark, events_dir, max_files_per_trigger=1)
+        assert sorted(map(tuple, one.collect())) == sorted(
+            map(tuple, windowed_counts_stream(spark, events_dir).collect())
+        )
+
+
+class TestSessionize:
+    def test_closed_sessions_only(self, spark, events_dir):
+        out = sessionize_stream(spark, events_dir).collect()
+        # user 1's first session closes (2 events); user 1's tail and user
+        # 2's only session remain open → exactly one emitted row
+        assert len(out) == 1
+        r = out[0]
+        assert r.user_id == 1 and r.n_events == 2
+        assert r.session_end - r.session_start == 600
