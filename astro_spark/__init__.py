@@ -22,6 +22,14 @@ from .file import File, FileType
 from .operators import (
     append,
     check_column,
+    columns_exist,
+    create_schema_if_not_exists,
+    create_table,
+    export_table_to_pandas,
+    fetch_all_rows,
+    row_count,
+    schema_exists,
+    table_exists,
     check_table,
     cleanup,
     dataframe,
@@ -57,8 +65,16 @@ __all__ = [
     "check_column",
     "check_table",
     "cleanup",
+    "columns_exist",
+    "create_schema_if_not_exists",
+    "create_table",
     "dataframe",
     "drop_table",
+    "export_table_to_pandas",
+    "fetch_all_rows",
+    "row_count",
+    "schema_exists",
+    "table_exists",
     "export_to_file",
     "get_file_list",
     "get_session",

@@ -1,4 +1,14 @@
 from .append import append
+from .catalog import (
+    columns_exist,
+    create_schema_if_not_exists,
+    create_table,
+    export_table_to_pandas,
+    fetch_all_rows,
+    row_count,
+    schema_exists,
+    table_exists,
+)
 from .checks import check_column, check_table
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
@@ -15,6 +25,14 @@ __all__ = [
     "check_column",
     "check_table",
     "cleanup",
+    "columns_exist",
+    "create_schema_if_not_exists",
+    "create_table",
+    "export_table_to_pandas",
+    "fetch_all_rows",
+    "row_count",
+    "schema_exists",
+    "table_exists",
     "dataframe",
     "drop_table",
     "export_to_file",

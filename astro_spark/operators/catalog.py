@@ -1,0 +1,83 @@
+"""Catalog micro-primitives — the ``BaseDatabase`` introspection surface.
+
+Reference: ``databases/base.py:43-944``, the internal primitives every
+backend reimplements per dialect (``table_exists`` 174-196,
+``schema_exists`` 776-798, ``row_count`` 835-846, ``fetch_all_rows``
+446-459, ``create_table_using_columns`` 257-268,
+``export_table_to_pandas_dataframe`` 734-751).  One Spark catalog
+replaces nine dialect implementations; each primitive is a one-hop
+catalog or SQL call.
+
+Scale notes: these are metadata operations (no data movement) except
+``row_count`` (a count job — metadata-only for parquet thanks to
+row-group statistics) and the two explicit materialization points
+(``fetch_all_rows``, ``export_table_to_pandas_dataframe``), which are
+driver-side by contract and bounded by the caller's limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql.types import StructType
+
+from ..table import Table, validate_identifier
+
+
+def table_exists(spark: SparkSession, table: Table | str) -> bool:
+    name = table.qualified_name if isinstance(table, Table) else table
+    return spark.catalog.tableExists(name)
+
+
+def schema_exists(spark: SparkSession, schema: str) -> bool:
+    validate_identifier(schema)
+    return spark.catalog.databaseExists(schema)
+
+
+def create_schema_if_not_exists(spark: SparkSession, schema: str) -> None:
+    validate_identifier(schema)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+
+def columns_exist(spark: SparkSession, table: Table | str, columns: list[str]) -> bool:
+    """True iff every name in ``columns`` is a column of ``table``
+    (case-insensitive, matching Spark's resolver)."""
+    name = table.qualified_name if isinstance(table, Table) else table
+    have = {c.lower() for c in spark.table(name).columns}
+    return all(c.lower() in have for c in columns)
+
+
+def row_count(spark: SparkSession, table: Table | str) -> int:
+    name = table.qualified_name if isinstance(table, Table) else table
+    return spark.table(name).count()
+
+
+def fetch_all_rows(
+    spark: SparkSession, table: Table | str, row_limit: int = -1
+) -> list[Row]:
+    """Collect rows to the driver, optionally LIMIT-bounded
+    (reference ``base.py:446-459``)."""
+    name = table.qualified_name if isinstance(table, Table) else table
+    df = spark.table(name)
+    if row_limit >= 0:
+        df = df.limit(row_limit)
+    return df.collect()
+
+
+def create_table(
+    spark: SparkSession, table: Table | str, schema: StructType
+) -> None:
+    """Create an empty table from an explicit schema (reference
+    ``create_table_using_columns``, ``base.py:257-268``)."""
+    name = table.qualified_name if isinstance(table, Table) else table
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    for f in schema.fields:
+        validate_identifier(f.name)
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet")
+
+
+def export_table_to_pandas(spark: SparkSession, table: Table | str):
+    """Full-table export to pandas (reference ``base.py:734-751``) — the
+    explicit driver-side materialization point; prefer ``spark.table``
+    for anything that continues distributed."""
+    name = table.qualified_name if isinstance(table, Table) else table
+    return spark.table(name).toPandas()

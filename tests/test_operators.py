@@ -206,3 +206,50 @@ class TestStreaming:
             spark, a.File(src + "/batch1", filetype="parquet"), out, checkpoint_dir=ckpt
         )
         assert spark.table(out.name).count() == 5
+
+
+class TestCatalogPrimitives:
+    def test_exists_and_counts(self, spark, sf_dir):
+        t = a.Table("cat_nation", temp=False)
+        a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
+        assert a.table_exists(spark, t)
+        assert not a.table_exists(spark, "no_such_table_xyz")
+        assert a.row_count(spark, t) == 25
+        assert a.columns_exist(spark, t, ["n_nationkey", "N_NAME"])
+        assert not a.columns_exist(spark, t, ["n_nationkey", "nope"])
+        rows = a.fetch_all_rows(spark, t, row_limit=3)
+        assert len(rows) == 3
+        a.drop_table(spark, t)
+
+    def test_schema_and_explicit_create(self, spark):
+        from pyspark.sql import types as T
+
+        assert not a.schema_exists(spark, "cat_scratch")
+        a.create_schema_if_not_exists(spark, "cat_scratch")
+        assert a.schema_exists(spark, "cat_scratch")
+        t = a.Table("made", metadata=a.Metadata(schema="cat_scratch"), temp=False)
+        a.create_table(
+            spark,
+            t,
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("name", T.StringType()),
+                ]
+            ),
+        )
+        assert a.table_exists(spark, t)
+        assert a.row_count(spark, t) == 0
+        assert [f.name for f in spark.table(t.qualified_name).schema.fields] == [
+            "id",
+            "name",
+        ]
+        a.drop_table(spark, t)
+        spark.sql("DROP DATABASE IF EXISTS cat_scratch")
+
+    def test_export_to_pandas(self, spark, sf_dir):
+        t = a.Table("cat_region", temp=False)
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t)
+        pdf = a.export_table_to_pandas(spark, t)
+        assert len(pdf) == 5 and "r_name" in pdf.columns
+        a.drop_table(spark, t)
