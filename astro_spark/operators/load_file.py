@@ -38,6 +38,7 @@ def load_file(
     columns_names_capitalization: str = "original",
     schema: StructType | None = None,
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
     csv_options: dict | None = None,
 ) -> DataFrame | Table:
     if isinstance(input_file, str):
@@ -57,7 +58,13 @@ def load_file(
     if output_table is None:
         return df
 
-    save_dataframe_as_table(df, output_table, if_exists=if_exists, partition_by=partition_by)
+    save_dataframe_as_table(
+        df,
+        output_table,
+        if_exists=if_exists,
+        partition_by=partition_by,
+        bucket_by=bucket_by,
+    )
     return output_table
 
 
@@ -66,6 +73,7 @@ def save_dataframe_as_table(
     table: Table,
     if_exists: str = "replace",
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> None:
     """Materialize a DataFrame under a Table handle.
 
@@ -73,6 +81,12 @@ def save_dataframe_as_table(
     the reference needs an explicit cleanup pass for this,
     ``sql/operators/cleanup.py``); permanent tables land in the catalog as
     parquet via saveAsTable.
+
+    ``bucket_by=(n, cols)`` hash-buckets the table on ``cols`` —
+    a persisted partitioning: later equi-joins and aggregations on the
+    bucket columns between co-bucketed tables skip their shuffle
+    entirely (SortMergeJoin without Exchange).  The 100 TB layout lever
+    the reference cannot express.
     """
     spark = df.sparkSession
     if table.temp:
@@ -91,12 +105,18 @@ def save_dataframe_as_table(
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
     if mode == "append" and spark.catalog.tableExists(table.qualified_name):
         # align by name: Spark insertInto is position-based; the reference
         # appends by name through pandas to_sql (SURVEY §7 risk list)
         existing = spark.table(table.qualified_name)
         df = df.select(*[c for c in existing.columns if c in df.columns])
         writer = df.write.mode("append").format("parquet")
+        if bucket_by:
+            n, cols = bucket_by
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(table.qualified_name)
 
 

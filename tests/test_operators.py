@@ -253,3 +253,33 @@ class TestCatalogPrimitives:
         pdf = a.export_table_to_pandas(spark, t)
         assert len(pdf) == 5 and "r_name" in pdf.columns
         a.drop_table(spark, t)
+
+
+class TestBucketing:
+    def test_cobucketed_join_has_no_exchange(self, spark, sf_dir):
+        """Two tables bucketed on the same key join without a shuffle —
+        the persisted-partitioning contract that matters at 100 TB."""
+        o = a.Table("bk_orders", temp=False)
+        li = a.Table("bk_lineitem", temp=False)
+        a.load_file(
+            spark, f"{sf_dir}/orders.parquet", output_table=o, bucket_by=(8, ["o_orderkey"])
+        )
+        a.load_file(
+            spark,
+            f"{sf_dir}/lineitem.parquet",
+            output_table=li,
+            bucket_by=(8, ["l_orderkey"]),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(o.name).join(
+                spark.table(li.name),
+                spark.table(o.name).o_orderkey == spark.table(li.name).l_orderkey,
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            a.drop_table(spark, o)
+            a.drop_table(spark, li)
