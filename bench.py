@@ -36,7 +36,11 @@ HEADLINE = [
     "s_brute_topk",
     "s_lsh_pairs",
     "t_quality_metrics",
+    "t_token_counts",
     "mm_features",
+    "st_incremental_load",
+    "st_windowed_counts",
+    "st_sessions",
 ]
 
 
