@@ -568,6 +568,14 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.attach_binary_payload(docs))
 
 
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.frame_features(
+        multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming queries (Structured-Streaming extension layer)
 # --------------------------------------------------------------------------
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "mm_features": _mm_features,
+            "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
             "st_windowed_counts": _st_windowed_counts,
             "st_sessions": _st_sessions,
@@ -826,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
             "mm_features": oracles.multimodal_features_sql(),
+            "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,

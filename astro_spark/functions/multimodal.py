@@ -102,3 +102,118 @@ def extract_features(
             yield fn(pdf)
 
     return df.mapInPandas(_mapper, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: each payload fans out to ``n_frames``
+    rows (doc_id, frame_idx, frame).
+
+    The 1→N row shape is the real contract (same mapInPandas iterator
+    emits multiple rows per input); the "decoder" is a deterministic
+    byte-range splitter — frame i of a length-L payload is
+    ``payload[i*L//n : (i+1)*L//n]`` — where ffmpeg keyframe extraction
+    would plug in.
+    """
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                length = len(b)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        b[i * length // n_frames : (i + 1) * length // n_frames]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_mapper, FRAME_SCHEMA)
+
+
+def frame_features(df: DataFrame) -> DataFrame:
+    """Byte-level features per frame (length + 62-bit poly hash) — the
+    oracle-checkable stand-in for per-frame embedding extraction."""
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p31 = 2_147_483_647
+
+        def poly(b: bytes, mult: int) -> int:
+            acc = 0
+            for byte in b:
+                acc = (acc * mult + byte) % p31
+            return acc
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_bytes": pdf["frame"].map(len),
+                    "frame_hash": pdf["frame"].map(
+                        lambda b: poly(bytes(b), 31) * (p31 + 1) + poly(bytes(b), 37)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_mapper, FRAME_FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image-style resize: payload resampled to exactly ``width*height``
+    bytes by deterministic stride sampling (byte j of the output is input
+    byte ``j*L // (w*h)``) — where PIL/AVIF decode+resize would plug in.
+
+    Output payloads are fixed-size, the property real thumbnail
+    pipelines rely on for downstream batch tensors.
+    """
+    target = width * height
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resample(payload) -> bytes:
+                b = bytes(payload)
+                if not b:
+                    return b""
+                return bytes(b[j * len(b) // target] for j in range(target))
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(_resample),
+                }
+            )
+
+    return df.mapInPandas(_mapper, RESIZED_SCHEMA)

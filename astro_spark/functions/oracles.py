@@ -382,3 +382,23 @@ SELECT doc_id,
        ({poly_hash('text', MULT1)} * {P31 + 1} + {poly_hash('text', MULT2)}) AS content_hash
 FROM {table}
 """
+
+
+def multimodal_frames_sql(table: str = "documents", n_frames: int = 4) -> str:
+    """Mirror of ``sample_frames`` + ``frame_features``: frame i of a
+    length-L payload is bytes [i*L//n, (i+1)*L//n) — substring arithmetic
+    on the (ASCII) text replicates the byte slicing exactly."""
+    return f"""
+WITH f AS (
+  SELECT doc_id, i AS frame_idx,
+         substring(text,
+                   (i * length(text)) // {n_frames} + 1,
+                   ((i + 1) * length(text)) // {n_frames}
+                     - (i * length(text)) // {n_frames}) AS fr
+  FROM {table}, (SELECT unnest(range({n_frames})) AS i)
+)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       length(fr)::BIGINT AS n_bytes,
+       ({poly_hash('fr', MULT1)} * {P31 + 1} + {poly_hash('fr', MULT2)}) AS frame_hash
+FROM f
+"""

@@ -141,6 +141,30 @@ class TestMultimodal:
         joined = out.join(docs, "doc_id").where(F.col("n_bytes") != F.col("n_chars"))
         assert joined.count() == 0  # ascii corpus: bytes == chars
 
+    def test_sample_frames_fanout(self, docs):
+        media = multimodal.attach_binary_payload(docs.limit(10))
+        frames = multimodal.sample_frames(media, n_frames=4)
+        rows = frames.collect()
+        assert len(rows) == 40
+        # frames reassemble to the original payload (contiguous split)
+        by_doc = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.frame_idx)):
+            by_doc.setdefault(r.doc_id, b"")
+            by_doc[r.doc_id] += bytes(r.frame)
+        originals = {r.doc_id: bytes(r.payload) for r in media.collect()}
+        assert by_doc == originals
+
+    def test_resize_fixed_size_output(self, docs):
+        media = multimodal.attach_binary_payload(docs.limit(5))
+        out = multimodal.resize_media(media, width=4, height=4).collect()
+        assert all(len(bytes(r.payload)) == 16 for r in out)
+        assert all(r.width == 4 and r.height == 4 for r in out)
+        # deterministic: same input → same bytes
+        again = multimodal.resize_media(media, width=4, height=4).collect()
+        assert {(r.doc_id, bytes(r.payload)) for r in out} == {
+            (r.doc_id, bytes(r.payload)) for r in again
+        }
+
     def test_decode_stub_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_media(b"x", "image/png")
