@@ -253,6 +253,32 @@ FROM events
 GROUP BY event_type
 """
 
+# pivot via conditional aggregation — identical text on both engines, the
+# portable form of PIVOT (wide per-group layout for reporting/export)
+_QPIVOT = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100 AS f_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# deterministic ordered string aggregation (listagg shape)
+_QSTRAGG_SPARK = """
+SELECT r_name, array_join(array_sort(collect_list(n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+_QSTRAGG_DUCK = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 _QSESSIONS_SPARK = """
 WITH x AS (
   SELECT user_id, ts,
@@ -707,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_events_hourly": _shared(_QEVENTS_HOURLY_SPARK),
             "q_events_json": _shared(_QEVENTS_JSON_SPARK),
             "q_events_sessions": _shared(_QSESSIONS_SPARK),
+            "q_pivot_status": _shared(_QPIVOT),
+            "q_string_agg": _shared(_QSTRAGG_SPARK),
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -749,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
             "q_events_hourly": _QEVENTS_HOURLY_DUCK,
             "q_events_json": _QEVENTS_JSON_DUCK,
             "q_events_sessions": _QSESSIONS_DUCK,
+            "q_pivot_status": _QPIVOT,
+            "q_string_agg": _QSTRAGG_DUCK,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "
