@@ -1,0 +1,55 @@
+"""Skew-salting join: the explicit lever for hot join keys.
+
+Where it fits in the skew toolbox (scale design, SURVEY §4):
+- AQE skew-join (``spark.sql.adaptive.skewJoin``) splits oversized
+  sort-merge partitions at runtime — on by default in our sessions and
+  the right first answer.
+- ``broadcast()`` removes the shuffle entirely when one side is small.
+- Salting is the remaining case: a shuffled join where a handful of
+  keys dominate AND the build side is too big to broadcast.  Splitting
+  each hot left key across ``n_salts`` sub-partitions trades an
+  ``n_salts``× replication of the matching RIGHT rows for an
+  ``n_salts``× reduction of the hottest task.
+
+Mechanics: the left side gets a deterministic salt in ``[0, n_salts)``
+(hash of the whole row, so any distribution works — correctness never
+depends on it); the right side is replicated once per salt value via an
+``explode`` of a literal range (no driver loop, no data skew on the
+replicate itself).  Joining on (key, salt) then equals the plain key
+join row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__astro_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``left ⋈ right`` on ``on`` with left-side key salting.
+
+    Result equals ``left.join(right, on, how)`` (same rows, same
+    columns).  ``how`` supports inner and left joins — the flavors where
+    salting is sound without post-aggregation (right/full would need a
+    de-dup of replicated unmatched right rows).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    salted_left = left.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    salted_right = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_left.join(salted_right, on=[*keys, _SALT], how=how)
+    return joined.drop(_SALT)

@@ -283,3 +283,36 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             a.drop_table(spark, o)
             a.drop_table(spark, li)
+
+
+class TestSkewSalting:
+    def test_salted_join_equals_plain_join(self, spark):
+        from astro_spark.plans import salted_join
+
+        # heavily skewed left: 10k rows on one key, 10 on others
+        left = spark.range(0, 10_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("lv")
+        ).union(
+            spark.range(0, 10).select(
+                (F.col("id") + 2).alias("k"), F.col("id").alias("lv")
+            )
+        )
+        right = spark.range(0, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("rv")
+        )
+        plain = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("lv") + F.col("rv")).alias("s")
+        ).collect()[0]
+        salted = salted_join(left, right, "k", n_salts=8).groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("lv") + F.col("rv")).alias("s")
+        ).collect()[0]
+        assert (plain.n, plain.s) == (salted.n, salted.s)
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from astro_spark.plans import salted_join
+
+        left = spark.range(0, 100).select(F.col("id").alias("k"))
+        right = spark.range(0, 50).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        out = salted_join(left, right, "k", n_salts=4, how="left")
+        assert out.count() == 100
+        assert out.where(F.col("v").isNull()).count() == 50
