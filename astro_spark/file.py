@@ -77,5 +77,13 @@ class File:
             self.filetype = FileType(self.filetype.lower())
 
     @property
+    def dataset_uri(self) -> str:
+        """Lineage URI (reference files/base.py:206-225): the path itself,
+        scheme-qualified (bare local paths become ``file://``)."""
+        if "://" in self.path:
+            return self.path
+        return f"file://{self.path}"
+
+    @property
     def is_pattern(self) -> bool:
         return any(ch in self.path for ch in "*?[")

@@ -88,6 +88,19 @@ class Table:
         """Reference table.py:115-121."""
         return spark.table(self.qualified_name).count()
 
+    @property
+    def dataset_uri(self) -> str:
+        """Lineage URI for data-aware scheduling (reference
+        table.py:237-250): ``astro://<conn>@?table=…&schema=…``."""
+        from urllib.parse import urlencode
+
+        params: dict[str, str] = {"table": self.name}
+        if self.metadata.schema:
+            params["schema"] = self.metadata.schema
+        if self.metadata.database:
+            params["database"] = self.metadata.database
+        return f"astro://{self.conn_id}@?{urlencode(params)}"
+
     def to_json(self) -> dict[str, Any]:
         """Serializable handle (reference table.py:128-147)."""
         return {

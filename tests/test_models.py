@@ -109,3 +109,17 @@ class TestTemplating:
         assert render_literal(True) == "TRUE"
         assert render_literal([1, 2]) == "(1, 2)"
         assert render_literal(dt.date(2024, 1, 2)) == "DATE '2024-01-02'"
+
+
+class TestDatasetURIs:
+    def test_table_uri(self):
+        from astro_spark import Metadata, Table
+
+        t = Table("orders", conn_id="c1", metadata=Metadata(schema="sales"))
+        assert t.dataset_uri == "astro://c1@?table=orders&schema=sales"
+
+    def test_file_uri(self):
+        from astro_spark import File
+
+        assert File("/data/x.csv").dataset_uri == "file:///data/x.csv"
+        assert File("s3a://b/k.parquet").dataset_uri == "s3a://b/k.parquet"
