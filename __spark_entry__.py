@@ -493,6 +493,26 @@ def _op_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _op_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.operators.checks import profile_table
+
+    _views(spark, sf_dir)
+    return profile_table(spark, read_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _op_profile_duck() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, COUNT(*)::BIGINT AS n_rows,
+            SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+            COUNT(DISTINCT {c})::BIGINT AS n_distinct FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return a.run_raw_sql(spark, _QRAWSQL, results_format="dataframe")
@@ -747,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_check_column": _op_check_column,
             "op_check_table": _op_check_table,
             "op_raw_sql": _op_raw_sql,
+            "op_profile": _op_profile,
             "t_quality_metrics": _t_quality,
             "t_lang_id": _t_lang_id,
             "t_fingerprint": _t_fingerprint,
@@ -851,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'no_null_keys',
                        (SELECT COUNT(*) = COUNT(l_orderkey) FROM lineitem)
             """,
+            "op_profile": _op_profile_duck(),
             "t_quality_metrics": oracles.quality_metrics_sql(),
             "t_lang_id": oracles.lang_id_sql(),
             "t_fingerprint": oracles.fingerprint_sql(),

@@ -22,6 +22,7 @@ from .file import File, FileType
 from .operators import (
     append,
     check_column,
+    profile_table,
     columns_exist,
     create_schema_if_not_exists,
     create_table,
@@ -81,6 +82,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "profile_table",
     "run_raw_sql",
     "run_transform",
     "transform",

@@ -9,7 +9,7 @@ from .catalog import (
     schema_exists,
     table_exists,
 )
-from .checks import check_column, check_table
+from .checks import check_column, check_table, profile_table
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
 from .drop import drop_table, truncate_table
@@ -40,6 +40,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "profile_table",
     "register_temp_table",
     "run_raw_sql",
     "temp_registry",

@@ -148,3 +148,48 @@ def check_table(
         if failed:
             raise AssertionError(f"table checks failed: {failed}")
     return out
+
+
+def profile_table(
+    spark: SparkSession,
+    table: Table | str | DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profile: (column_name, n_rows, n_nulls, n_distinct).
+
+    Beyond-reference extension of the check family: the dataset-survey
+    step every training-data pipeline runs before filtering.  ALL
+    columns profile in ONE aggregate scan (map-side partial agg), then a
+    ``stack`` reshapes the single aggregate row to long format — no
+    driver-side collect.
+
+    ``exact_distinct=False`` swaps ``count_distinct`` for
+    ``approx_count_distinct`` (HLL): at 100 TB the exact form costs one
+    EXPAND (input replicated per profiled column) while the sketch keeps
+    the scan single-pass and mergeable — the right default at scale;
+    exact is the oracle-checkable default here.
+    """
+    if isinstance(table, DataFrame):
+        df = table
+    else:
+        name = table.qualified_name if isinstance(table, Table) else table
+        df = spark.table(name)
+    cols = columns or df.columns
+
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(distinct(F.col(c)).alias(f"__distinct_{c}"))
+    one = df.agg(*aggs)
+
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __distinct_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        F.col("n_rows"),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

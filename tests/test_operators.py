@@ -255,6 +255,28 @@ class TestCatalogPrimitives:
         a.drop_table(spark, t)
 
 
+class TestProfile:
+    def test_profile_counts_nulls_and_distinct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (None, "b")], ["x", "y"]
+        )
+        from astro_spark.operators.checks import profile_table
+
+        rows = {r.column_name: r for r in profile_table(spark, df).collect()}
+        assert rows["x"].n_rows == 4 and rows["x"].n_nulls == 1
+        assert rows["x"].n_distinct == 2 and rows["y"].n_distinct == 2
+        assert rows["y"].n_nulls == 1
+
+    def test_profile_approx_mode_single_pass(self, spark, sf_dir):
+        from astro_spark.operators.checks import profile_table
+
+        df = read_table(spark, sf_dir, "orders")
+        out = profile_table(spark, df, ["o_orderkey", "o_custkey"], exact_distinct=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan  # HLL sketches avoid the per-column EXPAND
+        assert out.count() == 2
+
+
 class TestBucketing:
     def test_cobucketed_join_has_no_exchange(self, spark, sf_dir):
         """Two tables bucketed on the same key join without a shuffle —
