@@ -493,6 +493,28 @@ def _op_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from astro_spark.functions.oracles import poly_hash as _poly_hash_sql
+
+_T_HASH_SPLIT_DUCK = f"""
+WITH b AS (
+  SELECT ({_poly_hash_sql("doc_id::VARCHAR")}) % 100 AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs
+FROM b GROUP BY 1
+"""
+
+_DD_INCREMENTAL_DUCK = """
+WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+fresh AS (SELECT * FROM new WHERE text NOT IN (SELECT text FROM seen))
+SELECT min(doc_id)::BIGINT AS doc_id, text, count(*)::BIGINT AS dup_count
+FROM fresh GROUP BY text
+"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
@@ -574,6 +596,26 @@ def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    return dedup.incremental_exact_dedup(new, seen)
+
+
+def _t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.functions.sampling import hash_split
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 def _dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,10 +814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_lang_id": _t_lang_id,
             "t_fingerprint": _t_fingerprint,
             "t_token_counts": _t_token_counts,
+            "t_hash_split": _t_hash_split,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
+            "dd_incremental": _dd_incremental,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "s_brute_topk": _s_topk,
             "s_ivf_label_topk": _s_ivf_topk,
@@ -881,6 +925,8 @@ def oracle_sql() -> dict[str, str]:
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "t_token_counts": oracles.token_counts_sql(),
+            "t_hash_split": _T_HASH_SPLIT_DUCK,
+            "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),

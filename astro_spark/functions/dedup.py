@@ -387,3 +387,42 @@ def cosine_dup_pairs(
         F.round(dot(F.col("l.u"), F.col("r.u")), 4).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (new batch vs already-ingested corpus)
+# --------------------------------------------------------------------------
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows of ``new_df`` whose text is NOT already in ``seen_df``,
+    then exact-dedup within the survivors.
+
+    The production shape of dedup: each ingest batch checks against the
+    corpus fingerprint table instead of re-deduping the world.  The
+    anti-join runs on the 62-bit fingerprint (tiny shuffle rows; at
+    100 TB the seen-side is a fingerprint-only table, orders of
+    magnitude smaller than the corpus).
+    """
+    seen_fp = seen_df.select(
+        fingerprint62(F.col(text_col)).alias("__fp"),
+        F.col(text_col).alias("__seen_text"),
+    )
+    new_fp = new_df.select(
+        F.col(id_col),
+        F.col(text_col),
+        fingerprint62(F.col(text_col)).alias("__fp"),
+    )
+    # fingerprint match + text equality guard (collision safety), anti
+    fresh = new_fp.join(
+        seen_fp,
+        on=[
+            new_fp["__fp"] == seen_fp["__fp"],
+            new_fp[text_col] == seen_fp["__seen_text"],
+        ],
+        how="left_anti",
+    )
+    return exact_dedup(fresh.select(id_col, text_col), text_col=text_col, id_col=id_col)

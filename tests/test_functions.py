@@ -50,6 +50,28 @@ class TestText:
 
 
 class TestDedup:
+    def test_hash_split_deterministic_and_complete(self, docs):
+        from astro_spark.functions.sampling import hash_split
+
+        a = hash_split(docs, "doc_id")
+        b = hash_split(docs.repartition(13), "doc_id")
+        ca = {r.split: r.n_docs for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).collect()}
+        cb = {r.split: r.n_docs for r in b.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).collect()}
+        assert ca == cb  # partitioning never changes assignment
+        assert sum(ca.values()) == docs.count()
+        assert set(ca) <= {"train", "val", "test"}
+        assert ca["train"] > ca.get("val", 0)  # rough proportionality
+
+    def test_incremental_dedup_excludes_seen(self, spark):
+        rows = [(1, "alpha"), (2, "beta")]
+        seen = spark.createDataFrame(rows, ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(10, "alpha"), (11, "gamma"), (12, "gamma")], ["doc_id", "text"]
+        )
+        out = dedup.incremental_exact_dedup(new, seen).collect()
+        assert len(out) == 1 and out[0].text == "gamma"
+        assert out[0].doc_id == 11 and out[0].dup_count == 2
+
     def test_exact_dedup_no_dups_identity(self, docs):
         out = dedup.exact_dedup(docs)
         assert out.count() == docs.count()
