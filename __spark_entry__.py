@@ -668,25 +668,29 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming queries (Structured-Streaming extension layer)
 # --------------------------------------------------------------------------
 
-#: per-process cache of staged multi-file event directories (sf_dir -> path)
-_STAGED_EVENTS: dict[str, str] = {}
+#: per-process cache of staged multi-file table directories
+_STAGED_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _staged_table_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Stage a testdata table as a 4-file parquet directory.
+
+    File-source streams need a DIRECTORY of discoverable files; the
+    testdata ships one file per table (events additionally as
+    TIMESTAMP(NANOS), normalized here to micros).  Staged once per
+    process.
+    """
+    d = _STAGED_DIRS.get((sf_dir, name))
+    if d and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=f"astro_{name}_stage_")
+    read_table(spark, sf_dir, name).repartition(4).write.mode("overwrite").parquet(d)
+    _STAGED_DIRS[(sf_dir, name)] = d
+    return d
 
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events as a 4-file parquet directory (normalized micros ts).
-
-    File-source streams need a directory of discoverable files; the
-    testdata ships one TIMESTAMP(NANOS) file.  Staged once per process.
-    """
-    d = _STAGED_EVENTS.get(sf_dir)
-    if d and os.path.isdir(d):
-        return d
-    d = tempfile.mkdtemp(prefix="astro_events_stage_")
-    read_table(spark, sf_dir, "events").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(d)
-    _STAGED_EVENTS[sf_dir] = d
-    return d
+    return _staged_table_dir(spark, sf_dir, "events")
 
 
 def _st_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +721,13 @@ def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
+
+
+def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.streaming import dedup_stream
+
+    _views(spark, sf_dir)
+    return dedup_stream(spark, _staged_table_dir(spark, sf_dir, "documents"))
 
 
 def _st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_incremental_load": _st_incremental_load,
             "st_windowed_counts": _st_windowed_counts,
             "st_sessions": _st_sessions,
+            "st_dedup": _st_dedup,
         }
     )
     return out
@@ -937,6 +949,9 @@ def oracle_sql() -> dict[str, str]:
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,
+            "st_dedup": (
+                "SELECT COUNT(DISTINCT text)::BIGINT AS n_unique_docs FROM documents"
+            ),
         }
     )
     return out

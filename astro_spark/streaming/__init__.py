@@ -1,7 +1,12 @@
 # Structured Streaming extensions (Autoloader-style incremental load,
-# watermarked windows, stateful sessionization).
+# watermarked windows, stateful sessionization, streaming dedup).
 from .load_stream import load_file_stream
-from .sessions import sessionize_stream
+from .sessions import dedup_stream, sessionize_stream
 from .windows import windowed_counts_stream
 
-__all__ = ["load_file_stream", "sessionize_stream", "windowed_counts_stream"]
+__all__ = [
+    "dedup_stream",
+    "load_file_stream",
+    "sessionize_stream",
+    "windowed_counts_stream",
+]

@@ -123,3 +123,47 @@ def sessionize_stream(
     return spark.sql(
         f"SELECT user_id, session_start, session_end, n_events FROM {name}"
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drain the file backlog keeping one row per
+    distinct content fingerprint, and return the distinct-doc count.
+
+    ``dropDuplicates`` on the 62-bit content fingerprint keeps state of
+    one fingerprint per distinct doc.  Without a timestamp the state
+    grows with corpus cardinality (fine for bounded drains); pass
+    ``ts_col`` to switch to ``dropDuplicatesWithinWatermark`` so state
+    ages out for continuous ingestion.
+    """
+    from ..functions.text import fingerprint62
+
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    fp = stream.select(
+        F.col(id_col), fingerprint62(F.col(text_col)).alias("fp"),
+        *( [F.col(ts_col)] if ts_col else [] ),
+    )
+    if ts_col:
+        fp = fp.withWatermark(ts_col, watermark_delay)
+        distinct = fp.dropDuplicatesWithinWatermark(["fp"])
+    else:
+        distinct = fp.dropDuplicates(["fp"])
+    counted = distinct.groupBy().agg(F.count(F.lit(1)).alias("n_unique_docs"))
+
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(f"SELECT n_unique_docs FROM {name}")

@@ -13,7 +13,11 @@ import tempfile
 
 import pytest
 
-from astro_spark.streaming import sessionize_stream, windowed_counts_stream
+from astro_spark.streaming import (
+    dedup_stream,
+    sessionize_stream,
+    windowed_counts_stream,
+)
 
 
 @pytest.fixture(scope="module")
@@ -62,3 +66,22 @@ class TestSessionize:
         r = out[0]
         assert r.user_id == 1 and r.n_events == 2
         assert r.session_end - r.session_start == 600
+
+
+class TestDedupStream:
+    def test_distinct_count(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb")],
+            "doc_id long, text string",
+        )
+        d = str(tmp_path / "docs")
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        out = dedup_stream(spark, d).collect()
+        assert out[0].n_unique_docs == 3
+
+    def test_watermarked_flavor_runs(self, spark, events_dir):
+        # dropDuplicatesWithinWatermark path: dedup event payload strings
+        out = dedup_stream(
+            spark, events_dir, text_col="event_type", id_col="event_id", ts_col="ts"
+        ).collect()
+        assert out[0].n_unique_docs == 2  # event types "a" and "b"
