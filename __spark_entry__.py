@@ -598,6 +598,25 @@ def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            text.quality_filter(
+                F.col("text"), min_tokens=20, min_avg_token_len=4.2
+            ).alias("verdict")
+        )
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _t_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return text.top_terms(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -826,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_fingerprint": _t_fingerprint,
             "t_token_counts": _t_token_counts,
             "t_hash_split": _t_hash_split,
+            "t_quality_filter": _t_quality_filter,
+            "t_top_terms": _t_top_terms,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -938,6 +959,10 @@ def oracle_sql() -> dict[str, str]:
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "t_token_counts": oracles.token_counts_sql(),
             "t_hash_split": _T_HASH_SPLIT_DUCK,
+            "t_quality_filter": oracles.quality_filter_sql(
+                min_tokens=20, min_avg_token_len=4.2
+            ),
+            "t_top_terms": oracles.top_terms_sql(),
             "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),

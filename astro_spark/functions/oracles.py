@@ -152,6 +152,47 @@ FROM scored GROUP BY 1
 """
 
 
+def quality_filter_sql(
+    table: str = "documents",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_space_ratio: float = 0.4,
+) -> str:
+    """Mirror of text.quality_filter over quality_metrics values."""
+    return f"""
+WITH t AS (
+  SELECT length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) AS nsp,
+         {tokens('text')} AS toks
+  FROM {table}
+),
+m AS (
+  SELECT len(toks)::BIGINT AS n_tokens,
+         round((nc - nsp) / greatest(len(toks), 1), 4)::DOUBLE AS avg_token_len,
+         round(nsp / greatest(nc, 1), 4)::DOUBLE AS space_ratio
+  FROM t
+)
+SELECT CASE WHEN n_tokens < {min_tokens} THEN 'too_few_tokens'
+            WHEN n_tokens > {max_tokens} THEN 'too_many_tokens'
+            WHEN avg_token_len < {min_avg_token_len} THEN 'short_tokens'
+            WHEN space_ratio > {max_space_ratio} THEN 'too_spacey'
+            ELSE 'ok' END AS verdict,
+       COUNT(*)::BIGINT AS n_docs
+FROM m GROUP BY 1
+"""
+
+
+def top_terms_sql(table: str = "documents", k: int = 20) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({tokens('text')}) AS token FROM {table}
+)
+SELECT token, COUNT(*)::BIGINT AS n FROM tok
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
 def fingerprint_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, {fingerprint62('text')} AS fingerprint FROM {table}"
 

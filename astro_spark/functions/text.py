@@ -113,3 +113,44 @@ def predict_lang(col: Column | str) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def quality_filter(
+    col: Column | str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_space_ratio: float = 0.4,
+) -> Column:
+    """C4-style keep/drop verdict: the first failing rule names the drop
+    reason, ``'ok'`` means keep.  Rule order is fixed (deterministic).
+
+    Map-only over the scan at any scale; thresholds follow the published
+    heuristics family (length bounds, token-shape, whitespace density).
+    """
+    m = quality_metrics(col)
+    return (
+        F.when(m["n_tokens"] < F.lit(min_tokens), F.lit("too_few_tokens"))
+        .when(m["n_tokens"] > F.lit(max_tokens), F.lit("too_many_tokens"))
+        .when(m["avg_token_len"] < F.lit(min_avg_token_len), F.lit("short_tokens"))
+        .when(m["space_ratio"] > F.lit(max_space_ratio), F.lit("too_spacey"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def top_terms(df, text_col: str = "text", k: int = 20):
+    """Corpus-level heavy hitters: top-k tokens by frequency with a
+    deterministic (count DESC, token ASC) tie-break.
+
+    One explode + one hash-shuffle with map-side partial aggregation —
+    a hot token costs nothing extra because partials combine before the
+    exchange.  For top-k per *group* at extreme cardinality, switch to
+    a window over (group) or a count-min sketch.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

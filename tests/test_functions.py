@@ -50,6 +50,22 @@ class TestText:
 
 
 class TestDedup:
+    def test_quality_filter_reasons(self, spark):
+        rows = [("one two",), ("aa bb cc dd ee ff",), ("longwords absolutely wonderful tremendous frankly",)]
+        df = spark.createDataFrame(rows, ["text"])
+        out = [
+            r.v
+            for r in df.select(
+                text.quality_filter(F.col("text"), min_tokens=3, min_avg_token_len=3.0).alias("v")
+            ).collect()
+        ]
+        assert out == ["too_few_tokens", "short_tokens", "ok"]
+
+    def test_top_terms_deterministic_tiebreak(self, spark):
+        df = spark.createDataFrame([("b a",), ("a b",), ("c",)], ["text"])
+        out = text.top_terms(df, k=2).collect()
+        assert [(r.token, r.n) for r in out] == [("a", 2), ("b", 2)]
+
     def test_hash_split_deterministic_and_complete(self, docs):
         from astro_spark.functions.sampling import hash_split
 
