@@ -742,6 +742,55 @@ def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: odd events look up the latest strictly-earlier even
+    event value of the same user (union + one window pass — no pairwise
+    expansion; see astro_spark/plans/asof.py)."""
+    from astro_spark.plans import asof_join
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        left, right, on="user_id", ts_col="ts", value_col="value", tie_col="event_id"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.sum(F.col("asof_value").isNotNull().cast("long")).alias("n_matched"),
+        (
+            F.sum(F.floor(F.col("asof_value") * 100 + 0.5).cast("long")).cast("double")
+            / 100
+        ).alias("sum_asof"),
+    )
+
+
+_Q_ASOF_DUCK = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1),
+r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 0),
+u AS (
+  SELECT user_id, ts, event_id AS tie, 0 AS side, NULL::DOUBLE AS rv FROM l
+  UNION ALL
+  SELECT user_id, ts, event_id AS tie, 1 AS side, value AS rv FROM r
+),
+c AS (
+  SELECT user_id, side,
+         last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, tie
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM u
+)
+SELECT user_id, COUNT(*) AS n_left,
+       SUM(CASE WHEN asof_value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       CAST(SUM(CAST(FLOOR(asof_value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_asof
+FROM c WHERE side = 0 GROUP BY user_id
+"""
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -827,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_events_sessions": _shared(_QSESSIONS_SPARK),
             "q_pivot_status": _shared(_QPIVOT),
             "q_string_agg": _shared(_QSTRAGG_SPARK),
+            "q_asof_join": _q_asof_join,
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -877,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
             "q_events_sessions": _QSESSIONS_DUCK,
             "q_pivot_status": _QPIVOT,
             "q_string_agg": _QSTRAGG_DUCK,
+            "q_asof_join": _Q_ASOF_DUCK,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "

@@ -1,5 +1,6 @@
 from .flatten import flatten_structs
 from .identifiers import render_sql
+from .asof import asof_join
 from .skew import salted_join
 
-__all__ = ["flatten_structs", "render_sql", "salted_join"]
+__all__ = ["asof_join", "flatten_structs", "render_sql", "salted_join"]

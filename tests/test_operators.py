@@ -307,6 +307,46 @@ class TestBucketing:
             a.drop_table(spark, li)
 
 
+class TestAsofJoin:
+    def test_strictly_earlier_semantics(self, spark):
+        import datetime as dt
+
+        from astro_spark.plans import asof_join
+
+        t = dt.datetime(2024, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        left = spark.createDataFrame(
+            [(1, t + 5 * sec, 1, 0.0), (1, t + 10 * sec, 3, 0.0), (2, t, 5, 0.0)],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        right = spark.createDataFrame(
+            [(1, t + 5 * sec, 2, 50.0), (1, t + 7 * sec, 4, 70.0), (1, t, 6, 10.0)],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        out = {
+            r.event_id: r.asof_value
+            for r in asof_join(
+                left, right, on="user_id", ts_col="ts", value_col="value", tie_col="event_id"
+            ).collect()
+        }
+        # left@+5 must NOT see the equal-time right@+5 (strict <) → sees t0=10.0
+        assert out[1] == 10.0
+        # left@+10 sees the latest earlier right (+7 → 70.0)
+        assert out[3] == 70.0
+        # user 2 has no right rows → null
+        assert out[5] is None
+
+    def test_single_shuffle_no_expansion(self, spark):
+        from astro_spark.plans import asof_join
+
+        left = spark.range(0, 1000).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("ts"), F.col("id").alias("event_id"), F.lit(1.0).alias("v")
+        )
+        right = left.select("k", "ts", "event_id", "v")
+        out = asof_join(left, right, on="k", ts_col="ts", value_col="v", tie_col="event_id")
+        assert out.count() == 1000  # never expands the left side
+
+
 class TestSkewSalting:
     def test_salted_join_equals_plain_join(self, spark):
         from astro_spark.plans import salted_join
