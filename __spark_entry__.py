@@ -791,6 +791,43 @@ FROM c WHERE side = 0 GROUP BY user_id
 """
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: orders classified into 30k-wide price bands
+    (see astro_spark/plans/range_join.py for the binning strategy)."""
+    from astro_spark.plans import range_join
+
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 30000.0).alias("lo"),
+        ((F.col("id") + 1) * 30000.0).alias("hi"),
+    )
+    joined = range_join(
+        orders, bands, point_col="o_totalprice", start_col="lo", end_col="hi",
+        bin_size=10000.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast("double")
+            / 100
+        ).alias("sum_price"),
+    )
+
+
+_Q_RANGE_DUCK = """
+WITH bands AS (
+  SELECT i AS band_id, i * 30000.0 AS lo, (i + 1) * 30000.0 AS hi
+  FROM (SELECT unnest(range(20)) AS i)
+)
+SELECT band_id, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -877,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_pivot_status": _shared(_QPIVOT),
             "q_string_agg": _shared(_QSTRAGG_SPARK),
             "q_asof_join": _q_asof_join,
+            "q_range_join": _q_range_join,
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -928,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
             "q_pivot_status": _QPIVOT,
             "q_string_agg": _QSTRAGG_DUCK,
             "q_asof_join": _Q_ASOF_DUCK,
+            "q_range_join": _Q_RANGE_DUCK,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "

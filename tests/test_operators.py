@@ -347,6 +347,31 @@ class TestAsofJoin:
         assert out.count() == 1000  # never expands the left side
 
 
+class TestRangeJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        from astro_spark.plans import range_join
+
+        points = spark.range(0, 500).select((F.col("id") * 7 % 997).cast("double").alias("x"))
+        iv = spark.createDataFrame(
+            [(float(a), float(a + w)) for a in range(0, 1000, 50) for w in (30, 120)],
+            "lo double, hi double",
+        )
+        binned = range_join(points, iv, "x", "lo", "hi", bin_size=64.0)
+        naive = points.join(iv, (F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi")))
+        assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from astro_spark.plans import range_join
+
+        points = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+        iv = spark.createDataFrame([(0.0, 50.0), (50.0, 100.0)], "lo double, hi double")
+        plan = (
+            range_join(points, iv, "x", "lo", "hi", bin_size=25.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestSkewSalting:
     def test_salted_join_equals_plain_join(self, spark):
         from astro_spark.plans import salted_join
