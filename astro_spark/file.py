@@ -27,6 +27,7 @@ class FileType(str, Enum):
     JSON = "json"
     NDJSON = "ndjson"
     PARQUET = "parquet"
+    ORC = "orc"
     XLSX = "xlsx"
     XLS = "xls"
 
@@ -40,6 +41,7 @@ _EXTENSION_MAP = {
     ".ndjson": FileType.NDJSON,
     ".jsonl": FileType.NDJSON,
     ".parquet": FileType.PARQUET,
+    ".orc": FileType.ORC,
     ".pq": FileType.PARQUET,
     ".xlsx": FileType.XLSX,
     ".xls": FileType.XLS,

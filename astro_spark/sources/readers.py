@@ -51,6 +51,8 @@ def read_file(
 
     if ftype == FileType.PARQUET:
         df = spark.read.parquet(path)
+    elif ftype == FileType.ORC:
+        df = spark.read.orc(path)
         if schema is not None:
             df = spark.read.schema(schema).parquet(path)
     elif ftype == FileType.CSV:

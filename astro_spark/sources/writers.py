@@ -45,6 +45,8 @@ def write_dataframe_to_file(
         writer = writer.options(**options)
     if ftype == FileType.PARQUET:
         writer.parquet(path)
+    elif ftype == FileType.ORC:
+        writer.orc(path)
     elif ftype == FileType.CSV:
         writer.option("header", "true").csv(path)
     elif ftype in (FileType.JSON, FileType.NDJSON):
@@ -77,6 +79,9 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
     if ftype == FileType.PARQUET:
         writer.parquet(tmp_dir)
         ext = ".parquet"
+    elif ftype == FileType.ORC:
+        writer.orc(tmp_dir)
+        ext = ".orc"
     elif ftype == FileType.CSV:
         writer.option("header", "true").csv(tmp_dir)
         ext = ".csv"

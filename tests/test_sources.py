@@ -90,3 +90,28 @@ class TestQueryModifier:
         )
         assert out[0].n == 5
         assert not any(t.name == "qm_pre_view" for t in spark.catalog.listTables())
+
+
+class TestORC:
+    def test_orc_roundtrip(self, spark, sf_dir, tmp_path):
+        import astro_spark as a
+        from astro_spark.operators.export import export_to_file
+        from astro_spark.testdata import read_table
+
+        nation = read_table(spark, sf_dir, "nation")
+        d = str(tmp_path / "nation_orc")
+        export_to_file(spark, nation, a.File(d, filetype="orc"))
+        back = a.load_file(spark, a.File(d, filetype="orc"))
+        assert back.count() == 25
+        assert set(back.columns) == set(nation.columns)
+
+    def test_orc_single_file(self, spark, sf_dir, tmp_path):
+        from astro_spark.operators.export import export_to_file
+        from astro_spark.testdata import read_table
+        import os
+
+        region = read_table(spark, sf_dir, "region")
+        p = str(tmp_path / "region.orc")
+        export_to_file(spark, region, p, single_file=True)
+        assert os.path.isfile(p)
+        assert spark.read.orc(p).count() == 5
