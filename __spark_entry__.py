@@ -617,6 +617,17 @@ def _t_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_terms(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group histogram after canonical normalization: how many
+    groups of each duplicate-count exist over normalize_text(text)."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(text.normalize_text(F.col("text")).alias("norm")).agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return groups.groupBy("dup_count").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
 def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -740,6 +751,31 @@ def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
+
+
+_QFUNNEL_SPARK = """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MIN(event_type) FROM events)),
+b AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MAX(event_type) FROM events)),
+conv AS (
+  SELECT DISTINCT a.user_id
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1' HOUR
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM a) AS n_started,
+       (SELECT COUNT(*) FROM conv) AS n_converted
+"""
+
+_QFUNNEL_DUCK = """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MIN(event_type) FROM events)),
+b AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MAX(event_type) FROM events)),
+conv AS (
+  SELECT DISTINCT a.user_id
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM a) AS n_started,
+       (SELECT COUNT(*) FROM conv) AS n_converted
+"""
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_string_agg": _shared(_QSTRAGG_SPARK),
             "q_asof_join": _q_asof_join,
             "q_range_join": _q_range_join,
+            "q_funnel": _shared(_QFUNNEL_SPARK),
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -939,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
+            "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "s_brute_topk": _s_topk,
@@ -967,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
             "q_string_agg": _QSTRAGG_DUCK,
             "q_asof_join": _Q_ASOF_DUCK,
             "q_range_join": _Q_RANGE_DUCK,
+            "q_funnel": _QFUNNEL_DUCK,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "
@@ -1053,6 +1092,14 @@ def oracle_sql() -> dict[str, str]:
                 min_tokens=20, min_avg_token_len=4.2
             ),
             "t_top_terms": oracles.top_terms_sql(),
+            "dd_normalized": """
+WITH g AS (
+  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+         COUNT(*)::BIGINT AS dup_count
+  FROM documents GROUP BY 1
+)
+SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
+""",
             "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),

@@ -154,3 +154,15 @@ def top_terms(df, text_col: str = "text", k: int = 20):
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for fuzzy matching: lowercase,
+    non-alphanumeric runs collapsed to single spaces, trimmed.
+
+    The standard pre-pass before near-dup detection (case/punctuation
+    variants of the same document normalize identically).  Map-only;
+    portable to the DuckDB oracle (regexp_replace global flag).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))

@@ -50,6 +50,15 @@ class TestText:
 
 
 class TestDedup:
+    def test_normalize_text_variants_collapse(self, spark):
+        df = spark.createDataFrame(
+            [("Hello,  World!",), ("hello world",), ("HELLO--WORLD",), ("other",)],
+            ["text"],
+        )
+        out = df.select(text.normalize_text("text").alias("n")).collect()
+        vals = [r.n for r in out]
+        assert vals[:3] == ["hello world"] * 3 and vals[3] == "other"
+
     def test_quality_filter_reasons(self, spark):
         rows = [("one two",), ("aa bb cc dd ee ff",), ("longwords absolutely wonderful tremendous frankly",)]
         df = spark.createDataFrame(rows, ["text"])
