@@ -24,6 +24,7 @@ from .operators import (
     check_column,
     profile_table,
     columns_exist,
+    compact_table,
     create_schema_if_not_exists,
     create_table,
     export_table_to_pandas,
@@ -67,6 +68,7 @@ __all__ = [
     "check_table",
     "cleanup",
     "columns_exist",
+    "compact_table",
     "create_schema_if_not_exists",
     "create_table",
     "dataframe",

@@ -1,6 +1,7 @@
 from .append import append
 from .catalog import (
     columns_exist,
+    compact_table,
     create_schema_if_not_exists,
     create_table,
     export_table_to_pandas,
@@ -26,6 +27,7 @@ __all__ = [
     "check_table",
     "cleanup",
     "columns_exist",
+    "compact_table",
     "create_schema_if_not_exists",
     "create_table",
     "export_table_to_pandas",

@@ -81,3 +81,31 @@ def export_table_to_pandas(spark: SparkSession, table: Table | str):
     for anything that continues distributed."""
     name = table.qualified_name if isinstance(table, Table) else table
     return spark.table(name).toPandas()
+
+
+def compact_table(
+    spark: SparkSession,
+    table: Table | str,
+    n_files: int | None = None,
+    target_rows_per_file: int = 5_000_000,
+) -> int:
+    """Rewrite a table into fewer, right-sized files; returns the file
+    count written.
+
+    The small-files problem is the dominant operational cost of
+    append-heavy ingestion (every micro-batch lands more files; scans
+    pay per-file open + listing).  ``n_files`` forces an exact count;
+    otherwise it is derived from the row count.  Uses the staged-swap
+    pattern (write staging, rename) so readers never observe a
+    half-rewritten table.  On Delta/Iceberg use OPTIMIZE/rewrite_files
+    instead — this is the plain-parquet analog.
+    """
+    from ..table import Table as _Table
+    from .merge import _swap_table
+
+    t = table if isinstance(table, _Table) else _Table(str(table), temp=False)
+    df = spark.table(t.qualified_name)
+    if n_files is None:
+        n_files = max(1, (df.count() + target_rows_per_file - 1) // target_rows_per_file)
+    _swap_table(spark, df.repartition(n_files), t)
+    return n_files

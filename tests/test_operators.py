@@ -403,3 +403,24 @@ class TestSkewSalting:
         out = salted_join(left, right, "k", n_salts=4, how="left")
         assert out.count() == 100
         assert out.where(F.col("v").isNull()).count() == 50
+
+
+class TestCompaction:
+    def test_compact_reduces_files_and_keeps_rows(self, spark, sf_dir):
+        t = a.Table("compact_me", temp=False)
+        li = read_table(spark, sf_dir, "lineitem")
+        # simulate micro-batch fragmentation: 16 files for a tiny table
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        save_dataframe_as_table(li.repartition(16), t)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        tdir = os.path.join(warehouse, t.name)
+        n_before = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+        assert n_before >= 16
+        before = li.count()
+        n = a.compact_table(spark, t, n_files=2)
+        assert n == 2
+        n_after = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+        assert n_after == 2
+        assert spark.table(t.name).count() == before
+        a.drop_table(spark, t)
