@@ -680,6 +680,26 @@ def _s_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_pairs(read_table(spark, sf_dir, "embeddings"))
 
 
+def _s_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+_S_CENTROIDS_DUCK = """
+WITH c AS (
+  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+u AS (
+  SELECT label, i - 1 AS dim_idx, v[i] AS x
+  FROM c, (SELECT unnest(range(1, 65)) AS i)
+)
+SELECT label, dim_idx::BIGINT AS dim_idx,
+       round(CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS centroid
+FROM u GROUP BY label, dim_idx
+"""
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -983,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_ivf_label_topk": _s_ivf_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
+            "s_centroids": _s_centroids,
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
@@ -1106,6 +1127,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
+            "s_centroids": _S_CENTROIDS_DUCK,
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,

@@ -174,3 +174,36 @@ def lsh_cosine_pairs(
     return cand.where(F.col("cos_sim") >= F.lit(threshold)).select(
         "id_a", "id_b", "cos_sim"
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-partition mean embedding in long format
+    (label, dim_idx, centroid) — the IVF cell-training step.
+
+    Elementwise means are computed over micro-unit integers
+    (floor(x·1e6 + .5)) so the sum is associative — shuffle-order
+    independent and bit-identical to the DuckDB oracle.  posexplode →
+    groupBy(label, dim) is one shuffle of (label, dim, long) triples;
+    at corpus scale add a coarse repartition on label first so the
+    partial aggregation combines locally.
+    """
+    exploded = df.select(
+        F.col(partition_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim_idx", "x"),
+    )
+    return exploded.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(F.floor(F.col("x") * scale + F.lit(0.5)).cast("long")).cast("double")
+            / scale
+            / F.count(F.lit(1))
+        ).alias("centroid_raw")
+    ).select(
+        "label",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round(F.col("centroid_raw"), 6).alias("centroid"),
+    )

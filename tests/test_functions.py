@@ -170,6 +170,16 @@ class TestSimilarity:
         assert len(rows) == 12
         assert all(1 <= r.rank <= 4 and r.query_id != r.neighbor_id for r in rows)
 
+    def test_label_centroids_shape_and_mean(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 10.0])],
+            "label int, embedding array<double>",
+        )
+        out = {(r.label, r.dim_idx): r.centroid
+               for r in similarity.label_centroids(df).collect()}
+        assert out[(0, 0)] == 2.0 and out[(0, 1)] == 4.0
+        assert out[(1, 0)] == 10.0
+
     def test_lsh_buckets_cover_all(self, emb):
         buckets = similarity.lsh_bucket_table(emb)
         assert buckets.count() == emb.count()
