@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 import astro_spark as a
-from astro_spark.functions import dedup, multimodal, oracles, similarity, text
+from astro_spark.functions import dedup, multimodal, oracles, privacy, similarity, text
 from astro_spark.testdata import read_table
 
 # --------------------------------------------------------------------------
@@ -700,6 +700,29 @@ FROM u GROUP BY label, dim_idx
 """
 
 
+def _t_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-digest pseudonymization of user ids: cardinality must be
+    preserved (stable within a salt), values unlinkable."""
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(privacy.pseudonymize(F.col("user_id"), "round1-salt").alias("pid"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("pid").alias("n_pids"),
+        F.min("pid").alias("min_pid"),
+    )
+
+
+_T_PSEUDO_DUCK = """
+WITH h AS (
+  SELECT sha256('round1-salt' || '|' || user_id::VARCHAR) AS pid FROM events
+)
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT pid)::BIGINT AS n_pids,
+       MIN(pid) AS min_pid
+FROM h
+"""
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -1004,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
+            "t_pseudonymize": _t_pseudonymize,
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
@@ -1128,6 +1152,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
             "s_centroids": _S_CENTROIDS_DUCK,
+            "t_pseudonymize": _T_PSEUDO_DUCK,
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,

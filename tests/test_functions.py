@@ -191,6 +191,25 @@ class TestSimilarity:
         assert "Broadcast" in plan
 
 
+class TestPrivacy:
+    def test_pseudonymize_stable_and_salted(self, spark):
+        from astro_spark.functions import privacy
+
+        df = spark.createDataFrame([(7,), (7,), (8,)], ["uid"])
+        a1 = [r.p for r in df.select(privacy.pseudonymize("uid", "s1").alias("p")).collect()]
+        a2 = [r.p for r in df.select(privacy.pseudonymize("uid", "s2").alias("p")).collect()]
+        assert a1[0] == a1[1] != a1[2]     # stable within salt
+        assert a1[0] != a2[0]              # unlinkable across salts
+        assert len(a1[0]) == 64            # sha-256 hex
+
+    def test_redact_emails(self, spark):
+        from astro_spark.functions import privacy
+
+        df = spark.createDataFrame([("mail me at jo.doe+x@example.org now",)], ["t"])
+        out = df.select(privacy.redact("t").alias("r")).collect()[0].r
+        assert out == "mail me at [REDACTED] now"
+
+
 class TestMultimodal:
     def test_feature_extraction_schema_and_values(self, docs):
         out = multimodal.extract_features(multimodal.attach_binary_payload(docs))
