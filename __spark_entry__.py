@@ -796,6 +796,26 @@ def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
 
 
+# GROUPING SETS (distinct from rollup/cube: explicit set list)
+_QGSETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# running total over an explicit ROWS frame (deterministic: unique key order)
+_QRUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS running_total
+FROM orders
+WHERE o_custkey % 50 = 0
+"""
+
 _QFUNNEL_SPARK = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MIN(event_type) FROM events)),
 b AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MAX(event_type) FROM events)),
@@ -995,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_asof_join": _q_asof_join,
             "q_range_join": _q_range_join,
             "q_funnel": _shared(_QFUNNEL_SPARK),
+            "q_grouping_sets": _shared(_QGSETS),
+            "q_running_total": _shared(_QRUNNING),
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -1051,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
             "q_asof_join": _Q_ASOF_DUCK,
             "q_range_join": _Q_RANGE_DUCK,
             "q_funnel": _QFUNNEL_DUCK,
+            "q_grouping_sets": _QGSETS,
+            "q_running_total": _QRUNNING,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "
