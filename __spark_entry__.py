@@ -700,6 +700,43 @@ FROM u GROUP BY label, dim_idx
 """
 
 
+def _t_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs)
+    return chunks.select(
+        "id", "chunk_idx", "n_tokens", text.fingerprint62(F.col("chunk_text")).alias("chunk_hash")
+    )
+
+
+def _t_chunks_duck() -> str:
+    from astro_spark.functions.oracles import fingerprint62 as fp, tokens as toks
+
+    k, ov = 32, 4
+    s_ = k - ov
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, {toks('text')} AS toks FROM documents
+),
+n AS (
+  SELECT id, toks,
+         ((greatest(len(toks) - {ov}, 1) + {s_ - 1}) // {s_})::INT AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT id, toks, unnest(range(n_chunks)) AS chunk_idx FROM n
+),
+c AS (
+  SELECT id, chunk_idx,
+         array_to_string(list_slice(toks, chunk_idx * {s_} + 1, chunk_idx * {s_} + {k}), ' ') AS chunk_text,
+         len(list_slice(toks, chunk_idx * {s_} + 1, chunk_idx * {s_} + {k}))::BIGINT AS n_tokens
+  FROM e
+)
+SELECT id, chunk_idx::BIGINT AS chunk_idx, n_tokens, {fp('chunk_text')} AS chunk_hash
+FROM c
+"""
+
+
 def _t_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-digest pseudonymization of user ids: cardinality must be
     preserved (stable within a salt), values unlinkable."""
@@ -1050,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
             "t_pseudonymize": _t_pseudonymize,
+            "t_chunks": _t_chunks,
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
@@ -1177,6 +1215,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),
             "s_centroids": _S_CENTROIDS_DUCK,
             "t_pseudonymize": _T_PSEUDO_DUCK,
+            "t_chunks": _t_chunks_duck(),
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,

@@ -166,3 +166,41 @@ def normalize_text(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 4,
+):
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline.
+
+    stride = chunk_tokens - overlap; chunk i covers tokens
+    [1 + i·stride, i·stride + chunk_tokens] (last chunk may be short;
+    every token is covered).  Pure built-ins: sequence → explode →
+    slice → concat_ws, a map-side 1→N fan-out with no Python and no
+    shuffle.  Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - F.lit(overlap), F.lit(1))
+    n_chunks = F.floor((n + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

@@ -191,6 +191,27 @@ class TestSimilarity:
         assert "Broadcast" in plan
 
 
+class TestChunking:
+    def test_chunks_cover_all_tokens_with_overlap(self, spark):
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        out = sorted(
+            text.chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # stride 3 over 10 tokens → chunks at 0,3,6 → 3 chunks
+        assert [r.chunk_idx for r in out] == [0, 1, 2]
+        assert out[0].chunk_text == "w0 w1 w2 w3"
+        assert out[1].chunk_text == "w3 w4 w5 w6"
+        assert out[2].chunk_text == "w6 w7 w8 w9"
+        assert all(r.n_tokens == 4 for r in out)
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        out = text.chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+        assert len(out) == 1 and out[0].chunk_text == "a b" and out[0].n_tokens == 2
+
+
 class TestPrivacy:
     def test_pseudonymize_stable_and_salted(self, spark):
         from astro_spark.functions import privacy
