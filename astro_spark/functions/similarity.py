@@ -207,3 +207,64 @@ def label_centroids(
         F.col("dim_idx").cast("long").alias("dim_idx"),
         F.round(F.col("centroid_raw"), 6).alias("centroid"),
     )
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: numpy matmul inside mapInPandas.
+
+    The performance twin of ``brute_force_topk`` (which stays the
+    bit-exact oracle-checked baseline): queries arrive as a small pandas
+    frame captured in the closure (broadcast to every task), each corpus
+    partition scores its rows against ALL queries with one matmul, emits
+    its partition-local top-k per query, and a final per-query window
+    keeps the global top-k — the classic local-topk→merge layout whose
+    shuffle carries only ``partitions × queries × k`` rows.
+
+    Ties and float summation follow numpy (pairwise) order, so ranks can
+    differ from the exact baseline at 4dp boundaries — use for speed,
+    not for oracle comparisons.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pdf[id_col].to_numpy()
+    q_mat = np.stack(queries_pdf[vec_col].to_list()).astype("float64")
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_list()).astype("float64")
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (rows, queries)
+            top = min(k + 1, len(ids))  # +1 to survive self-match removal
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for qi in range(len(q_ids)):
+                for ri in part[:, qi]:
+                    if ids[ri] == q_ids[qi]:
+                        continue
+                    out["query_id"].append(q_ids[qi])
+                    out["neighbor_id"].append(ids[ri])
+                    out["cos_sim"].append(round(float(sims[ri, qi]), 4))
+            yield pd.DataFrame(out)
+
+    local = corpus.mapInPandas(
+        _score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

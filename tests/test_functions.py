@@ -180,6 +180,19 @@ class TestSimilarity:
         assert out[(0, 0)] == 2.0 and out[(0, 1)] == 4.0
         assert out[(1, 0)] == 10.0
 
+    def test_np_topk_matches_exact(self, emb):
+        qpdf = emb.where("vec_id < 5").toPandas()
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(emb, emb.where("vec_id < 5")).collect()
+        }
+        fast = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk_np(emb, qpdf).collect()
+        }
+        # numpy pairwise summation can flip 4dp boundary ties — allow 1
+        assert len(exact & fast) >= len(exact) - 1
+
     def test_lsh_buckets_cover_all(self, emb):
         buckets = similarity.lsh_bucket_table(emb)
         assert buckets.count() == emb.count()
