@@ -46,6 +46,7 @@ from .operators import (
     transform_file,
     truncate_table,
 )
+from .operators.dml import delete_rows, update_rows
 from .operators.transform import run_transform
 from .session import get_session
 from .table import Metadata, Table, TempTable
@@ -72,6 +73,7 @@ __all__ = [
     "create_schema_if_not_exists",
     "create_table",
     "dataframe",
+    "delete_rows",
     "drop_table",
     "export_table_to_pandas",
     "fetch_all_rows",
@@ -90,4 +92,5 @@ __all__ = [
     "transform",
     "transform_file",
     "truncate_table",
+    "update_rows",
 ]

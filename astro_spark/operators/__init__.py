@@ -13,6 +13,7 @@ from .catalog import (
 from .checks import check_column, check_table, profile_table
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
+from .dml import delete_rows, update_rows
 from .drop import drop_table, truncate_table
 from .export import export_to_file
 from .files import get_file_list
@@ -36,6 +37,7 @@ __all__ = [
     "schema_exists",
     "table_exists",
     "dataframe",
+    "delete_rows",
     "drop_table",
     "export_to_file",
     "get_file_list",
@@ -49,4 +51,5 @@ __all__ = [
     "transform",
     "transform_file",
     "truncate_table",
+    "update_rows",
 ]

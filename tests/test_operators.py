@@ -424,3 +424,39 @@ class TestCompaction:
         assert n_after == 2
         assert spark.table(t.name).count() == before
         a.drop_table(spark, t)
+
+
+class TestDML:
+    def test_delete_rows(self, spark, sf_dir):
+        t = a.Table("dml_nation", temp=False)
+        a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
+        n = a.delete_rows(spark, t, "n_regionkey = 0")
+        assert n == 5
+        assert spark.table(t.name).count() == 20
+        assert spark.table(t.name).where("n_regionkey = 0").count() == 0
+        assert a.delete_rows(spark, t, "n_regionkey = 0") == 0  # idempotent
+        a.drop_table(spark, t)
+
+    def test_delete_null_condition_keeps_rows(self, spark):
+        t = a.Table("dml_nulls", temp=False)
+        df = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], ["id", "v"])
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        save_dataframe_as_table(df, t)
+        n = a.delete_rows(spark, t, "v = 'x'")
+        assert n == 1
+        # the NULL-v row must survive (condition NULL ≠ matched)
+        assert spark.table(t.name).count() == 2
+        a.drop_table(spark, t)
+
+    def test_update_rows(self, spark, sf_dir):
+        t = a.Table("dml_region", temp=False)
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t)
+        n = a.update_rows(
+            spark, t, {"r_name": "concat(r_name, '_X')"}, "r_regionkey < 2"
+        )
+        assert n == 2
+        rows = {r.r_regionkey: r.r_name for r in spark.table(t.name).collect()}
+        assert rows[0].endswith("_X") and rows[1].endswith("_X")
+        assert not rows[2].endswith("_X")
+        a.drop_table(spark, t)
