@@ -975,7 +975,9 @@ def _st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import sessionize_stream
 
     _views(spark, sf_dir)
-    return sessionize_stream(spark, _staged_events_dir(spark, sf_dir))
+    return sessionize_stream(
+        spark, _staged_events_dir(spark, sf_dir), shuffle_partitions=8
+    )
 
 
 _ST_INCREMENTAL_DUCK = """

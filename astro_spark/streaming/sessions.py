@@ -86,6 +86,7 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     schema: StructType | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the file backlog under ``input_path`` through stateful
     sessionization and return the CLOSED sessions as a DataFrame.
@@ -112,14 +113,25 @@ def sessionize_stream(
     )
 
     name = f"st_sess_{uuid.uuid4().hex[:8]}"
-    query = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # stateful cost scales with partition count (one Python worker + one
+    # state-store instance per partition per batch) — size to the key
+    # cardinality, not the session default (32 is far too many for small
+    # key spaces; at true scale RAISE it so state shards fit in memory)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(
         f"SELECT user_id, session_start, session_end, n_events FROM {name}"
     )
