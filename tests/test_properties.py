@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+A tier the reference lacks entirely (SURVEY §5: no property-based
+testing exists there).  Each property pins an algebraic contract that
+example-based tests can miss: coverage/partition laws, equivalence with
+a naive reference implementation, determinism under repartitioning.
+
+Examples are kept small (Spark round-trips are ~100 ms each); the value
+is the randomized structure, not the volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5), min_size=1, max_size=40
+)
+
+
+class TestChunkingProperties:
+    @SETTINGS
+    @given(toks=words, k=st.integers(2, 10), ov=st.integers(0, 5))
+    def test_chunks_cover_exactly_the_tokens(self, spark, toks, k, ov):
+        from astro_spark.functions import text as T
+
+        if ov >= k:
+            ov = k - 1
+        doc = " ".join(toks)
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        chunks = sorted(
+            T.chunk_documents(df, chunk_tokens=k, overlap=ov).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        stride = k - ov
+        # 1) reassembly: dropping the first `ov` tokens of every chunk
+        #    after the first reproduces the token stream exactly
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            rebuilt.extend(c.chunk_text.split()[ov:])
+        assert rebuilt == toks
+        # 2) every chunk except the last is exactly k tokens
+        assert all(c.n_tokens == k for c in chunks[:-1])
+        # 3) starts advance by the stride
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == max(1, -(-(max(len(toks) - ov, 1)) // stride))
+
+
+class TestHashSplitProperties:
+    @SETTINGS
+    @given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True))
+    def test_split_is_a_partition(self, spark, ids):
+        from astro_spark.functions.sampling import hash_split
+
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        out = hash_split(df, "doc_id").collect()
+        assert len(out) == len(ids)  # no row lost or duplicated
+        assert {r.doc_id for r in out} == set(ids)
+        assert all(r.split in ("train", "val", "test") for r in out)
+        # determinism: second run assigns identically
+        again = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+        assert all(again[r.doc_id] == r.split for r in out)
+
+
+class TestAsofProperties:
+    @SETTINGS
+    @given(
+        levents=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+        revents=st.lists(st.integers(0, 100), min_size=0, max_size=15, unique=True),
+    )
+    def test_matches_naive_pandas_asof(self, spark, levents, revents):
+        import datetime as dt
+
+        from astro_spark.plans import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, base + dt.timedelta(seconds=s), s, 0.0) for s in levents],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        right = spark.createDataFrame(
+            [(1, base + dt.timedelta(seconds=s), 1000 + s, float(s)) for s in revents],
+            "user_id long, ts timestamp, event_id long, value double",
+        ) if revents else spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_id long, value double"
+        )
+        got = {
+            r.event_id: r.asof_value
+            for r in asof_join(
+                left, right, on="user_id", ts_col="ts",
+                value_col="value", tie_col="event_id",
+            ).collect()
+        }
+        for s in levents:
+            earlier = [v for v in revents if v < s]
+            expect = float(max(earlier)) if earlier else None
+            assert got[s] == expect, (s, got[s], expect)
+
+
+class TestProfileProperties:
+    @SETTINGS
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=40
+        )
+    )
+    def test_profile_against_pandas(self, spark, vals):
+        from astro_spark.operators.checks import profile_table
+
+        df = spark.createDataFrame([(v,) for v in vals], "x int")
+        row = profile_table(spark, df).collect()[0]
+        s = pd.Series(vals, dtype="object")
+        assert row.n_rows == len(vals)
+        assert row.n_nulls == sum(v is None for v in vals)
+        assert row.n_distinct == s.dropna().nunique()
