@@ -878,6 +878,42 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM a) AS n_started,
 """
 
 
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in gap-merge sessionization (F.session_window): histogram of
+    per-user session counts.  Semantics: a new session starts when the
+    gap is >= the 30-min window (micros precision) — the oracle uses the
+    equivalent islands form over epoch_us."""
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_user = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_Q_SESSION_WINDOW_DUCK = """
+WITH x AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                  THEN 1 ELSE 0 END) AS n_sessions
+  FROM x GROUP BY user_id
+)
+SELECT n_sessions::BIGINT AS n_sessions, COUNT(*) AS n_users
+FROM s GROUP BY n_sessions
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: odd events look up the latest strictly-earlier even
     event value of the same user (union + one window pass — no pairwise
@@ -1051,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_events_sessions": _shared(_QSESSIONS_SPARK),
             "q_pivot_status": _shared(_QPIVOT),
             "q_string_agg": _shared(_QSTRAGG_SPARK),
+            "q_session_window": _q_session_window,
             "q_asof_join": _q_asof_join,
             "q_range_join": _q_range_join,
             "q_funnel": _shared(_QFUNNEL_SPARK),
@@ -1110,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
             "q_events_sessions": _QSESSIONS_DUCK,
             "q_pivot_status": _QPIVOT,
             "q_string_agg": _QSTRAGG_DUCK,
+            "q_session_window": _Q_SESSION_WINDOW_DUCK,
             "q_asof_join": _Q_ASOF_DUCK,
             "q_range_join": _Q_RANGE_DUCK,
             "q_funnel": _QFUNNEL_DUCK,

@@ -121,3 +121,38 @@ class TestProfileProperties:
         assert row.n_rows == len(vals)
         assert row.n_nulls == sum(v is None for v in vals)
         assert row.n_distinct == s.dropna().nunique()
+
+
+class TestMergeProperties:
+    @SETTINGS
+    @given(
+        tgt=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)),
+                     min_size=1, max_size=12, unique_by=lambda t: t[0]),
+        src=st.lists(st.tuples(st.integers(0, 9), st.integers(200, 300)),
+                     min_size=1, max_size=12, unique_by=lambda t: t[0]),
+    )
+    def test_merge_update_and_ignore_against_dict_model(self, spark, tgt, src):
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        for mode in ("update", "ignore"):
+            t = a.Table(f"prop_merge_t_{mode}", temp=False)
+            s = a.Table(f"prop_merge_s_{mode}", temp=False)
+            save_dataframe_as_table(
+                spark.createDataFrame(tgt, "k long, v long"), t
+            )
+            save_dataframe_as_table(
+                spark.createDataFrame(src, "k long, v long"), s
+            )
+            a.merge(spark, s, t, ["k"], if_conflicts=mode)
+            got = {r.k: r.v for r in spark.table(t.name).collect()}
+            model = dict(tgt)
+            for k, v in src:
+                if k in model:
+                    if mode == "update":
+                        model[k] = v
+                else:
+                    model[k] = v
+            assert got == model, (mode, got, model)
+            a.drop_table(spark, t)
+            a.drop_table(spark, s)
