@@ -26,6 +26,7 @@ def export_to_file(
     if_exists: str = "replace",
     single_file: bool | None = None,
     options: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> File:
     if isinstance(output_file, str):
         output_file = File(path=output_file)
@@ -41,5 +42,6 @@ def export_to_file(
         if_exists=if_exists,
         single_file=single_file,
         options=options,
+        partition_by=partition_by,
     )
     return output_file

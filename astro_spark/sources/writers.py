@@ -27,6 +27,7 @@ def write_dataframe_to_file(
     if_exists: str = "replace",  # replace | exception (constants.py:88)
     single_file: bool | None = None,
     options: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     ftype = FileType(str(filetype).lower())
     if single_file is None:
@@ -43,6 +44,8 @@ def write_dataframe_to_file(
     writer = df.write.mode("overwrite")
     if options:
         writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if ftype == FileType.PARQUET:
         writer.parquet(path)
     elif ftype == FileType.ORC:

@@ -115,3 +115,38 @@ class TestORC:
         export_to_file(spark, region, p, single_file=True)
         assert os.path.isfile(p)
         assert spark.read.orc(p).count() == 5
+
+
+class TestPatternsAndPartitionedExport:
+    def test_glob_pattern_load(self, spark, tmp_path):
+        """Reference pattern-set tests (homes_pattern_*.csv analog):
+        a glob loads every matching file in one scan."""
+        import astro_spark as a
+
+        for i in range(3):
+            with open(tmp_path / f"homes_pattern_{i}.csv", "w") as f:
+                f.write("sell,list\n" + f"{i}00,{i}50\n{i}01,{i}51\n")
+        (tmp_path / "unrelated.csv").write_text("x\n1\n")
+        df = a.load_file(spark, a.File(str(tmp_path / "homes_pattern_*.csv")))
+        assert df.count() == 6
+        assert set(df.columns) == {"sell", "list"}
+
+    def test_partitioned_directory_export(self, spark, sf_dir, tmp_path):
+        from astro_spark.operators.export import export_to_file
+        from astro_spark.testdata import read_table
+        import os
+
+        nation = read_table(spark, sf_dir, "nation")
+        d = str(tmp_path / "nation_parts")
+        export_to_file(
+            spark, nation, a_file(d), partition_by=["n_regionkey"]
+        )
+        subdirs = [x for x in os.listdir(d) if x.startswith("n_regionkey=")]
+        assert len(subdirs) == 5
+        assert spark.read.parquet(d).count() == 25
+
+
+def a_file(path):
+    import astro_spark as a
+
+    return a.File(path, filetype="parquet")
