@@ -842,6 +842,17 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
+# RANGE frame with a numeric offset: peers within 1000.0 of the current
+# price count together (value-based frame, distinct from ROWS)
+_QRANGE_FRAME = """
+SELECT o_orderkey, o_orderpriority,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+         AS n_within_1k
+FROM orders
+WHERE o_orderkey % 20 = 0
+"""
+
 # running total over an explicit ROWS frame (deterministic: unique key order)
 _QRUNNING = """
 SELECT o_custkey, o_orderkey,
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_funnel": _shared(_QFUNNEL_SPARK),
             "q_grouping_sets": _shared(_QGSETS),
             "q_running_total": _shared(_QRUNNING),
+            "q_range_frame": _shared(_QRANGE_FRAME),
             "op_load_export_roundtrip": _op_load_export_roundtrip,
             "op_csv_roundtrip": _op_csv_roundtrip,
             "op_ndjson_flatten": _op_ndjson_flatten,
@@ -1153,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
             "q_funnel": _QFUNNEL_DUCK,
             "q_grouping_sets": _QGSETS,
             "q_running_total": _QRUNNING,
+            "q_range_frame": _QRANGE_FRAME,
             "op_load_export_roundtrip": (
                 "SELECT COUNT(*) AS n_rows, "
                 "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price "
