@@ -826,6 +826,59 @@ def _st_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental upsert: seed a target from one slice of
+    events, then stream-merge an overlapping slice (values shifted +1)
+    via checkpointed micro-batches; source rows win on key collisions."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.streaming import load_file_stream_merge
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tgt = a.Table(f"st_cdc_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    src_dir = tempfile.mkdtemp(prefix="astro_cdc_src_")
+    ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    load_file_stream_merge(
+        spark,
+        a.File(path=src_dir, filetype=a.FileType.PARQUET),
+        tgt,
+        ["event_id"],
+        if_conflicts="update",
+        max_files_per_trigger=2,  # force multi-micro-batch upserts
+    )
+    return (
+        spark.table(tgt.name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+
+
+_ST_CDC_MERGE_DUCK = """
+WITH tgt AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+), src AS (
+  SELECT event_id, event_type, value + 1.0 AS value FROM events WHERE event_id % 2 = 0
+), merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT t.* FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM merged GROUP BY event_type
+"""
+
+
 def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
@@ -1142,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
+            "st_cdc_merge": _st_cdc_merge,
             "st_windowed_counts": _st_windowed_counts,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
@@ -1272,6 +1326,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
+            "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (

@@ -151,3 +151,7 @@ def _swap_table(spark: SparkSession, result: DataFrame, target_table: Table) -> 
     result.write.mode("overwrite").format("parquet").saveAsTable(staging)
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+    # The rename moves data files under the target's directory; drop any
+    # cached file listing for the old generation or the next read fails
+    # with FILE_NOT_EXIST.
+    spark.catalog.refreshTable(name)

@@ -83,3 +83,71 @@ def load_file_stream(
         df = spark.read.schema(schema).parquet(table_path)
         df.createOrReplaceTempView(output_table.name)
     return query
+
+
+def load_file_stream_merge(
+    spark: SparkSession,
+    input_file: File | str,
+    target_table: Table,
+    conflict_columns: list[str],
+    if_conflicts: str = "update",
+    schema: StructType | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """CDC-style incremental ingestion: drain new files and MERGE each
+    micro-batch into the target on ``conflict_columns``.
+
+    ``foreachBatch`` hands every micro-batch to the batch ``merge``
+    operator, composing the Autoloader contract (discover new files
+    exactly once via the checkpoint) with upsert semantics — later
+    files win on key collisions (``update``) or are dropped
+    (``ignore``).  On Delta/Iceberg the merge body becomes a row-level
+    ``MERGE INTO``; on plain parquet each batch rewrites via the
+    staged swap, so prefer fewer, larger micro-batches
+    (``maxFilesPerTrigger``) at scale.
+    """
+    from ..operators.merge import merge
+
+    if isinstance(input_file, str):
+        input_file = File(path=input_file)
+    ftype = input_file.filetype or FileType.PARQUET
+    fmt = "json" if ftype == FileType.NDJSON else ftype.value
+    if schema is None:
+        schema = spark.read.format(fmt).load(input_file.path).schema
+
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_file.path)
+
+    def _merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = Table(f"_tmp_stream_src_{batch_id}")
+        batch_df.createOrReplaceTempView(src.name)
+        merge(
+            batch_df.sparkSession,
+            src,
+            target_table,
+            conflict_columns,
+            if_conflicts=if_conflicts,
+        )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # foreachBatch runs the merge on a cloned session; invalidate this
+    # session's file-listing cache so the swapped table reads cleanly.
+    try:
+        spark.catalog.refreshTable(target_table.qualified_name)
+    except Exception:
+        pass
+    return query

@@ -85,3 +85,39 @@ class TestDedupStream:
             spark, events_dir, text_col="event_type", id_col="event_id", ts_col="ts"
         ).collect()
         assert out[0].n_unique_docs == 2  # event types "a" and "b"
+
+
+class TestStreamMerge:
+    def test_cdc_upsert_across_batches(self, spark, tmp_path):
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+        from astro_spark.streaming import load_file_stream_merge
+
+        target = a.Table("cdc_target", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string"), target
+        )
+        incoming = str(tmp_path / "incoming")
+        ckpt = str(tmp_path / "ckpt")
+        import os
+
+        os.makedirs(incoming)
+        spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string") \
+            .coalesce(1).write.mode("overwrite").parquet(incoming + "/f1")
+        # two separate stream drains with the same checkpoint: second file
+        # only processed once it appears
+        load_file_stream_merge(
+            spark, a.File(incoming + "/f1", filetype="parquet"), target, ["k"],
+            checkpoint_dir=ckpt,
+        )
+        got = {r.k: r.v for r in spark.table(target.name).collect()}
+        assert got == {1: "old", 2: "new", 3: "new"}
+        spark.createDataFrame([(3, "newer"), (4, "x")], "k long, v string") \
+            .coalesce(1).write.mode("append").parquet(incoming + "/f1")
+        load_file_stream_merge(
+            spark, a.File(incoming + "/f1", filetype="parquet"), target, ["k"],
+            checkpoint_dir=ckpt,
+        )
+        got = {r.k: r.v for r in spark.table(target.name).collect()}
+        assert got == {1: "old", 2: "new", 3: "newer", 4: "x"}
+        a.drop_table(spark, target)

@@ -139,7 +139,14 @@ def main() -> int:
         f"{sum(1 for r in results.values() if r['status']=='ROWS_ONLY')} rows-only, "
         f"{len(failed)} failed"
     )
-    Path("CORRECTNESS_local.json").write_text(json.dumps(results, indent=2))
+    snap = Path("CORRECTNESS_local.json")
+    if only and snap.exists():
+        # A filtered run refreshes only its entries — never shrink the
+        # full snapshot down to the filter set.
+        merged = json.loads(snap.read_text())
+        merged.update(results)
+        results = merged
+    snap.write_text(json.dumps(results, indent=2))
     spark.stop()
     return 1 if failed else 0
 
