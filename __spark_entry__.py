@@ -198,6 +198,16 @@ FROM customer
 WHERE c_custkey <= 100
 """
 
+# quartile bucketing + exact rational percent_rank; unique-key tiebreak
+# keeps both deterministic
+_QNTILE = """
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+FROM customer
+WHERE c_custkey <= 500
+"""
+
 _SHARED_SQL = {
     "q1_pricing_summary": _Q1,
     "q3_shipping_priority": _Q3,
@@ -214,6 +224,7 @@ _SHARED_SQL = {
     "q_multi_distinct": _QMULTIDISTINCT,
     "q_having_top_customers": _QHAVING,
     "q_correlated_scalar": _QCORRSCALAR,
+    "q_ntile_ranks": _QNTILE,
     "op_raw_sql": _QRAWSQL,
 }
 
@@ -235,6 +246,75 @@ SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+# exact interpolated percentiles per group (Spark percentile ≡ DuckDB
+# quantile_cont: same linear-interpolation definition); cents-rounded to
+# absorb last-ulp interpolation differences
+_QPERCENTILES_SPARK = """
+SELECT l_returnflag,
+       CAST(FLOOR(percentile(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS median_cents,
+       CAST(FLOOR(percentile(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_QPERCENTILES_DUCK = """
+SELECT l_returnflag,
+       CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS median_cents,
+       CAST(FLOOR(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_cents,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# wide-to-long unpivot (Spark stack generator ≡ DuckDB UNPIVOT)
+_QUNPIVOT_SPARK = """
+SELECT o_orderstatus, metric, value FROM (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+  FROM orders GROUP BY o_orderstatus
+) t
+LATERAL VIEW stack(2, 'n_orders', n_orders, 'sum_price', sum_price) s AS metric, value
+"""
+
+_QUNPIVOT_DUCK = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM t UNPIVOT (value FOR metric IN (n_orders, sum_price))
+"""
+
+# time-spine gap fill: dense hourly axis from min..max, zero-filled
+# (Spark sequence+explode ≡ DuckDB generate_series+unnest)
+_QGAPFILL_SPARK = """
+WITH hourly AS (
+  SELECT date_trunc('HOUR', ts) AS hour, COUNT(*) AS n FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM hourly
+), spine AS (
+  SELECT explode(sequence(lo, hi, interval 1 hour)) AS hour FROM bounds
+)
+SELECT date_format(s.hour, 'yyyy-MM-dd HH') AS hour,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+"""
+
+_QGAPFILL_DUCK = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM hourly
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT strftime(s.hour, '%Y-%m-%d %H') AS hour,
+       COALESCE(h.n, 0)::BIGINT AS n_events
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
 """
 
 _QEVENTS_JSON_SPARK = """
@@ -1147,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(
         {
             "q_events_hourly": _shared(_QEVENTS_HOURLY_SPARK),
+            "q_percentiles": _shared(_QPERCENTILES_SPARK),
+            "q_unpivot": _shared(_QUNPIVOT_SPARK),
+            "q_gap_fill": _shared(_QGAPFILL_SPARK),
             "q_events_json": _shared(_QEVENTS_JSON_SPARK),
             "q_events_sessions": _shared(_QSESSIONS_SPARK),
             "q_pivot_status": _shared(_QPIVOT),
@@ -1209,6 +1292,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "q_events_hourly": _QEVENTS_HOURLY_DUCK,
+            "q_percentiles": _QPERCENTILES_DUCK,
+            "q_unpivot": _QUNPIVOT_DUCK,
+            "q_gap_fill": _QGAPFILL_DUCK,
             "q_events_json": _QEVENTS_JSON_DUCK,
             "q_events_sessions": _QSESSIONS_DUCK,
             "q_pivot_status": _QPIVOT,
