@@ -959,6 +959,32 @@ FROM merged GROUP BY event_type
 """
 
 
+def _st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each purchase
+    to views by the same user in the preceding hour (deterministic
+    no-late-drop mode; both sides watermarked and state bounded by the
+    gap in production mode)."""
+    from astro_spark.streaming import interval_join_stream
+
+    _views(spark, sf_dir)
+    return interval_join_stream(
+        spark,
+        _staged_events_dir(spark, sf_dir),
+        "event_type = 'view'",
+        "event_type = 'purchase'",
+        max_gap="1 hour",
+    )
+
+
+_ST_INTERVAL_JOIN_DUCK = """
+SELECT l.user_id, l.event_id AS left_event_id, r.event_id AS right_event_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+"""
+
+
 def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
@@ -1279,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_frames": _mm_frames,
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
+            "st_interval_join": _st_interval_join,
             "st_windowed_counts": _st_windowed_counts,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
@@ -1413,6 +1440,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "mm_frames": oracles.multimodal_frames_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
+            "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (

@@ -1,0 +1,97 @@
+"""Stream-stream interval (event-time range) join.
+
+The reference is batch-only (SURVEY §1.4); this is the Structured-
+Streaming extension for attribution-style pairing a training-data or
+clickstream pipeline needs: match each left event (e.g. a ``view``)
+with right events (e.g. a ``purchase``) by the same key within a
+bounded event-time gap.
+
+Semantics and scale notes:
+- Spark requires watermarks on BOTH streams plus a two-sided time-range
+  join condition; the range bound is what lets the state store evict —
+  each side keeps only rows younger than
+  ``watermark - max_gap`` for its join partner.
+- The join shuffles both streams on the key (state is co-partitioned
+  by ``spark.sql.shuffle.partitions``); at scale pick a key with
+  cardinality well above the partition count and size partitions so
+  each state store holds O(rows-per-key-per-gap) — the gap bound, not
+  the stream length, determines state.
+- ``deterministic=True`` (the harness/test mode) sets an effectively
+  infinite watermark delay so no row is ever dropped regardless of how
+  the file backlog splits into micro-batches; production callers pass a
+  real delay (e.g. ``"2 hours"``) and accept bounded late-data loss in
+  exchange for bounded state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: watermark delay used in deterministic mode: nothing is ever late,
+#: state is never evicted (test/backfill only — unbounded state).
+_DETERMINISTIC_DELAY = "3650 days"
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    input_path: str,
+    left_filter: str,
+    right_filter: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark_delay: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Pair left rows with right rows sharing ``key_col`` where the
+    right timestamp falls in ``(left.ts, left.ts + max_gap]``.
+
+    Both sides stream from the same file directory and are filtered by
+    the given SQL predicates (e.g. ``"event_type = 'view'"``).  Drains
+    the backlog with ``availableNow`` and returns the joined pairs as a
+    batch DataFrame with columns (key, left_event_id, right_event_id).
+
+    ``watermark_delay=None`` selects the deterministic no-late-drop
+    mode; see module docstring for the production trade-off.
+    """
+    delay = watermark_delay or _DETERMINISTIC_DELAY
+    schema = spark.read.parquet(input_path).schema
+
+    def _side(filter_sql: str, alias: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return (
+            reader.parquet(input_path)
+            .where(filter_sql)
+            .withWatermark(ts_col, delay)
+            .alias(alias)
+        )
+
+    left = _side(left_filter, "l")
+    right = _side(right_filter, "r")
+    pairs = left.join(
+        right,
+        F.expr(
+            f"l.{key_col} = r.{key_col} AND r.{ts_col} > l.{ts_col} "
+            f"AND r.{ts_col} <= l.{ts_col} + interval {max_gap}"
+        ),
+    ).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+    )
+
+    name = f"st_ij_{uuid.uuid4().hex[:8]}"
+    query = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

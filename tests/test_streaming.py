@@ -87,6 +87,60 @@ class TestDedupStream:
         assert out[0].n_unique_docs == 2  # event types "a" and "b"
 
 
+class TestIntervalJoin:
+    @pytest.fixture(scope="class")
+    def ab_events_dir(self, spark):
+        """views and purchases for two users, staged as two files so a
+        maxFilesPerTrigger=1 run must match pairs across micro-batches."""
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            # user 1: view at t0; purchases at +30min (in gap) and +2h (out)
+            (1, base, 1, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=30), 1, "purchase", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+            # user 2: purchase BEFORE the view — must not match
+            (4, base + dt.timedelta(minutes=10), 2, "purchase", 1.0, "{}"),
+            (5, base + dt.timedelta(minutes=20), 2, "view", 1.0, "{}"),
+            # user 1 second view at +90min: catches the +2h purchase
+            (6, base + dt.timedelta(minutes=90), 1, "view", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        d = tempfile.mkdtemp(prefix="astro_test_ij_")
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return d
+
+    def test_pairs_within_gap_only(self, spark, ab_events_dir):
+        from astro_spark.streaming import interval_join_stream
+
+        out = interval_join_stream(
+            spark,
+            ab_events_dir,
+            "event_type = 'view'",
+            "event_type = 'purchase'",
+            max_gap="1 hour",
+        )
+        pairs = {(r.left_event_id, r.right_event_id) for r in out.collect()}
+        assert pairs == {(1, 2), (6, 3)}
+
+    def test_multi_batch_same_pairs(self, spark, ab_events_dir):
+        from astro_spark.streaming import interval_join_stream
+
+        out = interval_join_stream(
+            spark,
+            ab_events_dir,
+            "event_type = 'view'",
+            "event_type = 'purchase'",
+            max_gap="1 hour",
+            max_files_per_trigger=1,
+        )
+        pairs = {(r.left_event_id, r.right_event_id) for r in out.collect()}
+        assert pairs == {(1, 2), (6, 3)}
+
+
 class TestStreamMerge:
     def test_cdc_upsert_across_batches(self, spark, tmp_path):
         import astro_spark as a
