@@ -745,6 +745,24 @@ def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.partitioned_topk(emb, emb.where("vec_id < 5"), k=3)
 
 
+def _s_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN (k-means cells, assign, probe, exact-score).
+
+    Probing ALL cells makes the result provably identical to exact
+    brute-force search independent of training noise (every corpus row
+    is a candidate exactly once), so the full train→assign→probe→score
+    pipeline hash-checks against the brute-force oracle; the
+    nprobe<n_cells recall behavior is pinned in
+    tests/test_functions.py::TestSimilarity::test_ivf_topk_recall_vs_exact.
+    """
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_cells=8, iterations=2)
+    return similarity.ivf_topk(
+        emb, emb.where("vec_id < 5"), nprobe=8, k=5, centroids=cents
+    )
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1295,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_incremental": _dd_incremental,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "s_brute_topk": _s_topk,
+            "s_ivf_trained_topk": _s_ivf_trained_topk,
             "s_ivf_label_topk": _s_ivf_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
@@ -1430,6 +1449,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),
+            "s_ivf_trained_topk": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

@@ -203,6 +203,38 @@ class TestSimilarity:
         plan = similarity.brute_force_topk(emb, emb.where("vec_id < 3"))._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
 
+    def test_ivf_assign_covers_all_cells_used(self, emb):
+        cents = similarity.ivf_train(emb, n_cells=8, iterations=2)
+        assigned = similarity.ivf_assign(emb, cents)
+        assert assigned.count() == emb.count()
+        cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+        assert cells <= set(range(8)) and len(cells) > 1
+
+    def test_ivf_topk_recall_vs_exact(self, emb):
+        """Probing 2/8 cells must recover most true neighbors; probing
+        all cells recovers exact search."""
+        queries = emb.where("vec_id < 10")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+        }
+        cents = similarity.ivf_train(emb, n_cells=8, iterations=3)
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, queries, nprobe=2, k=5, centroids=cents
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, f"recall {recall:.2f}"
+        full = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, queries, nprobe=8, k=5, centroids=cents
+            ).collect()
+        }
+        assert full == exact
+
 
 class TestChunking:
     def test_chunks_cover_all_tokens_with_overlap(self, spark):
