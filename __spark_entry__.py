@@ -586,6 +586,54 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
 FROM b GROUP BY 1
 """
 
+def _t_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataloader sharding: stable shard + in-shard read
+    position from a portable id hash (no random seed, survives
+    re-partitioning)."""
+    from astro_spark.functions.sampling import assign_shards
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return assign_shards(docs, n_shards=8).select("shard", "pos", "doc_id")
+
+
+_T_SHARDS_DUCK = f"""
+WITH h AS (
+  SELECT doc_id, ({_poly_hash_sql("doc_id::VARCHAR")}) AS ph FROM documents
+)
+SELECT (ph % 8)::BIGINT AS shard,
+       (ROW_NUMBER() OVER (PARTITION BY ph % 8 ORDER BY ph, doc_id))::BIGINT AS pos,
+       doc_id
+FROM h
+"""
+
+
+def _t_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: smallest-hash n rows per group —
+    reproducible across runs/partitionings, unlike seeded sampleBy."""
+    from astro_spark.functions.sampling import stratified_sample
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", n_per_group=5).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+_T_STRATIFIED_DUCK = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ({_poly_hash_sql("doc_id::VARCHAR")}), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
 _DD_INCREMENTAL_DUCK = """
 WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
 new AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
@@ -1303,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_fingerprint": _t_fingerprint,
             "t_token_counts": _t_token_counts,
             "t_hash_split": _t_hash_split,
+            "t_shards": _t_shards,
+            "t_stratified": _t_stratified,
             "t_quality_filter": _t_quality_filter,
             "t_top_terms": _t_top_terms,
             "dd_exact": _dd_exact,
@@ -1434,6 +1484,8 @@ def oracle_sql() -> dict[str, str]:
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "t_token_counts": oracles.token_counts_sql(),
             "t_hash_split": _T_HASH_SPLIT_DUCK,
+            "t_shards": _T_SHARDS_DUCK,
+            "t_stratified": _T_STRATIFIED_DUCK,
             "t_quality_filter": oracles.quality_filter_sql(
                 min_tokens=20, min_avg_token_len=4.2
             ),

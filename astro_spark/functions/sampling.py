@@ -54,3 +54,57 @@ def hash_split(
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     expr = expr.otherwise(F.lit(bounds[-1][0]))
     return df.withColumn("split", expr)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shard + in-shard position for dataloader export.
+
+    shard = poly_hash(str(id)) mod n_shards (stable across runs/engines/
+    partitionings, like ``hash_split``); ``pos`` is the row's rank inside
+    its shard ordered by (hash, id) — a reproducible read order that is
+    decorrelated from ingest order (the "global shuffle" a training run
+    needs, without a random seed).  One shuffle on ``shard``; write with
+    ``partitionBy("shard")`` so each training worker streams one
+    directory in ``pos`` order.
+    """
+    h = char_poly_hash(F.col(id_col).cast("string"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("shard_hash", id_col)
+    return (
+        df.withColumn("shard_hash", h)
+        .withColumn("shard", (F.col("shard_hash") % F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("shard_hash")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: keep the ``n_per_group`` rows
+    with the smallest (poly_hash(id), id) per group.
+
+    Hash order is uniform-pseudorandom but reproducible — re-running on
+    re-partitioned (or re-sharded) data selects the SAME rows, which
+    seeded ``sampleBy`` does not guarantee.  One window shuffle on the
+    group key; skewed groups shard across tasks only if you pre-salt —
+    for bounded ``n_per_group`` the per-task heap is tiny either way.
+    """
+    from pyspark.sql.window import Window
+
+    h = char_poly_hash(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy("sample_hash", id_col)
+    return (
+        df.withColumn("sample_hash", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n_per_group)
+        .drop("sample_hash")
+    )

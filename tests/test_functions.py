@@ -87,6 +87,32 @@ class TestDedup:
         assert set(ca) <= {"train", "val", "test"}
         assert ca["train"] > ca.get("val", 0)  # rough proportionality
 
+    def test_assign_shards_stable_and_dense(self, docs):
+        from astro_spark.functions.sampling import assign_shards
+
+        a = assign_shards(docs, n_shards=4)
+        b = assign_shards(docs.repartition(13), n_shards=4)
+        assert sorted(map(tuple, a.select("doc_id", "shard", "pos").collect())) == \
+            sorted(map(tuple, b.select("doc_id", "shard", "pos").collect()))
+        # positions are dense 1..n within every shard
+        per = a.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+        ).collect()
+        assert all(r.mn == 1 and r.mx == r.n for r in per)
+        assert sum(r.n for r in per) == docs.count()
+
+    def test_stratified_sample_exact_n_and_stable(self, docs):
+        from astro_spark.functions.sampling import stratified_sample
+
+        out = stratified_sample(docs, "source", n_per_group=3)
+        per = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(n == min(3, sizes[s]) for s, n in per.items())
+        again = stratified_sample(docs.repartition(7), "source", n_per_group=3)
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
     def test_incremental_dedup_excludes_seen(self, spark):
         rows = [(1, "alpha"), (2, "beta")]
         seen = spark.createDataFrame(rows, ["doc_id", "text"])
