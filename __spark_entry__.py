@@ -634,6 +634,66 @@ FROM r WHERE sample_rank <= 5
 """
 
 
+def _t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus preparation pipeline: C4-style quality
+    filter → exact dedup (canonical doc per text) → hash train/val/test
+    split → dataloader shard assignment, summarized per (split, shard).
+
+    One chained lazy plan; executedPlan shows exactly 2 Exchanges (the
+    dedup groupBy and the shard window, whose hash partitioning the
+    final per-shard agg reuses) — split/shard labels themselves are
+    map-only hash projections."""
+    from astro_spark.functions.sampling import assign_shards, hash_split
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        text.quality_filter(F.col("text"), min_tokens=20, min_avg_token_len=4.2)
+        == F.lit("ok")
+    )
+    canon = dedup.exact_dedup(kept)
+    sharded = assign_shards(hash_split(canon, "doc_id"), n_shards=8)
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup_count").cast("long").alias("n_raw_docs"),
+    )
+
+
+_T_CORPUS_PREP_DUCK = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) AS nsp,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(toks)::BIGINT AS n_tokens,
+         round((nc - nsp) / greatest(len(toks), 1), 4)::DOUBLE AS avg_token_len,
+         round(nsp / greatest(nc, 1), 4)::DOUBLE AS space_ratio
+  FROM t
+), kept AS (
+  SELECT doc_id, text FROM m
+  WHERE n_tokens >= 20 AND n_tokens <= 100000
+    AND avg_token_len >= 4.2 AND space_ratio <= 0.4
+), dd AS (
+  SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+  FROM kept GROUP BY text
+), lab AS (
+  SELECT doc_id, dup_count,
+         ({_poly_hash_sql("doc_id::VARCHAR")}) % 100 AS b100,
+         ({_poly_hash_sql("doc_id::VARCHAR")}) % 8 AS shard
+  FROM dd
+)
+SELECT CASE WHEN b100 < 80 THEN 'train'
+            WHEN b100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       shard::BIGINT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(dup_count)::BIGINT AS n_raw_docs
+FROM lab GROUP BY 1, 2
+"""
+
+
 _DD_INCREMENTAL_DUCK = """
 WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
 new AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
@@ -1353,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_hash_split": _t_hash_split,
             "t_shards": _t_shards,
             "t_stratified": _t_stratified,
+            "t_corpus_prep": _t_corpus_prep,
             "t_quality_filter": _t_quality_filter,
             "t_top_terms": _t_top_terms,
             "dd_exact": _dd_exact,
@@ -1486,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
             "t_hash_split": _T_HASH_SPLIT_DUCK,
             "t_shards": _T_SHARDS_DUCK,
             "t_stratified": _T_STRATIFIED_DUCK,
+            "t_corpus_prep": _T_CORPUS_PREP_DUCK,
             "t_quality_filter": oracles.quality_filter_sql(
                 min_tokens=20, min_avg_token_len=4.2
             ),
