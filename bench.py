@@ -37,6 +37,7 @@ HEADLINE = [
     "s_lsh_pairs",
     "t_quality_metrics",
     "t_token_counts",
+    "t_corpus_prep",
     "mm_features",
     "st_incremental_load",
     "st_windowed_counts",
