@@ -156,3 +156,48 @@ class TestMergeProperties:
             assert got == model, (mode, got, model)
             a.drop_table(spark, t)
             a.drop_table(spark, s)
+
+
+class TestShardingProperties:
+    ids = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
+
+    @SETTINGS
+    @given(ids=ids, n=st.integers(1, 8))
+    def test_shards_partition_the_ids_with_dense_positions(self, spark, ids, n):
+        """Laws: every row lands in exactly one shard in [0, n); positions
+        are a dense 1..count permutation per shard; assignment is a pure
+        function of the id (stable under repartitioning)."""
+        from astro_spark.functions.sampling import assign_shards
+
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        out = assign_shards(df, n_shards=n).collect()
+        assert len(out) == len(ids)
+        assert {r.doc_id for r in out} == set(ids)
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            assert 0 <= r.shard < n
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        again = assign_shards(df.repartition(5), n_shards=n).collect()
+        assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+            (r.doc_id, r.shard, r.pos) for r in out
+        }
+
+    @SETTINGS
+    @given(ids=ids, n=st.integers(1, 5))
+    def test_stratified_sample_is_prefix_of_hash_order(self, spark, ids, n):
+        """Law: the sample equals the first n ids per group under the
+        (hash, id) total order — i.e. growing n only ADDS rows."""
+        from astro_spark.functions.sampling import stratified_sample
+
+        rows = [(i, f"g{i % 3}") for i in ids]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        small = {r.doc_id for r in stratified_sample(df, "source", n).collect()}
+        big = {r.doc_id for r in stratified_sample(df, "source", n + 2).collect()}
+        assert small <= big
+        per_group: dict[str, int] = {}
+        for i, g in rows:
+            per_group[g] = per_group.get(g, 0) + 1
+        expect = sum(min(n, c) for c in per_group.values())
+        assert len(small) == expect
