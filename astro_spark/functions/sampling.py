@@ -108,3 +108,32 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_group)
         .drop("sample_hash")
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    file_format: str = "parquet",
+) -> None:
+    """Materialize a training-ready sharded corpus: assign deterministic
+    shards, then write ``shard=K/`` directories with rows stored in
+    ``pos`` order inside each shard's file.
+
+    ``repartition(shard)`` + ``sortWithinPartitions(pos)`` makes each
+    shard exactly one task's output (one file per shard directory, rows
+    in read order), so a training worker streams its shard
+    sequentially with zero shuffling at read time.  At 100 TB raise
+    ``n_shards`` to (workers × files-per-worker) — shard count, not
+    data size, fixes the write parallelism.
+    """
+    sharded = assign_shards(df, n_shards=n_shards, id_col=id_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(file_format)
+        .save(path)
+    )

@@ -113,6 +113,31 @@ class TestDedup:
             r.doc_id for r in again.collect()
         )
 
+    def test_export_training_shards_layout_and_order(self, docs, tmp_path):
+        import glob
+        import os
+
+        from astro_spark.functions.sampling import assign_shards, export_training_shards
+
+        out = str(tmp_path / "shards")
+        export_training_shards(docs, out, n_shards=4)
+        dirs = sorted(os.path.basename(d) for d in glob.glob(out + "/shard=*"))
+        assert dirs == [f"shard={i}" for i in range(4)]
+        spark = docs.sparkSession
+        # each shard directory holds exactly one data file, rows in pos order
+        expect = {
+            r.shard: [x.doc_id for x in sorted(
+                assign_shards(docs, n_shards=4).where(F.col("shard") == r.shard).collect(),
+                key=lambda x: x.pos,
+            )]
+            for r in assign_shards(docs, n_shards=4).select("shard").distinct().collect()
+        }
+        for i in range(4):
+            files = glob.glob(f"{out}/shard={i}/*.parquet")
+            assert len(files) == 1
+            got = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
+            assert got == expect[i]
+
     def test_incremental_dedup_excludes_seen(self, spark):
         rows = [(1, "alpha"), (2, "beta")]
         seen = spark.createDataFrame(rows, ["doc_id", "text"])
