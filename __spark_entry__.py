@@ -248,6 +248,23 @@ FROM events
 GROUP BY 1, 2
 """
 
+# lateral array explode with element position (Spark posexplode ≡
+# DuckDB unnest over a subscript range); float→double widening is exact
+# on both engines so 6dp rounding agrees
+_QEXPLODE_SPARK = """
+SELECT vec_id, dim_idx, ROUND(CAST(x AS DOUBLE), 6) AS x
+FROM (
+  SELECT vec_id, posexplode(embedding) AS (dim_idx, x)
+  FROM embeddings WHERE vec_id < 3
+)
+"""
+
+_QEXPLODE_DUCK = """
+SELECT vec_id, i - 1 AS dim_idx, ROUND(embedding[i]::DOUBLE, 6) AS x
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+WHERE vec_id < 3
+"""
+
 # exact interpolated percentiles per group (Spark percentile ≡ DuckDB
 # quantile_cont: same linear-interpolation definition); cents-rounded to
 # absorb last-ulp interpolation differences
@@ -1379,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(
         {
             "q_events_hourly": _shared(_QEVENTS_HOURLY_SPARK),
+            "q_explode_positions": _shared(_QEXPLODE_SPARK),
             "q_percentiles": _shared(_QPERCENTILES_SPARK),
             "q_unpivot": _shared(_QUNPIVOT_SPARK),
             "q_gap_fill": _shared(_QGAPFILL_SPARK),
@@ -1449,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "q_events_hourly": _QEVENTS_HOURLY_DUCK,
+            "q_explode_positions": _QEXPLODE_DUCK,
             "q_percentiles": _QPERCENTILES_DUCK,
             "q_unpivot": _QUNPIVOT_DUCK,
             "q_gap_fill": _QGAPFILL_DUCK,
