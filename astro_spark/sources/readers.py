@@ -52,9 +52,10 @@ def read_file(
     if ftype == FileType.PARQUET:
         df = spark.read.parquet(path)
     elif ftype == FileType.ORC:
-        df = spark.read.orc(path)
         if schema is not None:
-            df = spark.read.schema(schema).parquet(path)
+            df = spark.read.schema(schema).orc(path)
+        else:
+            df = spark.read.orc(path)
     elif ftype == FileType.CSV:
         opts = {"header": "true", "mode": "PERMISSIVE"}
         if csv_options:

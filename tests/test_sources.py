@@ -105,6 +105,19 @@ class TestORC:
         assert back.count() == 25
         assert set(back.columns) == set(nation.columns)
 
+    def test_orc_explicit_schema(self, spark, sf_dir, tmp_path):
+        """Regression: the ORC-with-schema branch read parquet (r01 bug)."""
+        import astro_spark as a
+        from astro_spark.operators.export import export_to_file
+        from astro_spark.testdata import read_table
+
+        region = read_table(spark, sf_dir, "region")
+        d = str(tmp_path / "region_orc_schema")
+        export_to_file(spark, region, a.File(d, filetype="orc"))
+        back = a.load_file(spark, a.File(d, filetype="orc"), schema=region.schema)
+        assert back.count() == 5
+        assert back.schema == region.schema
+
     def test_orc_single_file(self, spark, sf_dir, tmp_path):
         from astro_spark.operators.export import export_to_file
         from astro_spark.testdata import read_table
