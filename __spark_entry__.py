@@ -518,6 +518,28 @@ def _op_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tgt.qualified_name)
 
 
+def _op_merge_update_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(update) against a PARTITIONED target: exercises the
+    partition-scoped rewrite (dynamic partition overwrite of touched
+    partitions only, including rows moving between partitions)."""
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.where("o_orderkey % 4 IN (0, 1)")
+    source = orders.where("o_orderkey % 4 IN (1, 2)").select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    tname, sname = "op_merge_target_part", "op_merge_source_part"
+    _fresh_managed(spark, tname, sname)
+    target.write.partitionBy("o_orderstatus").format("parquet").saveAsTable(tname)
+    source.write.format("parquet").saveAsTable(sname)
+    a.merge(spark, a.Table(sname), a.Table(tname), ["o_orderkey"], if_conflicts="update")
+    return spark.table(tname).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 def _op_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     src, tgt = _make_merge_tables(spark, sf_dir, "ign")
@@ -1435,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_ndjson_flatten": _op_ndjson_flatten,
             "op_append": _op_append,
             "op_merge_update": _op_merge_update,
+            "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
@@ -1518,6 +1541,7 @@ _DRIVER_PRIORITY = [
     "st_sessions",
     "st_dedup",
     "op_merge_update",
+    "op_merge_update_part",
     "q_pivot_status",
 ]
 
@@ -1557,6 +1581,13 @@ def oracle_sql() -> dict[str, str]:
                 "UNION ALL SELECT r_regionkey, r_name FROM region"
             ),
             "op_merge_update": """
+                SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 4 IN (1, 2)
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 4 = 0
+            """,
+            "op_merge_update_part": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)
                 UNION ALL

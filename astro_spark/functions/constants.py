@@ -32,7 +32,10 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 
 # --- SimHash ---------------------------------------------------------------
 SIMHASH_BITS = 62  # two 31-bit poly hashes concatenated
-SIMHASH_CHUNKS = 4  # banding: pairs must share >= 1 chunk of ~16 bits
+# banding: pairs must share >= 1 chunk of ~13 bits.  Pigeonhole requires
+# MAX_HAMMING < CHUNKS (k differing bits can ruin at most k chunks): with
+# 4 chunks a hamming-4 pair could differ in every chunk and be missed.
+SIMHASH_CHUNKS = 5
 SIMHASH_MAX_HAMMING = 4
 
 # --- N-gram jaccard --------------------------------------------------------

@@ -255,7 +255,7 @@ def simhash_pairs(
     Banding on chunks keeps the join linear; the hamming verify is exact.
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
-    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 16
+    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 13
     # the simhash table is self-joined (2 consumers) — compute once
     base = (
         simhash_table(df, text_col, id_col)

@@ -258,7 +258,7 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRES
 
 
 def simhash_pairs_sql(table: str = "documents") -> str:
-    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 16 — mirrors dedup.simhash_pairs
+    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 13 — mirrors dedup.simhash_pairs
     mask = (1 << chunk_bits) - 1
     chunk_selects = " UNION ALL ".join(
         f"SELECT id, sh, {c} AS chunk, (sh >> {c * chunk_bits}) & {mask} AS ch FROM sim"

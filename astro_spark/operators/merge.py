@@ -6,31 +6,57 @@ dialects (SQLite ``INSERT..ON CONFLICT`` sqlite.py:96-133, Snowflake
 databricks/delta.py:357-442, ...).  ``if_conflicts`` ∈
 {ignore, update, exception} (constants.py:91).
 
-Spark rebuild (no Delta in this container): MERGE is expressed as a pure
-DataFrame plan over the catalog parquet table, then the target is swapped
-via write-to-staging + RENAME:
+Spark rebuild (no Delta in this container).  Three physical strategies,
+picked by write-amplification — the cheapest plan that preserves MERGE
+semantics:
 
-- ``ignore``   → target ∪ (source ⟕anti target on keys)
-- ``update``   → (target ⟕anti source)  ∪  source-matched-or-new rows,
-                 where matched rows take mapped columns from source and
-                 keep unmapped target columns
-- ``exception``→ raise if any source key already exists in target
-                 (reference enforces via unique constraint,
+1. **Insert-only append** (``ignore`` / ``exception``): new rows =
+   source ⟕anti target on keys, appended via ``INSERT INTO``.  Cost
+   O(|new rows|); the target is never rewritten.  At 100 TB a 1-row
+   ignore-merge writes 1 row.
+2. **Partition-scoped rewrite** (``update`` on a partitioned target whose
+   partition columns are present in the mapped source): compute the set
+   of partitions touched by the merge, run the upsert plan over ONLY
+   those partitions (static partition pruning on the scan), and commit
+   with dynamic-partition-overwrite ``INSERT OVERWRITE``.  Cost
+   O(|touched partitions|).  When the partition columns are a subset of
+   the conflict keys, matched rows cannot change partition and the
+   touched set comes from the source alone (no target scan at all).
+3. **Staged full swap** (``update`` on an unpartitioned target, or
+   fallback when the touched-partition set is unbounded): write the full
+   merged result to a uniquely-named staging table, then DROP old +
+   RENAME staging.  This is the only strategy that rewrites the whole
+   target — on a Delta/Iceberg-enabled cluster replace it with the
+   catalog's native row-level ``MERGE INTO``.
+
+- ``ignore``   → append (source ⟕anti target on keys)
+- ``update``   → matched rows take mapped columns from source and keep
+                 unmapped target columns; unmatched source rows insert
+- ``exception``→ raise if any source key already exists in target OR the
+                 source itself carries duplicate conflict keys
+                 (reference enforces both via a unique constraint,
                  ``databases/base.py:201-209``; Spark has no constraints →
-                 duplicate-join assertion)
+                 two explicit assertion jobs)
 
 Semantics decision (SURVEY §7 risk list): when the SOURCE has duplicate
-conflict-keys, Delta MERGE errors while SQLite/Postgres dedupe row-by-row.
-We pre-dedupe the source deterministically (first row per key by a stable
-sort over all mapped columns) — the majority-dialect behavior.
+conflict-keys under ``ignore``/``update``, Delta MERGE errors while
+SQLite/Postgres dedupe row-by-row.  We pre-dedupe the source
+deterministically (first row per key by a stable sort over all mapped
+columns) — the majority-dialect behavior.
 
-Scale notes: both branches are one shuffle join on the conflict keys; with
-AQE on, a small source side becomes a broadcast join automatically.  On a
-Delta/Iceberg-enabled cluster, swap `_merge_plan`'s rewrite for the
-catalog's native ``MERGE INTO`` (row-level update without full rewrite).
+Crash-safety: strategy 1 is a single atomic-enough append job; strategy 2
+commits through Spark's dynamic-overwrite protocol per partition;
+strategy 3 has a non-atomic DROP→RENAME window — a crash between the two
+statements leaves the merged data intact in the uniquely-named staging
+table (``<target>__astro_merge_<uuid>``) for manual recovery, and the
+unique suffix keeps concurrent merges from clobbering each other's
+staging.  True single-statement atomicity needs a transactional table
+format (Delta/Iceberg).
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +65,13 @@ from pyspark.sql.window import Window
 from ..exceptions import MergeConflictError, NonExistentTableError
 from ..table import Table
 from .append import normalize_columns
+
+# Above this many touched partitions a partition-scoped rewrite stops
+# paying for itself (the pruning predicate itself becomes huge) — fall
+# back to the full swap.  Multi-column partitioning builds an OR-of-ANDs
+# predicate, so its cap is lower.
+MAX_TOUCHED_PARTITIONS = 10_000
+MAX_TOUCHED_PARTITIONS_MULTI = 1_000
 
 
 def merge(
@@ -69,42 +102,203 @@ def merge(
     keys = target_conflict_columns
 
     if if_conflicts == "exception":
+        # the reference's unique constraint rejects BOTH a source key that
+        # already exists in the target AND duplicate keys inside the source
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise MergeConflictError(
+                "merge(if_conflicts='exception'): duplicate conflict keys "
+                "within the source"
+            )
         clash = source.join(target.select(*keys), on=keys, how="inner")
-        n = clash.limit(1).count()
-        if n > 0:
+        if clash.limit(1).count() > 0:
             raise MergeConflictError(
                 f"merge(if_conflicts='exception'): source keys already present "
                 f"in {target_table.qualified_name}"
             )
-        result = _insert_only(target, source, keys)
-    else:
-        # deterministic source dedupe on keys (see module docstring)
-        order_cols = [F.col(c) for c in source.columns]
-        w = Window.partitionBy(*keys).orderBy(*order_cols)
-        source = (
-            source.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        if if_conflicts == "ignore":
-            result = _insert_only(target, source, keys)
-        else:  # update
-            result = _upsert(target, source, keys)
+        _append_new_rows(spark, target, source, keys, target_table)
+        return target_table
 
+    # deterministic source dedupe on keys (see module docstring)
+    order_cols = [F.col(c) for c in source.columns]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    source = (
+        source.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if if_conflicts == "ignore":
+        _append_new_rows(spark, target, source, keys, target_table)
+        return target_table
+
+    # update
+    part_cols = _partition_columns(spark, target_table)
+    if part_cols and all(p in source.columns for p in part_cols):
+        if _upsert_partition_scoped(
+            spark, target, source, keys, target_table, part_cols
+        ):
+            return target_table
+    result = _upsert(target, source, keys)
     _swap_table(spark, result, target_table)
     return target_table
 
 
-def _insert_only(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def _append_new_rows(
+    spark: SparkSession,
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    target_table: Table,
+) -> None:
+    """ignore/exception strategy: INSERT only the not-matched rows.
+
+    Equivalent to ``target ∪ (source ⟕anti target)`` but writes O(|new|)
+    instead of O(|target|).  Spark allows appending to a table that the
+    plan also reads (only overwrite is rejected), so no staging needed.
+    """
     new_rows = source.join(target.select(*keys), on=keys, how="left_anti")
     aligned = _align(new_rows, target)
-    return target.unionByName(aligned)
+    name = target_table.qualified_name
+    aligned.select(*spark.table(name).columns).write.mode("append").insertInto(name)
+    spark.catalog.refreshTable(name)
+
+
+def _partition_columns(spark: SparkSession, table: Table) -> list[str]:
+    try:
+        return [
+            c.name
+            for c in spark.catalog.listColumns(table.qualified_name)
+            if c.isPartition
+        ]
+    except Exception:  # pragma: no cover - exotic catalog
+        return []
+
+
+def _upsert_partition_scoped(
+    spark: SparkSession,
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    target_table: Table,
+    part_cols: list[str],
+) -> bool:
+    """update strategy 2: rewrite only the partitions the merge touches.
+
+    Touched = partitions of the source rows' (new) values ∪ partitions of
+    target rows whose key matches a source key (the old location of a row
+    whose partition value changes).  When partition columns ⊆ conflict
+    keys, a matched row cannot move and the second set collapses into the
+    first — no target scan.  Returns False (caller falls back to the full
+    swap) when the touched set exceeds the predicate cap or contains NULL
+    partition values.
+    """
+    stable = set(part_cols) <= set(keys)
+    src_parts = source.select(*part_cols).distinct()
+    if stable:
+        touched_df = src_parts
+    else:
+        # column-pruned scan of keys+partition cols only; AQE broadcasts
+        # the distinct source keys when small
+        old_parts = (
+            target.join(source.select(*keys).distinct(), on=keys, how="left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        touched_df = src_parts.union(old_parts).distinct()
+
+    cap = (
+        MAX_TOUCHED_PARTITIONS if len(part_cols) == 1 else MAX_TOUCHED_PARTITIONS_MULTI
+    )
+    rows = touched_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return False
+    if any(v is None for r in rows for v in r):
+        # NULL partition values can't be expressed in ALTER..DROP PARTITION;
+        # rare enough that the full swap is the honest fallback
+        return False
+    touched = {tuple(r) for r in rows}
+
+    pred = _partition_predicate(part_cols, rows)
+    result = _upsert(target.where(pred), source, keys)
+
+    name = target_table.qualified_name
+    tbl_cols = spark.table(name).columns
+    # Spark rejects overwriting a table the plan reads → stage the merged
+    # touched-partition slice through a temp parquet dir (O(touched) extra
+    # IO, still nowhere near a full rewrite)
+    staged = _stage_roundtrip(spark, result.select(*tbl_cols))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    if not stable:
+        # dynamic overwrite only replaces partitions present in the output;
+        # a touched partition whose rows ALL moved elsewhere must be dropped
+        out_parts = {tuple(r) for r in staged.select(*part_cols).distinct().collect()}
+        for vals in sorted(touched - out_parts):
+            spec = ", ".join(
+                f"{c}={_sql_literal(v)}" for c, v in zip(part_cols, vals)
+            )
+            spark.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})")
+    spark.catalog.refreshTable(name)
+    return True
+
+
+def _partition_predicate(part_cols: list[str], rows) -> F.Column:
+    if len(part_cols) == 1:
+        return F.col(part_cols[0]).isin([r[0] for r in rows])
+    clauses = None
+    for r in rows:
+        clause = None
+        for c in part_cols:
+            eq = F.col(c) == F.lit(r[c])
+            clause = eq if clause is None else (clause & eq)
+        clauses = clause if clauses is None else (clauses | clause)
+    return clauses
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:  # pragma: no cover - filtered out earlier
+        raise ValueError("NULL partition value")
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return f"'{v}'"
+    return str(v)
+
+
+def _stage_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="astro_merge_stage_")
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.schema(df.schema).parquet(d)
 
 
 def _upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
-    """MERGE ... WHEN MATCHED UPDATE SET <mapped cols> WHEN NOT MATCHED INSERT."""
+    """MERGE ... WHEN MATCHED UPDATE SET <mapped cols> WHEN NOT MATCHED INSERT.
+
+    A literal-true indicator column marks the source side of the
+    full-outer join; gating on it (not on source-key nullability) keeps a
+    source row whose first conflict key is NULL from degrading into an
+    all-NULL output row.
+    """
     src = source.select(
-        *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns],
+        F.lit(True).alias("__src_present"),
     )
     cond = [F.col(k) == F.col(f"__src_{k}") for k in keys]
     joined = target.join(src, on=cond, how="full_outer")
@@ -115,7 +309,7 @@ def _upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
         if src_c in src.columns:
             # matched or source-only: take source value; target-only: keep target
             out_cols.append(
-                F.when(F.col(f"__src_{keys[0]}").isNotNull(), F.col(src_c))
+                F.when(F.col("__src_present"), F.col(src_c))
                 .otherwise(F.col(c))
                 .alias(c)
             )
@@ -138,16 +332,20 @@ def _align(df: DataFrame, target: DataFrame) -> DataFrame:
 
 
 def _swap_table(spark: SparkSession, result: DataFrame, target_table: Table) -> None:
-    """Write result to a staging table, then atomically swap names.
+    """update strategy 3: write result to a staging table, then swap names.
 
     Avoids Spark's cannot-overwrite-a-table-being-read restriction without
-    caching the whole result on the driver.
+    caching the whole result on the driver.  The staging name carries a
+    unique suffix so concurrent merges on the same target cannot clobber
+    each other's staging table.  NOT atomic: a crash between DROP and
+    RENAME leaves the target name unbound, with the fully-merged data
+    intact under the staging name for recovery — single-statement
+    atomicity requires a transactional format (Delta/Iceberg MERGE INTO).
     """
     name = target_table.qualified_name
-    staging = f"{target_table.name}__astro_merge_staging"
+    staging = f"{target_table.name}__astro_merge_{uuid.uuid4().hex[:8]}"
     if target_table.metadata.schema and not target_table.temp:
         staging = f"{target_table.metadata.schema}.{staging}"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
     result.write.mode("overwrite").format("parquet").saveAsTable(staging)
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")

@@ -33,9 +33,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: epoch-nanos exceed double's 2^53 exact range,
+            # so (ts / 1000).cast(long) is off by 1µs for ~12% of rows
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -182,6 +182,28 @@ class TestDedup:
         h13 = bin(sims[1] ^ sims[3]).count("1")
         assert h12 < h13
 
+    def test_simhash_banding_recall_complete(self, docs):
+        """Pigeonhole soundness: banding must find EVERY pair with
+        hamming <= SIMHASH_MAX_HAMMING (requires MAX_HAMMING < CHUNKS —
+        at 4 chunks a hamming-4 pair could differ in all 4 and be missed)."""
+        from astro_spark.functions.constants import (
+            SIMHASH_CHUNKS,
+            SIMHASH_MAX_HAMMING,
+        )
+
+        assert SIMHASH_MAX_HAMMING < SIMHASH_CHUNKS
+        table = dedup.simhash_table(docs).withColumnRenamed("simhash", "sh")
+        l, r = table.alias("l"), table.alias("r")
+        brute = (
+            l.join(r, F.col("l.id") < F.col("r.id"))
+            .where(
+                F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+                <= SIMHASH_MAX_HAMMING
+            )
+            .count()
+        )
+        assert dedup.simhash_pairs(docs).count() == brute
+
     def test_ngram_jaccard_exactness(self, spark):
         rows = [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -115,6 +115,93 @@ class TestAppendMerge:
         a.merge(spark, a.Table("md_src"), a.Table("md_tgt"), ["r_regionkey"])
         assert spark.table("md_tgt").count() == 10
 
+    def test_merge_exception_source_internal_dups_raise(self, spark, sf_dir):
+        """The reference's unique constraint also rejects duplicate keys
+        INSIDE the source (not just source-vs-target clashes)."""
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS mid_tgt")
+        spark.sql("DROP TABLE IF EXISTS mid_src")
+        region.write.format("parquet").saveAsTable("mid_tgt")
+        shifted = region.selectExpr("r_regionkey + 100 AS r_regionkey", "r_name")
+        shifted.union(shifted).write.format("parquet").saveAsTable("mid_src")
+        with pytest.raises(MergeConflictError, match="within the source"):
+            a.merge(spark, a.Table("mid_src"), a.Table("mid_tgt"), ["r_regionkey"])
+
+    def test_merge_update_null_source_key_inserts(self, spark, sf_dir):
+        """A source row whose conflict key is NULL must insert as-is, not
+        degrade into an all-NULL row (join-indicator gating)."""
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS mn_tgt")
+        spark.sql("DROP TABLE IF EXISTS mn_src")
+        region.write.format("parquet").saveAsTable("mn_tgt")
+        spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS r_regionkey, 'NULLKEY' AS r_name"
+        ).write.format("parquet").saveAsTable("mn_src")
+        a.merge(
+            spark, a.Table("mn_src"), a.Table("mn_tgt"), ["r_regionkey"],
+            if_conflicts="update",
+        )
+        res = spark.table("mn_tgt")
+        assert res.count() == 6
+        row = res.where("r_regionkey IS NULL").collect()
+        assert len(row) == 1 and row[0].r_name == "NULLKEY"
+
+    def test_merge_update_partition_scoped_rewrite(self, spark, sf_dir):
+        """update on a partitioned target rewrites ONLY touched partitions,
+        including dropping a partition emptied by rows moving out."""
+        spark.sql("DROP TABLE IF EXISTS mp_tgt")
+        spark.sql("DROP TABLE IF EXISTS mp_src")
+        spark.sql(
+            "SELECT id, CASE WHEN id < 3 THEN 'a' WHEN id < 6 THEN 'b' "
+            "ELSE 'solo' END AS p, id * 10 AS v FROM range(7)"
+        ).write.partitionBy("p").format("parquet").saveAsTable("mp_tgt")
+        tgt_loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED mp_tgt")
+            .where("col_name = 'Location'").collect()[0].data_type
+        )
+        # untouched partition 'b' keeps its original files (no rewrite)
+        import os
+        b_dir = os.path.join(tgt_loc.replace("file:", ""), "p=b")
+        before = sorted(os.listdir(b_dir))
+        # move the only 'solo' row into 'a' (empties 'solo'), update one 'a' row
+        spark.sql(
+            "SELECT 6 AS id, 'a' AS p, 999 AS v UNION ALL "
+            "SELECT 0 AS id, 'a' AS p, 111 AS v"
+        ).write.format("parquet").saveAsTable("mp_src")
+        a.merge(
+            spark, a.Table("mp_src"), a.Table("mp_tgt"), ["id"],
+            if_conflicts="update",
+        )
+        res = {r.id: (r.p, r.v) for r in spark.table("mp_tgt").collect()}
+        assert res[6] == ("a", 999) and res[0] == ("a", 111)
+        assert res[3] == ("b", 30)
+        assert spark.table("mp_tgt").where("p = 'solo'").count() == 0
+        assert spark.table("mp_tgt").count() == 7
+        assert sorted(os.listdir(b_dir)) == before
+
+    def test_merge_ignore_appends_without_rewrite(self, spark, sf_dir):
+        """ignore never rewrites the target: pre-existing files survive."""
+        import os
+        spark.sql("DROP TABLE IF EXISTS mi_tgt")
+        spark.sql("DROP TABLE IF EXISTS mi_src")
+        region = read_table(spark, sf_dir, "region")
+        region.write.format("parquet").saveAsTable("mi_tgt")
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED mi_tgt")
+            .where("col_name = 'Location'").collect()[0].data_type
+        ).replace("file:", "")
+        before = set(os.listdir(loc))
+        region.selectExpr(
+            "r_regionkey + 100 AS r_regionkey", "upper(r_name) AS r_name"
+        ).union(region).write.format("parquet").saveAsTable("mi_src")
+        a.merge(
+            spark, a.Table("mi_src"), a.Table("mi_tgt"), ["r_regionkey"],
+            if_conflicts="ignore",
+        )
+        assert spark.table("mi_tgt").count() == 10
+        after = set(os.listdir(loc))
+        assert before <= after and len(after) > len(before)
+
 
 class TestChecks:
     def test_check_column_raises_on_failure(self, spark, sf_dir):

@@ -175,3 +175,43 @@ class TestStreamMerge:
         got = {r.k: r.v for r in spark.table(target.name).collect()}
         assert got == {1: "old", 2: "new", 3: "newer", 4: "x"}
         a.drop_table(spark, target)
+
+    def test_cdc_partitioned_target_touches_only_batch_partitions(
+        self, spark, tmp_path
+    ):
+        """A partitioned CDC target takes the partition-scoped merge path:
+        partitions outside the micro-batch keep their original files."""
+        import os
+
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_merge
+
+        spark.sql("DROP TABLE IF EXISTS cdc_part_target")
+        spark.createDataFrame(
+            [(1, "a", "old"), (2, "a", "old"), (3, "b", "old"), (4, "c", "old")],
+            "k long, p string, v string",
+        ).write.partitionBy("p").format("parquet").saveAsTable("cdc_part_target")
+        target = a.Table("cdc_part_target", temp=False)
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED cdc_part_target")
+            .where("col_name = 'Location'").collect()[0].data_type
+        ).replace("file:", "")
+        c_before = sorted(os.listdir(os.path.join(loc, "p=c")))
+
+        incoming = str(tmp_path / "cdc_part_in")
+        os.makedirs(incoming)
+        spark.createDataFrame(
+            [(2, "a", "new"), (5, "b", "new")], "k long, p string, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(incoming)
+        load_file_stream_merge(
+            spark, a.File(incoming, filetype="parquet"), target, ["k"],
+            checkpoint_dir=str(tmp_path / "cdc_part_ckpt"),
+        )
+        got = {r.k: (r.p, r.v) for r in spark.table("cdc_part_target").collect()}
+        assert got == {
+            1: ("a", "old"), 2: ("a", "new"), 3: ("b", "old"),
+            4: ("c", "old"), 5: ("b", "new"),
+        }
+        # partition c was outside the batch: untouched on disk
+        assert sorted(os.listdir(os.path.join(loc, "p=c"))) == c_before
+        a.drop_table(spark, target)
