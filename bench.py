@@ -28,6 +28,7 @@ HEADLINE = [
     "q_events_hourly",
     "q_events_sessions",
     "op_merge_update",
+    "op_merge_update_part",
     "op_load_export_roundtrip",
     "dd_exact",
     "dd_minhash_lsh",
