@@ -132,17 +132,24 @@ def _maybe_flatten(df: DataFrame, file: File) -> DataFrame:
 
 
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
-    """XLS(X): no distributed reader; pandas on the driver then parallelize
-    (reference also uses pandas.read_excel, files/types/excel.py:13-46).
-    Gated behind import-try: openpyxl/xlrd may be absent in this container.
+    """XLS(X): no distributed reader; driver-side parse then parallelize
+    (reference also reads driver-side via pandas.read_excel,
+    files/types/excel.py:13-46).  pandas+openpyxl when available (widest
+    format coverage); otherwise the stdlib OOXML codec (sources/xlsx.py)
+    handles .xlsx.  Only legacy binary .xls requires xlrd.
     """
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError(
-            "XLSX read requires openpyxl/xlrd which is not installed; "
-            "convert to CSV/parquet or install the dependency"
-        ) from exc
+    except ImportError as exc:  # openpyxl/xlrd missing
+        if path.lower().endswith(".xls"):
+            raise NotImplementedError(
+                "legacy .xls read requires xlrd which is not installed; "
+                "convert to .xlsx/CSV/parquet or install the dependency"
+            ) from exc
+        from .xlsx import read_xlsx
+
+        header, rows = read_xlsx(path)
+        pdf = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(pdf)

@@ -66,13 +66,29 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
     """
     spark = df.sparkSession
     if ftype in (FileType.XLSX, FileType.XLS):
+        import pandas as pd
+
         pdf = df.toPandas()
         try:
             pdf.to_excel(path, index=False)
         except ImportError as exc:  # openpyxl absent in this container
-            raise NotImplementedError(
-                "XLSX export requires openpyxl which is not installed"
-            ) from exc
+            if ftype == FileType.XLS:
+                raise NotImplementedError(
+                    "legacy .xls export requires xlwt/openpyxl which is not "
+                    "installed; export .xlsx instead"
+                ) from exc
+            from .xlsx import write_xlsx
+
+            rows = [
+                [
+                    None
+                    if v is None or (isinstance(v, float) and v != v) or pd.isna(v)
+                    else (v if isinstance(v, (str, int, float, bool)) else _plain(v))
+                    for v in row
+                ]
+                for row in pdf.itertuples(index=False)
+            ]
+            write_xlsx(list(pdf.columns), rows, path)
         return
 
     tmp_dir = path.rstrip("/") + "._astro_tmp"
@@ -95,6 +111,13 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
         raise ValueError(f"unsupported filetype {ftype}")
 
     _rename_part_file(spark, tmp_dir, path, ext)
+
+
+def _plain(v):
+    """numpy scalars / timestamps → python natives for the XLSX writer."""
+    if hasattr(v, "item"):
+        return v.item()
+    return str(v)
 
 
 def _hadoop_fs(spark, path: str):

@@ -197,17 +197,55 @@ class TestCappedInference:
         assert df.count() == li.count()
 
 
-class TestXlsxStub:
-    def test_export_error_without_openpyxl(self, spark, sf_dir, tmp_path):
-        try:
-            import openpyxl  # noqa: F401
+class TestXlsx:
+    def test_xlsx_roundtrip_via_operators(self, spark, sf_dir, tmp_path):
+        """export_to_file(xlsx) → load_file(xlsx) without openpyxl (the
+        stdlib OOXML codec takes over when pandas' engine is missing)."""
+        region = read_table(spark, sf_dir, "region")
+        p = str(tmp_path / "r.xlsx")
+        a.export_to_file(spark, region, p)
+        back = a.load_file(spark, a.File(p, filetype="xlsx"))
+        assert sorted(back.columns) == sorted(region.columns)
+        got = {r.r_regionkey: r.r_name for r in back.collect()}
+        want = {r.r_regionkey: r.r_name for r in region.collect()}
+        assert got == want
 
-            pytest.skip("openpyxl installed; error path not reachable")
+    def test_xlsx_codec_types_and_gaps(self, tmp_path):
+        from astro_spark.sources.xlsx import read_xlsx, write_xlsx
+
+        p = str(tmp_path / "t.xlsx")
+        write_xlsx(
+            ["s", "i", "f", "b", "missing"],
+            [["héllo <&> 'quoted'", 42, 2.5, True, None],
+             ["row2", -1, 0.125, False, "x"]],
+            p,
+        )
+        header, rows = read_xlsx(p)
+        assert header == ["s", "i", "f", "b", "missing"]
+        assert rows[0] == ["héllo <&> 'quoted'", 42, 2.5, True, None]
+        assert rows[1] == ["row2", -1, 0.125, False, "x"]
+
+    def test_read_reference_sample_xlsx(self, spark):
+        """The reference's own openpyxl-written fixture (sharedStrings
+        form) parses identically through the stdlib codec."""
+        sample = "/root/reference/python-sdk/tests/data/sample.xlsx"
+        if not os.path.exists(sample):
+            pytest.skip("reference fixture unavailable")
+        df = a.load_file(spark, a.File(sample, filetype="xlsx"))
+        rows = {int(r.id): r.name for r in df.collect()}
+        assert rows[1] == "First" and rows[2] == "Second"
+        assert rows[3].startswith("Third with unicode")
+
+    def test_xls_legacy_still_gated(self, spark, sf_dir, tmp_path):
+        try:
+            import xlrd  # noqa: F401
+
+            pytest.skip("xlrd installed; error path not reachable")
         except ImportError:
             pass
         with pytest.raises((NotImplementedError, ValueError)):
             a.export_to_file(
-                spark, read_table(spark, sf_dir, "region"), str(tmp_path / "r.xlsx")
+                spark, read_table(spark, sf_dir, "region"), str(tmp_path / "r.xls")
             )
 
 
