@@ -383,6 +383,56 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# recursive CTE surface (Spark 4 WITH RECURSIVE; DuckDB twin) -------------
+
+# time-spine generation via recursion (the recursive complement of the
+# sequence+explode q_gap_fill); date arithmetic differs per engine
+_QRECURSIVE_SPINE_SPARK = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-02-28'
+)
+SELECT days.d, COUNT(o_orderkey) AS n_orders
+FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = days.d
+GROUP BY days.d
+ORDER BY days.d
+"""
+
+_QRECURSIVE_SPINE_DUCK = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + 1 FROM days WHERE d < DATE '1995-02-28'
+)
+SELECT days.d, COUNT(o_orderkey) AS n_orders
+FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = days.d
+GROUP BY days.d
+ORDER BY days.d
+"""
+
+# variable-length path concatenation — the shape recursion uniquely owns
+# (each user's first 4 events concatenated in order, path distribution)
+_QRECURSIVE_PATHS = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths(user_id, rn, path) AS (
+  SELECT user_id, rn, event_type FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, p.path || '>' || s.event_type
+  FROM paths p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.rn + 1
+  WHERE s.rn <= 4
+)
+SELECT path, COUNT(*) AS n_users FROM (
+  SELECT user_id, max_by(path, rn) AS path FROM paths GROUP BY user_id
+) GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
 # deterministic ordered string aggregation (listagg shape)
 _QSTRAGG_SPARK = """
 SELECT r_name, array_join(array_sort(collect_list(n_name)), ',') AS nations
@@ -1444,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_events_json": _shared(_QEVENTS_JSON_SPARK),
             "q_events_sessions": _shared(_QSESSIONS_SPARK),
             "q_pivot_status": _shared(_QPIVOT),
+            "q_recursive_spine": _shared(_QRECURSIVE_SPINE_SPARK),
+            "q_recursive_paths": _shared(_QRECURSIVE_PATHS),
             "q_string_agg": _shared(_QSTRAGG_SPARK),
             "q_session_window": _q_session_window,
             "q_asof_join": _q_asof_join,
@@ -1543,6 +1595,8 @@ _DRIVER_PRIORITY = [
     "op_merge_update",
     "op_merge_update_part",
     "q_pivot_status",
+    "q_recursive_spine",
+    "q_recursive_paths",
 ]
 
 
@@ -1558,6 +1612,8 @@ def oracle_sql() -> dict[str, str]:
             "q_events_json": _QEVENTS_JSON_DUCK,
             "q_events_sessions": _QSESSIONS_DUCK,
             "q_pivot_status": _QPIVOT,
+            "q_recursive_spine": _QRECURSIVE_SPINE_DUCK,
+            "q_recursive_paths": _QRECURSIVE_PATHS,
             "q_string_agg": _QSTRAGG_DUCK,
             "q_session_window": _Q_SESSION_WINDOW_DUCK,
             "q_asof_join": _Q_ASOF_DUCK,
