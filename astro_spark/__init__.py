@@ -24,6 +24,7 @@ from .operators import (
     check_column,
     profile_table,
     columns_exist,
+    analyze_table,
     compact_table,
     create_schema_if_not_exists,
     create_table,
@@ -69,6 +70,7 @@ __all__ = [
     "check_table",
     "cleanup",
     "columns_exist",
+    "analyze_table",
     "compact_table",
     "create_schema_if_not_exists",
     "create_table",

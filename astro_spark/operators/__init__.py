@@ -1,6 +1,7 @@
 from .append import append
 from .catalog import (
     columns_exist,
+    analyze_table,
     compact_table,
     create_schema_if_not_exists,
     create_table,
@@ -28,6 +29,7 @@ __all__ = [
     "check_table",
     "cleanup",
     "columns_exist",
+    "analyze_table",
     "compact_table",
     "create_schema_if_not_exists",
     "create_table",

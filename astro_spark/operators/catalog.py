@@ -83,6 +83,39 @@ def export_table_to_pandas(spark: SparkSession, table: Table | str):
     return spark.table(name).toPandas()
 
 
+def analyze_table(
+    spark: SparkSession,
+    table: Table | str,
+    columns: list[str] | None = None,
+) -> dict[str, str]:
+    """Collect table (and optionally column) statistics for Catalyst's
+    cost-based optimizer; returns the recorded stats.
+
+    At 100 TB this is the lever that turns join-order and build-side
+    guesses into informed choices: with ``spark.sql.cbo.enabled`` (and
+    ``spark.sql.statistics.histogram.enabled`` for skewed columns),
+    ANALYZE'd row counts / NDVs / min-max feed broadcast decisions and
+    join reordering.  The reference delegates statistics entirely to the
+    backing warehouse (Snowflake/BigQuery keep their own); on Spark the
+    catalog owns them and collection is explicit.
+    """
+    from ..table import Table as _Table
+
+    t = table if isinstance(table, _Table) else _Table(str(table), temp=False)
+    name = t.qualified_name
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    return {
+        r.col_name: r.data_type
+        for r in rows
+        if r.col_name in ("Statistics",) or (columns and r.col_name in columns)
+    }
+
+
 def compact_table(
     spark: SparkSession,
     table: Table | str,

@@ -513,6 +513,23 @@ class TestCompaction:
         a.drop_table(spark, t)
 
 
+class TestAnalyze:
+    def test_analyze_records_stats_and_feeds_cbo(self, spark, sf_dir):
+        from astro_spark.operators.catalog import analyze_table
+
+        t = a.Table("analyze_me", temp=False)
+        a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
+        stats = analyze_table(spark, t)
+        assert "Statistics" in stats and "rows" in stats["Statistics"]
+        col_stats = analyze_table(spark, t, columns=["n_nationkey"])
+        assert "Statistics" in col_stats
+        # column-level NDV/min/max recorded in the catalog
+        desc = spark.sql("DESCRIBE EXTENDED analyze_me n_nationkey").collect()
+        info = {r.info_name: r.info_value for r in desc}
+        assert info.get("distinct_count") not in (None, "NULL")
+        a.drop_table(spark, t)
+
+
 class TestDML:
     def test_delete_rows(self, spark, sf_dir):
         t = a.Table("dml_nation", temp=False)
