@@ -568,6 +568,39 @@ def _op_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tgt.qualified_name)
 
 
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join (plans/skew.py): result must equal the
+    plain key join row-for-row — the oracle IS the plain join."""
+    from astro_spark.plans.skew import salted_join
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    j = salted_join(ev, cust, "user_id", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q_SKEW_SALTED_DUCK = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def _op_merge_update_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge(update) against a PARTITIONED target: exercises the
     partition-scoped rewrite (dynamic partition overwrite of touched
@@ -1496,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_pivot_status": _shared(_QPIVOT),
             "q_recursive_spine": _shared(_QRECURSIVE_SPINE_SPARK),
             "q_recursive_paths": _shared(_QRECURSIVE_PATHS),
+            "q_skew_salted_join": _q_skew_salted_join,
             "q_string_agg": _shared(_QSTRAGG_SPARK),
             "q_session_window": _q_session_window,
             "q_asof_join": _q_asof_join,
@@ -1597,6 +1631,7 @@ _DRIVER_PRIORITY = [
     "q_pivot_status",
     "q_recursive_spine",
     "q_recursive_paths",
+    "q_skew_salted_join",
 ]
 
 
@@ -1614,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
             "q_pivot_status": _QPIVOT,
             "q_recursive_spine": _QRECURSIVE_SPINE_DUCK,
             "q_recursive_paths": _QRECURSIVE_PATHS,
+            "q_skew_salted_join": _Q_SKEW_SALTED_DUCK,
             "q_string_agg": _QSTRAGG_DUCK,
             "q_session_window": _Q_SESSION_WINDOW_DUCK,
             "q_asof_join": _Q_ASOF_DUCK,

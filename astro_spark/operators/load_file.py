@@ -22,6 +22,7 @@ partition pruning downstream (something the reference cannot express).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..file import File
@@ -39,6 +40,7 @@ def load_file(
     schema: StructType | None = None,
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    cluster_by: list[str] | tuple[int, list[str]] | None = None,
     csv_options: dict | None = None,
 ) -> DataFrame | Table:
     if isinstance(input_file, str):
@@ -64,6 +66,7 @@ def load_file(
         if_exists=if_exists,
         partition_by=partition_by,
         bucket_by=bucket_by,
+        cluster_by=cluster_by,
     )
     return output_table
 
@@ -74,6 +77,7 @@ def save_dataframe_as_table(
     if_exists: str = "replace",
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    cluster_by: list[str] | tuple[int, list[str]] | None = None,
 ) -> None:
     """Materialize a DataFrame under a Table handle.
 
@@ -87,8 +91,24 @@ def save_dataframe_as_table(
     bucket columns between co-bucketed tables skip their shuffle
     entirely (SortMergeJoin without Exchange).  The 100 TB layout lever
     the reference cannot express.
+
+    ``cluster_by=cols`` (or ``(n_files, cols)`` for an explicit file
+    count) range-partitions then sorts rows by ``cols`` before writing,
+    so each parquet file covers a narrow key range and selective scans
+    prune on row-group min/max statistics (Z-order-lite for one ordering
+    dimension).  The lever for needle-in-haystack point/range lookups
+    that neither partitioning (too coarse for high-cardinality keys) nor
+    bucketing (hash destroys ranges) covers.
     """
     spark = df.sparkSession
+    if cluster_by:
+        if isinstance(cluster_by, tuple):
+            n, cluster_cols = cluster_by
+            cols = [F.col(c) for c in cluster_cols]
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     if table.temp:
         df.createOrReplaceTempView(table.name)
         register_temp_table(spark, table)

@@ -530,6 +530,38 @@ class TestAnalyze:
         a.drop_table(spark, t)
 
 
+class TestClusteredWrite:
+    def test_cluster_by_produces_disjoint_file_ranges(self, spark, sf_dir):
+        """cluster_by range-partitions + sorts, so parquet file min/max
+        ranges are disjoint — the layout row-group skipping needs."""
+        import pyarrow.parquet as pq
+
+        t = a.Table("clustered_li", temp=False)
+        a.load_file(
+            spark, f"{sf_dir}/lineitem.parquet", output_table=t,
+            cluster_by=(4, ["l_orderkey"]),
+        )
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        tdir = os.path.join(warehouse, t.name)
+        ranges = []
+        for f in os.listdir(tdir):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(tdir, f)).metadata
+            idx = md.schema.names.index("l_orderkey")
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        assert len(ranges) > 1
+        ranges.sort()
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next  # disjoint key ranges across files
+        assert spark.table(t.name).count() == spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet"
+        ).count()
+        a.drop_table(spark, t)
+
+
 class TestDML:
     def test_delete_rows(self, spark, sf_dir):
         t = a.Table("dml_nation", temp=False)
