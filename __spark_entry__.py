@@ -977,6 +977,16 @@ def _t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over minhash near-dup pairs → per-doc cluster
+    id (min reachable doc id); oracle is a DuckDB recursive transitive
+    closure over the same pair set."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.dup_clusters(pairs, docs.select("doc_id"))
+
+
 def _dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.cosine_dup_pairs(read_table(spark, sf_dir, "embeddings"))
@@ -1568,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_ngram_jaccard": _dd_jaccard,
             "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
+            "dd_clusters": _dd_clusters,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "s_brute_topk": _s_topk,
             "s_ivf_trained_topk": _s_ivf_trained_topk,
@@ -1604,6 +1615,7 @@ _DRIVER_PRIORITY = [
     "dd_ngram_jaccard",
     "dd_normalized",
     "dd_incremental",
+    "dd_clusters",
     "dd_embedding_cosine",
     "s_brute_topk",
     "s_ivf_trained_topk",
@@ -1763,6 +1775,7 @@ WITH g AS (
 SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
 """,
             "dd_incremental": _DD_INCREMENTAL_DUCK,
+            "dd_clusters": oracles.dup_clusters_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_trained_topk": oracles.brute_topk_sql(),

@@ -426,3 +426,74 @@ def incremental_exact_dedup(
         how="left_anti",
     )
     return exact_dedup(fresh.select(id_col, text_col), text_col=text_col, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# connected-components clustering over near-dup pairs
+# --------------------------------------------------------------------------
+def dup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Assign every document its near-dup CLUSTER id: the minimum doc id
+    reachable through the pair graph (connected components).
+
+    Pair-producing operators (minhash/simhash/jaccard/cosine) emit edges;
+    the pipeline step they feed is "pick one canonical doc per duplicate
+    GROUP", which needs components, not pairs (A~B, B~C must collapse to
+    one cluster even when A~C was never emitted).  Canonical docs are the
+    rows where ``cluster_id == doc_id``.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds (near-dup components are shallow: text
+    variants of one origin).  Each round is one key-shuffle join + one
+    groupBy; lineage is truncated per round with localCheckpoint so plan
+    depth stays constant.  At 100 TB this is the standard Spark
+    components layout (label propagation over edge tables); the driver
+    sees only one changed-row count per round.
+
+    Returns (doc_id, cluster_id) for EVERY input id (singletons cluster
+    with themselves).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

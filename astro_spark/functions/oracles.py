@@ -443,3 +443,27 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
        ({poly_hash('fr', MULT1)} * {P31 + 1} + {poly_hash('fr', MULT2)}) AS frame_hash
 FROM f
 """
+
+
+def dup_clusters_sql(table: str = "documents") -> str:
+    """Connected components over the minhash near-dup pairs: per-doc
+    cluster id = min reachable doc id, via recursive transitive closure
+    (mirrors dedup.dup_clusters' min-label-propagation fixpoint)."""
+    pairs = minhash_pairs_sql(table)
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT root AS doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY root
+"""

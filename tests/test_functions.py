@@ -204,6 +204,27 @@ class TestDedup:
         )
         assert dedup.simhash_pairs(docs).count() == brute
 
+    def test_dup_clusters_transitive(self, spark):
+        """A~B and B~C must land in ONE cluster even with no A~C edge;
+        disconnected docs stay singletons with their own id."""
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+        )
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], ["doc_id"])
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dup_clusters(pairs, ids).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+    def test_dup_clusters_chain_diameter(self, spark):
+        """Label propagation converges past a long chain (diameter > 2)."""
+        chain = [(i, i + 1) for i in range(1, 8)]
+        pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+        ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+        got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs, ids).collect()}
+        assert set(got.values()) == {1}
+
     def test_ngram_jaccard_exactness(self, spark):
         rows = [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
