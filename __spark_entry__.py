@@ -630,6 +630,50 @@ def _op_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tgt.qualified_name)
 
 
+def _op_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_file_list + TempTable registry cleanup + drop_table, driver-
+    observable: counts before/after must match fixed expectations."""
+    from astro_spark.operators.files import get_file_list
+    from astro_spark.operators.load_file import save_dataframe_as_table
+
+    _views(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="astro_list_")
+    for i in range(3):
+        with open(os.path.join(d, f"f{i}.csv"), "w") as fh:
+            fh.write("a,b\n1,2\n")
+    n_files = len(get_file_list(spark, os.path.join(d, "*.csv")))
+
+    region = read_table(spark, sf_dir, "region")
+    t1, t2 = a.TempTable(), a.TempTable()
+    save_dataframe_as_table(region, t1)
+    save_dataframe_as_table(region, t2)
+    from astro_spark.operators.cleanup import cleanup, temp_registry
+
+    n_before = len(temp_registry(spark))
+    dropped = cleanup(spark)
+    n_after = len(
+        [t for t in (t1.name, t2.name) if spark.catalog.tableExists(t)]
+    )
+
+    tname = f"op_lifecycle_{uuid.uuid4().hex[:8]}"
+    region.write.format("parquet").saveAsTable(tname)
+    a.drop_table(spark, a.Table(tname, temp=False))
+    target_gone = not spark.catalog.tableExists(tname)
+
+    return spark.createDataFrame(
+        [(n_files, n_before >= 2, len(dropped) >= 2, n_after, target_gone)],
+        "n_files long, registry_had_temps boolean, cleanup_dropped boolean, "
+        "n_views_after long, target_gone boolean",
+    )
+
+
+_OP_LIFECYCLE_DUCK = """
+SELECT CAST(3 AS BIGINT) AS n_files, true AS registry_had_temps,
+       true AS cleanup_dropped, CAST(0 AS BIGINT) AS n_views_after,
+       true AS target_gone
+"""
+
+
 def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform operator: {{table}} substitution + CTAS materialization."""
     _views(spark, sf_dir)
@@ -1555,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_update": _op_merge_update,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
+            "op_lifecycle": _op_lifecycle,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -1640,6 +1685,7 @@ _DRIVER_PRIORITY = [
     "st_dedup",
     "op_merge_update",
     "op_merge_update_part",
+    "op_lifecycle",
     "q_pivot_status",
     "q_recursive_spine",
     "q_recursive_paths",
@@ -1691,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, o_orderstatus, o_totalprice
                 FROM orders WHERE o_orderkey % 4 = 0
             """,
+            "op_lifecycle": _OP_LIFECYCLE_DUCK,
             "op_merge_update_part": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)
