@@ -1306,6 +1306,41 @@ WHERE l.event_type = 'view' AND r.event_type = 'purchase'
 """
 
 
+def _st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: event stream joined per micro-batch to a
+    static customer dim (broadcast, no join state, no watermark)."""
+    from astro_spark.streaming import stream_static_join
+
+    _views(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    rows = stream_static_join(
+        spark,
+        _staged_events_dir(spark, sf_dir),
+        cust,
+        "user_id",
+        ["c_mktsegment", "user_id"],
+        max_files_per_trigger=2,
+    )
+    return (
+        rows.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ST_STATIC_ENRICH_DUCK = """
+SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
@@ -1638,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
             "st_interval_join": _st_interval_join,
+            "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
@@ -1680,6 +1716,7 @@ _DRIVER_PRIORITY = [
     "st_incremental_load",
     "st_cdc_merge",
     "st_interval_join",
+    "st_static_enrich",
     "st_windowed_counts",
     "st_sessions",
     "st_dedup",
@@ -1837,6 +1874,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
+            "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (

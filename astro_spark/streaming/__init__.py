@@ -1,6 +1,6 @@
 # Structured Streaming extensions (Autoloader-style incremental load,
 # watermarked windows, stateful sessionization, streaming dedup).
-from .joins import interval_join_stream
+from .joins import interval_join_stream, stream_static_join
 from .load_stream import load_file_stream, load_file_stream_merge
 from .sessions import dedup_stream, sessionize_stream
 from .windows import windowed_counts_stream
@@ -8,6 +8,7 @@ from .windows import windowed_counts_stream
 __all__ = [
     "dedup_stream",
     "interval_join_stream",
+    "stream_static_join",
     "load_file_stream",
     "load_file_stream_merge",
     "sessionize_stream",

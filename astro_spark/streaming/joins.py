@@ -95,3 +95,53 @@ def interval_join_stream(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_join(
+    spark: SparkSession,
+    input_path: str,
+    dim: DataFrame,
+    on: str,
+    select_cols: list[str],
+    agg_by: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Enrich a file-source stream with a STATIC dimension table — the
+    standard streaming-enrichment shape (fact stream ⋈ slowly-changing
+    dim snapshot).
+
+    Scale notes: a stream-static equi-join needs no watermark and keeps
+    NO join state — each micro-batch joins against the current dim
+    snapshot; Spark broadcasts the dim when it fits (the usual case for
+    dimension tables), so the stream side never shuffles.  The dim
+    DataFrame is re-evaluated per micro-batch, picking up dim updates
+    between batches (snapshot-per-batch semantics; use a compacted dim
+    table, not a view over raw CDC).
+
+    Drains the backlog with ``availableNow``; returns the enriched rows
+    (or a per-``agg_by`` count/sum aggregate) as a batch DataFrame.
+    """
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    enriched = stream.join(dim, on=on, how="inner").select(*select_cols)
+
+    name = f"st_ss_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = spark.table(name)
+    if agg_by:
+        out = (
+            out.groupBy(agg_by)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(agg_by)
+        )
+    return out

@@ -141,6 +141,36 @@ class TestIntervalJoin:
         assert pairs == {(1, 2), (6, 3)}
 
 
+class TestStreamStaticJoin:
+    def test_enrichment_and_dim_snapshot_per_drain(self, spark, tmp_path):
+        """Stream-static join enriches without watermark/state; a second
+        drain against an updated dim sees the new snapshot."""
+        import os
+
+        import astro_spark as a  # noqa: F401
+        from astro_spark.streaming import stream_static_join
+
+        incoming = str(tmp_path / "facts")
+        os.makedirs(incoming)
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(incoming)
+        dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, seg string")
+        out = stream_static_join(
+            spark, incoming, dim, "k", ["k", "seg", "v"]
+        )
+        got = {(r.k, r.seg) for r in out.collect()}
+        assert got == {(1, "a"), (2, "b")}  # k=3 unmatched, inner join
+
+        dim2 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, seg string"
+        )
+        out2 = stream_static_join(spark, incoming, dim2, "k", ["k", "seg", "v"])
+        assert {(r.k, r.seg) for r in out2.collect()} == {
+            (1, "a"), (2, "b"), (3, "c")
+        }
+
+
 class TestStreamMerge:
     def test_cdc_upsert_across_batches(self, spark, tmp_path):
         import astro_spark as a
