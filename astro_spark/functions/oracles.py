@@ -451,7 +451,7 @@ def dup_clusters_sql(table: str = "documents") -> str:
     (mirrors dedup.dup_clusters' min-label-propagation fixpoint)."""
     pairs = minhash_pairs_sql(table)
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {pairs}
 ),
 edges AS (
