@@ -34,6 +34,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "dd_simhash",
     "dd_ngram_jaccard",
+    "dd_clusters",
     "s_brute_topk",
     "s_lsh_pairs",
     "t_quality_metrics",

@@ -158,6 +158,47 @@ class TestMergeProperties:
             a.drop_table(spark, s)
 
 
+class TestPartitionScopedMergeProperties:
+    @SETTINGS
+    @given(
+        tgt=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 100)),
+            min_size=1, max_size=12, unique_by=lambda t: t[0],
+        ),
+        src=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(200, 300)),
+            min_size=1, max_size=12, unique_by=lambda t: t[0],
+        ),
+    )
+    def test_partitioned_update_equals_unpartitioned(self, spark, tgt, src):
+        """The partition-scoped rewrite (touched-partition pruning, row
+        moves, emptied-partition drop) must produce EXACTLY the rows of
+        the unpartitioned full-swap update on identical data — including
+        when a source row changes a target row's partition value."""
+        import astro_spark as a
+
+        results = {}
+        for variant, part in (("flat", None), ("part", ["p"])):
+            t = a.Table(f"pm_t_{variant}", temp=False)
+            s = a.Table(f"pm_s_{variant}", temp=False)
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            spark.sql(f"DROP TABLE IF EXISTS {s.name}")
+            wtgt = spark.createDataFrame(tgt, "k long, p long, v long").write
+            if part:
+                wtgt = wtgt.partitionBy(*part)
+            wtgt.format("parquet").saveAsTable(t.name)
+            spark.createDataFrame(src, "k long, p long, v long").write.format(
+                "parquet"
+            ).saveAsTable(s.name)
+            a.merge(spark, s, t, ["k"], if_conflicts="update")
+            results[variant] = {
+                r.k: (r.p, r.v) for r in spark.table(t.name).collect()
+            }
+            a.drop_table(spark, t)
+            a.drop_table(spark, s)
+        assert results["part"] == results["flat"], (results, tgt, src)
+
+
 class TestShardingProperties:
     ids = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
 
