@@ -179,6 +179,34 @@ class TestAppendMerge:
         assert spark.table("mp_tgt").count() == 7
         assert sorted(os.listdir(b_dir)) == before
 
+    def test_merge_empty_source_is_noop(self, spark, sf_dir):
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS mz_tgt")
+        spark.sql("DROP TABLE IF EXISTS mz_src")
+        region.write.format("parquet").saveAsTable("mz_tgt")
+        region.where("1=0").write.format("parquet").saveAsTable("mz_src")
+        for mode in ("ignore", "update", "exception"):
+            a.merge(spark, a.Table("mz_src"), a.Table("mz_tgt"), ["r_regionkey"],
+                    if_conflicts=mode)
+            assert spark.table("mz_tgt").count() == 5
+
+    def test_merge_update_partitioned_without_part_col_in_source(self, spark):
+        """Source lacking the partition column falls back to the full
+        swap and still merges correctly (unmapped cols keep target)."""
+        spark.sql("DROP TABLE IF EXISTS mf_tgt")
+        spark.sql("DROP TABLE IF EXISTS mf_src")
+        spark.sql(
+            "SELECT id AS k, CAST(id % 2 AS STRING) AS p, id * 10 AS v FROM range(6)"
+        ).write.partitionBy("p").format("parquet").saveAsTable("mf_tgt")
+        spark.sql("SELECT 2 AS k, 999 AS v").write.format("parquet").saveAsTable(
+            "mf_src"
+        )
+        a.merge(spark, a.Table("mf_src"), a.Table("mf_tgt"), ["k"],
+                if_conflicts="update")
+        got = {r.k: (r.p, r.v) for r in spark.table("mf_tgt").collect()}
+        assert got[2] == ("0", 999) and got[3] == ("1", 30)
+        assert len(got) == 6
+
     def test_merge_ignore_appends_without_rewrite(self, spark, sf_dir):
         """ignore never rewrites the target: pre-existing files survive."""
         import os
