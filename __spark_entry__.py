@@ -674,6 +674,44 @@ SELECT CAST(3 AS BIGINT) AS n_files, true AS registry_had_temps,
 """
 
 
+def _op_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 micro-primitives end-to-end: explicit-schema create,
+    table_exists, append-insert, row_count, fetch_all_rows cap,
+    truncate; the oracle is the fixed expectation row."""
+    from astro_spark.operators.catalog import (
+        create_table,
+        fetch_all_rows,
+        row_count,
+        table_exists,
+    )
+    from astro_spark.operators.drop import truncate_table
+
+    _views(spark, sf_dir)
+    tname = f"op_catalog_{uuid.uuid4().hex[:8]}"
+    t = a.Table(tname, temp=False)
+    create_table(spark, t, T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]))
+    existed = table_exists(spark, t)
+    spark.sql(f"INSERT INTO {tname} SELECT n_nationkey, n_name FROM nation")
+    n_rows = row_count(spark, t)
+    n_fetched = len(fetch_all_rows(spark, t, row_limit=7))
+    truncate_table(spark, t)
+    n_after_truncate = row_count(spark, t)
+    a.drop_table(spark, t)
+    return spark.createDataFrame(
+        [(existed, n_rows, n_fetched, n_after_truncate)],
+        "existed boolean, n_rows long, n_fetched long, n_after_truncate long",
+    )
+
+
+_OP_CATALOG_DUCK = """
+SELECT true AS existed, CAST(25 AS BIGINT) AS n_rows,
+       CAST(7 AS BIGINT) AS n_fetched, CAST(0 AS BIGINT) AS n_after_truncate
+"""
+
+
 def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform operator: {{table}} substitution + CTAS materialization."""
     _views(spark, sf_dir)
@@ -1635,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_lifecycle": _op_lifecycle,
+            "op_catalog": _op_catalog,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -1723,6 +1762,7 @@ _DRIVER_PRIORITY = [
     "op_merge_update",
     "op_merge_update_part",
     "op_lifecycle",
+    "op_catalog",
     "q_pivot_status",
     "q_recursive_spine",
     "q_recursive_paths",
@@ -1775,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderkey % 4 = 0
             """,
             "op_lifecycle": _OP_LIFECYCLE_DUCK,
+            "op_catalog": _OP_CATALOG_DUCK,
             "op_merge_update_part": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)
