@@ -1069,6 +1069,15 @@ def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs, docs.select("doc_id"))
 
 
+def _dd_embedding_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matmul exact cosine all-pairs (the wall-clock twin of the
+    fold baseline; ids only — numpy summation order makes the similarity
+    VALUE engine-specific in the last ulp, the pair SET is exact)."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.cosine_dup_pairs_np(emb).select("id_a", "id_b")
+
+
 def _dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.cosine_dup_pairs(read_table(spark, sf_dir, "embeddings"))
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_incremental": _dd_incremental,
             "dd_clusters": _dd_clusters,
             "dd_embedding_cosine": _dd_embedding_cosine,
+            "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
             "s_ivf_trained_topk": _s_ivf_trained_topk,
             "s_ivf_label_topk": _s_ivf_topk,
@@ -1737,6 +1747,7 @@ _DRIVER_PRIORITY = [
     "dd_incremental",
     "dd_clusters",
     "dd_embedding_cosine",
+    "dd_embedding_cosine_np",
     "s_brute_topk",
     "s_ivf_trained_topk",
     "s_ivf_label_topk",
@@ -1902,6 +1913,9 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_clusters": oracles.dup_clusters_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
+            "dd_embedding_cosine_np": (
+                f"SELECT id_a, id_b FROM ({oracles.cosine_dup_pairs_sql()})"
+            ),
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_trained_topk": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),

@@ -204,6 +204,15 @@ class TestDedup:
         )
         assert dedup.simhash_pairs(docs).count() == brute
 
+    def test_cosine_np_blocked_equals_fold_exact(self, emb):
+        """The block-matmul exact twin must emit the identical pair set
+        as the fold-based oracle-checked baseline."""
+        fold = {(r.id_a, r.id_b) for r in dedup.cosine_dup_pairs(emb).collect()}
+        blocked = {
+            (r.id_a, r.id_b) for r in dedup.cosine_dup_pairs_np(emb).collect()
+        }
+        assert blocked == fold and len(fold) > 0
+
     def test_dup_clusters_transitive(self, spark):
         """A~B and B~C must land in ONE cluster even with no A~C edge;
         disconnected docs stay singletons with their own id."""
