@@ -1284,7 +1284,11 @@ def _st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     tgt = a.Table(f"st_cdc_{uuid.uuid4().hex[:8]}", temp=False)
-    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    # partitioned CDC target → each micro-batch merge rewrites only the
+    # partitions that batch touches (the scale path), not the whole table
+    save_dataframe_as_table(
+        ev.where(F.col("event_id") % 3 == 0), tgt, partition_by=["event_type"]
+    )
     src_dir = tempfile.mkdtemp(prefix="astro_cdc_src_")
     ev.where(F.col("event_id") % 2 == 0).withColumn(
         "value", F.col("value") + F.lit(1.0)
