@@ -989,6 +989,12 @@ def _t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style token-trigram repetition metrics per document."""
+    _views(spark, sf_dir)
+    return text.repetition_metrics(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1704,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_corpus_prep": _t_corpus_prep,
             "t_quality_filter": _t_quality_filter,
             "t_top_terms": _t_top_terms,
+            "t_repetition": _t_repetition,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -1763,6 +1770,7 @@ _DRIVER_PRIORITY = [
     "t_corpus_prep",
     "t_quality_filter",
     "t_top_terms",
+    "t_repetition",
     "t_pseudonymize",
     "t_chunks",
     "mm_features",
@@ -1905,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
             "t_quality_filter": oracles.quality_filter_sql(
                 min_tokens=20, min_avg_token_len=4.2
             ),
+            "t_repetition": oracles.repetition_sql(),
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """
 WITH g AS (

@@ -467,3 +467,32 @@ reach(root, node) AS (
 SELECT root AS doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
 FROM reach GROUP BY root
 """
+
+
+def ngram_hash_list(toks: str, k: int = 3) -> str:
+    """NON-distinct k-gram hashes in order — mirrors text.ngram_hash_list."""
+    th = f"list_transform({toks}, t -> {poly_hash('t', MULT1)})"
+    return (
+        f"list_transform(range(1, greatest(len({th}) - {k - 1}, 1) + 1), "
+        f"i -> list_reduce(list_prepend(0::BIGINT, list_slice({th}, i, i + {k - 1})), "
+        f"(a, b) -> (a * {MULT2} + b) % {P31}))"
+    )
+
+
+def repetition_sql(table: str = "documents", k: int = 3) -> str:
+    """Mirror of text.repetition_metrics (token k-gram repetition)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {ngram_hash_list(tokens('text'), k)} AS raw FROM {table}
+),
+d AS (
+  SELECT doc_id, raw, list_distinct(raw) AS dist FROM t
+)
+SELECT doc_id,
+       len(raw)::BIGINT AS n_ngrams,
+       len(dist)::BIGINT AS n_distinct,
+       round(1 - len(dist) / greatest(len(raw), 1), 4)::DOUBLE AS dup_frac,
+       list_max(list_transform(dist, g -> len(list_filter(raw, x -> x = g))))::BIGINT
+         AS top_ngram_count
+FROM d
+"""

@@ -204,3 +204,73 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def ngram_hash_list(col: Column | str, k: int = 3) -> Column:
+    """NON-distinct hashes of the k-token n-grams, in document order —
+    the raw material for repetition metrics (``shingle_hash_array`` in
+    dedup.py is the distinct/sorted variant for set similarity).
+
+    Same two-level hashing as the dedup shingles: each token char-poly-
+    hashed once with MULT1, then each n-gram folds its k token-hashes
+    with MULT2 — reproducible verbatim in the DuckDB oracle.
+    """
+    toks = tokens(col)
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
+        ),
+    )
+
+    def _ngrams(th: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(th) - F.lit(k - 1), F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(th, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(MULT2) + h) % F.lit(P31),
+            ),
+        )
+
+    # let-binding: bind tok_hashes once (lambda vars are evaluated once;
+    # free subexpressions inside lambda bodies are not)
+    return F.element_at(F.transform(F.array(tok_hashes), _ngrams), 1)
+
+
+def repetition_metrics(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """Gopher-style within-document repetition signals over token
+    k-grams: total and distinct n-gram counts, the duplicate fraction,
+    and the count of the most-repeated n-gram.
+
+    Map-only projection (no shuffle); the top-count term is O(distinct ×
+    total) per document — bounded by document length, constant per row
+    at corpus scale.  High dup_frac → boilerplate/spam; high top_count →
+    degenerate loops: both standard pre-training filter signals.
+    """
+    raw = ngram_hash_list(F.col(text_col), k)
+    out = df.select(
+        F.col(id_col),
+        raw.alias("__raw"),
+        F.array_distinct(raw).alias("__dist"),
+    )
+    n = F.size("__raw")
+    d = F.size("__dist")
+    top = F.array_max(
+        F.transform(
+            F.col("__dist"),
+            lambda g: F.size(F.filter(F.col("__raw"), lambda x: x == g)),
+        )
+    )
+    return out.select(
+        id_col,
+        n.cast("long").alias("n_ngrams"),
+        d.cast("long").alias("n_distinct"),
+        F.round(F.lit(1) - d / F.greatest(n, F.lit(1)), 4).alias("dup_frac"),
+        top.cast("long").alias("top_ngram_count"),
+    )

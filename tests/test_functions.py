@@ -59,6 +59,23 @@ class TestDedup:
         vals = [r.n for r in out]
         assert vals[:3] == ["hello world"] * 3 and vals[3] == "other"
 
+    def test_repetition_metrics_detect_loops(self, spark):
+        """A degenerate looping doc shows high dup_frac / top count; a
+        non-repeating doc shows zero duplication."""
+        df = spark.createDataFrame(
+            [
+                (1, "spam ham eggs " * 10),          # trigram loop
+                (2, "one two three four five six"),  # all distinct
+            ],
+            ["doc_id", "text"],
+        )
+        from astro_spark.functions.text import repetition_metrics
+
+        got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+        assert got[1].n_ngrams == 28 and got[1].n_distinct == 3
+        assert got[1].dup_frac > 0.85 and got[1].top_ngram_count == 10
+        assert got[2].dup_frac == 0.0 and got[2].top_ngram_count == 1
+
     def test_quality_filter_reasons(self, spark):
         rows = [("one two",), ("aa bb cc dd ee ff",), ("longwords absolutely wonderful tremendous frankly",)]
         df = spark.createDataFrame(rows, ["text"])
