@@ -712,6 +712,90 @@ SELECT true AS existed, CAST(25 AS BIGINT) AS n_rows,
 """
 
 
+def _op_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE (staged-swap DML on plain parquet),
+    verified against the equivalent relational expression."""
+    from astro_spark.operators.dml import delete_rows, update_rows
+
+    _views(spark, sf_dir)
+    tname = f"op_dml_{uuid.uuid4().hex[:8]}"
+    read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.format("parquet").saveAsTable(tname)
+    t = a.Table(tname, temp=False)
+    delete_rows(spark, t, "o_orderkey % 10 = 3")
+    update_rows(
+        spark,
+        t,
+        {"o_orderstatus": F.lit("X")},
+        "o_orderstatus = 'P'",
+    )
+    out = (
+        spark.table(tname)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    result = out.localCheckpoint()  # materialize before dropping the table
+    a.drop_table(spark, t)
+    return result
+
+
+_OP_DML_DUCK = """
+WITH kept AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _op_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact_table: fragment a table into many files, compact to an
+    exact count, prove rows survive and the file count landed."""
+    from astro_spark.operators.catalog import compact_table
+
+    _views(spark, sf_dir)
+    tname = f"op_compact_{uuid.uuid4().hex[:8]}"
+    nation = read_table(spark, sf_dir, "nation")
+    nation.repartition(16).write.format("parquet").saveAsTable(tname)
+    t = a.Table(tname, temp=False)
+    n_files = compact_table(spark, t, n_files=2)
+    from astro_spark.operators.files import get_file_list
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tname}")
+        .where("col_name = 'Location'")
+        .collect()[0]
+        .data_type
+    )
+    parquet_files = [
+        f for f in get_file_list(spark, loc) if f.endswith(".parquet")
+    ]
+    n_rows = spark.table(tname).count()
+    a.drop_table(spark, t)
+    return spark.createDataFrame(
+        [(n_files, len(parquet_files), n_rows)],
+        "n_files_requested long, n_files_on_disk long, n_rows long",
+    )
+
+
+_OP_COMPACT_DUCK = """
+SELECT CAST(2 AS BIGINT) AS n_files_requested,
+       CAST(2 AS BIGINT) AS n_files_on_disk,
+       (SELECT COUNT(*) FROM nation) AS n_rows
+"""
+
+
 def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform operator: {{table}} substitution + CTAS materialization."""
     _views(spark, sf_dir)
@@ -1693,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_ignore": _op_merge_ignore,
             "op_lifecycle": _op_lifecycle,
             "op_catalog": _op_catalog,
+            "op_dml": _op_dml,
+            "op_compact": _op_compact,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -1786,6 +1872,8 @@ _DRIVER_PRIORITY = [
     "op_merge_update_part",
     "op_lifecycle",
     "op_catalog",
+    "op_dml",
+    "op_compact",
     "q_pivot_status",
     "q_recursive_spine",
     "q_recursive_paths",
@@ -1839,6 +1927,8 @@ def oracle_sql() -> dict[str, str]:
             """,
             "op_lifecycle": _OP_LIFECYCLE_DUCK,
             "op_catalog": _OP_CATALOG_DUCK,
+            "op_dml": _OP_DML_DUCK,
+            "op_compact": _OP_COMPACT_DUCK,
             "op_merge_update_part": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)
