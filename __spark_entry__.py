@@ -1137,6 +1137,23 @@ def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_exact_dedup(new, seen)
 
 
+def _dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 play the
+    eval set; flag training docs sharing >= 3 shingles with it."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate(train, bench)
+
+
+def _t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.functions.sampling import pack_sequences
+
+    _views(spark, sf_dir)
+    return pack_sequences(read_table(spark, sf_dir, "documents"), budget=1024)
+
+
 def _t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.functions.sampling import hash_split
 
@@ -1803,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_ngram_jaccard": _dd_jaccard,
             "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
+            "dd_decontaminate": _dd_decontaminate,
+            "t_pack_sequences": _t_pack_sequences,
             "dd_clusters": _dd_clusters,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
@@ -1835,7 +1854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # 28 entries with no CORRECTNESS_r01 row, then the 2 non-green r01 rows.
+# New round-2 queries go at the very front (never driver-verified).
 _DRIVER_PRIORITY = [
+    "dd_decontaminate",
+    "t_pack_sequences",
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash",
@@ -2014,6 +2036,8 @@ WITH g AS (
 SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
 """,
             "dd_incremental": _DD_INCREMENTAL_DUCK,
+            "dd_decontaminate": oracles.decontaminate_sql(),
+            "t_pack_sequences": oracles.pack_sequences_sql(),
             "dd_clusters": oracles.dup_clusters_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (

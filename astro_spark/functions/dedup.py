@@ -429,6 +429,47 @@ def incremental_exact_dedup(
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination (train corpus vs eval-set n-grams)
+# --------------------------------------------------------------------------
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Flag training docs sharing >= ``min_shared`` distinct k-word
+    shingles with the benchmark (eval) corpus — GPT-3/Gopher-style
+    n-gram-overlap decontamination.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    training corpus (eval suites are MBs; the corpus is TBs), so it is
+    deduped and **broadcast**; the train side is a map-side hash
+    semi-join per shingle — the full corpus never shuffles.  Only the
+    *hit* rows (shared shingles) reach the one groupBy(doc_id), whose
+    input is bounded by |benchmark n-grams| x df, not corpus size.
+
+    Beyond-reference capability (the reference SDK has no
+    decontamination operator).  Returns (doc_id, shared_shingles) for
+    flagged docs; shingle sets are distinct per doc, so the join count
+    is exactly the distinct-shared-shingle count.
+    """
+    bench = benchmark.select(
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h")
+    ).distinct()
+    inv = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+    )
+    return (
+        inv.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= F.lit(min_shared))
+    )
+
+
+# --------------------------------------------------------------------------
 # connected-components clustering over near-dup pairs
 # --------------------------------------------------------------------------
 def dup_clusters(

@@ -469,6 +469,49 @@ FROM reach GROUP BY root
 """
 
 
+def decontaminate_sql(
+    table: str = "documents", bench_mod: int = 20, min_shared: int = 3
+) -> str:
+    """Mirrors dedup.decontaminate with the fixture's deterministic
+    benchmark split (doc_id % bench_mod == 0 is the eval set)."""
+    sh = shingle_hashes(tokens("text"))
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest({sh}) AS h FROM {table} WHERE doc_id % {bench_mod} = 0
+  )
+),
+inv AS (
+  SELECT doc_id, unnest({sh}) AS h FROM {table} WHERE doc_id % {bench_mod} <> 0
+)
+SELECT i.doc_id, COUNT(*)::BIGINT AS shared_shingles
+FROM inv i JOIN bench b ON i.h = b.h
+GROUP BY i.doc_id
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+def pack_sequences_sql(table: str = "documents", budget: int = 1024) -> str:
+    """Mirrors sampling.pack_sequences: exclusive prefix sum of
+    whitespace token counts in doc_id order, integer div/mod by the
+    budget.  All-BIGINT output — bit-identical across engines."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({tokens('text')})::BIGINT AS n_tokens FROM {table}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cum_excl // {budget})::BIGINT AS pack_id,
+       (cum_excl % {budget})::BIGINT AS pack_offset
+FROM c
+"""
+
+
 def ngram_hash_list(toks: str, k: int = 3) -> str:
     """NON-distinct k-gram hashes in order — mirrors text.ngram_hash_list."""
     th = f"list_transform({toks}, t -> {poly_hash('t', MULT1)})"

@@ -137,3 +137,60 @@ def export_training_shards(
         .format(file_format)
         .save(path)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Token-budget sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut the stream every ``budget`` tokens —
+    the offset-based packing used by LLM dataloaders (each doc gets the
+    pack containing its start offset, plus its offset inside that pack).
+
+    Scale shape: a global cumulative sum is a single-partition window in
+    naive form, so this uses the classic **two-phase prefix sum** —
+    per-bucket cumsum (window partitioned by an arithmetic id-range
+    bucket, shuffle only within buckets) plus an exclusive prefix of
+    per-bucket totals (n_buckets rows, broadcast back).  The driver
+    never sees row-level data; only the n_buckets-row totals table is
+    singly-windowed.  At 100 TB raise ``n_buckets`` to taskcount-scale.
+
+    Returns (doc_id, n_tokens, pack_id, pack_offset) — integer-exact
+    (``div``/``%`` on BIGINT, no doubles), so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import token_count
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    # phase 1: arithmetic range bucket (order-preserving across buckets)
+    max_id = toks.agg(F.max("doc_id")).first()[0] or 0
+    width = max(1, (int(max_id) + n_buckets) // n_buckets)
+    bucketed = toks.withColumn("bucket", (F.col("doc_id") / width).cast("long"))
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    local = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # phase 2: exclusive prefix over per-bucket totals (tiny: n_buckets rows)
+    w_tot = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .withColumn("bucket_off", F.coalesce(F.sum("tot").over(w_tot), F.lit(0)))
+        .select("bucket", "bucket_off")
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_excl", F.col("bucket_off") + F.col("cum_in") - F.col("n_tokens")
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_excl div {int(budget)}").alias("pack_id"),
+        (F.col("cum_excl") % F.lit(int(budget))).alias("pack_offset"),
+    )

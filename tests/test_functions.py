@@ -155,6 +155,45 @@ class TestDedup:
             got = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
             assert got == expect[i]
 
+    def test_decontaminate_flags_only_overlapping_docs(self, spark):
+        """Doc sharing >= min_shared 3-word shingles with the benchmark
+        is flagged with the exact distinct-shingle overlap count; a
+        disjoint doc is not."""
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "totally different words here nothing shared whatsoever"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r.shared_shingles
+            for r in dedup.decontaminate(train, bench, min_shared=3).collect()
+        }
+        # bench has 3 shingles (5 words, k=3); doc 1 contains all 3
+        assert out == {1: 3}
+
+    def test_pack_sequences_contiguous_token_layout(self, spark):
+        """Offset packing: doc i has i+1 tokens; pack/offset must equal
+        div/mod of the exclusive prefix sum, across bucket boundaries."""
+        from astro_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i + 1))) for i in range(10)], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r for r in pack_sequences(df, budget=7, n_buckets=3).collect()
+        }
+        cum = 0
+        for i in range(10):
+            assert out[i].n_tokens == i + 1
+            assert out[i].pack_id == cum // 7
+            assert out[i].pack_offset == cum % 7
+            cum += i + 1
+
     def test_incremental_dedup_excludes_seen(self, spark):
         rows = [(1, "alpha"), (2, "beta")]
         seen = spark.createDataFrame(rows, ["doc_id", "text"])
