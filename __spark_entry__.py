@@ -1154,6 +1154,18 @@ def _t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(read_table(spark, sf_dir, "documents"), budget=1024)
 
 
+def _s_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return similarity.quantize_int8(read_table(spark, sf_dir, "embeddings"))
+
+
+def _t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from astro_spark.functions.sampling import temperature_mix
+
+    _views(spark, sf_dir)
+    return temperature_mix(read_table(spark, sf_dir, "documents"))
+
+
 def _t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.functions.sampling import hash_split
 
@@ -1822,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_incremental": _dd_incremental,
             "dd_decontaminate": _dd_decontaminate,
             "t_pack_sequences": _t_pack_sequences,
+            "s_quantize": _s_quantize,
+            "t_domain_mix": _t_domain_mix,
             "dd_clusters": _dd_clusters,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
@@ -1858,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     "dd_decontaminate",
     "t_pack_sequences",
+    "s_quantize",
+    "t_domain_mix",
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash",
@@ -2038,6 +2054,8 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_incremental": _DD_INCREMENTAL_DUCK,
             "dd_decontaminate": oracles.decontaminate_sql(),
             "t_pack_sequences": oracles.pack_sequences_sql(),
+            "s_quantize": oracles.quantize_int8_sql(),
+            "t_domain_mix": oracles.temperature_mix_sql(),
             "dd_clusters": oracles.dup_clusters_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (

@@ -512,6 +512,58 @@ FROM c
 """
 
 
+def quantize_int8_sql(table: str = "embeddings") -> str:
+    """Mirrors similarity.quantize_int8: symmetric per-vector int8
+    quantization with BIGINT checksum outputs (sum, sum-of-squares)."""
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM c
+),
+q AS (
+  SELECT vec_id, round(amax, 6) AS amax,
+         list_transform(v, x -> CAST(round(x * (127.0::DOUBLE / greatest(amax, 1e-30))) AS BIGINT)) AS qvec
+  FROM m
+)
+SELECT vec_id, amax,
+       list_reduce(list_prepend(0::BIGINT, qvec), (a, b) -> a + b) AS qsum,
+       list_reduce(list_prepend(0::BIGINT, qvec), (a, b) -> a + b * b) AS qnorm
+FROM q
+"""
+
+
+def temperature_mix_sql(table: str = "documents") -> str:
+    """Mirrors sampling.temperature_mix: sqrt-weighted domain resample
+    with all-BIGINT thresholds and id-hash bucket membership."""
+    h = poly_hash("doc_id::VARCHAR")
+    return f"""
+WITH c AS (
+  SELECT source, COUNT(*)::BIGINT AS n_s FROM {table} GROUP BY source
+),
+w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(n_s) * 1000000.0) AS BIGINT) AS w_int
+  FROM c
+),
+t AS (SELECT SUM(w_int)::BIGINT AS w_total, SUM(n_s)::BIGINT AS m_total FROM w),
+thr AS (
+  SELECT source, least((10000 * m_total * w_int) // (w_total * n_s), 10000) AS thr
+  FROM w, t
+),
+b AS (
+  SELECT d.source, thr.thr, ({h}) % 10000 AS b
+  FROM {table} d JOIN thr ON d.source = thr.source
+)
+SELECT source, COUNT(*)::BIGINT AS n_before,
+       SUM(CASE WHEN b < thr THEN 1 ELSE 0 END)::BIGINT AS n_after
+FROM b GROUP BY source
+"""
+
+
 def ngram_hash_list(toks: str, k: int = 3) -> str:
     """NON-distinct k-gram hashes in order — mirrors text.ngram_hash_list."""
     th = f"list_transform({toks}, t -> {poly_hash('t', MULT1)})"

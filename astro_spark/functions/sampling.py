@@ -194,3 +194,66 @@ def pack_sequences(
         F.expr(f"cum_excl div {int(budget)}").alias("pack_id"),
         (F.col("cum_excl") % F.lit(int(budget))).alias("pack_offset"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixture reweighting (T=2, i.e. weights
+    proportional to sqrt of domain size) — the standard LLM-corpus move
+    that upweights small domains and downweights dominant ones.
+
+    Per-domain keep threshold is computed in pure BIGINT arithmetic
+    (floor(sqrt(n)*1e6) weights, integer div), and membership is the
+    deterministic id-hash bucket — so the resample is reproducible on
+    any engine and the DuckDB oracle matches exactly (no float sum
+    across domains, whose order would be engine-specific).
+
+    Scale shape: one groupBy(source) over the corpus (map-side
+    partials), a one-row totals broadcast, a tiny per-source threshold
+    table broadcast back — the corpus itself is scanned twice and never
+    shuffled beyond the two aggregations.  Downsampling only (threshold
+    capped at 1); true upsampling of tiny domains needs an explode-by-k
+    pass, deliberately out of scope here.
+
+    Returns (source, n_before, n_after).
+    """
+    from .text import char_poly_hash
+
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "w_int", F.floor(F.sqrt(F.col("n_s")) * F.lit(1000000.0)).cast("long")
+        )
+    )
+    totals = counts.agg(
+        F.sum("w_int").alias("w_total"), F.sum("n_s").alias("m_total")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "thr",
+            F.least(
+                F.expr("(10000 * m_total * w_int) div (w_total * n_s)"),
+                F.lit(10000).cast("long"),
+            ),
+        )
+        .select("source", "thr")
+    )
+    bucketed = df.select(
+        F.col(source_col).alias("source"),
+        (char_poly_hash(F.col(id_col).cast("string")) % F.lit(10000)).alias("b"),
+    )
+    return (
+        bucketed.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("b") < F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )

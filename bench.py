@@ -37,9 +37,11 @@ HEADLINE = [
     "dd_clusters",
     "s_brute_topk",
     "s_lsh_pairs",
+    "dd_decontaminate",
     "t_quality_metrics",
     "t_token_counts",
     "t_corpus_prep",
+    "t_pack_sequences",
     "mm_features",
     "st_incremental_load",
     "st_windowed_counts",

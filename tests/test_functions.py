@@ -194,6 +194,29 @@ class TestDedup:
             assert out[i].pack_offset == cum % 7
             cum += i + 1
 
+    def test_quantize_int8_checksums(self, spark):
+        """Known vector: amax=2 → scale 63.5 → q=[64,-127,32] (HALF_UP
+        away from zero), so qsum/qnorm are fixed integers."""
+        df = spark.createDataFrame([(1, [1.0, -2.0, 0.5])], ["vec_id", "embedding"])
+        r = similarity.quantize_int8(df).collect()[0]
+        assert r.qsum == 64 - 127 + 32
+        assert r.qnorm == 64**2 + 127**2 + 32**2
+        assert abs(r.amax - 2.0) < 1e-9
+
+    def test_temperature_mix_downweights_dominant_domain(self, spark):
+        """sqrt weighting: the tiny domain keeps everything (threshold
+        caps at 1), the dominant domain is downsampled."""
+        from astro_spark.functions.sampling import temperature_mix
+
+        # long ids: short id strings poly-hash below every threshold
+        rows = [(10_000_019 * (i + 1), "big") for i in range(100)] + [
+            (7_777_777 + i, "small") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = {r.source: r for r in temperature_mix(df).collect()}
+        assert out["small"].n_after == out["small"].n_before == 4
+        assert 0 < out["big"].n_after < out["big"].n_before == 100
+
     def test_incremental_dedup_excludes_seen(self, spark):
         rows = [(1, "alpha"), (2, "beta")]
         seen = spark.createDataFrame(rows, ["doc_id", "text"])
