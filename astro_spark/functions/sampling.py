@@ -222,6 +222,8 @@ def temperature_mix(
     """
     from .text import char_poly_hash
 
+    from pyspark.sql.window import Window
+
     counts = (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(F.count(F.lit(1)).alias("n_s"))
@@ -229,11 +231,13 @@ def temperature_mix(
             "w_int", F.floor(F.sqrt(F.col("n_s")) * F.lit(1000000.0)).cast("long")
         )
     )
-    totals = counts.agg(
-        F.sum("w_int").alias("w_total"), F.sum("n_s").alias("m_total")
-    )
+    # grand totals via a window over the per-domain table (tiny:
+    # #domains rows — a single-partition window here is free, and it
+    # avoids a cross join showing up as a nested-loop node)
+    w_all = Window.partitionBy(F.lit(1))
     thr = (
-        counts.crossJoin(F.broadcast(totals))
+        counts.withColumn("w_total", F.sum("w_int").over(w_all))
+        .withColumn("m_total", F.sum("n_s").over(w_all))
         .withColumn(
             "thr",
             F.least(
