@@ -1154,6 +1154,11 @@ def _t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(read_table(spark, sf_dir, "documents"), budget=1024)
 
 
+def _t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return text.dataset_card(read_table(spark, sf_dir, "documents"))
+
+
 def _s_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return similarity.quantize_int8(read_table(spark, sf_dir, "embeddings"))
@@ -1836,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_pack_sequences": _t_pack_sequences,
             "s_quantize": _s_quantize,
             "t_domain_mix": _t_domain_mix,
+            "t_dataset_card": _t_dataset_card,
             "dd_clusters": _dd_clusters,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
@@ -1874,6 +1880,7 @@ _DRIVER_PRIORITY = [
     "t_pack_sequences",
     "s_quantize",
     "t_domain_mix",
+    "t_dataset_card",
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash",
@@ -2056,6 +2063,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_pack_sequences": oracles.pack_sequences_sql(),
             "s_quantize": oracles.quantize_int8_sql(),
             "t_domain_mix": oracles.temperature_mix_sql(),
+            "t_dataset_card": oracles.dataset_card_sql(),
             "dd_clusters": oracles.dup_clusters_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (

@@ -564,6 +564,23 @@ FROM b GROUP BY source
 """
 
 
+def dataset_card_sql(table: str = "documents", group_col: str = "lang") -> str:
+    """Mirrors text.dataset_card: per-group token-count summary with
+    integer-scaled mean and exact interpolated median."""
+    return f"""
+WITH t AS (
+  SELECT {group_col} AS grp, len({tokens('text')})::BIGINT AS n_tokens FROM {table}
+)
+SELECT grp, COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(median(n_tokens) AS DOUBLE) AS median_tokens,
+       (100 * CAST(SUM(n_tokens) AS BIGINT)) // COUNT(*) AS avg_tokens_x100
+FROM t GROUP BY grp
+"""
+
+
 def ngram_hash_list(toks: str, k: int = 3) -> str:
     """NON-distinct k-gram hashes in order — mirrors text.ngram_hash_list."""
     th = f"list_transform({toks}, t -> {poly_hash('t', MULT1)})"

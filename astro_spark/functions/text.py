@@ -274,3 +274,34 @@ def repetition_metrics(
         F.round(F.lit(1) - d / F.greatest(n, F.lit(1)), 4).alias("dup_frac"),
         top.cast("long").alias("top_ngram_count"),
     )
+
+
+def dataset_card(df, text_col: str = "text", group_col: str = "lang"):
+    """Per-group corpus summary statistics — the numbers a dataset card
+    reports for a training corpus (doc counts, token volume, token-count
+    distribution) per language/domain.
+
+    One groupBy with map-side partial aggregation; median is the exact
+    interpolated median (both Spark and DuckDB interpolate even-count
+    medians to a .5, exactly representable in binary, so the oracle
+    matches bit-for-bit).  Mean is emitted as an integer-scaled
+    ``avg_tokens_x100`` (BIGINT div) to avoid a trailing double
+    division in the output.
+    """
+    t = df.select(
+        F.col(group_col).alias("grp"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        t.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.median("n_tokens").cast("double").alias("median_tokens"),
+        )
+        .withColumn(
+            "avg_tokens_x100", F.expr("(100 * total_tokens) div n_docs")
+        )
+    )

@@ -194,6 +194,25 @@ class TestDedup:
             assert out[i].pack_offset == cum % 7
             cum += i + 1
 
+    def test_dataset_card_summary_stats(self, spark):
+        """Known corpus: 3 en docs with 1/2/4 tokens, 1 fr doc with 3 —
+        every stat is hand-computable, median interpolates to 2.0."""
+        df = spark.createDataFrame(
+            [
+                (1, "a", "en"),
+                (2, "a b", "en"),
+                (3, "a b c d", "en"),
+                (4, "x y z", "fr"),
+            ],
+            ["doc_id", "text", "lang"],
+        )
+        out = {r.grp: r for r in text.dataset_card(df).collect()}
+        en = out["en"]
+        assert (en.n_docs, en.total_tokens, en.min_tokens, en.max_tokens) == (3, 7, 1, 4)
+        assert en.median_tokens == 2.0
+        assert en.avg_tokens_x100 == 700 // 3
+        assert out["fr"].median_tokens == 3.0
+
     def test_quantize_int8_checksums(self, spark):
         """Known vector: amax=2 → scale 63.5 → q=[64,-127,32] (HALF_UP
         away from zero), so qsum/qnorm are fixed integers."""
