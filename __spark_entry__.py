@@ -1099,6 +1099,14 @@ def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite: per-doc counts of 8-token spans shared across docs."""
+    _views(spark, sf_dir)
+    return dedup.exact_span_dedup(read_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def _t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -1835,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
+            "dd_spans": _dd_spans,
             "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
             "dd_decontaminate": _dd_decontaminate,
@@ -1864,65 +1873,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_dedup": _st_dedup,
         }
     )
-    # The driver verifies queries() in insertion order (r01 checked exactly
-    # the first 50).  Put the entries with no r01 driver row FIRST — the 28
-    # dd_/s_/mm_/st_/t_ LLM-pipeline queries — then the two r01 failures,
-    # then the 48 already-green entries (lowest re-verification priority).
+    # The driver verifies the first ~50 queries() entries in insertion order
+    # (r01 and r02 each checked exactly 50).  Round-robin the verification
+    # budget: round 3 front-loads the queries that are NEW this round plus
+    # the 45 entries whose only driver row is from r01 (everything r02
+    # checked is green and drops to the back of the queue).
     prioritized = {n: out.pop(n) for n in _DRIVER_PRIORITY if n in out}
     prioritized.update(out)
     return prioritized
 
 
-# 28 entries with no CORRECTNESS_r01 row, then the 2 non-green r01 rows.
-# New round-2 queries go at the very front (never driver-verified).
+# Round-3 driver-verification order: new round-3 queries first (never
+# driver-checked), then the 45 entries last verified in r01.  The 50
+# entries r02 verified green come after.
 _DRIVER_PRIORITY = [
-    "dd_decontaminate",
-    "t_pack_sequences",
-    "s_quantize",
-    "t_domain_mix",
-    "t_dataset_card",
-    "dd_exact",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "dd_normalized",
-    "dd_incremental",
-    "dd_clusters",
-    "dd_embedding_cosine",
-    "dd_embedding_cosine_np",
-    "s_brute_topk",
-    "s_ivf_trained_topk",
-    "s_ivf_label_topk",
-    "s_lsh_buckets",
-    "s_lsh_pairs",
-    "s_centroids",
-    "t_shards",
-    "t_stratified",
-    "t_corpus_prep",
-    "t_quality_filter",
-    "t_top_terms",
-    "t_repetition",
-    "t_pseudonymize",
-    "t_chunks",
-    "mm_features",
-    "mm_frames",
-    "st_incremental_load",
-    "st_cdc_merge",
-    "st_interval_join",
-    "st_static_enrich",
-    "st_windowed_counts",
-    "st_sessions",
-    "st_dedup",
-    "op_merge_update",
-    "op_merge_update_part",
-    "op_lifecycle",
-    "op_catalog",
-    "op_dml",
-    "op_compact",
-    "q_pivot_status",
-    "q_recursive_spine",
-    "q_recursive_paths",
-    "q_skew_salted_join",
+    # --- new in round 3 ---
+    "dd_spans",
+    # --- last verified in r01 ---
+    "q6_revenue_forecast",
+    "q10_returned_customers",
+    "q_window_top_suppliers",
+    "q_rollup_lineitem",
+    "q_exists_big_quantity",
+    "q_setops_customers",
+    "q_antijoin_nations",
+    "q_semijoin_parts",
+    "q_cube_orders",
+    "q_multi_distinct",
+    "q_having_top_customers",
+    "q_correlated_scalar",
+    "q_ntile_ranks",
+    "q_events_hourly",
+    "q_explode_positions",
+    "q_percentiles",
+    "q_unpivot",
+    "q_gap_fill",
+    "q_events_json",
+    "q_events_sessions",
+    "q_string_agg",
+    "q_session_window",
+    "q_asof_join",
+    "q_range_join",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_running_total",
+    "q_range_frame",
+    "op_load_export_roundtrip",
+    "op_csv_roundtrip",
+    "op_ndjson_flatten",
+    "op_append",
+    "op_merge_ignore",
+    "op_transform_ctas",
+    "op_transform_file",
+    "op_dataframe_bridge",
+    "op_check_column",
+    "op_check_table",
+    "op_raw_sql",
+    "op_profile",
+    "t_quality_metrics",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_token_counts",
+    "t_hash_split",
 ]
 
 
@@ -2040,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
             "dd_minhash_lsh": oracles.minhash_pairs_sql(),
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
+            "dd_spans": oracles.span_dedup_sql(),
             "t_token_counts": oracles.token_counts_sql(),
             "t_hash_split": _T_HASH_SPLIT_DUCK,
             "t_shards": _T_SHARDS_DUCK,

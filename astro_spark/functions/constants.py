@@ -74,3 +74,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 # --- Quality scoring -------------------------------------------------------
 QUALITY_MIN_CHARS = 60
 QUALITY_MIN_DISTINCT_RATIO = 0.35
+
+# span-level exact dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — ExactSubstr, simplified to fixed non-overlapping
+# token windows so the result is SQL-oracle-checkable)
+SPAN_W = 8  # tokens per non-overlapping span
+SPAN_MIN_DOCS = 2  # span counts as duplicated when seen in >= this many docs

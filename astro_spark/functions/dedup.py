@@ -628,3 +628,93 @@ def cosine_dup_pairs_np(
         tagged.groupBy("bl", "br")
         .applyInPandas(_block, schema="id_a long, id_b long, cos_sim double")
     )
+
+
+# --------------------------------------------------------------------------
+# span-level exact dedup (ExactSubstr-lite)
+# --------------------------------------------------------------------------
+def span_hash_array(text: Column, w: int = None) -> Column:
+    """Hashes of the NON-overlapping w-token windows of ``text``.
+
+    Two-level hashing as in shingle_hash_array (token char-hash with
+    MULT1, window fold with MULT2) so the shuffle carries one BIGINT per
+    window instead of the window text.  Trailing partial windows are
+    dropped (both here and in the oracle).
+    """
+    from .constants import SPAN_W
+
+    w = w or SPAN_W
+    toks = tokens(text)
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
+        ),
+    )
+
+    def _spans(th: Column) -> Column:
+        n = F.floor(F.size(th) / F.lit(w)).cast("int")
+        idx = F.sequence(F.lit(1), n)
+        return F.when(n >= F.lit(1), F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(th, (i - F.lit(1)) * F.lit(w) + F.lit(1), w),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(MULT2) + h) % F.lit(P31),
+            ),
+        )).otherwise(F.array().cast("array<bigint>"))
+
+    # let-binding: evaluate tok_hashes once (see shingle_hash_array)
+    return F.element_at(F.transform(F.array(tok_hashes), _spans), 1)
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = None,
+    min_docs: int = None,
+) -> DataFrame:
+    """Per-document counts of exact w-token spans shared across documents.
+
+    ExactSubstr dedup (Lee et al. 2022) simplified to fixed non-overlapping
+    windows: a span is *duplicated* when its hash occurs in >= min_docs
+    distinct documents.  Returns (id, n_spans, n_dup_spans) per document.
+
+    Scale design: explode is map-only (one BIGINT per window); one shuffle
+    to count distinct docs per span hash; the span->dup-set join is a hash
+    join on the span hash (AQE broadcasts when the dup set is small, which
+    it is for mostly-clean corpora); one shuffle back to per-doc counts.
+    Linear in total token count — the same layout at 100 TB, where the
+    dup-span side stays tiny relative to the corpus.
+    """
+    from .constants import SPAN_MIN_DOCS, SPAN_W
+
+    w = w or SPAN_W
+    min_docs = min_docs or SPAN_MIN_DOCS
+    per_doc = df.select(
+        F.col(id_col), span_hash_array(F.col(text_col), w).alias("__spans")
+    )
+    exploded = per_doc.select(id_col, F.explode("__spans").alias("__h"))
+    shared = (
+        exploded.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup_counts = (
+        exploded.join(shared, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.select(id_col, F.size("__spans").cast("long").alias("n_spans"))
+        .join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        )
+    )

@@ -27,6 +27,8 @@ from .constants import (
     SHINGLE_K,
     SIMHASH_CHUNKS,
     SIMHASH_MAX_HAMMING,
+    SPAN_MIN_DOCS,
+    SPAN_W,
 )
 
 # --------------------------------------------------------------------------
@@ -607,4 +609,33 @@ SELECT doc_id,
        list_max(list_transform(dist, g -> len(list_filter(raw, x -> x = g))))::BIGINT
          AS top_ngram_count
 FROM d
+"""
+
+
+def span_dedup_sql(
+    table: str = "documents", w: int = SPAN_W, min_docs: int = SPAN_MIN_DOCS
+) -> str:
+    """Mirrors dedup.exact_span_dedup: non-overlapping w-token window
+    hashes (token char-hash MULT1, window fold MULT2), a span is
+    duplicated when >= min_docs distinct docs contain its hash."""
+    th = f"list_transform({tokens('text')}, t -> {poly_hash('t', MULT1)})"
+    spans = (
+        f"list_transform(range(1, (len(th) // {w}) + 1), "
+        f"i -> list_reduce(list_prepend(0::BIGINT, "
+        f"list_slice(th, (i - 1) * {w} + 1, (i - 1) * {w} + {w})), "
+        f"(a, b) -> (a * {MULT2} + b) % {P31}))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {th} AS th FROM {table}),
+per_doc AS (SELECT doc_id, {spans} AS spans FROM tok),
+sp AS (SELECT doc_id, unnest(spans) AS h FROM per_doc),
+shared AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+dups AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans
+  FROM sp JOIN shared USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id, len(p.spans)::BIGINT AS n_spans,
+       COALESCE(d.n_dup_spans, 0)::BIGINT AS n_dup_spans
+FROM per_doc p LEFT JOIN dups d USING (doc_id)
+ORDER BY p.doc_id
 """

@@ -246,6 +246,31 @@ class TestDedup:
         assert len(out) == 1 and out[0].text == "gamma"
         assert out[0].doc_id == 11 and out[0].dup_count == 2
 
+    def test_span_dedup_counts_shared_windows(self, spark):
+        """Two docs sharing one exact 8-token window each report 1 dup
+        span; an unrelated doc reports 0.  Short docs (<8 tokens) have 0
+        spans."""
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame(
+            [
+                (1, shared + " filler one two three four five six"),
+                (2, shared + " other words here pad pad pad pad pad"),
+                (3, "totally different content with eight brand new tokens"),
+                (4, "short doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: (r.n_spans, r.n_dup_spans)
+               for r in dedup.exact_span_dedup(df).collect()}
+        assert out[1] == (1, 1) and out[2] == (2, 1)
+        assert out[3] == (1, 0) and out[4] == (0, 0)
+
+    def test_span_dedup_plan_single_explode_scan(self, docs):
+        """Plan shape: no cartesian/BNLJ — span join is a hash join."""
+        plan = dedup.exact_span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_exact_dedup_no_dups_identity(self, docs):
         out = dedup.exact_dedup(docs)
         assert out.count() == docs.count()
