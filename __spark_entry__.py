@@ -1079,6 +1079,12 @@ def _t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_metrics(read_table(spark, sf_dir, "documents"))
 
 
+def _t_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-BoW linear quality classifier (fastText-style scoring pass)."""
+    _views(spark, sf_dir)
+    return text.classify_quality(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1839,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_quality_filter": _t_quality_filter,
             "t_top_terms": _t_top_terms,
             "t_repetition": _t_repetition,
+            "t_classify": _t_classify,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -1889,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     # --- new in round 3 ---
     "dd_spans",
+    "t_classify",
     # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
@@ -2062,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
                 min_tokens=20, min_avg_token_len=4.2
             ),
             "t_repetition": oracles.repetition_sql(),
+            "t_classify": oracles.classify_quality_sql(),
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """
 WITH g AS (

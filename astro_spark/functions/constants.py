@@ -80,3 +80,13 @@ QUALITY_MIN_DISTINCT_RATIO = 0.35
 # token windows so the result is SQL-oracle-checkable)
 SPAN_W = 8  # tokens per non-overlapping span
 SPAN_MIN_DOCS = 2  # span counts as duplicated when seen in >= this many docs
+
+# hashed-bag-of-words linear classifier (fastText/Vowpal-Wabbit hashing
+# trick: score = bias + sum over tokens of weight[token_hash % BUCKETS]).
+# Weights are a fixed seeded table so Spark and the DuckDB oracle share it.
+CLASSIFIER_BUCKETS = 64
+CLASSIFIER_BIAS = -40
+_rng_clf = random.Random(7)
+CLASSIFIER_WEIGHTS: list[int] = [
+    _rng_clf.randint(-5, 5) for _ in range(CLASSIFIER_BUCKETS)
+]

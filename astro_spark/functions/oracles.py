@@ -639,3 +639,22 @@ SELECT p.doc_id, len(p.spans)::BIGINT AS n_spans,
 FROM per_doc p LEFT JOIN dups d USING (doc_id)
 ORDER BY p.doc_id
 """
+
+
+def classify_quality_sql(table: str = "documents") -> str:
+    """Mirrors text.classify_quality: hashed-BoW linear score with the
+    shared seeded weight table."""
+    from .constants import CLASSIFIER_BIAS, CLASSIFIER_BUCKETS, CLASSIFIER_WEIGHTS
+
+    wlist = "[" + ", ".join(f"{w}::BIGINT" for w in CLASSIFIER_WEIGHTS) + "]"
+    score = (
+        f"list_reduce(list_prepend({CLASSIFIER_BIAS}::BIGINT, "
+        f"list_transform({tokens('text')}, "
+        f"t -> {wlist}[({poly_hash('t', MULT1)} % {CLASSIFIER_BUCKETS})::INT + 1])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+SELECT doc_id, {score} AS clf_score,
+       CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END AS clf_label
+FROM {table}
+"""

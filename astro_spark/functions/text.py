@@ -12,7 +12,7 @@ splits chosen so a DuckDB oracle can reproduce every value exactly (see
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .constants import BPE_TOKEN_PATTERN, LANG_MARKERS, MULT1, MULT2, P31
@@ -304,4 +304,41 @@ def dataset_card(df, text_col: str = "text", group_col: str = "lang"):
         .withColumn(
             "avg_tokens_x100", F.expr("(100 * total_tokens) div n_docs")
         )
+    )
+
+
+def hashed_linear_score(col: Column | str) -> Column:
+    """Hashed bag-of-words linear classifier score (the fastText /
+    Vowpal-Wabbit hashing trick): ``bias + sum over tokens of
+    weight[char_poly_hash(token) % BUCKETS]``.
+
+    This is the shape of a production quality-filter scoring pass
+    (CCNet / DCLM-style fastText filters): one map-only scan, the model
+    is a broadcast-sized weight table, and the score is integral so the
+    DuckDB oracle reproduces it exactly.  Swapping the seeded table for
+    real trained weights changes no plan shape.
+    """
+    from .constants import CLASSIFIER_BIAS, CLASSIFIER_BUCKETS, CLASSIFIER_WEIGHTS
+
+    c = F.col(col) if isinstance(col, str) else col
+    weights = F.array(*[F.lit(w).cast("long") for w in CLASSIFIER_WEIGHTS])
+    return F.aggregate(
+        tokens(c),
+        F.lit(CLASSIFIER_BIAS).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(weights, (char_poly_hash(t) % F.lit(CLASSIFIER_BUCKETS) + F.lit(1)).cast("int")),
+    )
+
+
+def classify_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the hashed linear model and attach a
+    keep/drop label (score >= 0 keeps).  Map-only: no shuffle at any
+    scale."""
+    score = hashed_linear_score(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        score.alias("clf_score"),
+        F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("clf_label"),
     )

@@ -43,6 +43,16 @@ class TestText:
         ).collect()[0]
         assert 0 <= row[0] <= row[1] <= 1 and row[2] > 0
 
+    def test_classify_quality_deterministic_and_map_only(self, docs):
+        """Hashed-BoW classifier: stable scores, labels follow the sign,
+        and the plan has NO shuffle (pure map over the scan)."""
+        out = text.classify_quality(docs)
+        rows = {r.doc_id: (r.clf_score, r.clf_label) for r in out.collect()}
+        assert rows == {r.doc_id: (r.clf_score, r.clf_label) for r in out.collect()}
+        assert all((s >= 0) == (lb == "keep") for s, lb in rows.values())
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_predict_lang_deterministic(self, docs):
         p1 = {r.doc_id: r.l for r in docs.select("doc_id", text.predict_lang(F.col("text")).alias("l")).collect()}
         p2 = {r.doc_id: r.l for r in docs.select("doc_id", text.predict_lang(F.col("text")).alias("l")).collect()}
