@@ -1352,6 +1352,21 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.attach_binary_payload(docs))
 
 
+def _mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binaryFile-source ingest: stage one .bin blob per document
+    (fixture), then read them back through spark.read.format("binaryFile")
+    — distributed listing, pathGlobFilter pruning, one task per file —
+    and fingerprint the payloads with the Arrow-batched extractor."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = tempfile.mkdtemp(prefix="astro_mmbin_")
+    for r in docs.select("doc_id", "text").collect():  # fixture staging only
+        with open(os.path.join(d, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = multimodal.read_binary_files(spark, d, glob="*.bin")
+    return multimodal.extract_features(blobs).orderBy("doc_id")
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -1871,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_chunks": _t_chunks,
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
+            "mm_binary_ingest": _mm_binary_ingest,
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
             "st_interval_join": _st_interval_join,
@@ -1897,6 +1913,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 3 ---
     "dd_spans",
     "t_classify",
+    "mm_binary_ingest",
     # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
@@ -2101,6 +2118,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_chunks": _t_chunks_duck(),
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
+            "mm_binary_ingest": oracles.binary_ingest_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,

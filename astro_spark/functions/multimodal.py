@@ -245,3 +245,32 @@ def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(_mapper, RESIZED_SCHEMA)
+
+
+def read_binary_files(
+    spark,
+    path: str,
+    id_pattern: str = r"doc_(\d+)\.",
+    glob: str | None = None,
+) -> DataFrame:
+    """Ingest opaque media blobs through Spark's built-in ``binaryFile``
+    source — the scale front door for image/audio/video files.
+
+    The source lists files in parallel, prunes with ``pathGlobFilter``
+    (pushed to the listing, not a post-filter), and yields
+    (path, modificationTime, length, content) rows with one task per
+    file split — no driver-side reads at any corpus size.  The numeric
+    id is parsed from the filename; the media type from the extension.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), id_pattern, 1).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("application/"),
+            F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)),
+        ).alias("media_type"),
+        F.col("content").alias("payload"),
+    )

@@ -658,3 +658,16 @@ SELECT doc_id, {score} AS clf_score,
        CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END AS clf_label
 FROM {table}
 """
+
+
+def binary_ingest_sql(table: str = "documents", max_doc_id: int = 200) -> str:
+    """Mirrors the binaryFile-source ingest fixture: payload = utf-8 text
+    bytes of docs below max_doc_id, media type from the .bin extension."""
+    return f"""
+SELECT doc_id,
+       'application/bin' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ({poly_hash('text', MULT1)} * {P31 + 1} + {poly_hash('text', MULT2)}) AS content_hash
+FROM {table} WHERE doc_id < {max_doc_id}
+ORDER BY doc_id
+"""

@@ -513,6 +513,19 @@ class TestPrivacy:
 
 
 class TestMultimodal:
+    def test_read_binary_files_parses_ids_and_prunes_glob(self, spark, tmp_path):
+        """binaryFile-source ingest: ids parsed from filenames, payload
+        bytes intact, and pathGlobFilter excludes non-matching files."""
+        (tmp_path / "doc_7.bin").write_bytes(b"hello")
+        (tmp_path / "doc_9.bin").write_bytes(b"world!!")
+        (tmp_path / "ignore.txt").write_bytes(b"nope")
+        out = multimodal.read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r.doc_id: (r.media_type, bytes(r.payload)) for r in out.collect()}
+        assert rows == {
+            7: ("application/bin", b"hello"),
+            9: ("application/bin", b"world!!"),
+        }
+
     def test_feature_extraction_schema_and_values(self, docs):
         out = multimodal.extract_features(multimodal.attach_binary_payload(docs))
         assert out.columns == ["doc_id", "media_type", "n_bytes", "content_hash"]
