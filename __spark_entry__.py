@@ -1233,6 +1233,23 @@ def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.partitioned_topk(emb, emb.where("vec_id < 5"), k=3)
 
 
+def _s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (Jegou et al. product
+    quantization).  Runs with the seeded PQ_BOOKS codebooks so the DuckDB
+    oracle reproduces the ENTIRE pipeline — encode, ADC scoring,
+    shortlist cut, exact re-rank — value-for-value (correctness does not
+    depend on recall).  Data-trained codebooks (pq_train) and their
+    recall/quantization-error edge over the seeded books are pinned in
+    tests/test_functions.py::TestSimilarity."""
+    from astro_spark.functions.constants import PQ_BOOKS, PQ_SHORTLIST
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, shortlist=PQ_SHORTLIST
+    )
+
+
 def _s_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF ANN (k-means cells, assign, probe, exact-score).
 
@@ -1878,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
             "s_ivf_trained_topk": _s_ivf_trained_topk,
+            "s_pq_topk": _s_pq_topk,
             "s_ivf_label_topk": _s_ivf_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
@@ -1914,6 +1932,7 @@ _DRIVER_PRIORITY = [
     "dd_spans",
     "t_classify",
     "mm_binary_ingest",
+    "s_pq_topk",
     # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
@@ -2110,6 +2129,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             ),
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_trained_topk": oracles.brute_topk_sql(),
+            "s_pq_topk": oracles.pq_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

@@ -90,3 +90,20 @@ _rng_clf = random.Random(7)
 CLASSIFIER_WEIGHTS: list[int] = [
     _rng_clf.randint(-5, 5) for _ in range(CLASSIFIER_BUCKETS)
 ]
+
+# product quantization (Jégou et al.): M subspaces × K codes fixed seeded
+# codebooks, shared by the Spark pipeline and the DuckDB oracle so the
+# whole encode→ADC→re-rank pipeline is hash-checkable.  pq_train()
+# produces data-trained books for real deployments (recall pinned in
+# tests); the seeded books exist so correctness doesn't depend on recall.
+PQ_M = 8  # subspaces (64-dim / 8 = 8 dims each)
+PQ_CODES = 16  # centroids per subspace
+PQ_SHORTLIST = 50
+_rng_pq = random.Random(1717)
+PQ_BOOKS: list[list[list[float]]] = [
+    [
+        [round(_rng_pq.uniform(-0.4, 0.4), 6) for _ in range(64 // PQ_M)]
+        for _ in range(PQ_CODES)
+    ]
+    for _ in range(PQ_M)
+]

@@ -671,3 +671,96 @@ SELECT doc_id,
 FROM {table} WHERE doc_id < {max_doc_id}
 ORDER BY doc_id
 """
+
+
+def _pq_sub_dists(s: int, dsub: int) -> str:
+    """List of squared-L2 distances from subvector s to each code of
+    PQ_BOOKS[s], fold order identical to similarity._sub_argmin_l2."""
+    from .constants import PQ_BOOKS
+
+    dists = []
+    for cent in PQ_BOOKS[s]:
+        lit = "[" + ", ".join(f"{x!r}::DOUBLE" for x in cent) + "]"
+        terms = (
+            f"list_transform(range(1, {dsub} + 1), "
+            f"j -> (v[{s * dsub} + j] - {lit}[j]) * (v[{s * dsub} + j] - {lit}[j]))"
+        )
+        dists.append(
+            f"list_reduce(list_prepend(0.0::DOUBLE, {terms}), (a, b) -> a + b)"
+        )
+    return "[" + ", ".join(dists) + "]"
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    max_query_id: int = 5,
+) -> str:
+    """Mirrors similarity.pq_topk with the seeded PQ_BOOKS: encode each
+    corpus vector to per-subspace argmin-L2 codes, ADC-score against the
+    queries, shortlist by (adc DESC, id ASC), exact-cosine re-rank."""
+    from .constants import PQ_BOOKS, PQ_M, PQ_SHORTLIST
+
+    dsub = len(PQ_BOOKS[0][0])
+    enc_cols = []
+    for s in range(PQ_M):
+        ds = _pq_sub_dists(s, dsub)
+        enc_cols.append(f"(list_position({ds}, list_min({ds})) - 1) AS k{s}")
+    approx = "0.0::DOUBLE"
+    recon = "0.0::DOUBLE"
+    for s in range(PQ_M):
+        book = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(f"{x!r}::DOUBLE" for x in cent) + "]"
+                for cent in PQ_BOOKS[s]
+            )
+            + "]"
+        )
+        cent = f"({book}[e.k{s} + 1])"
+        dot_s = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dsub} + 1), j -> q.v[{s * dsub} + j] * {cent}[j])), "
+            f"(a, b) -> a + b)"
+        )
+        sq_s = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform({cent}, x -> x * x)), (a, b) -> a + b)"
+        )
+        approx = f"({approx} + {dot_s})"
+        recon = f"({recon} + {sq_s})"
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < {max_query_id}),
+enc AS (SELECT vec_id, {", ".join(enc_cols)} FROM c),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {approx} / sqrt({recon}) AS adc
+  FROM enc e CROSS JOIN q WHERE e.vec_id != q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cosine('c.v', 'q.v')}, 4) AS cos_sim
+  FROM short s
+  JOIN c ON c.vec_id = s.neighbor_id
+  JOIN q ON q.vec_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

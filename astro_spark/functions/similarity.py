@@ -432,3 +432,189 @@ def quantize_int8(
             "qnorm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain shortlist + exact re-rank
+# --------------------------------------------------------------------------
+def _sub_argmin_l2(sv: Column, centroids: list[list[float]]) -> Column:
+    """(squared-L2, code) argmin over a subspace codebook — deterministic
+    tie-break on the lower code id via lexicographic struct min."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(sv, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search") with Lloyd's k-means as
+    DataFrame ops.
+
+    One corpus scan per iteration trains ALL m subspaces: each row
+    explodes to m (subspace, code, subvector) tuples, one groupBy
+    computes per-(subspace, code) means, and only m × n_codes × (dim/m)
+    floats reach the driver.  Deterministic init: the n_codes
+    lowest-id vectors.  At 100 TB, train on corpus.sample(...) and
+    encode the full corpus once (map-only).
+    """
+    seed = (
+        corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(seed[0]["v"])
+    dsub = dim // m
+    books = [
+        [list(r["v"])[s * dsub : (s + 1) * dsub] for r in seed] for s in range(m)
+    ]
+    for _ in range(iterations):
+        v = corpus.select(as_double(F.col(vec_col)).alias("v"))
+        parts = []
+        for s in range(m):
+            sv = F.slice(F.col("v"), s * dsub + 1, dsub)
+            parts.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _sub_argmin_l2(sv, books[s]).alias("code"),
+                    sv.alias("sv"),
+                )
+            )
+        ex = v.select(F.explode(F.array(*parts)).alias("e")).select(
+            "e.s", "e.code", "e.sv"
+        )
+        stats = ex.groupBy("s", "code").agg(
+            *[F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(dsub)]
+        )
+        for r in stats.collect():
+            books[r["s"]][r["code"]] = [float(r[f"c{i}"]) for i in range(dsub)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: each vector becomes m small codes.
+
+    This is the 100 TB lever: the code table is dim/m × smaller than the
+    raw embeddings (64 floats → 4 codes here), so the ANN scan reads a
+    compact table and the raw vectors are touched only for the final
+    re-rank shortlist.
+    """
+    m = len(books)
+    dsub = len(books[0][0])
+    v = as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _sub_argmin_l2(F.slice(v, s * dsub + 1, dsub), books[s])
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]] | None = None,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank top-k (the production ANN shape:
+    IVF-PQ minus the IVF cells, which ``ivf_topk`` already covers).
+
+    Phase 1 scores every corpus CODE row against the broadcast queries
+    with the asymmetric distance (query subvector · reconstructed
+    centroid), keeping ``shortlist`` candidates per query — the scan
+    reads only (id, m codes).  Phase 2 joins the shortlist back to the
+    raw vectors and exact-ranks the final k.  With an adequate
+    shortlist the result EQUALS exact brute force (hash-checked against
+    the brute-force oracle); recall/shortlist is the documented knob.
+    """
+    if books is None:
+        books = pq_train(corpus, id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    dsub = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    # ADC approx dot: sum_s  q_s · books[s][code_s]   (JVM-side fold; the
+    # classic per-query LUT is an engine micro-optimization of this same
+    # expression)
+    approx = F.lit(0.0)
+    recon_sq = F.lit(0.0)
+    for s in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
+        )
+        cent = F.element_at(book_lit, F.element_at(F.col("pq_codes"), s + 1) + F.lit(1))
+        qs = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        approx = approx + F.aggregate(
+            F.zip_with(qs, cent, lambda a, b: a * b), F.lit(0.0), lambda x, y: x + y
+        )
+        recon_sq = recon_sq + F.aggregate(
+            cent, F.lit(0.0), lambda x, c2: x + c2 * c2
+        )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (approx / F.sqrt(recon_sq)).alias("adc_score"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .where(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank on the shortlist only
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

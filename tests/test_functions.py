@@ -377,6 +377,52 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_pq_train_beats_seeded_books(self, spark, emb):
+        """Lloyd's-trained codebooks quantize the corpus with lower
+        squared error than the seeded random books — pins that pq_train
+        actually learns from data."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        def _sqerr(books):
+            m, dsub = len(books), len(books[0][0])
+            enc = similarity.pq_encode(emb, books)
+            joined = enc.join(emb, "vec_id").select(
+                similarity.as_double(F.col("embedding")).alias("v"), "pq_codes"
+            )
+            err = F.lit(0.0)
+            for s in range(m):
+                book_lit = F.array(
+                    *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
+                )
+                cent = F.element_at(
+                    book_lit, F.element_at(F.col("pq_codes"), s + 1) + F.lit(1)
+                )
+                sv = F.slice(F.col("v"), s * dsub + 1, dsub)
+                err = err + F.aggregate(
+                    F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda x, y: x + y,
+                )
+            return joined.agg(F.sum(err)).collect()[0][0]
+
+        trained = similarity.pq_train(emb, m=8, n_codes=16, iterations=2)
+        assert _sqerr(trained) < _sqerr(PQ_BOOKS)
+
+    def test_pq_topk_trained_recall(self, spark, emb):
+        """Trained-book PQ shortlist+re-rank recovers most of the exact
+        top-5 even on near-random embeddings."""
+        q = emb.where("vec_id < 5")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(emb, q, k=5).collect()
+        }
+        books = similarity.pq_train(emb, m=8, n_codes=16, iterations=2)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pq_topk(emb, q, books=books, k=5, shortlist=100).collect()
+        }
+        assert len(got & exact) / len(exact) >= 0.5
+
     def test_cosine_dup_pairs_exact_superset_of_lsh(self, emb):
         # exact all-pairs must contain every LSH pair (same threshold);
         # same-bucket is a candidate filter, never a score changer
