@@ -11,6 +11,7 @@ share all constants with their oracles via
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -1562,6 +1563,40 @@ ORDER BY c_mktsegment
 """
 
 
+def _stage_single_file(df: DataFrame, dest: str, mtime: int) -> None:
+    """Write df as ONE parquet file at dest with a pinned mtime so the
+    file-source stream's (mtime, path) batch order is deterministic."""
+    tmp = tempfile.mkdtemp(prefix="astro_sf1_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def _st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting: batch 1 carries the on-time slice
+    (pre-mid-month rows minus a 25% straggler sample), batch 2 carries
+    the fresh second half (advancing the watermark and closing the old
+    windows), batch 3 replays the stragglers — now LATE: rows in windows
+    the watermark already closed are dropped, and windows newer than the
+    final watermark are withheld entirely."""
+    from astro_spark.streaming import late_data_windowed_counts
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    on_time = ev.filter((F.col("ts") < mid) & (F.col("event_id") % 4 != 3))
+    fresh = ev.filter(F.col("ts") >= mid)
+    stragglers = ev.filter((F.col("ts") < mid) & (F.col("event_id") % 4 == 3))
+    d = tempfile.mkdtemp(prefix="astro_late_")
+    # three batches: eviction lags the watermark by one batch, so the
+    # stragglers must arrive AFTER the fresh batch closed their windows
+    _stage_single_file(on_time, os.path.join(d, "00_on_time.parquet"), 1_000_000)
+    _stage_single_file(fresh, os.path.join(d, "01_fresh.parquet"), 2_000_000)
+    _stage_single_file(stragglers, os.path.join(d, "02_stragglers.parquet"), 3_000_000)
+    return late_data_windowed_counts(spark, d).orderBy("hour")
+
+
 def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
@@ -1769,6 +1804,23 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type
 """
 
+_ST_LATE_DATA_DUCK = """
+WITH w1 AS (
+  SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 4 != 3
+),
+w2 AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+kept AS (
+  SELECT date_trunc('hour', ts) AS h
+  FROM events, w1
+  WHERE (ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 4 != 3)
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > w1.wm
+)
+SELECT strftime(h, '%Y-%m-%d %H') AS hour, COUNT(*)::BIGINT AS n_events
+FROM kept, w2 WHERE h + INTERVAL 1 HOUR <= w2.wm
+GROUP BY 1
+"""
+
 _ST_WINDOWED_DUCK = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*)::BIGINT AS n_events
 FROM events GROUP BY 1
@@ -1910,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_interval_join": _st_interval_join,
             "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
+            "st_late_data": _st_late_data,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
         }
@@ -1933,6 +1986,7 @@ _DRIVER_PRIORITY = [
     "t_classify",
     "mm_binary_ingest",
     "s_pq_topk",
+    "st_late_data",
     # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
@@ -2144,6 +2198,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
             "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
+            "st_late_data": _ST_LATE_DATA_DUCK,
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (
                 "SELECT COUNT(DISTINCT text)::BIGINT AS n_unique_docs FROM documents"

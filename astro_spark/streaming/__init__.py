@@ -3,7 +3,7 @@
 from .joins import interval_join_stream, stream_static_join
 from .load_stream import load_file_stream, load_file_stream_merge
 from .sessions import dedup_stream, sessionize_stream
-from .windows import windowed_counts_stream
+from .windows import late_data_windowed_counts, windowed_counts_stream
 
 __all__ = [
     "dedup_stream",
@@ -12,5 +12,6 @@ __all__ = [
     "load_file_stream",
     "load_file_stream_merge",
     "sessionize_stream",
+    "late_data_windowed_counts",
     "windowed_counts_stream",
 ]

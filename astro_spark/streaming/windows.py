@@ -68,3 +68,35 @@ def windowed_counts_stream(
     )
     query.awaitTermination()
     return spark.sql(f"SELECT hour, n_events FROM {name}")
+
+
+def late_data_windowed_counts(
+    spark: SparkSession,
+    input_path: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Append-mode watermarked window counts over a multi-file backlog,
+    ONE file per micro-batch (modification-time order).
+
+    This surfaces the two watermark behaviors ``complete`` mode hides:
+
+    - **late rows are dropped** — a row arriving in a later batch whose
+      window the watermark already passed never reaches the count;
+    - **open windows are withheld** — windows newer than the final
+      watermark stay in the state store and are never emitted.
+
+    Both are the production bounded-state contract at 100 TB/day stream
+    volumes; pinning the file→batch split makes them deterministic and
+    oracle-checkable.
+    """
+    return windowed_counts_stream(
+        spark,
+        input_path,
+        ts_col=ts_col,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+        output_mode="append",
+        max_files_per_trigger=1,
+    )

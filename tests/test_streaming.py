@@ -15,6 +15,7 @@ import pytest
 
 from astro_spark.streaming import (
     dedup_stream,
+    late_data_windowed_counts,
     sessionize_stream,
     windowed_counts_stream,
 )
@@ -55,6 +56,49 @@ class TestWindowedCounts:
         assert sorted(map(tuple, one.collect())) == sorted(
             map(tuple, windowed_counts_stream(spark, events_dir).collect())
         )
+
+
+class TestLateData:
+    def test_stragglers_dropped_open_windows_withheld(self, spark):
+        """Append-mode watermark contract: a straggler whose window the
+        watermark closed is dropped; windows newer than the final
+        watermark are never emitted.  Eviction lags one batch, hence the
+        fresh middle batch."""
+        import os
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def _df(rows):
+            return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+        d = tempfile.mkdtemp(prefix="astro_test_late_")
+
+        def _stage(df, name, mtime):
+            tmp = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            os.rename(os.path.join(tmp, part), os.path.join(d, name))
+            os.utime(os.path.join(d, name), (mtime, mtime))
+
+        # batch 1: two on-time rows in hour 0
+        _stage(_df([(1, base), (2, base + dt.timedelta(minutes=10))]),
+               "00_on_time.parquet", 1_000_000)
+        # batch 2: fresh row at hour 6 — advances the max event time
+        _stage(_df([(3, base + dt.timedelta(hours=6))]),
+               "01_fresh.parquet", 2_000_000)
+        # batch 3: another fresh row — the 04:00 watermark from batch 2's
+        # data is now ACTIVE (filtering lags the announced watermark by
+        # one batch) and hour 0 is evicted
+        _stage(_df([(5, base + dt.timedelta(hours=6, minutes=30))]),
+               "02_fresh.parquet", 3_000_000)
+        # batch 4: straggler back in hour 0 — dropped by the watermark
+        _stage(_df([(4, base + dt.timedelta(minutes=30))]),
+               "03_straggler.parquet", 4_000_000)
+        out = {r.hour: r.n_events
+               for r in late_data_windowed_counts(spark, d).collect()}
+        # hour 0 closed with ONLY the on-time rows; hour 6 is newer than
+        # the final watermark (07:00 end > 04:30) so it is withheld
+        assert out == {"2024-01-01 00": 2}
 
 
 class TestSessionize:
