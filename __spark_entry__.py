@@ -1086,6 +1086,12 @@ def _t_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.classify_quality(read_table(spark, sf_dir, "documents"))
 
 
+def _t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top TF-IDF terms (log-free integer-scaled idf)."""
+    _views(spark, sf_dir)
+    return text.tfidf_top_terms(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1930,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_top_terms": _t_top_terms,
             "t_repetition": _t_repetition,
             "t_classify": _t_classify,
+            "t_tfidf": _t_tfidf,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -1984,6 +1991,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 3 ---
     "dd_spans",
     "t_classify",
+    "t_tfidf",
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
@@ -2161,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "t_repetition": oracles.repetition_sql(),
             "t_classify": oracles.classify_quality_sql(),
+            "t_tfidf": oracles.tfidf_top_terms_sql(),
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """
 WITH g AS (

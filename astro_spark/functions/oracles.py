@@ -764,3 +764,28 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
+    """Mirrors text.tfidf_top_terms: log-free rational idf, BIGINT
+    floor-scaled, deterministic (score DESC, token ASC) top-k."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens('text')}) AS token FROM {table}
+),
+tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.token, (tf.tf * n.n_docs * 1000) // dfreq.df AS tfidf_x1000
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf_x1000,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_x1000 DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tfidf_x1000, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .constants import BPE_TOKEN_PATTERN, LANG_MARKERS, MULT1, MULT2, P31
 
@@ -341,4 +342,44 @@ def classify_quality(
         F.col(id_col),
         score.alias("clf_score"),
         F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("clf_label"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic featurization
+    pass before clustering/classification.
+
+    Weighting is the log-free rational form ``tf * N * 1000 div df``
+    (BIGINT floor): exactly reproducible in the DuckDB oracle, while a
+    production deployment would swap in ``tf * ln(N/df)`` unchanged in
+    plan shape.  Shuffle budget: one groupBy (doc, token) for tf, one
+    groupBy (token) for df (tiny — vocabulary-sized, broadcast back by
+    AQE), one per-doc window for the top-k.  Linear in token count at
+    any corpus size.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.expr("tf * n_docs * 1000 div df").alias("tfidf_x1000"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_x1000").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf_x1000", F.col("rank").cast("long").alias("rank"))
     )

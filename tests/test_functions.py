@@ -43,6 +43,20 @@ class TestText:
         ).collect()[0]
         assert 0 <= row[0] <= row[1] <= 1 and row[2] > 0
 
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        """A token unique to one doc scores above tokens shared by all
+        docs; ranks are dense 1..k with deterministic tie-break."""
+        df = spark.createDataFrame(
+            [(1, "common words here rareword"), (2, "common words here"),
+             (3, "common words here")],
+            ["doc_id", "text"],
+        )
+        out = text.tfidf_top_terms(df, k=2).collect()
+        top1 = {r.doc_id: r.token for r in out if r.rank == 1}
+        assert top1[1] == "rareword"
+        # doc 2/3 all-tied terms break alphabetically
+        assert top1[2] == "common" and top1[3] == "common"
+
     def test_classify_quality_deterministic_and_map_only(self, docs):
         """Hashed-BoW classifier: stable scores, labels follow the sign,
         and the plan has NO shuffle (pure map over the scan)."""
