@@ -31,6 +31,7 @@ HEADLINE = [
     "op_merge_update_part",
     "op_load_export_roundtrip",
     "dd_exact",
+    "dd_spans",
     "dd_minhash_lsh",
     "dd_simhash",
     "dd_ngram_jaccard",
@@ -40,6 +41,8 @@ HEADLINE = [
     "dd_decontaminate",
     "t_quality_metrics",
     "t_token_counts",
+    "t_classify",
+    "t_tfidf",
     "t_corpus_prep",
     "t_pack_sequences",
     "mm_features",
