@@ -1092,6 +1092,13 @@ def _t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(read_table(spark, sf_dir, "documents"))
 
 
+def _t_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: bounded-state frequency estimation
+    (<= d x w counter rows shuffle at ANY vocabulary size)."""
+    _views(spark, sf_dir)
+    return text.count_min_top_terms(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1937,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_repetition": _t_repetition,
             "t_classify": _t_classify,
             "t_tfidf": _t_tfidf,
+            "t_cms_top_terms": _t_cms_top_terms,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -1992,6 +2000,7 @@ _DRIVER_PRIORITY = [
     "dd_spans",
     "t_classify",
     "t_tfidf",
+    "t_cms_top_terms",
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
@@ -2170,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
             "t_repetition": oracles.repetition_sql(),
             "t_classify": oracles.classify_quality_sql(),
             "t_tfidf": oracles.tfidf_top_terms_sql(),
+            "t_cms_top_terms": oracles.count_min_top_terms_sql(),
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """
 WITH g AS (

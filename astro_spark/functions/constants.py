@@ -107,3 +107,12 @@ PQ_BOOKS: list[list[list[float]]] = [
     ]
     for _ in range(PQ_M)
 ]
+
+# count-min sketch (Cormode & Muthukrishnan): d seeded hash rows x w
+# counters.  Shared by Spark and the DuckDB oracle.
+CMS_W = 1024
+CMS_D = 3
+_rng_cms = random.Random(99)
+CMS_COEFFS: list[tuple[int, int]] = [
+    (_rng_cms.randrange(1, P31), _rng_cms.randrange(0, P31)) for _ in range(CMS_D)
+]

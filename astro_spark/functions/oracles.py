@@ -789,3 +789,30 @@ ranked AS (
 SELECT doc_id, token, tfidf_x1000, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def count_min_top_terms_sql(table: str = "documents", k: int = 20) -> str:
+    """Mirrors text.count_min_top_terms: d seeded hash rows over w
+    counters, estimate = least of the d counters."""
+    from .constants import CMS_COEFFS, CMS_W
+
+    th = poly_hash("token", MULT1)
+    cols = ", ".join(
+        f"(({th} * {a} + {b}) % {P31}) % {CMS_W} AS c{r}"
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    )
+    cms_ctes = ",\n".join(
+        f"cms{r} AS (SELECT c{r}, COUNT(*)::BIGINT AS n{r} FROM b GROUP BY 1)"
+        for r in range(len(CMS_COEFFS))
+    )
+    joins = " ".join(f"JOIN cms{r} USING (c{r})" for r in range(len(CMS_COEFFS)))
+    least = ", ".join(f"n{r}" for r in range(len(CMS_COEFFS)))
+    return f"""
+WITH tok AS (SELECT unnest({tokens('text')}) AS token FROM {table}),
+b AS (SELECT token, {cols} FROM tok),
+{cms_ctes},
+vocab AS (SELECT DISTINCT * FROM b)
+SELECT token, least({least})::BIGINT AS est_count
+FROM vocab {joins}
+ORDER BY est_count DESC, token ASC LIMIT {k}
+"""

@@ -383,3 +383,45 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tfidf_x1000", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def count_min_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan):
+    estimated counts are min over CMS_D seeded hash rows of a CMS_W-wide
+    counter array.
+
+    The scale story vs exact ``top_terms``: building the sketch shuffles
+    AT MOST d × w counter rows (3072 here) regardless of vocabulary
+    size — map-side partials collapse every token into bounded state, so
+    a 100 TB corpus with a billion-term vocabulary costs the same
+    exchange as this one.  Estimates are biased up (never under); the
+    candidate scan here estimates every distinct token for
+    oracle-checkability, where a production pipeline would track
+    candidates with per-partition heaps.
+    """
+    from .constants import CMS_COEFFS, CMS_W
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    th = char_poly_hash(F.col("token"))
+    buckets = [
+        ((th * F.lit(a) + F.lit(b)) % F.lit(P31) % F.lit(CMS_W)).alias(f"c{r}")
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    ]
+    hashed = tok.select("token", *buckets)
+    cms = [
+        hashed.groupBy(f"c{r}").agg(F.count(F.lit(1)).alias(f"n{r}"))
+        for r in range(len(CMS_COEFFS))
+    ]
+    vocab = hashed.distinct()
+    est = vocab
+    for r in range(len(CMS_COEFFS)):
+        est = est.join(F.broadcast(cms[r]), f"c{r}")
+    return (
+        est.select(
+            "token", F.least(*[F.col(f"n{r}") for r in range(len(CMS_COEFFS))]).alias("est_count")
+        )
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(k)
+    )

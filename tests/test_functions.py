@@ -43,6 +43,17 @@ class TestText:
         ).collect()[0]
         assert 0 <= row[0] <= row[1] <= 1 and row[2] > 0
 
+    def test_count_min_never_underestimates(self, docs):
+        """CMS property: every estimate >= the exact count, and the
+        clear heavy hitter keeps rank 1."""
+        exact = {r.token: r.n for r in text.top_terms(docs, k=20).collect()}
+        est = {r.token: r.est_count
+               for r in text.count_min_top_terms(docs, k=20).collect()}
+        common = set(exact) & set(est)
+        assert common and all(est[t] >= exact[t] for t in common)
+        top_exact = max(exact, key=lambda t: (exact[t], t))
+        assert est.get(top_exact, 0) >= exact[top_exact]
+
     def test_tfidf_rare_term_outranks_common(self, spark):
         """A token unique to one doc scores above tokens shared by all
         docs; ranks are dense 1..k with deterministic tie-break."""
