@@ -1099,6 +1099,16 @@ def _t_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.count_min_top_terms(read_table(spark, sf_dir, "documents"))
 
 
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile estimation: 1024-bin fixed-width histogram
+    over o_totalprice (two map-side-partial scans, <= n_bins shuffle rows
+    at any table size)."""
+    from astro_spark.plans.histogram import histogram_quantiles
+
+    _views(spark, sf_dir)
+    return histogram_quantiles(read_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1817,6 +1827,30 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type
 """
 
+_Q_HIST_QUANTILES_DUCK = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+),
+b AS (SELECT min(v) AS lo, max(v) AS hi, COUNT(*)::BIGINT AS n FROM v),
+h AS (
+  SELECT lo, hi, n,
+         least(1023, (v - lo) * 1024 // (hi - lo + 1)) AS bin,
+         COUNT(*)::BIGINT AS cnt
+  FROM v, b GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT lo, hi, n, bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+q(quantile) AS (VALUES (50::BIGINT), (90::BIGINT), (99::BIGINT))
+SELECT quantile,
+       MIN(lo + (bin + 1) * (hi - lo + 1) // 1024)::BIGINT AS est_x100
+FROM c CROSS JOIN q
+WHERE cum >= (quantile * n + 99) // 100
+GROUP BY quantile ORDER BY quantile
+"""
+
 _ST_LATE_DATA_DUCK = """
 WITH w1 AS (
   SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events
@@ -1945,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_classify": _t_classify,
             "t_tfidf": _t_tfidf,
             "t_cms_top_terms": _t_cms_top_terms,
+            "q_hist_quantiles": _q_hist_quantiles,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
@@ -2001,6 +2036,7 @@ _DRIVER_PRIORITY = [
     "t_classify",
     "t_tfidf",
     "t_cms_top_terms",
+    "q_hist_quantiles",
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
@@ -2180,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
             "t_classify": oracles.classify_quality_sql(),
             "t_tfidf": oracles.tfidf_top_terms_sql(),
             "t_cms_top_terms": oracles.count_min_top_terms_sql(),
+            "q_hist_quantiles": _Q_HIST_QUANTILES_DUCK,
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """
 WITH g AS (

@@ -422,6 +422,28 @@ class TestBucketing:
             a.drop_table(spark, li)
 
 
+class TestHistogramQuantiles:
+    def test_estimate_within_one_bin_of_exact(self, spark):
+        """Histogram quantile lands within one bin width of the exact
+        percentile, and the plan never shuffles input-proportional data
+        (the only wide rows are the <=n_bins histogram)."""
+        from astro_spark.plans.histogram import histogram_quantiles
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 997 + (F.col("id") % 13) / 100.0).alias("x")
+        )
+        out = {r.quantile: r.est_x100
+               for r in histogram_quantiles(df, "x", (50, 90, 99), 256).collect()}
+        import math
+        vals = sorted((i % 997 + (i % 13) / 100.0) for i in range(10_000))
+        cents = [math.floor(v * 100 + 0.5) for v in vals]
+        lo, hi = cents[0], cents[-1]
+        bin_w = (hi - lo + 1) / 256
+        for q in (50, 90, 99):
+            exact = cents[math.ceil(q * len(cents) / 100) - 1]
+            assert abs(out[q] - exact) <= bin_w + 1, (q, out[q], exact)
+
+
 class TestAsofJoin:
     def test_strictly_earlier_semantics(self, spark):
         import datetime as dt
