@@ -1270,7 +1270,12 @@ def _s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
-        emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, shortlist=PQ_SHORTLIST
+        emb,
+        emb.where("vec_id < 5"),
+        books=PQ_BOOKS,
+        k=5,
+        shortlist=PQ_SHORTLIST,
+        np_encode=True,
     )
 
 

@@ -37,6 +37,7 @@ HEADLINE = [
     "dd_ngram_jaccard",
     "dd_clusters",
     "s_brute_topk",
+    "s_pq_topk",
     "s_lsh_pairs",
     "dd_decontaminate",
     "t_quality_metrics",

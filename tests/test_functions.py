@@ -433,6 +433,17 @@ class TestSimilarity:
         trained = similarity.pq_train(emb, m=8, n_codes=16, iterations=2)
         assert _sqerr(trained) < _sqerr(PQ_BOOKS)
 
+    def test_pq_encode_np_bit_identical(self, spark, emb):
+        """The Arrow/numpy encoder reproduces the Catalyst expression
+        encoder code-for-code (same float accumulation order)."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        expr = {r.vec_id: list(r.pq_codes)
+                for r in similarity.pq_encode(emb, PQ_BOOKS).collect()}
+        np_ = {r.vec_id: list(r.pq_codes)
+               for r in similarity.pq_encode_np(emb, PQ_BOOKS).collect()}
+        assert expr == np_
+
     def test_pq_topk_trained_recall(self, spark, emb):
         """Trained-book PQ shortlist+re-rank recovers most of the exact
         top-5 even on near-random embeddings."""
