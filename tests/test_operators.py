@@ -422,6 +422,35 @@ class TestBucketing:
             a.drop_table(spark, li)
 
 
+class TestDynamicPartitionPruning:
+    def test_selective_dim_join_prunes_fact_partitions(self, spark, sf_dir):
+        """A fact table partitioned on the join key scans ONLY the
+        partitions matching a selective dim filter — Catalyst inserts a
+        dynamicpruning subquery on the partition column.  At 100 TB this
+        is the difference between scanning one day and scanning a year."""
+        fact = a.Table("dpp_orders", temp=False)
+        a.load_file(
+            spark,
+            f"{sf_dir}/orders.parquet",
+            output_table=fact,
+            partition_by=["o_orderpriority"],
+        )
+        try:
+            dim = spark.createDataFrame(
+                [("1-URGENT", "keep"), ("2-HIGH", "drop")], ["prio", "tag"]
+            )
+            joined = spark.table(fact.name).join(
+                F.broadcast(dim.where(F.col("tag") == "keep")),
+                F.col("o_orderpriority") == F.col("prio"),
+            )
+            optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+            executed = joined._jdf.queryExecution().executedPlan().toString()
+            assert "dynamicpruning" in (optimized + executed).lower(), executed
+            assert joined.count() > 0
+        finally:
+            a.drop_table(spark, fact)
+
+
 class TestHistogramQuantiles:
     def test_estimate_within_one_bin_of_exact(self, spark):
         """Histogram quantile lands within one bin width of the exact
