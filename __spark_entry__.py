@@ -797,6 +797,33 @@ SELECT CAST(2 AS BIGINT) AS n_files_requested,
 """
 
 
+def _op_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across load batches: two parquet files with
+    different column subsets load as ONE table via mergeSchema (footer
+    reconciliation only — absent columns read as NULL, no rewrite)."""
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="astro_evo_")
+    orders.where("o_orderkey % 2 = 0").select("o_orderkey", "o_totalprice").coalesce(
+        1
+    ).write.parquet(os.path.join(d, "batch=old"))
+    orders.where("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).coalesce(1).write.parquet(os.path.join(d, "batch=new"))
+    merged = a.load_file(
+        spark,
+        os.path.join(d, "*", "*.parquet"),
+        merge_schema=True,
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
 def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform operator: {{table}} substitution + CTAS materialization."""
     _views(spark, sf_dir)
@@ -1963,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_catalog": _op_catalog,
             "op_dml": _op_dml,
             "op_compact": _op_compact,
+            "op_schema_evolution": _op_schema_evolution,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -2042,6 +2070,7 @@ _DRIVER_PRIORITY = [
     "t_tfidf",
     "t_cms_top_terms",
     "q_hist_quantiles",
+    "op_schema_evolution",
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
@@ -2142,6 +2171,12 @@ def oracle_sql() -> dict[str, str]:
             "op_catalog": _OP_CATALOG_DUCK,
             "op_dml": _OP_DML_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
+            "op_schema_evolution": (
+                "SELECT COUNT(*)::BIGINT AS n_rows, "
+                "SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_with_status, "
+                "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents "
+                "FROM orders"
+            ),
             "op_merge_update_part": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)

@@ -42,6 +42,7 @@ def load_file(
     bucket_by: tuple[int, list[str]] | None = None,
     cluster_by: list[str] | tuple[int, list[str]] | None = None,
     csv_options: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | Table:
     if isinstance(input_file, str):
         input_file = File(path=input_file)
@@ -55,6 +56,7 @@ def load_file(
         schema=schema,
         columns_names_capitalization=columns_names_capitalization,
         csv_options=csv_options,
+        merge_schema=merge_schema,
     )
 
     if output_table is None:

@@ -37,6 +37,7 @@ def read_file(
     columns_names_capitalization: str = "original",
     infer_sample_rows: int = DEFAULT_AUTODETECT_ROWS,
     csv_options: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a file/glob/directory into a DataFrame (lazy plan).
 
@@ -50,10 +51,15 @@ def read_file(
     path = stage_if_needed(file.path)
 
     if ftype == FileType.PARQUET:
-        df = spark.read.parquet(path)
+        # merge_schema: schema evolution across files (drifted columns
+        # union into one schema, absent values read as NULL) — footer
+        # reconciliation only, no data rewrite
+        df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
     elif ftype == FileType.ORC:
         if schema is not None:
             df = spark.read.schema(schema).orc(path)
+        elif merge_schema:
+            df = spark.read.option("mergeSchema", "true").orc(path)
         else:
             df = spark.read.orc(path)
     elif ftype == FileType.CSV:

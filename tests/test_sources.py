@@ -265,6 +265,26 @@ class TestQueryModifier:
         assert not any(t.name == "qm_pre_view" for t in spark.catalog.listTables())
 
 
+class TestSchemaEvolution:
+    def test_merge_schema_unions_drifted_columns(self, spark, tmp_path):
+        """Files with different column subsets load as one table: the
+        union schema, NULLs where a file lacks the column."""
+        import astro_spark as a
+
+        spark.createDataFrame([(1, 10.0)], ["k", "v"]).write.parquet(
+            str(tmp_path / "b1")
+        )
+        spark.createDataFrame([(2, 20.0, "x")], ["k", "v", "extra"]).write.parquet(
+            str(tmp_path / "b2")
+        )
+        out = a.load_file(
+            spark, str(tmp_path) + "/*/*.parquet", merge_schema=True
+        )
+        rows = {r.k: (r.v, r.extra) for r in out.collect()}
+        assert set(out.columns) == {"k", "v", "extra"}
+        assert rows == {1: (10.0, None), 2: (20.0, "x")}
+
+
 class TestORC:
     def test_orc_roundtrip(self, spark, sf_dir, tmp_path):
         import astro_spark as a
