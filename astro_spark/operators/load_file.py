@@ -41,6 +41,7 @@ def load_file(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     cluster_by: list[str] | tuple[int, list[str]] | None = None,
+    zorder_by: list[str] | tuple[int, list[str]] | None = None,
     csv_options: dict | None = None,
     merge_schema: bool = False,
 ) -> DataFrame | Table:
@@ -69,6 +70,7 @@ def load_file(
         partition_by=partition_by,
         bucket_by=bucket_by,
         cluster_by=cluster_by,
+        zorder_by=zorder_by,
     )
     return output_table
 
@@ -80,6 +82,7 @@ def save_dataframe_as_table(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     cluster_by: list[str] | tuple[int, list[str]] | None = None,
+    zorder_by: list[str] | tuple[int, list[str]] | None = None,
 ) -> None:
     """Materialize a DataFrame under a Table handle.
 
@@ -103,6 +106,19 @@ def save_dataframe_as_table(
     bucketing (hash destroys ranges) covers.
     """
     spark = df.sparkSession
+    if zorder_by:
+        from astro_spark.plans.zorder import with_zorder_key
+
+        if isinstance(zorder_by, tuple):
+            n_files, zcols = zorder_by
+        else:
+            n_files, zcols = None, list(zorder_by)
+        df = with_zorder_key(df, zcols)
+        df = (
+            df.repartitionByRange(n_files, "__zorder")
+            if n_files
+            else df.repartitionByRange("__zorder")
+        ).sortWithinPartitions("__zorder").drop("__zorder")
     if cluster_by:
         if isinstance(cluster_by, tuple):
             n, cluster_cols = cluster_by

@@ -641,6 +641,63 @@ class TestClusteredWrite:
         a.drop_table(spark, t)
 
 
+class TestZOrderWrite:
+    def test_zorder_narrows_file_ranges_on_both_dims(self, spark, sf_dir):
+        """Z-ordered files cover compact rectangles: per-file min/max
+        spans shrink on BOTH clustered columns, where 1-D cluster_by
+        leaves the second column full-width."""
+        import pyarrow.parquet as pq
+
+        def _avg_span(tname, col):
+            warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            tdir = os.path.join(warehouse, tname)
+            spans, los, his = [], [], []
+            for f in os.listdir(tdir):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(tdir, f)).metadata
+                idx = md.schema.names.index(col)
+                lo = min(
+                    md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                spans.append(hi - lo)
+                los.append(lo)
+                his.append(hi)
+            return sum(spans) / len(spans), max(his) - min(los)
+
+        z = a.Table("zorder_orders", temp=False)
+        lin = a.Table("linear_orders", temp=False)
+        a.load_file(
+            spark, f"{sf_dir}/orders.parquet", output_table=z,
+            zorder_by=(16, ["o_custkey", "o_totalprice"]),
+        )
+        a.load_file(
+            spark, f"{sf_dir}/orders.parquet", output_table=lin,
+            cluster_by=(16, ["o_custkey"]),
+        )
+        try:
+            for col in ("o_custkey", "o_totalprice"):
+                avg, total = _avg_span(z.name, col)
+                assert avg < 0.75 * total, (col, avg, total)
+            # 1-D clustering leaves the non-sort dim near full width
+            avg2, total2 = _avg_span(lin.name, "o_totalprice")
+            assert avg2 > 0.9 * total2
+            assert (
+                spark.table(z.name).count()
+                == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+            )
+        finally:
+            a.drop_table(spark, z)
+            a.drop_table(spark, lin)
+
+
 class TestDML:
     def test_delete_rows(self, spark, sf_dir):
         t = a.Table("dml_nation", temp=False)
