@@ -1690,6 +1690,36 @@ FROM orders
 WHERE o_custkey % 50 = 0
 """
 
+_QRETENTION_SPARK = """
+WITH w AS (
+  SELECT user_id,
+         datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS week
+  FROM events
+),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, week FROM w)
+SELECT f.cohort_week, act.week AS active_week,
+       COUNT(DISTINCT act.user_id) AS n_users
+FROM act JOIN f ON act.user_id = f.user_id
+GROUP BY f.cohort_week, act.week
+ORDER BY cohort_week, active_week
+"""
+
+_QRETENTION_DUCK = """
+WITH w AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, week FROM w)
+SELECT f.cohort_week, act.week AS active_week,
+       COUNT(DISTINCT act.user_id)::BIGINT AS n_users
+FROM act JOIN f ON act.user_id = f.user_id
+GROUP BY f.cohort_week, act.week
+ORDER BY cohort_week, active_week
+"""
+
 _QFUNNEL_SPARK = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MIN(event_type) FROM events)),
 b AS (SELECT user_id, ts FROM events WHERE event_type = (SELECT MAX(event_type) FROM events)),
@@ -1976,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_asof_join": _q_asof_join,
             "q_range_join": _q_range_join,
             "q_funnel": _shared(_QFUNNEL_SPARK),
+            "q_retention": _shared(_QRETENTION_SPARK),
             "q_grouping_sets": _shared(_QGSETS),
             "q_running_total": _shared(_QRUNNING),
             "q_range_frame": _shared(_QRANGE_FRAME),
@@ -2071,6 +2102,7 @@ _DRIVER_PRIORITY = [
     "t_cms_top_terms",
     "q_hist_quantiles",
     "op_schema_evolution",
+    "q_retention",
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
@@ -2143,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
             "q_asof_join": _Q_ASOF_DUCK,
             "q_range_join": _Q_RANGE_DUCK,
             "q_funnel": _QFUNNEL_DUCK,
+            "q_retention": _QRETENTION_DUCK,
             "q_grouping_sets": _QGSETS,
             "q_running_total": _QRUNNING,
             "q_range_frame": _QRANGE_FRAME,
