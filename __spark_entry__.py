@@ -824,6 +824,39 @@ def _op_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history merge: a snapshot with changed prices and new
+    keys closes old versions and opens new ones; untouched keys keep
+    their original row."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.operators.scd import scd2_merge
+
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    tgt = a.Table(f"scd2_target_{uuid.uuid4().hex[:8]}", temp=False)
+    seed = orders.where("o_orderkey % 3 = 0").select(
+        "o_orderkey",
+        cents.alias("price_cents"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    save_dataframe_as_table(seed, tgt, if_exists="replace")
+    source = orders.where(
+        "(o_orderkey % 3 = 0 AND o_orderkey % 2 = 0) OR o_orderkey % 3 = 1"
+    ).select("o_orderkey", (cents * 2).alias("price_cents"))
+    scd2_merge(
+        spark,
+        tgt,
+        source,
+        key_cols=["o_orderkey"],
+        attr_cols=["price_cents"],
+        effective_date="2024-02-01",
+    )
+    out = spark.table(tgt.name).orderBy("o_orderkey", "valid_from")
+    return out
+
+
 def _op_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform operator: {{table}} substitution + CTAS materialization."""
     _views(spark, sf_dir)
@@ -2022,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_dml": _op_dml,
             "op_compact": _op_compact,
             "op_schema_evolution": _op_schema_evolution,
+            "op_scd2": _op_scd2,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -2102,6 +2136,7 @@ _DRIVER_PRIORITY = [
     "t_cms_top_terms",
     "q_hist_quantiles",
     "op_schema_evolution",
+    "op_scd2",
     "q_retention",
     "mm_binary_ingest",
     "s_pq_topk",
@@ -2204,6 +2239,25 @@ def oracle_sql() -> dict[str, str]:
             "op_catalog": _OP_CATALOG_DUCK,
             "op_dml": _OP_DML_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
+            "op_scd2": """
+WITH c AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, cents AS price_cents,
+       '2024-01-01' AS valid_from, NULL AS valid_to
+FROM c WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+UNION ALL
+SELECT o_orderkey, cents, '2024-01-01', '2024-02-01'
+FROM c WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, cents * 2, '2024-02-01', NULL
+FROM c WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, cents * 2, '2024-02-01', NULL
+FROM c WHERE o_orderkey % 3 = 1
+ORDER BY o_orderkey, valid_from
+""",
             "op_schema_evolution": (
                 "SELECT COUNT(*)::BIGINT AS n_rows, "
                 "SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_with_status, "

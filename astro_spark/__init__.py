@@ -42,6 +42,7 @@ from .operators import (
     get_value_list,
     load_file,
     merge,
+    scd2_merge,
     run_raw_sql,
     transform,
     transform_file,
@@ -88,6 +89,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "scd2_merge",
     "profile_table",
     "run_raw_sql",
     "run_transform",

@@ -20,6 +20,7 @@ from .export import export_to_file
 from .files import get_file_list
 from .load_file import load_file
 from .merge import merge
+from .scd import scd2_merge
 from .raw_sql import get_value_list, run_raw_sql
 from .transform import transform, transform_file
 
@@ -46,6 +47,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "scd2_merge",
     "profile_table",
     "register_temp_table",
     "run_raw_sql",

@@ -1,0 +1,89 @@
+"""SCD Type-2 merge: history-preserving upsert.
+
+The reference's ``merge`` overwrites matched rows (state-only).  Real
+warehouse pipelines usually need the Kimball Type-2 variant — close the
+old version, insert the new one, keep full history — so it ships here
+as a first-class operator.
+
+Semantics (per conflict key, against the CURRENT rows — valid_to NULL):
+- source row with different attributes → current row closed
+  (valid_to = effective_date) + new current row (valid_from = effective_date);
+- unseen key → new current row;
+- identical attributes or key absent from source → untouched.
+
+Plan shape: ONE full-outer join between the current slice and the
+source produces all three projections (kept / closed / opened); history
+rows pass through untouched.  The result commits via the same staged
+swap as ``merge`` — on a Delta/Iceberg cluster the plan half drops into
+a native row-level ``MERGE INTO`` with the identical join, and a target
+partitioned on ``valid_to IS NULL`` confines the rewrite to the current
+partition (history is immutable by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astro_spark.table import Table
+
+from .merge import _swap_table
+
+
+def scd2_merge(
+    spark: SparkSession,
+    target_table: Table,
+    source: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_date: str,
+) -> None:
+    """Apply a snapshot ``source`` (key_cols + attr_cols) to a Type-2
+    target (key_cols + attr_cols + valid_from + valid_to)."""
+    tgt = spark.table(target_table.qualified_name)
+    hist = tgt.filter(F.col("valid_to").isNotNull())
+    cur = tgt.filter(F.col("valid_to").isNull())
+
+    t = cur.select(
+        *key_cols,
+        *[F.col(a).alias(f"__t_{a}") for a in attr_cols],
+        "valid_from",
+        F.lit(True).alias("__t_present"),
+    )
+    s = source.select(
+        *key_cols,
+        *[F.col(a).alias(f"__s_{a}") for a in attr_cols],
+        F.lit(True).alias("__s_present"),
+    )
+    j = t.join(s, on=key_cols, how="full_outer")
+
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(f"__t_{a}").eqNullSafe(F.col(f"__s_{a}"))
+    t_present = F.col("__t_present").isNotNull()
+    s_present = F.col("__s_present").isNotNull()
+    changed = t_present & s_present & ~same
+
+    def _rows(attr_side: str, valid_from, valid_to, cond) -> DataFrame:
+        return j.where(cond).select(
+            *key_cols,
+            *[F.col(f"__{attr_side}_{a}").alias(a) for a in attr_cols],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+        )
+
+    kept = _rows(
+        "t",
+        F.col("valid_from"),
+        F.lit(None).cast("string"),
+        t_present & (~s_present | same),
+    )
+    closed = _rows("t", F.col("valid_from"), F.lit(effective_date), changed)
+    opened = _rows(
+        "s",
+        F.lit(effective_date),
+        F.lit(None).cast("string"),
+        s_present & (~t_present | changed),
+    )
+    result = hist.select(kept.columns).unionByName(kept).unionByName(closed).unionByName(opened)
+    _swap_table(spark, result, target_table)

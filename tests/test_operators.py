@@ -641,6 +641,43 @@ class TestClusteredWrite:
         a.drop_table(spark, t)
 
 
+class TestSCD2:
+    def test_history_preserving_upsert(self, spark):
+        """Changed key → closed + reopened; new key → opened; unchanged
+        and absent keys untouched; prior history preserved."""
+        from astro_spark.operators.load_file import save_dataframe_as_table
+        from astro_spark.operators.scd import scd2_merge
+
+        t = a.Table("scd2_unit", temp=False)
+        seed = spark.createDataFrame(
+            [
+                (1, 100, "2024-01-01", None),     # will change
+                (2, 200, "2024-01-01", None),     # unchanged in source
+                (3, 300, "2024-01-01", None),     # absent from source
+                (1, 90, "2023-12-01", "2024-01-01"),  # prior history
+            ],
+            "k long, v long, valid_from string, valid_to string",
+        )
+        save_dataframe_as_table(seed, t, if_exists="replace")
+        src = spark.createDataFrame(
+            [(1, 111), (2, 200), (4, 400)], "k long, v long"
+        )
+        scd2_merge(spark, t, src, ["k"], ["v"], "2024-02-01")
+        rows = {
+            (r.k, r.valid_from): (r.v, r.valid_to)
+            for r in spark.table(t.name).collect()
+        }
+        assert rows == {
+            (1, "2023-12-01"): (90, "2024-01-01"),
+            (1, "2024-01-01"): (100, "2024-02-01"),
+            (1, "2024-02-01"): (111, None),
+            (2, "2024-01-01"): (200, None),
+            (3, "2024-01-01"): (300, None),
+            (4, "2024-02-01"): (400, None),
+        }
+        a.drop_table(spark, t)
+
+
 class TestZOrderWrite:
     def test_zorder_narrows_file_ranges_on_both_dims(self, spark, sf_dir):
         """Z-ordered files cover compact rectangles: per-file min/max
