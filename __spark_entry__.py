@@ -1169,6 +1169,12 @@ def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(read_table(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def _t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: adjacent-pair collocations by integer-scaled lift."""
+    _views(spark, sf_dir)
+    return text.collocations(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1177,6 +1183,13 @@ def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _dd_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimates graded against exact Jaccard
+    for every verified near-dup pair (sizes MINHASH_K for a corpus)."""
+    _views(spark, sf_dir)
+    return dedup.minhash_jaccard_estimates(read_table(spark, sf_dir, "documents"))
 
 
 def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2077,12 +2090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_classify": _t_classify,
             "t_tfidf": _t_tfidf,
             "t_cms_top_terms": _t_cms_top_terms,
+            "t_collocations": _t_collocations,
             "q_hist_quantiles": _q_hist_quantiles,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
             "dd_spans": _dd_spans,
+            "dd_minhash_est": _dd_minhash_est,
             "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
             "dd_decontaminate": _dd_decontaminate,
@@ -2131,9 +2146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     # --- new in round 3 ---
     "dd_spans",
+    "dd_minhash_est",
     "t_classify",
     "t_tfidf",
     "t_cms_top_terms",
+    "t_collocations",
     "q_hist_quantiles",
     "op_schema_evolution",
     "op_scd2",
@@ -2331,6 +2348,7 @@ ORDER BY o_orderkey, valid_from
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "dd_spans": oracles.span_dedup_sql(),
+            "dd_minhash_est": oracles.minhash_estimates_sql(),
             "t_token_counts": oracles.token_counts_sql(),
             "t_hash_split": _T_HASH_SPLIT_DUCK,
             "t_shards": _T_SHARDS_DUCK,
@@ -2343,6 +2361,7 @@ ORDER BY o_orderkey, valid_from
             "t_classify": oracles.classify_quality_sql(),
             "t_tfidf": oracles.tfidf_top_terms_sql(),
             "t_cms_top_terms": oracles.count_min_top_terms_sql(),
+            "t_collocations": oracles.collocations_sql(),
             "q_hist_quantiles": _Q_HIST_QUANTILES_DUCK,
             "t_top_terms": oracles.top_terms_sql(),
             "dd_normalized": """

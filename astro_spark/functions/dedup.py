@@ -718,3 +718,51 @@ def exact_span_dedup(
             F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
         )
     )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = MINHASH_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """For every LSH candidate pair: the signature-based Jaccard
+    ESTIMATE (matching minhash components / K) next to the exact
+    shingle-set Jaccard — the estimator-accuracy report that sizes K
+    for a target corpus.
+
+    At 100 TB this is the cheap path: the estimate needs only the two
+    K-element signatures already materialized for banding (no shingle
+    sets shuffled), while the exact column here exists to grade it.
+    Returns (id_a, id_b, est_x10000, jaccard) for exact-verified pairs.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold)
+    sigs = df.select(
+        F.col(id_col).alias("sid"),
+        minhash_signature(shingle_hash_array(F.col(text_col))).alias("sig"),
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    est = (matches * F.lit(10000)).cast("long") - (
+        (matches * F.lit(10000)) % F.lit(MINHASH_K)
+    )
+    est = (est / F.lit(MINHASH_K)).cast("long")
+    return (
+        pairs.join(sigs.select(F.col("sid"), F.col("sig").alias("sig_a")), pairs.id_a == F.col("sid"))
+        .drop("sid")
+        .join(sigs.select(F.col("sid"), F.col("sig").alias("sig_b")), pairs.id_b == F.col("sid"))
+        .drop("sid")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_x10000"),
+            "jaccard",
+        )
+    )

@@ -816,3 +816,56 @@ SELECT token, least({least})::BIGINT AS est_count
 FROM vocab {joins}
 ORDER BY est_count DESC, token ASC LIMIT {k}
 """
+
+
+def minhash_estimates_sql(table: str = "documents") -> str:
+    """Mirrors dedup.minhash_jaccard_estimates: signature component
+    match fraction (integer x10000) next to exact Jaccard for every
+    verified pair."""
+    pairs = minhash_pairs_sql(table)
+    sig_items = ", ".join(
+        f"list_min(list_transform({shingle_hashes(tokens('text'))}, "
+        f"x -> (x * {a} + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+sigs AS (SELECT doc_id AS sid, [{sig_items}] AS sig FROM {table})
+SELECT p.id_a, p.id_b,
+       (len(list_filter(range(1, {MINHASH_K} + 1),
+                        i -> a.sig[i] = b.sig[i])) * 10000) // {MINHASH_K}
+         AS est_x10000,
+       p.jaccard
+FROM pairs p
+JOIN sigs a ON a.sid = p.id_a
+JOIN sigs b ON b.sid = p.id_b
+"""
+
+
+def collocations_sql(table: str = "documents", k: int = 20, min_count: int = 5) -> str:
+    """Mirrors text.collocations: adjacent-pair lift, integer-scaled."""
+    toks = tokens("text")
+    return f"""
+WITH t AS (SELECT {toks} AS toks FROM {table}),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+uni AS (SELECT unnest(toks) AS token FROM t),
+cnt AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM uni GROUP BY 1),
+total AS (SELECT COUNT(*)::BIGINT AS total FROM uni),
+pairs AS (
+  SELECT bigram, COUNT(*)::BIGINT AS pair_n,
+         string_split(bigram, ' ')[1] AS tok_a,
+         string_split(bigram, ' ')[2] AS tok_b
+  FROM bi GROUP BY 1 HAVING COUNT(*) >= {min_count}
+)
+SELECT p.bigram, p.pair_n,
+       (p.pair_n * total.total * 1000) // (a.cnt * b.cnt) AS lift_x1000
+FROM pairs p
+JOIN cnt a ON a.token = p.tok_a
+JOIN cnt b ON b.token = p.tok_b
+CROSS JOIN total
+ORDER BY lift_x1000 DESC, bigram ASC LIMIT {k}
+"""

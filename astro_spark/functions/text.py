@@ -425,3 +425,57 @@ def count_min_top_terms(
         .orderBy(F.col("est_count").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations: adjacent token pairs ranked by integer-scaled
+    lift ``pair_n * total_tokens * 1000 div (cnt_a * cnt_b)`` — the
+    log-free PMI analog (log is monotone, ranking is identical), kept
+    rational so the oracle replays it bit-for-bit.
+
+    Shuffle budget: one bigram groupBy + one unigram groupBy (both
+    map-side partial), two vocabulary-sized broadcast joins, a 1-row
+    total broadcast.  Linear in token count at any corpus size — the
+    standard phrase-mining pass before tokenizer/vocab induction.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = df.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    uni = df.select(F.explode(toks).alias("token"))
+    cnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.count(F.lit(1)).alias("total"))
+    pairs = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+        .withColumn("tok_a", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("tok_b", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    return (
+        pairs.join(F.broadcast(cnt.select(F.col("token").alias("tok_a"), F.col("cnt").alias("cnt_a"))), "tok_a")
+        .join(F.broadcast(cnt.select(F.col("token").alias("tok_b"), F.col("cnt").alias("cnt_b"))), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "pair_n",
+            F.expr("pair_n * total * 1000 div (cnt_a * cnt_b)").alias("lift_x1000"),
+        )
+        .orderBy(F.col("lift_x1000").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

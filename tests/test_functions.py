@@ -43,6 +43,25 @@ class TestText:
         ).collect()[0]
         assert 0 <= row[0] <= row[1] <= 1 and row[2] > 0
 
+    def test_collocations_finds_planted_phrase(self, spark):
+        """A phrase whose words only ever co-occur tops the lift
+        ranking; frequent-but-independent pairs rank below."""
+        df = spark.createDataFrame(
+            [(i, "alpha beta common filler common filler") for i in range(5)]
+            + [(100 + i, "common filler other words") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        out = text.collocations(df, k=3, min_count=3).collect()
+        assert out[0].bigram == "alpha beta"
+
+    def test_minhash_estimates_close_to_exact(self, docs):
+        """Signature estimate within 0.25 of exact Jaccard for every
+        verified pair (K=32 signatures)."""
+        rows = dedup.minhash_jaccard_estimates(docs).collect()
+        assert rows
+        for r in rows:
+            assert abs(r.est_x10000 / 10000 - r.jaccard) <= 0.25, r
+
     def test_count_min_never_underestimates(self, docs):
         """CMS property: every estimate >= the exact count, and the
         clear heavy hitter keeps rank 1."""
