@@ -1698,6 +1698,41 @@ def _st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_data_windowed_counts(spark, d).orderBy("hour")
 
 
+def _st_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-sink fan-out: one stream read feeds per-type
+    partial counts AND a high-value row filter inside one foreachBatch;
+    read-time re-aggregation makes the result batch-split independent."""
+    from astro_spark.streaming import fan_out_stream
+
+    _views(spark, sf_dir)
+    tables = fan_out_stream(
+        spark,
+        _staged_events_dir(spark, sf_dir),
+        sinks={
+            "counts": lambda b: b.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "hot": lambda b: b.where(F.col("value") >= 50).select(
+                "event_id", "event_type"
+            ),
+        },
+        max_files_per_trigger=2,  # force multi-batch: partials must re-aggregate
+    )
+    counts = (
+        spark.table(tables["counts"].name)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_rows"))
+        .select(F.lit("counts").alias("sink"), "event_type", "n_rows")
+    )
+    hot = (
+        spark.table(tables["hot"].name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("hot").alias("sink"), "event_type", "n_rows")
+    )
+    return counts.unionByName(hot).orderBy("sink", "event_type")
+
+
 def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
@@ -2126,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
             "st_late_data": _st_late_data,
+            "st_multi_sink": _st_multi_sink,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
         }
@@ -2158,6 +2194,7 @@ _DRIVER_PRIORITY = [
     "mm_binary_ingest",
     "s_pq_topk",
     "st_late_data",
+    "st_multi_sink",
     # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
@@ -2401,6 +2438,14 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,
             "st_late_data": _ST_LATE_DATA_DUCK,
+            "st_multi_sink": (
+                "SELECT 'counts' AS sink, event_type, COUNT(*)::BIGINT AS n_rows "
+                "FROM events GROUP BY 2 "
+                "UNION ALL "
+                "SELECT 'hot', event_type, COUNT(*)::BIGINT "
+                "FROM events WHERE value >= 50 GROUP BY 2 "
+                "ORDER BY sink, event_type"
+            ),
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (
                 "SELECT COUNT(DISTINCT text)::BIGINT AS n_unique_docs FROM documents"

@@ -1,7 +1,7 @@
 # Structured Streaming extensions (Autoloader-style incremental load,
 # watermarked windows, stateful sessionization, streaming dedup).
 from .joins import interval_join_stream, stream_static_join
-from .load_stream import load_file_stream, load_file_stream_merge
+from .load_stream import fan_out_stream, load_file_stream, load_file_stream_merge
 from .sessions import dedup_stream, sessionize_stream
 from .windows import late_data_windowed_counts, windowed_counts_stream
 
@@ -12,6 +12,7 @@ __all__ = [
     "load_file_stream",
     "load_file_stream_merge",
     "sessionize_stream",
+    "fan_out_stream",
     "late_data_windowed_counts",
     "windowed_counts_stream",
 ]

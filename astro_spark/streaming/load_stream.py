@@ -24,7 +24,9 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import SparkSession
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from ..file import File, FileType
@@ -156,3 +158,53 @@ def load_file_stream_merge(
     except Exception:
         pass
     return query
+
+
+def fan_out_stream(
+    spark: SparkSession,
+    input_path: str,
+    sinks: dict[str, "Callable[[DataFrame], DataFrame]"],
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict[str, Table]:
+    """One stream read fanned out to MANY sinks inside a single
+    ``foreachBatch`` — the single-pass multi-sink pattern.
+
+    ``sinks`` maps sink name → (batch DataFrame → DataFrame) transform;
+    each result appends to its own table.  All sinks in a micro-batch
+    commit from the SAME batch DataFrame (one source scan per batch, not
+    one per sink), and the checkpoint advances only after every sink's
+    append succeeds — per-batch all-or-nothing against replays, the
+    standard Structured Streaming idempotence contract.  For cross-batch
+    determinism, append per-batch PARTIAL aggregates and re-aggregate at
+    read time (sums of sums are batch-split independent).
+    """
+    import uuid as _uuid
+
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    out_tables = {
+        name: Table(f"fan_{name}_{_uuid.uuid4().hex[:8]}") for name in sinks
+    }
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cached = batch_df.persist()
+        try:
+            for name, fn in sinks.items():
+                fn(cached).write.mode("append").saveAsTable(out_tables[name].name)
+        finally:
+            cached.unpersist()
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_fan_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return out_tables

@@ -215,6 +215,36 @@ class TestStreamStaticJoin:
         }
 
 
+class TestFanOut:
+    def test_multi_sink_single_pass(self, spark, events_dir):
+        """Both sinks commit per batch from one source read; partial
+        counts re-aggregate to the batch-split-independent totals."""
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import fan_out_stream
+
+        tables = fan_out_stream(
+            spark,
+            events_dir,
+            sinks={
+                "by_user": lambda b: b.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "raw": lambda b: b.select("event_id"),
+            },
+            max_files_per_trigger=1,  # two staged files -> two batches
+        )
+        per_user = {
+            r.user_id: r.total
+            for r in spark.table(tables["by_user"].name)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("total"))
+            .collect()
+        }
+        assert per_user == {1: 4, 2: 2}
+        assert spark.table(tables["raw"].name).count() == 6
+
+
 class TestStreamMerge:
     def test_cdc_upsert_across_batches(self, spark, tmp_path):
         import astro_spark as a
