@@ -451,6 +451,40 @@ class TestDynamicPartitionPruning:
             a.drop_table(spark, fact)
 
 
+class TestRuntimeBloomFilter:
+    def test_selective_join_injects_bloom_filter(self, spark, sf_dir):
+        """Row-level runtime filtering (the shuffle-join complement to
+        DPP): a selective dim side injects a bloom filter into the fact
+        scan.  Locally the 10 GB application-side threshold must be
+        lowered — at 100 TB the fact scan crosses it naturally and the
+        optimizer self-activates."""
+        from astro_spark.testdata import read_table
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            li = read_table(spark, sf_dir, "lineitem")
+            orders = read_table(spark, sf_dir, "orders").where(
+                "o_orderpriority = '1-URGENT'"
+            )
+            j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom" in plan.lower(), plan
+            assert j.count() > 0
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestHistogramQuantiles:
     def test_estimate_within_one_bin_of_exact(self, spark):
         """Histogram quantile lands within one bin width of the exact
