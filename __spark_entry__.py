@@ -824,6 +824,40 @@ def _op_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: added/removed/changed rows between two table
+    versions — keys + one hash per side on the shuffle, any row width."""
+    from astro_spark.operators.catalog import diff_tables
+    from astro_spark.operators.load_file import save_dataframe_as_table
+
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    v1 = a.Table(f"diff_v1_{uuid.uuid4().hex[:8]}", temp=False)
+    v2 = a.Table(f"diff_v2_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(
+        orders.where("o_orderkey % 5 != 4").select(
+            "o_orderkey", cents.alias("price_cents")
+        ),
+        v1,
+        if_exists="replace",
+    )
+    save_dataframe_as_table(
+        orders.where("o_orderkey % 5 != 3").select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, cents * 2)
+            .otherwise(cents)
+            .alias("price_cents"),
+        ),
+        v2,
+        if_exists="replace",
+    )
+    out = diff_tables(spark, v1, v2, ["o_orderkey"]).orderBy(
+        "o_orderkey", "diff_status"
+    )
+    return out
+
+
 def _op_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history merge: a snapshot with changed prices and new
     keys closes old versions and opens new ones; untouched keys keep
@@ -2104,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_compact": _op_compact,
             "op_schema_evolution": _op_schema_evolution,
             "op_scd2": _op_scd2,
+            "op_diff": _op_diff,
             "op_transform_ctas": _op_transform_ctas,
             "op_transform_file": _op_transform_file,
             "op_dataframe_bridge": _op_dataframe_bridge,
@@ -2190,6 +2225,7 @@ _DRIVER_PRIORITY = [
     "q_hist_quantiles",
     "op_schema_evolution",
     "op_scd2",
+    "op_diff",
     "q_retention",
     "mm_binary_ingest",
     "s_pq_topk",
@@ -2311,6 +2347,17 @@ UNION ALL
 SELECT o_orderkey, cents * 2, '2024-02-01', NULL
 FROM c WHERE o_orderkey % 3 = 1
 ORDER BY o_orderkey, valid_from
+""",
+            "op_diff": """
+SELECT CASE WHEN o_orderkey % 5 = 4 THEN 'added'
+            WHEN o_orderkey % 5 = 3 THEN 'removed'
+            ELSE 'changed' END AS diff_status,
+       o_orderkey
+FROM orders
+WHERE o_orderkey % 5 IN (3, 4)
+   OR (o_orderkey % 7 = 0 AND o_orderkey % 5 NOT IN (3, 4)
+       AND FLOOR(o_totalprice * 100 + 0.5) != 0)
+ORDER BY o_orderkey, diff_status
 """,
             "op_schema_evolution": (
                 "SELECT COUNT(*)::BIGINT AS n_rows, "

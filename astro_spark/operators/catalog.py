@@ -17,7 +17,8 @@ driver-side by contract and bounded by the caller's limit.
 
 from __future__ import annotations
 
-from pyspark.sql import Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..table import Table, validate_identifier
@@ -142,3 +143,45 @@ def compact_table(
         n_files = max(1, (df.count() + target_rows_per_file - 1) // target_rows_per_file)
     _swap_table(spark, df.repartition(n_files), t)
     return n_files
+
+
+def diff_tables(
+    spark: SparkSession,
+    left: Table | str,
+    right: Table | str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two table snapshots on a key: returns
+    (diff_status ∈ added/removed/changed, *key_cols) — the verification
+    tool behind migrations, backfills, and CDC replays.
+
+    One full-outer join on the keys; non-key columns compare null-safe
+    via a single xxhash64 over their stable concatenation, so the
+    shuffle carries keys + one BIGINT per side regardless of row width.
+    Unchanged rows are dropped before the result materializes.
+    """
+    lname = left.qualified_name if isinstance(left, Table) else left
+    rname = right.qualified_name if isinstance(right, Table) else right
+    l_df, r_df = spark.table(lname), spark.table(rname)
+    attrs = [c for c in l_df.columns if c not in key_cols]
+
+    def _sig(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attrs]).alias(
+                f"__h_{side}"
+            ),
+            F.lit(True).alias(f"__p_{side}"),
+        )
+
+    j = _sig(l_df, "l").join(_sig(r_df, "r"), on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("__p_l").isNull(), F.lit("added"))
+        .when(F.col("__p_r").isNull(), F.lit("removed"))
+        .when(F.col("__h_l") != F.col("__h_r"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .select("diff_status", *key_cols)
+    )

@@ -675,6 +675,40 @@ class TestClusteredWrite:
         a.drop_table(spark, t)
 
 
+class TestDiffTables:
+    def test_added_removed_changed(self, spark):
+        from astro_spark.operators.catalog import diff_tables
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t1 = a.Table("diff_a", temp=False)
+        t2 = a.Table("diff_b", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame(
+                [(1, "x", None), (2, "y", "m"), (3, "z", None)],
+                "k long, v string, w string",
+            ),
+            t1,
+            if_exists="replace",
+        )
+        save_dataframe_as_table(
+            spark.createDataFrame(
+                [(2, "y", "m"), (3, "z", "now-set"), (4, "new", None)],
+                "k long, v string, w string",
+            ),
+            t2,
+            if_exists="replace",
+        )
+        try:
+            out = {r.k: r.diff_status
+                   for r in diff_tables(spark, t1, t2, ["k"]).collect()}
+            # NULL->value counts as changed (null-safe compare); identical
+            # rows (key 2) are absent
+            assert out == {1: "removed", 3: "changed", 4: "added"}
+        finally:
+            a.drop_table(spark, t1)
+            a.drop_table(spark, t2)
+
+
 class TestSCD2:
     def test_history_preserving_upsert(self, spark):
         """Changed key → closed + reopened; new key → opened; unchanged
