@@ -22,12 +22,20 @@ semantics:
    O(|touched partitions|).  When the partition columns are a subset of
    the conflict keys, matched rows cannot change partition and the
    touched set comes from the source alone (no target scan at all).
-3. **Staged full swap** (``update`` on an unpartitioned target, or
-   fallback when the touched-partition set is unbounded): write the full
-   merged result to a uniquely-named staging table, then DROP old +
-   RENAME staging.  This is the only strategy that rewrites the whole
-   target — on a Delta/Iceberg-enabled cluster replace it with the
-   catalog's native row-level ``MERGE INTO``.
+3. **File-scoped copy-on-write** (``update`` on an unpartitioned parquet
+   target): find the data files that contain at least one matched key
+   (column-pruned key scan + ``_metadata.file_path``, AQE broadcasts the
+   distinct source keys), run the upsert plan over ONLY the rows of those
+   files, stage the rewritten slice, move the new files into the table
+   directory, then delete the old generation.  Cost O(|touched files| +
+   one key-column scan) — at 100 TB a 1-row update rewrites one file,
+   not the table.  Untouched files keep their original paths.
+4. **Staged full swap** (last resort: non-parquet provider, touched-file
+   set over the cap, or a partitioned target whose source lacks the
+   partition columns): write the full merged result to a uniquely-named
+   staging table, then DROP old + RENAME staging.  This is the only
+   strategy that rewrites the whole target — on a Delta/Iceberg-enabled
+   cluster replace it with the catalog's native row-level ``MERGE INTO``.
 
 - ``ignore``   → append (source ⟕anti target on keys)
 - ``update``   → matched rows take mapped columns from source and keep
@@ -36,7 +44,9 @@ semantics:
                  source itself carries duplicate conflict keys
                  (reference enforces both via a unique constraint,
                  ``databases/base.py:201-209``; Spark has no constraints →
-                 two explicit assertion jobs)
+                 ONE union+groupBy assertion job checks both, and a clean
+                 check implies every source row is new, so the append
+                 needs no anti-join)
 
 Semantics decision (SURVEY §7 risk list): when the SOURCE has duplicate
 conflict-keys under ``ignore``/``update``, Delta MERGE errors while
@@ -46,7 +56,10 @@ columns) — the majority-dialect behavior.
 
 Crash-safety: strategy 1 is a single atomic-enough append job; strategy 2
 commits through Spark's dynamic-overwrite protocol per partition;
-strategy 3 has a non-atomic DROP→RENAME window — a crash between the two
+strategy 3 adds the rewritten files BEFORE deleting the old generation —
+a crash in between leaves transient duplicates of the matched rows
+(recoverable: re-running the merge converges), never data loss;
+strategy 4 has a non-atomic DROP→RENAME window — a crash between the two
 statements leaves the merged data intact in the uniquely-named staging
 table (``<target>__astro_merge_<uuid>``) for manual recovery, and the
 unique suffix keeps concurrent merges from clobbering each other's
@@ -56,7 +69,9 @@ format (Delta/Iceberg).
 
 from __future__ import annotations
 
+import operator
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,24 +118,47 @@ def merge(
 
     if if_conflicts == "exception":
         # the reference's unique constraint rejects BOTH a source key that
-        # already exists in the target AND duplicate keys inside the source
-        dup = (
-            source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
+        # already exists in the target AND duplicate keys inside the source.
+        # One union+groupBy job checks both (single scan of each side);
+        # NULL keys count as duplicates within the source (groupBy
+        # semantics) but never clash with the target (join semantics).
+        counted = (
+            source.select(*keys)
+            .withColumn("__s", F.lit(1))
+            .withColumn("__t", F.lit(0))
+            .unionByName(
+                target.select(*keys)
+                .withColumn("__s", F.lit(0))
+                .withColumn("__t", F.lit(1))
+            )
+            .groupBy(*keys)
+            .agg(F.sum("__s").alias("__sn"), F.max("__t").alias("__tn"))
         )
-        if dup.limit(1).count() > 0:
+        any_null = reduce(operator.or_, [F.col(k).isNull() for k in keys])
+        flags = counted.agg(
+            F.max(F.col("__sn") > 1).alias("dup"),
+            F.max(
+                (F.col("__sn") >= 1) & (F.col("__tn") == 1) & ~any_null
+            ).alias("clash"),
+        ).first()
+        if flags["dup"]:
             raise MergeConflictError(
                 "merge(if_conflicts='exception'): duplicate conflict keys "
                 "within the source"
             )
-        clash = source.join(target.select(*keys), on=keys, how="inner")
-        if clash.limit(1).count() > 0:
+        if flags["clash"]:
             raise MergeConflictError(
                 f"merge(if_conflicts='exception'): source keys already present "
                 f"in {target_table.qualified_name}"
             )
-        _append_new_rows(spark, target, source, keys, target_table)
+        # a clean check means no source key matches the target: every
+        # source row inserts — append directly, no anti-join scan
+        aligned = _align(source, target)
+        name = target_table.qualified_name
+        aligned.select(*spark.table(name).columns).write.mode("append").insertInto(
+            name
+        )
+        spark.catalog.refreshTable(name)
         return target_table
 
     # deterministic source dedupe on keys (see module docstring)
@@ -143,6 +181,8 @@ def merge(
             spark, target, source, keys, target_table, part_cols
         ):
             return target_table
+    if not part_cols and _upsert_file_scoped(spark, source, keys, target_table):
+        return target_table
     result = _upsert(target, source, keys)
     _swap_table(spark, result, target_table)
     return target_table
@@ -253,6 +293,103 @@ def _upsert_partition_scoped(
     return True
 
 
+# Above this many key-overlapping files the IN-list filter on
+# _metadata.file_path stops being a sane plan — fall back to the swap.
+MAX_TOUCHED_FILES = 10_000
+
+
+def _table_detail(spark: SparkSession, name: str) -> dict:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    return {r.col_name: r.data_type for r in rows}
+
+
+def _upsert_file_scoped(
+    spark: SparkSession,
+    source: DataFrame,
+    keys: list[str],
+    target_table: Table,
+) -> bool:
+    """update strategy 3: copy-on-write at parquet-file granularity.
+
+    The touched set = data files containing ≥1 row whose key appears in
+    the source, found with a column-pruned scan of the keys plus the
+    ``_metadata.file_path`` hidden column and a left-semi join against
+    the distinct source keys (AQE broadcasts the small side).  Only the
+    rows of those files enter the upsert plan; the rewritten slice is
+    staged to a temp dir and its part-files are moved into the table
+    directory BEFORE the old generation is deleted (transient-duplicate
+    window, never data loss).  Unmatched source rows ride along in the
+    same staged write (they are inserts).  Untouched files keep their
+    original paths — the property ``test_merge_update_file_scoped`` pins.
+
+    Reference semantics: Delta ``MERGE INTO``
+    (``databases/databricks/delta.py:357-442``) — Delta's own physical
+    plan is exactly this copy-on-write.  Returns False (caller falls
+    back to the staged swap) for non-parquet providers or a touched set
+    over ``MAX_TOUCHED_FILES``.
+    """
+    name = target_table.qualified_name
+    detail = _table_detail(spark, name)
+    if detail.get("Provider", "").lower() != "parquet":
+        return False
+    location = detail.get("Location")
+    if not location:
+        return False
+
+    tgt = spark.table(name)
+    tbl_cols = tgt.columns
+    try:
+        tagged = tgt.select(
+            *tbl_cols, F.col("_metadata.file_path").alias("__file")
+        )
+    except Exception:  # pragma: no cover - source without file metadata
+        return False
+
+    touched_files_df = (
+        tagged.join(source.select(*keys).distinct(), on=keys, how="left_semi")
+        .select("__file")
+        .distinct()
+    )
+    files = [r[0] for r in touched_files_df.limit(MAX_TOUCHED_FILES + 1).collect()]
+    if len(files) > MAX_TOUCHED_FILES:
+        return False
+
+    if files:
+        touched_target = tagged.where(F.col("__file").isin(files)).drop("__file")
+    else:
+        touched_target = tgt.where(F.lit(False))
+    result = _align(_upsert(touched_target, source, keys).select(*tbl_cols), tgt)
+
+    import tempfile
+
+    staged_dir = tempfile.mkdtemp(prefix="astro_merge_cow_")
+    result.write.mode("overwrite").parquet(staged_dir)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    dst_dir = HPath(location)
+    fs = dst_dir.getFileSystem(hconf)
+    staged_path = HPath("file:" + staged_dir)
+    lfs = staged_path.getFileSystem(hconf)
+    prefix = f"cow-{uuid.uuid4().hex[:8]}"
+    # add the new generation first, then delete the old: a crash in
+    # between duplicates matched rows transiently but never loses data
+    for st in lfs.listStatus(staged_path):
+        pname = st.getPath().getName()
+        if not pname.startswith("part-"):
+            continue
+        FileUtil.copy(
+            lfs, st.getPath(), fs, HPath(dst_dir, f"{prefix}-{pname}"), True, hconf
+        )
+    for f in sorted(files):
+        fs.delete(HPath(f), False)
+    lfs.delete(staged_path, True)
+    spark.catalog.refreshTable(name)
+    return True
+
+
 def _partition_predicate(part_cols: list[str], rows) -> F.Column:
     if len(part_cols) == 1:
         return F.col(part_cols[0]).isin([r[0] for r in rows])
@@ -332,7 +469,7 @@ def _align(df: DataFrame, target: DataFrame) -> DataFrame:
 
 
 def _swap_table(spark: SparkSession, result: DataFrame, target_table: Table) -> None:
-    """update strategy 3: write result to a staging table, then swap names.
+    """update strategy 4 (last resort): write result to a staging table, swap names.
 
     Avoids Spark's cannot-overwrite-a-table-being-read restriction without
     caching the whole result on the driver.  The staging name carries a

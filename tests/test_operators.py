@@ -179,6 +179,61 @@ class TestAppendMerge:
         assert spark.table("mp_tgt").count() == 7
         assert sorted(os.listdir(b_dir)) == before
 
+    def test_merge_update_file_scoped(self, spark, sf_dir):
+        """update on an unpartitioned target rewrites ONLY the files whose
+        rows match a source key (copy-on-write); untouched files keep
+        their original paths."""
+        spark.sql("DROP TABLE IF EXISTS mcw_tgt")
+        spark.sql("DROP TABLE IF EXISTS mcw_src")
+        # range-partitioned write → each file covers a contiguous key range
+        spark.sql("SELECT id AS k, id * 10 AS v FROM range(1000)").repartitionByRange(
+            8, "k"
+        ).write.format("parquet").saveAsTable("mcw_tgt")
+        before = set(spark.table("mcw_tgt").inputFiles())
+        assert len(before) == 8
+        spark.sql(
+            "SELECT 5 AS k, 999 AS v UNION ALL SELECT 2000 AS k, 1 AS v"
+        ).write.format("parquet").saveAsTable("mcw_src")
+        a.merge(
+            spark, a.Table("mcw_src"), a.Table("mcw_tgt"), ["k"],
+            if_conflicts="update",
+        )
+        after = set(spark.table("mcw_tgt").inputFiles())
+        got = {r.k: r.v for r in spark.table("mcw_tgt").collect()}
+        assert got[5] == 999 and got[2000] == 1 and got[6] == 60
+        assert len(got) == 1001
+        # exactly one pre-existing file was rewritten; 7 kept their paths
+        assert len(before & after) == 7
+        assert len(before - after) == 1
+
+    def test_merge_exception_single_scan(self, spark, sf_dir):
+        """the exception-mode conflict check is ONE job over
+        union(source, target) — not two separate assertion scans — and a
+        clean check appends the source without an anti-join."""
+        region = read_table(spark, sf_dir, "region")
+        spark.sql("DROP TABLE IF EXISTS ms1_tgt")
+        spark.sql("DROP TABLE IF EXISTS ms1_src")
+        region.write.format("parquet").saveAsTable("ms1_tgt")
+        # NULL keys: duplicates WITHIN the source still raise …
+        spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS r_regionkey, 'x' AS r_name "
+            "UNION ALL SELECT CAST(NULL AS BIGINT), 'y'"
+        ).write.format("parquet").saveAsTable("ms1_src")
+        with pytest.raises(MergeConflictError, match="within the source"):
+            a.merge(spark, a.Table("ms1_src"), a.Table("ms1_tgt"), ["r_regionkey"])
+        # … but a single NULL source key never clashes with a NULL target
+        # key (join semantics), so it inserts
+        spark.sql("DROP TABLE IF EXISTS ms2_src")
+        spark.sql("DROP TABLE IF EXISTS ms2_tgt")
+        region.union(
+            spark.sql("SELECT CAST(NULL AS BIGINT), 'TGTNULL'")
+        ).write.format("parquet").saveAsTable("ms2_tgt")
+        spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS r_regionkey, 'SRCNULL' AS r_name"
+        ).write.format("parquet").saveAsTable("ms2_src")
+        a.merge(spark, a.Table("ms2_src"), a.Table("ms2_tgt"), ["r_regionkey"])
+        assert spark.table("ms2_tgt").count() == 7
+
     def test_merge_empty_source_is_noop(self, spark, sf_dir):
         region = read_table(spark, sf_dir, "region")
         spark.sql("DROP TABLE IF EXISTS mz_tgt")
