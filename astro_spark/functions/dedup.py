@@ -78,14 +78,7 @@ def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
     reproducible in the DuckDB oracle (oracles.shingle_hashes).
     """
     toks = tokens(text)
-    tok_hashes = F.transform(
-        toks,
-        lambda t: F.aggregate(
-            F.transform(F.split(t, ""), F.ascii),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
-        ),
-    )
+    tok_hashes = F.transform(toks, lambda t: char_poly_hash(t, MULT1))
 
     def _shingles(th: Column) -> Column:
         idx = F.sequence(
@@ -645,14 +638,7 @@ def span_hash_array(text: Column, w: int = None) -> Column:
 
     w = w or SPAN_W
     toks = tokens(text)
-    tok_hashes = F.transform(
-        toks,
-        lambda t: F.aggregate(
-            F.transform(F.split(t, ""), F.ascii),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * F.lit(MULT1) + ch) % F.lit(P31),
-        ),
-    )
+    tok_hashes = F.transform(toks, lambda t: char_poly_hash(t, MULT1))
 
     def _spans(th: Column) -> Column:
         n = F.floor(F.size(th) / F.lit(w)).cast("int")

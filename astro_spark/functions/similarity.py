@@ -478,6 +478,12 @@ def pq_train(
         .collect()
     )
     dim = len(seed[0]["v"])
+    if dim % m:
+        raise ValueError(
+            f"pq_train: embedding dim {dim} is not divisible by m={m} — the "
+            f"trailing {dim % m} dimensions would be silently dropped from "
+            f"codebooks and ADC scoring"
+        )
     dsub = dim // m
     books = [
         [list(r["v"])[s * dsub : (s + 1) * dsub] for r in seed] for s in range(m)
@@ -520,6 +526,7 @@ def pq_encode(
     """
     m = len(books)
     dsub = len(books[0][0])
+    _check_pq_dim(df, m, dsub, vec_col)
     v = as_double(F.col(vec_col))
     codes = F.array(
         *[
@@ -528,6 +535,19 @@ def pq_encode(
         ]
     )
     return df.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def _check_pq_dim(df: DataFrame, m: int, dsub: int, vec_col: str) -> None:
+    """Fail fast when the embedding dim ≠ m×dsub: a longer vector would
+    silently drop its trailing dims from codebooks and ADC scoring while
+    the exact re-rank uses full vectors (silent accuracy loss).  One
+    LIMIT-1 scan — negligible next to the encode pass it guards."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != m * dsub:
+        raise ValueError(
+            f"pq_encode: embedding dim {row['d']} != m*dsub = {m}*{dsub} — "
+            f"codebooks do not cover the vector"
+        )
 
 
 def pq_topk(
@@ -645,6 +665,7 @@ def pq_encode_np(
 
     m = len(books)
     dsub = len(books[0][0])
+    _check_pq_dim(df, m, dsub, vec_col)
     bks = [np.asarray(b, dtype=np.float64) for b in books]
 
     def _mapper(batches):

@@ -155,22 +155,38 @@ def diff_tables(
     (diff_status ∈ added/removed/changed, *key_cols) — the verification
     tool behind migrations, backfills, and CDC replays.
 
-    One full-outer join on the keys; non-key columns compare null-safe
-    via a single xxhash64 over their stable concatenation, so the
-    shuffle carries keys + one BIGINT per side regardless of row width.
+    One full-outer join on the keys; non-key columns compare via TWO
+    independent hashes (xxhash64 + murmur3) over an interleaving of
+    per-column isnull flags and the raw (un-cast) values, so the shuffle
+    carries keys + two small ints per side regardless of row width.
+    The isnull flag keeps NULL distinguishable from any real value
+    (including a literal ``'\\x00'`` string); the second hash pushes the
+    silent-collision probability below 2^-90 per row pair.  Both tables
+    must expose the same non-key column set — a right-only or left-only
+    attribute is a schema diff the row hash cannot see, so it raises.
     Unchanged rows are dropped before the result materializes.
     """
     lname = left.qualified_name if isinstance(left, Table) else left
     rname = right.qualified_name if isinstance(right, Table) else right
     l_df, r_df = spark.table(lname), spark.table(rname)
     attrs = [c for c in l_df.columns if c not in key_cols]
+    r_attrs = [c for c in r_df.columns if c not in key_cols]
+    if set(attrs) != set(r_attrs):
+        raise ValueError(
+            f"diff_tables: non-key columns differ between {lname} "
+            f"({sorted(set(attrs) - set(r_attrs))} only-left) and {rname} "
+            f"({sorted(set(r_attrs) - set(attrs))} only-right)"
+        )
 
     def _sig(df: DataFrame, side: str) -> DataFrame:
+        hash_inputs = []
+        for c in attrs:
+            hash_inputs.append(F.isnull(F.col(c)))
+            hash_inputs.append(F.col(c))
         return df.select(
             *key_cols,
-            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attrs]).alias(
-                f"__h_{side}"
-            ),
+            F.xxhash64(*hash_inputs).alias(f"__h_{side}"),
+            F.hash(*hash_inputs).alias(f"__g_{side}"),
             F.lit(True).alias(f"__p_{side}"),
         )
 
@@ -178,7 +194,10 @@ def diff_tables(
     status = (
         F.when(F.col("__p_l").isNull(), F.lit("added"))
         .when(F.col("__p_r").isNull(), F.lit("removed"))
-        .when(F.col("__h_l") != F.col("__h_r"), F.lit("changed"))
+        .when(
+            (F.col("__h_l") != F.col("__h_r")) | (F.col("__g_l") != F.col("__g_r")),
+            F.lit("changed"),
+        )
     )
     return (
         j.withColumn("diff_status", status)

@@ -105,6 +105,21 @@ def save_dataframe_as_table(
     that neither partitioning (too coarse for high-cardinality keys) nor
     bucketing (hash destroys ranges) covers.
     """
+    layouts = [
+        n
+        for n, v in (
+            ("zorder_by", zorder_by),
+            ("cluster_by", cluster_by),
+            ("bucket_by", bucket_by),
+        )
+        if v
+    ]
+    if len(layouts) > 1:
+        # zorder/cluster/bucket are ALTERNATIVE physical layouts; applying
+        # one after another silently destroys the first ordering
+        raise ValueError(
+            f"choose at most one physical layout, got: {', '.join(layouts)}"
+        )
     spark = df.sparkSession
     if zorder_by:
         from astro_spark.plans.zorder import with_zorder_key

@@ -452,6 +452,22 @@ class TestSimilarity:
         trained = similarity.pq_train(emb, m=8, n_codes=16, iterations=2)
         assert _sqerr(trained) < _sqerr(PQ_BOOKS)
 
+    def test_pq_indivisible_dim_raises(self, spark, emb):
+        """dim % m != 0 would silently drop trailing dims from codebooks
+        and ADC scoring — both train and encode fail fast instead."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_train(emb, m=7)
+        # books sized for a different dim than the corpus
+        short = [b[:1] for b in PQ_BOOKS]  # same m/dsub, fine
+        bad_books = [[c[:-1] for c in b] for b in PQ_BOOKS]  # dsub-1
+        with pytest.raises(ValueError, match="do not cover"):
+            similarity.pq_encode(emb, bad_books).collect()
+        with pytest.raises(ValueError, match="do not cover"):
+            similarity.pq_encode_np(emb, bad_books).collect()
+        assert similarity.pq_encode(emb, short).count() > 0
+
     def test_pq_encode_np_bit_identical(self, spark, emb):
         """The Arrow/numpy encoder reproduces the Catalyst expression
         encoder code-for-code (same float accumulation order)."""

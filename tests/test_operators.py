@@ -763,6 +763,52 @@ class TestDiffTables:
             a.drop_table(spark, t1)
             a.drop_table(spark, t2)
 
+    def test_null_vs_sentinel_string_is_changed(self, spark):
+        """A real '\\x00' string value is NOT the same as NULL — the
+        per-column isnull flag keeps them distinguishable in the hash."""
+        from astro_spark.operators.catalog import diff_tables
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t1 = a.Table("diff_n1", temp=False)
+        t2 = a.Table("diff_n2", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, None)], "k long, v string"), t1,
+            if_exists="replace",
+        )
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, "\x00")], "k long, v string"), t2,
+            if_exists="replace",
+        )
+        try:
+            out = diff_tables(spark, t1, t2, ["k"]).collect()
+            assert len(out) == 1 and out[0].diff_status == "changed"
+        finally:
+            a.drop_table(spark, t1)
+            a.drop_table(spark, t2)
+
+    def test_mismatched_column_sets_raise(self, spark):
+        """A right-only attribute is a schema diff the row hash cannot
+        see — refuse instead of silently ignoring it."""
+        from astro_spark.operators.catalog import diff_tables
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t1 = a.Table("diff_m1", temp=False)
+        t2 = a.Table("diff_m2", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, "x")], "k long, v string"), t1,
+            if_exists="replace",
+        )
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, "x", "extra")], "k long, v string, w string"),
+            t2, if_exists="replace",
+        )
+        try:
+            with pytest.raises(ValueError, match="non-key columns differ"):
+                diff_tables(spark, t1, t2, ["k"])
+        finally:
+            a.drop_table(spark, t1)
+            a.drop_table(spark, t2)
+
 
 class TestSCD2:
     def test_history_preserving_upsert(self, spark):
@@ -856,6 +902,16 @@ class TestZOrderWrite:
         finally:
             a.drop_table(spark, z)
             a.drop_table(spark, lin)
+
+    def test_multiple_layouts_raise(self, spark, sf_dir):
+        """zorder/cluster/bucket are alternative layouts — combining them
+        would silently destroy the first ordering, so it raises."""
+        with pytest.raises(ValueError, match="at most one physical layout"):
+            a.load_file(
+                spark, f"{sf_dir}/orders.parquet",
+                output_table=a.Table("layout_clash", temp=False),
+                zorder_by=["o_custkey"], cluster_by=["o_orderdate"],
+            )
 
 
 class TestDML:
