@@ -171,13 +171,21 @@ def fan_out_stream(
     ``foreachBatch`` — the single-pass multi-sink pattern.
 
     ``sinks`` maps sink name → (batch DataFrame → DataFrame) transform;
-    each result appends to its own table.  All sinks in a micro-batch
+    each result lands in its own table.  All sinks in a micro-batch
     commit from the SAME batch DataFrame (one source scan per batch, not
-    one per sink), and the checkpoint advances only after every sink's
-    append succeeds — per-batch all-or-nothing against replays, the
-    standard Structured Streaming idempotence contract.  For cross-batch
-    determinism, append per-batch PARTIAL aggregates and re-aggregate at
-    read time (sums of sums are batch-split independent).
+    one per sink).
+
+    Replay-idempotence: ``foreachBatch`` is at-least-once — if sink k of
+    N fails after sinks 1..k-1 committed, the checkpoint does not
+    advance and the whole batch replays.  Each sink therefore writes
+    its rows under a ``__batch_id`` partition committed with dynamic
+    partition overwrite: a replayed batch OVERWRITES its own partition
+    in every sink instead of appending duplicates, so the rerun
+    converges (same contract Delta gets from ``txnVersion``).  The
+    returned Table names are views that project the partition column
+    away.  For cross-batch determinism, write per-batch PARTIAL
+    aggregates and re-aggregate at read time (sums of sums are
+    batch-split independent).
     """
     import uuid as _uuid
 
@@ -195,7 +203,9 @@ def fan_out_stream(
         cached = batch_df.persist()
         try:
             for name, fn in sinks.items():
-                fn(cached).write.mode("append").saveAsTable(out_tables[name].name)
+                _write_sink_batch(
+                    fn(cached), f"{out_tables[name].name}_t", batch_id
+                )
         finally:
             cached.unpersist()
 
@@ -207,4 +217,27 @@ def fan_out_stream(
         .start()
     )
     query.awaitTermination()
+    for name, t in out_tables.items():
+        spark.table(f"{t.name}_t").drop("__batch_id").createOrReplaceTempView(t.name)
     return out_tables
+
+
+def _write_sink_batch(out: DataFrame, phys_table: str, batch_id: int) -> None:
+    """Commit one sink's micro-batch idempotently: rows are tagged with
+    the batch id and written as a dynamic overwrite of that single
+    ``__batch_id`` partition, so re-running the same (batch_id, rows)
+    pair replaces rather than duplicates (pinned by
+    ``test_replayed_batch_is_idempotent``)."""
+    from pyspark.sql import functions as F
+
+    out = out.withColumn("__batch_id", F.lit(int(batch_id)))
+    sess = out.sparkSession
+    if not sess.catalog.tableExists(phys_table):
+        out.write.partitionBy("__batch_id").format("parquet").saveAsTable(phys_table)
+        return
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").insertInto(phys_table)
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -243,6 +243,38 @@ class TestFanOut:
         }
         assert per_user == {1: 4, 2: 2}
         assert spark.table(tables["raw"].name).count() == 6
+        # the returned views hide the idempotence machinery
+        assert "__batch_id" not in spark.table(tables["raw"].name).columns
+
+    def test_replayed_batch_is_idempotent(self, spark, events_dir):
+        """foreachBatch is at-least-once: if sink 2 of 3 fails mid-batch
+        the whole batch replays into ALREADY-committed sinks.  The
+        per-__batch_id dynamic overwrite makes that rerun converge
+        instead of duplicating rows."""
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import fan_out_stream
+        from astro_spark.streaming.load_stream import _write_sink_batch
+
+        tables = fan_out_stream(
+            spark,
+            events_dir,
+            sinks={"raw": lambda b: b.select("event_id", "user_id")},
+            max_files_per_trigger=1,
+        )
+        phys = f"{tables['raw'].name}_t"
+        before = sorted(
+            r.event_id for r in spark.table(tables["raw"].name).collect()
+        )
+        # simulate the replay of an already-committed batch: same batch_id,
+        # same rows, written again
+        batch0 = spark.table(phys).where("__batch_id = 0").drop("__batch_id")
+        _write_sink_batch(batch0, phys, 0)
+        spark.catalog.refreshTable(phys)
+        after = sorted(
+            r.event_id for r in spark.table(phys).drop("__batch_id").collect()
+        )
+        assert after == before  # no duplicates, no loss
 
 
 class TestStreamMerge:
