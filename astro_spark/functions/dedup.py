@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .constants import (
     COSINE_DUP_THRESHOLD,
@@ -133,11 +134,21 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = MINHASH_JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over shingle sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+
+    ``max_bucket_size`` (default off, exactness first) guards the
+    web-scale pathology: a near-constant band — boilerplate pages,
+    empty docs — puts O(n) members in ONE (band, hash) bucket and the
+    self-join emits O(n²) candidate pairs from it.  With the cap set,
+    buckets larger than the cap are dropped from candidate generation
+    (their members usually co-occur in other, smaller bands; exact-dup
+    floods belong to ``exact_dup_groups`` anyway).  Pinned by
+    ``test_lsh_hot_bucket_cap``.
     """
     rows = MINHASH_K // LSH_BANDS
     # materialize the signature table once: it is referenced by every band
@@ -166,6 +177,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    if max_bucket_size is not None:
+        # same shuffle key as the self-join, so the window adds no extra
+        # exchange shape at scale
+        wb = Window.partitionBy("band", "bh")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
 
     left = bands.alias("l")
     right = bands.alias("r")

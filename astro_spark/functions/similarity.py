@@ -153,15 +153,31 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = COSINE_DUP_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ t.
 
     Returns (id_a, id_b, cos_sim), id_a < id_b, rounded to 4dp.  The
     bucket equi-join keeps candidate generation linear in corpus size.
+
+    ``max_bucket_size`` (default off) is the web-scale hot-bucket guard:
+    a degenerate bucket — e.g. a mass of near-zero or boilerplate
+    embeddings all on the same side of every hyperplane — turns the
+    self-join into O(n²) pairs.  With the cap set, oversized buckets are
+    dropped from candidate generation (audit them with
+    ``lsh_bucket_table`` + a groupBy count).  Pinned by
+    ``test_lsh_hot_bucket_cap``.
     """
     base = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", hyperplane_bucket(F.col("v")))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket")
+        base = (
+            base.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r,

@@ -420,6 +420,45 @@ class TestDedup:
         assert pairs == {(1, 2): 0.5}
 
 
+class TestHotBucketCap:
+    def test_lsh_hot_bucket_cap(self, spark):
+        """A boilerplate flood puts O(n) docs in one LSH bucket → O(n²)
+        candidate pairs; max_bucket_size drops the hot bucket while
+        smaller buckets still pair (both MinHash-LSH and cosine-LSH)."""
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        near_a = "completely different document about distributed query engines"
+        near_b = "completely different document about distributed query engine"
+        docs = spark.createDataFrame(
+            [(i, boiler) for i in range(20)]
+            + [(100, near_a), (101, near_b)],
+            ["doc_id", "text"],
+        )
+        uncapped = dedup.minhash_lsh_pairs(docs).collect()
+        assert len(uncapped) > 100  # the flood dominates
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=5).collect()
+        }
+        assert capped == {(100, 101)}
+
+        dim = 64
+        hot = [1.0] + [0.0] * (dim - 1)          # bucket 5 (deterministic)
+        p1 = [-1.0, 0.5] + [0.0] * (dim - 2)     # bucket 242
+        p2 = [-1.0, 0.52] + [0.0] * (dim - 2)    # bucket 242
+        vecs = spark.createDataFrame(
+            [(i, hot) for i in range(10)] + [(100, p1), (101, p2)],
+            "vec_id long, embedding array<double>",
+        )
+        assert len(similarity.lsh_cosine_pairs(vecs).collect()) > 40
+        capped_pairs = {
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_cosine_pairs(
+                vecs, max_bucket_size=5
+            ).collect()
+        }
+        assert capped_pairs == {(100, 101)}
+
+
 class TestSimilarity:
     def test_pq_train_beats_seeded_books(self, spark, emb):
         """Lloyd's-trained codebooks quantize the corpus with lower
