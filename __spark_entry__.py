@@ -1404,6 +1404,57 @@ def _s_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k grading of the approximate ANN paths against exact brute
+    force — the number a real user needs to size shortlist/nprobe
+    (pattern set by dd_minhash_est: estimator quality next to the exact
+    answer).  PQ runs the seeded books with a deliberately TIGHT
+    shortlist (10 vs the default 50) so its recall is a real
+    measurement, not 1.0 by construction; label-IVF probes only the
+    query's own cell.  Both approximate pipelines are deterministic, so
+    the DuckDB oracle replays the recall values exactly."""
+    from astro_spark.functions.constants import PQ_BOOKS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 5")
+    k = 5
+    exact = (
+        similarity.brute_force_topk(emb, q, k=k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    methods = {
+        "pq": similarity.pq_topk(
+            emb, q, books=PQ_BOOKS, k=k, shortlist=10, np_encode=True
+        ),
+        "ivf_label": similarity.partitioned_topk(emb, q, k=k),
+    }
+    qids = exact.select("query_id").distinct()
+    reports = []
+    for name, df in methods.items():
+        hits = (
+            exact.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "inner",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        reports.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 4
+                ).alias("recall_at_k"),
+            )
+        )
+    return reports[0].unionByName(reports[1]).orderBy("method", "query_id")
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2182,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_ivf_trained_topk": _s_ivf_trained_topk,
             "s_pq_topk": _s_pq_topk,
             "s_ivf_label_topk": _s_ivf_topk,
+            "s_recall_report": _s_recall_report,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2211,11 +2263,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-3 driver-verification order: new round-3 queries first (never
-# driver-checked), then the 45 entries last verified in r01.  The 50
-# entries r02 verified green come after.
+# Round-4 driver-verification order (the driver checks the FIRST 50
+# entries): the new round-4 query first, then the 10 entries whose only
+# driver row is still r01 (they fell past r03's 50-cap), then the r02-
+# checked block (now the oldest), with the r03-checked block last.  No
+# query goes more than 2 rounds without a driver row.
 _DRIVER_PRIORITY = [
-    # --- new in round 3 ---
+    "s_recall_report",
+    "op_dataframe_bridge",
+    "op_check_column",
+    "op_check_table",
+    "op_raw_sql",
+    "op_profile",
+    "t_quality_metrics",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_token_counts",
+    "t_hash_split",
+    "dd_decontaminate",
+    "t_pack_sequences",
+    "s_quantize",
+    "t_domain_mix",
+    "t_dataset_card",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_ngram_jaccard",
+    "dd_normalized",
+    "dd_incremental",
+    "dd_clusters",
+    "dd_embedding_cosine",
+    "dd_embedding_cosine_np",
+    "s_brute_topk",
+    "s_ivf_trained_topk",
+    "s_ivf_label_topk",
+    "s_lsh_buckets",
+    "s_lsh_pairs",
+    "s_centroids",
+    "t_shards",
+    "t_stratified",
+    "t_corpus_prep",
+    "t_quality_filter",
+    "t_top_terms",
+    "t_repetition",
+    "t_pseudonymize",
+    "t_chunks",
+    "mm_features",
+    "mm_frames",
+    "st_incremental_load",
+    "st_cdc_merge",
+    "st_interval_join",
+    "st_static_enrich",
+    "st_windowed_counts",
+    "st_sessions",
+    "st_dedup",
+    "op_merge_update",
+    "op_merge_update_part",
+    "op_lifecycle",
+    "op_catalog",
+    "op_dml",
+    "op_compact",
+    "q_pivot_status",
+    "q_recursive_spine",
+    "q_recursive_paths",
+    "q_skew_salted_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "dd_spans",
     "dd_minhash_est",
     "t_classify",
@@ -2231,7 +2345,6 @@ _DRIVER_PRIORITY = [
     "s_pq_topk",
     "st_late_data",
     "st_multi_sink",
-    # --- last verified in r01 ---
     "q6_revenue_forecast",
     "q10_returned_customers",
     "q_window_top_suppliers",
@@ -2267,16 +2380,6 @@ _DRIVER_PRIORITY = [
     "op_merge_ignore",
     "op_transform_ctas",
     "op_transform_file",
-    "op_dataframe_bridge",
-    "op_check_column",
-    "op_check_table",
-    "op_raw_sql",
-    "op_profile",
-    "t_quality_metrics",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_token_counts",
-    "t_hash_split",
 ]
 
 
@@ -2470,6 +2573,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_brute_topk": oracles.brute_topk_sql(),
             "s_ivf_trained_topk": oracles.brute_topk_sql(),
             "s_pq_topk": oracles.pq_topk_sql(),
+            "s_recall_report": oracles.recall_report_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

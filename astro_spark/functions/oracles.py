@@ -695,12 +695,15 @@ def pq_topk_sql(
     table: str = "embeddings",
     k: int = 5,
     max_query_id: int = 5,
+    shortlist: int | None = None,
 ) -> str:
     """Mirrors similarity.pq_topk with the seeded PQ_BOOKS: encode each
     corpus vector to per-subspace argmin-L2 codes, ADC-score against the
     queries, shortlist by (adc DESC, id ASC), exact-cosine re-rank."""
     from .constants import PQ_BOOKS, PQ_M, PQ_SHORTLIST
 
+    if shortlist is None:
+        shortlist = PQ_SHORTLIST
     dsub = len(PQ_BOOKS[0][0])
     enc_cols = []
     for s in range(PQ_M):
@@ -746,7 +749,7 @@ short AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adc DESC, neighbor_id ASC) AS r
     FROM scored
-  ) WHERE r <= {PQ_SHORTLIST}
+  ) WHERE r <= {shortlist}
 ),
 exact AS (
   SELECT s.query_id, s.neighbor_id,
@@ -763,6 +766,44 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def recall_report_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    max_query_id: int = 5,
+    pq_shortlist: int = 10,
+) -> str:
+    """Recall@k report of the approximate ANN paths against exact brute
+    force — mirrors the Spark ``s_recall_report`` query by composing the
+    three already-exact oracle pipelines (brute, PQ with a deliberately
+    tight shortlist, label-partitioned IVF) and counting overlaps."""
+    exact = brute_topk_sql(table, k=k, max_query_id=max_query_id)
+    pq = pq_topk_sql(table, k=k, max_query_id=max_query_id, shortlist=pq_shortlist)
+    ivf = partitioned_topk_sql(table, k=k, max_query_id=max_query_id)
+    return f"""
+WITH exact_r AS ({exact}),
+pq_r AS ({pq}),
+ivf_r AS ({ivf}),
+qids AS (SELECT DISTINCT query_id FROM exact_r),
+methods AS (
+  SELECT 'pq' AS method, query_id, neighbor_id FROM pq_r
+  UNION ALL
+  SELECT 'ivf_label' AS method, query_id, neighbor_id FROM ivf_r
+),
+hits AS (
+  SELECT m.method, m.query_id, COUNT(*)::BIGINT AS n_hits
+  FROM methods m JOIN exact_r e
+    ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT mq.method, mq.query_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       round(COALESCE(h.n_hits, 0) / {k}.0, 4)::DOUBLE AS recall_at_k
+FROM (SELECT m, query_id FROM (VALUES ('pq'), ('ivf_label')) v(m)
+      CROSS JOIN qids) mq(method, query_id)
+LEFT JOIN hits h ON h.method = mq.method AND h.query_id = mq.query_id
 """
 
 
