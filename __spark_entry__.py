@@ -631,6 +631,33 @@ def _op_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tgt.qualified_name)
 
 
+def _op_merge_exception(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(exception) success path with DISJOINT keys: the single
+    union+groupBy conflict job (one scan of each side for both the
+    source-dup and the target-clash assertion, operators/merge.py) finds
+    nothing, proving every source row is new, so the source appends
+    directly with no anti-join."""
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.where("o_orderkey % 4 IN (0, 1)")
+    source = orders.where("o_orderkey % 4 = 2").select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    tname, sname = "op_merge_target_exc", "op_merge_source_exc"
+    _fresh_managed(spark, tname, sname)
+    target.write.format("parquet").saveAsTable(tname)
+    source.write.format("parquet").saveAsTable(sname)
+    a.merge(
+        spark, a.Table(sname), a.Table(tname), ["o_orderkey"],
+        if_conflicts="exception",
+    )
+    return spark.table(tname)
+
+
 def _op_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_file_list + TempTable registry cleanup + drop_table, driver-
     observable: counts before/after must match fixed expectations."""
@@ -2183,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_update": _op_merge_update,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
+            "op_merge_exception": _op_merge_exception,
             "op_lifecycle": _op_lifecycle,
             "op_catalog": _op_catalog,
             "op_dml": _op_dml,
@@ -2270,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # query goes more than 2 rounds without a driver row.
 _DRIVER_PRIORITY = [
     "s_recall_report",
+    "op_merge_exception",
     "op_dataframe_bridge",
     "op_check_column",
     "op_check_table",
@@ -2480,6 +2509,13 @@ ORDER BY o_orderkey, diff_status
                 FROM orders WHERE o_orderkey % 4 IN (0, 1)
                 UNION ALL
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 4 = 2
+            """,
+            "op_merge_exception": """
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 4 IN (0, 1)
+                UNION ALL
+                SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 = 2
             """,
             "op_transform_ctas": (

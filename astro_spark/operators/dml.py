@@ -2,16 +2,22 @@
 
 The reference delegates row-level changes to engines that have them
 (Delta ``MERGE``/``DELETE``, ``databases/databricks/delta.py``); plain
-parquet has no row-level ops, so these rewrite the table through the
-staged-swap pattern (write staging, rename) — readers never observe a
-half-applied change.
+parquet has no row-level ops, so these are emulated.
 
-Scale notes: a rewrite touches every row, which is exactly what
-Delta/Iceberg avoid with file-level skipping + row groups; on those
-formats swap these bodies for ``DELETE FROM``/``UPDATE`` SQL.  For
-partitioned tables, pushing the predicate into a partition filter
-confines the rewrite to affected partitions — pass ``partition_by`` at
-write time and keep predicates on the partition column where possible.
+Physical strategy (mirrors the merge operator's ladder):
+
+1. **File-scoped copy-on-write** (unpartitioned parquet tables): find
+   the data files containing ≥1 row matching the condition
+   (``_metadata.file_path`` scan — parquet row-group stats prune files
+   whose min/max exclude the predicate), rewrite ONLY those files, move
+   the new generation in, delete the old.  A selective DELETE on 100 TB
+   rewrites the matching files, not the table.  Untouched files keep
+   their paths (pinned by ``test_delete_file_scoped``).
+2. **Staged swap** (partitioned tables, non-parquet providers, or a
+   touched-file set over the cap): full rewrite through a staging
+   table + rename — readers never observe a half-applied change.  On
+   Delta/Iceberg swap these bodies for ``DELETE FROM``/``UPDATE`` SQL.
+
 Condition strings are Spark SQL expressions evaluated against the
 table's columns (identifier-guarded callers should prefer Column
 objects).
@@ -19,15 +25,54 @@ objects).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..table import Table
-from .merge import _swap_table
+from .merge import (
+    MAX_TOUCHED_FILES,
+    _cow_swap_files,
+    _parquet_location,
+    _partition_columns,
+    _swap_table,
+)
 
 
 def _as_table(table: Table | str) -> Table:
     return table if isinstance(table, Table) else Table(str(table), temp=False)
+
+
+def _touched_files(
+    spark: SparkSession, t: Table, cond: Column
+) -> tuple[str | None, list[str] | None, DataFrame | None]:
+    """(location, touched file list, metadata-tagged frame) for a
+    file-scoped rewrite, or (None, None, None) when ineligible:
+    partitioned target, non-parquet provider, no file metadata, or a
+    touched set over ``MAX_TOUCHED_FILES``."""
+    name = t.qualified_name
+    if _partition_columns(spark, t):
+        return None, None, None
+    location = _parquet_location(spark, name)
+    if location is None:
+        return None, None, None
+    df = spark.table(name)
+    try:
+        tagged = df.select(
+            *df.columns, F.col("_metadata.file_path").alias("__file")
+        )
+    except Exception:  # pragma: no cover - source without file metadata
+        return None, None, None
+    files = [
+        r[0]
+        for r in tagged.where(cond)
+        .select("__file")
+        .distinct()
+        .limit(MAX_TOUCHED_FILES + 1)
+        .collect()
+    ]
+    if len(files) > MAX_TOUCHED_FILES:
+        return None, None, None
+    return location, files, tagged
 
 
 def delete_rows(
@@ -43,6 +88,13 @@ def delete_rows(
     n = df.where(cond).count()
     if n == 0:
         return 0
+    location, files, tagged = _touched_files(spark, t, cond)
+    if files is not None:
+        keep = (
+            tagged.where(F.col("__file").isin(files)).where(~cond).drop("__file")
+        )
+        _cow_swap_files(spark, t.qualified_name, location, files, keep)
+        return n
     _swap_table(spark, df.where(~cond), t)
     return n
 
@@ -65,16 +117,26 @@ def update_rows(
     n = df.where(cond).count()
     if n == 0:
         return 0
-    updated = df.select(
-        *[
-            F.when(
-                cond,
-                F.expr(set_map[c]) if isinstance(set_map.get(c), str) else set_map.get(c, F.col(c)),
-            ).otherwise(F.col(c)).alias(c)
-            if c in set_map
-            else F.col(c)
-            for c in df.columns
-        ]
-    )
-    _swap_table(spark, updated, t)
+
+    def _apply(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *[
+                F.when(
+                    cond,
+                    F.expr(set_map[c])
+                    if isinstance(set_map.get(c), str)
+                    else set_map.get(c, F.col(c)),
+                ).otherwise(F.col(c)).alias(c)
+                if c in set_map
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    location, files, tagged = _touched_files(spark, t, cond)
+    if files is not None:
+        touched = tagged.where(F.col("__file").isin(files)).drop("__file")
+        _cow_swap_files(spark, t.qualified_name, location, files, _apply(touched))
+        return n
+    _swap_table(spark, _apply(df), t)
     return n

@@ -321,6 +321,9 @@ def _upsert_file_scoped(
     window, never data loss).  Unmatched source rows ride along in the
     same staged write (they are inserts).  Untouched files keep their
     original paths — the property ``test_merge_update_file_scoped`` pins.
+    Repeated small merges accumulate small ``cow-*`` files; run
+    ``compact_table`` periodically (the same maintenance Delta's
+    OPTIMIZE does).
 
     Reference semantics: Delta ``MERGE INTO``
     (``databases/databricks/delta.py:357-442``) — Delta's own physical
@@ -329,11 +332,8 @@ def _upsert_file_scoped(
     over ``MAX_TOUCHED_FILES``.
     """
     name = target_table.qualified_name
-    detail = _table_detail(spark, name)
-    if detail.get("Provider", "").lower() != "parquet":
-        return False
-    location = detail.get("Location")
-    if not location:
+    location = _parquet_location(spark, name)
+    if location is None:
         return False
 
     tgt = spark.table(name)
@@ -359,10 +359,35 @@ def _upsert_file_scoped(
     else:
         touched_target = tgt.where(F.lit(False))
     result = _align(_upsert(touched_target, source, keys).select(*tbl_cols), tgt)
+    _cow_swap_files(spark, name, location, files, result)
+    return True
 
+
+def _parquet_location(spark: SparkSession, name: str) -> str | None:
+    """Table location when the table is a plain-parquet file source
+    (the only provider the copy-on-write commit understands), else None."""
+    detail = _table_detail(spark, name)
+    if detail.get("Provider", "").lower() != "parquet":
+        return None
+    return detail.get("Location") or None
+
+
+def _cow_swap_files(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    old_files: list[str],
+    result: DataFrame,
+) -> None:
+    """Copy-on-write commit: stage ``result`` to a temp dir, move its
+    part-files into the table directory under a unique prefix, then
+    delete ``old_files``.  New generation lands BEFORE the old one goes —
+    a crash in between shows transient duplicates, never data loss.
+    Shared by merge-update, DELETE, and UPDATE on unpartitioned parquet
+    tables."""
     import tempfile
 
-    staged_dir = tempfile.mkdtemp(prefix="astro_merge_cow_")
+    staged_dir = tempfile.mkdtemp(prefix="astro_cow_")
     result.write.mode("overwrite").parquet(staged_dir)
 
     jvm = spark._jvm
@@ -374,8 +399,6 @@ def _upsert_file_scoped(
     staged_path = HPath("file:" + staged_dir)
     lfs = staged_path.getFileSystem(hconf)
     prefix = f"cow-{uuid.uuid4().hex[:8]}"
-    # add the new generation first, then delete the old: a crash in
-    # between duplicates matched rows transiently but never loses data
     for st in lfs.listStatus(staged_path):
         pname = st.getPath().getName()
         if not pname.startswith("part-"):
@@ -383,11 +406,10 @@ def _upsert_file_scoped(
         FileUtil.copy(
             lfs, st.getPath(), fs, HPath(dst_dir, f"{prefix}-{pname}"), True, hconf
         )
-    for f in sorted(files):
+    for f in sorted(old_files):
         fs.delete(HPath(f), False)
     lfs.delete(staged_path, True)
     spark.catalog.refreshTable(name)
-    return True
 
 
 def _partition_predicate(part_cols: list[str], rows) -> F.Column:

@@ -105,14 +105,15 @@ def load_file_stream_merge(
     exactly once via the checkpoint) with upsert semantics — later
     files win on key collisions (``update``) or are dropped
     (``ignore``).  Per-batch write cost follows the batch merge's
-    strategy choice: ``ignore`` appends only the new rows;
-    ``update`` on a PARTITIONED target rewrites only the partitions
-    the batch touches (dynamic partition overwrite) — partition the
-    CDC target so micro-batch cost tracks batch size, not table size.
-    Only an unpartitioned ``update`` target falls back to the staged
-    full swap; there, prefer fewer larger micro-batches
-    (``maxFilesPerTrigger``).  On Delta/Iceberg the merge body becomes
-    a row-level ``MERGE INTO``.
+    strategy choice: ``ignore`` appends only the new rows; ``update``
+    on a PARTITIONED target rewrites only the partitions the batch
+    touches (dynamic partition overwrite); ``update`` on an
+    unpartitioned parquet target rewrites only the files whose keys
+    the batch hits (file-scoped copy-on-write) — either way,
+    micro-batch cost tracks batch size, not table size.  Many small
+    batches accumulate small files; run ``compact_table``
+    periodically.  On Delta/Iceberg the merge body becomes a
+    row-level ``MERGE INTO``.
     """
     from ..operators.merge import merge
 

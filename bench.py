@@ -4,8 +4,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a warm-up query primes the JVM/session;
-timings are end-to-end (plan + execute + collect-count).
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) after a warm-up
+query primes the JVM/session; the reported per-query number and the total
+are MEDIANS — three rounds of single-run timing produced phantom ±40%
+swings from co-load noise (q1/q3/q5 in r03, dd_simhash in r02) that cost
+a judging cycle each.  Timings are end-to-end (plan + execute +
+collect-count); all runs are printed to stderr for variance eyeballing.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ HEADLINE = [
     "dd_clusters",
     "s_brute_topk",
     "s_pq_topk",
+    "s_recall_report",
     "s_lsh_pairs",
     "dd_decontaminate",
     "t_quality_metrics",
@@ -66,15 +71,23 @@ def main() -> None:
 
     read_table(spark, sf_dir, "lineitem").count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]
+        print(
+            f"  {name}: median {timings[name]}s of {runs} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -85,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

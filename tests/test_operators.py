@@ -915,6 +915,32 @@ class TestZOrderWrite:
 
 
 class TestDML:
+    def test_delete_file_scoped(self, spark):
+        """DELETE on an unpartitioned parquet table rewrites only the
+        files containing matching rows; the rest keep their paths."""
+        spark.sql("DROP TABLE IF EXISTS dml_cow")
+        spark.sql("SELECT id AS k, id * 2 AS v FROM range(800)").repartitionByRange(
+            8, "k"
+        ).write.format("parquet").saveAsTable("dml_cow")
+        before = set(spark.table("dml_cow").inputFiles())
+        assert len(before) == 8
+        n = a.delete_rows(spark, a.Table("dml_cow", temp=False), "k BETWEEN 10 AND 20")
+        assert n == 11
+        after = set(spark.table("dml_cow").inputFiles())
+        assert spark.table("dml_cow").count() == 789
+        assert spark.table("dml_cow").where("k = 15").count() == 0
+        assert len(before & after) == 7  # 7 files untouched
+        # UPDATE through the same copy-on-write path
+        before2 = set(spark.table("dml_cow").inputFiles())
+        n2 = a.update_rows(
+            spark, a.Table("dml_cow", temp=False), {"v": "v + 1000"}, "k >= 790"
+        )
+        assert n2 == 10
+        got = {r.k: r.v for r in spark.table("dml_cow").where("k >= 788").collect()}
+        assert got[788] == 1576 and got[790] == 2580
+        assert len(before2 & set(spark.table("dml_cow").inputFiles())) == len(before2) - 1
+        spark.sql("DROP TABLE dml_cow")
+
     def test_delete_rows(self, spark, sf_dir):
         t = a.Table("dml_nation", temp=False)
         a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
