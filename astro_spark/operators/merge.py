@@ -56,9 +56,12 @@ columns) — the majority-dialect behavior.
 
 Crash-safety: strategy 1 is a single atomic-enough append job; strategy 2
 commits through Spark's dynamic-overwrite protocol per partition;
-strategy 3 adds the rewritten files BEFORE deleting the old generation —
-a crash in between leaves transient duplicates of the matched rows
-(recoverable: re-running the merge converges), never data loss;
+strategy 3 stages the new generation as dot-prefixed (listing-invisible)
+files, makes it visible with metadata-only renames, THEN deletes the old
+generation — a crash during the data copy leaves the table untouched; a
+crash inside the rename/delete window leaves transient duplicates of the
+matched rows (rollback = delete the interrupted generation's shared
+``cow-<hex>-`` prefix), never data loss;
 strategy 4 has a non-atomic DROP→RENAME window — a crash between the two
 statements leaves the merged data intact in the uniquely-named staging
 table (``<target>__astro_merge_<uuid>``) for manual recovery, and the
@@ -379,12 +382,20 @@ def _cow_swap_files(
     old_files: list[str],
     result: DataFrame,
 ) -> None:
-    """Copy-on-write commit: stage ``result`` to a temp dir, move its
-    part-files into the table directory under a unique prefix, then
-    delete ``old_files``.  New generation lands BEFORE the old one goes —
-    a crash in between shows transient duplicates, never data loss.
-    Shared by merge-update, DELETE, and UPDATE on unpartitioned parquet
-    tables."""
+    """Copy-on-write commit, shared by merge-update, DELETE, and UPDATE
+    on unpartitioned parquet tables.
+
+    Protocol: (1) write ``result`` to a temp dir; (2) copy its
+    part-files into the table directory as DOT-PREFIXED names —
+    Spark/Hadoop listings skip files starting with ``.``, so the slow
+    data copy is invisible to readers and a crash during it leaves the
+    table untouched; (3) rename each dotfile visible (metadata-only
+    ops); (4) delete ``old_files``.  The non-atomic window is only the
+    rename/delete loop: a crash there shows transient duplicates of the
+    matched rows — never data loss — and every file of the interrupted
+    generation shares one ``cow-<hex>-`` prefix, so rollback is
+    "delete that prefix".  True single-statement atomicity needs a
+    transactional log (Delta/Iceberg)."""
     import tempfile
 
     staged_dir = tempfile.mkdtemp(prefix="astro_cow_")
@@ -399,13 +410,16 @@ def _cow_swap_files(
     staged_path = HPath("file:" + staged_dir)
     lfs = staged_path.getFileSystem(hconf)
     prefix = f"cow-{uuid.uuid4().hex[:8]}"
+    hidden = []
     for st in lfs.listStatus(staged_path):
         pname = st.getPath().getName()
         if not pname.startswith("part-"):
             continue
-        FileUtil.copy(
-            lfs, st.getPath(), fs, HPath(dst_dir, f"{prefix}-{pname}"), True, hconf
-        )
+        dst = HPath(dst_dir, f".{prefix}-{pname}")
+        FileUtil.copy(lfs, st.getPath(), fs, dst, True, hconf)
+        hidden.append((dst, HPath(dst_dir, f"{prefix}-{pname}")))
+    for src, dst in hidden:
+        fs.rename(src, dst)
     for f in sorted(old_files):
         fs.delete(HPath(f), False)
     lfs.delete(staged_path, True)

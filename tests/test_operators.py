@@ -206,6 +206,40 @@ class TestAppendMerge:
         assert len(before & after) == 7
         assert len(before - after) == 1
 
+    def test_cow_dotfile_staging_invisible(self, spark):
+        """The COW commit stages new files dot-prefixed; Spark listings
+        must skip them (so a crash mid-copy leaves the table untouched),
+        and a completed commit must leave no dotfiles behind."""
+        import glob
+        import os
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS cow_dot")
+        spark.sql("SELECT id AS k, id AS v FROM range(10)").coalesce(1).write.format(
+            "parquet"
+        ).saveAsTable("cow_dot")
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED cow_dot")
+            .where("col_name = 'Location'").collect()[0].data_type
+        ).replace("file:", "")
+        # plant a dot-prefixed copy that would double the data if listed
+        f = glob.glob(os.path.join(loc, "part-*"))[0]
+        shutil.copy(f, os.path.join(loc, ".stray-" + os.path.basename(f)))
+        spark.catalog.refreshTable("cow_dot")
+        assert spark.table("cow_dot").count() == 10
+        # a real COW update commits cleanly: correct rows, and no hidden
+        # data files from its own generation left behind (.crc checksum
+        # siblings of the committed files are a local-FS artifact, fine)
+        a.update_rows(spark, a.Table("cow_dot", temp=False), {"v": "v + 100"}, "k = 3")
+        assert {r.v for r in spark.table("cow_dot").where("k = 3").collect()} == {103}
+        assert spark.table("cow_dot").count() == 10
+        leftover = [
+            p for p in os.listdir(loc)
+            if p.startswith(".cow") and p.endswith(".parquet")
+        ]
+        assert not leftover, leftover
+        spark.sql("DROP TABLE cow_dot")
+
     def test_merge_exception_single_scan(self, spark, sf_dir):
         """the exception-mode conflict check is ONE job over
         union(source, target) — not two separate assertion scans — and a
