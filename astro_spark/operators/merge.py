@@ -300,6 +300,14 @@ def _upsert_partition_scoped(
 # _metadata.file_path stops being a sane plan — fall back to the swap.
 MAX_TOUCHED_FILES = 10_000
 
+# When the distinct source key set fits under this cap, it is collected
+# and pushed into the touched-file discovery scan as per-column IN
+# predicates, so parquet row-group min/max stats prune the scan itself —
+# a 1-row update reads ~1 row group of the key column, not the whole
+# table's key column.  (Per-column IN is a superset filter for
+# multi-column keys; the semi-join after it stays exact.)
+KEY_PUSHDOWN_CAP = 1_000
+
 
 def _table_detail(spark: SparkSession, name: str) -> dict:
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
@@ -348,8 +356,20 @@ def _upsert_file_scoped(
     except Exception:  # pragma: no cover - source without file metadata
         return False
 
+    src_keys = source.select(*keys).distinct()
+    key_rows = src_keys.limit(KEY_PUSHDOWN_CAP + 1).collect()
+    discovery = tagged
+    if len(key_rows) <= KEY_PUSHDOWN_CAP:
+        # small key set: push literal IN filters down to the scan so
+        # row-group stats prune files before any row is read.  Rows with
+        # a NULL key can never semi-join-match (null-unsafe equality),
+        # so excluding them from the IN list is safe.
+        for i, k in enumerate(keys):
+            vals = list({r[i] for r in key_rows if r[i] is not None})
+            if vals:
+                discovery = discovery.where(F.col(k).isin(vals))
     touched_files_df = (
-        tagged.join(source.select(*keys).distinct(), on=keys, how="left_semi")
+        discovery.join(src_keys, on=keys, how="left_semi")
         .select("__file")
         .distinct()
     )
