@@ -56,12 +56,13 @@ columns) — the majority-dialect behavior.
 
 Crash-safety: strategy 1 is a single atomic-enough append job; strategy 2
 commits through Spark's dynamic-overwrite protocol per partition;
-strategy 3 stages the new generation as dot-prefixed (listing-invisible)
-files, makes it visible with metadata-only renames, THEN deletes the old
-generation — a crash during the data copy leaves the table untouched; a
-crash inside the rename/delete window leaves transient duplicates of the
-matched rows (rollback = delete the interrupted generation's shared
-``cow-<hex>-`` prefix), never data loss;
+strategy 3 stages the new generation inside a listing-invisible
+``.cow_stage_*`` dir in the table location (same filesystem — no
+cross-FS copy), makes it visible with metadata-only renames, THEN
+deletes the old generation — a crash during the data write leaves the
+table untouched; a crash inside the rename/delete window leaves
+transient duplicates of the matched rows (rollback = delete the
+interrupted generation's shared ``cow-<hex>-`` prefix), never data loss;
 strategy 4 has a non-atomic DROP→RENAME window — a crash between the two
 statements leaves the merged data intact in the uniquely-named staging
 table (``<target>__astro_merge_<uuid>``) for manual recovery, and the
@@ -405,44 +406,41 @@ def _cow_swap_files(
     """Copy-on-write commit, shared by merge-update, DELETE, and UPDATE
     on unpartitioned parquet tables.
 
-    Protocol: (1) write ``result`` to a temp dir; (2) copy its
-    part-files into the table directory as DOT-PREFIXED names —
-    Spark/Hadoop listings skip files starting with ``.``, so the slow
-    data copy is invisible to readers and a crash during it leaves the
-    table untouched; (3) rename each dotfile visible (metadata-only
-    ops); (4) delete ``old_files``.  The non-atomic window is only the
-    rename/delete loop: a crash there shows transient duplicates of the
-    matched rows — never data loss — and every file of the interrupted
-    generation shares one ``cow-<hex>-`` prefix, so rollback is
-    "delete that prefix".  True single-statement atomicity needs a
-    transactional log (Delta/Iceberg)."""
-    import tempfile
-
-    staged_dir = tempfile.mkdtemp(prefix="astro_cow_")
-    result.write.mode("overwrite").parquet(staged_dir)
+    Protocol: (1) write ``result`` into a hidden ``.cow_stage_<hex>/``
+    subdirectory of the table location — Spark/Hadoop listings skip
+    dot-prefixed paths, so the data write is invisible to readers, it
+    lands on the SAME filesystem as the table (no cross-FS copy on
+    s3/hdfs), and a crash during it leaves the table untouched; (2)
+    rename each staged part-file into the table directory (metadata-only
+    ops, one per file); (3) delete ``old_files`` and the stage dir.  The
+    non-atomic window is only the rename/delete loop: a crash there
+    shows transient duplicates of the matched rows — never data loss —
+    and every file of the interrupted generation shares one
+    ``cow-<hex>-`` prefix, so rollback is "delete that prefix" (an
+    orphaned ``.cow_stage_*`` dir from a pre-rename crash is inert and
+    reclaimed by the next ``compact_table``/replace).  True
+    single-statement atomicity needs a transactional log
+    (Delta/Iceberg)."""
+    gen = uuid.uuid4().hex[:8]
+    stage_name = f".cow_stage_{gen}"
+    result.write.mode("overwrite").parquet(
+        location.rstrip("/") + "/" + stage_name
+    )
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
     dst_dir = HPath(location)
     fs = dst_dir.getFileSystem(hconf)
-    staged_path = HPath("file:" + staged_dir)
-    lfs = staged_path.getFileSystem(hconf)
-    prefix = f"cow-{uuid.uuid4().hex[:8]}"
-    hidden = []
-    for st in lfs.listStatus(staged_path):
+    staged_path = HPath(dst_dir, stage_name)
+    for st in fs.listStatus(staged_path):
         pname = st.getPath().getName()
         if not pname.startswith("part-"):
             continue
-        dst = HPath(dst_dir, f".{prefix}-{pname}")
-        FileUtil.copy(lfs, st.getPath(), fs, dst, True, hconf)
-        hidden.append((dst, HPath(dst_dir, f"{prefix}-{pname}")))
-    for src, dst in hidden:
-        fs.rename(src, dst)
+        fs.rename(st.getPath(), HPath(dst_dir, f"cow-{gen}-{pname}"))
     for f in sorted(old_files):
         fs.delete(HPath(f), False)
-    lfs.delete(staged_path, True)
+    fs.delete(staged_path, True)
     spark.catalog.refreshTable(name)
 
 
