@@ -1482,6 +1482,21 @@ def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports[0].unionByName(reports[1]).orderBy("method", "query_id")
 
 
+def _s_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS IVFPQ layout): coarse cell pruning by
+    centroid cosine (nprobe=2 of the label cells), PQ-ADC scan of only
+    the probed cells' code rows, exact re-rank of the shortlist.
+    Deterministic with the seeded PQ_BOOKS + integer-scaled centroids,
+    so the oracle replays cell ranking, ADC, and re-rank exactly."""
+    from astro_spark.functions.constants import PQ_BOOKS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, nprobe=2, shortlist=50
+    )
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2262,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_pq_topk": _s_pq_topk,
             "s_ivf_label_topk": _s_ivf_topk,
             "s_recall_report": _s_recall_report,
+            "s_ivf_pq_topk": _s_ivf_pq_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2299,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     "s_recall_report",
     "op_merge_exception",
+    "s_ivf_pq_topk",
     "op_dataframe_bridge",
     "op_check_column",
     "op_check_table",
@@ -2610,6 +2627,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_ivf_trained_topk": oracles.brute_topk_sql(),
             "s_pq_topk": oracles.pq_topk_sql(),
             "s_recall_report": oracles.recall_report_sql(),
+            "s_ivf_pq_topk": oracles.ivf_pq_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

@@ -691,24 +691,26 @@ def _pq_sub_dists(s: int, dsub: int) -> str:
     return "[" + ", ".join(dists) + "]"
 
 
-def pq_topk_sql(
-    table: str = "embeddings",
-    k: int = 5,
-    max_query_id: int = 5,
-    shortlist: int | None = None,
-) -> str:
-    """Mirrors similarity.pq_topk with the seeded PQ_BOOKS: encode each
-    corpus vector to per-subspace argmin-L2 codes, ADC-score against the
-    queries, shortlist by (adc DESC, id ASC), exact-cosine re-rank."""
-    from .constants import PQ_BOOKS, PQ_M, PQ_SHORTLIST
+def _pq_enc_cols() -> list[str]:
+    """``k0..k{m-1}`` argmin-L2 code columns over a vector column ``v``
+    — mirrors similarity.pq_encode with the seeded PQ_BOOKS."""
+    from .constants import PQ_BOOKS, PQ_M
 
-    if shortlist is None:
-        shortlist = PQ_SHORTLIST
     dsub = len(PQ_BOOKS[0][0])
-    enc_cols = []
+    cols = []
     for s in range(PQ_M):
         ds = _pq_sub_dists(s, dsub)
-        enc_cols.append(f"(list_position({ds}, list_min({ds})) - 1) AS k{s}")
+        cols.append(f"(list_position({ds}, list_min({ds})) - 1) AS k{s}")
+    return cols
+
+
+def _pq_adc_strs() -> tuple[str, str]:
+    """(approx-dot, reconstructed-squared-norm) ADC SQL over code
+    columns ``e.k{s}`` and query vector ``q.v`` — mirrors
+    similarity._adc_exprs fold-for-fold."""
+    from .constants import PQ_BOOKS, PQ_M
+
+    dsub = len(PQ_BOOKS[0][0])
     approx = "0.0::DOUBLE"
     recon = "0.0::DOUBLE"
     for s in range(PQ_M):
@@ -732,6 +734,24 @@ def pq_topk_sql(
         )
         approx = f"({approx} + {dot_s})"
         recon = f"({recon} + {sq_s})"
+    return approx, recon
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    max_query_id: int = 5,
+    shortlist: int | None = None,
+) -> str:
+    """Mirrors similarity.pq_topk with the seeded PQ_BOOKS: encode each
+    corpus vector to per-subspace argmin-L2 codes, ADC-score against the
+    queries, shortlist by (adc DESC, id ASC), exact-cosine re-rank."""
+    from .constants import PQ_SHORTLIST
+
+    if shortlist is None:
+        shortlist = PQ_SHORTLIST
+    enc_cols = _pq_enc_cols()
+    approx, recon = _pq_adc_strs()
     return f"""
 WITH c AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
@@ -742,6 +762,81 @@ scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          {approx} / sqrt({recon}) AS adc
   FROM enc e CROSS JOIN q WHERE e.vec_id != q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cosine('c.v', 'q.v')}, 4) AS cos_sim
+  FROM short s
+  JOIN c ON c.vec_id = s.neighbor_id
+  JOIN q ON q.vec_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    max_query_id: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> str:
+    """Mirrors similarity.ivf_pq_topk: integer-scaled label centroids →
+    per-query top-``nprobe`` cells by centroid cosine → ADC scoring of
+    only the probed cells' code rows → exact re-rank of the shortlist."""
+    from .constants import EMBEDDING_DIM
+
+    enc_cols = _pq_enc_cols()
+    approx, recon = _pq_adc_strs()
+    return f"""
+WITH c AS (
+  SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < {max_query_id}),
+cent_long AS (
+  SELECT label, i - 1 AS dim_idx,
+         round(CAST(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*), 6) AS centroid
+  FROM c, (SELECT unnest(range(1, {EMBEDDING_DIM} + 1)) AS i)
+  GROUP BY label, i
+),
+cents AS (
+  SELECT label, list(centroid ORDER BY dim_idx) AS cv FROM cent_long GROUP BY label
+),
+cell AS (
+  SELECT q.vec_id AS query_id, cents.label, {cosine('cents.cv', 'q.v')} AS cs
+  FROM q CROSS JOIN cents
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, label ASC) AS r
+    FROM cell
+  ) WHERE r <= {nprobe}
+),
+enc AS (SELECT label, vec_id, {", ".join(enc_cols)} FROM c),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, {approx} / sqrt({recon}) AS adc
+  FROM probed p
+  JOIN enc e ON e.label = p.label
+  JOIN q ON q.vec_id = p.query_id
+  WHERE e.vec_id != p.query_id
 ),
 short AS (
   SELECT query_id, neighbor_id FROM (

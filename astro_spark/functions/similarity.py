@@ -566,6 +566,35 @@ def _check_pq_dim(df: DataFrame, m: int, dsub: int, vec_col: str) -> None:
         )
 
 
+def _adc_exprs(books: list[list[list[float]]]) -> tuple[Column, Column]:
+    """(approx dot, reconstructed squared norm) ADC expressions over
+    columns ``qv`` (query vector) and ``pq_codes``: sum_s q_s ·
+    books[s][code_s] — JVM-side fold; the classic per-query LUT is an
+    engine micro-optimization of this same expression.  Shared by
+    ``pq_topk`` and ``ivf_pq_topk`` so their scoring is expression-
+    identical."""
+    m = len(books)
+    dsub = len(books[0][0])
+    approx = F.lit(0.0)
+    recon_sq = F.lit(0.0)
+    for s in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
+        )
+        cent = F.element_at(
+            book_lit,
+            (F.element_at(F.col("pq_codes"), s + 1) + F.lit(1)).cast("int"),
+        )
+        qs = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        approx = approx + F.aggregate(
+            F.zip_with(qs, cent, lambda a, b: a * b), F.lit(0.0), lambda x, y: x + y
+        )
+        recon_sq = recon_sq + F.aggregate(
+            cent, F.lit(0.0), lambda x, c2: x + c2 * c2
+        )
+    return approx, recon_sq
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -596,26 +625,7 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    # ADC approx dot: sum_s  q_s · books[s][code_s]   (JVM-side fold; the
-    # classic per-query LUT is an engine micro-optimization of this same
-    # expression)
-    approx = F.lit(0.0)
-    recon_sq = F.lit(0.0)
-    for s in range(m):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
-        )
-        cent = F.element_at(
-            book_lit,
-            (F.element_at(F.col("pq_codes"), s + 1) + F.lit(1)).cast("int"),
-        )
-        qs = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        approx = approx + F.aggregate(
-            F.zip_with(qs, cent, lambda a, b: a * b), F.lit(0.0), lambda x, y: x + y
-        )
-        recon_sq = recon_sq + F.aggregate(
-            cent, F.lit(0.0), lambda x, c2: x + c2 * c2
-        )
+    approx, recon_sq = _adc_exprs(books)
     scored = (
         codes.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
@@ -645,6 +655,112 @@ def pq_topk(
             "neighbor_id",
             F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def centroid_arrays(
+    corpus: DataFrame,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, cv) cell-centroid arrays from ``label_centroids``'s long
+    format — integer-scaled means rounded to 6dp, so both engines build
+    bit-identical centroid vectors."""
+    lc = label_centroids(corpus, partition_col, vec_col)
+    return lc.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cv")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    partition_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN — the production composite (FAISS ``IVFPQ`` layout):
+    coarse cell pruning THEN compact-code ADC scanning THEN exact
+    re-rank.
+
+    Phase 0 ranks cells per query by centroid cosine and keeps
+    ``nprobe`` of them (the coarse quantizer; cells here are the
+    pre-assigned ``partition_col``, swap in ``ivf_train`` assignments in
+    production).  Phase 1 ADC-scores ONLY the probed cells' code rows —
+    an equi-join on the cell id, so the scan cost is
+    nprobe/n_cells × the PQ-only scan and the corpus is never
+    broadcast.  Phase 2 exact-ranks the shortlist against raw vectors.
+    At 100 TB: corpus laid out partitioned by cell, codes 16× smaller
+    than vectors → each query touches nprobe partitions of a compact
+    table.  Deterministic with seeded books + label cells, so the
+    DuckDB oracle replays it value-for-value (``s_ivf_pq_topk``);
+    recall vs nprobe is graded by ``s_recall_report``'s pattern."""
+    cents = centroid_arrays(corpus, partition_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cell = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "label", cosine(F.col("cv"), F.col("qv")).alias("cs")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("label").asc()
+    )
+    probed = (
+        cell.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "label")
+    )
+
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    cand = corpus.select(
+        F.col(partition_col).alias("label"), F.col(id_col).alias("neighbor_id")
+    ).join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    approx, recon_sq = _adc_exprs(books)
+    scored = (
+        probed.join(cand, "label")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (approx / F.sqrt(recon_sq)).alias("adc_score"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .where(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = short.join(c, "neighbor_id").join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

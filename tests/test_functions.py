@@ -533,6 +533,33 @@ class TestSimilarity:
         }
         assert len(got & exact) / len(exact) >= 0.5
 
+    def test_ivf_pq_full_probe_full_shortlist_equals_brute(self, spark, emb):
+        """With nprobe = n_cells and an unbounded shortlist, IVF-PQ's
+        exact re-rank sees every candidate exactly once → the result
+        EQUALS brute force (cell pruning and ADC only ever shrink the
+        candidate set, never re-score survivors)."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        q = emb.where("vec_id < 5")
+        n_cells = emb.select("label").distinct().count()
+        exact = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in similarity.brute_force_topk(emb, q, k=5).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in similarity.ivf_pq_topk(
+                emb, q, books=PQ_BOOKS, k=5, nprobe=n_cells, shortlist=10**9
+            ).collect()
+        }
+        assert got == exact
+        # partial probe: still k rows per query, subset quality graded
+        # by the recall-report pattern
+        part = similarity.ivf_pq_topk(emb, q, books=PQ_BOOKS, k=5, nprobe=1)
+        counts = {r.query_id: r.n for r in part.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert all(v == 5 for v in counts.values())
+
     def test_cosine_dup_pairs_exact_superset_of_lsh(self, emb):
         # exact all-pairs must contain every LSH pair (same threshold);
         # same-bucket is a candidate filter, never a score changer
