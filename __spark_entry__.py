@@ -1456,6 +1456,9 @@ def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, q, books=PQ_BOOKS, k=k, shortlist=10, np_encode=True
         ),
         "ivf_label": similarity.partitioned_topk(emb, q, k=k),
+        "ivf_pq": similarity.ivf_pq_topk(
+            emb, q, books=PQ_BOOKS, k=k, nprobe=2, shortlist=10, np_encode=True
+        ),
     }
     qids = exact.select("query_id").distinct()
     reports = []
@@ -1479,7 +1482,10 @@ def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall_at_k"),
             )
         )
-    return reports[0].unionByName(reports[1]).orderBy("method", "query_id")
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("method", "query_id")
 
 
 def _s_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,7 +1499,8 @@ def _s_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
-        emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, nprobe=2, shortlist=50
+        emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, nprobe=2,
+        shortlist=50, np_encode=True,
     )
 
 

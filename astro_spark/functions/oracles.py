@@ -877,15 +877,21 @@ def recall_report_sql(
     exact = brute_topk_sql(table, k=k, max_query_id=max_query_id)
     pq = pq_topk_sql(table, k=k, max_query_id=max_query_id, shortlist=pq_shortlist)
     ivf = partitioned_topk_sql(table, k=k, max_query_id=max_query_id)
+    ivfpq = ivf_pq_topk_sql(
+        table, k=k, max_query_id=max_query_id, nprobe=2, shortlist=pq_shortlist
+    )
     return f"""
 WITH exact_r AS ({exact}),
 pq_r AS ({pq}),
 ivf_r AS ({ivf}),
+ivfpq_r AS ({ivfpq}),
 qids AS (SELECT DISTINCT query_id FROM exact_r),
 methods AS (
   SELECT 'pq' AS method, query_id, neighbor_id FROM pq_r
   UNION ALL
   SELECT 'ivf_label' AS method, query_id, neighbor_id FROM ivf_r
+  UNION ALL
+  SELECT 'ivf_pq' AS method, query_id, neighbor_id FROM ivfpq_r
 ),
 hits AS (
   SELECT m.method, m.query_id, COUNT(*)::BIGINT AS n_hits
@@ -896,7 +902,7 @@ hits AS (
 SELECT mq.method, mq.query_id,
        COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
        round(COALESCE(h.n_hits, 0) / {k}.0, 4)::DOUBLE AS recall_at_k
-FROM (SELECT m, query_id FROM (VALUES ('pq'), ('ivf_label')) v(m)
+FROM (SELECT m, query_id FROM (VALUES ('pq'), ('ivf_label'), ('ivf_pq')) v(m)
       CROSS JOIN qids) mq(method, query_id)
 LEFT JOIN hits h ON h.method = mq.method AND h.query_id = mq.query_id
 """

@@ -698,6 +698,7 @@ def ivf_pq_topk(
     partition_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    np_encode: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN — the production composite (FAISS ``IVFPQ`` layout):
     coarse cell pruning THEN compact-code ADC scanning THEN exact
@@ -731,7 +732,8 @@ def ivf_pq_topk(
         .select("query_id", "label")
     )
 
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    encode = pq_encode_np if np_encode else pq_encode
+    codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
     cand = corpus.select(
         F.col(partition_col).alias("label"), F.col(id_col).alias("neighbor_id")
     ).join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")

@@ -418,9 +418,12 @@ def _cow_swap_files(
     and every file of the interrupted generation shares one
     ``cow-<hex>-`` prefix, so rollback is "delete that prefix" (an
     orphaned ``.cow_stage_*`` dir from a pre-rename crash is inert and
-    reclaimed by the next ``compact_table``/replace).  True
-    single-statement atomicity needs a transactional log
-    (Delta/Iceberg)."""
+    reclaimed by the next ``compact_table``/replace).  CONCURRENT
+    writers on the same table need external coordination — two COW
+    commits that delete overlapping old files race (the same limitation
+    every non-transactional parquet table has; Delta/Iceberg solve it
+    with the commit log).  True single-statement atomicity needs a
+    transactional log (Delta/Iceberg)."""
     gen = uuid.uuid4().hex[:8]
     stage_name = f".cow_stage_{gen}"
     result.write.mode("overwrite").parquet(

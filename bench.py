@@ -42,6 +42,7 @@ HEADLINE = [
     "dd_clusters",
     "s_brute_topk",
     "s_pq_topk",
+    "s_ivf_pq_topk",
     "s_recall_report",
     "s_lsh_pairs",
     "dd_decontaminate",
