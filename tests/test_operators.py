@@ -574,6 +574,48 @@ class TestRuntimeBloomFilter:
                     spark.conf.set(k, v)
 
 
+class TestAQESkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """AQE's runtime skew-join split — the no-code-change complement
+        to the explicit salted_join.  Locally the 256 MB skew threshold
+        must be lowered; at 100 TB a genuinely hot key crosses it
+        naturally and AQE splits the partition into parallel subtasks
+        (the executed SortMergeJoin is marked skew=true)."""
+        confs = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # one hot key carrying ~98% of left rows + a flat tail
+            left = spark.range(300_000).select(
+                F.when(F.col("id") % 50 < 49, F.lit(7)).otherwise(F.col("id") % 97)
+                .alias("k"),
+                F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+            )
+            right = spark.range(97).select(F.col("id").alias("k"),
+                                           F.col("id").alias("v"))
+            j = left.join(right, "k")
+            # execute j's own plan (count() wraps a different one) so the
+            # adaptive plan finalizes, then read the final shape
+            assert len(j.collect()) == 300_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestHistogramQuantiles:
     def test_estimate_within_one_bin_of_exact(self, spark):
         """Histogram quantile lands within one bin width of the exact
