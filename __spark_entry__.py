@@ -1365,6 +1365,14 @@ def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs, docs.select("doc_id"))
 
 
+def _dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: duplicated 8-token windows excised from every
+    document except the lowest-id keeper; text rebuilt from kept tokens.
+    The write-path twin of dd_spans (which only counts)."""
+    _views(spark, sf_dir)
+    return dedup.remove_duplicate_spans(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_embedding_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-matmul exact cosine all-pairs (the wall-clock twin of the
     fold baseline; ids only — numpy summation order makes the similarity
@@ -2268,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
             "dd_spans": _dd_spans,
+            "dd_span_removal": _dd_span_removal,
             "dd_minhash_est": _dd_minhash_est,
             "dd_normalized": _dd_normalized,
             "dd_incremental": _dd_incremental,
@@ -2323,6 +2332,7 @@ _DRIVER_PRIORITY = [
     "s_recall_report",
     "op_merge_exception",
     "s_ivf_pq_topk",
+    "dd_span_removal",
     "op_dataframe_bridge",
     "op_check_column",
     "op_check_table",
@@ -2595,6 +2605,7 @@ ORDER BY o_orderkey, diff_status
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "dd_spans": oracles.span_dedup_sql(),
+            "dd_span_removal": oracles.span_removal_sql(),
             "dd_minhash_est": oracles.minhash_estimates_sql(),
             "t_token_counts": oracles.token_counts_sql(),
             "t_hash_split": _T_HASH_SPLIT_DUCK,

@@ -727,6 +727,69 @@ def exact_span_dedup(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = None,
+    min_docs: int = None,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the write path of ``exact_span_dedup``):
+    rewrite each document with every duplicated w-token window excised,
+    keeping the one copy in the lowest-id document that contains it
+    (keep-first — Lee et al. 2022 keep one occurrence).
+
+    Returns (id, clean_text, n_tokens_removed).  ``clean_text`` is
+    whitespace-normalized (single spaces) — the reconstruction joins the
+    kept tokens.  Trailing partial windows are never removed (they were
+    never hashed).
+
+    Scale design: same linear layout as the finder — window hashes are
+    one BIGINT each, the dup set (span hash → keeper doc) is tiny for
+    mostly-clean corpora and AQE broadcasts it, and the per-doc bad-
+    window sets ride one groupBy.  The rebuild is a map-only
+    higher-order filter over the token array — no Python, no second
+    text shuffle.
+    """
+    from .constants import SPAN_MIN_DOCS, SPAN_W
+
+    w = w or SPAN_W
+    min_docs = min_docs or SPAN_MIN_DOCS
+    spans = df.select(
+        F.col(id_col), span_hash_array(F.col(text_col), w).alias("__spans")
+    )
+    win = spans.select(id_col, F.posexplode("__spans").alias("__i", "__h"))
+    dup = (
+        win.groupBy("__h")
+        .agg(
+            F.count_distinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", "__keeper")
+    )
+    bad = (
+        win.join(dup, "__h")
+        .where(F.col(id_col) != F.col("__keeper"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__i").alias("__bad"))
+    )
+    toks = tokens(F.col(text_col))
+    badc = F.coalesce(F.col("__bad"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.array_contains(badc, (j / F.lit(w)).cast("int")),
+    )
+    return (
+        df.join(bad, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
 def minhash_jaccard_estimates(
     df: DataFrame,
     text_col: str = "text",

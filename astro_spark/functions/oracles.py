@@ -641,6 +641,53 @@ ORDER BY p.doc_id
 """
 
 
+def span_removal_sql(
+    table: str = "documents", w: int = SPAN_W, min_docs: int = SPAN_MIN_DOCS
+) -> str:
+    """Mirrors dedup.remove_duplicate_spans: duplicated w-token windows
+    excised everywhere except the lowest-id document containing them;
+    text rebuilt from the kept tokens (whitespace-normalized)."""
+    th = f"list_transform({tokens('text')}, t -> {poly_hash('t', MULT1)})"
+    spans = (
+        f"list_transform(range(1, (len(th) // {w}) + 1), "
+        f"i -> list_reduce(list_prepend(0::BIGINT, "
+        f"list_slice(th, (i - 1) * {w} + 1, (i - 1) * {w} + {w})), "
+        f"(a, b) -> (a * {MULT2} + b) % {P31}))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {tokens('text')} AS toks, {th} AS th FROM {table}),
+per_doc AS (SELECT doc_id, toks, {spans} AS spans FROM tok),
+sp AS (
+  SELECT doc_id, unnest(spans) AS h,
+         unnest(range(1, len(spans) + 1)) - 1 AS wi
+  FROM per_doc
+),
+dup AS (
+  SELECT h, min(doc_id) AS keeper FROM sp
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+bad AS (
+  SELECT sp.doc_id, list(sp.wi) AS bad
+  FROM sp JOIN dup USING (h) WHERE sp.doc_id != dup.keeper
+  GROUP BY sp.doc_id
+),
+clean AS (
+  SELECT p.doc_id,
+         list_transform(
+           list_filter(range(1, len(p.toks) + 1),
+                       j -> NOT list_contains(COALESCE(b.bad, []::BIGINT[]),
+                                              (j - 1) // {w})),
+           j -> p.toks[j]) AS kept,
+         len(p.toks) AS n
+  FROM per_doc p LEFT JOIN bad b USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       (n - len(kept))::BIGINT AS n_tokens_removed
+FROM clean
+"""
+
+
 def classify_quality_sql(table: str = "documents") -> str:
     """Mirrors text.classify_quality: hashed-BoW linear score with the
     shared seeded weight table."""

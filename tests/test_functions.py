@@ -420,6 +420,28 @@ class TestDedup:
         assert pairs == {(1, 2): 0.5}
 
 
+class TestSpanRemoval:
+    def test_remove_duplicate_spans_keep_first(self, spark):
+        """Duplicated windows are excised everywhere except the lowest-id
+        keeper; partial trailing windows survive; a fully-duplicated doc
+        collapses to empty text."""
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d x y z"),          # w0=abcd (keeper), partial xyz
+                (2, "a b c d p q r s"),        # w0=abcd (dup), w1=pqrs (keeper)
+                (3, "p q r s a b c d"),        # both windows duplicated
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: (r.clean_text, r.n_tokens_removed)
+            for r in dedup.remove_duplicate_spans(df, w=4, min_docs=2).collect()
+        }
+        assert out[1] == ("a b c d x y z", 0)
+        assert out[2] == ("p q r s", 4)
+        assert out[3] == ("", 8)
+
+
 class TestHotBucketCap:
     def test_lsh_hot_bucket_cap(self, spark):
         """A boilerplate flood puts O(n) docs in one LSH bucket → O(n²)
