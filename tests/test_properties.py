@@ -199,6 +199,47 @@ class TestPartitionScopedMergeProperties:
         assert results["part"] == results["flat"], (results, tgt, src)
 
 
+class TestSpanRemovalProperties:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=20),
+            min_size=1, max_size=6,
+        ),
+        w=st.integers(2, 4),
+    )
+    def test_matches_naive_model(self, spark, docs, w):
+        """remove_duplicate_spans equals a dict-based reference model:
+        keep-first on the lowest doc id, partial windows always kept."""
+        from astro_spark.functions.dedup import remove_duplicate_spans
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens_removed)
+            for r in remove_duplicate_spans(df, w=w, min_docs=2).collect()
+        }
+        # model: span -> sorted doc ids containing it (token-tuple equality)
+        # NOTE: tokens("") yields one empty token (split semantics) — mirror it
+        toks_by_doc = {i: " ".join(t).split(" ") for i, t in enumerate(docs)}
+        spans: dict[tuple, list[int]] = {}
+        for i, toks in toks_by_doc.items():
+            for wi in range(len(toks) // w):
+                spans.setdefault(tuple(toks[wi * w:(wi + 1) * w]), []).append(i)
+        for i, toks in toks_by_doc.items():
+            kept = []
+            for j, t in enumerate(toks):
+                wi = j // w
+                if wi < len(toks) // w:
+                    span = tuple(toks[wi * w:(wi + 1) * w])
+                    holders = sorted(set(spans[span]))
+                    if len(holders) >= 2 and i != holders[0]:
+                        continue
+                kept.append(t)
+            expect = (" ".join(kept), len(toks) - len(kept))
+            assert got[i] == expect, (i, got[i], expect, toks)
+
+
 class TestShardingProperties:
     ids = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
 
