@@ -36,6 +36,7 @@ HEADLINE = [
     "op_load_export_roundtrip",
     "dd_exact",
     "dd_spans",
+    "dd_span_removal",
     "dd_minhash_lsh",
     "dd_simhash",
     "dd_ngram_jaccard",
