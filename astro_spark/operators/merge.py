@@ -30,9 +30,14 @@ semantics:
    directory, then delete the old generation.  Cost O(|touched files| +
    one key-column scan) — at 100 TB a 1-row update rewrites one file,
    not the table.  Untouched files keep their original paths.
+3b. **File-scoped copy-on-write, partitioned** (``update`` on a
+   partitioned target whose source carries NO partition columns):
+   matched rows keep their target partition values and cannot move, so
+   the touched files rewrite in place inside their partition
+   directories and new keys append through ``insertInto``.
 4. **Staged full swap** (last resort: non-parquet provider, touched-file
-   set over the cap, or a partitioned target whose source lacks the
-   partition columns): write the full merged result to a uniquely-named
+   set over the cap, or a partitioned target whose source carries only
+   SOME of the partition columns): write the full merged result to a uniquely-named
    staging table, then DROP old + RENAME staging.  This is the only
    strategy that rewrites the whole target — on a Delta/Iceberg-enabled
    cluster replace it with the catalog's native row-level ``MERGE INTO``.
@@ -185,8 +190,17 @@ def merge(
             spark, target, source, keys, target_table, part_cols
         ):
             return target_table
-    if not part_cols and _upsert_file_scoped(spark, source, keys, target_table):
-        return target_table
+    if not part_cols:
+        if _upsert_file_scoped(spark, source, keys, target_table):
+            return target_table
+    elif not any(p in source.columns for p in part_cols):
+        # source carries NO partition columns → matched rows keep their
+        # target partition values and cannot move: file-scoped COW is
+        # safe inside the existing partition directories
+        if _upsert_file_scoped_partitioned(
+            spark, source, keys, target_table, part_cols
+        ):
+            return target_table
     result = _upsert(target, source, keys)
     _swap_table(spark, result, target_table)
     return target_table
@@ -384,6 +398,122 @@ def _upsert_file_scoped(
         touched_target = tgt.where(F.lit(False))
     result = _align(_upsert(touched_target, source, keys).select(*tbl_cols), tgt)
     _cow_swap_files(spark, name, location, files, result)
+    return True
+
+
+def _upsert_file_scoped_partitioned(
+    spark: SparkSession,
+    source: DataFrame,
+    keys: list[str],
+    target_table: Table,
+    part_cols: list[str],
+) -> bool:
+    """update strategy 3b: copy-on-write on a PARTITIONED target whose
+    source lacks the partition columns (the case strategy 2 cannot
+    handle — it needs the touched-partition set from the source).
+
+    Matched rows keep their target partition values (unmapped columns
+    keep target), so every rewritten row lands back in a partition
+    directory that already exists and is registered: the staged rewrite
+    is written ``partitionBy(part_cols)`` into a hidden stage dir and
+    its files move into the matching partition directories.  Inserts
+    (source keys with no match) take NULL partition values and go
+    through a normal dynamic-partition ``insertInto`` append, which
+    registers their partition.  Cost O(touched files + |inserts|) — the
+    path that previously rewrote the whole table via the staged swap.
+
+    Crash semantics: the stage write and the insert append both read the
+    old generation, so they run BEFORE any old file is deleted; a crash
+    between the insert append and the rename/delete loop leaves inserts
+    applied but updates not (re-running the merge completes them), and
+    a crash inside the loop mirrors strategy 3's transient-duplicate
+    window.
+    """
+    name = target_table.qualified_name
+    location = _parquet_location(spark, name)
+    if location is None:
+        return False
+
+    tgt = spark.table(name)
+    tbl_cols = tgt.columns
+    try:
+        tagged = tgt.select(
+            *tbl_cols, F.col("_metadata.file_path").alias("__file")
+        )
+    except Exception:  # pragma: no cover - source without file metadata
+        return False
+
+    src_keys = source.select(*keys).distinct()
+    key_rows = src_keys.limit(KEY_PUSHDOWN_CAP + 1).collect()
+    discovery = tagged
+    if len(key_rows) <= KEY_PUSHDOWN_CAP:
+        for i, k in enumerate(keys):
+            vals = list({r[i] for r in key_rows if r[i] is not None})
+            if vals:
+                discovery = discovery.where(F.col(k).isin(vals))
+    files = [
+        r[0]
+        for r in discovery.join(src_keys, on=keys, how="left_semi")
+        .select("__file")
+        .distinct()
+        .limit(MAX_TOUCHED_FILES + 1)
+        .collect()
+    ]
+    if len(files) > MAX_TOUCHED_FILES:
+        return False
+
+    touched = (
+        tagged.where(F.col("__file").isin(files)).drop("__file")
+        if files
+        else tgt.where(F.lit(False))
+    )
+    # split the source: matches rewrite in place, inserts append
+    matched_src = source.join(
+        touched.select(*keys).distinct(), on=keys, how="left_semi"
+    )
+    inserts = source.join(
+        touched.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    rewrite = _align(_upsert(touched, matched_src, keys).select(*tbl_cols), tgt)
+
+    gen = uuid.uuid4().hex[:8]
+    stage_name = f".cow_stage_{gen}"
+    if files:
+        # partitionBy routes each rewritten row to its (existing)
+        # partition's subdirectory inside the hidden stage dir.  The
+        # stage write AND the insert append both read the OLD generation,
+        # so they must complete before any old file is deleted.
+        rewrite.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            location.rstrip("/") + "/" + stage_name
+        )
+    if inserts.limit(1).count() > 0:
+        aligned = _align(inserts, tgt)
+        aligned.select(*spark.table(name).columns).write.mode("append").insertInto(
+            name
+        )
+    if files:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        dst_dir = HPath(location)
+        fs = dst_dir.getFileSystem(hconf)
+        staged_path = HPath(dst_dir, stage_name)
+        stage_uri = staged_path.toUri().getPath()
+        it = fs.listFiles(staged_path, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            if not p.getName().startswith("part-"):
+                continue
+            rel = p.toUri().getPath()[len(stage_uri):].lstrip("/")
+            rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            out_dir = HPath(dst_dir, rel_dir) if rel_dir else dst_dir
+            fs.mkdirs(out_dir)
+            fs.rename(p, HPath(out_dir, f"cow-{gen}-{p.getName()}"))
+        for f in sorted(files):
+            fs.delete(HPath(f), False)
+        fs.delete(staged_path, True)
+    spark.catalog.refreshTable(name)
     return True
 
 

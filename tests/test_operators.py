@@ -280,21 +280,31 @@ class TestAppendMerge:
             assert spark.table("mz_tgt").count() == 5
 
     def test_merge_update_partitioned_without_part_col_in_source(self, spark):
-        """Source lacking the partition column falls back to the full
-        swap and still merges correctly (unmapped cols keep target)."""
+        """Source lacking the partition column: matched rows cannot move
+        partitions, so the merge is file-scoped copy-on-write INSIDE the
+        partition dirs — untouched files keep their paths — and new keys
+        append (NULL partition)."""
         spark.sql("DROP TABLE IF EXISTS mf_tgt")
         spark.sql("DROP TABLE IF EXISTS mf_src")
         spark.sql(
             "SELECT id AS k, CAST(id % 2 AS STRING) AS p, id * 10 AS v FROM range(6)"
-        ).write.partitionBy("p").format("parquet").saveAsTable("mf_tgt")
-        spark.sql("SELECT 2 AS k, 999 AS v").write.format("parquet").saveAsTable(
-            "mf_src"
+        ).repartition(3, "k").write.partitionBy("p").format("parquet").saveAsTable(
+            "mf_tgt"
         )
+        before = set(spark.table("mf_tgt").inputFiles())
+        spark.sql(
+            "SELECT 2 AS k, 999 AS v UNION ALL SELECT 100 AS k, 1 AS v"
+        ).write.format("parquet").saveAsTable("mf_src")
         a.merge(spark, a.Table("mf_src"), a.Table("mf_tgt"), ["k"],
                 if_conflicts="update")
         got = {r.k: (r.p, r.v) for r in spark.table("mf_tgt").collect()}
         assert got[2] == ("0", 999) and got[3] == ("1", 30)
-        assert len(got) == 6
+        assert got[100] == (None, 1)  # insert without partition value
+        assert len(got) == 7
+        after = set(spark.table("mf_tgt").inputFiles())
+        # only the file(s) containing k=2 were rewritten
+        assert len(before - after) >= 1
+        assert len(before & after) >= 1
 
     def test_merge_ignore_appends_without_rewrite(self, spark, sf_dir):
         """ignore never rewrites the target: pre-existing files survive."""
