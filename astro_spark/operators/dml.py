@@ -6,17 +6,22 @@ parquet has no row-level ops, so these are emulated.
 
 Physical strategy (mirrors the merge operator's ladder):
 
-1. **File-scoped copy-on-write** (unpartitioned parquet tables): find
-   the data files containing ≥1 row matching the condition
-   (``_metadata.file_path`` scan — parquet row-group stats prune files
-   whose min/max exclude the predicate), rewrite ONLY those files, move
-   the new generation in, delete the old.  A selective DELETE on 100 TB
-   rewrites the matching files, not the table.  Untouched files keep
-   their paths (pinned by ``test_delete_file_scoped``).
-2. **Staged swap** (partitioned tables, non-parquet providers, or a
-   touched-file set over the cap): full rewrite through a staging
-   table + rename — readers never observe a half-applied change.  On
-   Delta/Iceberg swap these bodies for ``DELETE FROM``/``UPDATE`` SQL.
+1. **File-scoped copy-on-write** (parquet tables, partitioned or not):
+   find the data files containing ≥1 row matching the condition
+   (``_metadata.file_path`` scan — parquet row-group stats and
+   partition pruning cut the discovery), rewrite ONLY those files in
+   place (inside their partition directories when partitioned), move
+   the new generation in, delete the old.  A selective DELETE on
+   100 TB rewrites the matching files, not the table.  Untouched files
+   keep their paths (pinned by ``test_delete_file_scoped`` /
+   ``test_partitioned_dml_file_scoped``).  DELETE never moves rows
+   between partitions; UPDATE takes this path only when ``set_map``
+   touches no partition column (otherwise rows could move).
+2. **Staged swap** (non-parquet providers, a touched-file set over the
+   cap, or an UPDATE rewriting a partition column): full rewrite
+   through a staging table + rename — readers never observe a
+   half-applied change.  On Delta/Iceberg swap these bodies for
+   ``DELETE FROM``/``UPDATE`` SQL.
 
 Condition strings are Spark SQL expressions evaluated against the
 table's columns (identifier-guarded callers should prefer Column
@@ -31,6 +36,8 @@ from pyspark.sql import functions as F
 from ..table import Table
 from .merge import (
     MAX_TOUCHED_FILES,
+    _cow_commit_partitioned,
+    _cow_stage_partitioned,
     _cow_swap_files,
     _parquet_location,
     _partition_columns,
@@ -47,11 +54,10 @@ def _touched_files(
 ) -> tuple[str | None, list[str] | None, DataFrame | None]:
     """(location, touched file list, metadata-tagged frame) for a
     file-scoped rewrite, or (None, None, None) when ineligible:
-    partitioned target, non-parquet provider, no file metadata, or a
-    touched set over ``MAX_TOUCHED_FILES``."""
+    non-parquet provider, no file metadata, or a touched set over
+    ``MAX_TOUCHED_FILES``.  Partitioned tables are eligible — the
+    caller decides whether rows can move partitions."""
     name = t.qualified_name
-    if _partition_columns(spark, t):
-        return None, None, None
     location = _parquet_location(spark, name)
     if location is None:
         return None, None, None
@@ -88,15 +94,33 @@ def delete_rows(
     n = df.where(cond).count()
     if n == 0:
         return 0
+    # DELETE never moves a row between partitions → file-scoped COW is
+    # safe on partitioned and unpartitioned tables alike
     location, files, tagged = _touched_files(spark, t, cond)
     if files is not None:
         keep = (
             tagged.where(F.col("__file").isin(files)).where(~cond).drop("__file")
         )
-        _cow_swap_files(spark, t.qualified_name, location, files, keep)
+        _commit_cow(spark, t, location, files, keep)
         return n
     _swap_table(spark, df.where(~cond), t)
     return n
+
+
+def _commit_cow(
+    spark: SparkSession,
+    t: Table,
+    location: str,
+    files: list[str],
+    result: DataFrame,
+) -> None:
+    part_cols = _partition_columns(spark, t)
+    if part_cols:
+        staged = _cow_stage_partitioned(spark, location, part_cols, result)
+        _cow_commit_partitioned(spark, location, files, staged)
+        spark.catalog.refreshTable(t.qualified_name)
+    else:
+        _cow_swap_files(spark, t.qualified_name, location, files, result)
 
 
 def update_rows(
@@ -133,10 +157,14 @@ def update_rows(
             ]
         )
 
-    location, files, tagged = _touched_files(spark, t, cond)
-    if files is not None:
-        touched = tagged.where(F.col("__file").isin(files)).drop("__file")
-        _cow_swap_files(spark, t.qualified_name, location, files, _apply(touched))
-        return n
+    # UPDATE can move rows between partitions only when the set_map
+    # touches a partition column — COW is safe otherwise
+    part_cols = set(_partition_columns(spark, t))
+    if not (part_cols & set(set_map)):
+        location, files, tagged = _touched_files(spark, t, cond)
+        if files is not None:
+            touched = tagged.where(F.col("__file").isin(files)).drop("__file")
+            _commit_cow(spark, t, location, files, _apply(touched))
+            return n
     _swap_table(spark, _apply(df), t)
     return n

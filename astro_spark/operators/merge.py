@@ -476,45 +476,65 @@ def _upsert_file_scoped_partitioned(
     )
     rewrite = _align(_upsert(touched, matched_src, keys).select(*tbl_cols), tgt)
 
-    gen = uuid.uuid4().hex[:8]
-    stage_name = f".cow_stage_{gen}"
     if files:
-        # partitionBy routes each rewritten row to its (existing)
-        # partition's subdirectory inside the hidden stage dir.  The
-        # stage write AND the insert append both read the OLD generation,
-        # so they must complete before any old file is deleted.
-        rewrite.write.mode("overwrite").partitionBy(*part_cols).parquet(
-            location.rstrip("/") + "/" + stage_name
-        )
+        # The stage write AND the insert append both read the OLD
+        # generation, so the stage completes before any old file is
+        # deleted; the insert append runs between stage and commit.
+        staged = _cow_stage_partitioned(spark, location, part_cols, rewrite)
     if inserts.limit(1).count() > 0:
         aligned = _align(inserts, tgt)
         aligned.select(*spark.table(name).columns).write.mode("append").insertInto(
             name
         )
     if files:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        dst_dir = HPath(location)
-        fs = dst_dir.getFileSystem(hconf)
-        staged_path = HPath(dst_dir, stage_name)
-        stage_uri = staged_path.toUri().getPath()
-        it = fs.listFiles(staged_path, True)
-        while it.hasNext():
-            st = it.next()
-            p = st.getPath()
-            if not p.getName().startswith("part-"):
-                continue
-            rel = p.toUri().getPath()[len(stage_uri):].lstrip("/")
-            rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
-            out_dir = HPath(dst_dir, rel_dir) if rel_dir else dst_dir
-            fs.mkdirs(out_dir)
-            fs.rename(p, HPath(out_dir, f"cow-{gen}-{p.getName()}"))
-        for f in sorted(files):
-            fs.delete(HPath(f), False)
-        fs.delete(staged_path, True)
+        _cow_commit_partitioned(spark, location, files, staged)
     spark.catalog.refreshTable(name)
     return True
+
+
+def _cow_stage_partitioned(
+    spark: SparkSession, location: str, part_cols: list[str], result: DataFrame
+) -> str:
+    """Write ``result`` partitioned into a hidden ``.cow_stage_<hex>``
+    dir inside the table location (listing-invisible, same filesystem);
+    partitionBy routes each row to its partition's subdirectory.
+    Returns the stage dir name for ``_cow_commit_partitioned``."""
+    stage_name = f".cow_stage_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        location.rstrip("/") + "/" + stage_name
+    )
+    return stage_name
+
+
+def _cow_commit_partitioned(
+    spark: SparkSession, location: str, old_files: list[str], stage_name: str
+) -> None:
+    """Metadata-rename every staged part-file into its matching
+    partition directory (created if missing), then delete the old
+    generation and the stage dir.  Same crash window as the flat COW
+    commit: only the rename/delete loop."""
+    gen = stage_name.rsplit("_", 1)[-1]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dst_dir = HPath(location)
+    fs = dst_dir.getFileSystem(hconf)
+    staged_path = HPath(dst_dir, stage_name)
+    stage_uri = staged_path.toUri().getPath()
+    it = fs.listFiles(staged_path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if not p.getName().startswith("part-"):
+            continue
+        rel = p.toUri().getPath()[len(stage_uri):].lstrip("/")
+        rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        out_dir = HPath(dst_dir, rel_dir) if rel_dir else dst_dir
+        fs.mkdirs(out_dir)
+        fs.rename(p, HPath(out_dir, f"cow-{gen}-{p.getName()}"))
+    for f in sorted(old_files):
+        fs.delete(HPath(f), False)
+    fs.delete(staged_path, True)
 
 
 def _parquet_location(spark: SparkSession, name: str) -> str | None:

@@ -1027,6 +1027,41 @@ class TestDML:
         assert len(before2 & set(spark.table("dml_cow").inputFiles())) == len(before2) - 1
         spark.sql("DROP TABLE dml_cow")
 
+    def test_partitioned_dml_file_scoped(self, spark):
+        """DELETE and non-partition-column UPDATE on a PARTITIONED table
+        rewrite only the touched files inside their partition dirs;
+        an UPDATE that rewrites the partition column falls back to the
+        swap (rows could move)."""
+        spark.sql("DROP TABLE IF EXISTS dmlp")
+        spark.sql(
+            "SELECT id AS k, CAST(id % 3 AS STRING) AS p, id * 10 AS v "
+            "FROM range(900)"
+        ).repartition(2, "k").write.partitionBy("p").format("parquet") \
+            .saveAsTable("dmlp")
+        before = set(spark.table("dmlp").inputFiles())
+        # predicate confined to partition p=1 → only its files rewritten
+        n = a.delete_rows(spark, a.Table("dmlp", temp=False),
+                          "p = '1' AND k < 100")
+        assert n == 33
+        after = set(spark.table("dmlp").inputFiles())
+        untouched = {f for f in before if "p=0" in f or "p=2" in f}
+        assert untouched <= after
+        assert spark.table("dmlp").count() == 867
+        # UPDATE of a data column: still file-scoped
+        before2 = set(spark.table("dmlp").inputFiles())
+        n2 = a.update_rows(spark, a.Table("dmlp", temp=False),
+                           {"v": "v + 1"}, "p = '2' AND k < 50")
+        assert n2 == 16
+        after2 = set(spark.table("dmlp").inputFiles())
+        assert {f for f in before2 if "p=0" in f or "p=1" in f} <= after2
+        # UPDATE touching the partition column: correct via swap fallback
+        n3 = a.update_rows(spark, a.Table("dmlp", temp=False),
+                           {"p": "'9'"}, "k = 500")
+        assert n3 == 1
+        assert spark.table("dmlp").where("k = 500").collect()[0].p == "9"
+        assert spark.table("dmlp").count() == 867
+        spark.sql("DROP TABLE dmlp")
+
     def test_delete_rows(self, spark, sf_dir):
         t = a.Table("dml_nation", temp=False)
         a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
