@@ -268,6 +268,33 @@ class TestAppendMerge:
         a.merge(spark, a.Table("ms2_src"), a.Table("ms2_tgt"), ["r_regionkey"])
         assert spark.table("ms2_tgt").count() == 7
 
+    def test_compact_reclaims_cow_generations(self, spark):
+        """The documented maintenance loop: repeated small COW merges
+        accumulate cow-* files; compact_table rewrites them into a few
+        right-sized files with values intact."""
+        from astro_spark.operators.catalog import compact_table
+
+        spark.sql("DROP TABLE IF EXISTS mcc_tgt")
+        spark.sql("SELECT id AS k, id AS v FROM range(1000)").repartitionByRange(
+            4, "k"
+        ).write.format("parquet").saveAsTable("mcc_tgt")
+        for i in range(3):
+            spark.sql(f"DROP TABLE IF EXISTS mcc_src{i}")
+            spark.sql(
+                f"SELECT {i * 300 + 5} AS k, {1000 + i} AS v"
+            ).write.format("parquet").saveAsTable(f"mcc_src{i}")
+            a.merge(spark, a.Table(f"mcc_src{i}"), a.Table("mcc_tgt"), ["k"],
+                    if_conflicts="update")
+        files = spark.table("mcc_tgt").inputFiles()
+        assert any("cow-" in f for f in files)
+        compact_table(spark, "mcc_tgt", n_files=2)
+        after = spark.table("mcc_tgt").inputFiles()
+        assert len(after) == 2 and not any("cow-" in f for f in after)
+        got = {r.k: r.v for r in spark.table("mcc_tgt").collect()}
+        assert len(got) == 1000
+        assert got[5] == 1000 and got[305] == 1001 and got[605] == 1002
+        spark.sql("DROP TABLE mcc_tgt")
+
     def test_merge_empty_source_is_noop(self, spark, sf_dir):
         region = read_table(spark, sf_dir, "region")
         spark.sql("DROP TABLE IF EXISTS mz_tgt")
