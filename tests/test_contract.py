@@ -1,0 +1,47 @@
+"""Driver-contract wiring guards (no Spark session needed).
+
+The per-round driver checks the FIRST ~50 ``queries()`` entries against
+their ``oracle_sql()`` twins; these tests pin the invariants that keep
+that contract honest across rotations and new-query additions.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_every_query_has_an_oracle():
+    """The ⊙ invariant COVERAGE.md claims: every queries() entry has a
+    DuckDB oracle (none silently downgraded to the rows-only check)."""
+    q = entry.queries()
+    o = entry.oracle_sql()
+    missing = [n for n in q if n not in o]
+    assert missing == [], missing
+    stale = [n for n in o if n not in q]
+    assert stale == [], stale
+
+
+def test_rotation_order_is_applied():
+    """queries() must serve the _DRIVER_PRIORITY order so the 50-query
+    driver cap lands on the intended entries (new + longest-unchecked
+    first)."""
+    q = list(entry.queries())
+    prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
+    assert q[: len(prio)] == prio
+    # the round-4 additions lead the queue
+    head = q[:4]
+    assert set(head) == {
+        "s_recall_report", "op_merge_exception", "s_ivf_pq_topk",
+        "dd_span_removal",
+    }, head
+
+
+def test_oracle_sql_is_nonempty_select():
+    """Each oracle is a non-empty SQL string (catches a generator
+    returning None/'' after a refactor)."""
+    bad = [
+        n
+        for n, sql in entry.oracle_sql().items()
+        if not isinstance(sql, str) or "select" not in sql.lower()
+    ]
+    assert bad == [], bad
