@@ -193,10 +193,9 @@ def merge(
     if not part_cols:
         if _upsert_file_scoped(spark, source, keys, target_table):
             return target_table
-    elif not any(p in source.columns for p in part_cols):
-        # source carries NO partition columns → matched rows keep their
-        # target partition values and cannot move: file-scoped COW is
-        # safe inside the existing partition directories
+    elif _no_partition_moves(target, source, keys, part_cols):
+        # matched rows keep (or re-assert) their target partition values
+        # → file-scoped COW inside the existing partition directories
         if _upsert_file_scoped_partitioned(
             spark, source, keys, target_table, part_cols
         ):
@@ -204,6 +203,30 @@ def merge(
     result = _upsert(target, source, keys)
     _swap_table(spark, result, target_table)
     return target_table
+
+
+def _no_partition_moves(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    part_cols: list[str],
+) -> bool:
+    """True when no matched row would change any partition value: the
+    source carries none of the partition columns (absent columns keep
+    target values), or every present partition value equals the matched
+    target row's (one column-pruned inner join, null-safe compare).
+    Only then is a file-scoped rewrite inside the existing partition
+    directories correct."""
+    present = [p for p in part_cols if p in source.columns]
+    if not present:
+        return True
+    s = source.select(*keys, *[F.col(p).alias(f"__s_{p}") for p in present])
+    t = target.select(*keys, *present)
+    diff = reduce(
+        operator.or_,
+        [~F.col(p).eqNullSafe(F.col(f"__s_{p}")) for p in present],
+    )
+    return t.join(s, on=keys).where(diff).limit(1).count() == 0
 
 
 def _append_new_rows(
@@ -408,19 +431,20 @@ def _upsert_file_scoped_partitioned(
     target_table: Table,
     part_cols: list[str],
 ) -> bool:
-    """update strategy 3b: copy-on-write on a PARTITIONED target whose
-    source lacks the partition columns (the case strategy 2 cannot
-    handle — it needs the touched-partition set from the source).
+    """update strategy 3b: copy-on-write on a PARTITIONED target when no
+    matched row changes partition (checked by ``_no_partition_moves`` —
+    the source lacks the partition columns, or re-asserts the same
+    values; the cases strategy 2 cannot handle).
 
-    Matched rows keep their target partition values (unmapped columns
-    keep target), so every rewritten row lands back in a partition
-    directory that already exists and is registered: the staged rewrite
-    is written ``partitionBy(part_cols)`` into a hidden stage dir and
-    its files move into the matching partition directories.  Inserts
-    (source keys with no match) take NULL partition values and go
-    through a normal dynamic-partition ``insertInto`` append, which
-    registers their partition.  Cost O(touched files + |inserts|) — the
-    path that previously rewrote the whole table via the staged swap.
+    Every rewritten row lands back in a partition directory that
+    already exists and is registered: the staged rewrite is written
+    ``partitionBy(part_cols)`` into a hidden stage dir and its files
+    move into the matching partition directories.  Inserts (source keys
+    with no match) go through a normal ``insertInto`` append — with
+    their source partition values when present, NULL otherwise — which
+    registers any new partition.  Cost O(touched files + |inserts|) —
+    the path that previously rewrote the whole table via the staged
+    swap.
 
     Crash semantics: the stage write and the insert append both read the
     old generation, so they run BEFORE any old file is deleted; a crash

@@ -295,6 +295,43 @@ class TestAppendMerge:
         assert got[5] == 1000 and got[305] == 1001 and got[605] == 1002
         spark.sql("DROP TABLE mcc_tgt")
 
+    def test_merge_update_partial_part_cols(self, spark):
+        """Source carrying a SUBSET of the partition columns: when the
+        present values match the target's (no row moves), the merge is
+        still file-scoped COW; when a value differs, it falls back to
+        the swap and the row genuinely moves partitions."""
+        spark.sql("DROP TABLE IF EXISTS mpp_tgt")
+        spark.sql("DROP TABLE IF EXISTS mpp_src")
+        spark.sql(
+            "SELECT id AS k, CAST(id % 2 AS STRING) AS p, "
+            "CAST(id % 3 AS STRING) AS q, id * 10 AS v FROM range(60)"
+        ).write.partitionBy("p", "q").format("parquet").saveAsTable("mpp_tgt")
+        before = set(spark.table("mpp_tgt").inputFiles())
+        # k=4 lives in p=0; source re-asserts p='0' → no movement → COW
+        spark.sql("SELECT 4 AS k, '0' AS p, 999 AS v").write.format(
+            "parquet"
+        ).saveAsTable("mpp_src")
+        a.merge(spark, a.Table("mpp_src"), a.Table("mpp_tgt"), ["k"],
+                if_conflicts="update")
+        got = {r.k: (r.p, r.q, r.v) for r in spark.table("mpp_tgt").collect()}
+        assert got[4] == ("0", "1", 999) and len(got) == 60
+        after = set(spark.table("mpp_tgt").inputFiles())
+        removed = before - after
+        # only file(s) inside k=4's partition were rewritten — and only
+        # those containing the key, not the whole partition
+        assert removed and all("p=0/q=1" in f for f in removed)
+        assert {f for f in before if "p=0/q=1" not in f} <= after
+        # now move k=4 to p=1 → swap fallback, row lands in its new dir
+        spark.sql("DROP TABLE IF EXISTS mpp_src2")
+        spark.sql("SELECT 4 AS k, '1' AS p, 111 AS v").write.format(
+            "parquet"
+        ).saveAsTable("mpp_src2")
+        a.merge(spark, a.Table("mpp_src2"), a.Table("mpp_tgt"), ["k"],
+                if_conflicts="update")
+        moved = spark.table("mpp_tgt").where("k = 4").collect()[0]
+        assert (moved.p, moved.q, moved.v) == ("1", "1", 111)
+        assert spark.table("mpp_tgt").count() == 60
+
     def test_merge_empty_source_is_noop(self, spark, sf_dir):
         region = read_table(spark, sf_dir, "region")
         spark.sql("DROP TABLE IF EXISTS mz_tgt")
