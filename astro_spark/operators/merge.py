@@ -6,7 +6,7 @@ dialects (SQLite ``INSERT..ON CONFLICT`` sqlite.py:96-133, Snowflake
 databricks/delta.py:357-442, ...).  ``if_conflicts`` ∈
 {ignore, update, exception} (constants.py:91).
 
-Spark rebuild (no Delta in this container).  Three physical strategies,
+Spark rebuild (no Delta in this container).  Physical strategy ladder,
 picked by write-amplification — the cheapest plan that preserves MERGE
 semantics:
 
@@ -31,13 +31,14 @@ semantics:
    one key-column scan) — at 100 TB a 1-row update rewrites one file,
    not the table.  Untouched files keep their original paths.
 3b. **File-scoped copy-on-write, partitioned** (``update`` on a
-   partitioned target whose source carries NO partition columns):
-   matched rows keep their target partition values and cannot move, so
-   the touched files rewrite in place inside their partition
-   directories and new keys append through ``insertInto``.
+   partitioned target when no matched row changes a partition value —
+   the source carries no partition columns, or re-asserts the same
+   values, checked by one column-pruned join): the touched files
+   rewrite in place inside their partition directories and new keys
+   append through ``insertInto``.
 4. **Staged full swap** (last resort: non-parquet provider, touched-file
-   set over the cap, or a partitioned target whose source carries only
-   SOME of the partition columns): write the full merged result to a uniquely-named
+   set over the cap, or a matched row that genuinely changes a
+   partition value): write the full merged result to a uniquely-named
    staging table, then DROP old + RENAME staging.  This is the only
    strategy that rewrites the whole target — on a Delta/Iceberg-enabled
    cluster replace it with the catalog's native row-level ``MERGE INTO``.
