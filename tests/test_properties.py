@@ -199,6 +199,47 @@ class TestPartitionScopedMergeProperties:
         assert results["part"] == results["flat"], (results, tgt, src)
 
 
+class TestDMLProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 2), st.integers(0, 9)),
+            min_size=1, max_size=25, unique_by=lambda t: t[0],
+        ),
+        m=st.integers(2, 4),
+        r=st.integers(0, 3),
+        partitioned=st.booleans(),
+    )
+    def test_delete_then_update_matches_model(self, spark, rows, m, r, partitioned):
+        """DELETE + UPDATE through the copy-on-write paths (flat and
+        partitioned) equal a plain dict model, including the n-affected
+        return values."""
+        import astro_spark as a
+
+        spark.sql("DROP TABLE IF EXISTS prop_dml")
+        w = spark.createDataFrame(rows, "k long, p long, v long").write
+        if partitioned:
+            w = w.partitionBy("p")
+        w.format("parquet").saveAsTable("prop_dml")
+        t = a.Table("prop_dml", temp=False)
+
+        n_del = a.delete_rows(spark, t, f"v % {m} = {r}")
+        model = {k: (p, v) for k, p, v in rows if v % m != r}
+        assert n_del == len(rows) - len(model)
+        got = {x.k: (x.p, x.v) for x in spark.table("prop_dml").collect()}
+        assert got == model
+
+        n_upd = a.update_rows(spark, t, {"v": "v + 100"}, f"k % {m} = 0")
+        expect_upd = sum(1 for k in model if k % m == 0)
+        assert n_upd == expect_upd
+        model = {
+            k: (p, v + 100 if k % m == 0 else v) for k, (p, v) in model.items()
+        }
+        got = {x.k: (x.p, x.v) for x in spark.table("prop_dml").collect()}
+        assert got == model
+        spark.sql("DROP TABLE prop_dml")
+
+
 class TestSpanRemovalProperties:
     @SETTINGS
     @given(
