@@ -26,6 +26,7 @@ from .operators import (
     columns_exist,
     analyze_table,
     compact_table,
+    vacuum_table,
     create_schema_if_not_exists,
     create_table,
     export_table_to_pandas,
@@ -73,6 +74,7 @@ __all__ = [
     "columns_exist",
     "analyze_table",
     "compact_table",
+    "vacuum_table",
     "create_schema_if_not_exists",
     "create_table",
     "dataframe",

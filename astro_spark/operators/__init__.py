@@ -3,6 +3,7 @@ from .catalog import (
     columns_exist,
     analyze_table,
     compact_table,
+    vacuum_table,
     create_schema_if_not_exists,
     create_table,
     export_table_to_pandas,
@@ -32,6 +33,7 @@ __all__ = [
     "columns_exist",
     "analyze_table",
     "compact_table",
+    "vacuum_table",
     "create_schema_if_not_exists",
     "create_table",
     "export_table_to_pandas",

@@ -145,6 +145,36 @@ def compact_table(
     return n_files
 
 
+def vacuum_table(spark: SparkSession, table: Table | str) -> int:
+    """Reclaim leftover hidden staging from interrupted copy-on-write
+    commits (the plain-parquet analog of Delta ``VACUUM``).
+
+    A crash during a COW data write leaves an inert ``.cow_stage_*``
+    directory inside the table location — invisible to readers (dot
+    prefix) but occupying storage.  Deletes every such directory and
+    returns the count.  Safe while readers run: live data files are
+    never touched.
+    """
+    from ..table import Table as _Table
+    from .merge import _parquet_location
+
+    t = table if isinstance(table, _Table) else _Table(str(table), temp=False)
+    location = _parquet_location(spark, t.qualified_name)
+    if location is None:
+        return 0
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(location)
+    fs = root.getFileSystem(hconf)
+    n = 0
+    for st in fs.listStatus(root):
+        if st.isDirectory() and st.getPath().getName().startswith(".cow_stage_"):
+            fs.delete(st.getPath(), True)
+            n += 1
+    return n
+
+
 def diff_tables(
     spark: SparkSession,
     left: Table | str,

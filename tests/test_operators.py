@@ -268,6 +268,31 @@ class TestAppendMerge:
         a.merge(spark, a.Table("ms2_src"), a.Table("ms2_tgt"), ["r_regionkey"])
         assert spark.table("ms2_tgt").count() == 7
 
+    def test_vacuum_reclaims_crashed_stage_dirs(self, spark):
+        """A crash during a COW data write leaves an inert .cow_stage_*
+        dir; vacuum_table deletes it without touching live data."""
+        import os
+
+        spark.sql("DROP TABLE IF EXISTS vac_t")
+        spark.sql("SELECT id AS k, id AS v FROM range(50)").write.format(
+            "parquet"
+        ).saveAsTable("vac_t")
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED vac_t")
+            .where("col_name = 'Location'").collect()[0].data_type
+        ).replace("file:", "")
+        # simulate an interrupted commit: orphan stage dir with a file
+        stage = os.path.join(loc, ".cow_stage_deadbeef")
+        os.makedirs(stage)
+        with open(os.path.join(stage, "part-orphan.parquet"), "w") as fh:
+            fh.write("junk")
+        assert spark.table("vac_t").count() == 50  # invisible to readers
+        assert a.vacuum_table(spark, "vac_t") == 1
+        assert not os.path.exists(stage)
+        assert spark.table("vac_t").count() == 50
+        assert a.vacuum_table(spark, "vac_t") == 0  # idempotent
+        spark.sql("DROP TABLE vac_t")
+
     def test_compact_reclaims_cow_generations(self, spark):
         """The documented maintenance loop: repeated small COW merges
         accumulate cow-* files; compact_table rewrites them into a few
