@@ -582,6 +582,30 @@ class TestSimilarity:
             F.count(F.lit(1)).alias("n")).collect()}
         assert all(v == 5 for v in counts.values())
 
+    def test_ivf_pq_composes_with_trained_cells(self, spark, emb):
+        """The IVF-PQ composite works with the TRAINED coarse quantizer
+        (ivf_train + ivf_assign cells), not just pre-assigned labels —
+        and full probe + full shortlist still equals brute force."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        cents = similarity.ivf_train(emb, n_cells=8, iterations=2)
+        assigned = similarity.ivf_assign(emb, cents).persist()
+        q = assigned.where("vec_id < 3")
+        got = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in similarity.ivf_pq_topk(
+                assigned, q, books=PQ_BOOKS, k=5, nprobe=8,
+                shortlist=10**9, partition_col="cell",
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in similarity.brute_force_topk(emb, emb.where("vec_id < 3"),
+                                                 k=5).collect()
+        }
+        assert got == exact
+        assigned.unpersist()
+
     def test_cosine_dup_pairs_exact_superset_of_lsh(self, emb):
         # exact all-pairs must contain every LSH pair (same threshold);
         # same-bucket is a candidate filter, never a score changer
