@@ -1387,6 +1387,47 @@ def _dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_dup_pairs(read_table(spark, sf_dir, "embeddings"))
 
 
+def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster cosine near-dup pairs (seeded centroids
+    so the oracle replays the cell assignment)."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dup_pairs(emb).select(
+        F.col("cell").cast("long").alias("cell"), "id_a", "id_b", "cos_sim"
+    )
+
+
+def _dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen (even doc_ids = corpus, odd =
+    ingest batch) graded against exact fingerprint membership."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    flags = dedup.bloom_membership(batch, dedup.bloom_build(corpus))
+    corpus_fp = (
+        corpus.select(text.fingerprint62(F.col("text")).alias("__fp"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    batch_fp = batch.select("doc_id", text.fingerprint62(F.col("text")).alias("__fp"))
+    truth = batch_fp.join(F.broadcast(corpus_fp), "__fp", "left").select(
+        "doc_id", F.col("__seen").isNotNull().alias("is_dup")
+    )
+    return flags.join(truth, "doc_id").select(
+        "doc_id", "n_bits", "n_hits", "maybe_dup", "is_dup"
+    )
+
+
+def _t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: target = English docs, raw = all."""
+    from astro_spark.functions.sampling import dsir_scores
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_scores(docs, docs.where("lang = 'en'"))
+
+
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2286,6 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_domain_mix": _t_domain_mix,
             "t_dataset_card": _t_dataset_card,
             "dd_clusters": _dd_clusters,
+            "dd_semantic": _dd_semantic,
+            "dd_bloom": _dd_bloom,
+            "t_dsir": _t_dsir,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
@@ -2329,6 +2373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # checked block (now the oldest), with the r03-checked block last.  No
 # query goes more than 2 rounds without a driver row.
 _DRIVER_PRIORITY = [
+    "dd_semantic",
+    "dd_bloom",
+    "t_dsir",
     "s_recall_report",
     "op_merge_exception",
     "s_ivf_pq_topk",
@@ -2637,6 +2684,9 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_domain_mix": oracles.temperature_mix_sql(),
             "t_dataset_card": oracles.dataset_card_sql(),
             "dd_clusters": oracles.dup_clusters_sql(),
+            "dd_semantic": oracles.semantic_dup_pairs_sql(),
+            "dd_bloom": oracles.bloom_membership_sql(),
+            "t_dsir": oracles.dsir_scores_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (
                 f"SELECT id_a, id_b FROM ({oracles.cosine_dup_pairs_sql()})"

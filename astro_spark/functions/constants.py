@@ -116,3 +116,36 @@ _rng_cms = random.Random(99)
 CMS_COEFFS: list[tuple[int, int]] = [
     (_rng_cms.randrange(1, P31), _rng_cms.randrange(0, P31)) for _ in range(CMS_D)
 ]
+
+# --- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication") ---------------------------------
+# Seeded cell centroids so the driver query's cluster assignment is
+# replayable in the oracle; semantic_dedup() also accepts data-trained
+# centroids from similarity.ivf_train for real deployments.
+SEMDEDUP_CELLS = 8
+SEMDEDUP_THRESHOLD = 0.30  # within-cell cosine above which docs are near-dups
+_rng_sd = random.Random(555)
+SEMDEDUP_CENTROIDS: list[list[float]] = [
+    [round(_rng_sd.gauss(0.0, 0.25), 6) for _ in range(EMBEDDING_DIM)]
+    for _ in range(SEMDEDUP_CELLS)
+]
+
+# --- Bloom-filter membership (Bloom 1970) -----------------------------------
+# k seeded pairwise-independent hash rows over the 62-bit fingerprint,
+# reduced mod P31 first so every product stays inside int64 in both
+# engines.  m bits; the "filter" is materialized as the DISTINCT set-bit
+# relation (<= m tiny rows) and broadcast.
+BLOOM_M = 32768  # bits
+BLOOM_K = 4  # hash functions
+_rng_bloom = random.Random(31337)
+BLOOM_COEFFS: list[tuple[int, int]] = [
+    (_rng_bloom.randrange(1, P31), _rng_bloom.randrange(0, P31))
+    for _ in range(BLOOM_K)
+]
+
+# --- DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") ----------------------------
+# Hashed-unigram bucket model; weights are integer-scaled rational ratios
+# (no log/exp) so the per-doc scores are BIGINT-exact in both engines.
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000

@@ -836,3 +836,185 @@ def minhash_jaccard_estimates(
             "jaccard",
         )
     )
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-cluster) deduplication
+# --------------------------------------------------------------------------
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-duplicate pairs found by
+    clustering embeddings and comparing cosines ONLY within a cluster.
+
+    The k-means cell assignment (``similarity.ivf_assign``, map-only
+    broadcast argmax) turns the O(n²) all-pairs cosine into a
+    per-cell self-join: the shuffle key is the cell id, and pair cost
+    is Σ|cell|² — bounded by the clustering, never the corpus.  At
+    100 TB: train centroids on a sample (``similarity.ivf_train``),
+    raise ``n_cells`` until the largest cell fits an executor, and
+    write the corpus partitioned by cell so the self-join is
+    co-located.  Pass ``centroids=None`` to use the seeded
+    ``SEMDEDUP_CENTROIDS`` (deterministic, oracle-replayable).
+
+    Returns (cell, id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim >= threshold, rounded to 4dp.
+    """
+    from .constants import SEMDEDUP_CENTROIDS, SEMDEDUP_THRESHOLD
+    from .similarity import as_double, dot, ivf_assign, norm
+
+    if centroids is None:
+        centroids = SEMDEDUP_CENTROIDS
+    if threshold is None:
+        threshold = SEMDEDUP_THRESHOLD
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col="cell")
+    base = assigned.select(
+        "cell", F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    unit = base.select(
+        "cell", "id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    l, r = unit.alias("l"), unit.alias("r")
+    pairs = l.join(
+        r, on=[F.col("l.cell") == F.col("r.cell"), F.col("l.id") < F.col("r.id")]
+    ).select(
+        F.col("l.cell").alias("cell"),
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(dot(F.col("l.u"), F.col("r.u")), 4).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = None,
+) -> DataFrame:
+    """Keep-first semantic dedup: drop every row that has a
+    within-cluster near-duplicate with a smaller id (the SemDeDup
+    pruning rule with min-id as the deterministic representative).
+
+    The drop set is the distinct ``id_b`` side of
+    ``semantic_dup_pairs`` — tiny relative to the corpus — so the
+    final anti-join broadcasts under AQE.
+    """
+    dropped = semantic_dup_pairs(df, centroids, id_col, vec_col, threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership dedup (bounded-state incremental dedup)
+# --------------------------------------------------------------------------
+def bloom_bit_positions(fp: Column, m: int = None, k: int = None) -> Column:
+    """Array of the ``k`` bit positions the 62-bit fingerprint sets in an
+    ``m``-bit Bloom filter: pos_i = ((a_i * (fp mod P31) + b_i) mod P31)
+    mod m.  The mod-P31 reduction first keeps every product inside int64
+    in both engines (DuckDB raises on BIGINT overflow)."""
+    from .constants import BLOOM_COEFFS, BLOOM_K, BLOOM_M
+
+    m = m or BLOOM_M
+    k = k or BLOOM_K
+    h = fp % F.lit(P31)
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31) % F.lit(m)).alias(f"p{i}")
+            for i, (a, b) in enumerate(BLOOM_COEFFS[:k])
+        ]
+    )
+
+
+def bloom_build(
+    corpus: DataFrame,
+    text_col: str = "text",
+    m: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Build the corpus Bloom filter as its DISTINCT set-bit relation —
+    a single-column (``bit``) DataFrame with at most ``m`` rows.
+
+    This is THE bounded-state membership structure for incremental
+    dedup at scale: the corpus is scanned once map-side (explode of k
+    ints per doc), and the filter state is <= m tiny rows no matter how
+    many trillions of documents fed it — persist it as the
+    "seen-corpus" table and broadcast it to every future ingest batch.
+    Size m for the target false-positive rate:
+    fpr ≈ (1 - e^(-k·n/m))^k.
+    """
+    return (
+        corpus.select(
+            F.explode(
+                bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(
+    batch: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Probe each batch doc against the Bloom set-bit relation:
+    ``maybe_dup`` is true iff EVERY one of its k bit positions is set
+    (classic Bloom semantics — no false negatives, tunable false
+    positives).
+
+    Plan shape: explode the batch's distinct positions (<= k rows per
+    doc), hash-join the broadcast filter, one groupBy(doc) counting
+    hits vs probes.  The batch never joins the corpus itself — the
+    filter stands in for it, which is the whole point at 100 TB.
+    Returns (id, n_bits, n_hits, maybe_dup).
+    """
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+            )
+        ).alias("bit"),
+    )
+    hits = probes.join(
+        F.broadcast(bloom.withColumn("__hit", F.lit(1))), on="bit", how="left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bits"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn("maybe_dup", F.col("n_hits") == F.col("n_bits"))
+    )
+
+
+def bloom_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Incremental dedup through the Bloom filter: keep batch rows whose
+    fingerprint is definitely NOT in the corpus (maybe_dup false).
+
+    Compared with ``incremental_exact_dedup`` this trades a bounded
+    false-positive rate (docs wrongly dropped) for never shuffling or
+    joining the corpus fingerprint table — the production screen in
+    front of the exact check.
+    """
+    flags = bloom_membership(batch, bloom_build(corpus, text_col, m, k),
+                             text_col, id_col, m, k)
+    fresh = flags.where(~F.col("maybe_dup")).select(id_col)
+    return batch.join(fresh, on=id_col, how="left_semi")

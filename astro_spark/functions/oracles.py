@@ -1058,3 +1058,133 @@ JOIN cnt b ON b.token = p.tok_b
 CROSS JOIN total
 ORDER BY lift_x1000 DESC, bigram ASC LIMIT {k}
 """
+
+# --------------------------------------------------------------------------
+# SemDeDup / Bloom / DSIR oracles
+# --------------------------------------------------------------------------
+
+
+def semantic_dup_pairs_sql(table: str = "embeddings") -> str:
+    """Mirrors dedup.semantic_dup_pairs with the seeded SEMDEDUP
+    centroids: argmax-cosine cell assignment (ties -> larger index,
+    matching Spark's struct array_max), then unit-dot pairs within a
+    cell."""
+    from .constants import SEMDEDUP_CENTROIDS, SEMDEDUP_THRESHOLD
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) + '::DOUBLE' for v in c)}])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+cents(idx, cv) AS (
+  VALUES {cent_rows}
+),
+sims AS (
+  SELECT c.id, cents.idx, {cosine('c.v', 'cents.cv')} AS cs
+  FROM c CROSS JOIN cents
+),
+cell AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+n AS (SELECT id, v, sqrt({dot('v', 'v')}) AS nrm FROM c),
+u AS (
+  SELECT n.id, cell.cell, list_transform(n.v, x -> x / n.nrm) AS u
+  FROM n JOIN cell ON cell.id = n.id
+),
+pairs AS (
+  SELECT l.cell, l.id AS id_a, r.id AS id_b,
+         round({dot('l.u', 'r.u')}, 4) AS cos_sim
+  FROM u l JOIN u r ON l.cell = r.cell AND l.id < r.id
+)
+SELECT cell::BIGINT AS cell, id_a, id_b, cos_sim
+FROM pairs WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
+"""
+
+
+def _bloom_positions(fp_expr: str) -> list[str]:
+    from .constants import BLOOM_COEFFS, BLOOM_M
+
+    h = f"(({fp_expr}) % {P31})"
+    return [
+        f"((({a} * {h} + {b}) % {P31}) % {BLOOM_M})" for a, b in BLOOM_COEFFS
+    ]
+
+
+def bloom_membership_sql(table: str = "documents") -> str:
+    """Mirrors the dd_bloom query: Bloom filter built from the even
+    doc_ids, probed by the odd ones (scale-independent split); is_dup
+    is the exact fingerprint-membership ground truth graded next to
+    maybe_dup."""
+    fp = fingerprint62("text")
+    pos = ", ".join(_bloom_positions("fp"))
+    return f"""
+WITH corpus AS (
+  SELECT {fp} AS fp FROM {table} WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, {fp} AS fp FROM {table} WHERE doc_id % 2 = 1
+),
+bloom AS (
+  SELECT DISTINCT bit FROM (SELECT unnest([{pos}]) AS bit FROM corpus)
+),
+probes AS (
+  SELECT doc_id, unnest(list_distinct([{pos}])) AS bit FROM batch
+),
+agg AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_bits,
+         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+  FROM probes p LEFT JOIN bloom b ON b.bit = p.bit
+  GROUP BY p.doc_id
+)
+SELECT a.doc_id, a.n_bits, a.n_hits,
+       a.n_hits = a.n_bits AS maybe_dup,
+       EXISTS (SELECT 1 FROM corpus c WHERE c.fp = batch.fp) AS is_dup
+FROM agg a JOIN batch ON batch.doc_id = a.doc_id
+"""
+
+
+def dsir_scores_sql(
+    table: str = "documents", target_lang: str = "en"
+) -> str:
+    """Mirrors sampling.dsir_scores with target = docs of one language:
+    hashed-unigram buckets, add-one-smoothed integer-scaled likelihood
+    ratios, per-doc BIGINT score sums."""
+    from .constants import DSIR_BUCKETS, DSIR_SCALE
+
+    bucket = f"({poly_hash('tok')} % {DSIR_BUCKETS})"
+    return f"""
+WITH r_toks AS (
+  SELECT doc_id, {bucket} AS bucket
+  FROM (SELECT doc_id, unnest({tokens('text')}) AS tok FROM {table})
+),
+t_toks AS (
+  SELECT {bucket} AS bucket
+  FROM (SELECT unnest({tokens('text')}) AS tok FROM {table}
+        WHERE lang = '{target_lang}')
+),
+r_cnt AS (SELECT bucket, count(*)::BIGINT AS r_cnt FROM r_toks GROUP BY bucket),
+t_cnt AS (SELECT bucket, count(*)::BIGINT AS t_cnt FROM t_toks GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(r_cnt)::BIGINT FROM r_cnt) AS r_tot,
+         (SELECT sum(t_cnt)::BIGINT FROM t_cnt) AS t_tot
+),
+w AS (
+  SELECT r_cnt.bucket,
+         ({DSIR_SCALE}::BIGINT * (coalesce(t_cnt.t_cnt, 0) + 1)
+          * (tot.r_tot + {DSIR_BUCKETS}))
+         // ((r_cnt.r_cnt + 1) * (tot.t_tot + {DSIR_BUCKETS})) AS w
+  FROM r_cnt LEFT JOIN t_cnt ON t_cnt.bucket = r_cnt.bucket CROSS JOIN tot
+)
+SELECT r_toks.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(w.w)::BIGINT AS dsir_score,
+       sum(w.w) > count(*) * {DSIR_SCALE} AS keep
+FROM r_toks JOIN w ON w.bucket = r_toks.bucket
+GROUP BY r_toks.doc_id
+"""

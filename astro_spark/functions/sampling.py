@@ -261,3 +261,77 @@ def temperature_mix(
             .alias("n_after"),
         )
     )
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (target-domain data selection)
+# --------------------------------------------------------------------------
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = None,
+    scale: int = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    hashed-unigram variant: score every raw doc by how target-like its
+    token distribution is.
+
+    Model: tokens hash into ``n_buckets`` features; each bucket gets an
+    add-one-smoothed probability under the target corpus and under the
+    raw corpus; a doc's score is the sum over its token occurrences of
+    the integer-scaled likelihood ratio
+    ``w(b) = scale * p_target(b) / p_raw(b)`` (rational BIGINT
+    arithmetic — no log/exp — so both engines agree bit-for-bit).
+    ``keep`` marks docs whose mean token ratio exceeds 1 (score >
+    scale * n_tokens): the deterministic selection rule standing in for
+    DSIR's Gumbel resampling.
+
+    Plan shape: the two bucket-count tables aggregate to <= n_buckets
+    rows each and join into one broadcast weight table; the raw corpus
+    is then scanned ONCE more (explode tokens → broadcast-join weights
+    → one groupBy(doc)).  Nothing but bucket ids and per-doc sums ever
+    shuffles, so this runs at corpus scale with two passes.  Int64
+    headroom: counts enter products as (count+1)·(total+B)·scale — at
+    trillions of tokens pre-divide the totals (weights are ratios) or
+    compute the <=n_buckets weight table in floating point; per-doc
+    sums stay exact either way.
+
+    Returns (id, n_tokens, dsir_score, keep).
+    """
+    from .constants import DSIR_BUCKETS, DSIR_SCALE
+    from .text import tokens
+
+    n_buckets = n_buckets or DSIR_BUCKETS
+    scale = scale or DSIR_SCALE
+
+    t_toks = target.select(F.explode(tokens(F.col(text_col))).alias("tok")).select(
+        (char_poly_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket")
+    )
+    r_toks = raw.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select(id_col, (char_poly_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket"))
+
+    t_cnt = t_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    r_cnt = r_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    totals = t_cnt.agg(F.sum("t_cnt").alias("t_tot")).crossJoin(
+        r_cnt.agg(F.sum("r_cnt").alias("r_tot"))
+    )
+    weights = (
+        r_cnt.join(t_cnt, on="bucket", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * (coalesce(t_cnt, 0) + 1) * (r_tot + {n_buckets})) "
+                f"DIV ((r_cnt + 1) * (t_tot + {n_buckets}))"
+            ).alias("w"),
+        )
+    )
+    return (
+        r_toks.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("dsir_score"))
+        .withColumn("keep", F.col("dsir_score") > F.col("n_tokens") * F.lit(scale))
+    )

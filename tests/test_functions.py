@@ -815,3 +815,121 @@ class TestPlanShape:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_exact_allpairs(self, emb):
+        """Within-cell pairs are exactly the exact all-pairs dups whose two
+        sides land in the same cell — no pair invented, none misscored."""
+        sem = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in dedup.semantic_dup_pairs(emb).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in dedup.cosine_dup_pairs(emb).collect()
+        }
+        assert sem <= exact
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+        cells = {
+            r.vec_id: r.cell
+            for r in similarity.ivf_assign(emb, SEMDEDUP_CENTROIDS)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        same_cell_exact = {p for p in exact if cells[p[0]] == cells[p[1]]}
+        assert sem == same_cell_exact
+
+    def test_semantic_dedup_keep_first(self, emb):
+        pairs = dedup.semantic_dup_pairs(emb).collect()
+        dropped = {r.id_b for r in pairs}
+        kept = {r.vec_id for r in dedup.semantic_dedup(emb).collect()}
+        all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+        assert kept == all_ids - dropped
+
+    def test_trained_centroids_accepted(self, spark, emb):
+        cents = similarity.ivf_train(emb, n_cells=4, iterations=2)
+        out = dedup.semantic_dup_pairs(emb, centroids=cents)
+        assert out.columns == ["cell", "id_a", "id_b", "cos_sim"]
+        assert out.count() >= 0
+
+
+class TestBloomDedup:
+    def test_no_false_negatives(self, spark, docs):
+        """Bloom guarantee: every exact duplicate is flagged maybe_dup."""
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        flags = dedup.bloom_membership(batch, dedup.bloom_build(corpus))
+        exact_fps = {
+            r.fp
+            for r in corpus.select(
+                dedup.fingerprint62(F.col("text")).alias("fp")
+            ).collect()
+        }
+        batch_fps = {
+            r.doc_id: r.fp
+            for r in batch.select(
+                "doc_id", dedup.fingerprint62(F.col("text")).alias("fp")
+            ).collect()
+        }
+        for r in flags.collect():
+            if batch_fps[r.doc_id] in exact_fps:
+                assert r.maybe_dup, f"false negative on doc {r.doc_id}"
+
+    def test_filter_state_bounded(self, docs):
+        from astro_spark.functions.constants import BLOOM_M
+
+        bloom = dedup.bloom_build(docs)
+        n = bloom.count()
+        assert 0 < n <= BLOOM_M
+        assert bloom.columns == ["bit"]
+
+    def test_bloom_dedup_subset_of_exact(self, docs):
+        """Bloom dedup only ever drops MORE than exact dedup (false
+        positives drop fresh docs, never the reverse)."""
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        bloom_kept = {
+            r.doc_id for r in dedup.bloom_dedup(batch, corpus).collect()
+        }
+        exact_kept = {
+            r.doc_id
+            for r in batch.join(
+                corpus.select("text").distinct(), on="text", how="left_anti"
+            ).collect()
+        }
+        assert bloom_kept <= exact_kept
+
+
+class TestDsir:
+    def test_scores_favor_target_language(self, spark, docs):
+        """Mean DSIR score of English docs (the target domain) must beat
+        the mean of the rest — the whole point of importance weighting."""
+        from astro_spark.functions.sampling import dsir_scores
+
+        scores = dsir_scores(docs, docs.where("lang = 'en'"))
+        joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+        rows = joined.select(
+            "lang", (F.col("dsir_score") / F.col("n_tokens")).alias("avg_w")
+        ).collect()
+        en = [r.avg_w for r in rows if r.lang == "en"]
+        rest = [r.avg_w for r in rows if r.lang != "en"]
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    def test_every_raw_doc_scored_exactly_once(self, docs):
+        from astro_spark.functions.sampling import dsir_scores
+
+        scores = dsir_scores(docs, docs.where("lang = 'en'"))
+        assert scores.count() == docs.count()
+        assert scores.select("doc_id").distinct().count() == docs.count()
+
+    def test_scores_are_bigint_exact(self, docs):
+        from astro_spark.functions.sampling import dsir_scores
+
+        schema = {f.name: f.dataType.simpleString() for f in dsir_scores(
+            docs, docs.where("lang = 'en'")
+        ).schema.fields}
+        assert schema["dsir_score"] == "bigint"
+        assert schema["n_tokens"] == "bigint"
+        assert schema["keep"] == "boolean"
