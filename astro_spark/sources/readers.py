@@ -140,22 +140,23 @@ def _maybe_flatten(df: DataFrame, file: File) -> DataFrame:
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
     """XLS(X): no distributed reader; driver-side parse then parallelize
     (reference also reads driver-side via pandas.read_excel,
-    files/types/excel.py:13-46).  pandas+openpyxl when available (widest
-    format coverage); otherwise the stdlib OOXML codec (sources/xlsx.py)
-    handles .xlsx.  Only legacy binary .xls requires xlrd.
+    files/types/excel.py:13-46).  pandas+openpyxl/xlrd when available
+    (widest format coverage); otherwise the stdlib OOXML codec
+    (sources/xlsx.py) handles .xlsx and the stdlib BIFF8/CFB codec
+    (sources/xls.py) handles legacy binary .xls.
     """
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as exc:  # openpyxl/xlrd missing
+    except ImportError:  # openpyxl/xlrd missing — stdlib codecs
         if path.lower().endswith(".xls"):
-            raise NotImplementedError(
-                "legacy .xls read requires xlrd which is not installed; "
-                "convert to .xlsx/CSV/parquet or install the dependency"
-            ) from exc
-        from .xlsx import read_xlsx
+            from .xls import read_xls
 
-        header, rows = read_xlsx(path)
+            header, rows = read_xls(path)
+        else:
+            from .xlsx import read_xlsx
+
+            header, rows = read_xlsx(path)
         pdf = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(pdf)

@@ -70,14 +70,17 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
 
         pdf = df.toPandas()
         try:
-            pdf.to_excel(path, index=False)
-        except ImportError as exc:  # openpyxl absent in this container
             if ftype == FileType.XLS:
-                raise NotImplementedError(
-                    "legacy .xls export requires xlwt/openpyxl which is not "
-                    "installed; export .xlsx instead"
-                ) from exc
-            from .xlsx import write_xlsx
+                # pandas>=1.2 cannot write .xls at all (xlwt retired) —
+                # the stdlib BIFF8 codec is the primary path, not a
+                # fallback
+                raise ImportError("no pandas .xls engine")
+            pdf.to_excel(path, index=False)
+        except ImportError:  # engine absent — stdlib codecs
+            if ftype == FileType.XLS:
+                from .xls import write_xls as _write_excel
+            else:
+                from .xlsx import write_xlsx as _write_excel
 
             rows = [
                 [
@@ -88,7 +91,7 @@ def _write_single_file(df: DataFrame, path: str, ftype: FileType, options: dict)
                 ]
                 for row in pdf.itertuples(index=False)
             ]
-            write_xlsx(list(pdf.columns), rows, path)
+            _write_excel(list(pdf.columns), rows, path)
         return
 
     tmp_dir = path.rstrip("/") + "._astro_tmp"

@@ -356,3 +356,64 @@ def a_file(path):
     import astro_spark as a
 
     return a.File(path, filetype="parquet")
+
+
+class TestXls:
+    def test_xls_roundtrip_via_operators(self, spark, sf_dir, tmp_path):
+        """export_to_file(.xls) → load_file(.xls) without xlrd/xlwt (the
+        stdlib BIFF8/CFB codec takes over when pandas' engine is
+        missing)."""
+        region = read_table(spark, sf_dir, "region")
+        p = str(tmp_path / "r.xls")
+        a.export_to_file(spark, region, p)
+        back = a.load_file(spark, a.File(p, filetype="xls"))
+        assert sorted(back.columns) == sorted(region.columns)
+        got = {r.r_regionkey: r.r_name for r in back.collect()}
+        want = {r.r_regionkey: r.r_name for r in region.collect()}
+        assert got == want
+
+    def test_xls_codec_types_unicode_and_gaps(self, tmp_path):
+        from astro_spark.sources.xls import read_xls, write_xls
+
+        p = str(tmp_path / "t.xls")
+        write_xls(
+            ["s", "i", "f", "b", "missing"],
+            [["héllo ünïcode ✓", 42, 2.5, True, None],
+             ["row2", -(2**40), 0.125, False, "x"]],
+            p,
+        )
+        header, rows = read_xls(p)
+        assert header == ["s", "i", "f", "b", "missing"]
+        assert rows[0] == ["héllo ünïcode ✓", 42, 2.5, True, None]
+        assert rows[1] == ["row2", -(2**40), 0.125, False, "x"]
+
+    def test_xls_sst_continue_records(self, tmp_path):
+        """String tables past the 8224-byte record cap split into
+        CONTINUE records — including a mid-string split whose tail
+        restates the unicode flag (narrow and wide)."""
+        from astro_spark.sources.xls import read_xls, write_xls
+
+        p = str(tmp_path / "big.xls")
+        many = [[i, f"s{i:05d}" + "y" * (i % 37)] for i in range(2500)]
+        giant_rows = [[99991, "N" * 20000], [99992, "W✓" * 9000]]
+        write_xls(["id", "s"], many + giant_rows, p)
+        header, rows = read_xls(p)
+        assert header == ["id", "s"]
+        assert rows == many + giant_rows
+
+    def test_xls_ministream_and_fat_paths(self, tmp_path):
+        """Workbook streams under 4096 bytes live in the CFB mini-stream,
+        larger ones in the regular FAT — both read back."""
+        import os
+
+        from astro_spark.sources.xls import read_xls, write_xls
+
+        small = str(tmp_path / "small.xls")
+        write_xls(["a"], [[1]], small)
+        assert read_xls(small) == (["a"], [[1]])
+
+        big = str(tmp_path / "big.xls")
+        write_xls(["a"], [[float(i) + 0.5] for i in range(2000)], big)
+        assert os.path.getsize(big) > 4096
+        h, rows = read_xls(big)
+        assert h == ["a"] and len(rows) == 2000 and rows[7] == [7.5]
