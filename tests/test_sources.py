@@ -236,17 +236,13 @@ class TestXlsx:
         assert rows[1] == "First" and rows[2] == "Second"
         assert rows[3].startswith("Third with unicode")
 
-    def test_xls_legacy_still_gated(self, spark, sf_dir, tmp_path):
-        try:
-            import xlrd  # noqa: F401
-
-            pytest.skip("xlrd installed; error path not reachable")
-        except ImportError:
-            pass
-        with pytest.raises((NotImplementedError, ValueError)):
-            a.export_to_file(
-                spark, read_table(spark, sf_dir, "region"), str(tmp_path / "r.xls")
-            )
+    def test_xls_legacy_no_longer_gated(self, spark, sf_dir, tmp_path):
+        """Round-4: legacy .xls export works without xlrd/xlwt (stdlib
+        BIFF8 codec, see TestXls); the old NotImplementedError gate is
+        gone."""
+        p = str(tmp_path / "r.xls")
+        a.export_to_file(spark, read_table(spark, sf_dir, "region"), p)
+        assert a.load_file(spark, a.File(p, filetype="xls")).count() > 0
 
 
 class TestQueryModifier:
