@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import char_poly_hash
 
@@ -315,12 +316,15 @@ def dsir_scores(
 
     t_cnt = t_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
     r_cnt = r_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
-    totals = t_cnt.agg(F.sum("t_cnt").alias("t_tot")).crossJoin(
-        r_cnt.agg(F.sum("r_cnt").alias("r_tot"))
-    )
+    # full-outer so corpus totals are exact even when the target is not a
+    # subset of raw; the single-partition window runs over <= n_buckets
+    # rows (no scalar cross-join, no nested-loop join in the plan)
+    tot_w = Window.partitionBy()
     weights = (
-        r_cnt.join(t_cnt, on="bucket", how="left")
-        .crossJoin(F.broadcast(totals))
+        r_cnt.join(t_cnt, on="bucket", how="full")
+        .withColumn("r_tot", F.sum(F.coalesce(F.col("r_cnt"), F.lit(0))).over(tot_w))
+        .withColumn("t_tot", F.sum(F.coalesce(F.col("t_cnt"), F.lit(0))).over(tot_w))
+        .where(F.col("r_cnt").isNotNull())
         .select(
             "bucket",
             F.expr(
