@@ -1397,6 +1397,15 @@ def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_semantic_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell blocked-matmul SemDeDup twin (ids only — numpy summation
+    order makes the similarity value engine-specific in the last ulp,
+    the pair set is exact)."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dup_pairs_np(emb).select("cell", "id_a", "id_b")
+
+
 def _dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen (even doc_ids = corpus, odd =
     ingest batch) graded against exact fingerprint membership."""
@@ -2328,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_dataset_card": _t_dataset_card,
             "dd_clusters": _dd_clusters,
             "dd_semantic": _dd_semantic,
+            "dd_semantic_np": _dd_semantic_np,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2374,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # query goes more than 2 rounds without a driver row.
 _DRIVER_PRIORITY = [
     "dd_semantic",
+    "dd_semantic_np",
     "dd_bloom",
     "t_dsir",
     "s_recall_report",
@@ -2685,6 +2696,9 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_dataset_card": oracles.dataset_card_sql(),
             "dd_clusters": oracles.dup_clusters_sql(),
             "dd_semantic": oracles.semantic_dup_pairs_sql(),
+            "dd_semantic_np": (
+                f"SELECT cell, id_a, id_b FROM ({oracles.semantic_dup_pairs_sql()})"
+            ),
             "dd_bloom": oracles.bloom_membership_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

@@ -1018,3 +1018,64 @@ def bloom_dedup(
                              text_col, id_col, m, k)
     fresh = flags.where(~F.col("maybe_dup")).select(id_col)
     return batch.join(fresh, on=id_col, how="left_semi")
+
+
+def semantic_dup_pairs_np(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = None,
+) -> DataFrame:
+    """SemDeDup pairs, per-cell blocked-matmul form — the wall-clock
+    twin of ``semantic_dup_pairs`` (same relationship as
+    ``cosine_dup_pairs_np`` to the fold baseline).
+
+    The cell assignment stays a JVM-side broadcast argmax; each cell's
+    pair block then computes as ONE numpy matmul inside Arrow-batched
+    ``applyInPandas``.  Shuffle is one hash-partition on the cell id —
+    the cell-size bound that makes the self-join tractable is exactly
+    the bound that makes the matmul fit an executor.  The fold-based
+    ``semantic_dup_pairs`` stays the oracle-checked baseline; pytest
+    pins pair-set equality on the test corpus.
+
+    Returns (cell, id_a, id_b, cos_sim) with id_a < id_b, 4dp.
+    """
+    import pandas as pd
+
+    from .constants import SEMDEDUP_CENTROIDS, SEMDEDUP_THRESHOLD
+    from .similarity import ivf_assign
+
+    if centroids is None:
+        centroids = SEMDEDUP_CENTROIDS
+    if threshold is None:
+        threshold = SEMDEDUP_THRESHOLD
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col="cell").select(
+        "cell", F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"cell": [], "id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"cell": "int64", "id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        m = np.stack(pdf["v"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 4)
+        ids = pdf["id"].to_numpy()
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), int(pdf["cell"].iat[0]), dtype="int64"),
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell, schema="cell long, id_a long, id_b long, cos_sim double"
+    )

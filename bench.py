@@ -41,6 +41,10 @@ HEADLINE = [
     "dd_simhash",
     "dd_ngram_jaccard",
     "dd_clusters",
+    "dd_semantic",
+    "dd_semantic_np",
+    "dd_bloom",
+    "t_dsir",
     "s_brute_topk",
     "s_pq_topk",
     "s_ivf_pq_topk",

@@ -933,3 +933,14 @@ class TestDsir:
         assert schema["dsir_score"] == "bigint"
         assert schema["n_tokens"] == "bigint"
         assert schema["keep"] == "boolean"
+
+    def test_semantic_np_twin_pair_set_equal(self, emb):
+        fold = {
+            (r.cell, r.id_a, r.id_b)
+            for r in dedup.semantic_dup_pairs(emb).collect()
+        }
+        np_ = {
+            (r.cell, r.id_a, r.id_b)
+            for r in dedup.semantic_dup_pairs_np(emb).collect()
+        }
+        assert fold == np_
