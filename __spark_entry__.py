@@ -1397,6 +1397,13 @@ def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical doc per near-dup cluster (most tokens,
+    ties to the smaller id)."""
+    _views(spark, sf_dir)
+    return dedup.cluster_representatives(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_semantic_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell blocked-matmul SemDeDup twin (ids only — numpy summation
     order makes the similarity value engine-specific in the last ulp,
@@ -2140,6 +2147,23 @@ GROUP BY band_id
 """
 
 
+def _st_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom screen: odd doc_ids stream in and probe the
+    even-doc corpus filter compiled into the projection (map-only,
+    stateless)."""
+    from astro_spark.streaming import bloom_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    key = (sf_dir, "documents_odd")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
+        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    return bloom_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -2338,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_clusters": _dd_clusters,
             "dd_semantic": _dd_semantic,
             "dd_semantic_np": _dd_semantic_np,
+            "dd_quality_rep": _dd_quality_rep,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2365,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_multi_sink": _st_multi_sink,
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
+            "st_bloom_screen": _st_bloom_screen,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -2385,7 +2411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     "dd_semantic",
     "dd_semantic_np",
+    "dd_quality_rep",
     "dd_bloom",
+    "st_bloom_screen",
     "t_dsir",
     "s_recall_report",
     "op_merge_exception",
@@ -2700,6 +2728,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
                 f"SELECT cell, id_a, id_b FROM ({oracles.semantic_dup_pairs_sql()})"
             ),
             "dd_bloom": oracles.bloom_membership_sql(),
+            "dd_quality_rep": oracles.cluster_representatives_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (
@@ -2736,6 +2765,9 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "st_sessions": _ST_SESSIONS_DUCK,
             "st_dedup": (
                 "SELECT COUNT(DISTINCT text)::BIGINT AS n_unique_docs FROM documents"
+            ),
+            "st_bloom_screen": (
+                f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
             ),
         }
     )

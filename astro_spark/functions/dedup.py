@@ -1079,3 +1079,47 @@ def semantic_dup_pairs_np(
     return assigned.groupBy("cell").applyInPandas(
         _cell, schema="cell long, id_a long, id_b long, cos_sim double"
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical document per near-dup cluster: instead of
+    blindly keeping the minimum id, keep the member with the MOST tokens
+    (ties break to the smaller id) — the "pick the best copy" step real
+    dedup pipelines run between clustering and deletion.
+
+    Composition: near-dup pairs (MinHash+LSH by default) → connected
+    components (``dup_clusters``) → one windowed argmax per cluster.
+    The window partitions on cluster_id, whose groups are near-dup
+    clusters — naturally tiny — so the extra cost over clustering is one
+    key-shuffle.  Returns (cluster_id, rep_doc_id, cluster_size,
+    rep_tokens), one row per cluster.
+    """
+    from .text import token_count
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col)
+    clusters = dup_clusters(pairs, df.select(id_col), id_col)
+    scored = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("__q")
+    )
+    joined = clusters.join(scored, on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cw))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("rep_doc_id"),
+            "cluster_size",
+            F.col("__q").alias("rep_tokens"),
+        )
+    )

@@ -1188,3 +1188,30 @@ SELECT r_toks.doc_id, count(*)::BIGINT AS n_tokens,
 FROM r_toks JOIN w ON w.bucket = r_toks.bucket
 GROUP BY r_toks.doc_id
 """
+
+
+def cluster_representatives_sql(table: str = "documents") -> str:
+    """Mirrors dedup.cluster_representatives: clusters from the
+    recursive-closure oracle, then per-cluster argmax by (token count
+    DESC, doc_id ASC)."""
+    clusters = dup_clusters_sql(table)
+    return f"""
+WITH clusters AS MATERIALIZED (
+  {clusters}
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id,
+         len({tokens("d.text")})::BIGINT AS q
+  FROM clusters c JOIN {table} d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM scored
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       cluster_size::BIGINT AS cluster_size, q AS rep_tokens
+FROM ranked WHERE rn = 1
+"""

@@ -179,3 +179,68 @@ def dedup_stream(
     )
     query.awaitTermination()
     return spark.sql(f"SELECT n_unique_docs FROM {name}")
+
+
+def bloom_screen_stream(
+    spark: SparkSession,
+    input_path: str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Streaming Bloom screen: flag every incoming doc against the
+    STATIC corpus Bloom filter, map-only.
+
+    The filter is built once from the corpus (``dedup.bloom_build``),
+    collected as a bitmask of ``m`` bits (m/64 longs — a few KB), and
+    compiled INTO the stream's projection as an array literal: each
+    micro-batch row tests its k bit positions with shifts and masks.
+    No stream-static join, no shuffle, no state — the production
+    front-door shape for continuous ingestion, where the corpus itself
+    (possibly petabytes) never meets the stream.  False-positive rate
+    is the standard Bloom bound; false negatives are impossible.
+
+    Returns (id, maybe_dup) for every streamed doc (append mode).
+    """
+    from ..functions.constants import BLOOM_M
+    from ..functions.dedup import bloom_bit_positions, bloom_build
+    from ..functions.text import fingerprint62
+
+    m = m or BLOOM_M
+    words = [0] * ((m + 63) // 64)
+    for r in bloom_build(corpus_df, text_col, m, k).collect():  # <= m tiny rows
+        words[r.bit >> 6] |= 1 << (r.bit & 63)
+    mask = F.array(
+        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("long") for w in words]
+    )
+
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    pos = bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+    flagged = stream.select(
+        F.col(id_col),
+        F.forall(
+            pos,
+            lambda p: (
+                F.call_function(
+                    "shiftright",
+                    F.element_at(mask, (p / 64).cast("int") + 1),
+                    (p % 64).cast("int"),
+                ).bitwiseAND(F.lit(1).cast("long"))
+                == 1
+            ),
+        ).alias("maybe_dup"),
+    )
+
+    name = f"st_bloom_{uuid.uuid4().hex[:8]}"
+    query = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")

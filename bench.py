@@ -41,6 +41,7 @@ HEADLINE = [
     "dd_simhash",
     "dd_ngram_jaccard",
     "dd_clusters",
+    "dd_quality_rep",
     "dd_semantic",
     "dd_semantic_np",
     "dd_bloom",
@@ -61,6 +62,7 @@ HEADLINE = [
     "st_incremental_load",
     "st_windowed_counts",
     "st_sessions",
+    "st_bloom_screen",
 ]
 
 

@@ -28,11 +28,11 @@ def test_rotation_order_is_applied():
     q = list(entry.queries())
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
-    # the round-4 additions lead the queue
-    head = q[:4]
+    # the newest round-4 additions lead the queue (never driver-checked)
+    head = q[:7]
     assert set(head) == {
-        "s_recall_report", "op_merge_exception", "s_ivf_pq_topk",
-        "dd_span_removal",
+        "dd_semantic", "dd_semantic_np", "dd_quality_rep", "dd_bloom",
+        "st_bloom_screen", "t_dsir", "s_recall_report",
     }, head
 
 

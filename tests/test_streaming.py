@@ -351,3 +351,63 @@ class TestStreamMerge:
         # partition c was outside the batch: untouched on disk
         assert sorted(os.listdir(os.path.join(loc, "p=c"))) == c_before
         a.drop_table(spark, target)
+
+
+class TestBloomScreenStream:
+    def test_flags_match_batch_bloom(self, spark, tmp_path):
+        """The stream's compiled-bitmask membership equals the batch
+        bloom_membership verdict doc for doc, and exact dups are never
+        missed (no false negatives through the stream path)."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import bloom_screen_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        d = str(tmp_path / "odd")
+        batch.repartition(3).write.parquet(d)
+
+        streamed = {
+            r.doc_id: r.maybe_dup
+            for r in bloom_screen_stream(spark, d, corpus).collect()
+        }
+        batch_flags = {
+            r.doc_id: r.maybe_dup
+            for r in dedup.bloom_membership(batch, dedup.bloom_build(corpus)).collect()
+        }
+        assert streamed == batch_flags
+        exact = {r.text for r in corpus.select("text").collect()}
+        for r in batch.select("doc_id", "text").collect():
+            if r.text in exact:
+                assert streamed[r.doc_id], f"stream false negative on {r.doc_id}"
+
+
+class TestClusterRepresentatives:
+    def test_rep_is_best_member_of_each_cluster(self, spark):
+        from astro_spark.functions import dedup
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = dedup.minhash_lsh_pairs(docs)
+        clusters = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.dup_clusters(pairs, docs.select("doc_id")).collect()
+        }
+        toks = {
+            r.doc_id: r.n
+            for r in docs.selectExpr(
+                "doc_id", "size(split(trim(text), '\\\\s+')) AS n"
+            ).collect()
+        }
+        reps = dedup.cluster_representatives(docs, pairs).collect()
+        by_cluster: dict[int, list[int]] = {}
+        for doc_id, cid in clusters:
+            by_cluster.setdefault(cid, []).append(doc_id)
+        assert len(reps) == len(by_cluster)
+        for r in reps:
+            members = by_cluster[r.cluster_id]
+            assert r.rep_doc_id in members
+            assert r.cluster_size == len(members)
+            best = max(members, key=lambda d: (toks[d], -d))
+            assert r.rep_doc_id == best and r.rep_tokens == toks[best]
