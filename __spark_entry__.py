@@ -1435,6 +1435,12 @@ def _dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram LM fluency scores, self-trained on the corpus."""
+    _views(spark, sf_dir)
+    return text.bigram_lm_scores(read_table(spark, sf_dir, "documents"))
+
+
 def _t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scores: target = English docs, raw = all."""
     from astro_spark.functions.sampling import dsir_scores
@@ -2365,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_quality_rep": _dd_quality_rep,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
+            "t_bigram_lm": _t_bigram_lm,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
@@ -2415,6 +2422,7 @@ _DRIVER_PRIORITY = [
     "dd_bloom",
     "st_bloom_screen",
     "t_dsir",
+    "t_bigram_lm",
     "s_recall_report",
     "op_merge_exception",
     "s_ivf_pq_topk",
@@ -2730,6 +2738,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_bloom": oracles.bloom_membership_sql(),
             "dd_quality_rep": oracles.cluster_representatives_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
+            "t_bigram_lm": oracles.bigram_lm_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (
                 f"SELECT id_a, id_b FROM ({oracles.cosine_dup_pairs_sql()})"

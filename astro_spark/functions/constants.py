@@ -149,3 +149,12 @@ BLOOM_COEFFS: list[tuple[int, int]] = [
 # (no log/exp) so the per-doc scores are BIGINT-exact in both engines.
 DSIR_BUCKETS = 256
 DSIR_SCALE = 1_000_000
+
+# --- hashed bigram LM (CCNet-style perplexity quality filter) ---------------
+# Conditional-probability model over HASHED token buckets so the count
+# tables are bounded (broadcastable) no matter the vocabulary: unigram
+# context buckets U and bigram buckets B.  Scores are integer-scaled
+# rational ratios — BIGINT-exact in both engines.
+LM_UNI_BUCKETS = 4096
+LM_BI_BUCKETS = 65536
+LM_SCALE = 1_000_000

@@ -1215,3 +1215,41 @@ SELECT cluster_id, doc_id AS rep_doc_id,
        cluster_size::BIGINT AS cluster_size, q AS rep_tokens
 FROM ranked WHERE rn = 1
 """
+
+
+def bigram_lm_sql(table: str = "documents") -> str:
+    """Mirrors text.bigram_lm_scores (self-trained): hashed bigram
+    conditional counts, add-one smoothing, per-doc mean integer-scaled
+    ratio."""
+    from .constants import LM_BI_BUCKETS, LM_SCALE, LM_UNI_BUCKETS
+
+    th = f"list_transform({tokens('text')}, t -> {poly_hash('t', MULT1)})"
+    return f"""
+WITH h AS (
+  SELECT doc_id, {th} AS th FROM {table}
+),
+occ AS (
+  SELECT doc_id,
+         th[i] % {LM_UNI_BUCKETS} AS u,
+         (th[i] * {MULT2} + th[i + 1]) % {P31} % {LM_BI_BUCKETS} AS b
+  FROM h, LATERAL (SELECT unnest(range(1, greatest(len(th), 1))) AS i)
+),
+c_u AS (SELECT u, count(*)::BIGINT AS c_u FROM occ GROUP BY u),
+c_b AS (SELECT b, count(*)::BIGINT AS c_b FROM occ GROUP BY b),
+scored AS (
+  SELECT occ.doc_id,
+         ({LM_SCALE}::BIGINT * (coalesce(c_b.c_b, 0) + 1))
+         // (coalesce(c_u.c_u, 0) + {LM_UNI_BUCKETS}) AS r
+  FROM occ
+  LEFT JOIN c_u ON c_u.u = occ.u
+  LEFT JOIN c_b ON c_b.b = occ.b
+),
+sums AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(r)::BIGINT AS r_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.r_sum // s.n_bigrams, 0)::BIGINT AS lm_avg
+FROM {table} d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""

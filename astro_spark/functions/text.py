@@ -479,3 +479,89 @@ def collocations(
         .orderBy(F.col("lift_x1000").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bigram language-model fluency scores — the CCNet-style
+    "perplexity filter" quality signal without an external LM.
+
+    Model: a bigram conditional-probability table over HASHED buckets
+    (context = unigram hash mod U, transition = two-hash fold mod B),
+    add-one smoothed, trained on ``corpus`` (default: the scored frame
+    itself).  A doc's score is the mean integer-scaled ratio
+    ``scale * (c(bigram)+1) / (c(context)+U)`` over its bigram
+    occurrences — high for text whose transitions the corpus has seen
+    often (fluent/in-domain), low for scrambled or out-of-domain text.
+    All-BIGINT rational arithmetic: bit-identical in the DuckDB oracle.
+
+    Scale shape: the count tables are bounded at U and B rows no matter
+    the vocabulary (the hashing trick), aggregate map-side, and
+    broadcast to the one scoring scan — two corpus passes total, no
+    row-level shuffle except the per-doc sum.  Returns
+    (id, n_bigrams, lm_avg) for every input doc (docs with < 2 tokens
+    score 0 with n_bigrams = 0).
+    """
+    from .constants import LM_BI_BUCKETS, LM_SCALE, LM_UNI_BUCKETS
+
+    if corpus is None:
+        corpus = df
+
+    def bigram_hashes(col: Column) -> Column:
+        """Array of (u, b) structs, one per adjacent token pair."""
+        th = F.transform(tokens(col), lambda t: char_poly_hash(t, MULT1))
+
+        def _pairs(h: Column) -> Column:
+            n = F.greatest(F.size(h) - F.lit(1), F.lit(0))
+            return F.zip_with(
+                F.slice(h, 1, n),
+                F.slice(h, 2, n),
+                lambda a, b: F.struct(
+                    (a % F.lit(LM_UNI_BUCKETS)).alias("u"),
+                    ((a * F.lit(MULT2) + b) % F.lit(P31) % F.lit(LM_BI_BUCKETS)).alias(
+                        "b"
+                    ),
+                ),
+            )
+
+        # let-binding: evaluate th once
+        return F.element_at(F.transform(F.array(th), _pairs), 1)
+
+    train = corpus.select(F.explode(bigram_hashes(F.col(text_col))).alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.b").alias("b")
+    )
+    c_u = train.groupBy("u").agg(F.count(F.lit(1)).alias("c_u"))
+    c_b = train.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+
+    occ = df.select(
+        F.col(id_col), F.explode(bigram_hashes(F.col(text_col))).alias("p")
+    ).select(id_col, F.col("p.u").alias("u"), F.col("p.b").alias("b"))
+    scored = (
+        occ.join(F.broadcast(c_u), on="u", how="left")
+        .join(F.broadcast(c_b), on="b", how="left")
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"(CAST({LM_SCALE} AS BIGINT) * (coalesce(c_b, 0) + 1)) "
+                f"DIV (coalesce(c_u, 0) + {LM_UNI_BUCKETS})"
+            ).alias("r"),
+        )
+    )
+    sums = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("r").alias("r_sum")
+    )
+    return (
+        df.select(id_col)
+        .join(sums, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(
+                F.expr("r_sum DIV n_bigrams"), F.lit(0).cast("long")
+            ).alias("lm_avg"),
+        )
+    )

@@ -46,6 +46,7 @@ HEADLINE = [
     "dd_semantic_np",
     "dd_bloom",
     "t_dsir",
+    "t_bigram_lm",
     "s_brute_topk",
     "s_pq_topk",
     "s_ivf_pq_topk",

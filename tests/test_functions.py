@@ -944,3 +944,31 @@ class TestDsir:
             for r in dedup.semantic_dup_pairs_np(emb).collect()
         }
         assert fold == np_
+
+
+class TestBigramLm:
+    def test_fluent_text_outscores_scrambled(self, spark):
+        """Docs whose transitions the corpus has seen often score above a
+        scrambled doc over the same vocabulary — the perplexity-filter
+        signal."""
+        rows = [(i, "alpha beta gamma delta") for i in range(20)]
+        rows.append((100, "delta alpha gamma beta"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r.lm_avg for r in text.bigram_lm_scores(df).collect()}
+        assert got[0] > got[100]
+        assert all(got[i] == got[0] for i in range(20))
+
+    def test_every_doc_scored_including_short(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three"), (2, "single"), (3, "")], ["doc_id", "text"]
+        )
+        got = {r.doc_id: (r.n_bigrams, r.lm_avg) for r in text.bigram_lm_scores(df).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1][0] == 2 and got[2] == (0, 0) and got[3][0] <= 1
+
+    def test_external_corpus_training(self, spark, docs):
+        """Scoring a frame against a DIFFERENT training corpus uses that
+        corpus's transition counts."""
+        target = docs.where("doc_id < 10")
+        out = text.bigram_lm_scores(target, corpus=docs)
+        assert out.count() == target.count()
