@@ -240,11 +240,14 @@ def _rec(op: int, data: bytes) -> bytes:
     return struct.pack("<HH", op, len(data)) + data
 
 
-def _encode_str(s: str) -> tuple[int, bytes]:
-    """(grbit, bytes): compressed latin-ish when possible else UTF-16LE."""
+def _encode_str(s: str) -> tuple[int, bytes, int]:
+    """(grbit, bytes, cch): compressed latin-ish when possible else
+    UTF-16LE.  cch is in UTF-16 CODE UNITS (astral chars count 2), per
+    the BIFF8 XLUnicodeString spec."""
     if all(ord(c) < 256 for c in s):
-        return 0, bytes(ord(c) for c in s)
-    return 1, s.encode("utf-16-le")
+        return 0, bytes(ord(c) for c in s), len(s)
+    raw = s.encode("utf-16-le")
+    return 1, raw, len(raw) // 2
 
 
 def _build_sst(strings: list[str]) -> bytes:
@@ -260,11 +263,11 @@ def _build_sst(strings: list[str]) -> bytes:
         return _MAX_RECORD_DATA - len(chunks[-1])
 
     for s in strings:
-        grbit, raw = _encode_str(s)
+        grbit, raw, cch = _encode_str(s)
         unit = 2 if grbit else 1
         if room() < 3 + unit:  # header + at least one char must fit
             chunks.append(bytearray())
-        chunks[-1] += struct.pack("<HB", len(s), grbit)
+        chunks[-1] += struct.pack("<HB", cch, grbit)
         pos = 0
         while pos < len(raw):
             if room() <= 0:
@@ -313,8 +316,18 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
         n_runs = struct.unpack("<H", read_exact(2))[0] if rich else 0
         cb_ext = struct.unpack("<I", read_exact(4))[0] if phonetic else 0
         wide = bool(grbit & 0x01)
-        got: list[str] = []
-        remaining = cch
+        # character data may split across CONTINUEs (flag byte restated);
+        # buffer contiguous same-width runs so a UTF-16 surrogate pair
+        # split at a chunk boundary still decodes as one character
+        runs: list[list] = []  # [wide, bytearray]
+
+        def emit(raw: bytes, w: bool) -> None:
+            if runs and runs[-1][0] == w:
+                runs[-1][1] += raw
+            else:
+                runs.append([w, bytearray(raw)])
+
+        remaining = cch  # UTF-16 code units, not characters
         while remaining > 0:
             avail = len(chunks[ci]) - pos
             if avail <= 0:
@@ -325,20 +338,24 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
                 pos += 1
                 avail = len(chunks[ci]) - pos
             unit = 2 if wide else 1
-            take_chars = min(remaining, avail // unit)
-            if take_chars == 0:
+            take_units = min(remaining, avail // unit)
+            if take_units == 0:
                 ci += 1
                 pos = 0
                 wide = bool(chunks[ci][pos] & 0x01)
                 pos += 1
                 continue
-            raw = chunks[ci][pos : pos + take_chars * unit]
-            pos += take_chars * unit
-            got.append(
-                raw.decode("utf-16-le") if wide else "".join(chr(b) for b in raw)
+            emit(bytes(chunks[ci][pos : pos + take_units * unit]), wide)
+            pos += take_units * unit
+            remaining -= take_units
+        strings.append(
+            "".join(
+                bytes(raw).decode("utf-16-le")
+                if w
+                else "".join(chr(b) for b in raw)
+                for w, raw in runs
             )
-            remaining -= take_chars
-        strings.append("".join(got))
+        )
         if n_runs:
             read_exact(4 * n_runs)
         if cb_ext:
@@ -526,10 +543,10 @@ def write_xls(header: list[str], rows: list[list], path: str) -> None:
             _WINDOW1, struct.pack("<HHHHHHHHH", 0x0168, 0x0111, 0x3C7C, 0x2907, 0x0038, 0, 0, 1, 0x0258)
         )
         name = "Sheet1"
-        grbit, raw = _encode_str(name)
+        grbit, raw, cch = _encode_str(name)
         g += _rec(
             _BOUNDSHEET,
-            struct.pack("<IHBB", sheet_off, 0, len(name), grbit) + raw,
+            struct.pack("<IHBB", sheet_off, 0, cch, grbit) + raw,
         )
         g += _build_sst(strings)
         g += _rec(_EOF, b"")

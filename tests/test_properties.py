@@ -324,3 +324,88 @@ class TestShardingProperties:
             per_group[g] = per_group.get(g, 0) + 1
         expect = sum(min(n, c) for c in per_group.values())
         assert len(small) == expect
+
+
+class TestXlsCodecProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.text(min_size=0, max_size=40).filter(
+                    lambda s: all(ord(c) >= 32 or c in "\t" for c in s)
+                ),
+                st.integers(-(2**40), 2**40),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.booleans(),
+                st.one_of(st.none(), st.text(alphabet="xyzé✓", max_size=8)),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_xls_roundtrip_arbitrary_tables(self, tmp_path_factory, rows):
+        """write_xls → read_xls is the identity on typed cells (floats
+        that are integral come back int — the documented numify rule)."""
+        from astro_spark.sources.xls import read_xls, write_xls
+
+        p = str(tmp_path_factory.mktemp("xlsprop") / "t.xls")
+        header = ["s", "i", "f", "b", "opt"]
+        write_xls(header, [list(r) for r in rows], p)
+        h2, r2 = read_xls(p)
+        assert h2 == header
+        assert len(r2) == len(rows)
+        for got, want in zip(r2, rows):
+            s, i, f, b, opt = want
+            exp_f = int(f) if float(f).is_integer() else float(f)
+            assert got == [s, i, exp_f, b, opt], (got, want)
+
+
+class TestBloomProperties:
+    @SETTINGS
+    @given(
+        corpus=st.lists(st.text(alphabet="abcde ", min_size=1, max_size=12),
+                        min_size=1, max_size=25),
+        batch=st.lists(st.text(alphabet="abcde ", min_size=1, max_size=12),
+                       min_size=1, max_size=25),
+    )
+    def test_no_false_negatives_ever(self, spark, corpus, batch):
+        """Bloom law: a batch doc whose text appears in the corpus is
+        ALWAYS flagged maybe_dup, for arbitrary corpora."""
+        from astro_spark.functions import dedup
+
+        cdf = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                    ["doc_id", "text"])
+        bdf = spark.createDataFrame([(i, t) for i, t in enumerate(batch)],
+                                    ["doc_id", "text"])
+        flags = {
+            r.doc_id: r.maybe_dup
+            for r in dedup.bloom_membership(bdf, dedup.bloom_build(cdf)).collect()
+        }
+        seen = set(corpus)
+        for i, t in enumerate(batch):
+            if t in seen:
+                assert flags[i], (t, "false negative")
+
+
+class TestDsirProperties:
+    @SETTINGS
+    @given(
+        texts=st.lists(st.text(alphabet="abc de", min_size=1, max_size=20),
+                       min_size=2, max_size=20),
+        n_target=st.integers(1, 5),
+    )
+    def test_repartition_invariant_and_total(self, spark, texts, n_target):
+        """Scores are a function of content only (stable under
+        repartitioning) and every raw doc gets exactly one row."""
+        from astro_spark.functions.sampling import dsir_scores
+
+        raw = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        target = raw.where(f"doc_id < {n_target}")
+        a = {r.doc_id: (r.n_tokens, r.dsir_score)
+             for r in dsir_scores(raw, target).collect()}
+        b = {r.doc_id: (r.n_tokens, r.dsir_score)
+             for r in dsir_scores(raw.repartition(7), target.repartition(3)).collect()}
+        assert a == b
+        assert set(a) == set(range(len(texts)))
