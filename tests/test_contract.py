@@ -32,7 +32,7 @@ def test_rotation_order_is_applied():
     head = q[:7]
     assert set(head) == {
         "dd_semantic", "dd_semantic_np", "dd_quality_rep", "dd_bloom",
-        "st_bloom_screen", "t_dsir", "s_recall_report",
+        "st_bloom_screen", "t_dsir", "t_bigram_lm",
     }, head
 
 
