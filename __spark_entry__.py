@@ -229,8 +229,58 @@ FROM customer
 WHERE c_custkey <= 500
 """
 
+# TPC-H Q4 analog: order-priority checking via EXISTS (commit/receipt
+# dates don't exist in the fixture; "late line" = shipped after order date)
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+# TPC-H Q12 analog: priority line counts over the late-shipped join
+_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_returnflag
+"""
+
+# TPC-H Q14 analog: promo revenue share (cents-exact sums; the final
+# ratio divides two identical BIGINTs so the double is bit-identical)
+_Q14 = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE),
+       4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+"""
+
+# TPC-H Q18 analog: large-volume orders (quantities are integral
+# doubles; BIGINT-cast before summing keeps both engines exact)
+_Q18 = """
+SELECT c_custkey, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, o_orderkey
+HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150
+"""
+
 _SHARED_SQL = {
     "q1_pricing_summary": _Q1,
+    "q4_order_priority": _Q4,
+    "q12_priority_lines": _Q12,
+    "q14_promo_revenue": _Q14,
+    "q18_large_orders": _Q18,
     "q3_shipping_priority": _Q3,
     "q5_local_supplier_volume": _Q5,
     "q6_revenue_forecast": _Q6,
@@ -2423,6 +2473,10 @@ _DRIVER_PRIORITY = [
     "st_bloom_screen",
     "t_dsir",
     "t_bigram_lm",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "s_recall_report",
     "op_merge_exception",
     "s_ivf_pq_topk",
