@@ -1447,6 +1447,13 @@ def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_semantic_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SemDeDup survivors (keep-first pruning applied)."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb).select("vec_id", "label")
+
+
 def _dd_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical doc per near-dup cluster (most tokens,
     ties to the smaller id)."""
@@ -2418,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_clusters": _dd_clusters,
             "dd_semantic": _dd_semantic,
             "dd_semantic_np": _dd_semantic_np,
+            "dd_semantic_kept": _dd_semantic_kept,
             "dd_quality_rep": _dd_quality_rep,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
@@ -2468,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     "dd_semantic",
     "dd_semantic_np",
+    "dd_semantic_kept",
     "dd_quality_rep",
     "dd_bloom",
     "st_bloom_screen",
@@ -2788,6 +2797,10 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_semantic": oracles.semantic_dup_pairs_sql(),
             "dd_semantic_np": (
                 f"SELECT cell, id_a, id_b FROM ({oracles.semantic_dup_pairs_sql()})"
+            ),
+            "dd_semantic_kept": (
+                f"SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN "
+                f"(SELECT id_b FROM ({oracles.semantic_dup_pairs_sql()}))"
             ),
             "dd_bloom": oracles.bloom_membership_sql(),
             "dd_quality_rep": oracles.cluster_representatives_sql(),
