@@ -972,3 +972,44 @@ class TestBigramLm:
         target = docs.where("doc_id < 10")
         out = text.bigram_lm_scores(target, corpus=docs)
         assert out.count() == target.count()
+
+
+class TestNewOpPlanShapes:
+    """Executed-plan pins: the scale-critical join strategies of the
+    round-4 operators, asserted not assumed."""
+
+    def test_bigram_lm_count_joins_broadcast(self, docs):
+        plan = (
+            text.bigram_lm_scores(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # bounded count tables ride broadcast
+
+    def test_bloom_membership_probe_is_broadcast(self, docs):
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        out = dedup.bloom_membership(batch, dedup.bloom_build(corpus))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the <=m-row filter relation
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semantic_pairs_no_nested_loop(self, emb):
+        plan = (
+            dedup.semantic_dup_pairs(emb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the cell equi-join must never degrade to a nested-loop product
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_weight_join_broadcast(self, docs):
+        from astro_spark.functions.sampling import dsir_scores
+
+        plan = (
+            dsir_scores(docs, docs.where("lang = 'en'"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan

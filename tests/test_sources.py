@@ -413,3 +413,20 @@ class TestXls:
         assert os.path.getsize(big) > 4096
         h, rows = read_xls(big)
         assert h == ["a"] and len(rows) == 2000 and rows[7] == [7.5]
+
+    def test_xls_and_xlsx_codecs_agree(self, spark, sf_dir, tmp_path):
+        """The same DataFrame exported through both stdlib codecs reads
+        back value-identical."""
+        nation = read_table(spark, sf_dir, "nation")
+        px, pl = str(tmp_path / "n.xlsx"), str(tmp_path / "n.xls")
+        a.export_to_file(spark, nation, px)
+        a.export_to_file(spark, nation, pl)
+        via_xlsx = {
+            r.n_nationkey: (r.n_name, r.n_regionkey)
+            for r in a.load_file(spark, a.File(px, filetype="xlsx")).collect()
+        }
+        via_xls = {
+            r.n_nationkey: (r.n_name, r.n_regionkey)
+            for r in a.load_file(spark, a.File(pl, filetype="xls")).collect()
+        }
+        assert via_xls == via_xlsx
