@@ -1632,6 +1632,26 @@ def _s_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a PERSISTED IVF index (partitioned-by-cell parquet +
+    centroid table).  Full probe (nprobe = n_cells) provably equals
+    brute force, so the exact oracle applies; partition pruning of
+    selective probes is plan-pinned in pytest."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivf_index")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_ivfidx_")
+        similarity.ivf_write_index(emb, SEMDEDUP_CENTROIDS, d)
+        _STAGED_DIRS[key] = d
+    return similarity.ivf_topk_indexed(
+        spark, d, emb.where("vec_id < 5"), nprobe=len(SEMDEDUP_CENTROIDS), k=5
+    )
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2438,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_ivf_label_topk": _s_ivf_topk,
             "s_recall_report": _s_recall_report,
             "s_ivf_pq_topk": _s_ivf_pq_topk,
+            "s_ivf_indexed_topk": _s_ivf_indexed_topk,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2486,6 +2507,7 @@ _DRIVER_PRIORITY = [
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
+    "s_ivf_indexed_topk",
     "s_recall_report",
     "op_merge_exception",
     "s_ivf_pq_topk",
@@ -2815,6 +2837,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_pq_topk": oracles.pq_topk_sql(),
             "s_recall_report": oracles.recall_report_sql(),
             "s_ivf_pq_topk": oracles.ivf_pq_topk_sql(),
+            "s_ivf_indexed_topk": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

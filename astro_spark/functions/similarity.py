@@ -820,3 +820,103 @@ def pq_encode_np(
             yield pd.DataFrame({id_col: pdf[id_col], "pq_codes": list(codes)})
 
     return df.mapInPandas(_mapper, f"{id_col} long, pq_codes array<bigint>")
+
+
+# --------------------------------------------------------------------------
+# persisted IVF index: build once, probe with file-level partition pruning
+# --------------------------------------------------------------------------
+def ivf_write_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a trained IVF index on disk: the assigned corpus
+    written ``partitionBy("cell")`` plus the centroid table under
+    ``<path>/_centroids``.
+
+    This is what makes IVF pay off at 100 TB: a probe of ``nprobe``
+    cells becomes a scan of only those cells' DIRECTORIES — Spark's
+    partition pruning skips every other file before a single byte is
+    read (asserted via scan PartitionFilters in tests).  Build cost is
+    one map-only assignment pass + one partitioned write; rebuilds are
+    per-cell replaceable.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    # "_"-prefixed subdirectories are invisible to the data-file listing,
+    # so the centroid table can live inside the index directory
+    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ivf_read_centroids(spark, path: str) -> list[list[float]]:
+    rows = (
+        spark.read.parquet(path.rstrip("/") + "/_centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index: probe each
+    query's ``nprobe`` nearest cells and scan only those partitions.
+
+    The probed-cell filter is a plain equi-join on the partition column,
+    so Catalyst pushes it into the scan as a PartitionFilter (dynamic
+    partition pruning when the probe set is a runtime relation) — the
+    index directory's other cells are never opened.  Results equal
+    ``ivf_topk`` with the same centroids (pinned in tests).
+    """
+    centroids = ivf_read_centroids(spark, path)
+    corpus = spark.read.parquet(path)
+    c = corpus.select(
+        "cell", F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["i"],
+                )
+            ),
+        )
+    )
+    joined = c.join(F.broadcast(probes), on="cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -1013,3 +1013,31 @@ class TestNewOpPlanShapes:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestIvfIndexPersistence:
+    def test_indexed_probe_equals_in_memory_and_prunes_partitions(
+        self, spark, emb, tmp_path
+    ):
+        """Persisted-index probes return exactly the in-memory ivf_topk
+        result AND the scan carries a partition filter on cell — the
+        file-level pruning that makes IVF pay at scale."""
+        cents = similarity.ivf_train(emb, n_cells=4, iterations=2)
+        path = str(tmp_path / "ivf_index")
+        similarity.ivf_write_index(emb, cents, path)
+
+        queries = emb.where("vec_id < 5")
+        indexed = similarity.ivf_topk_indexed(spark, path, queries, nprobe=2, k=3)
+        in_mem = similarity.ivf_topk(emb, queries, nprobe=2, k=3, centroids=cents)
+        assert sorted(map(tuple, indexed.collect())) == sorted(
+            map(tuple, in_mem.collect())
+        )
+
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "dynamicpruning" in plan, plan[:2000]
+
+    def test_centroids_roundtrip(self, spark, emb, tmp_path):
+        cents = similarity.ivf_train(emb, n_cells=3, iterations=1)
+        path = str(tmp_path / "ivf_index2")
+        similarity.ivf_write_index(emb, cents, path)
+        assert similarity.ivf_read_centroids(spark, path) == cents
