@@ -1454,6 +1454,16 @@ def _dd_semantic_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb).select("vec_id", "label")
 
 
+def _dd_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: odd doc_ids (batch) vs even doc_ids
+    (corpus) through the banded-corpus join."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_incremental_pairs(
+        docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0")
+    )
+
+
 def _dd_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical doc per near-dup cluster (most tokens,
     ties to the smaller id)."""
@@ -2446,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_semantic": _dd_semantic,
             "dd_semantic_np": _dd_semantic_np,
             "dd_semantic_kept": _dd_semantic_kept,
+            "dd_minhash_incr": _dd_minhash_incr,
             "dd_quality_rep": _dd_quality_rep,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
@@ -2498,6 +2509,7 @@ _DRIVER_PRIORITY = [
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
+    "dd_minhash_incr",
     "dd_quality_rep",
     "dd_bloom",
     "st_bloom_screen",
@@ -2826,6 +2838,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             ),
             "dd_bloom": oracles.bloom_membership_sql(),
             "dd_quality_rep": oracles.cluster_representatives_sql(),
+            "dd_minhash_incr": oracles.minhash_incremental_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

@@ -1123,3 +1123,69 @@ def cluster_representatives(
             F.col("__q").alias("rep_tokens"),
         )
     )
+
+
+def _banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh, band, bh) banding relation for a corpus — the persisted
+    layout an incremental dedup service keeps per ingested corpus."""
+    rows = MINHASH_K // LSH_BANDS
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hash_array(F.col(text_col)).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh")))
+    return base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_hash(F.col("sig"), b, rows).alias("bh"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = MINHASH_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """NEAR-dup screen for an ingest batch against an existing corpus:
+    MinHash banding candidates between (batch x corpus) only, verified
+    with exact Jaccard — the near-dup member of the incremental triple
+    (exact fingerprint anti-join / Bloom screen / this).
+
+    The corpus side is its banding relation (``_banded``) — at scale a
+    PERSISTED (band, bh, id, sh) table maintained per ingest, so each
+    new batch bands map-only and joins the table on (band, bh) without
+    ever re-scanning corpus text.  Candidate cost is bounded by bucket
+    co-occurrence, never |batch| x |corpus|.
+
+    Returns (batch_id, corpus_id, jaccard >= threshold, 4dp).
+    """
+    b = _banded(batch, text_col, id_col).alias("b")
+    c = _banded(corpus, text_col, id_col).alias("c")
+    cand = (
+        b.join(c, on=[F.col("b.band") == F.col("c.band"), F.col("b.bh") == F.col("c.bh")])
+        .select(
+            F.col("b.id").alias("batch_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("c.sh").alias("sh_c"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+    union = F.size(F.col("sh_b")) + F.size(F.col("sh_c")) - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("batch_id", "corpus_id", "jaccard")
+    )

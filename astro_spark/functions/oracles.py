@@ -1253,3 +1253,44 @@ SELECT d.doc_id,
        coalesce(s.r_sum // s.n_bigrams, 0)::BIGINT AS lm_avg
 FROM {table} d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
+
+
+def minhash_incremental_sql(table: str = "documents") -> str:
+    """Mirrors dedup.minhash_incremental_pairs with the even/odd split:
+    odd doc_ids (batch) band-join even doc_ids (corpus), exact-Jaccard
+    verified."""
+    rows = MINHASH_K // LSH_BANDS
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        expr = "0::BIGINT"
+        for r in range(rows):
+            expr = f"(({expr}) * {MULT1} + sig[{band * rows + r + 1}]) % {P31}"
+        band_selects.append(f"SELECT id, {band} AS band, {expr} AS bh FROM sig")
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingle_hashes(tokens('text'))} AS sh FROM {table}
+),
+sig AS (
+  SELECT id, [{sig_items}] AS sig FROM base
+),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+  FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+  WHERE b.id % 2 = 1 AND c.id % 2 = 0
+),
+verified AS (
+  SELECT cd.batch_id, cd.corpus_id,
+         round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+               4) AS jaccard
+  FROM cand cd JOIN base a ON a.id = cd.batch_id JOIN base b ON b.id = cd.corpus_id
+)
+SELECT batch_id, corpus_id, jaccard FROM verified
+WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""

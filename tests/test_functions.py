@@ -1041,3 +1041,24 @@ class TestIvfIndexPersistence:
         path = str(tmp_path / "ivf_index2")
         similarity.ivf_write_index(emb, cents, path)
         assert similarity.ivf_read_centroids(spark, path) == cents
+
+
+class TestMinhashIncremental:
+    def test_equals_cross_subset_of_full_pairs(self, docs):
+        """Batch-vs-corpus incremental pairs are exactly the odd-even
+        cross slice of the full self-join pairs (same bands, same
+        verification)."""
+        full = dedup.minhash_lsh_pairs(docs).collect()
+        cross = set()
+        for r in full:
+            if r.id_a % 2 != r.id_b % 2:
+                odd = r.id_a if r.id_a % 2 == 1 else r.id_b
+                even = r.id_b if odd == r.id_a else r.id_a
+                cross.add((odd, even, r.jaccard))
+        incr = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in dedup.minhash_incremental_pairs(
+                docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0")
+            ).collect()
+        }
+        assert incr == cross
