@@ -2257,6 +2257,22 @@ def _st_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
 
 
+def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup screen: odd doc_ids stream in and band-join
+    the even-doc corpus banding relation (persisted once per drain)."""
+    from astro_spark.streaming import minhash_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    key = (sf_dir, "documents_odd")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
+        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    return minhash_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -2488,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
             "st_bloom_screen": _st_bloom_screen,
+            "st_minhash_screen": _st_minhash_screen,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -2513,6 +2530,7 @@ _DRIVER_PRIORITY = [
     "dd_quality_rep",
     "dd_bloom",
     "st_bloom_screen",
+    "st_minhash_screen",
     "t_dsir",
     "t_bigram_lm",
     "q4_order_priority",
@@ -2881,6 +2899,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "st_bloom_screen": (
                 f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
             ),
+            "st_minhash_screen": oracles.minhash_incremental_sql(),
         }
     )
     return out

@@ -1156,6 +1156,7 @@ def minhash_incremental_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = MINHASH_JACCARD_THRESHOLD,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup screen for an ingest batch against an existing corpus:
     MinHash banding candidates between (batch x corpus) only, verified
@@ -1171,7 +1172,11 @@ def minhash_incremental_pairs(
     Returns (batch_id, corpus_id, jaccard >= threshold, 4dp).
     """
     b = _banded(batch, text_col, id_col).alias("b")
-    c = _banded(corpus, text_col, id_col).alias("c")
+    c = (
+        corpus_banded
+        if corpus_banded is not None
+        else _banded(corpus, text_col, id_col)
+    ).alias("c")
     cand = (
         b.join(c, on=[F.col("b.band") == F.col("c.band"), F.col("b.bh") == F.col("c.bh")])
         .select(

@@ -2,12 +2,18 @@
 # watermarked windows, stateful sessionization, streaming dedup).
 from .joins import interval_join_stream, stream_static_join
 from .load_stream import fan_out_stream, load_file_stream, load_file_stream_merge
-from .sessions import bloom_screen_stream, dedup_stream, sessionize_stream
+from .sessions import (
+    bloom_screen_stream,
+    dedup_stream,
+    minhash_screen_stream,
+    sessionize_stream,
+)
 from .windows import late_data_windowed_counts, windowed_counts_stream
 
 __all__ = [
     "bloom_screen_stream",
     "dedup_stream",
+    "minhash_screen_stream",
     "interval_join_stream",
     "stream_static_join",
     "load_file_stream",

@@ -244,3 +244,59 @@ def bloom_screen_stream(
     )
     query.awaitTermination()
     return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")
+
+
+def minhash_screen_stream(
+    spark: SparkSession,
+    input_path: str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup screen: each micro-batch's MinHash bands join
+    the corpus banding relation, with exact-Jaccard verification —
+    the LSH complement of ``bloom_screen_stream`` (that one catches
+    exact dups; this one catches near-dups).
+
+    The corpus banding relation is computed ONCE and persisted before
+    the drain starts — at scale it is the maintained (band, hash, id,
+    shingles) table, so micro-batches band map-only and hash-join it
+    without rescanning corpus text.  Pairs append per batch to a
+    result directory (idempotent layout: one subdir per batch id).
+
+    Returns (batch_id, corpus_id, jaccard) across the whole drain.
+    """
+    import tempfile
+
+    from ..functions.constants import MINHASH_JACCARD_THRESHOLD
+    from ..functions.dedup import _banded, minhash_incremental_pairs
+
+    threshold = threshold or MINHASH_JACCARD_THRESHOLD
+    banded = _banded(corpus_df, text_col, id_col).persist()
+    banded.count()  # materialize once, not per micro-batch
+
+    out_dir = tempfile.mkdtemp(prefix="astro_mh_screen_")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        pairs = minhash_incremental_pairs(
+            batch_df, corpus_df, text_col, id_col, threshold,
+            corpus_banded=banded,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    query = (
+        stream.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    banded.unpersist()
+    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return out.select("batch_id", "corpus_id", "jaccard")

@@ -29,12 +29,13 @@ def test_rotation_order_is_applied():
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
     # the newest round-4 additions lead the queue (never driver-checked)
-    head = q[:13]
+    head = q[:14]
     assert set(head) == {
         "dd_semantic", "dd_semantic_np", "dd_semantic_kept",
         "dd_minhash_incr", "dd_quality_rep", "dd_bloom",
-        "st_bloom_screen", "t_dsir", "t_bigram_lm", "q4_order_priority",
-        "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
+        "st_bloom_screen", "st_minhash_screen", "t_dsir", "t_bigram_lm",
+        "q4_order_priority", "q12_priority_lines", "q14_promo_revenue",
+        "q18_large_orders",
     }, head
 
 

@@ -430,3 +430,20 @@ class TestXls:
             for r in a.load_file(spark, a.File(pl, filetype="xls")).collect()
         }
         assert via_xls == via_xlsx
+
+
+class TestCompressedReads:
+    def test_gzip_csv_through_load_file(self, spark, sf_dir, tmp_path):
+        """Spark reads .csv.gz transparently; load_file inherits it (the
+        reference relies on pandas' compression inference the same way)."""
+        import gzip
+
+        nation = read_table(spark, sf_dir, "nation")
+        plain = str(tmp_path / "n.csv")
+        a.export_to_file(spark, nation, plain)
+        gz = str(tmp_path / "n.csv.gz")
+        with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+            dst.write(src.read())
+        df = a.load_file(spark, a.File(gz, filetype="csv"))
+        assert df.count() == nation.count()
+        assert sorted(df.columns) == sorted(nation.columns)

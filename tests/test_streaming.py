@@ -411,3 +411,31 @@ class TestClusterRepresentatives:
             assert r.cluster_size == len(members)
             best = max(members, key=lambda d: (toks[d], -d))
             assert r.rep_doc_id == best and r.rep_tokens == toks[best]
+
+
+class TestMinhashScreenStream:
+    def test_multi_batch_union_equals_batch_result(self, spark, tmp_path):
+        """Drained one file per micro-batch, the union of per-batch
+        screens equals the one-shot batch incremental result — each
+        batch doc meets the full corpus exactly once."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import minhash_screen_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        d = str(tmp_path / "odd")
+        batch.repartition(3).write.parquet(d)
+
+        streamed = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in minhash_screen_stream(
+                spark, d, corpus, max_files_per_trigger=1
+            ).collect()
+        }
+        expected = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in dedup.minhash_incremental_pairs(batch, corpus).collect()
+        }
+        assert streamed == expected
