@@ -2518,10 +2518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-4 driver-verification order (the driver checks the FIRST 50
-# entries): the new round-4 query first, then the 10 entries whose only
-# driver row is still r01 (they fell past r03's 50-cap), then the r02-
-# checked block (now the oldest), with the r03-checked block last.  No
-# query goes more than 2 rounds without a driver row.
+# entries): the never-checked round-4 additions lead (new dedup/ANN/
+# text/streaming operators + the new TPC-H analogs), then the entries
+# whose only driver row is r01, then the r02-checked block, with the
+# r03-checked block last.  No query goes more than 2 rounds without a
+# driver row.
 _DRIVER_PRIORITY = [
     "dd_semantic",
     "dd_semantic_np",

@@ -45,11 +45,13 @@ HEADLINE = [
     "dd_semantic",
     "dd_semantic_np",
     "dd_bloom",
+    "dd_minhash_incr",
     "t_dsir",
     "t_bigram_lm",
     "s_brute_topk",
     "s_pq_topk",
     "s_ivf_pq_topk",
+    "s_ivf_indexed_topk",
     "s_recall_report",
     "s_lsh_pairs",
     "dd_decontaminate",
