@@ -275,9 +275,73 @@ GROUP BY c_custkey, o_orderkey
 HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150
 """
 
+# TPC-H Q2 analog: min-cost supplier per part via a correlated subquery
+# over a 3-table join (part cost stands in for partsupp supplycost)
+_Q2 = """
+SELECT p_partkey, s_suppkey, s_name, n_name
+FROM part, supplier, nation
+WHERE p_partkey % 50 = 0
+  AND s_suppkey = p_partkey % 100
+  AND s_nationkey = n_nationkey
+  AND s_acctbal = (
+    SELECT MAX(s2.s_acctbal) FROM supplier s2
+    WHERE s2.s_suppkey % 10 = supplier.s_suppkey % 10
+  )
+"""
+
+# TPC-H Q11 analog: important stock — groups whose value exceeds a
+# GLOBAL scalar-subquery threshold (cents-exact on both sides)
+_Q11 = """
+SELECT l_partkey,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) > (
+  SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 5000
+  FROM lineitem
+)
+"""
+
+# TPC-H Q20 analog: suppliers of above-median-quantity parts via nested
+# IN subqueries
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+  )
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 400
+)
+"""
+
+# TPC-H Q22 analog: global-balance acquirers — customers above the
+# average balance (scalar subquery) with no orders (anti pattern)
+_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_bal_cents
+FROM customer
+WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > (
+    SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+"""
+
 _SHARED_SQL = {
     "q1_pricing_summary": _Q1,
+    "q2_min_cost_supplier": _Q2,
     "q4_order_priority": _Q4,
+    "q11_important_stock": _Q11,
+    "q20_promo_suppliers": _Q20,
+    "q22_global_balance": _Q22,
     "q12_priority_lines": _Q12,
     "q14_promo_revenue": _Q14,
     "q18_large_orders": _Q18,
@@ -1502,6 +1566,15 @@ def _dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-100 sample of the documents table."""
+    from astro_spark.functions.sampling import sample_exact_n
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_exact_n(docs, 100)
+
+
 def _t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bigram LM fluency scores, self-trained on the corpus."""
     _views(spark, sf_dir)
@@ -2477,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
             "t_bigram_lm": _t_bigram_lm,
+            "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
@@ -2534,10 +2608,15 @@ _DRIVER_PRIORITY = [
     "st_minhash_screen",
     "t_dsir",
     "t_bigram_lm",
+    "t_sample_n",
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promo_suppliers",
+    "q22_global_balance",
     "s_ivf_indexed_topk",
     "s_recall_report",
     "op_merge_exception",
@@ -2860,6 +2939,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_minhash_incr": oracles.minhash_incremental_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
+            "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (
                 f"SELECT id_a, id_b FROM ({oracles.cosine_dup_pairs_sql()})"

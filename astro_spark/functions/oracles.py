@@ -1294,3 +1294,14 @@ verified AS (
 SELECT batch_id, corpus_id, jaccard FROM verified
 WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
 """
+
+
+def sample_exact_n_sql(table: str = "documents", n: int = 100) -> str:
+    """Mirrors sampling.sample_exact_n on (doc_id, lang)."""
+    key = poly_hash("doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, lang, row_number() OVER (ORDER BY {key}, doc_id) AS sample_rank
+FROM {table}
+ORDER BY {key}, doc_id
+LIMIT {n}
+"""

@@ -339,3 +339,26 @@ def dsir_scores(
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("dsir_score"))
         .withColumn("keep", F.col("dsir_score") > F.col("n_tokens") * F.lit(scale))
     )
+
+
+def sample_exact_n(
+    df: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic EXACT-size sample: the ``n`` rows with the smallest
+    (id-hash, id) key — reservoir-sampling semantics without randomness,
+    so the sample is reproducible on any engine, partitioning, or run
+    (``df.sample`` guarantees neither size nor stability).
+
+    The hash order is uncorrelated with any data column, so the sample
+    is unbiased for analytics (eval-set carving, spot-check QA).
+    Compiles to TakeOrderedAndProject: each partition keeps its local
+    top-n, the driver merges — no global sort, no full shuffle.
+    Returns the sampled rows with a ``sample_rank`` column (1..n).
+    """
+    key = char_poly_hash(F.col(id_col).cast("string"))
+    picked = df.withColumn("__k", key).orderBy("__k", id_col).limit(n)
+    w = Window.orderBy("__k", id_col)  # n rows only — tiny window
+    return (
+        picked.withColumn("sample_rank", F.row_number().over(w))
+        .drop("__k")
+    )

@@ -29,13 +29,14 @@ def test_rotation_order_is_applied():
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
     # the newest round-4 additions lead the queue (never driver-checked)
-    head = q[:14]
+    head = q[:19]
     assert set(head) == {
         "dd_semantic", "dd_semantic_np", "dd_semantic_kept",
         "dd_minhash_incr", "dd_quality_rep", "dd_bloom",
         "st_bloom_screen", "st_minhash_screen", "t_dsir", "t_bigram_lm",
-        "q4_order_priority", "q12_priority_lines", "q14_promo_revenue",
-        "q18_large_orders",
+        "t_sample_n", "q4_order_priority", "q12_priority_lines",
+        "q14_promo_revenue", "q18_large_orders", "q2_min_cost_supplier",
+        "q11_important_stock", "q20_promo_suppliers", "q22_global_balance",
     }, head
 
 

@@ -1062,3 +1062,24 @@ class TestMinhashIncremental:
             ).collect()
         }
         assert incr == cross
+
+
+class TestSampleExactN:
+    def test_exact_size_stable_and_ranked(self, docs):
+        from astro_spark.functions.sampling import sample_exact_n
+
+        a = sample_exact_n(docs.select("doc_id", "lang"), 17)
+        b = sample_exact_n(docs.select("doc_id", "lang").repartition(9), 17)
+        ra = sorted((r.doc_id, r.sample_rank) for r in a.collect())
+        rb = sorted((r.doc_id, r.sample_rank) for r in b.collect())
+        assert ra == rb and len(ra) == 17
+        assert sorted(r[1] for r in ra) == list(range(1, 18))
+
+    def test_take_ordered_plan(self, docs):
+        from astro_spark.functions.sampling import sample_exact_n
+
+        picked = docs.select("doc_id").withColumn(
+            "__k", text.char_poly_hash(F.col("doc_id").cast("string"))
+        ).orderBy("__k", "doc_id").limit(10)
+        plan = picked._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # no global sort
