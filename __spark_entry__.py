@@ -335,6 +335,167 @@ WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > (
 GROUP BY c_mktsegment
 """
 
+# TPC-H Q7 analog: volume shipping between two nations — 6-way join
+# with a symmetric nation-pair disjunction and per-year revenue
+# (reference test surface: python-sdk/tests exercise transform SQL of
+# this multi-join shape; revenue cents-scaled exactly as Q3/Q5/Q10)
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+# TPC-H Q8 analog: national market share inside a region — the ratio of
+# one supplier-nation's revenue to all revenue per order-year.  Both
+# operands are exact BIGINT cents, so the final double division is
+# bit-identical on both engines.
+_Q8 = """
+SELECT o_year,
+       ROUND(CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         SUM(CASE WHEN n2.n_name = 'NATION_5'
+             THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS nation_cents,
+         SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS total_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate)
+) shares
+"""
+
+# TPC-H Q9 analog: product-type profit by supplier nation and year
+# (no partsupp table in the fixture, so profit = discounted revenue;
+# the LIKE filter keeps the plan's scan-side predicate pushdown honest)
+_Q9 = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+# TPC-H Q13 analog: customer order-count distribution — LEFT JOIN with
+# an extra join-side predicate, then a second aggregation over the
+# per-customer counts
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+# TPC-H Q15 analog: top supplier(s) by quarterly revenue — the revenue
+# CTE is referenced twice (once aggregated to a scalar MAX), matching
+# the reference query's view-reuse shape
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier
+JOIN revenue ON supplier_no = s_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+"""
+
+# TPC-H Q16 analog: supplier count by part attributes with a NOT IN
+# complaint-list subquery (lineitem stands in for partsupp)
+_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# TPC-H Q17 analog: small-quantity-order revenue — the 0.2*avg
+# correlated predicate rewritten in exact integer arithmetic
+# (qty*5 < sum/cnt  ⇔  qty*5*cnt < sum; quantities are integral doubles)
+_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND CAST(l_quantity AS BIGINT) * 5
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+         WHERE l3.l_partkey = p_partkey)
+"""
+
+# TPC-H Q19 analog: disjunctive predicate groups over a part join —
+# the classic pushdown stress (brand/size/quantity OR-of-ANDs)
+_Q19 = """
+SELECT COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# TPC-H Q21 analog: suppliers who kept orders waiting — the only
+# supplier late on a finished multi-supplier order ("late" = shipped
+# >90 days after the order date; the fixture has no commit/receipt
+# dates).  EXISTS + NOT EXISTS both correlate on two outer tables.
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
 _SHARED_SQL = {
     "q1_pricing_summary": _Q1,
     "q2_min_cost_supplier": _Q2,
@@ -342,6 +503,15 @@ _SHARED_SQL = {
     "q11_important_stock": _Q11,
     "q20_promo_suppliers": _Q20,
     "q22_global_balance": _Q22,
+    "q7_volume_shipping": _Q7,
+    "q8_market_share": _Q8,
+    "q9_product_profit": _Q9,
+    "q13_order_distribution": _Q13,
+    "q15_top_supplier": _Q15,
+    "q16_supplier_counts": _Q16,
+    "q17_small_qty_revenue": _Q17,
+    "q19_disjunct_revenue": _Q19,
+    "q21_waiting_suppliers": _Q21,
     "q12_priority_lines": _Q12,
     "q14_promo_revenue": _Q14,
     "q18_large_orders": _Q18,
@@ -1642,6 +1812,20 @@ def _s_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus kNN graph via cell-pruned self-join (every vector's
+    top-5 cosine neighbors).  Unlike the *_topk queries the query set is
+    the WHOLE corpus, so the probe side is shuffled on cell, never
+    broadcast.  Full probe (nprobe = n_cells) makes the graph provably
+    exact independent of k-means training noise, so the pipeline
+    hash-checks against the all-pairs windowed oracle; nprobe<n_cells
+    recall is pinned in tests/test_functions.py::TestKnnGraph."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_cells=8, iterations=2)
+    return similarity.knn_graph(emb, k=5, nprobe=8, centroids=cents)
+
+
 def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k grading of the approximate ANN paths against exact brute
     force — the number a real user needs to size shortlist/nprobe
@@ -2560,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_recall_report": _s_recall_report,
             "s_ivf_pq_topk": _s_ivf_pq_topk,
             "s_ivf_indexed_topk": _s_ivf_indexed_topk,
+            "s_knn_graph": _s_knn_graph,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2598,6 +2783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r03-checked block last.  No query goes more than 2 rounds without a
 # driver row.
 _DRIVER_PRIORITY = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunct_revenue",
+    "q21_waiting_suppliers",
+    "s_knn_graph",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -2950,6 +3145,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_recall_report": oracles.recall_report_sql(),
             "s_ivf_pq_topk": oracles.ivf_pq_topk_sql(),
             "s_ivf_indexed_topk": oracles.brute_topk_sql(),
+            "s_knn_graph": oracles.knn_graph_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

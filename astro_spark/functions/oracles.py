@@ -361,6 +361,31 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def knn_graph_sql(table: str = "embeddings", k: int = 5) -> str:
+    """Exact self-kNN graph — replays knn_graph with nprobe = n_cells
+    (full probe), where the cell join degenerates to all candidate
+    pairs.  Argument roles mirror the Spark side (corpus vector first)
+    so the double folds are bit-identical."""
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+         round({cosine('b.v', 'a.v')}, 4) AS cos_sim
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT src_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def partitioned_topk_sql(
     table: str = "embeddings", k: int = 3, max_query_id: int = 5
 ) -> str:

@@ -414,6 +414,74 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """All-corpus k-nearest-neighbor GRAPH (every vector's top-k cosine
+    neighbors) with IVF cell pruning.
+
+    ``ivf_topk`` broadcasts its query set — right for a handful of
+    probes, wrong when every corpus vector is a query.  Here both sides
+    shuffle on ``cell``: the probe side explodes each vector's
+    ``nprobe`` nearest cells and equi-joins the cell-assigned corpus,
+    so the candidate set per vector is ~``nprobe / n_cells`` of the
+    corpus and the join is an ordinary shuffle join that scales
+    horizontally (no side is ever replicated whole).  A (src, neighbor)
+    pair appears at most once because a neighbor lives in exactly one
+    cell.  ``nprobe = n_cells`` recovers the exact kNN graph (pinned in
+    tests against ``brute_force_topk``); at 100 TB keep ``nprobe``
+    small and pre-partition the corpus by cell (``ivf_write_index``) so
+    probes prune at the file level.  Training-pipeline uses: SemDeDup
+    neighbor audits, kNN-graph clustering, coreset selection.
+
+    Returns (src_id, neighbor_id, cos_sim, rank).
+    """
+    if centroids is None:
+        centroids = ivf_train(corpus, n_cells, id_col, vec_col)
+    cells = ivf_assign(corpus, centroids, vec_col=vec_col).select(
+        "cell", F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    probes = corpus.select(
+        F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    joined = cells.join(probes, on="cell").where(
+        F.col("neighbor_id") != F.col("src_id")
+    )
+    scored = joined.select(
+        "src_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "src_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # int8 scalar quantization (embedding compression for billion-vector ANN)
 # --------------------------------------------------------------------------

@@ -28,6 +28,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q10_returned_customers",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q19_disjunct_revenue",
+    "q21_waiting_suppliers",
     "q_window_top_suppliers",
     "q_events_hourly",
     "q_events_sessions",
