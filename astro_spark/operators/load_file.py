@@ -42,6 +42,7 @@ def load_file(
     bucket_by: tuple[int, list[str]] | None = None,
     cluster_by: list[str] | tuple[int, list[str]] | None = None,
     zorder_by: list[str] | tuple[int, list[str]] | None = None,
+    target_file_mb: int | float | None = None,
     csv_options: dict | None = None,
     merge_schema: bool = False,
 ) -> DataFrame | Table:
@@ -71,6 +72,7 @@ def load_file(
         bucket_by=bucket_by,
         cluster_by=cluster_by,
         zorder_by=zorder_by,
+        target_file_mb=target_file_mb,
     )
     return output_table
 
@@ -83,6 +85,7 @@ def save_dataframe_as_table(
     bucket_by: tuple[int, list[str]] | None = None,
     cluster_by: list[str] | tuple[int, list[str]] | None = None,
     zorder_by: list[str] | tuple[int, list[str]] | None = None,
+    target_file_mb: int | float | None = None,
 ) -> None:
     """Materialize a DataFrame under a Table handle.
 
@@ -104,6 +107,19 @@ def save_dataframe_as_table(
     dimension).  The lever for needle-in-haystack point/range lookups
     that neither partitioning (too coarse for high-cardinality keys) nor
     bucketing (hash destroys ranges) covers.
+
+    ``target_file_mb=N`` sizes the write to ~N MB output files (the
+    Databricks "optimized write" analog, the 100 TB small-files lever):
+    the task count comes from Catalyst's optimized-plan size estimate —
+    on-disk bytes for parquet scans, scaled through filters/projections
+    — never from a driver-side count.  With ``partition_by`` the
+    repartition hashes ON the partition columns instead, so every
+    partition value lands in exactly one task → exactly one file per
+    partition directory (no small-files explosion; a genuinely hot
+    partition then holds one large file — split that table by a finer
+    partition key, or use AQE skew handling downstream).  Mutually
+    exclusive with the three layout options, which carry their own
+    file-count knobs.
     """
     layouts = [
         n
@@ -120,6 +136,15 @@ def save_dataframe_as_table(
         raise ValueError(
             f"choose at most one physical layout, got: {', '.join(layouts)}"
         )
+    if target_file_mb is not None:
+        if layouts:
+            raise ValueError(
+                "target_file_mb conflicts with "
+                f"{layouts[0]} (pass an explicit file count there instead)"
+            )
+        if target_file_mb <= 0:
+            raise ValueError("target_file_mb must be positive")
+        df = _repartition_to_target(df, target_file_mb, partition_by)
     spark = df.sparkSession
     if zorder_by:
         from astro_spark.plans.zorder import with_zorder_key
@@ -171,6 +196,26 @@ def save_dataframe_as_table(
             n, cols = bucket_by
             writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(table.qualified_name)
+
+
+def _repartition_to_target(
+    df: DataFrame, target_file_mb: float, partition_by: list[str] | None
+) -> DataFrame:
+    """Repartition so output files land near ``target_file_mb``.
+
+    Catalyst's optimized-plan stats feed the task count (no extra job,
+    no collect); an unknown estimate (Long.MaxValue sentinel when a
+    plan node cannot propagate stats) leaves the partitioning alone
+    rather than exploding the task count.
+    """
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if est <= 0 or est >= (1 << 62):
+        return df
+    if partition_by:
+        # one task per partition value → one file per partition dir
+        return df.repartition(*[F.col(c) for c in partition_by])
+    n = max(1, -(-est // int(target_file_mb * 1024 * 1024)))
+    return df.repartition(n)
 
 
 def _delete_orphan_location(spark: SparkSession, table: Table) -> None:

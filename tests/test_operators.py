@@ -1089,6 +1089,65 @@ class TestZOrderWrite:
             )
 
 
+class TestTargetFileSize:
+    def _file_count(self, spark, tname):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        tdir = os.path.join(warehouse, tname)
+        n = 0
+        for root, _dirs, files in os.walk(tdir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def test_task_count_follows_size_estimate(self, spark, sf_dir):
+        """target_file_mb sizes the write from Catalyst's byte estimate:
+        a tight target splits the table into several files, a loose one
+        collapses it to a single file — no driver-side count involved."""
+        small = a.Table("tgt_small_files", temp=False)
+        big = a.Table("tgt_one_file", temp=False)
+        src = f"{sf_dir}/lineitem.parquet"  # ~115 KB on disk at sf0.001
+        a.load_file(spark, src, output_table=small, target_file_mb=0.02)
+        a.load_file(spark, src, output_table=big, target_file_mb=1024)
+        try:
+            # ~115 KB / 20 KB target → ceil = 6 tasks
+            assert self._file_count(spark, small.name) == 6
+            assert self._file_count(spark, big.name) == 1
+        finally:
+            a.drop_table(spark, small)
+            a.drop_table(spark, big)
+
+    def test_partitioned_write_gets_one_file_per_partition(self, spark, sf_dir):
+        """With partition_by the repartition hashes on the partition
+        columns, so each partition directory holds exactly ONE file
+        (the small-files explosion a naive repartition(n).partitionBy
+        write produces: n files per partition value)."""
+        t = a.Table("tgt_part_files", temp=False)
+        a.load_file(
+            spark, f"{sf_dir}/orders.parquet", output_table=t,
+            partition_by=["o_orderstatus"], target_file_mb=128,
+        )
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        tdir = os.path.join(warehouse, t.name)
+        try:
+            part_dirs = [d for d in os.listdir(tdir) if d.startswith("o_orderstatus=")]
+            assert len(part_dirs) == 3
+            for d in part_dirs:
+                files = [
+                    f for f in os.listdir(os.path.join(tdir, d))
+                    if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (d, files)
+        finally:
+            a.drop_table(spark, t)
+
+    def test_target_conflicts_with_layouts(self, spark, sf_dir):
+        with pytest.raises(ValueError, match="target_file_mb conflicts"):
+            a.load_file(
+                spark, f"{sf_dir}/orders.parquet",
+                output_table=a.Table("tgt_clash", temp=False),
+                cluster_by=["o_custkey"], target_file_mb=128,
+            )
+
+
 class TestDML:
     def test_delete_file_scoped(self, spark):
         """DELETE on an unpartitioned parquet table rewrites only the
