@@ -1760,6 +1760,28 @@ def _t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, docs.where("lang = 'en'"))
 
 
+def _t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-length distribution drift between the single-digit sources
+    (src0–src9, the "reference snapshot") and the rest (the "candidate").
+    All-BIGINT chi-square-style contributions — no float aggregation."""
+    from astro_spark.functions.sampling import distribution_drift
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.where(F.length("source") == 4),
+        docs.where(F.length("source") > 4),
+        F.expr("n_chars DIV 100"),
+    )
+
+
+def _dd_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror each other: verified near-dup pair counts
+    and BIGINT-exact mean Jaccard per unordered source pair."""
+    _views(spark, sf_dir)
+    return dedup.cross_source_matrix(read_table(spark, sf_dir, "documents"))
+
+
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2733,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_quality_rep": _dd_quality_rep,
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
+            "t_drift": _t_drift,
+            "dd_cross_source": _dd_cross_source,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2793,6 +2817,8 @@ _DRIVER_PRIORITY = [
     "q19_disjunct_revenue",
     "q21_waiting_suppliers",
     "s_knn_graph",
+    "t_drift",
+    "dd_cross_source",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3133,6 +3159,8 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_quality_rep": oracles.cluster_representatives_sql(),
             "dd_minhash_incr": oracles.minhash_incremental_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
+            "t_drift": oracles.drift_sql(),
+            "dd_cross_source": oracles.cross_source_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

@@ -1194,3 +1194,50 @@ def minhash_incremental_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# cross-source duplication matrix (which sources copy each other)
+# --------------------------------------------------------------------------
+def cross_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    threshold: float = MINHASH_JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate contamination matrix between corpus sources: for
+    every unordered source pair, how many verified near-dup document
+    pairs cross it and their mean Jaccard.
+
+    The practical question behind it: which feeds are mirroring each
+    other (crawl A re-serving crawl B, a dataset bundling another), so
+    which source should be dropped or down-weighted before training.
+
+    Composition, not new machinery: ``minhash_lsh_pairs`` finds the
+    pairs (banded shuffle, exact-Jaccard verify); two key-joins attach
+    each side's source; a ≤|sources|² groupBy aggregates.  The mean is
+    BIGINT-exact — jaccard is already rounded to 4 decimals, so summing
+    ``jaccard*10⁴`` as BIGINT is order-independent and the single final
+    division is bit-stable.  Pass a precomputed/persisted ``pairs``
+    relation to reuse an existing dedup run at scale.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=threshold)
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
+    j = (
+        pairs.join(src.withColumnsRenamed({"id": "id_a", "src": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "src": "src_b"}), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.round(F.col("jaccard") * 10000).cast("long").alias("j4"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum("j4").cast("double") / (F.count(F.lit(1)) * 10000).cast("double")
+        ).alias("avg_jaccard"),
+    )

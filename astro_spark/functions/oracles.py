@@ -472,6 +472,67 @@ FROM f
 """
 
 
+def drift_sql(
+    table: str = "documents",
+    ref_pred: str = "LENGTH(source) = 4",
+    cand_pred: str = "LENGTH(source) > 4",
+    bin_expr: str = "n_chars // 100",
+    scale: int = 10**6,
+) -> str:
+    """Replays distribution_drift: floor-scaled BIGINT proportions and
+    (p_cand - p_ref)^2 // max(p_ref, 1) contributions per bin."""
+    return f"""
+WITH r AS (
+  SELECT {bin_expr} AS bin, COUNT(*) AS n_ref FROM {table}
+  WHERE {ref_pred} GROUP BY 1
+),
+c AS (
+  SELECT {bin_expr} AS bin, COUNT(*) AS n_cand FROM {table}
+  WHERE {cand_pred} GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(n_ref, 0)::BIGINT AS n_ref,
+         COALESCE(n_cand, 0)::BIGINT AS n_cand
+  FROM r FULL JOIN c ON r.bin = c.bin
+),
+t AS (
+  SELECT bin, n_ref, n_cand,
+         GREATEST(SUM(n_ref) OVER (), 1) AS ref_tot,
+         GREATEST(SUM(n_cand) OVER (), 1) AS cand_tot
+  FROM j
+),
+p AS (
+  SELECT bin, n_ref, n_cand,
+         ((n_ref * {scale}) // ref_tot)::BIGINT AS p_ref_e6,
+         ((n_cand * {scale}) // cand_tot)::BIGINT AS p_cand_e6
+  FROM t
+)
+SELECT bin::BIGINT AS bin, n_ref, n_cand, p_ref_e6, p_cand_e6,
+       (((p_cand_e6 - p_ref_e6) * (p_cand_e6 - p_ref_e6))
+        // GREATEST(p_ref_e6, 1))::BIGINT AS contrib
+FROM p
+"""
+
+
+def cross_source_sql(table: str = "documents") -> str:
+    """Replays cross_source_matrix: the minhash pair oracle as a CTE,
+    sources joined on both sides, unordered-pair canonicalization, and
+    the BIGINT-exact mean (sum of jaccard*10^4 over count)."""
+    return f"""
+WITH pairs AS ({minhash_pairs_sql(table)})
+SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END AS source_a,
+       CASE WHEN da.source <= db.source THEN db.source ELSE da.source END AS source_b,
+       COUNT(*) AS n_pairs,
+       SUM(CAST(round(jaccard * 10000) AS BIGINT))::DOUBLE
+         / (COUNT(*) * 10000)::DOUBLE AS avg_jaccard
+FROM pairs
+JOIN {table} da ON da.doc_id = pairs.id_a
+JOIN {table} db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+
+
 def dup_clusters_sql(table: str = "documents") -> str:
     """Connected components over the minhash near-dup pairs: per-doc
     cluster id = min reachable doc id, via recursive transitive closure

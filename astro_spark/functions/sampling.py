@@ -362,3 +362,65 @@ def sample_exact_n(
         picked.withColumn("sample_rank", F.row_number().over(w))
         .drop("__k")
     )
+
+
+# --------------------------------------------------------------------------
+# distribution drift (corpus-snapshot comparison gate)
+# --------------------------------------------------------------------------
+def distribution_drift(
+    ref: DataFrame,
+    cand: DataFrame,
+    bin_col: Column | str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-bin distribution drift between a reference corpus snapshot
+    and a candidate snapshot — the "did the pipeline change the data?"
+    gate before a training run.
+
+    Chi-square-style, but entirely BIGINT: per-bin proportions are
+    floor-scaled to ``scale`` parts (``p = cnt*scale DIV total``) and
+    the contribution is ``(p_cand - p_ref)² DIV max(p_ref, 1)`` —
+    exact, order-independent, engine-agnostic (no float sums that vary
+    with partition order).  Sum ``contrib`` over bins for the
+    corpus-level drift number; read the top bins directly — they
+    localize WHERE the distribution moved.  Cost: two map-side-partial
+    groupBys + a ≤|bins|-row full-outer join; the totals window runs
+    over the tiny bin table only, so there is no scalar cross-join in
+    the plan.
+    """
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    r = ref.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = cand.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    tot_w = Window.partitionBy()
+    j = (
+        r.join(c, on="bin", how="full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+        .withColumn("ref_tot", F.greatest(F.sum("n_ref").over(tot_w), F.lit(1)))
+        .withColumn("cand_tot", F.greatest(F.sum("n_cand").over(tot_w), F.lit(1)))
+    )
+    return (
+        j.select(
+            "bin",
+            "n_ref",
+            "n_cand",
+            F.expr(f"(n_ref * CAST({scale} AS BIGINT)) DIV ref_tot").alias("p_ref_e6"),
+            F.expr(f"(n_cand * CAST({scale} AS BIGINT)) DIV cand_tot").alias(
+                "p_cand_e6"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((p_cand_e6 - p_ref_e6) * (p_cand_e6 - p_ref_e6)) "
+                "DIV greatest(p_ref_e6, 1)"
+            ),
+        )
+    )

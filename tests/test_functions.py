@@ -1134,3 +1134,61 @@ class TestSampleExactN:
         ).orderBy("__k", "doc_id").limit(10)
         plan = picked._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+class TestDistributionDrift:
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        from astro_spark.functions.sampling import distribution_drift
+
+        df = spark.createDataFrame(
+            [(i, i % 4) for i in range(40)], ["id", "b"]
+        )
+        rows = distribution_drift(df, df, "b").collect()
+        assert len(rows) == 4
+        assert all(r.contrib == 0 for r in rows)
+        assert all(r.p_ref_e6 == r.p_cand_e6 == 250000 for r in rows)
+
+    def test_moved_mass_localizes_to_its_bins(self, spark):
+        """Shift 50% of the mass from bin 0 to bin 1: exact integer
+        contributions land on exactly those two bins."""
+        from astro_spark.functions.sampling import distribution_drift
+
+        ref = spark.createDataFrame(
+            [(i, 0) for i in range(10)] + [(i, 2) for i in range(10)],
+            ["id", "b"],
+        )
+        cand = spark.createDataFrame(
+            [(i, 1) for i in range(10)] + [(i, 2) for i in range(10)],
+            ["id", "b"],
+        )
+        got = {r.bin: r for r in distribution_drift(ref, cand, "b").collect()}
+        # bin 0: p_ref .5 -> p_cand 0 : (0-500000)^2 / 500000 = 500000
+        assert got[0].contrib == 500000
+        # bin 1: p_ref 0 -> p_cand .5 : (500000-0)^2 / max(0,1) huge
+        assert got[1].contrib == 500000 * 500000
+        assert got[2].contrib == 0
+
+
+class TestCrossSourceMatrix:
+    def test_matrix_counts_cross_source_pairs(self, spark):
+        """Two sources sharing a near-identical doc produce one
+        cross-source cell; in-source dup pairs land on the diagonal."""
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        df = spark.createDataFrame(
+            [
+                (1, base, "feedA"),
+                (2, base + "extra", "feedB"),   # near-dup of 1, crosses sources
+                (3, base + "extra", "feedB"),   # exact dup of 2, in-source
+                (4, "completely different words entirely here now", "feedA"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        from astro_spark.functions.dedup import cross_source_matrix
+
+        got = {
+            (r.source_a, r.source_b): r for r in cross_source_matrix(df).collect()
+        }
+        assert got[("feedA", "feedB")].n_pairs == 2  # 1-2 and 1-3
+        assert got[("feedB", "feedB")].n_pairs == 1  # 2-3
+        assert got[("feedB", "feedB")].avg_jaccard == 1.0
+        assert ("feedA", "feedA") not in got
