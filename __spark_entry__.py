@@ -1782,6 +1782,19 @@ def _dd_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_matrix(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the MinHash near-dup graph —
+    centrality for canonical-doc selection ("the page everything
+    copies").  Pure BIGINT floor-division arithmetic, so the 5-round
+    result is partition-order-independent and the DuckDB oracle unrolls
+    the same iterations exactly."""
+    from astro_spark.functions.graph import pagerank
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return pagerank(dedup.minhash_lsh_pairs(docs))
+
+
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2757,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_dsir": _t_dsir,
             "t_drift": _t_drift,
             "dd_cross_source": _dd_cross_source,
+            "dd_pagerank": _dd_pagerank,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2819,6 +2833,7 @@ _DRIVER_PRIORITY = [
     "s_knn_graph",
     "t_drift",
     "dd_cross_source",
+    "dd_pagerank",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3161,6 +3176,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_dsir": oracles.dsir_scores_sql(),
             "t_drift": oracles.drift_sql(),
             "dd_cross_source": oracles.cross_source_sql(),
+            "dd_pagerank": oracles.pagerank_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

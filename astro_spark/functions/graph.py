@@ -1,0 +1,125 @@
+"""Graph analytics over pair/edge relations — DataFrame-native, exact.
+
+The dedup family emits EDGES (near-dup pairs, similarity pairs); the
+pipeline steps that consume them need per-node graph signals beyond
+connected components (``dedup.dup_clusters``): a centrality score to
+pick the canonical document of a cluster ("the page everything copies"
+rather than "the lowest id"), or to down-weight hub-like boilerplate.
+
+Everything here is fixed-point INTEGER arithmetic: BIGINT sums are
+order-independent, so results are bit-identical under any partitioning
+and replayable by any engine — float PageRank would differ in the last
+ulp between runs (partition-order float sums) and break exact oracle
+checks.
+
+Scale notes: one key-shuffle join + one groupBy per iteration, working
+set = nodes with ≥1 edge (the duplicate subgraph, a tiny fraction of a
+deduped corpus); iteration count is a small constant, not data-driven.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12  # total rank mass, split exactly between nodes
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Undirected PageRank over a pair relation, in exact integer
+    fixed-point: rank mass starts at ``PAGERANK_SCALE DIV n`` per node
+    and each round every node keeps ``(100-damping_pct)%`` of the
+    uniform share plus ``damping_pct%`` of the floor-divided mass its
+    neighbors push along their edges:
+
+        r'(v) = (100-d)·(S DIV n) DIV 100
+              + d·Σ_{u~v} (r(u) DIV deg(u)) DIV 100
+
+    All operations are BIGINT (floor division, integer sums), so the
+    result is independent of partitioning and row order — unlike float
+    PageRank — and an oracle can replay it exactly with unrolled SQL.
+    Mass lost to floor rounding is not redistributed (ranking order is
+    what matters, not the exact sum).
+
+    Input: (id_a, id_b) edges, e.g. ``minhash_lsh_pairs`` output.  The
+    graph is symmetrized internally; self-loops and duplicate edges are
+    dropped.  Returns (node, rank) with rank in PAGERANK_SCALE units.
+    """
+    e = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # n and the uniform share are scalars of a tiny aggregate — the only
+    # driver-side values in the loop
+    n = nodes.count()
+    share = PAGERANK_SCALE // max(n, 1)
+    base = ((100 - damping_pct) * share) // 100
+
+    ranks = nodes.withColumn("rank", F.lit(share).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select(
+                F.col("node").alias("u"),
+                F.expr("rank DIV deg").alias("push"),
+            )
+            .join(edges, F.col("u") == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("push").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"({damping_pct} * coalesce(inflow, 0)) DIV 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def cluster_canonical_by_rank(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 5,
+) -> DataFrame:
+    """Pick each duplicate cluster's canonical document by PageRank
+    centrality (highest rank, node id as tie-break) instead of min-id:
+    the most-connected variant is usually the origin everything else
+    copies.  Composition: components from ``dedup.dup_clusters`` +
+    ranks from ``pagerank`` + one per-cluster argmax window.
+
+    Returns (doc_id, cluster_id, canonical_id).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, all_ids, id_col=id_col)
+    ranks = pagerank(pairs, iterations=iterations)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        clusters.join(ranks, clusters[id_col] == ranks["node"], "left")
+        .select(id_col, "cluster_id", F.coalesce("rank", F.lit(0)).alias("rank"))
+        .withColumn("canonical_id", F.first(id_col).over(w))
+    )
+    return ranked.select(id_col, "cluster_id", "canonical_id")

@@ -557,6 +557,55 @@ FROM reach GROUP BY root
 """
 
 
+def pagerank_sql(
+    table: str = "documents",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """Replays graph.pagerank exactly: the fixed iteration count unrolls
+    into chained CTEs, every operation BIGINT floor-division/sum."""
+    pairs = minhash_pairs_sql(table)
+    d = damping_pct
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // dg.deg) AS inflow
+  FROM {prev} r
+  JOIN deg dg ON dg.src = r.node
+  JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         ((100 - {d}) * (SELECT share FROM params)) // 100
+         + ({d} * COALESCE(c.inflow, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs}),
+e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_a <> id_b),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  )
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+params AS (
+  SELECT {scale} // GREATEST((SELECT COUNT(*) FROM nodes), 1) AS share
+),
+r0 AS (SELECT node, (SELECT share FROM params) AS rank FROM nodes),
+{chain}
+SELECT node::BIGINT AS node, rank::BIGINT AS rank FROM {prev}
+"""
+
+
 def decontaminate_sql(
     table: str = "documents", bench_mod: int = 20, min_shared: int = 3
 ) -> str:

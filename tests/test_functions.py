@@ -1192,3 +1192,44 @@ class TestCrossSourceMatrix:
         assert got[("feedB", "feedB")].n_pairs == 1  # 2-3
         assert got[("feedB", "feedB")].avg_jaccard == 1.0
         assert ("feedA", "feedA") not in got
+
+
+class TestPagerank:
+    def test_path_graph_one_iteration_exact_values(self, spark):
+        """Hand-computed fixed-point arithmetic on the path 1-2-3:
+        share = 1e12//3, push = rank DIV deg, base = 15%·share DIV 100."""
+        from astro_spark.functions.graph import pagerank
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        got = {r.node: r.rank for r in pagerank(pairs, iterations=1).collect()}
+        assert got == {1: 191666666665, 2: 616666666665, 3: 191666666665}
+
+    def test_star_center_dominates_and_partitioning_is_irrelevant(self, spark):
+        """The hub of a star out-ranks every leaf, and a different input
+        partitioning yields bit-identical ranks (integer sums are
+        order-independent — the property float PageRank lacks)."""
+        from astro_spark.functions.graph import pagerank
+
+        pairs = spark.createDataFrame(
+            [(0, i) for i in range(1, 8)], ["id_a", "id_b"]
+        )
+        a = {r.node: r.rank for r in pagerank(pairs).collect()}
+        b = {r.node: r.rank for r in pagerank(pairs.repartition(7)).collect()}
+        assert a == b
+        assert all(a[0] > a[i] for i in range(1, 8))
+
+    def test_canonical_by_rank_picks_most_connected(self, spark):
+        """In a cluster {1,2,3,4} where 3 touches everyone, the
+        canonical doc is 3 (not min-id 1); singletons self-canonize."""
+        from astro_spark.functions.graph import cluster_canonical_by_rank
+
+        pairs = spark.createDataFrame(
+            [(1, 3), (2, 3), (3, 4)], ["id_a", "id_b"]
+        )
+        ids = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+        got = {
+            r.doc_id: (r.cluster_id, r.canonical_id)
+            for r in cluster_canonical_by_rank(pairs, ids).collect()
+        }
+        assert {got[i] for i in (1, 2, 3, 4)} == {(1, 3)}
+        assert got[5] == (5, 5)
