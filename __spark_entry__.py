@@ -2565,6 +2565,24 @@ def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
 
 
+def _st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: odd doc_ids stream in; each micro-batch's
+    char-length histogram is graded against the even-doc reference with
+    BIGINT-exact chi-square-style contributions (reference histogram
+    persisted once per drain)."""
+    from astro_spark.streaming import drift_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    key = (sf_dir, "documents_odd")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
+        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    return drift_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -2802,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_dedup": _st_dedup,
             "st_bloom_screen": _st_bloom_screen,
             "st_minhash_screen": _st_minhash_screen,
+            "st_drift": _st_drift,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -2834,6 +2853,7 @@ _DRIVER_PRIORITY = [
     "t_drift",
     "dd_cross_source",
     "dd_pagerank",
+    "st_drift",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3221,6 +3241,13 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
                 f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
             ),
             "st_minhash_screen": oracles.minhash_incremental_sql(),
+            "st_drift": (
+                "SELECT 0::BIGINT AS batch_id, * FROM ("
+                + oracles.drift_sql(
+                    ref_pred="doc_id % 2 = 0", cand_pred="doc_id % 2 = 1"
+                )
+                + ")"
+            ),
         }
     )
     return out

@@ -368,10 +368,11 @@ def sample_exact_n(
 # distribution drift (corpus-snapshot comparison gate)
 # --------------------------------------------------------------------------
 def distribution_drift(
-    ref: DataFrame,
+    ref: DataFrame | None,
     cand: DataFrame,
     bin_col: Column | str,
     scale: int = 10**6,
+    ref_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bin distribution drift between a reference corpus snapshot
     and a candidate snapshot — the "did the pipeline change the data?"
@@ -387,11 +388,18 @@ def distribution_drift(
     groupBys + a ≤|bins|-row full-outer join; the totals window runs
     over the tiny bin table only, so there is no scalar cross-join in
     the plan.
+
+    Pass ``ref_counts`` — a precomputed/persisted (bin, n_ref) relation
+    — instead of ``ref`` to amortize the reference histogram across many
+    comparisons (the streaming monitor does this once per drain).
     """
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
-    r = ref.select(b.alias("bin")).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_ref")
-    )
+    if ref_counts is not None:
+        r = ref_counts
+    else:
+        r = ref.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_ref")
+        )
     c = cand.select(b.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_cand")
     )

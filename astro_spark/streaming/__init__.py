@@ -8,10 +8,15 @@ from .sessions import (
     minhash_screen_stream,
     sessionize_stream,
 )
-from .windows import late_data_windowed_counts, windowed_counts_stream
+from .windows import (
+    drift_screen_stream,
+    late_data_windowed_counts,
+    windowed_counts_stream,
+)
 
 __all__ = [
     "bloom_screen_stream",
+    "drift_screen_stream",
     "dedup_stream",
     "minhash_screen_stream",
     "interval_join_stream",

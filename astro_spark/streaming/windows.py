@@ -100,3 +100,69 @@ def late_data_windowed_counts(
         output_mode="append",
         max_files_per_trigger=1,
     )
+
+
+def drift_screen_stream(
+    spark: SparkSession,
+    input_path: str,
+    ref_df: DataFrame,
+    bin_expr: str = "n_chars DIV 100",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: every micro-batch's bin
+    histogram is compared against a STATIC reference corpus with the
+    BIGINT-exact ``distribution_drift`` arithmetic — the "is this feed
+    changing under me?" alarm a continuously-ingesting pipeline needs.
+
+    The reference histogram is computed ONCE per drain and persisted
+    (≤|bins| rows); each micro-batch then costs one bounded groupBy over
+    the batch plus a tiny-table join — no rescan of the reference, no
+    state store.  Per-batch rows append to an idempotent one-subdir-per-
+    batch layout (replays overwrite, not duplicate).
+
+    Returns (batch_id, bin, n_ref, n_cand, p_ref_e6, p_cand_e6, contrib)
+    across the whole drain: contrib localizes WHERE the batch moved away
+    from the reference; sum it per batch for an alarm threshold.
+    """
+    import tempfile
+
+    from ..functions.sampling import distribution_drift
+
+    ref_counts = (
+        ref_df.select(F.expr(bin_expr).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .persist()
+    )
+    ref_counts.count()  # materialize once, not per micro-batch
+
+    out_dir = tempfile.mkdtemp(prefix="astro_drift_screen_")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        drift = distribution_drift(
+            None, batch_df, F.expr(bin_expr), ref_counts=ref_counts
+        )
+        drift.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    query = (
+        stream.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    ref_counts.unpersist()
+    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return out.select(
+        F.col("batch").cast("long").alias("batch_id"),
+        "bin",
+        "n_ref",
+        "n_cand",
+        "p_ref_e6",
+        "p_cand_e6",
+        "contrib",
+    )

@@ -439,3 +439,49 @@ class TestMinhashScreenStream:
             for r in dedup.minhash_incremental_pairs(batch, corpus).collect()
         }
         assert streamed == expected
+
+
+class TestDriftScreenStream:
+    def test_per_batch_histograms_tile_the_full_candidate(self, spark, tmp_path):
+        """Drained one file per micro-batch: per-bin n_cand summed over
+        batches equals the one-shot drift's candidate histogram, the
+        reference side is identical in every batch, and every contrib
+        satisfies the integer formula exactly."""
+        from pyspark.sql import functions as F
+
+        from astro_spark.functions.sampling import distribution_drift
+        from astro_spark.streaming import drift_screen_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        ref = docs.where("doc_id % 2 = 0")
+        cand = docs.where("doc_id % 2 = 1")
+        d = str(tmp_path / "odd")
+        cand.repartition(3).write.parquet(d)
+
+        rows = drift_screen_stream(
+            spark, d, ref, max_files_per_trigger=1
+        ).collect()
+        assert len({r.batch_id for r in rows}) == 3
+
+        # reference proportions identical across batches
+        by_bin_ref = {}
+        for r in rows:
+            by_bin_ref.setdefault(r.bin, set()).add((r.n_ref, r.p_ref_e6))
+        assert all(len(v) == 1 for v in by_bin_ref.values())
+
+        # candidate mass tiles the one-shot histogram
+        got_cand = {}
+        for r in rows:
+            got_cand[r.bin] = got_cand.get(r.bin, 0) + r.n_cand
+        expected = {
+            r.bin: r.n_cand
+            for r in distribution_drift(ref, cand, F.expr("n_chars DIV 100")).collect()
+        }
+        assert got_cand == expected
+
+        # exact integer formula per row
+        for r in rows:
+            assert r.contrib == (
+                (r.p_cand_e6 - r.p_ref_e6) ** 2 // max(r.p_ref_e6, 1)
+            )
