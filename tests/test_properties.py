@@ -409,3 +409,75 @@ class TestDsirProperties:
              for r in dsir_scores(raw.repartition(7), target.repartition(3)).collect()}
         assert a == b
         assert set(a) == set(range(len(texts)))
+
+
+class TestPagerankProperties:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=25,
+        ),
+        iters=st.integers(1, 3),
+    )
+    def test_matches_pure_python_integer_model(self, spark, edges, iters):
+        """Spark integer PageRank equals a dict-based replica of the
+        same fixed-point arithmetic on random graphs (self-loops and
+        duplicate edges included in the input, dropped by both)."""
+        from astro_spark.functions.graph import PAGERANK_SCALE, pagerank
+
+        clean = {(a, b) for a, b in edges if a != b}
+        if not clean:
+            return
+        df = spark.createDataFrame(list(clean), ["id_a", "id_b"])
+        got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+
+        adj: dict[int, set[int]] = {}
+        for a, b in clean:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        n = len(adj)
+        share = PAGERANK_SCALE // n
+        base = (15 * share) // 100
+        rank = {v: share for v in adj}
+        for _ in range(iters):
+            push = {v: rank[v] // len(adj[v]) for v in adj}
+            rank = {
+                v: base + (85 * sum(push[u] for u in adj[v])) // 100 for v in adj
+            }
+        assert got == rank
+
+
+class TestDriftProperties:
+    @SETTINGS
+    @given(
+        ref=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+        cand=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    )
+    def test_matches_pure_python_model(self, spark, ref, cand):
+        """distribution_drift equals a dict replica of the floor-scaled
+        integer formula on random bin multisets, covering one-sided
+        bins (present only in ref or only in cand)."""
+        from collections import Counter
+
+        from astro_spark.functions.sampling import distribution_drift
+
+        rdf = spark.createDataFrame([(v,) for v in ref], ["b"])
+        cdf = spark.createDataFrame([(v,) for v in cand], ["b"])
+        got = {r.bin: r for r in distribution_drift(rdf, cdf, "b").collect()}
+
+        rc, cc = Counter(ref), Counter(cand)
+        rt, ct = max(sum(rc.values()), 1), max(sum(cc.values()), 1)
+        for b in set(rc) | set(cc):
+            p_ref = (rc.get(b, 0) * 10**6) // rt
+            p_cand = (cc.get(b, 0) * 10**6) // ct
+            contrib = (p_cand - p_ref) ** 2 // max(p_ref, 1)
+            row = got[b]
+            assert (row.n_ref, row.n_cand) == (rc.get(b, 0), cc.get(b, 0))
+            assert (row.p_ref_e6, row.p_cand_e6, row.contrib) == (
+                p_ref,
+                p_cand,
+                contrib,
+            )
+        assert set(got) == set(rc) | set(cc)
