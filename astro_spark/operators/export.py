@@ -27,6 +27,7 @@ def export_to_file(
     single_file: bool | None = None,
     options: dict | None = None,
     partition_by: list[str] | None = None,
+    target_file_mb: int | float | None = None,
 ) -> File:
     if isinstance(output_file, str):
         output_file = File(path=output_file)
@@ -43,5 +44,6 @@ def export_to_file(
         single_file=single_file,
         options=options,
         partition_by=partition_by,
+        target_file_mb=target_file_mb,
     )
     return output_file

@@ -28,6 +28,7 @@ def write_dataframe_to_file(
     single_file: bool | None = None,
     options: dict | None = None,
     partition_by: list[str] | None = None,
+    target_file_mb: int | float | None = None,
 ) -> None:
     ftype = FileType(str(filetype).lower())
     if single_file is None:
@@ -40,6 +41,14 @@ def write_dataframe_to_file(
     if single_file:
         _write_single_file(df, path, ftype, options or {})
         return
+
+    if target_file_mb is not None:
+        # same sizing lever as table writes (operators/load_file.py):
+        # Catalyst's byte estimate picks the task count; with
+        # partition_by each partition value collapses to one file
+        from ..operators.load_file import _repartition_to_target
+
+        df = _repartition_to_target(df, target_file_mb, partition_by)
 
     writer = df.write.mode("overwrite")
     if options:

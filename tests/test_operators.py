@@ -462,6 +462,24 @@ class TestExport:
         )
         assert spark.read.parquet(d).count() == 25
 
+    def test_directory_export_respects_target_file_mb(self, spark, sf_dir, tmp_path):
+        """Directory exports take the same size-targeting lever as table
+        writes: tight target → several files, loose target → one."""
+        d1, d2 = str(tmp_path / "tight"), str(tmp_path / "loose")
+        li = read_table(spark, sf_dir, "lineitem")  # ~115 KB at sf0.001
+        a.export_to_file(
+            spark, li, a.File(d1, filetype="parquet"),
+            single_file=False, target_file_mb=0.02,
+        )
+        a.export_to_file(
+            spark, li, a.File(d2, filetype="parquet"),
+            single_file=False, target_file_mb=1024,
+        )
+        n1 = sum(1 for f in os.listdir(d1) if f.endswith(".parquet"))
+        n2 = sum(1 for f in os.listdir(d2) if f.endswith(".parquet"))
+        assert n1 == 6 and n2 == 1
+        assert spark.read.parquet(d1).count() == li.count()
+
 
 class TestDataframeOp:
     def test_pandas_annotation_string(self, spark, nation_table):
