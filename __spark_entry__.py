@@ -1858,7 +1858,23 @@ def _s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
     cents = similarity.ivf_train(emb, n_cells=8, iterations=2)
-    return similarity.knn_graph(emb, k=5, nprobe=8, centroids=cents)
+    return similarity.knn_graph(emb, k=5, nprobe=8, centroids=cents, np_score=True)
+
+
+def _s_knn_graph_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph on the SCALE path: seeded centroids + nprobe=2 of 8
+    cells, so each vector scores only ~1/4 of the corpus.  Seeded
+    centroids make the approximate result deterministic, so the oracle
+    replays the whole pruned pipeline (assignment, probing, scoring,
+    ranking) value-for-value — the exact full-probe twin is
+    ``s_knn_graph``; recall between the two is pinned in TestKnnGraph."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(
+        emb, k=5, nprobe=2, centroids=SEMDEDUP_CENTROIDS, np_score=True
+    )
 
 
 def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2801,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_ivf_pq_topk": _s_ivf_pq_topk,
             "s_ivf_indexed_topk": _s_ivf_indexed_topk,
             "s_knn_graph": _s_knn_graph,
+            "s_knn_graph_probe": _s_knn_graph_probe,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2854,6 +2871,7 @@ _DRIVER_PRIORITY = [
     "dd_cross_source",
     "dd_pagerank",
     "st_drift",
+    "s_knn_graph_probe",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3210,6 +3228,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_ivf_pq_topk": oracles.ivf_pq_topk_sql(),
             "s_ivf_indexed_topk": oracles.brute_topk_sql(),
             "s_knn_graph": oracles.knn_graph_sql(),
+            "s_knn_graph_probe": oracles.knn_graph_probe_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

@@ -386,6 +386,65 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def knn_graph_probe_sql(table: str = "embeddings", k: int = 5, nprobe: int = 2) -> str:
+    """Replays knn_graph with the seeded SEMDEDUP centroids and a
+    SELECTIVE probe — the scale path, replayed end-to-end: corpus-side
+    argmax cell, probe-side top-``nprobe`` cells (ties → larger index,
+    mirroring Spark's reverse(array_sort) over (s, i) structs), cell
+    equi-join, exact cosine, per-source window top-k."""
+    from .constants import SEMDEDUP_CENTROIDS
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) + '::DOUBLE' for v in c)}])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+cents(idx, cv) AS (
+  VALUES {cent_rows}
+),
+sims AS (
+  SELECT c.id, cents.idx, {cosine('c.v', 'cents.cv')} AS cs
+  FROM c CROSS JOIN cents
+),
+cell AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.id AS src_id, cl.id AS neighbor_id
+  FROM probes p JOIN cell cl ON cl.cell = p.cell AND cl.id <> p.id
+),
+scored AS (
+  SELECT cand.src_id, cand.neighbor_id,
+         round({cosine('b.v', 'a.v')}, 4) AS cos_sim
+  FROM cand
+  JOIN c a ON a.id = cand.src_id
+  JOIN c b ON b.id = cand.neighbor_id
+),
+ranked AS (
+  SELECT src_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT src_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def partitioned_topk_sql(
     table: str = "embeddings", k: int = 3, max_query_id: int = 5
 ) -> str:

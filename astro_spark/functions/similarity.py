@@ -422,6 +422,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    np_score: bool = False,
 ) -> DataFrame:
     """All-corpus k-nearest-neighbor GRAPH (every vector's top-k cosine
     neighbors) with IVF cell pruning.
@@ -439,6 +440,14 @@ def knn_graph(
     small and pre-partition the corpus by cell (``ivf_write_index``) so
     probes prune at the file level.  Training-pipeline uses: SemDeDup
     neighbor audits, kNN-graph clustering, coreset selection.
+
+    ``np_score=True`` computes the candidate cosines per cell inside
+    Arrow-batched ``applyInPandas`` with the SAME float evaluation
+    order as the expression fold (dimension-ascending accumulation, the
+    ``pq_encode_np`` trick; rounding stays Spark-side so HALF_UP
+    matches) — bit-identical results at BLAS-class speed.  Only the
+    cell's vectors cross the Arrow boundary (O(n·nprobe) rows), never
+    the joined pair table.
 
     Returns (src_id, neighbor_id, cos_sim, rank).
     """
@@ -462,14 +471,19 @@ def knn_graph(
             )
         ),
     )
-    joined = cells.join(probes, on="cell").where(
-        F.col("neighbor_id") != F.col("src_id")
-    )
-    scored = joined.select(
-        "src_id",
-        "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
-    )
+    if np_score:
+        scored = _cell_scores_np(cells, probes).select(
+            "src_id", "neighbor_id", F.round("sim", 4).alias("cos_sim")
+        )
+    else:
+        joined = cells.join(probes, on="cell").where(
+            F.col("neighbor_id") != F.col("src_id")
+        )
+        scored = joined.select(
+            "src_id",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -479,6 +493,63 @@ def knn_graph(
         .select(
             "src_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
+    )
+
+
+def _cell_scores_np(cells: DataFrame, probes: DataFrame) -> DataFrame:
+    """Per-cell candidate scoring for knn_graph's numpy path: corpus and
+    probe rows of one cell meet inside applyInPandas; only O(cell size)
+    vectors cross Arrow, the scored pair rows come back columnar.
+
+    Float evaluation order matches the expression fold exactly —
+    dot/norm sums accumulate dimension-ascending, norms multiply before
+    the divide — so every emitted double is bit-identical to
+    ``cosine(cv, qv)`` (rounding is applied by the CALLER in Spark to
+    keep HALF_UP semantics)."""
+    import pandas as pd
+
+    tagged = cells.select(
+        "cell", F.col("neighbor_id").alias("id"), F.col("cv").alias("v"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        probes.select(
+            "cell", F.col("src_id").alias("id"), F.col("qv").alias("v"),
+            F.lit(1).alias("side"),
+        )
+    )
+
+    def _score(key, pdf):
+        import numpy as np
+
+        l_ = pdf[pdf["side"] == 0]
+        r_ = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"src_id": [], "neighbor_id": [], "sim": []}).astype(
+            {"src_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+        if l_.empty or r_.empty:
+            return empty
+        L = np.stack(l_["v"].map(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        R = np.stack(r_["v"].map(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        dim = L.shape[1]
+        dots = np.zeros((R.shape[0], L.shape[0]))
+        nl = np.zeros(L.shape[0])
+        nr = np.zeros(R.shape[0])
+        for i in range(dim):
+            dots += R[:, i][:, None] * L[None, :, i]
+            nl += L[:, i] * L[:, i]
+            nr += R[:, i] * R[:, i]
+        sims = dots / (np.sqrt(nl)[None, :] * np.sqrt(nr)[:, None])
+        lid = l_["id"].to_numpy()
+        rid = r_["id"].to_numpy()
+        src = np.repeat(rid, len(lid))
+        nbr = np.tile(lid, len(rid))
+        keep = src != nbr
+        return pd.DataFrame(
+            {"src_id": src[keep], "neighbor_id": nbr[keep], "sim": sims.ravel()[keep]}
+        )
+
+    return tagged.groupBy("cell").applyInPandas(
+        _score, "src_id long, neighbor_id long, sim double"
     )
 
 

@@ -50,12 +50,15 @@ HEADLINE = [
     "dd_semantic_np",
     "dd_bloom",
     "dd_minhash_incr",
+    "dd_pagerank",
     "t_dsir",
     "t_bigram_lm",
+    "t_drift",
     "s_brute_topk",
     "s_pq_topk",
     "s_ivf_pq_topk",
     "s_ivf_indexed_topk",
+    "s_knn_graph_probe",
     "s_recall_report",
     "s_lsh_pairs",
     "dd_decontaminate",

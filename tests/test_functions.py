@@ -737,6 +737,35 @@ class TestKnnGraph:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.6, f"recall {recall:.2f}"
 
+    def test_np_scorer_is_bit_identical_to_fold(self, emb):
+        """The per-cell numpy scorer (dimension-ascending accumulation,
+        Spark-side rounding) reproduces the expression fold's doubles
+        BIT-FOR-BIT — full rows equal, selective and full probe."""
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+        for nprobe in (2, 8):
+            fold = set(
+                map(
+                    tuple,
+                    similarity.knn_graph(
+                        emb, k=3, nprobe=nprobe, centroids=SEMDEDUP_CENTROIDS
+                    ).collect(),
+                )
+            )
+            np_ = set(
+                map(
+                    tuple,
+                    similarity.knn_graph(
+                        emb,
+                        k=3,
+                        nprobe=nprobe,
+                        centroids=SEMDEDUP_CENTROIDS,
+                        np_score=True,
+                    ).collect(),
+                )
+            )
+            assert fold == np_, nprobe
+
     def test_plan_has_no_replicated_side(self, emb):
         """The probe side must reach the cell join as a plain equi-join
         input (shuffle or small-table broadcast chosen by AQE) — never a
