@@ -1795,6 +1795,14 @@ def _dd_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(dedup.minhash_lsh_pairs(docs))
 
 
+def _dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity knee curve over the verified MinHash pairs: per-bin
+    and at-or-above pair counts for threshold selection."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.pair_threshold_sweep(dedup.minhash_lsh_pairs(docs))
+
+
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2805,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_drift": _t_drift,
             "dd_cross_source": _dd_cross_source,
             "dd_pagerank": _dd_pagerank,
+            "dd_threshold_sweep": _dd_threshold_sweep,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2872,6 +2881,7 @@ _DRIVER_PRIORITY = [
     "dd_pagerank",
     "st_drift",
     "s_knn_graph_probe",
+    "dd_threshold_sweep",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3215,6 +3225,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "t_drift": oracles.drift_sql(),
             "dd_cross_source": oracles.cross_source_sql(),
             "dd_pagerank": oracles.pagerank_sql(),
+            "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

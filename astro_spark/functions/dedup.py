@@ -1241,3 +1241,37 @@ def cross_source_matrix(
             F.sum("j4").cast("double") / (F.count(F.lit(1)) * 10000).cast("double")
         ).alias("avg_jaccard"),
     )
+
+
+def pair_threshold_sweep(
+    pairs: DataFrame,
+    sim_col: str = "jaccard",
+    bin_width_x100: int = 5,
+) -> DataFrame:
+    """Similarity histogram + reverse-cumulative pair counts over a
+    verified pair relation — the knee curve a user reads to pick the
+    dedup threshold ("how many more pairs does lowering it 0.05 buy?").
+
+    All-integer: similarities (already rounded to 4dp) bucket into
+    ``bin_width_x100``-wide percent bins, counts are BIGINT, and the
+    cumulative sum runs over the ≤(100/width)-row histogram — a single
+    bounded window after one groupBy, so the sweep costs one pass over
+    the pairs regardless of corpus size.
+
+    Returns (threshold_x100, n_pairs, n_pairs_at_or_above), ascending
+    thresholds.
+    """
+    b = F.expr(f"CAST(round({sim_col} * 100) AS BIGINT) DIV {bin_width_x100}")
+    h = pairs.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        h.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w))
+        .select(
+            (F.col("bin") * bin_width_x100).alias("threshold_x100"),
+            "n_pairs",
+            "n_pairs_at_or_above",
+        )
+    )

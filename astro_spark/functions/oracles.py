@@ -616,6 +616,25 @@ FROM reach GROUP BY root
 """
 
 
+def threshold_sweep_sql(table: str = "documents", bin_width_x100: int = 5) -> str:
+    """Replays pair_threshold_sweep over the minhash pair oracle: percent
+    bins via BIGINT floor division, reverse-cumulative window."""
+    return f"""
+WITH pairs AS ({minhash_pairs_sql(table)}),
+h AS (
+  SELECT (CAST(round(jaccard * 100) AS BIGINT) // {bin_width_x100}) AS bin,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT (bin * {bin_width_x100})::BIGINT AS threshold_x100,
+       n_pairs,
+       SUM(n_pairs) OVER (ORDER BY bin DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS n_pairs_at_or_above
+FROM h
+"""
+
+
 def pagerank_sql(
     table: str = "documents",
     iterations: int = 5,

@@ -1262,3 +1262,19 @@ class TestPagerank:
         }
         assert {got[i] for i in (1, 2, 3, 4)} == {(1, 3)}
         assert got[5] == (5, 5)
+
+
+class TestThresholdSweep:
+    def test_exact_bins_and_cumulative(self, spark):
+        from astro_spark.functions.dedup import pair_threshold_sweep
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 1.0), (3, 4, 0.97), (5, 6, 0.61), (7, 8, 0.60), (9, 10, 0.42)],
+            ["id_a", "id_b", "jaccard"],
+        )
+        got = {
+            r.threshold_x100: (r.n_pairs, r.n_pairs_at_or_above)
+            for r in pair_threshold_sweep(pairs).collect()
+        }
+        # bins: 100//5=20, 97//5=19, 61//5 and 60//5 =12, 42//5=8
+        assert got == {100: (1, 1), 95: (1, 2), 60: (2, 4), 40: (1, 5)}
