@@ -122,6 +122,7 @@ def compact_table(
     table: Table | str,
     n_files: int | None = None,
     target_rows_per_file: int = 5_000_000,
+    target_file_mb: int | float | None = None,
 ) -> int:
     """Rewrite a table into fewer, right-sized files; returns the file
     count written.
@@ -139,6 +140,13 @@ def compact_table(
 
     t = table if isinstance(table, _Table) else _Table(str(table), temp=False)
     df = spark.table(t.qualified_name)
+    if n_files is None and target_file_mb is not None:
+        # byte-targeted: same Catalyst-stats sizing as load_file's
+        # target_file_mb (no extra job; row-count fallback below if the
+        # estimate is the unknown sentinel)
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if 0 < est < (1 << 62):
+            n_files = max(1, -(-est // int(target_file_mb * 1024 * 1024)))
     if n_files is None:
         n_files = max(1, (df.count() + target_rows_per_file - 1) // target_rows_per_file)
     _swap_table(spark, df.repartition(n_files), t)

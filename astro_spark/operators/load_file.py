@@ -45,6 +45,7 @@ def load_file(
     target_file_mb: int | float | None = None,
     csv_options: dict | None = None,
     merge_schema: bool = False,
+    rescue_malformed: bool = False,
 ) -> DataFrame | Table:
     if isinstance(input_file, str):
         input_file = File(path=input_file)
@@ -59,6 +60,7 @@ def load_file(
         columns_names_capitalization=columns_names_capitalization,
         csv_options=csv_options,
         merge_schema=merge_schema,
+        rescue_malformed=rescue_malformed,
     )
 
     if output_table is None:

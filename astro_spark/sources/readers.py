@@ -38,12 +38,19 @@ def read_file(
     infer_sample_rows: int = DEFAULT_AUTODETECT_ROWS,
     csv_options: dict | None = None,
     merge_schema: bool = False,
+    rescue_malformed: bool = False,
 ) -> DataFrame:
     """Read a file/glob/directory into a DataFrame (lazy plan).
 
     Mirrors ``BaseDatabase.load_file_to_table``'s read half
     (``databases/base.py:474-542``) minus the per-backend native/pandas
     duality — Spark *is* the parallel native path for every format.
+
+    ``rescue_malformed=True`` (CSV/NDJSON) captures rows that fail the
+    schema into a ``_corrupt_record`` string column instead of nulling
+    them silently — the quarantine-and-continue semantics a 100 TB
+    ingest needs (PERMISSIVE mode keeps the scan distributed; bad rows
+    are filtered downstream with ``_corrupt_record IS NOT NULL``).
     """
     from .locations import stage_if_needed
 
@@ -66,14 +73,16 @@ def read_file(
         opts = {"header": "true", "mode": "PERMISSIVE"}
         if csv_options:
             opts.update(csv_options)
+        if rescue_malformed:
+            opts["columnNameOfCorruptRecord"] = "_corrupt_record"
         reader = spark.read.options(**opts)
-        if schema is not None:
-            df = reader.schema(schema).csv(path)
-        else:
-            inferred = _infer_csv_schema_capped(
-                spark, path, opts, infer_sample_rows
-            )
-            df = reader.schema(inferred).csv(path)
+        if schema is None:
+            schema = _infer_csv_schema_capped(spark, path, opts, infer_sample_rows)
+        if rescue_malformed and "_corrupt_record" not in schema.fieldNames():
+            from pyspark.sql.types import StringType, StructField
+
+            schema = schema.add(StructField("_corrupt_record", StringType()))
+        df = reader.schema(schema).csv(path)
     elif ftype == FileType.JSON:
         # whole-document JSON (reference files/types/json.py): multiLine
         reader = spark.read.option("multiLine", "true")
@@ -81,6 +90,14 @@ def read_file(
         df = _maybe_flatten(df, file)
     elif ftype == FileType.NDJSON:
         reader = spark.read
+        if rescue_malformed:
+            from pyspark.sql.types import StringType, StructField
+
+            if schema is None:
+                schema = spark.read.json(path).schema
+            if "_corrupt_record" not in schema.fieldNames():
+                schema = schema.add(StructField("_corrupt_record", StringType()))
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
         df = _maybe_flatten(df, file)
     elif ftype in (FileType.XLSX, FileType.XLS):

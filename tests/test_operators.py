@@ -1261,3 +1261,23 @@ class TestDML:
         assert rows[0].endswith("_X") and rows[1].endswith("_X")
         assert not rows[2].endswith("_X")
         a.drop_table(spark, t)
+
+
+class TestCompactByteTarget:
+    def test_compact_sizes_from_byte_estimate(self, spark, sf_dir):
+        """target_file_mb on compact_table derives the file count from
+        Catalyst's byte estimate — a tight target splits, a loose one
+        collapses to one file."""
+        from astro_spark.operators.catalog import compact_table
+
+        t = a.Table("cbt_tgt", temp=False)
+        a.load_file(spark, f"{sf_dir}/lineitem.parquet", output_table=t)
+        try:
+            n = compact_table(spark, t.name, target_file_mb=0.02)
+            # ~100-115 KB re-encoded table / 20 KB target
+            assert 4 <= n <= 7, n
+            n = compact_table(spark, t.name, target_file_mb=1024)
+            assert n == 1
+            assert spark.table(t.name).count() > 0
+        finally:
+            a.drop_table(spark, t)

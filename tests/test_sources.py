@@ -447,3 +447,37 @@ class TestCompressedReads:
         df = a.load_file(spark, a.File(gz, filetype="csv"))
         assert df.count() == nation.count()
         assert sorted(df.columns) == sorted(nation.columns)
+
+
+class TestRescueMalformed:
+    def test_csv_bad_rows_quarantined(self, spark, tmp_path):
+        """A row that fails the typed schema lands whole in
+        _corrupt_record with typed columns NULL; clean rows parse and
+        carry a NULL _corrupt_record."""
+        p = tmp_path / "mixed.csv"
+        p.write_text("id,qty\n1,10\nnotanint,xx\n3,30\n")
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(
+            [StructField("id", IntegerType()), StructField("qty", IntegerType())]
+        )
+        df = a.load_file(
+            spark, str(p), schema=schema, rescue_malformed=True
+        ).cache()
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].qty == 10 and rows[1]._corrupt_record is None
+        assert rows[3].qty == 30
+        bad = [r for r in df.collect() if r._corrupt_record is not None]
+        assert len(bad) == 1 and bad[0]._corrupt_record == "notanint,xx"
+        assert bad[0].id is None and bad[0].qty is None
+        df.unpersist()
+
+    def test_ndjson_bad_lines_quarantined(self, spark, tmp_path):
+        p = tmp_path / "mixed.ndjson"
+        p.write_text('{"id": 1, "v": "a"}\nnot json at all\n{"id": 2, "v": "b"}\n')
+        df = a.load_file(spark, str(p), rescue_malformed=True).cache()
+        good = [r for r in df.collect() if r._corrupt_record is None]
+        bad = [r for r in df.collect() if r._corrupt_record is not None]
+        assert {r.id for r in good} == {1, 2}
+        assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
+        df.unpersist()
