@@ -38,6 +38,8 @@ from .operators import (
     cleanup,
     dataframe,
     drop_table,
+    export_file,
+    export_table_to_file,
     export_to_file,
     get_file_list,
     get_value_list,
@@ -86,6 +88,8 @@ __all__ = [
     "schema_exists",
     "table_exists",
     "export_to_file",
+    "export_file",
+    "export_table_to_file",
     "get_file_list",
     "get_session",
     "get_value_list",

@@ -17,7 +17,7 @@ from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
 from .dml import delete_rows, update_rows
 from .drop import drop_table, truncate_table
-from .export import export_to_file
+from .export import export_file, export_table_to_file, export_to_file
 from .files import get_file_list
 from .load_file import load_file
 from .merge import merge
@@ -45,6 +45,8 @@ __all__ = [
     "delete_rows",
     "drop_table",
     "export_to_file",
+    "export_file",
+    "export_table_to_file",
     "get_file_list",
     "get_value_list",
     "load_file",

@@ -47,3 +47,29 @@ def export_to_file(
         target_file_mb=target_file_mb,
     )
     return output_file
+
+
+def export_file(*args, **kwargs) -> File:
+    """Deprecated reference alias (``sql/operators/export_file.py``) —
+    kept for drop-in parity; delegates to :func:`export_to_file`."""
+    import warnings
+
+    warnings.warn(
+        "export_file is deprecated; use export_to_file",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return export_to_file(*args, **kwargs)
+
+
+def export_table_to_file(*args, **kwargs) -> File:
+    """Deprecated reference alias (``sql/operators/export_table_to_file.py``)
+    — kept for drop-in parity; delegates to :func:`export_to_file`."""
+    import warnings
+
+    warnings.warn(
+        "export_table_to_file is deprecated; use export_to_file",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return export_to_file(*args, **kwargs)

@@ -1281,3 +1281,23 @@ class TestCompactByteTarget:
             assert spark.table(t.name).count() > 0
         finally:
             a.drop_table(spark, t)
+
+
+class TestDeprecatedExportAliases:
+    def test_aliases_delegate_and_warn(self, spark, sf_dir, tmp_path):
+        """Reference parity: export_file / export_table_to_file are the
+        deprecated names (sql/operators/export_file.py,
+        export_table_to_file.py) and must keep working as aliases."""
+        import warnings
+
+        df = read_table(spark, sf_dir, "region")
+        for fn, name in (
+            (a.export_file, "ef.csv"),
+            (a.export_table_to_file, "etf.csv"),
+        ):
+            p = str(tmp_path / name)
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                fn(spark, df, p)
+            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+            assert os.path.isfile(p)
