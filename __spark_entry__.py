@@ -1795,6 +1795,16 @@ def _dd_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(dedup.minhash_lsh_pairs(docs))
 
 
+def _t_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword vocabulary report: the frozen trained merge table
+    (constants.BPE_MERGES, the PQ_BOOKS pattern) applied corpus-wide —
+    chained greedy merge folds per word, one explode + groupBy, top-30.
+    Training determinism vs a pure-Python reference is pinned in
+    TestBpe; the oracle replays the whole apply pipeline."""
+    _views(spark, sf_dir)
+    return text.bpe_subword_counts(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity knee curve over the verified MinHash pairs: per-bin
     and at-or-above pair counts for threshold selection."""
@@ -2814,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_cross_source": _dd_cross_source,
             "dd_pagerank": _dd_pagerank,
             "dd_threshold_sweep": _dd_threshold_sweep,
+            "t_bpe": _t_bpe,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2882,6 +2893,7 @@ _DRIVER_PRIORITY = [
     "st_drift",
     "s_knn_graph_probe",
     "dd_threshold_sweep",
+    "t_bpe",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3226,6 +3238,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_cross_source": oracles.cross_source_sql(),
             "dd_pagerank": oracles.pagerank_sql(),
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
+            "t_bpe": oracles.bpe_counts_sql(),
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

@@ -158,3 +158,15 @@ DSIR_SCALE = 1_000_000
 LM_UNI_BUCKETS = 4096
 LM_BI_BUCKETS = 65536
 LM_SCALE = 1_000_000
+
+# --- BPE subword tokenization (Sennrich et al. 2016) ------------------------
+# 16 merges TRAINED on the sf0.01 documents fixture with bpe_train's exact
+# greedy arithmetic, then frozen (the PQ_BOOKS pattern: the driver query
+# runs the seeded table so the DuckDB oracle replays the whole apply
+# pipeline; training determinism is pinned in pytest against a pure-Python
+# reference).  Merges apply in order, greedy left-to-right within a word.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]

@@ -616,6 +616,51 @@ FROM reach GROUP BY root
 """
 
 
+def _bpe_merge_step_sql(cur: str, a: str, b: str) -> str:
+    """One greedy left-to-right BPE merge over a VARCHAR[] expression —
+    mirrors text._bpe_merge_step's fold element-for-element."""
+    ab = a + b
+    elems = f"list_transform({cur}, t -> [t])"
+    return (
+        f"list_reduce(list_prepend([]::VARCHAR[], {elems}), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = '{a}' "
+        f"AND x[1] = '{b}' "
+        f"THEN list_append(list_slice(acc, 1, len(acc) - 1), '{ab}') "
+        f"ELSE list_concat(acc, x) END)"
+    )
+
+
+def bpe_counts_sql(
+    table: str = "documents", merges=None, k: int = 30
+) -> str:
+    """Replays bpe_subword_counts with the frozen BPE_MERGES: per-word
+    char split, chained greedy merge folds, explode, count, top-k."""
+    from .constants import BPE_MERGES
+
+    if merges is None:
+        merges = BPE_MERGES
+    cur = "string_split(w, '')"
+    for a, b in merges:
+        cur = _bpe_merge_step_sql(cur, a, b)
+    return f"""
+WITH words AS (
+  SELECT unnest({tokens('text')}) AS w FROM {table}
+),
+subs AS (
+  SELECT unnest({cur}) AS token FROM words
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM subs GROUP BY token
+),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT token, n, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def threshold_sweep_sql(table: str = "documents", bin_width_x100: int = 5) -> str:
     """Replays pair_threshold_sweep over the minhash pair oracle: percent
     bins via BIGINT floor division, reverse-cumulative window."""

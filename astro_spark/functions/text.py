@@ -565,3 +565,129 @@ def bigram_lm_scores(
             ).alias("lm_avg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE subword tokenization (Sennrich et al. 2016) — train + apply on Spark
+# --------------------------------------------------------------------------
+def _bpe_merge_step(toks: Column, a: str, b: str) -> Column:
+    """One BPE merge (a, b) → a+b over a token array: greedy
+    left-to-right fold (classic non-overlapping semantics — "aaa" under
+    (a,a) becomes [aa, a]).  Pure higher-order functions; the DuckDB
+    oracle mirrors the fold exactly (oracles.bpe_apply_sql)."""
+    return F.aggregate(
+        toks,
+        # typed empty zero WITHOUT referencing toks: a second reference
+        # would duplicate the whole upstream merge chain per level
+        # (2^n_merges expression blowup)
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Apply a BPE merge table to a text column → flat array of subword
+    tokens (word-internal merges only, merge order = table order).
+    Map-only expression: splits into whitespace words, chars per word,
+    then chains one greedy fold per merge."""
+    words = tokens(col)
+
+    def _word(w: Column) -> Column:
+        cur = F.split(w, "")
+        for a, b in merges:
+            cur = _bpe_merge_step(cur, a, b)
+        return cur
+
+    return F.flatten(F.transform(words, _word))
+
+
+def bpe_subword_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """Corpus subword frequencies under a BPE merge table — the vocab
+    report after tokenizer training.  One explode + one groupBy;
+    deterministic (count DESC, token ASC) top-k.
+
+    Returns (token, n, rank)."""
+    from .constants import BPE_MERGES
+
+    if merges is None:
+        merges = BPE_MERGES
+    subs = df.select(
+        F.explode(bpe_apply(F.col(text_col), merges)).alias("token")
+    )
+    counts = subs.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table on a corpus with DataFrame ops: each
+    round counts adjacent token pairs corpus-wide (one explode + one
+    groupBy, map-side partial aggregation) and takes the deterministic
+    argmax (count DESC, pair ASC); only ONE (a, b, count) row reaches
+    the driver per round.  Merges so far re-apply lazily in the scan
+    projection, so round i costs one job over the corpus with an
+    O(i)-deep per-word expression — n_merges is a small constant
+    (vocabulary size budget), exactly like Lloyd's iterations in
+    ``ivf_train``.  Equality with a pure-Python reference is pinned in
+    tests (TestBpe + property tier)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = df.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        tokens(F.col(text_col)),
+                        lambda w: _pairs_of(
+                            _apply_chain(F.split(w, ""), merges)
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["p"]["a"], top[0]["p"]["b"]))
+    return merges
+
+
+def _apply_chain(chars: Column, merges: list[tuple[str, str]]) -> Column:
+    cur = chars
+    for a, b in merges:
+        cur = _bpe_merge_step(cur, a, b)
+    return cur
+
+
+def _pairs_of(toks: Column) -> Column:
+    """Adjacent (a, b) struct pairs of a token array."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("a"), F.element_at(toks, i + 2).alias("b")
+        ),
+    )

@@ -1278,3 +1278,37 @@ class TestThresholdSweep:
         }
         # bins: 100//5=20, 97//5=19, 61//5 and 60//5 =12, 42//5=8
         assert got == {100: (1, 1), 95: (1, 2), 60: (2, 4), 40: (1, 5)}
+
+
+class TestBpe:
+    def test_train_matches_pure_python_reference(self, spark):
+        """Spark BPE training (corpus-wide pair counts, deterministic
+        argmax) equals the classic greedy algorithm step-for-step."""
+        corpus = ["the merger hashes rows the hash", "join the rows hash rows"]
+        df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+        got = text.bpe_train(df, n_merges=6)
+        assert got == [
+            ("h", "e"), ("a", "s"), ("h", "as"),
+            ("o", "w"), ("ow", "s"), ("r", "ows"),
+        ]
+
+    def test_apply_greedy_nonoverlapping(self, spark):
+        """Classic BPE semantics: (a,a) over 'aaa' merges leftmost-first
+        to [aa, a]; merges never cross word boundaries."""
+        df = spark.createDataFrame([(1, "aaa aa a")], ["doc_id", "text"])
+        out = df.select(
+            text.bpe_apply("text", [("a", "a")]).alias("s")
+        ).collect()[0].s
+        assert out == ["aa", "a", "aa", "a"]
+
+    def test_frozen_merges_produce_real_subwords(self, spark):
+        """The shipped merge table segments fixture-vocabulary words into
+        the learned subwords."""
+        from astro_spark.functions.constants import BPE_MERGES
+
+        df = spark.createDataFrame([(1, "join hash rows merger")], ["doc_id", "text"])
+        out = df.select(
+            text.bpe_apply("text", BPE_MERGES).alias("s")
+        ).collect()[0].s
+        assert "join" in out and "hash" in out
+        assert out == ["join", "hash", "row", "s", "mer", "g", "er"]
