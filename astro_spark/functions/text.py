@@ -608,24 +608,76 @@ def bpe_apply(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     return F.flatten(F.transform(words, _word))
 
 
+def bpe_tokens_np(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched BPE apply: one ``token`` row per subword.
+
+    Tokenization is pure string manipulation — no floats — so this is
+    EXACTLY equivalent to the expression-fold ``bpe_apply`` (pinned in
+    TestBpe), not merely bit-compatible.  A per-batch cache tokenizes
+    each distinct WORD once (Zipf makes the distinct set tiny relative
+    to the token stream), which is what makes the apply pass ~10×
+    cheaper than 16 chained interpreted folds per word."""
+    import pandas as pd
+
+    frozen = list(merges)
+
+    def _mapper(batches):
+        cache: dict[str, list[str]] = {}
+
+        def _word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                toks = list(w)
+                for a, b in frozen:
+                    ab = a + b
+                    acc: list[str] = []
+                    for x in toks:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = ab
+                        else:
+                            acc.append(x)
+                    toks = acc
+                got = cache[w] = toks
+            return got
+
+        for pdf in batches:
+            out: list[str] = []
+            for t in pdf[text_col]:
+                for w in t.split():
+                    out.extend(_word(w))
+            yield pd.DataFrame({"token": out})
+
+    return df.select(text_col).mapInPandas(_mapper, "token string")
+
+
 def bpe_subword_counts(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     k: int = 30,
+    np_apply: bool = True,
 ) -> DataFrame:
     """Corpus subword frequencies under a BPE merge table — the vocab
     report after tokenizer training.  One explode + one groupBy;
-    deterministic (count DESC, token ASC) top-k.
+    deterministic (count DESC, token ASC) top-k.  ``np_apply`` picks the
+    Arrow word-cached apply (default; exactly equivalent — strings have
+    no float order) over the expression folds.
 
     Returns (token, n, rank)."""
     from .constants import BPE_MERGES
 
     if merges is None:
         merges = BPE_MERGES
-    subs = df.select(
-        F.explode(bpe_apply(F.col(text_col), merges)).alias("token")
-    )
+    if np_apply:
+        subs = bpe_tokens_np(df, merges, text_col)
+    else:
+        subs = df.select(
+            F.explode(bpe_apply(F.col(text_col), merges)).alias("token")
+        )
     counts = subs.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (

@@ -54,6 +54,7 @@ HEADLINE = [
     "t_dsir",
     "t_bigram_lm",
     "t_drift",
+    "t_bpe",
     "s_brute_topk",
     "s_pq_topk",
     "s_ivf_pq_topk",

@@ -1301,6 +1301,14 @@ class TestBpe:
         ).collect()[0].s
         assert out == ["aa", "a", "aa", "a"]
 
+    def test_np_apply_exactly_equals_expression_folds(self, docs):
+        """The Arrow word-cached apply and the chained expression folds
+        produce the same vocabulary report row-for-row (strings — exact
+        equality, no float caveats)."""
+        a = sorted(map(tuple, text.bpe_subword_counts(docs, np_apply=False).collect()))
+        b = sorted(map(tuple, text.bpe_subword_counts(docs, np_apply=True).collect()))
+        assert a == b
+
     def test_frozen_merges_produce_real_subwords(self, spark):
         """The shipped merge table segments fixture-vocabulary words into
         the learned subwords."""
