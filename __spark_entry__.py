@@ -1988,6 +1988,30 @@ def _s_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE: build the persisted IVF index from the even
+    vec_ids, append the odd ones against the stored centroids (no
+    retrain, only new cell-partition files), then full-probe query —
+    provably equal to brute force over the WHOLE corpus, so the exact
+    oracle applies to the append path end-to-end."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivf_index_appended")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_ivfappend_")
+        similarity.ivf_write_index(
+            emb.where("vec_id % 2 = 0"), SEMDEDUP_CENTROIDS, d
+        )
+        similarity.ivf_append_index(emb.where("vec_id % 2 = 1"), d)
+        _STAGED_DIRS[key] = d
+    return similarity.ivf_topk_indexed(
+        spark, d, emb.where("vec_id < 5"), nprobe=len(SEMDEDUP_CENTROIDS), k=5
+    )
+
+
 def _s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2838,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_ivf_indexed_topk": _s_ivf_indexed_topk,
             "s_knn_graph": _s_knn_graph,
             "s_knn_graph_probe": _s_knn_graph_probe,
+            "s_ivf_index_append": _s_ivf_index_append,
             "s_lsh_buckets": _s_lsh_buckets,
             "s_lsh_pairs": _s_lsh_pairs,
             "s_centroids": _s_centroids,
@@ -2894,6 +2919,7 @@ _DRIVER_PRIORITY = [
     "s_knn_graph_probe",
     "dd_threshold_sweep",
     "t_bpe",
+    "s_ivf_index_append",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3253,6 +3279,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "s_ivf_indexed_topk": oracles.brute_topk_sql(),
             "s_knn_graph": oracles.knn_graph_sql(),
             "s_knn_graph_probe": oracles.knn_graph_probe_sql(),
+            "s_ivf_index_append": oracles.brute_topk_sql(),
             "s_ivf_label_topk": oracles.partitioned_topk_sql(),
             "s_lsh_buckets": oracles.lsh_buckets_sql(),
             "s_lsh_pairs": oracles.lsh_cosine_pairs_sql(),

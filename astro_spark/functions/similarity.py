@@ -993,6 +993,30 @@ def ivf_write_index(
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
 
 
+def ivf_append_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign the
+    batch against the STORED centroids (no retraining) and append into
+    the matching ``cell=`` partition directories.
+
+    This is the index-maintenance path for a continuously-ingesting
+    corpus — build cost O(|batch|), existing cell files untouched, and
+    probes keep pruning at the file level.  Centroids drift as the
+    corpus grows; rebuild with ``ivf_train`` + ``ivf_write_index`` when
+    recall degrades (``recall_report`` is the gauge), exactly like a
+    FAISS index re-train.  New cells never appear (assignment is argmax
+    over the stored centroid table), so the partition layout is stable.
+    """
+    spark = batch.sparkSession
+    centroids = ivf_read_centroids(spark, path)
+    assigned = ivf_assign(batch, centroids, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
     rows = (
         spark.read.parquet(path.rstrip("/") + "/_centroids")

@@ -1122,6 +1122,41 @@ class TestIvfIndexPersistence:
         similarity.ivf_write_index(emb, cents, path)
         assert similarity.ivf_read_centroids(spark, path) == cents
 
+    def test_append_leaves_existing_files_untouched_and_equals_rebuild(
+        self, spark, emb, tmp_path
+    ):
+        """Incremental ivf_append_index: the base index's data files keep
+        their paths (append, not rewrite), and probing the appended
+        index equals probing an index built from the full corpus in one
+        shot (same stored centroids → same assignment)."""
+        import os as _os
+
+        cents = similarity.ivf_train(emb, n_cells=4, iterations=1)
+        grown = str(tmp_path / "ivf_grow")
+        similarity.ivf_write_index(emb.where("vec_id % 2 = 0"), cents, grown)
+
+        def _files(p):
+            out = []
+            for root, _d, fs in _os.walk(p):
+                if "_centroids" in root:
+                    continue
+                out += [
+                    _os.path.join(root, f) for f in fs if f.endswith(".parquet")
+                ]
+            return sorted(out)
+
+        before = _files(grown)
+        similarity.ivf_append_index(emb.where("vec_id % 2 = 1"), grown)
+        after = _files(grown)
+        assert set(before) <= set(after) and len(after) > len(before)
+
+        full = str(tmp_path / "ivf_full")
+        similarity.ivf_write_index(emb, cents, full)
+        q = emb.where("vec_id < 5")
+        a = sorted(map(tuple, similarity.ivf_topk_indexed(spark, grown, q, nprobe=2, k=3).collect()))
+        b = sorted(map(tuple, similarity.ivf_topk_indexed(spark, full, q, nprobe=2, k=3).collect()))
+        assert a == b
+
 
 class TestMinhashIncremental:
     def test_equals_cross_subset_of_full_pairs(self, docs):
