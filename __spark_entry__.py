@@ -1813,6 +1813,17 @@ def _dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pair_threshold_sweep(dedup.minhash_lsh_pairs(docs))
 
 
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names: blocking on the head noun turns
+    all-pairs into per-block candidates; integer levenshtein verifies.
+    Both engines implement the standard edit distance, so the result
+    hash-matches exactly."""
+    from astro_spark.plans.fuzzy import fuzzy_dedup_names
+
+    _views(spark, sf_dir)
+    return fuzzy_dedup_names(read_table(spark, sf_dir, "part"), "p_name")
+
+
 def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2849,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_pagerank": _dd_pagerank,
             "dd_threshold_sweep": _dd_threshold_sweep,
             "t_bpe": _t_bpe,
+            "q_fuzzy_match": _q_fuzzy_match,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2920,6 +2932,7 @@ _DRIVER_PRIORITY = [
     "dd_threshold_sweep",
     "t_bpe",
     "s_ivf_index_append",
+    "q_fuzzy_match",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3265,6 +3278,20 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_pagerank": oracles.pagerank_sql(),
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bpe": oracles.bpe_counts_sql(),
+            "q_fuzzy_match": """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (
+  SELECT name, list_extract(string_split(name, ' '), len(string_split(name, ' '))) AS blk
+  FROM names
+),
+pairs AS (
+  SELECT l.name AS name_a, r.name AS name_b,
+         levenshtein(l.name, r.name) AS distance
+  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.name < r.name
+)
+SELECT name_a, name_b, distance::BIGINT AS distance
+FROM pairs WHERE distance <= 3
+""",
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),

@@ -1355,3 +1355,40 @@ class TestBpe:
         ).collect()[0].s
         assert "join" in out and "hash" in out
         assert out == ["join", "hash", "row", "s", "mer", "g", "er"]
+
+
+class TestFuzzyJoin:
+    def test_blocking_and_distance_filter(self, spark):
+        """Only same-block candidates are compared (no cross-block pair
+        even at distance 1), and the distance threshold is exact."""
+        from astro_spark.plans.fuzzy import fuzzy_dedup_names
+
+        df = spark.createDataFrame(
+            [(1, "red plate"), (2, "hot plate"), (3, "red plates"),
+             (4, "red ring")],
+            ["id", "p_name"],
+        )
+        got = {
+            (r.name_a, r.name_b): r.distance
+            for r in fuzzy_dedup_names(df, "p_name").collect()
+        }
+        assert got[("hot plate", "red plate")] == 3
+        # 'red plates' blocks on 'plates' — never compared with 'plate's
+        assert not any("red plates" in k for k in got)
+        # 'red ring' blocks on 'ring' — no partner
+        assert not any("red ring" in k for k in got)
+
+    def test_fuzzy_join_two_relations(self, spark):
+        from pyspark.sql import functions as F_
+
+        from astro_spark.plans.fuzzy import fuzzy_join
+
+        a = spark.createDataFrame([(1, "acme corp")], ["id", "n"])
+        b = spark.createDataFrame([(9, "acme core"), (10, "zzzz corp")], ["id", "n"])
+        got = fuzzy_join(
+            a, b, "n", "n",
+            lambda c: F_.substring(c, 1, 2),  # block on 2-char prefix
+            max_distance=2, left_id="id", right_id="id",
+        ).collect()
+        assert len(got) == 1
+        assert (got[0].left_id, got[0].right_id, got[0].distance) == (1, 9, 1)
