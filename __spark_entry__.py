@@ -1813,6 +1813,22 @@ def _dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pair_threshold_sweep(dedup.minhash_lsh_pairs(docs))
 
 
+def _t_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID quality grading: confusion matrix of the n-gram
+    heuristic's predictions against the fixture's ground-truth lang
+    column (the recall_report pattern applied to language ID)."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            text.predict_lang(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage over part names: blocking on the head noun turns
     all-pairs into per-block candidates; integer levenshtein verifies.
@@ -2861,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_threshold_sweep": _dd_threshold_sweep,
             "t_bpe": _t_bpe,
             "q_fuzzy_match": _q_fuzzy_match,
+            "t_langid_eval": _t_langid_eval,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2933,6 +2950,7 @@ _DRIVER_PRIORITY = [
     "t_bpe",
     "s_ivf_index_append",
     "q_fuzzy_match",
+    "t_langid_eval",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3278,6 +3296,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_pagerank": oracles.pagerank_sql(),
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bpe": oracles.bpe_counts_sql(),
+            "t_langid_eval": oracles.lang_id_confusion_sql(),
             "q_fuzzy_match": """
 WITH names AS (SELECT DISTINCT p_name AS name FROM part),
 blocked AS (

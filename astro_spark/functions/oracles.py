@@ -154,6 +154,28 @@ FROM scored GROUP BY 1
 """
 
 
+def lang_id_confusion_sql(table: str = "documents") -> str:
+    """Replays the lang-ID CONFUSION MATRIX: predicted language vs the
+    fixture's ground-truth ``lang`` column — grades the n-gram heuristic
+    the way recall_report grades the ANN paths."""
+    scores = ",\n         ".join(
+        f"{lang_score(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens('text')} AS toks FROM {table}
+),
+scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM t
+)
+SELECT lang AS actual_lang, {predict_lang_case()} AS pred_lang,
+       count(*)::BIGINT AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
 def quality_filter_sql(
     table: str = "documents",
     min_tokens: int = 5,
