@@ -1813,6 +1813,32 @@ def _dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pair_threshold_sweep(dedup.minhash_lsh_pairs(docs))
 
 
+def _op_check_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style relationships test: orders.o_custkey must resolve in
+    customer (one left-anti join; NULL keys exempt per FK semantics)."""
+    from astro_spark.operators.checks import check_referential
+
+    _views(spark, sf_dir)
+    return check_referential(
+        spark,
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        [("o_custkey", "c_custkey")],
+    )
+
+
+def _op_check_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Tukey-fence outlier check on extended price —
+    quartiles in quarter-cents, fences multiplied through by 400 so no
+    fractional bound exists on either engine."""
+    from astro_spark.operators.checks import check_outliers
+
+    _views(spark, sf_dir)
+    return check_outliers(
+        spark, read_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
 def _t_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-ID quality grading: confusion matrix of the n-gram
     heuristic's predictions against the fixture's ground-truth lang
@@ -2878,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_bpe": _t_bpe,
             "q_fuzzy_match": _q_fuzzy_match,
             "t_langid_eval": _t_langid_eval,
+            "op_check_referential": _op_check_referential,
+            "op_check_outliers": _op_check_outliers,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
             "dd_embedding_cosine": _dd_embedding_cosine,
@@ -2951,6 +2979,8 @@ _DRIVER_PRIORITY = [
     "s_ivf_index_append",
     "q_fuzzy_match",
     "t_langid_eval",
+    "op_check_referential",
+    "op_check_outliers",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3297,6 +3327,32 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bpe": oracles.bpe_counts_sql(),
             "t_langid_eval": oracles.lang_id_confusion_sql(),
+            "op_check_referential": """
+SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
+""",
+            "op_check_outliers": """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(round(quantile_cont(v, 0.25) * 4) AS BIGINT) AS q1_qc,
+         CAST(round(quantile_cont(v, 0.75) * 4) AS BIGINT) AS q3_qc
+  FROM v
+)
+SELECT n_rows::BIGINT AS n_rows,
+       (SELECT COUNT(*) FROM v, s
+        WHERE 400 * v < 100 * q1_qc - 150 * (q3_qc - q1_qc)
+           OR 400 * v > 100 * q3_qc + 150 * (q3_qc - q1_qc))::BIGINT AS n_outliers,
+       q1_qc, q3_qc,
+       (100 * q1_qc - 150 * (q3_qc - q1_qc))::BIGINT AS lo_x400,
+       (100 * q3_qc + 150 * (q3_qc - q1_qc))::BIGINT AS hi_x400
+FROM s
+""",
             "q_fuzzy_match": """
 WITH names AS (SELECT DISTINCT p_name AS name FROM part),
 blocked AS (

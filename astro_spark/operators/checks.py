@@ -193,3 +193,96 @@ def profile_table(
         ),
         F.col("n_rows"),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def check_referential(
+    spark: SparkSession,
+    child: Table | DataFrame | str,
+    parent: Table | DataFrame | str,
+    keys: list[tuple[str, str]] | list[str],
+) -> DataFrame:
+    """Referential-integrity check (the dbt ``relationships`` test):
+    how many child rows point at no parent.
+
+    ``keys`` is either shared column names or (child_col, parent_col)
+    pairs.  One left-anti join — shuffle on the key, or broadcast when
+    the parent is dim-sized (Catalyst's choice) — NULL child keys are
+    not orphans (SQL FK semantics: NULLs are exempt).  Returns one row
+    (n_child, n_orphans) for alerting; join back with the anti join to
+    list the offenders.
+    """
+    c = _as_df(spark, child)
+    p = _as_df(spark, parent)
+    pairs = [(k, k) if isinstance(k, str) else k for k in keys]
+    cond = [c[ck] == p[pk] for ck, pk in pairs]
+    non_null = c
+    for ck, _ in pairs:
+        non_null = non_null.where(F.col(ck).isNotNull())
+    orphans = non_null.join(p, cond, "left_anti")
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_child"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+    )
+
+
+def check_outliers(
+    spark: SparkSession,
+    data: Table | DataFrame | str,
+    col: str,
+    k_x100: int = 150,
+) -> DataFrame:
+    """IQR outlier check over a numeric column — entirely integer-exact:
+    values scale to cents, quartiles of integers interpolate at exact
+    quarter points (A = 4*q1 and B = 4*q3 are integers), and the fence
+    test multiplies through by 400 so no fractional bound ever exists:
+
+        low  outlier ⇔ 400*v < 100*A - k_x100*(B - A)
+        high outlier ⇔ 400*v > 100*B + k_x100*(B - A)
+
+    (k = k_x100/100, the Tukey 1.5 default).  Both scans stay in one
+    plan — the 1-row stats aggregate broadcasts onto the flag scan (the
+    documented bounded-scalar cross-join shape).  Returns one row
+    (n_rows, n_outliers, q1_qc, q3_qc, lo_x400, hi_x400) with quartiles
+    in quarter-cents.
+    """
+    df = _as_df(spark, data)
+    cents = f"CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)"
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"CAST(round(percentile({cents}, 0.25) * 4) AS BIGINT)").alias(
+            "q1_qc"
+        ),
+        F.expr(f"CAST(round(percentile({cents}, 0.75) * 4) AS BIGINT)").alias(
+            "q3_qc"
+        ),
+    )
+    flagged = (
+        df.select(F.expr(cents).alias("v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_rows",
+            "q1_qc",
+            "q3_qc",
+            F.expr(
+                f"CASE WHEN 400 * v < 100 * q1_qc - {k_x100} * (q3_qc - q1_qc) "
+                f"OR 400 * v > 100 * q3_qc + {k_x100} * (q3_qc - q1_qc) "
+                "THEN 1 ELSE 0 END"
+            ).alias("is_out"),
+        )
+    )
+    return flagged.groupBy("n_rows", "q1_qc", "q3_qc").agg(
+        F.sum("is_out").alias("n_outliers"),
+        F.expr(f"100 * first(q1_qc) - {k_x100} * (first(q3_qc) - first(q1_qc))").alias(
+            "lo_x400"
+        ),
+        F.expr(f"100 * first(q3_qc) + {k_x100} * (first(q3_qc) - first(q1_qc))").alias(
+            "hi_x400"
+        ),
+    ).select("n_rows", "n_outliers", "q1_qc", "q3_qc", "lo_x400", "hi_x400")
+
+
+def _as_df(spark: SparkSession, x) -> DataFrame:
+    if isinstance(x, DataFrame):
+        return x
+    name = x.qualified_name if isinstance(x, Table) else str(x)
+    return spark.table(name)

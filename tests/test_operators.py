@@ -1301,3 +1301,29 @@ class TestDeprecatedExportAliases:
                 fn(spark, df, p)
             assert any(issubclass(x.category, DeprecationWarning) for x in w)
             assert os.path.isfile(p)
+
+
+class TestReferentialAndOutlierChecks:
+    def test_orphans_counted_and_nulls_exempt(self, spark):
+        from astro_spark.operators.checks import check_referential
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 99), (4, None)], "id long, fk long"
+        )
+        parent = spark.createDataFrame([(10,), (11,)], "pk long")
+        row = check_referential(spark, child, parent, [("fk", "pk")]).collect()[0]
+        assert (row.n_child, row.n_orphans) == (4, 1)  # 99 orphan; NULL exempt
+
+    def test_outlier_fences_exact(self, spark):
+        """Hand-computed Tukey fences on a tiny integer sample: values
+        [1..8, 100]: q1 = 3 (index interp), q3 = 7, iqr = 4 → hi fence
+        7 + 1.5*4 = 13 → exactly one outlier (100)."""
+        from astro_spark.operators.checks import check_outliers
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]], "x double"
+        )
+        row = check_outliers(spark, df, "x").collect()[0]
+        assert row.n_rows == 9 and row.n_outliers == 1
+        # cents*4: q1 = 300 cents → 1200 quarter-cents; q3 = 2800
+        assert (row.q1_qc, row.q3_qc) == (1200, 2800)
