@@ -214,14 +214,22 @@ def check_referential(
     c = _as_df(spark, child)
     p = _as_df(spark, parent)
     pairs = [(k, k) if isinstance(k, str) else k for k in keys]
-    cond = [c[ck] == p[pk] for ck, pk in pairs]
-    non_null = c
+    # distinct parent keys make the left join duplication-free, so BOTH
+    # counts come out of ONE outer-join pass (no scalar cross-join; the
+    # deduped key side broadcasts when dim-sized)
+    pk = p.select(
+        *[F.col(pkc).alias(f"__pk{i}") for i, (_, pkc) in enumerate(pairs)]
+    ).distinct().withColumn("__hit", F.lit(1))
+    cond = [c[ck] == pk[f"__pk{i}"] for i, (ck, _) in enumerate(pairs)]
+    joined = c.join(pk, cond, "left")
+    fk_non_null = F.lit(True)
     for ck, _ in pairs:
-        non_null = non_null.where(F.col(ck).isNotNull())
-    orphans = non_null.join(p, cond, "left_anti")
-    return (
-        c.agg(F.count(F.lit(1)).alias("n_child"))
-        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        fk_non_null = fk_non_null & F.col(ck).isNotNull()
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(
+            F.when(fk_non_null & F.col("__hit").isNull(), 1).otherwise(0)
+        ).alias("n_orphans"),
     )
 
 

@@ -38,6 +38,8 @@ HEADLINE = [
     "op_merge_update",
     "op_merge_update_part",
     "op_load_export_roundtrip",
+    "op_check_outliers",
+    "q_fuzzy_match",
     "dd_exact",
     "dd_spans",
     "dd_span_removal",
