@@ -2694,6 +2694,34 @@ def _st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
 
 
+def _st_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: base index built from the even
+    vec_ids, the odd ones drained in as micro-batches through
+    ivf_index_stream (checkpointed availableNow, partitioned appends
+    against the stored centroids), then a full-probe query — provably
+    equal to brute force over the whole corpus, so the exact oracle
+    verifies the streamed appends end-to-end."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+    from astro_spark.streaming import ivf_index_stream
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivf_index_streamed")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_ivfstream_")
+        similarity.ivf_write_index(
+            emb.where("vec_id % 2 = 0"), SEMDEDUP_CENTROIDS, d
+        )
+        odd = tempfile.mkdtemp(prefix="astro_ivfodd_")
+        emb.where("vec_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(odd)
+        ivf_index_stream(spark, odd, d)
+        _STAGED_DIRS[key] = d
+    return similarity.ivf_topk_indexed(
+        spark, d, emb.where("vec_id < 5"), nprobe=len(SEMDEDUP_CENTROIDS), k=5
+    )
+
+
 def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
@@ -2940,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_bloom_screen": _st_bloom_screen,
             "st_minhash_screen": _st_minhash_screen,
             "st_drift": _st_drift,
+            "st_ivf_append": _st_ivf_append,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -2981,6 +3010,7 @@ _DRIVER_PRIORITY = [
     "t_langid_eval",
     "op_check_referential",
     "op_check_outliers",
+    "st_ivf_append",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3327,6 +3357,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bpe": oracles.bpe_counts_sql(),
             "t_langid_eval": oracles.lang_id_confusion_sql(),
+            "st_ivf_append": oracles.brute_topk_sql(),
             "op_check_referential": """
 SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,
        (SELECT COUNT(*) FROM orders o

@@ -1,7 +1,12 @@
 # Structured Streaming extensions (Autoloader-style incremental load,
 # watermarked windows, stateful sessionization, streaming dedup).
 from .joins import interval_join_stream, stream_static_join
-from .load_stream import fan_out_stream, load_file_stream, load_file_stream_merge
+from .load_stream import (
+    fan_out_stream,
+    ivf_index_stream,
+    load_file_stream,
+    load_file_stream_merge,
+)
 from .sessions import (
     bloom_screen_stream,
     dedup_stream,
@@ -20,6 +25,7 @@ __all__ = [
     "dedup_stream",
     "minhash_screen_stream",
     "interval_join_stream",
+    "ivf_index_stream",
     "stream_static_join",
     "load_file_stream",
     "load_file_stream_merge",

@@ -242,3 +242,52 @@ def _write_sink_batch(out: DataFrame, phys_table: str, batch_id: int) -> None:
         out.write.mode("overwrite").insertInto(phys_table)
     finally:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def ivf_index_stream(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming ANN index maintenance: each micro-batch of vectors is
+    assigned against the index's STORED centroids and appended into its
+    cell-partition directories (``ivf_append_index`` per batch — O(batch)
+    work, base files untouched, probes keep pruning at the file level).
+
+    The centroid table is read once per drain and the assignment is a
+    map-only projection, so a batch costs one scan + one partitioned
+    append; no state store, no shuffle.  Checkpointed ``availableNow``
+    drain (the Autoloader pattern): restarts resume from the last
+    committed batch, and an append replayed after a crash lands
+    duplicate rows — dedup on ``id_col`` at read time or rebuild the
+    cell, exactly the Delta-append contract.  Returns the number of
+    micro-batches drained.
+    """
+    from ..functions.similarity import ivf_assign, ivf_read_centroids
+
+    centroids = ivf_read_centroids(spark, index_path)
+    checkpoint = tempfile.mkdtemp(prefix="astro_ivfstream_ckpt_")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    n_batches = 0
+
+    def _append(batch_df, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
+        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+    query = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return n_batches

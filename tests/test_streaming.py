@@ -485,3 +485,42 @@ class TestDriftScreenStream:
             assert r.contrib == (
                 (r.p_cand_e6 - r.p_ref_e6) ** 2 // max(r.p_ref_e6, 1)
             )
+
+
+class TestIvfIndexStream:
+    def test_streamed_appends_equal_one_shot_build(self, spark, tmp_path):
+        """Draining vectors one file per micro-batch into the index
+        equals a one-shot build with the same centroids; the base
+        index's files keep their paths."""
+        import os as _os
+
+        from astro_spark.functions import similarity
+        from astro_spark.streaming import ivf_index_stream
+        from astro_spark.testdata import read_table
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = similarity.ivf_train(emb, n_cells=4, iterations=1)
+        grown = str(tmp_path / "grown")
+        similarity.ivf_write_index(emb.where("vec_id % 2 = 0"), cents, grown)
+
+        def _files(p):
+            out = []
+            for root, _d, fs in _os.walk(p):
+                if "_centroids" in root:
+                    continue
+                out += [_os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+            return set(out)
+
+        before = _files(grown)
+        odd = str(tmp_path / "odd")
+        emb.where("vec_id % 2 = 1").repartition(3).write.parquet(odd)
+        n = ivf_index_stream(spark, odd, grown, max_files_per_trigger=1)
+        assert n == 3  # one micro-batch per file
+        assert before <= _files(grown)
+
+        full = str(tmp_path / "full")
+        similarity.ivf_write_index(emb, cents, full)
+        q = emb.where("vec_id < 5")
+        a = sorted(map(tuple, similarity.ivf_topk_indexed(spark, grown, q, nprobe=2, k=3).collect()))
+        b = sorted(map(tuple, similarity.ivf_topk_indexed(spark, full, q, nprobe=2, k=3).collect()))
+        assert a == b
