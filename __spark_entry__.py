@@ -1775,6 +1775,22 @@ def _t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language drift: the same BIGINT chi-square-style arithmetic,
+    sliced by lang — a global comparison can hide one language's
+    distribution moving violently."""
+    from astro_spark.functions.sampling import grouped_drift
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return grouped_drift(
+        docs.where(F.length("source") == 4),
+        docs.where(F.length("source") > 4),
+        "lang",
+        F.expr("n_chars DIV 100"),
+    )
+
+
 def _dd_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources mirror each other: verified near-dup pair counts
     and BIGINT-exact mean Jaccard per unordered source pair."""
@@ -2926,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_bloom": _dd_bloom,
             "t_dsir": _t_dsir,
             "t_drift": _t_drift,
+            "t_drift_by_lang": _t_drift_by_lang,
             "dd_cross_source": _dd_cross_source,
             "dd_pagerank": _dd_pagerank,
             "dd_threshold_sweep": _dd_threshold_sweep,
@@ -3011,6 +3028,7 @@ _DRIVER_PRIORITY = [
     "op_check_referential",
     "op_check_outliers",
     "st_ivf_append",
+    "t_drift_by_lang",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3352,6 +3370,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_minhash_incr": oracles.minhash_incremental_sql(),
             "t_dsir": oracles.dsir_scores_sql(),
             "t_drift": oracles.drift_sql(),
+            "t_drift_by_lang": oracles.grouped_drift_sql(),
             "dd_cross_source": oracles.cross_source_sql(),
             "dd_pagerank": oracles.pagerank_sql(),
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),

@@ -596,6 +596,50 @@ FROM p
 """
 
 
+def grouped_drift_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    ref_pred: str = "LENGTH(source) = 4",
+    cand_pred: str = "LENGTH(source) > 4",
+    bin_expr: str = "n_chars // 100",
+    scale: int = 10**6,
+) -> str:
+    """Replays grouped_drift: the drift arithmetic with per-group totals
+    (window partitioned by the slice column)."""
+    return f"""
+WITH r AS (
+  SELECT {group_col} AS grp, {bin_expr} AS bin, COUNT(*) AS n_ref FROM {table}
+  WHERE {ref_pred} GROUP BY 1, 2
+),
+c AS (
+  SELECT {group_col} AS grp, {bin_expr} AS bin, COUNT(*) AS n_cand FROM {table}
+  WHERE {cand_pred} GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(r.grp, c.grp) AS grp, COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(n_ref, 0)::BIGINT AS n_ref,
+         COALESCE(n_cand, 0)::BIGINT AS n_cand
+  FROM r FULL JOIN c ON r.grp = c.grp AND r.bin = c.bin
+),
+t AS (
+  SELECT grp, bin, n_ref, n_cand,
+         GREATEST(SUM(n_ref) OVER (PARTITION BY grp), 1) AS ref_tot,
+         GREATEST(SUM(n_cand) OVER (PARTITION BY grp), 1) AS cand_tot
+  FROM j
+),
+p AS (
+  SELECT grp, bin, n_ref, n_cand,
+         ((n_ref * {scale}) // ref_tot)::BIGINT AS p_ref_e6,
+         ((n_cand * {scale}) // cand_tot)::BIGINT AS p_cand_e6
+  FROM t
+)
+SELECT grp, bin::BIGINT AS bin, n_ref, n_cand, p_ref_e6, p_cand_e6,
+       (((p_cand_e6 - p_ref_e6) * (p_cand_e6 - p_ref_e6))
+        // GREATEST(p_ref_e6, 1))::BIGINT AS contrib
+FROM p
+"""
+
+
 def cross_source_sql(table: str = "documents") -> str:
     """Replays cross_source_matrix: the minhash pair oracle as a CTE,
     sources joined on both sides, unordered-pair canonicalization, and

@@ -432,3 +432,58 @@ def distribution_drift(
             ),
         )
     )
+
+
+def grouped_drift(
+    ref: DataFrame,
+    cand: DataFrame,
+    group_col: Column | str,
+    bin_col: Column | str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-SLICE distribution drift: ``distribution_drift`` computed
+    independently inside each group (language, source, time bucket) —
+    global drift can hide a slice that moved violently while the
+    aggregate stayed put.  Same pure-BIGINT arithmetic; proportions are
+    per-group (the totals window partitions by group, still ≤ |groups|×
+    |bins| rows).  Returns (grp, bin, n_ref, n_cand, p_ref_e6,
+    p_cand_e6, contrib)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    r = ref.select(g.alias("grp"), b.alias("bin")).groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = cand.select(g.alias("grp"), b.alias("bin")).groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    tot_w = Window.partitionBy("grp")
+    j = (
+        r.join(c, on=["grp", "bin"], how="full")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+        .withColumn("ref_tot", F.greatest(F.sum("n_ref").over(tot_w), F.lit(1)))
+        .withColumn("cand_tot", F.greatest(F.sum("n_cand").over(tot_w), F.lit(1)))
+    )
+    return (
+        j.select(
+            "grp",
+            "bin",
+            "n_ref",
+            "n_cand",
+            F.expr(f"(n_ref * CAST({scale} AS BIGINT)) DIV ref_tot").alias("p_ref_e6"),
+            F.expr(f"(n_cand * CAST({scale} AS BIGINT)) DIV cand_tot").alias(
+                "p_cand_e6"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((p_cand_e6 - p_ref_e6) * (p_cand_e6 - p_ref_e6)) "
+                "DIV greatest(p_ref_e6, 1)"
+            ),
+        )
+    )
