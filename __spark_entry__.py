@@ -2999,11 +2999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-4 driver-verification order (the driver checks the FIRST 50
-# entries): the never-checked round-4 additions lead (new dedup/ANN/
-# text/streaming operators + the new TPC-H analogs), then the entries
-# whose only driver row is r01, then the r02-checked block, with the
-# r03-checked block last.  No query goes more than 2 rounds without a
-# driver row.
+# entries): every round-4 addition that has never had a driver row —
+# the continuation wave (TPC-H completion, kNN graph + probe twin,
+# drift family, PageRank, threshold sweep, BPE, fuzzy linkage, quality
+# checks, index maintenance) plus the earlier round-4 waves — leads the
+# queue; verified by tests/test_contract.py: the head-50 holds ALL 48
+# never-checked entries, topped up with the two longest-stale
+# (r01-only) rows.  No query goes more than 2 rounds without a driver
+# row.
 _DRIVER_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",

@@ -56,3 +56,20 @@ def test_oracle_sql_is_nonempty_select():
         if not isinstance(sql, str) or "select" not in sql.lower()
     ]
     assert bad == [], bad
+
+
+def test_head_50_covers_every_never_driver_checked_query():
+    """The driver caps each round at ~50 queries: the rotation must put
+    EVERY query that has never had a driver row inside the head-50, or
+    it can wait rounds for its first verification."""
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    for p in Path(".").glob("CORRECTNESS_r*.json"):
+        checked |= set(json.loads(p.read_text()))
+    if not checked:  # round 1: no driver rows exist yet
+        return
+    q = list(entry.queries())
+    never = [n for n in q if n not in checked]
+    assert set(never) <= set(q[:50]), sorted(set(never) - set(q[:50]))
