@@ -481,3 +481,49 @@ class TestDriftProperties:
                 contrib,
             )
         assert set(got) == set(rc) | set(cc)
+
+
+class TestFuzzyJoinProperties:
+    @SETTINGS
+    @given(
+        names=st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=4).map(
+                lambda w: w + " x"  # constant head noun → one block
+            ),
+            min_size=2,
+            max_size=12,
+            unique=True,
+        ),
+        maxd=st.integers(0, 3),
+    )
+    def test_matches_python_levenshtein_within_block(self, spark, names, maxd):
+        """fuzzy_dedup_names equals a brute-force python edit-distance
+        filter when every name shares one block (so blocking hides no
+        pair)."""
+        from astro_spark.plans.fuzzy import fuzzy_dedup_names
+
+        df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+        got = {
+            (r.name_a, r.name_b): r.distance
+            for r in fuzzy_dedup_names(df, "p_name", max_distance=maxd).collect()
+        }
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = {}
+        ss = sorted(names)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                d = lev(ss[i], ss[j])
+                if d <= maxd:
+                    want[(ss[i], ss[j])] = d
+        assert got == want
