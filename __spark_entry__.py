@@ -1855,6 +1855,17 @@ def _op_check_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA anomaly screen over the event stream: sequential
+    smoothing as a per-key left fold — deterministic float recurrence
+    replayed exactly by the oracle (2-slot array accumulator on both
+    engines)."""
+    from astro_spark.functions.timeseries import ewma_anomalies
+
+    _views(spark, sf_dir)
+    return ewma_anomalies(read_table(spark, sf_dir, "events"))
+
+
 def _t_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-ID quality grading: confusion matrix of the n-gram
     heuristic's predictions against the fixture's ground-truth lang
@@ -2949,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_bpe": _t_bpe,
             "q_fuzzy_match": _q_fuzzy_match,
             "t_langid_eval": _t_langid_eval,
+            "q_ewma_anomaly": _q_ewma_anomaly,
             "op_check_referential": _op_check_referential,
             "op_check_outliers": _op_check_outliers,
             "t_bigram_lm": _t_bigram_lm,
@@ -3032,6 +3044,7 @@ _DRIVER_PRIORITY = [
     "op_check_outliers",
     "st_ivf_append",
     "t_drift_by_lang",
+    "q_ewma_anomaly",
     "dd_semantic",
     "dd_semantic_np",
     "dd_semantic_kept",
@@ -3379,6 +3392,7 @@ SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM g GROUP BY 1
             "dd_threshold_sweep": oracles.threshold_sweep_sql(),
             "t_bpe": oracles.bpe_counts_sql(),
             "t_langid_eval": oracles.lang_id_confusion_sql(),
+            "q_ewma_anomaly": oracles.ewma_anomalies_sql(),
             "st_ivf_append": oracles.brute_topk_sql(),
             "op_check_referential": """
 SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,

@@ -596,6 +596,43 @@ FROM p
 """
 
 
+def ewma_anomalies_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_x100: int = 25,
+    threshold_cents: int = 20000,
+) -> str:
+    """Replays timeseries.ewma_anomalies: time-ordered per-key fold with
+    a 2-slot double-array accumulator [ewma, n_anom] (the shape both
+    engines execute correctly — DuckDB 1.0 mis-folds mixed-type struct
+    accumulators on some sequences)."""
+    a = alpha_x100
+    return f"""
+WITH vals AS (
+  SELECT {key_col} AS key,
+         list([CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)::DOUBLE, 0.0::DOUBLE]
+              ORDER BY {ts_col}) AS arr,
+         COUNT(*) AS n_events
+  FROM {table} GROUP BY {key_col}
+),
+folded AS (
+  SELECT key, n_events,
+         list_reduce(arr, (acc, x) -> [
+            ({a} / 100.0) * x[1] + (1 - {a} / 100.0) * acc[1],
+            acc[2] + CASE WHEN abs(x[1] - acc[1]) > {float(threshold_cents)}
+                          THEN 1.0 ELSE 0.0 END
+         ]) AS st
+  FROM vals
+)
+SELECT key, n_events::BIGINT AS n_events,
+       st[2]::BIGINT AS n_anomalies,
+       round(st[1], 4) AS ewma_r4
+FROM folded
+"""
+
+
 def grouped_drift_sql(
     table: str = "documents",
     group_col: str = "lang",

@@ -29,7 +29,7 @@ def test_rotation_order_is_applied():
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
     # the newest round-4 additions lead the queue (never driver-checked)
-    head = q[:43]
+    head = q[:44]
     assert set(head) == {
         "q7_volume_shipping", "q8_market_share", "q9_product_profit",
         "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
@@ -37,7 +37,7 @@ def test_rotation_order_is_applied():
         "q21_waiting_suppliers", "s_knn_graph", "t_drift", "dd_cross_source",
         "dd_pagerank", "st_drift", "s_knn_graph_probe", "dd_threshold_sweep", "t_bpe", "s_ivf_index_append", "q_fuzzy_match", "t_langid_eval",
         "op_check_referential", "op_check_outliers", "st_ivf_append",
-        "t_drift_by_lang",
+        "t_drift_by_lang", "q_ewma_anomaly",
         "dd_semantic", "dd_semantic_np", "dd_semantic_kept",
         "dd_minhash_incr", "dd_quality_rep", "dd_bloom",
         "st_bloom_screen", "st_minhash_screen", "t_dsir", "t_bigram_lm",

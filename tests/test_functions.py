@@ -1392,3 +1392,47 @@ class TestFuzzyJoin:
         ).collect()
         assert len(got) == 1
         assert (got[0].left_id, got[0].right_id, got[0].distance) == (1, 9, 1)
+
+
+class TestEwmaAnomalies:
+    def test_matches_pure_python_recurrence(self, spark):
+        """Per-key EWMA fold equals the sequential reference, anomaly
+        counting included (pre-update residual vs running level; the
+        seed observation is never an anomaly)."""
+        import datetime as dt
+
+        from astro_spark.functions.timeseries import ewma_anomalies
+
+        base = dt.datetime(2024, 1, 1)
+        series = {
+            1: [100.0, 102.0, 350.0, 101.0],   # one spike at threshold 200
+            2: [50.0, 51.0, 52.0],             # quiet
+        }
+        rows = [
+            (k, base + dt.timedelta(minutes=i), v)
+            for k, vs in series.items()
+            for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            r.key: (r.n_events, r.n_anomalies, r.ewma_r4)
+            for r in ewma_anomalies(df, threshold_cents=20000).collect()
+        }
+
+        def ref(vs):
+            e = None
+            n = 0
+            for v in vs:
+                c = round(v * 100)
+                if e is None:
+                    e = float(c)
+                else:
+                    if abs(c - e) > 20000.0:
+                        n += 1
+                    e = 0.25 * c + 0.75 * e
+            return n, round(e, 4)
+
+        for k, vs in series.items():
+            n, e = ref(vs)
+            assert got[k] == (len(vs), n, e), k
+        assert got[1][1] == 1 and got[2][1] == 0
