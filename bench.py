@@ -35,6 +35,7 @@ HEADLINE = [
     "q_window_top_suppliers",
     "q_events_hourly",
     "q_events_sessions",
+    "q_ewma_anomaly",
     "op_merge_update",
     "op_merge_update_part",
     "op_load_export_roundtrip",
