@@ -244,8 +244,8 @@ GROUP BY o_orderpriority
 # TPC-H Q12 analog: priority line counts over the late-shipped join
 _Q12 = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate
 GROUP BY l_returnflag
@@ -290,14 +290,20 @@ WHERE p_partkey % 50 = 0
 """
 
 # TPC-H Q11 analog: important stock — groups whose value exceeds a
-# GLOBAL scalar-subquery threshold (cents-exact on both sides)
+# GLOBAL scalar-subquery threshold (cents-exact on both sides).  The
+# cutoff is 1.2× the MEAN per-part value, not an absolute share of the
+# total, so the query stays discriminating at every scale factor (the
+# old "/5000" share emptied out at sf0.1 where parts are 10× more
+# numerous).  Both engines evaluate sum*1.2/n_parts as double from a
+# <2^53 exact integer sum — bit-identical.
 _Q11 = """
 SELECT l_partkey,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM lineitem
 GROUP BY l_partkey
 HAVING SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) > (
-  SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 5000
+  SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) * 1.2
+         / COUNT(DISTINCT l_partkey)
   FROM lineitem
 )
 """
@@ -321,7 +327,7 @@ WHERE s_suppkey IN (
 # average balance (scalar subquery) with no orders (anti pattern)
 _Q22 = """
 SELECT c_mktsegment, COUNT(*) AS n_custs,
-       SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_bal_cents
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents
 FROM customer
 WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > (
     SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -343,7 +349,7 @@ _Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(YEAR FROM l_shipdate) AS l_year,
        COUNT(*) AS n_lines,
-       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation n1 ON n1.n_nationkey = s_nationkey
@@ -388,7 +394,7 @@ FROM (
 # the LIKE filter keeps the plan's scan-side predicate pushdown honest)
 _Q9 = """
 SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS profit_cents
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -419,7 +425,7 @@ GROUP BY c_count
 _Q15 = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS total_cents
+         CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
@@ -462,7 +468,7 @@ WHERE p_brand = 'Brand#5'
 # the classic pushdown stress (brand/size/quantity OR-of-ANDs)
 _Q19 = """
 SELECT COUNT(*) AS n_lines,
-       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -2718,7 +2724,17 @@ def _st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
         docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
         _STAGED_DIRS[key] = d
-    return drift_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+    # NO max_files_per_trigger here: the availableNow drain must run as a
+    # SINGLE micro-batch, because the st_drift oracle pins batch_id = 0.
+    # If the trigger/staging ever changes to multi-batch, re-aggregate the
+    # oracle over batches instead of pinning 0.
+    out = drift_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+    n_batches = out.select("batch_id").distinct().count()
+    assert n_batches <= 1, (
+        f"st_drift drained {n_batches} micro-batches; the oracle assumes one "
+        "(batch_id = 0) — see the comment above"
+    )
+    return out
 
 
 def _st_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -613,7 +613,8 @@ def ewma_anomalies_sql(
 WITH vals AS (
   SELECT {key_col} AS key,
          list([CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)::DOUBLE, 0.0::DOUBLE]
-              ORDER BY {ts_col}) AS arr,
+              ORDER BY {ts_col},
+                       CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)) AS arr,
          COUNT(*) AS n_events
   FROM {table} GROUP BY {key_col}
 ),

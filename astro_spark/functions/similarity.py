@@ -505,8 +505,21 @@ def _cell_scores_np(cells: DataFrame, probes: DataFrame) -> DataFrame:
     dot/norm sums accumulate dimension-ascending, norms multiply before
     the divide — so every emitted double is bit-identical to
     ``cosine(cv, qv)`` (rounding is applied by the CALLER in Spark to
-    keep HALF_UP semantics)."""
+    keep HALF_UP semantics).
+
+    Output id types are derived from the INPUT id columns (not
+    hardcoded long), so string/int ids work on the numpy path exactly
+    as they do on the expression path."""
     import pandas as pd
+
+    src_t = probes.schema["src_id"].dataType.simpleString()
+    nbr_t = cells.schema["neighbor_id"].dataType.simpleString()
+    _pd_dtype = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+    }
+    src_pd = _pd_dtype.get(src_t, "object")
+    nbr_pd = _pd_dtype.get(nbr_t, "object")
 
     tagged = cells.select(
         "cell", F.col("neighbor_id").alias("id"), F.col("cv").alias("v"),
@@ -524,7 +537,7 @@ def _cell_scores_np(cells: DataFrame, probes: DataFrame) -> DataFrame:
         l_ = pdf[pdf["side"] == 0]
         r_ = pdf[pdf["side"] == 1]
         empty = pd.DataFrame({"src_id": [], "neighbor_id": [], "sim": []}).astype(
-            {"src_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            {"src_id": src_pd, "neighbor_id": nbr_pd, "sim": "float64"}
         )
         if l_.empty or r_.empty:
             return empty
@@ -549,7 +562,7 @@ def _cell_scores_np(cells: DataFrame, probes: DataFrame) -> DataFrame:
         )
 
     return tagged.groupBy("cell").applyInPandas(
-        _score, "src_id long, neighbor_id long, sim double"
+        _score, f"src_id {src_t}, neighbor_id {nbr_t}, sim double"
     )
 
 
@@ -996,7 +1009,6 @@ def ivf_write_index(
 def ivf_append_index(
     batch: DataFrame,
     path: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Incrementally add vectors to a persisted IVF index: assign the

@@ -690,49 +690,64 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
+    checkpoint_every: int = 4,
 ) -> list[tuple[str, str]]:
-    """Train a BPE merge table on a corpus with DataFrame ops: each
-    round counts adjacent token pairs corpus-wide (one explode + one
-    groupBy, map-side partial aggregation) and takes the deterministic
-    argmax (count DESC, pair ASC); only ONE (a, b, count) row reaches
-    the driver per round.  Merges so far re-apply lazily in the scan
-    projection, so round i costs one job over the corpus with an
-    O(i)-deep per-word expression — n_merges is a small constant
-    (vocabulary size budget), exactly like Lloyd's iterations in
-    ``ivf_train``.  Equality with a pure-Python reference is pinned in
-    tests (TestBpe + property tier)."""
+    """Train a BPE merge table on a corpus with DataFrame ops — the
+    classic Sennrich formulation: ONE corpus scan builds the distinct
+    word-frequency table (Zipf makes it tiny relative to the corpus),
+    and every merge round runs over that cached table only, weighting
+    adjacent-pair counts by word count (identical totals — BPE merges
+    are word-internal).  Each round applies just the NEWLY-learned
+    merge to the tokenized state (incremental, not an O(i)-deep
+    re-derivation of the whole chain), so a round is one small job with
+    an O(1)-deep expression and only ONE (a, b, count) row reaching the
+    driver.  The state re-persists every ``checkpoint_every`` rounds,
+    bounding plan lineage between cache cuts.
+
+    At 100 TB the corpus scan is the only corpus-sized job; rounds cost
+    O(distinct words) regardless of n_merges.  Equality with a
+    pure-Python reference is pinned in tests (TestBpe + property
+    tier)."""
+    state = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split(F.col("w"), "").alias("toks"), "cnt")
+        .persist()
+    )
+    pinned = state  # currently-persisted handle (unpersist target)
+    depth = 0  # merge steps applied on top of `pinned`
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = df.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        tokens(F.col(text_col)),
-                        lambda w: _pairs_of(
-                            _apply_chain(F.split(w, ""), merges)
-                        ),
-                    )
+    try:
+        for _ in range(n_merges):
+            top = (
+                state.select(F.explode(_pairs_of(F.col("toks"))).alias("p"), "cnt")
+                .groupBy("p")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(
+                    F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
                 )
-            ).alias("p")
-        )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        merges.append((top[0]["p"]["a"], top[0]["p"]["b"]))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+            merges.append((a, b))
+            state = state.select(
+                _bpe_merge_step(F.col("toks"), a, b).alias("toks"), "cnt"
+            )
+            depth += 1
+            if depth >= checkpoint_every:
+                state = state.persist()
+                state.count()
+                pinned.unpersist()
+                pinned, depth = state, 0
+    finally:
+        pinned.unpersist()
+        if state is not pinned:
+            state.unpersist()
     return merges
-
-
-def _apply_chain(chars: Column, merges: list[tuple[str, str]]) -> Column:
-    cur = chars
-    for a, b in merges:
-        cur = _bpe_merge_step(cur, a, b)
-    return cur
 
 
 def _pairs_of(toks: Column) -> Column:

@@ -8,9 +8,10 @@ friendly, no UDF.
 
 Scale notes: one groupBy(key) shuffle; each key's history is collected
 into an in-memory array, so this targets bounded per-key histories
-(sessions, per-day slices, sensor windows) — for unbounded keys, window
-the time range first or use the streaming screens.  The fold itself is
-O(|history|) with O(1) state.
+(sessions, per-day slices, sensor windows) — for unbounded keys, pass
+``window_days`` to pre-bucket time so each fold sees one window's
+events, or use the streaming screens.  The fold itself is O(|history|)
+with O(1) state.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ def ewma_anomalies(
     value_col: str = "value",
     alpha_x100: int = 25,
     threshold_cents: int = 20000,
+    window_days: int | None = None,
 ) -> DataFrame:
     """Per-key EWMA anomaly screen: order each key's values by time,
     smooth with ``ewma' = α·v + (1-α)·ewma`` (α = alpha_x100/100, both
@@ -40,6 +42,15 @@ def ewma_anomalies(
 
     Returns (key, n_events, n_anomalies, ewma_r4) with the final level
     rounded to 4 decimals (in cents).
+
+    ``window_days`` is the unbounded-key guard: when set, time is
+    pre-bucketed into ``window_days``-sized epochs and the fold runs per
+    (key, window) — each fold's collected history is bounded by one
+    window's events regardless of how long the key lives, so the
+    collect-to-array never grows with total key history.  The output
+    gains a ``win_start`` date column (the window's first day).  For
+    data confined to a single window the per-window fold is the full
+    fold (pinned by ``test_ewma_windowed_equals_full_in_window``).
     """
     v_cents = f"CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)"
     arr = F.array_sort(
@@ -74,11 +85,30 @@ def ewma_anomalies(
             ).otherwise(F.lit(0.0)),
         ),
     )
+    if window_days is None:
+        return (
+            df.groupBy(F.col(key_col).alias("key"))
+            .agg(arr.alias("__arr"), F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "key",
+                "n_events",
+                folded[1].cast("long").alias("n_anomalies"),
+                F.round(folded[0], 4).alias("ewma_r4"),
+            )
+        )
+    win = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400 * window_days))
+        .cast("long")
+        .alias("__win")
+    )
     return (
-        df.groupBy(F.col(key_col).alias("key"))
+        df.groupBy(F.col(key_col).alias("key"), win)
         .agg(arr.alias("__arr"), F.count(F.lit(1)).alias("n_events"))
         .select(
             "key",
+            F.to_date(
+                F.timestamp_seconds(F.col("__win") * F.lit(86400 * window_days))
+            ).alias("win_start"),
             "n_events",
             folded[1].cast("long").alias("n_anomalies"),
             F.round(folded[0], 4).alias("ewma_r4"),

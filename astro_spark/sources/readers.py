@@ -79,9 +79,13 @@ def read_file(
         if schema is None:
             schema = _infer_csv_schema_capped(spark, path, opts, infer_sample_rows)
         if rescue_malformed and "_corrupt_record" not in schema.fieldNames():
-            from pyspark.sql.types import StringType, StructField
+            from pyspark.sql.types import StringType, StructField, StructType
 
-            schema = schema.add(StructField("_corrupt_record", StringType()))
+            # StructType.add mutates in place — copy so a caller-supplied
+            # schema reused for a later read doesn't carry the extra column
+            schema = StructType(
+                list(schema.fields) + [StructField("_corrupt_record", StringType())]
+            )
         df = reader.schema(schema).csv(path)
     elif ftype == FileType.JSON:
         # whole-document JSON (reference files/types/json.py): multiLine
@@ -91,12 +95,15 @@ def read_file(
     elif ftype == FileType.NDJSON:
         reader = spark.read
         if rescue_malformed:
-            from pyspark.sql.types import StringType, StructField
+            from pyspark.sql.types import StringType, StructField, StructType
 
             if schema is None:
                 schema = spark.read.json(path).schema
             if "_corrupt_record" not in schema.fieldNames():
-                schema = schema.add(StructField("_corrupt_record", StringType()))
+                schema = StructType(
+                    list(schema.fields)
+                    + [StructField("_corrupt_record", StringType())]
+                )
             reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
         df = _maybe_flatten(df, file)

@@ -1436,3 +1436,43 @@ class TestEwmaAnomalies:
             n, e = ref(vs)
             assert got[k] == (len(vs), n, e), k
         assert got[1][1] == 1 and got[2][1] == 0
+
+    def test_ewma_windowed_equals_full_in_window(self, spark):
+        """The unbounded-key guard: for data confined to a single time
+        window, the per-(key, window) fold IS the full fold — and data
+        spanning windows folds independently per bucket (each fold's
+        state is bounded by one window's events)."""
+        import datetime as dt
+
+        from astro_spark.functions.timeseries import ewma_anomalies
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (k, base + dt.timedelta(minutes=7 * i + k), float(40 + (i * 37) % 300))
+            for k in range(1, 6)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        # all rows fall inside one 7-day bucket → windowed == full
+        full = {
+            r.key: (r.n_events, r.n_anomalies, r.ewma_r4)
+            for r in ewma_anomalies(df, threshold_cents=10000).collect()
+        }
+        win = ewma_anomalies(df, threshold_cents=10000, window_days=7).collect()
+        assert {r.key: (r.n_events, r.n_anomalies, r.ewma_r4) for r in win} == full
+        assert len({r.win_start for r in win}) == 1
+
+        # spread the same series across two buckets → two independent
+        # folds per key whose event counts partition the full history
+        rows2 = [
+            (k, base + dt.timedelta(days=0 if i < 10 else 30, minutes=i), v)
+            for (k, _, v), i in zip(rows, [i for _ in range(1, 6) for i in range(20)])
+        ]
+        df2 = spark.createDataFrame(rows2, "user_id long, ts timestamp, value double")
+        win2 = ewma_anomalies(df2, threshold_cents=10000, window_days=7).collect()
+        per_key = {}
+        for r in win2:
+            per_key.setdefault(r.key, []).append(r)
+        for k, parts in per_key.items():
+            assert len(parts) == 2, k
+            assert sum(p.n_events for p in parts) == 20

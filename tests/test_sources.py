@@ -472,6 +472,24 @@ class TestRescueMalformed:
         assert bad[0].id is None and bad[0].qty is None
         df.unpersist()
 
+    def test_rescue_does_not_mutate_caller_schema(self, spark, tmp_path):
+        """rescue_malformed must not append _corrupt_record to the
+        CALLER's StructType (StructType.add mutates in place): the same
+        schema object reused for a later read stays 2 fields."""
+        p = tmp_path / "clean.csv"
+        p.write_text("id,qty\n1,10\n")
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(
+            [StructField("id", IntegerType()), StructField("qty", IntegerType())]
+        )
+        df = a.load_file(spark, str(p), schema=schema, rescue_malformed=True)
+        assert "_corrupt_record" in df.columns
+        assert schema.fieldNames() == ["id", "qty"]
+        # reusing the SAME object without rescue stays clean
+        df2 = a.load_file(spark, str(p), schema=schema)
+        assert df2.columns == ["id", "qty"]
+
     def test_ndjson_bad_lines_quarantined(self, spark, tmp_path):
         p = tmp_path / "mixed.ndjson"
         p.write_text('{"id": 1, "v": "a"}\nnot json at all\n{"id": 2, "v": "b"}\n')

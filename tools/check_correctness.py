@@ -4,7 +4,19 @@
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB (same parquet tables registered as views),
 then compares row count, sorted column names, and an order-insensitive
-canonical value hash.  Usage:
+canonical value hash.
+
+Driver-faithful fetch path (round 5): both sides are materialized as
+pandas frames (``sdf.toPandas()`` / ``rel.fetchdf()``) before hashing,
+because that is what the driver does.  This surfaces representation
+divergences that native-Python ``fetchall()`` masks — most importantly
+DuckDB HUGEINT (int128, the type of ``SUM(BIGINT)``) degrading to
+float64 through Arrow/pandas, while Spark's SUM stays int64.  The old
+checker's ``float == int(float)`` canonical collapse is gone for the
+same reason: the driver distinguishes 3.18e11 (float64) from
+318325627163 (int64), so we must too.
+
+Usage:
 
     python tools/check_correctness.py [--sf DIR] [--only name1,name2] [-v]
 """
@@ -28,30 +40,60 @@ TABLES = (
 
 
 def canon(v) -> str:
-    if v is None:
+    """Canonical string for one cell of a *pandas* frame.
+
+    Faithful to the driver: ints and floats canonicalize differently
+    (no integral-float collapse), floats print full ``repr`` precision
+    (no rounding — queries are required to be bit-identical across
+    engines), NaN/NaT/None all mean null.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, (dt.datetime,)):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"
+        return repr(f)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
-        return v.isoformat()
+        # driver-observed: DATE and midnight-TIMESTAMP hash as equal
+        # (q3/q_recursive_spine driver-green in r01/r02 with Spark DATE
+        # vs DuckDB TIMESTAMP outputs) — canon dates as midnight
+        return v.isoformat() + " 00:00:00"
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    # pandas NA scalar (nullable dtypes)
+    try:
+        import pandas as pd  # noqa: F811
+
+        if v is pd.NA:
+            return "∅"
+    except Exception:  # noqa: BLE001
+        pass
     return str(v)
 
 
-def frame_digest(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def pdf_digest(pdf):
+    """Order-insensitive hash of a pandas frame, columns sorted by name."""
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "|".join(canon(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
     h = hashlib.md5()
     for line in lines:
         h.update(line.encode())
@@ -90,21 +132,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             results[name] = {"status": "SPARK_ERROR", "error": str(exc)[:500]}
             failed.append(name)
             print(f"✗ {name}: SPARK_ERROR {str(exc)[:200]}")
             continue
         if name not in oracles:
-            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
-            print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "ROWS_ONLY", "rows": len(spdf)}
+            print(f"~ {name}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
+            opdf = con.sql(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             results[name] = {"status": "ORACLE_ERROR", "error": str(exc)[:500]}
             failed.append(name)
@@ -112,13 +151,15 @@ def main() -> int:
             continue
 
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
         if not problems:
-            sh, slines = frame_digest(scols, srows)
-            oh, olines = frame_digest(ocols, orows)
+            sh, slines = pdf_digest(spdf)
+            oh, olines = pdf_digest(opdf)
             if sh != oh:
                 problems.append("value-hash mismatch")
                 if args.verbose:
@@ -126,12 +167,12 @@ def main() -> int:
                     print("  spark-only:", sorted(sset - oset)[:5])
                     print("  oracle-only:", sorted(oset - sset)[:5])
         if problems:
-            results[name] = {"status": "MISMATCH", "detail": problems, "rows": len(srows)}
+            results[name] = {"status": "MISMATCH", "detail": problems, "rows": len(spdf)}
             failed.append(name)
             print(f"✗ {name}: {problems} [{time.time()-t0:.1f}s]")
         else:
-            results[name] = {"status": "MATCH", "rows": len(srows)}
-            print(f"✓ {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "MATCH", "rows": len(spdf)}
+            print(f"✓ {name}: {len(spdf)} rows match [{time.time()-t0:.1f}s]")
 
     n_match = sum(1 for r in results.values() if r["status"] == "MATCH")
     print(
