@@ -9,6 +9,22 @@ All numeric parameters live in ``constants`` so SQL oracles reproduce
 results exactly.
 """
 
-from . import constants, dedup, multimodal, similarity, text
+from . import (
+    constants,
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 
-__all__ = ["constants", "dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "constants",
+    "dedup",
+    "events",
+    "multimodal",
+    "similarity",
+    "sketches",
+    "text",
+]

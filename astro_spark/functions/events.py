@@ -1,0 +1,120 @@
+"""Event-stream product analytics: ordered funnels and cohort
+retention.
+
+Both are staples of the query surface an analytics engine must carry
+(the reference SDK runs them as raw-SQL transforms; here they are
+first-class operators with exact SQL oracles).
+
+Scale shapes:
+
+- ``funnel``: one groupBy(user) shuffle; each user's step events are
+  collected into a time-sorted array and folded (same bounded-history
+  contract as ``timeseries.ewma_anomalies`` — per-user event counts
+  are bounded in practice; pre-filter a time range for unbounded
+  users).  The fold is a built-in ``aggregate`` — no UDF.
+- ``cohort_retention``: distinct → groupBy(user) → join(user) →
+  groupBy(cohort, offset).  The join keys are co-partitioned with the
+  preceding aggregation, so AQE reuses the exchange; no collect, no
+  crossJoin, scales linearly in events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Monday anchor for epoch-week numbering (shared with the oracle)
+WEEK_EPOCH = "1970-01-05"
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, the furthest step
+    reached by matching ``steps`` IN ORDER over the user's time-sorted
+    events (a later step only counts after an earlier one — the
+    classic "view → click → purchase" chain; unrelated events in
+    between are ignored, ties on ts break by step index).
+
+    Returns one row per step: (step_idx, step, n_users) where n_users
+    counts users whose furthest stage reached at least that step.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    si = F.when(F.col(type_col) == steps[0], F.lit(1))
+    for i, s in enumerate(steps[1:], start=2):
+        si = si.when(F.col(type_col) == s, F.lit(i))
+    events = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        si.alias("si"),
+    ).where(F.col("si").isNotNull())
+
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "si"))), lambda x: x["si"]
+    )
+    stage = F.aggregate(
+        F.col("__seq"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(x == acc + F.lit(1), F.lit(1)).otherwise(F.lit(0)),
+    )
+    per_user = (
+        events.groupBy("u")
+        .agg(seq.alias("__seq"))
+        .select(stage.alias("stage"))
+    )
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("stage") >= i).cast("long")).alias(f"__n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.coalesce(F.col(f"__n{i}"), F.lit(0).cast("long")).alias(
+                    "n_users"
+                ),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return counts.select(F.inline(rows))
+
+
+def epoch_week(ts_col):
+    """Week number since WEEK_EPOCH (a Monday): floor(days / 7.0) —
+    identical double arithmetic on the oracle side."""
+    return F.floor(
+        F.datediff(F.to_date(ts_col), F.to_date(F.lit(WEEK_EPOCH))) / F.lit(7.0)
+    ).cast("long")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = a user's first active epoch
+    week; for every (cohort week, week offset ≥ 0) count the cohort's
+    users active that week.
+
+    Returns (cohort_wk, offset_wk, n_users); offset 0 rows give each
+    cohort's size.
+    """
+    active = df.select(
+        F.col(user_col).alias("u"), epoch_week(F.col(ts_col)).alias("wk")
+    ).distinct()
+    first = active.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        active.join(first, "u")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

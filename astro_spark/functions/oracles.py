@@ -1667,3 +1667,151 @@ FROM {table}
 ORDER BY {key}, doc_id
 LIMIT {n}
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: KMV sketch, funnels, cohorts, PII stats
+# --------------------------------------------------------------------------
+
+
+def kmv_token_report_sql(
+    table: str = "documents", k: int = 256, shingle: int = 1
+) -> str:
+    """Mirrors sketches.kmv_token_report: k smallest distinct 62-bit
+    token (or word-shingle) fingerprints → (k-1)·R/h_(k) with the
+    identical double operation order (R = 2^62 = (P31+1)^2, exactly
+    representable)."""
+    R = float(P31 + 1) * float(P31 + 1)
+    t = tokens("text")
+    if shingle <= 1:
+        vals = "t"
+    else:
+        joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(shingle))
+        vals = (
+            f"list_transform(range(1, greatest(len(t) - {shingle - 1}, 0) + 1), "
+            f"i -> {joined})"
+        )
+    return f"""
+WITH tk AS (
+  SELECT tok FROM (
+    SELECT unnest({vals}) AS tok FROM (SELECT {t} AS t FROM {table})
+  ) WHERE tok <> ''
+),
+hs AS (
+  SELECT DISTINCT {fingerprint62('tok')} AS hv FROM tk WHERE tok IS NOT NULL
+),
+km AS (SELECT hv FROM hs ORDER BY hv LIMIT {k}),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS k_used, MAX(hv)::BIGINT AS kth_min_hash FROM km
+),
+ex AS (SELECT COUNT(DISTINCT tok)::BIGINT AS exact_distinct FROM tk)
+SELECT k_used, kth_min_hash,
+       CASE WHEN k_used < {k} THEN k_used::DOUBLE
+            ELSE round({float(k - 1)} * ({R!r} / kth_min_hash::DOUBLE), 4)
+       END AS est_distinct,
+       exact_distinct,
+       round(100.0 * abs((CASE WHEN k_used < {k} THEN k_used::DOUBLE
+                   ELSE round({float(k - 1)} * ({R!r} / kth_min_hash::DOUBLE), 4)
+              END) - exact_distinct::DOUBLE) / exact_distinct::DOUBLE, 2) AS err_pct
+FROM agg, ex
+"""
+
+
+def funnel_sql(
+    steps: list[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """Mirrors events.funnel: per-user (ts, step)-sorted fold to the
+    furthest in-order stage, then per-step reached-user counts."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(steps, start=1)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    rows = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step_idx, '{s}' AS step, "
+        f"(SELECT COALESCE(SUM(CASE WHEN stage >= {i} THEN 1 ELSE 0 END), 0)::BIGINT "
+        f" FROM st) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS u, {ts_col} AS ts,
+         CASE {type_col} {whens} END AS si
+  FROM {table} WHERE {type_col} IN ({in_list})
+),
+seqs AS (
+  SELECT u, list(si ORDER BY ts, si) AS seq FROM e GROUP BY u
+),
+st AS (
+  SELECT u, list_reduce(list_prepend(0, seq),
+            (acc, x) -> acc + CASE WHEN x = acc + 1 THEN 1 ELSE 0 END) AS stage
+  FROM seqs
+)
+{rows}
+"""
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """Mirrors events.cohort_retention: epoch week = floor(days since
+    1970-01-05 / 7.0); cohort = per-user min week."""
+    wk = (
+        f"CAST(floor(date_diff('day', DATE '1970-01-05', "
+        f"CAST({ts_col} AS DATE)) / 7.0) AS BIGINT)"
+    )
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {user_col} AS u, {wk} AS wk FROM {table}
+),
+f AS (SELECT u, MIN(wk) AS cohort_wk FROM a GROUP BY u)
+SELECT cohort_wk, (wk - cohort_wk) AS offset_wk, COUNT(*)::BIGINT AS n_users
+FROM a JOIN f USING (u)
+GROUP BY cohort_wk, (wk - cohort_wk)
+"""
+
+
+#: the synthetic-PII injection used by the t_pii_stats driver query —
+#: shared text so Spark (functions/privacy.py patterns) and this oracle
+#: scan the same strings.  Mixed hit-rates (every doc gets one of each
+#: kind; every 3rd doc a second e-mail, every 5th a second IPv4) keep
+#: the per-source counts discriminating.
+PII_INJECT_DUCK = (
+    "text || ' contact user' || doc_id || '@mail.example.com or https://site'"
+    " || (doc_id % 7) || '.example.org/p/' || doc_id"
+    " || ' ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)"
+    " || ' tel +01-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example.net' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' via 192.168.0.' || (doc_id % 100) ELSE '' END"
+)
+
+
+def pii_stats_sql(table: str = "documents") -> str:
+    """Mirrors the t_pii_stats driver query: inject deterministic PII
+    spans, count per kind with the shared RE2/Java-safe patterns
+    (privacy.PII_PATTERNS), chain-redact in the same order, and roll up
+    per source."""
+    from .privacy import PII_PATTERNS
+
+    pats = list(PII_PATTERNS.items())
+    redacted = "inj"
+    for kind, pat in pats:
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    counts = ", ".join(
+        f"SUM(len(regexp_extract_all(inj, '{pat}')))::BIGINT AS n_{kind}"
+        for kind, pat in pats
+    )
+    return f"""
+WITH d AS (
+  SELECT source, {PII_INJECT_DUCK} AS inj FROM {table}
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs, {counts},
+       SUM(length({redacted}))::BIGINT AS redacted_chars
+FROM d
+GROUP BY source
+"""

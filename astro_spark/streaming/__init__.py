@@ -2,6 +2,7 @@
 # watermarked windows, stateful sessionization, streaming dedup).
 from .joins import interval_join_stream, stream_static_join
 from .load_stream import (
+    aggregate_mv_stream,
     fan_out_stream,
     ivf_index_stream,
     load_file_stream,
@@ -20,6 +21,7 @@ from .windows import (
 )
 
 __all__ = [
+    "aggregate_mv_stream",
     "bloom_screen_stream",
     "drift_screen_stream",
     "dedup_stream",

@@ -244,6 +244,68 @@ def _write_sink_batch(out: DataFrame, phys_table: str, batch_id: int) -> None:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def aggregate_mv_stream(
+    spark: SparkSession,
+    input_path: str,
+    group_cols: list[str],
+    agg_fn: "Callable[[DataFrame], DataFrame]",
+    mv_name: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incrementally-maintained aggregate materialized view: each
+    micro-batch contributes a PARTIAL aggregate; the MV is the
+    re-aggregation over partials ("sums of sums").
+
+    ``agg_fn`` maps a batch DataFrame to its partial-aggregate frame —
+    it must keep ``group_cols`` and emit only ADDITIVE measures
+    (counts, integer sums; derive averages at read time as sum/count).
+    Additivity is what makes the result independent of how the stream
+    was batch-split AND makes replay safe: partials land under a
+    ``__batch_id`` partition committed with dynamic partition
+    overwrite (the ``fan_out_stream`` idempotency contract), so an
+    at-least-once replay overwrites its own partition instead of
+    double-counting.
+
+    Cost model at scale: per batch one partial aggregation (map-side
+    combine, O(batch)) + one partition write; the MV read re-aggregates
+    |groups| × n_batches tiny partial rows — compact them by rewriting
+    the partials table whenever n_batches grows large (same cadence as
+    ``compact_table``).  The base data is never re-scanned: THE
+    incremental-view maintenance shape for append-only streams.
+
+    Registers the MV as a temp view ``mv_name`` and returns its frame.
+    """
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    phys = f"{mv_name}_partials"
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        _write_sink_batch(agg_fn(batch_df), phys, batch_id)
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_mv_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    from pyspark.sql import functions as F
+
+    partials = spark.table(phys).drop("__batch_id")
+    measures = [c for c in partials.columns if c not in group_cols]
+    mv = partials.groupBy(*group_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in measures]
+    )
+    mv.createOrReplaceTempView(mv_name)
+    return mv
+
+
 def ivf_index_stream(
     spark: SparkSession,
     input_path: str,

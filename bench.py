@@ -77,6 +77,11 @@ HEADLINE = [
     "st_windowed_counts",
     "st_sessions",
     "st_bloom_screen",
+    "t_kmv_distinct",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "t_pii_stats",
+    "st_mv_refresh",
 ]
 
 

@@ -28,23 +28,17 @@ def test_rotation_order_is_applied():
     q = list(entry.queries())
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
-    # the newest round-4 additions lead the queue (never driver-checked)
-    head = q[:44]
-    assert set(head) == {
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
-        "q17_small_qty_revenue", "q19_disjunct_revenue",
-        "q21_waiting_suppliers", "s_knn_graph", "t_drift", "dd_cross_source",
-        "dd_pagerank", "st_drift", "s_knn_graph_probe", "dd_threshold_sweep", "t_bpe", "s_ivf_index_append", "q_fuzzy_match", "t_langid_eval",
-        "op_check_referential", "op_check_outliers", "st_ivf_append",
-        "t_drift_by_lang", "q_ewma_anomaly",
-        "dd_semantic", "dd_semantic_np", "dd_semantic_kept",
-        "dd_minhash_incr", "dd_quality_rep", "dd_bloom",
-        "st_bloom_screen", "st_minhash_screen", "t_dsir", "t_bigram_lm",
-        "t_sample_n", "q4_order_priority", "q12_priority_lines",
-        "q14_promo_revenue", "q18_large_orders", "q2_min_cost_supplier",
-        "q11_important_stock", "q20_promo_suppliers", "q22_global_balance",
-    }, head
+    # round 5: the 7 CAST-fixed TPC-H analogs and the 5 round-5
+    # additions must all sit inside the driver's 50-query window
+    head = set(q[:50])
+    must_check = {
+        "q7_volume_shipping", "q9_product_profit", "q11_important_stock",
+        "q12_priority_lines", "q15_top_supplier", "q19_disjunct_revenue",
+        "q22_global_balance",
+        "t_kmv_distinct", "q_funnel_steps", "q_cohort_retention", "t_pii_stats",
+        "st_mv_refresh",
+    }
+    assert must_check <= head, sorted(must_check - head)
 
 
 def test_oracle_sql_is_nonempty_select():

@@ -1476,3 +1476,151 @@ class TestEwmaAnomalies:
         for k, parts in per_key.items():
             assert len(parts) == 2, k
             assert sum(p.n_events for p in parts) == 20
+
+
+class TestKmvSketch:
+    def test_below_k_is_exact(self, spark):
+        """Fewer distinct values than k → the estimate IS the exact
+        count (a sketch must not approximate what it saw in full)."""
+        from astro_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(f"w{i % 40}",) for i in range(500)], "v string"
+        )
+        row = kmv_distinct(df, "v", k=256).collect()[0]
+        assert row.k_used == 40
+        assert row.est_distinct == 40.0
+
+    def test_estimate_within_tolerance(self, spark, sf_dir):
+        """Above k, the KMV estimate lands within the theoretical
+        ~1/sqrt(k) relative-error band (k=256 → ~6%; allow 4 sigma).
+        3-word shingles: the fixture vocabulary itself is tiny."""
+        from astro_spark.functions.sketches import kmv_token_report
+        from astro_spark.testdata import read_table
+
+        row = kmv_token_report(
+            read_table(spark, sf_dir, "documents"), shingle=3
+        ).collect()[0]
+        assert row.k_used == 256
+        assert row.exact_distinct > 256
+        assert row.err_pct < 25.0, row
+
+    def test_merge_free_determinism(self, spark):
+        """Partitioning must not affect the result (the k smallest
+        distinct hashes are a set property, not a scan order)."""
+        from astro_spark.functions.sketches import kmv_distinct
+
+        rows = [(f"tok{i}",) for i in range(3000)]
+        a_ = kmv_distinct(
+            spark.createDataFrame(rows, "v string").repartition(1), "v"
+        ).collect()[0]
+        b_ = kmv_distinct(
+            spark.createDataFrame(rows, "v string").repartition(13), "v"
+        ).collect()[0]
+        assert a_ == b_
+
+
+class TestFunnel:
+    def test_matches_pure_python_fold(self, spark):
+        """Furthest in-order stage per user equals the sequential
+        reference; out-of-order later steps don't count."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        # user: [(minute, type)]
+        data = {
+            1: [(0, "view"), (1, "click"), (2, "purchase")],   # full funnel
+            2: [(0, "click"), (1, "view"), (2, "click")],      # view then click
+            3: [(0, "purchase"), (1, "view")],                 # only view
+            4: [(0, "error")],                                 # no steps
+            5: [(0, "view"), (1, "purchase")],                 # skips click
+        }
+        rows = [
+            (u, base + dt.timedelta(minutes=m), t)
+            for u, evs in data.items()
+            for m, t in evs
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {
+            (r.step_idx, r.step): r.n_users
+            for r in funnel(df, ["view", "click", "purchase"]).collect()
+        }
+        # reached step1: users 1,2,3,5 = 4; step2: 1,2 = 2; step3: 1 = 1
+        assert got == {
+            (1, "view"): 4,
+            (2, "click"): 2,
+            (3, "purchase"): 1,
+        }
+
+    def test_empty_input_gives_zero_rows_per_step(self, spark):
+        from astro_spark.functions.events import funnel
+
+        df = spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_type string"
+        )
+        got = funnel(df, ["view", "click"]).collect()
+        assert [(r.step_idx, r.n_users) for r in got] == [(1, 0), (2, 0)]
+
+
+class TestCohortRetention:
+    def test_small_fixture(self, spark):
+        """Cohorts partition users by first week; offsets count only
+        weeks the user was actually active."""
+        import datetime as dt
+
+        from astro_spark.functions.events import cohort_retention
+
+        def ts(day):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+        rows = [
+            # user 1: weeks w, w+1
+            (1, ts(0)), (1, ts(7)),
+            # user 2: weeks w, w+2 (gap week)
+            (2, ts(1)), (2, ts(15)),
+            # user 3: joins week w+1 only
+            (3, ts(8)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r.cohort_wk, r.offset_wk): r.n_users
+            for r in cohort_retention(df).collect()
+        }
+        w = min(c for c, _ in got)
+        assert got == {
+            (w, 0): 2,       # users 1,2
+            (w, 1): 1,       # user 1
+            (w, 2): 1,       # user 2
+            (w + 1, 0): 1,   # user 3
+        }
+
+
+class TestPiiStats:
+    def test_counts_and_redaction(self, spark):
+        """Span counts match hand-counted fixtures and chain-redaction
+        removes every counted span."""
+        from astro_spark.functions.privacy import pii_stats, redact_all
+
+        rows = [
+            (1, "mail a@b.com and c@d.org see https://x.io/a at 10.0.0.1"),
+            (2, "call +49-123-4567 twice +49-123-4567"),
+            (3, "clean text only"),
+        ]
+        df = spark.createDataFrame(rows, "id long, body string")
+        stats = pii_stats("body")
+        got = {
+            r.id: (r.n_email, r.n_url, r.n_ipv4, r.n_phone)
+            for r in df.select("id", *[c.alias(n) for n, c in stats.items()]).collect()
+        }
+        assert got[1] == (2, 1, 1, 0)
+        assert got[2] == (0, 0, 0, 2)
+        assert got[3] == (0, 0, 0, 0)
+        red = {
+            r.id: r.red
+            for r in df.select("id", redact_all("body").alias("red")).collect()
+        }
+        assert red[1] == "mail [EMAIL] and [EMAIL] see [URL] at [IPV4]"
+        assert red[2] == "call [PHONE] twice [PHONE]"
+        assert red[3] == "clean text only"

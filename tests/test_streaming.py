@@ -524,3 +524,74 @@ class TestIvfIndexStream:
         a = sorted(map(tuple, similarity.ivf_topk_indexed(spark, grown, q, nprobe=2, k=3).collect()))
         b = sorted(map(tuple, similarity.ivf_topk_indexed(spark, full, q, nprobe=2, k=3).collect()))
         assert a == b
+
+
+class TestAggregateMvStream:
+    def test_mv_equals_batch_aggregate(self, spark, events_dir):
+        """Sums-of-sums over per-batch partials equal the one-shot batch
+        GROUP BY, with the backlog genuinely split across micro-batches."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import aggregate_mv_stream
+
+        mv_name = f"mv_test_{uuid.uuid4().hex[:8]}"
+
+        def partial(b):
+            return b.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+                    "cents"
+                ),
+            )
+
+        mv = aggregate_mv_stream(
+            spark, events_dir, ["event_type"], partial, mv_name,
+            max_files_per_trigger=1,
+        )
+        got = {r.event_type: (r.n, r.cents) for r in mv.collect()}
+        expect = {
+            r.event_type: (r.n, r.cents)
+            for r in partial(spark.read.parquet(events_dir)).collect()
+        }
+        assert got == expect
+        # two staged files → two __batch_id partitions of partials
+        n_batches = (
+            spark.table(f"{mv_name}_partials").select("__batch_id").distinct().count()
+        )
+        assert n_batches == 2
+
+    def test_partial_replay_does_not_double_count(self, spark, events_dir):
+        """Replaying a committed batch's partial (at-least-once rerun)
+        overwrites its own __batch_id partition; the MV re-aggregation
+        is unchanged."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import aggregate_mv_stream
+        from astro_spark.streaming.load_stream import _write_sink_batch
+
+        mv_name = f"mv_test_{uuid.uuid4().hex[:8]}"
+
+        def partial(b):
+            return b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+        mv = aggregate_mv_stream(
+            spark, events_dir, ["event_type"], partial, mv_name,
+            max_files_per_trigger=1,
+        )
+        before = {r.event_type: r.n for r in mv.collect()}
+        phys = f"{mv_name}_partials"
+        batch0 = spark.table(phys).where("__batch_id = 0").drop("__batch_id")
+        _write_sink_batch(batch0, phys, 0)
+        spark.catalog.refreshTable(phys)
+        partials = spark.table(phys).drop("__batch_id")
+        after = {
+            r.event_type: r.n
+            for r in partials.groupBy("event_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .collect()
+        }
+        assert after == before
