@@ -1778,6 +1778,32 @@ def _t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_token_report(read_table(spark, sf_dir, "documents"), shingle=3)
 
 
+def _t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty over a 500-doc slice (the full corpus
+    join stays linear, but the driver compare wants a bounded result):
+    share of distinct shingles unique to the doc corpus-wide."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 500")
+    return dedup.novelty_scores(docs)
+
+
+def _s_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy report with the seeded SemDeDup centroids."""
+    _views(spark, sf_dir)
+    return similarity.cell_balance(read_table(spark, sf_dir, "embeddings"))
+
+
+def _st_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV min-merge over the staged documents backlog: the
+    drained bounded-state estimate must equal the one-shot batch
+    sketch (mergeability), which is what the oracle computes."""
+    from astro_spark.streaming import kmv_stream
+
+    _views(spark, sf_dir)
+    staged = _staged_table_dir(spark, sf_dir, "documents")
+    return kmv_stream(spark, staged, max_files_per_trigger=1)
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel over the events stream."""
     from astro_spark.functions.events import funnel
@@ -3121,6 +3147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
             "st_mv_refresh": _st_mv_refresh,
+            "t_novelty": _t_novelty,
+            "s_cell_balance": _s_cell_balance,
+            "st_kmv_distinct": _st_kmv_distinct,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3152,6 +3181,9 @@ _DRIVER_PRIORITY = [
     "q_cohort_retention",
     "t_pii_stats",
     "st_mv_refresh",
+    "t_novelty",
+    "s_cell_balance",
+    "st_kmv_distinct",
     "op_check_column",
     "op_check_table",
     "op_profile",
@@ -3187,9 +3219,6 @@ _DRIVER_PRIORITY = [
     "q_recursive_spine",
     "q_skew_salted_join",
     "s_brute_topk",
-    "s_centroids",
-    "s_ivf_label_topk",
-    "s_ivf_trained_topk",
 ]
 
 
@@ -3510,6 +3539,19 @@ SELECT event_type, COUNT(*)::BIGINT AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """,
+            # the slice filter must precede the document-frequency
+            # count (df is relative to the scored corpus), so it goes
+            # INSIDE the oracle's source relation — not around it
+            "t_novelty": oracles.novelty_scores_sql(
+                table="(SELECT * FROM documents WHERE doc_id < 500)"
+            ),
+            "s_cell_balance": oracles.cell_balance_sql(),
+            # streamed min-merge == one-shot batch sketch (mergeability)
+            "st_kmv_distinct": (
+                "SELECT k_used, kth_min_hash, est_distinct FROM ("
+                + oracles.kmv_token_report_sql(shingle=3)
+                + ")"
+            ),
         }
     )
     return out

@@ -1199,6 +1199,52 @@ def minhash_incremental_pairs(
 # --------------------------------------------------------------------------
 # cross-source duplication matrix (which sources copy each other)
 # --------------------------------------------------------------------------
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_df: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    word-shingles that are RARE corpus-wide (document frequency ≤
+    ``rare_df``) — the diversity-selection complement of dedup: dedup
+    removes what repeats, novelty ranks what doesn't, the signal data
+    curation uses to up-sample unusual material.
+
+    All-BIGINT: ``novelty_pmille = (scale · n_rare) DIV n_shingles`` —
+    engine-exact floor division, no float aggregation.  Shapes: one
+    shingle explode, one groupBy(shingle) for document frequencies, one
+    join back on the shingle hash, one groupBy(doc).  Every relation is
+    linear in total shingle instances; a pathologically hot shingle
+    only widens its own join group (same caveat and treatment as the
+    n-gram Jaccard index's ``max_shingle_df`` guard).
+
+    Returns (id, n_shingles, n_rare, novelty_pmille).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("dfq") <= rare_df).cast("long")).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_rare",
+        F.expr(f"({scale} * n_rare) DIV greatest(n_shingles, 1)")
+        .cast("long")
+        .alias("novelty_pmille"),
+    )
+
+
 def cross_source_matrix(
     df: DataFrame,
     text_col: str = "text",

@@ -1815,3 +1815,67 @@ SELECT source, COUNT(*)::BIGINT AS n_docs, {counts},
 FROM d
 GROUP BY source
 """
+
+
+def novelty_scores_sql(
+    table: str = "documents", rare_df: int = 1, scale: int = 1000
+) -> str:
+    """Mirrors dedup.novelty_scores: distinct per-doc shingle hashes →
+    corpus document frequencies → BIGINT floor-share of rare shingles."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, unnest({shingle_hashes(tokens('text'))}) AS sh FROM {table}
+),
+d AS (SELECT sh, COUNT(*) AS dfq FROM s GROUP BY sh),
+p AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN d.dfq <= {rare_df} THEN 1 ELSE 0 END) AS n_rare
+  FROM s JOIN d USING (sh)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       CAST(({scale} * n_rare) // greatest(n_shingles, 1) AS BIGINT) AS novelty_pmille
+FROM p
+"""
+
+
+def cell_balance_sql(table: str = "embeddings", scale: int = 1000) -> str:
+    """Mirrors similarity.cell_balance with the seeded SEMDEDUP
+    centroids: argmax-cosine assignment (ties -> larger index, matching
+    Spark's struct array_max), per-cell counts, BIGINT floor shares."""
+    from .constants import SEMDEDUP_CENTROIDS
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) + '::DOUBLE' for v in c)}])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+cents(idx, cv) AS (
+  VALUES {cent_rows}
+),
+sims AS (
+  SELECT c.id, cents.idx, {cosine('c.v', 'cents.cv')} AS cs
+  FROM c CROSS JOIN cents
+),
+cell AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+counts AS (
+  SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs FROM cell GROUP BY cell
+),
+tot AS (SELECT SUM(n_vecs) AS total FROM counts)
+SELECT cell,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(({scale} * n_vecs) // total AS BIGINT) AS share_pmille
+FROM counts, tot
+"""

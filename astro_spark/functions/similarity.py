@@ -353,6 +353,44 @@ def ivf_assign(
     return df.withColumn(out_col, F.array_max(sims)["i"])
 
 
+def cell_balance(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF index-health report: vectors per cell and each cell's share
+    of the corpus — the skew gauge that tells you when to retrain
+    (``ivf_train``) or raise ``n_cells`` (SemDeDup/IVF probe cost is
+    Σ|cell|², so one bloated cell dominates everything).
+
+    Map-only assignment + one groupBy(cell); the corpus total joins
+    back as a 1-row broadcast scalar (the documented bounded shape).
+    Share is BIGINT floor parts-per-``scale`` — engine-exact.
+    ``centroids=None`` uses the seeded SEMDEDUP_CENTROIDS so the
+    oracle replays the assignment.
+
+    Returns (cell, n_vecs, share_pmille).
+    """
+    from .constants import SEMDEDUP_CENTROIDS
+
+    if centroids is None:
+        centroids = SEMDEDUP_CENTROIDS
+    counts = (
+        ivf_assign(df, centroids, vec_col=vec_col)
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = counts.agg(F.sum("n_vecs").cast("long").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vecs",
+        F.expr(f"({scale} * n_vecs) DIV __total").cast("long").alias(
+            "share_pmille"
+        ),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -64,6 +64,14 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("k_used"),
         F.max("hv").alias("kth_min_hash"),
     )
+    return kmv_estimate(agg, k)
+
+
+def kmv_estimate(agg: DataFrame, k: int) -> DataFrame:
+    """Attach ``est_distinct`` to a (k_used, kth_min_hash) frame — the
+    shared estimate arithmetic for the batch sketch and the streaming
+    min-merge (identical double operation order in both and in the SQL
+    oracle)."""
     est = F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")
     ).otherwise(
@@ -76,6 +84,35 @@ def kmv_distinct(
     return agg.select(
         "k_used", "kth_min_hash", est.alias("est_distinct")
     )
+
+
+def shingle_tokens(
+    df: DataFrame, text_col: str = "text", shingle: int = 1
+) -> DataFrame:
+    """One ``tok`` row per whitespace token (``shingle=1``) or per
+    space-joined ``shingle``-word shingle — the shared exploded form
+    for the batch sketch and the streaming min-merge."""
+    from .text import tokens
+
+    tok_arr = tokens(F.col(text_col))
+    if shingle <= 1:
+        vals = tok_arr
+    else:
+        # i-th shingle = tokens[i..i+n-1] joined by one space; mirrors
+        # the oracle's list_transform over range(1, len-n+1).  The
+        # short-text guard matters: Spark's sequence(1, 0) counts DOWN,
+        # it is not empty like DuckDB's range.
+        vals = F.when(
+            F.size(tok_arr) >= shingle,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok_arr) - (shingle - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(tok_arr, i + F.lit(j)) for j in range(shingle)],
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return df.select(F.explode(vals).alias("tok")).where(F.col("tok") != "")
 
 
 def kmv_token_report(
@@ -97,27 +134,7 @@ def kmv_token_report(
     Returns one row (k_used, kth_min_hash, est_distinct,
     exact_distinct, err_pct).
     """
-    from .text import tokens
-
-    tok_arr = tokens(F.col(text_col))
-    if shingle <= 1:
-        vals = tok_arr
-    else:
-        # i-th shingle = tokens[i..i+n-1] joined by one space; mirrors
-        # the oracle's list_transform over range(1, len-n+1).  The
-        # short-text guard matters: Spark's sequence(1, 0) counts DOWN,
-        # it is not empty like DuckDB's range.
-        vals = F.when(
-            F.size(tok_arr) >= shingle,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok_arr) - (shingle - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(tok_arr, i + F.lit(j)) for j in range(shingle)],
-                ),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    toks = df.select(F.explode(vals).alias("tok")).where(F.col("tok") != "")
+    toks = shingle_tokens(df, text_col, shingle)
     est = kmv_distinct(toks, "tok", k=k)
     exact = toks.agg(
         F.countDistinct("tok").cast("long").alias("exact_distinct")

@@ -11,6 +11,7 @@ from .load_stream import (
 from .sessions import (
     bloom_screen_stream,
     dedup_stream,
+    kmv_stream,
     minhash_screen_stream,
     sessionize_stream,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "minhash_screen_stream",
     "interval_join_stream",
     "ivf_index_stream",
+    "kmv_stream",
     "stream_static_join",
     "load_file_stream",
     "load_file_stream_merge",

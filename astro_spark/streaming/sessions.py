@@ -300,3 +300,70 @@ def minhash_screen_stream(
     banded.unpersist()
     out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
     return out.select("batch_id", "corpus_id", "jaccard")
+
+
+def kmv_stream(
+    spark: SparkSession,
+    input_path: str,
+    text_col: str = "text",
+    k: int = 256,
+    shingle: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming KMV cardinality: maintain the k smallest distinct
+    shingle fingerprints across micro-batches.
+
+    KMV is MERGEABLE — the k smallest hashes of a union are the k
+    smallest of each side's k smallest — so each micro-batch computes
+    its own bounded top-k (TakeOrderedAndProject inside the batch) and
+    the driver min-merges ≤ k values into the running state.  State is
+    k longs no matter how much data streams past; the merge is a set
+    minimum, so an at-least-once batch REPLAY is a no-op (idempotent
+    by algebra, no partition bookkeeping needed).  The drained
+    estimate provably equals the one-shot batch sketch over the same
+    data (pinned in TestKmvStream; st_kmv_distinct oracle-verifies it).
+
+    Returns one row (k_used, kth_min_hash, est_distinct) — the same
+    arithmetic as ``sketches.kmv_distinct``.
+    """
+    from ..functions.sketches import kmv_estimate, shingle_tokens
+    from ..functions.text import fingerprint62
+
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    state: set[int] = set()
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        mins = (
+            shingle_tokens(batch_df, text_col, shingle)
+            .select(fingerprint62(F.col("tok")).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .collect()
+        )
+        state.update(r.hv for r in mins)
+        if len(state) > k:
+            for h in sorted(state)[k:]:
+                state.discard(h)
+
+    query = (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation",
+            f"/tmp/astro_kmv_ckpt_{uuid.uuid4().hex[:8]}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    agg = spark.createDataFrame(
+        [(len(state), max(state) if state else None)],
+        "k_used long, kth_min_hash long",
+    )
+    return kmv_estimate(agg, k)

@@ -82,6 +82,9 @@ HEADLINE = [
     "q_cohort_retention",
     "t_pii_stats",
     "st_mv_refresh",
+    "t_novelty",
+    "s_cell_balance",
+    "st_kmv_distinct",
 ]
 
 

@@ -36,7 +36,7 @@ def test_rotation_order_is_applied():
         "q12_priority_lines", "q15_top_supplier", "q19_disjunct_revenue",
         "q22_global_balance",
         "t_kmv_distinct", "q_funnel_steps", "q_cohort_retention", "t_pii_stats",
-        "st_mv_refresh",
+        "st_mv_refresh", "t_novelty", "s_cell_balance", "st_kmv_distinct",
     }
     assert must_check <= head, sorted(must_check - head)
 

@@ -1624,3 +1624,70 @@ class TestPiiStats:
         assert red[1] == "mail [EMAIL] and [EMAIL] see [URL] at [IPV4]"
         assert red[2] == "call [PHONE] twice [PHONE]"
         assert red[3] == "clean text only"
+
+
+class TestNoveltyScores:
+    def test_matches_hand_count(self, spark):
+        """Rare = shingles appearing in exactly one doc; duplicated docs
+        share every shingle, unique docs own theirs."""
+        from astro_spark.functions.dedup import novelty_scores
+
+        rows = [
+            (1, "alpha beta gamma delta"),       # shares all with doc 2
+            (2, "alpha beta gamma delta"),
+            (3, "unique words entirely here"),   # all shingles rare
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_shingles, r.n_rare, r.novelty_pmille)
+            for r in novelty_scores(df).collect()
+        }
+        # 4 tokens, k=3 -> 2 shingles per doc
+        assert got[1] == (2, 0, 0)
+        assert got[2] == (2, 0, 0)
+        assert got[3] == (2, 2, 1000)
+
+    def test_all_bigint_floor_share(self, spark):
+        """A doc with a mix of shared and unique shingles gets the
+        floor(1000*rare/total) share."""
+        from astro_spark.functions.dedup import novelty_scores
+
+        rows = [
+            (1, "a b c d e"),   # shingles: abc bcd cde (3)
+            (2, "a b c x y"),   # shares abc; bcx cxy unique
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in novelty_scores(df).collect()}
+        assert got[1].n_shingles == 3 and got[1].n_rare == 2
+        assert got[1].novelty_pmille == 666  # floor(2000/3)
+
+
+class TestCellBalance:
+    def test_counts_sum_to_corpus(self, spark, sf_dir):
+        from astro_spark.functions.similarity import cell_balance
+        from astro_spark.testdata import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        rows = cell_balance(emb).collect()
+        assert sum(r.n_vecs for r in rows) == emb.count()
+        assert all(0 <= r.share_pmille <= 1000 for r in rows)
+        # floor shares under-sum to at most 1000
+        assert sum(r.share_pmille for r in rows) <= 1000
+
+    def test_matches_assignment(self, spark, sf_dir):
+        """Per-cell counts equal a direct groupBy over ivf_assign."""
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+        from astro_spark.functions.similarity import cell_balance, ivf_assign
+        from astro_spark.testdata import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        direct = {
+            r.cell: r.n
+            for r in ivf_assign(emb, SEMDEDUP_CENTROIDS)
+            .groupBy("cell")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        got = {r.cell: r.n_vecs for r in cell_balance(emb).collect()}
+        assert got == direct

@@ -595,3 +595,42 @@ class TestAggregateMvStream:
             .collect()
         }
         assert after == before
+
+
+class TestKmvStream:
+    def test_streamed_equals_batch_sketch(self, spark, sf_dir):
+        """Min-merge across micro-batches equals the one-shot batch KMV
+        (mergeability), with the backlog genuinely multi-batch."""
+        import tempfile
+
+        from astro_spark.functions.sketches import kmv_token_report
+        from astro_spark.streaming import kmv_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        d = tempfile.mkdtemp(prefix="astro_kmvstream_")
+        docs.repartition(3).write.mode("overwrite").parquet(d)
+
+        streamed = kmv_stream(spark, d, max_files_per_trigger=1).collect()[0]
+        batch = kmv_token_report(docs, shingle=3).collect()[0]
+        assert streamed.k_used == batch.k_used
+        assert streamed.kth_min_hash == batch.kth_min_hash
+        assert streamed.est_distinct == batch.est_distinct
+
+    def test_replay_merge_is_idempotent(self, spark):
+        """Min-merging the same batch twice is a no-op by set algebra —
+        the state update kmv_stream's foreachBatch performs."""
+        state = {5, 9, 2}
+        batch = [2, 7, 11]
+        k = 4
+
+        def merge(state, hashes):
+            state.update(hashes)
+            if len(state) > k:
+                for h in sorted(state)[k:]:
+                    state.discard(h)
+
+        merge(state, batch)
+        once = set(state)
+        merge(state, batch)
+        assert state == once == {2, 5, 7, 9}
