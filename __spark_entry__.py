@@ -1655,6 +1655,30 @@ def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs, docs.select("doc_id"))
 
 
+def _dd_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same components as dd_clusters via alternating large-star /
+    small-star (Kiveris et al.) — the O(log n)-round scale path; equal
+    outputs pinned in TestComponentsStar, same recursive-closure
+    oracle."""
+    from astro_spark.functions.graph import components_star
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return components_star(pairs, docs.select("doc_id"))
+
+
+def _t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted 100-doc priority sample."""
+    from astro_spark.functions.sampling import weighted_sample_n
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_n(docs, 100, "n_chars")
+
+
 def _dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal: duplicated 8-token windows excised from every
     document except the lowest-id keeper; text rebuilt from kept tokens.
@@ -1969,6 +1993,17 @@ def _q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     return ewma_anomalies(read_table(spark, sf_dir, "events"))
+
+
+def _q_ewma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-key guard exercised as a driver row: the same EWMA
+    fold pre-bucketed into 7-day epochs, so each fold's collected
+    history is bounded by one window's events (events span ~5 windows
+    in the fixture)."""
+    from astro_spark.functions.timeseries import ewma_anomalies
+
+    _views(spark, sf_dir)
+    return ewma_anomalies(read_table(spark, sf_dir, "events"), window_days=7)
 
 
 def _t_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3150,6 +3185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_novelty": _t_novelty,
             "s_cell_balance": _s_cell_balance,
             "st_kmv_distinct": _st_kmv_distinct,
+            "q_ewma_windowed": _q_ewma_windowed,
+            "dd_clusters_star": _dd_clusters_star,
+            "t_weighted_sample": _t_weighted_sample,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3184,6 +3222,9 @@ _DRIVER_PRIORITY = [
     "t_novelty",
     "s_cell_balance",
     "st_kmv_distinct",
+    "q_ewma_windowed",
+    "dd_clusters_star",
+    "t_weighted_sample",
     "op_check_column",
     "op_check_table",
     "op_profile",
@@ -3216,9 +3257,6 @@ _DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "q_pivot_status",
     "q_recursive_paths",
-    "q_recursive_spine",
-    "q_skew_salted_join",
-    "s_brute_topk",
 ]
 
 
@@ -3546,6 +3584,9 @@ FROM events GROUP BY event_type
                 table="(SELECT * FROM documents WHERE doc_id < 500)"
             ),
             "s_cell_balance": oracles.cell_balance_sql(),
+            "q_ewma_windowed": oracles.ewma_anomalies_windowed_sql(),
+            "dd_clusters_star": oracles.dup_clusters_sql(),
+            "t_weighted_sample": oracles.weighted_sample_n_sql(),
             # streamed min-merge == one-shot batch sketch (mergeability)
             "st_kmv_distinct": (
                 "SELECT k_used, kth_min_hash, est_distinct FROM ("

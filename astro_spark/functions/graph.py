@@ -123,3 +123,113 @@ def cluster_canonical_by_rank(
         .withColumn("canonical_id", F.first(id_col).over(w))
     )
     return ranked.select(id_col, "cluster_id", "canonical_id")
+
+
+def components_star(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round scale path beside ``dedup.
+    dup_clusters``'s O(diameter) label propagation (equal outputs,
+    pinned in tests; prefer this on long-chain graphs where diameter
+    ≫ log n).
+
+    Each round is two neighborhood-min passes over the edge relation:
+
+    - large-star: every node points its LARGER neighbors at its
+      neighborhood minimum — (v, m(u)) for v ∈ Γ(u), v > u,
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: every node and its smaller-or-equal neighbors link
+      to that minimum — (v, m(u)) for v ∈ Γ(u) ∪ {u}, v ≤ u.
+
+    Both emit strictly-decreasing parent links, so the edge relation
+    contracts toward stars rooted at component minima; convergence is
+    detected by an unchanged (count, BIGINT edge-checksum) pair — one
+    tiny aggregate per round, no self-join diff.  Per round: two
+    groupBy(node) shuffles; lineage localCheckpoint-truncated.
+
+    Returns (id_col, cluster_id) for EVERY input id (singletons
+    cluster with themselves) — the ``dup_clusters`` contract.
+    """
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).where(
+        F.col("id_a") != F.col("id_b")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _neigh_min(ed: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) per node, over the symmetric relation
+        return ed.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        m = _neigh_min(ed)
+        return (
+            ed.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        m = _neigh_min(ed)
+        to_min = ed.where(F.col("v") <= F.col("u")).join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            to_min.union(self_link)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _sig(ed: DataFrame):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("a") * F.lit(1_000_003) + F.col("b")).cast("decimal(38,0)")
+            ).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    cur = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    prev_sig = None
+    for _ in range(max_iterations):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        sym = sym.union(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        cur = _small_star(_large_star(sym).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(
+            _large_star(sym).select(F.col("b").alias("u"), F.col("a").alias("v"))
+        ).distinct()).localCheckpoint()
+        sig = _sig(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: every edge links a node to its component minimum
+    labels = (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .union(cur.select(F.col("b").alias("node"), F.col("b").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("cluster_id"))
+    )
+    return (
+        all_ids.select(F.col(id_col))
+        .join(labels, all_ids[id_col] == labels["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )

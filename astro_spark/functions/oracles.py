@@ -634,6 +634,51 @@ FROM folded
 """
 
 
+def ewma_anomalies_windowed_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_x100: int = 25,
+    threshold_cents: int = 20000,
+    window_days: int = 7,
+) -> str:
+    """Replays timeseries.ewma_anomalies(window_days=...): the same
+    fold per (key, epoch-window).  Window id floor(days / wd) matches
+    Spark's floor(unix / (86400·wd)) by the nested-floor identity."""
+    a = alpha_x100
+    wd = window_days
+    win = (
+        f"CAST(floor(date_diff('day', DATE '1970-01-01', "
+        f"CAST({ts_col} AS DATE)) / {wd}.0) AS BIGINT)"
+    )
+    return f"""
+WITH vals AS (
+  SELECT {key_col} AS key, {win} AS win,
+         list([CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)::DOUBLE, 0.0::DOUBLE]
+              ORDER BY {ts_col},
+                       CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)) AS arr,
+         COUNT(*) AS n_events
+  FROM {table} GROUP BY {key_col}, {win}
+),
+folded AS (
+  SELECT key, win, n_events,
+         list_reduce(arr, (acc, x) -> [
+            ({a} / 100.0) * x[1] + (1 - {a} / 100.0) * acc[1],
+            acc[2] + CASE WHEN abs(x[1] - acc[1]) > {float(threshold_cents)}
+                          THEN 1.0 ELSE 0.0 END
+         ]) AS st
+  FROM vals
+)
+SELECT key,
+       CAST(DATE '1970-01-01' + (win * {wd})::INT AS DATE) AS win_start,
+       n_events::BIGINT AS n_events,
+       st[2]::BIGINT AS n_anomalies,
+       round(st[1], 4) AS ewma_r4
+FROM folded
+"""
+
+
 def grouped_drift_sql(
     table: str = "documents",
     group_col: str = "lang",
@@ -1878,4 +1923,23 @@ SELECT cell,
        CAST(n_vecs AS BIGINT) AS n_vecs,
        CAST(({scale} * n_vecs) // total AS BIGINT) AS share_pmille
 FROM counts, tot
+"""
+
+
+def weighted_sample_n_sql(
+    table: str = "documents",
+    n: int = 100,
+    weight_col: str = "n_chars",
+    cols: str = "doc_id, lang, n_chars",
+) -> str:
+    """Mirrors sampling.weighted_sample_n: priority = hash/weight, one
+    IEEE double division of exact integers."""
+    key = poly_hash("doc_id::VARCHAR")
+    return f"""
+SELECT {cols},
+       row_number() OVER (ORDER BY ({key})::DOUBLE / {weight_col}::DOUBLE, doc_id) AS sample_rank
+FROM {table}
+WHERE {weight_col} > 0
+ORDER BY ({key})::DOUBLE / {weight_col}::DOUBLE, doc_id
+LIMIT {n}
 """

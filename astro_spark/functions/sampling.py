@@ -364,6 +364,41 @@ def sample_exact_n(
     )
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted priority sample of exactly ``n`` rows:
+    rank by ``hash(id) / weight`` ascending — a larger weight shrinks a
+    row's key, making it proportionally likelier to land in the top-n
+    (A-Res-style priority sampling with a reproducible pseudo-uniform
+    hash in place of randomness, so the sample is stable across runs,
+    engines, and partitionings — what quality-weighted corpus carving
+    needs for reproducibility).
+
+    The key is ONE IEEE double division of exact integers — bit-equal
+    in any engine, so the oracle replays it.  Rows with weight ≤ 0 are
+    excluded.  Compiles to TakeOrderedAndProject (per-partition top-n,
+    no global sort).  Returns the rows with ``sample_rank`` (1..n).
+    """
+    key = char_poly_hash(F.col(id_col).cast("string")).cast("double") / F.col(
+        weight_col
+    ).cast("double")
+    picked = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(n)
+    )
+    w = Window.orderBy("__k", id_col)  # n rows only — tiny window
+    return (
+        picked.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .drop("__k")
+    )
+
+
 # --------------------------------------------------------------------------
 # distribution drift (corpus-snapshot comparison gate)
 # --------------------------------------------------------------------------

@@ -85,6 +85,9 @@ HEADLINE = [
     "t_novelty",
     "s_cell_balance",
     "st_kmv_distinct",
+    "q_ewma_windowed",
+    "dd_clusters_star",
+    "t_weighted_sample",
 ]
 
 

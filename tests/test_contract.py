@@ -37,6 +37,7 @@ def test_rotation_order_is_applied():
         "q22_global_balance",
         "t_kmv_distinct", "q_funnel_steps", "q_cohort_retention", "t_pii_stats",
         "st_mv_refresh", "t_novelty", "s_cell_balance", "st_kmv_distinct",
+        "q_ewma_windowed", "dd_clusters_star", "t_weighted_sample",
     }
     assert must_check <= head, sorted(must_check - head)
 

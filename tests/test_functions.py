@@ -1691,3 +1691,79 @@ class TestCellBalance:
         }
         got = {r.cell: r.n_vecs for r in cell_balance(emb).collect()}
         assert got == direct
+
+
+class TestComponentsStar:
+    def test_equals_label_propagation_on_random_graphs(self, spark):
+        """Alternating star CC must equal dup_clusters (min-label
+        propagation) on random graphs, including long chains where the
+        star algorithm's O(log n) rounds matter."""
+        import random
+
+        from astro_spark.functions.dedup import dup_clusters
+        from astro_spark.functions.graph import components_star
+
+        rng = random.Random(12345)
+        for trial in range(3):
+            n = 60
+            ids = list(range(n))
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+            ]
+            # plus one long chain to stress diameter
+            chain_lo = 100
+            edges += [(chain_lo + i, chain_lo + i + 1) for i in range(25)]
+            ids += [chain_lo + i for i in range(26)]
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            all_ids = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            want = {
+                r.doc_id: r.cluster_id
+                for r in dup_clusters(pairs, all_ids).collect()
+            }
+            got = {
+                r.doc_id: r.cluster_id
+                for r in components_star(pairs, all_ids).collect()
+            }
+            assert got == want, f"trial {trial}"
+
+    def test_chain_converges_fast(self, spark):
+        """A 64-node path collapses to one cluster rooted at its min."""
+        from astro_spark.functions.graph import components_star
+
+        edges = [(i, i + 1) for i in range(63)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        all_ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+        got = components_star(pairs, all_ids).collect()
+        assert all(r.cluster_id == 0 for r in got)
+
+
+class TestWeightedSampleN:
+    def test_deterministic_and_weight_biased(self, spark):
+        """Same sample on any partitioning; heavier rows
+        over-represented vs the unweighted sample."""
+        from astro_spark.functions.sampling import (
+            sample_exact_n,
+            weighted_sample_n,
+        )
+
+        rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+        df1 = spark.createDataFrame(rows, "doc_id long, w double").repartition(1)
+        df2 = spark.createDataFrame(rows, "doc_id long, w double").repartition(7)
+        s1 = [(r.doc_id, r.sample_rank) for r in weighted_sample_n(df1, 50, "w").collect()]
+        s2 = [(r.doc_id, r.sample_rank) for r in weighted_sample_n(df2, 50, "w").collect()]
+        assert sorted(s1) == sorted(s2)
+        heavy = sum(1 for d, _ in s1 if d % 10 == 0)
+        # 100 of 1000 rows carry 1000x weight: they should dominate the
+        # top-50 (uniform would give ~5)
+        assert heavy > 30, heavy
+        base = sample_exact_n(df1, 50)
+        heavy_base = sum(1 for r in base.collect() if r.doc_id % 10 == 0)
+        assert heavy_base < heavy
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from astro_spark.functions.sampling import weighted_sample_n
+
+        rows = [(1, 0.0), (2, -3.0), (3, 2.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample_n(df, 10, "w").collect()
+        assert [r.doc_id for r in got] == [3]
