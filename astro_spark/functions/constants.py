@@ -108,6 +108,16 @@ PQ_BOOKS: list[list[list[float]]] = [
     for _ in range(PQ_M)
 ]
 
+# KMV cardinality sketch: the two-level shingle folds produce
+# structured values (short-word char hashes are small), which skews the
+# minimum-order statistics the estimator depends on; a seeded universal
+# affine map (a·h + b) mod P31 per 31-bit half scatters them uniformly.
+# a·h < 2^62 stays inside BIGINT in both engines.
+_rng_kmv = random.Random(2718)
+KMV_COEFFS: list[tuple[int, int]] = [
+    (_rng_kmv.randrange(1, P31), _rng_kmv.randrange(0, P31)) for _ in range(2)
+]
+
 # count-min sketch (Cormode & Muthukrishnan): d seeded hash rows x w
 # counters.  Shared by Spark and the DuckDB oracle.
 CMS_W = 1024

@@ -1723,33 +1723,53 @@ def kmv_token_report_sql(
     table: str = "documents", k: int = 256, shingle: int = 1
 ) -> str:
     """Mirrors sketches.kmv_token_report: k smallest distinct 62-bit
-    token (or word-shingle) fingerprints → (k-1)·R/h_(k) with the
-    identical double operation order (R = 2^62 = (P31+1)^2, exactly
-    representable)."""
+    token (or two-level word-shingle) fingerprints → (k-1)·R/h_(k)
+    with the identical double operation order (R = 2^62 = (P31+1)^2,
+    exactly representable)."""
     R = float(P31 + 1) * float(P31 + 1)
     t = tokens("text")
     if shingle <= 1:
-        vals = "t"
+        hv_rel = f"""
+  SELECT {fingerprint62('tok')} AS hv FROM (
+    SELECT unnest(t) AS tok FROM (SELECT {t} AS t FROM {table})
+  ) WHERE tok <> ''"""
     else:
-        joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(shingle))
-        vals = (
-            f"list_transform(range(1, greatest(len(t) - {shingle - 1}, 0) + 1), "
-            f"i -> {joined})"
+        # two-level: token char-hashes once per multiplier, then two
+        # independent k-token folds, each scattered by the seeded
+        # universal affine map, combined into 62 bits — mirrors
+        # sketches.shingle_fingerprints exactly
+        from .constants import KMV_COEFFS
+
+        (a1, b1), (a2, b2) = KMV_COEFFS
+        fold1 = (
+            f"list_reduce(list_prepend(0::BIGINT, list_slice(th1, i, i + {shingle - 1})), "
+            f"(a, b) -> (a * {MULT2} + b) % {P31})"
         )
+        fold2 = (
+            f"list_reduce(list_prepend(0::BIGINT, list_slice(th2, i, i + {shingle - 1})), "
+            f"(a, b) -> (a * {MULT1} + b) % {P31})"
+        )
+        hv_rel = f"""
+  SELECT unnest(list_transform(
+           range(1, greatest(len(th1) - {shingle - 1}, 0) + 1),
+           i -> ((({fold1}) * {a1} + {b1}) % {P31}) * {P31 + 1}
+                + ((({fold2}) * {a2} + {b2}) % {P31}))) AS hv
+  FROM (
+    SELECT list_transform(t, tok -> {poly_hash('tok', MULT1)}) AS th1,
+           list_transform(t, tok -> {poly_hash('tok', MULT2)}) AS th2
+    FROM (SELECT {t} AS t FROM {table})
+  )"""
     return f"""
-WITH tk AS (
-  SELECT tok FROM (
-    SELECT unnest({vals}) AS tok FROM (SELECT {t} AS t FROM {table})
-  ) WHERE tok <> ''
+WITH tk AS ({hv_rel}
 ),
 hs AS (
-  SELECT DISTINCT {fingerprint62('tok')} AS hv FROM tk WHERE tok IS NOT NULL
+  SELECT DISTINCT hv FROM tk
 ),
 km AS (SELECT hv FROM hs ORDER BY hv LIMIT {k}),
 agg AS (
   SELECT COUNT(*)::BIGINT AS k_used, MAX(hv)::BIGINT AS kth_min_hash FROM km
 ),
-ex AS (SELECT COUNT(DISTINCT tok)::BIGINT AS exact_distinct FROM tk)
+ex AS (SELECT COUNT(DISTINCT hv)::BIGINT AS exact_distinct FROM tk)
 SELECT k_used, kth_min_hash,
        CASE WHEN k_used < {k} THEN k_used::DOUBLE
             ELSE round({float(k - 1)} * ({R!r} / kth_min_hash::DOUBLE), 4)

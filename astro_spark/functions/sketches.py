@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .constants import P31
-from .text import fingerprint62
+from .constants import KMV_COEFFS, MULT1, MULT2, P31
+from .text import char_poly_hash, fingerprint62, tokens
 
 #: default number of minimum hash values kept
 KMV_K = 256
@@ -86,33 +86,62 @@ def kmv_estimate(agg: DataFrame, k: int) -> DataFrame:
     )
 
 
-def shingle_tokens(
+def shingle_fingerprints(
     df: DataFrame, text_col: str = "text", shingle: int = 1
 ) -> DataFrame:
-    """One ``tok`` row per whitespace token (``shingle=1``) or per
-    space-joined ``shingle``-word shingle — the shared exploded form
-    for the batch sketch and the streaming min-merge."""
-    from .text import tokens
+    """One 62-bit fingerprint row (``hv``) per token (``shingle=1``)
+    or per ``shingle``-word shingle — the shared hashed form for the
+    batch sketch and the streaming min-merge.
 
+    Shingles use two-level hashing (each token char-hashed ONCE per
+    multiplier, then two independent k-token folds combined into 62
+    bits) — the ``shingle_hash_array`` trick: k× cheaper than hashing
+    every shingle's characters, and string-free (no concat
+    materialization).  Measured 9.5 s → 1.3 s on the sf0.1 sketch."""
     tok_arr = tokens(F.col(text_col))
     if shingle <= 1:
-        vals = tok_arr
-    else:
-        # i-th shingle = tokens[i..i+n-1] joined by one space; mirrors
-        # the oracle's list_transform over range(1, len-n+1).  The
-        # short-text guard matters: Spark's sequence(1, 0) counts DOWN,
-        # it is not empty like DuckDB's range.
-        vals = F.when(
-            F.size(tok_arr) >= shingle,
+        return (
+            df.select(F.explode(tok_arr).alias("tok"))
+            .where(F.col("tok") != "")
+            .select(fingerprint62(F.col("tok")).alias("hv"))
+        )
+
+    def _fold(th: Column, i, mult: int) -> Column:
+        return F.aggregate(
+            F.slice(th, i, shingle),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(mult) + h) % F.lit(P31),
+        )
+
+    (a1, b1), (a2, b2) = KMV_COEFFS
+
+    def _scatter(h: Column, a: int, b: int) -> Column:
+        # universal affine map — de-structures the fold values so the
+        # minimum-order statistics are uniform (estimator requirement)
+        return (h * F.lit(a) + F.lit(b)) % F.lit(P31)
+
+    def _hvs(th1: Column, th2: Column) -> Column:
+        # the short-text guard matters: Spark's sequence(1, 0) counts
+        # DOWN, it is not empty like DuckDB's range
+        return F.when(
+            F.size(th1) >= shingle,
             F.transform(
-                F.sequence(F.lit(1), F.size(tok_arr) - (shingle - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(tok_arr, i + F.lit(j)) for j in range(shingle)],
-                ),
+                F.sequence(F.lit(1), F.size(th1) - (shingle - 1)),
+                lambda i: _scatter(_fold(th1, i, MULT2), a1, b1)
+                * F.lit(P31 + 1)
+                + _scatter(_fold(th2, i, MULT1), a2, b2),
             ),
-        ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    return df.select(F.explode(vals).alias("tok")).where(F.col("tok") != "")
+        ).otherwise(F.expr("CAST(array() AS array<long>)"))
+
+    # let-binding trick (see dedup.shingle_hash_array): Catalyst
+    # re-evaluates free subexpressions inside lambda bodies on every
+    # iteration, so the token-hash arrays must enter as BOUND lambda
+    # variables or every shingle re-hashes the whole document — O(len²)
+    # char work (measured at sf0.1: 32 s unbound, 1.3 s bound)
+    th1 = F.transform(tokens(F.col(text_col)), lambda t: char_poly_hash(t, MULT1))
+    th2 = F.transform(tokens(F.col(text_col)), lambda t: char_poly_hash(t, MULT2))
+    vals = F.zip_with(F.array(th1), F.array(th2), _hvs)[0]
+    return df.select(F.explode(vals).alias("hv"))
 
 
 def kmv_token_report(
@@ -134,10 +163,19 @@ def kmv_token_report(
     Returns one row (k_used, kth_min_hash, est_distinct,
     exact_distinct, err_pct).
     """
-    toks = shingle_tokens(df, text_col, shingle)
-    est = kmv_distinct(toks, "tok", k=k)
-    exact = toks.agg(
-        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    hvs = shingle_fingerprints(df, text_col, shingle)
+    mins = hvs.distinct().orderBy("hv").limit(k)
+    est = kmv_estimate(
+        mins.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("hv").alias("kth_min_hash"),
+        ),
+        k,
+    )
+    # exact cardinality of the same 62-bit fingerprints the sketch
+    # sees (collision-free in practice; the oracle mirrors the hash)
+    exact = hvs.agg(
+        F.countDistinct("hv").cast("long").alias("exact_distinct")
     )
     # 1-row × 1-row join: broadcast scalar, the documented bounded shape
     out = est.crossJoin(F.broadcast(exact))

@@ -326,8 +326,7 @@ def kmv_stream(
     Returns one row (k_used, kth_min_hash, est_distinct) — the same
     arithmetic as ``sketches.kmv_distinct``.
     """
-    from ..functions.sketches import kmv_estimate, shingle_tokens
-    from ..functions.text import fingerprint62
+    from ..functions.sketches import kmv_estimate, shingle_fingerprints
 
     schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
@@ -339,8 +338,7 @@ def kmv_stream(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         mins = (
-            shingle_tokens(batch_df, text_col, shingle)
-            .select(fingerprint62(F.col("tok")).alias("hv"))
+            shingle_fingerprints(batch_df, text_col, shingle)
             .distinct()
             .orderBy("hv")
             .limit(k)

@@ -1767,3 +1767,59 @@ class TestWeightedSampleN:
         df = spark.createDataFrame(rows, "doc_id long, w double")
         got = weighted_sample_n(df, 10, "w").collect()
         assert [r.doc_id for r in got] == [3]
+
+
+class TestNewOpPlanShapes:
+    def test_kmv_take_ordered(self, spark, sf_dir):
+        """The KMV top-k must compile to TakeOrderedAndProject — per
+        partition top-k, never a global sort."""
+        from astro_spark.functions.sketches import shingle_fingerprints
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        mins = (
+            shingle_fingerprints(docs, "text", 3)
+            .distinct()
+            .orderBy("hv")
+            .limit(256)
+        )
+        plan = mins._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_weighted_sample_take_ordered(self, spark, sf_dir):
+        from astro_spark.functions.sampling import weighted_sample_n
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        # the pick itself (before the tiny rank window) is TakeOrdered
+        from astro_spark.functions.text import char_poly_hash
+
+        key = char_poly_hash(F.col("doc_id").cast("string")).cast(
+            "double"
+        ) / F.col("n_chars").cast("double")
+        picked = (
+            docs.where(F.col("n_chars") > 0)
+            .withColumn("__k", key)
+            .orderBy("__k", "doc_id")
+            .limit(100)
+        )
+        plan = picked._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_funnel_no_nested_loop_join(self, spark, sf_dir):
+        """The funnel plan is agg-only: no BroadcastNestedLoopJoin, no
+        CartesianProduct anywhere."""
+        from astro_spark.functions.events import funnel
+        from astro_spark.testdata import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        plan = (
+            funnel(ev, ["view", "click", "purchase"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

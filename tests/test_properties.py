@@ -527,3 +527,96 @@ class TestFuzzyJoinProperties:
                 if d <= maxd:
                     want[(ss[i], ss[j])] = d
         assert got == want
+
+
+class TestFunnelProperties:
+    @SETTINGS
+    @given(
+        seqs=st.lists(
+            st.tuples(
+                st.integers(1, 5),
+                st.integers(0, 200),
+                st.sampled_from(["view", "click", "purchase", "other"]),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def test_furthest_stage_matches_sequential_reference(self, spark, seqs):
+        """events.funnel's fold equals a pure-Python pass over each
+        user's (ts, step)-sorted events (ties break by step index)."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        steps = ["view", "click", "purchase"]
+        rows = [
+            (u, base + dt.timedelta(minutes=m), t) for u, m, t in seqs
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r.step_idx: r.n_users for r in funnel(df, steps).collect()
+        }
+
+        per_user: dict[int, list[tuple[int, int]]] = {}
+        idx = {s: i + 1 for i, s in enumerate(steps)}
+        for u, m, t in seqs:
+            if t in idx:
+                per_user.setdefault(u, []).append((m, idx[t]))
+        want = {1: 0, 2: 0, 3: 0}
+        for evs in per_user.values():
+            stage = 0
+            for _, si in sorted(evs):
+                if si == stage + 1:
+                    stage += 1
+            for i in range(1, stage + 1):
+                want[i] += 1
+        assert got == want
+
+
+class TestNoveltyProperties:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=3,
+                max_size=8,
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_matches_bruteforce_shingle_df(self, spark, docs):
+        """novelty_scores equals a pure-Python document-frequency count
+        over distinct 3-token shingles."""
+        from astro_spark.functions.dedup import novelty_scores
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_shingles, r.n_rare, r.novelty_pmille)
+            for r in novelty_scores(df).collect()
+        }
+
+        def shingles(toks):
+            k = 3
+            if len(toks) < k:
+                return {tuple(toks)}
+            return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        per_doc = {i: shingles(t) for i, t in enumerate(docs)}
+        from collections import Counter
+
+        dfreq = Counter(sh for s in per_doc.values() for sh in s)
+        for i, s in per_doc.items():
+            n_rare = sum(1 for sh in s if dfreq[sh] <= 1)
+            assert got[i] == (
+                len(s),
+                n_rare,
+                (1000 * n_rare) // max(len(s), 1),
+            ), i
