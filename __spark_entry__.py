@@ -1802,6 +1802,74 @@ def _t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_token_report(read_table(spark, sf_dir, "documents"), shingle=3)
 
 
+def _q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment: orders join the customer-dim
+    VERSION valid at order date (v1 until a per-customer split date,
+    v2 after), aggregated by versioned segment — no future attribute
+    leaks into past facts."""
+    from astro_spark.operators.scd import scd2_enrich
+
+    _views(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer")
+    split = F.date_add(
+        F.to_date(F.lit("1995-01-01")), (F.col("c_custkey") % 2000).cast("int")
+    )
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        split.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("ts"),
+        "o_totalprice",
+    )
+    enriched = scd2_enrich(facts, dim, ["k"], "ts")
+    return enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+def _op_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest lineitem supplier keys — the pre-join skew
+    diagnostic."""
+    from astro_spark.plans.skew import skew_report
+
+    _views(spark, sf_dir)
+    return skew_report(read_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+def _t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: best-first by type-token-ratio
+    pmille until 50k tokens are selected (two-phase prefix sum — no
+    global single-partition window)."""
+    from astro_spark.functions.sampling import budget_select
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    prep = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(trim(text), '\\\\s+')))) "
+            "DIV size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return budget_select(prep, 50_000, "score", "n_tokens")
+
+
 def _t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty over a 500-doc slice (the full corpus
     join stays linear, but the driver compare wants a bounded result):
@@ -3188,6 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_ewma_windowed": _q_ewma_windowed,
             "dd_clusters_star": _dd_clusters_star,
             "t_weighted_sample": _t_weighted_sample,
+            "q_scd2_enrich": _q_scd2_enrich,
+            "op_skew_report": _op_skew_report,
+            "t_budget_select": _t_budget_select,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3225,6 +3296,9 @@ _DRIVER_PRIORITY = [
     "q_ewma_windowed",
     "dd_clusters_star",
     "t_weighted_sample",
+    "q_scd2_enrich",
+    "op_skew_report",
+    "t_budget_select",
     "op_check_column",
     "op_check_table",
     "op_profile",
@@ -3254,9 +3328,6 @@ _DRIVER_PRIORITY = [
     "op_merge_update_part",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_pivot_status",
-    "q_recursive_paths",
 ]
 
 
@@ -3587,6 +3658,49 @@ FROM events GROUP BY event_type
             "q_ewma_windowed": oracles.ewma_anomalies_windowed_sql(),
             "dd_clusters_star": oracles.dup_clusters_sql(),
             "t_weighted_sample": oracles.weighted_sample_n_sql(),
+            "q_scd2_enrich": """
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         DATE '1990-01-01' AS vf,
+         DATE '1995-01-01' + (c_custkey % 2000)::INT AS vt
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2',
+         DATE '1995-01-01' + (c_custkey % 2000)::INT, NULL
+  FROM customer
+)
+SELECT segment, COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN dim ON o_custkey = k
+WHERE CAST(o_orderdate AS DATE) >= vf
+  AND (vt IS NULL OR CAST(o_orderdate AS DATE) < vt)
+GROUP BY segment
+""",
+            "op_skew_report": """
+WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(n_rows) AS total FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 10)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+       key, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((1000 * n_rows) // total AS BIGINT) AS share_pmille
+FROM top, t
+""",
+            "t_budget_select": """
+WITH p AS (
+  SELECT doc_id,
+         CAST((1000 * len(list_distinct(t))) // len(t) AS BIGINT) AS score,
+         CAST(len(t) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM p
+)
+SELECT doc_id, score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 50000
+""",
             # streamed min-merge == one-shot batch sketch (mergeability)
             "st_kmv_distinct": (
                 "SELECT k_used, kth_min_hash, est_distinct FROM ("

@@ -399,6 +399,57 @@ def weighted_sample_n(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: walk the corpus in (score DESC,
+    id ASC) order and keep documents until the cumulative token count
+    crosses ``budget_tokens`` — "take the best N tokens", the
+    budget-constrained variant of quality filtering every training-mix
+    spec ends with.  The first document that crosses the line is kept
+    (the budget is a lower bound on selected tokens), then selection
+    stops.
+
+    Scale shape — two-phase prefix sum, NO global single-partition
+    window (the ``pack_sequences`` pattern): ``score_col`` must be a
+    bounded-cardinality integer (a pmille score: ≤1001 distinct
+    values).  Per-score token totals aggregate map-side; their running
+    offsets compute in a ≤1001-row window and broadcast back; each
+    row's global cumulative sum is then its score-bucket offset plus a
+    window partitioned BY score — every shuffle is on the score or a
+    broadcast.
+
+    Returns the selected rows plus ``cum_tokens`` (inclusive).
+    """
+    per_score = df.groupBy(score_col).agg(
+        F.sum(token_col).cast("long").alias("__bucket_tokens")
+    )
+    w_off = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_score.select(
+        score_col,
+        F.coalesce(F.sum("__bucket_tokens").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+    )
+    w_in = Window.partitionBy(score_col).orderBy(F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(offsets), score_col)
+        .withColumn(
+            "cum_tokens",
+            (F.col("__off") + F.sum(token_col).over(w_in)).cast("long"),
+        )
+        .where(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
+        .drop("__off")
+    )
+
+
 # --------------------------------------------------------------------------
 # distribution drift (corpus-snapshot comparison gate)
 # --------------------------------------------------------------------------

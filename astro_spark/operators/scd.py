@@ -87,3 +87,42 @@ def scd2_merge(
     )
     result = hist.select(kept.columns).unionByName(kept).unionByName(closed).unionByName(opened)
     _swap_table(spark, result, target_table)
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time enrichment against a Type-2 dimension: each fact
+    row joins the dim VERSION that was valid at its event time
+    (``valid_from <= ts < valid_to``; a NULL ``valid_to`` means the
+    open current version) — the lookup every warehouse does against
+    the history ``scd2_merge`` maintains, without leaking future
+    attribute values into past facts.
+
+    Plan shape: an EQUI-join on the business key with the interval
+    test as a residual filter — shuffle on the key only, never a range
+    cross product; versions per key are bounded (one per change), so
+    the residual scan per fact is a handful of rows.  Facts whose
+    timestamp predates every version drop out (inner join), matching
+    warehouse semantics.
+
+    Returns the fact columns plus the dim's attribute columns.
+    """
+    interval = (F.col(ts_col) >= F.col(valid_from_col)) & (
+        F.col(valid_to_col).isNull() | (F.col(ts_col) < F.col(valid_to_col))
+    )
+    on = [facts[k] == dim[k] for k in key_cols]
+    joined = facts.join(dim, on, "inner").where(interval)
+    dim_attrs = [
+        c
+        for c in dim.columns
+        if c not in key_cols and c not in (valid_from_col, valid_to_col)
+    ]
+    return joined.select(
+        *[facts[c] for c in facts.columns], *[dim[c] for c in dim_attrs]
+    )

@@ -88,6 +88,9 @@ HEADLINE = [
     "q_ewma_windowed",
     "dd_clusters_star",
     "t_weighted_sample",
+    "q_scd2_enrich",
+    "op_skew_report",
+    "t_budget_select",
 ]
 
 

@@ -1823,3 +1823,30 @@ class TestNewOpPlanShapes:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBudgetSelect:
+    def test_two_phase_equals_global_walk(self, spark):
+        """The bucketed prefix sum equals a sequential best-first walk,
+        including the boundary doc that crosses the budget."""
+        from astro_spark.functions.sampling import budget_select
+
+        rows = [
+            (i, (i * 7) % 5, 10 + (i % 3)) for i in range(100)
+        ]  # (doc_id, score in 0..4, tokens 10..12)
+        df = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+        budget = 300
+        got = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in budget_select(df, budget, "score", "n_tokens").collect()
+        )
+        cum = 0
+        want = []
+        for did, sc, nt in sorted(rows, key=lambda t: (-t[1], t[0])):
+            if cum >= budget:
+                break
+            cum += nt
+            want.append((did, cum))
+        assert got == sorted(want)
+        # the budget is a lower bound: last selected doc crosses it
+        assert max(c for _, c in got) >= budget

@@ -1327,3 +1327,56 @@ class TestReferentialAndOutlierChecks:
         assert row.n_rows == 9 and row.n_outliers == 1
         # cents*4: q1 = 300 cents → 1200 quarter-cents; q3 = 2800
         assert (row.q1_qc, row.q3_qc) == (1200, 2800)
+
+
+class TestScd2Enrich:
+    def test_point_in_time_version_selection(self, spark):
+        """Facts pick the dim version valid at their timestamp; facts
+        before every version drop out; open (NULL valid_to) versions
+        match onward."""
+        import datetime as dt
+
+        from astro_spark.operators.scd import scd2_enrich
+
+        d = dt.date
+        dim = spark.createDataFrame(
+            [
+                (1, "old", d(2020, 1, 1), d(2021, 1, 1)),
+                (1, "new", d(2021, 1, 1), None),
+                (2, "only", d(2020, 6, 1), None),
+            ],
+            "k long, attr string, valid_from date, valid_to date",
+        )
+        facts = spark.createDataFrame(
+            [
+                (1, d(2020, 6, 15)),   # -> old
+                (1, d(2021, 1, 1)),    # boundary: valid_from inclusive -> new
+                (1, d(2022, 5, 5)),    # -> new (open version)
+                (2, d(2020, 1, 1)),    # predates every version -> dropped
+                (2, d(2020, 6, 1)),    # -> only
+            ],
+            "k long, ts date",
+        )
+        got = sorted(
+            (r.k, r.ts.isoformat(), r.attr)
+            for r in scd2_enrich(facts, dim, ["k"], "ts").collect()
+        )
+        assert got == [
+            (1, "2020-06-15", "old"),
+            (1, "2021-01-01", "new"),
+            (1, "2022-05-05", "new"),
+            (2, "2020-06-01", "only"),
+        ]
+
+
+class TestSkewReport:
+    def test_hot_keys_ranked(self, spark):
+        from astro_spark.plans.skew import skew_report
+
+        rows = [(k,) for k in [1] * 70 + [2] * 20 + [3] * 10]
+        df = spark.createDataFrame(rows, "key_col long")
+        got = [
+            (r.rank, r.key, r.n_rows, r.share_pmille)
+            for r in skew_report(df, "key_col", top_k=2).collect()
+        ]
+        assert got == [(1, 1, 70, 700), (2, 2, 20, 200)]
