@@ -2107,6 +2107,14 @@ def _s_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.where("vec_id < 5"), k=5)
 
 
+def _s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query the top-5 most
+    cosine-similar vectors whose label differs."""
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.where("vec_id < 5"), k=5)
+
+
 def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -3259,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_scd2_enrich": _q_scd2_enrich,
             "op_skew_report": _op_skew_report,
             "t_budget_select": _t_budget_select,
+            "s_hard_negatives": _s_hard_negatives,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3299,6 +3308,7 @@ _DRIVER_PRIORITY = [
     "q_scd2_enrich",
     "op_skew_report",
     "t_budget_select",
+    "s_hard_negatives",
     "op_check_column",
     "op_check_table",
     "op_profile",
@@ -3327,7 +3337,6 @@ _DRIVER_PRIORITY = [
     "op_merge_update",
     "op_merge_update_part",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 
@@ -3685,6 +3694,7 @@ SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
        CAST((1000 * n_rows) // total AS BIGINT) AS share_pmille
 FROM top, t
 """,
+            "s_hard_negatives": oracles.hard_negatives_sql(),
             "t_budget_select": """
 WITH p AS (
   SELECT doc_id,

@@ -25,6 +25,7 @@ from .operators import (
     profile_table,
     columns_exist,
     analyze_table,
+    auto_compact,
     compact_table,
     vacuum_table,
     create_schema_if_not_exists,
@@ -75,6 +76,7 @@ __all__ = [
     "cleanup",
     "columns_exist",
     "analyze_table",
+    "auto_compact",
     "compact_table",
     "vacuum_table",
     "create_schema_if_not_exists",

@@ -1963,3 +1963,30 @@ WHERE {weight_col} > 0
 ORDER BY ({key})::DOUBLE / {weight_col}::DOUBLE, doc_id
 LIMIT {n}
 """
+
+
+def hard_negatives_sql(
+    table: str = "embeddings", k: int = 5, max_query_id: int = 5
+) -> str:
+    """Mirrors similarity.hard_negatives: brute top-k with the
+    label-mismatch predicate in place of the self-exclusion."""
+    return f"""
+WITH c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+q AS (SELECT vec_id, label, v FROM c WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({cosine('c.v', 'q.v')}, 4) AS cos_sim
+  FROM c CROSS JOIN q WHERE c.label != q.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -126,6 +126,64 @@ def partitioned_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-k most-similar corpus vectors whose ``label_col`` DIFFERS from
+    the query's — the near-misses a retrieval/embedding model learns
+    the most from (similar by cosine, wrong by label).
+
+    Same shape as ``brute_force_topk`` (broadcast query side, corpus
+    never shuffled, per-query window top-k) with the label-mismatch
+    predicate fused into the join — at 100 TB swap the scan side for
+    the IVF cell-pruned candidates exactly as ``knn_graph`` does.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_label") != F.col("query_label")
+    )
+    scored = joined.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column) -> Column:
     """LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
     acc = F.lit(0).cast("long")

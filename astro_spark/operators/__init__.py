@@ -2,6 +2,7 @@ from .append import append
 from .catalog import (
     columns_exist,
     analyze_table,
+    auto_compact,
     compact_table,
     vacuum_table,
     create_schema_if_not_exists,
@@ -32,6 +33,7 @@ __all__ = [
     "cleanup",
     "columns_exist",
     "analyze_table",
+    "auto_compact",
     "compact_table",
     "vacuum_table",
     "create_schema_if_not_exists",

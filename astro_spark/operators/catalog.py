@@ -153,6 +153,52 @@ def compact_table(
     return n_files
 
 
+def auto_compact(
+    spark: SparkSession,
+    table: Table | str,
+    small_file_mb: int | float = 16,
+    min_small_files: int = 4,
+    target_file_mb: int | float = 128,
+) -> int:
+    """Compaction POLICY: rewrite the table only when it has
+    accumulated at least ``min_small_files`` files under
+    ``small_file_mb`` — the maintenance cadence a streaming-ingest
+    table actually needs (``compact_table`` run unconditionally
+    rewrites a healthy table for nothing).
+
+    File sizes come from one driver-side Hadoop listing (no data job);
+    when the policy triggers, the rewrite is ``compact_table`` with
+    the byte target.  Returns the file count written, or 0 when the
+    table is left untouched — callers can schedule this after every
+    CDC drain and pay only when it matters.
+    """
+    from ..sources.writers import _hadoop_fs
+    from ..table import Table as _Table
+
+    t = table if isinstance(table, _Table) else _Table(str(table), temp=False)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t.qualified_name}")
+        .where("col_name = 'Location'")
+        .collect()
+    )
+    if not loc:
+        return 0
+    path = loc[0]["data_type"]
+    fs, _jvm, jpath = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    small = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if f.getLen() < small_file_mb * 1024 * 1024:
+            small += 1
+    if small < min_small_files:
+        return 0
+    return compact_table(spark, t, target_file_mb=target_file_mb)
+
+
 def vacuum_table(spark: SparkSession, table: Table | str) -> int:
     """Reclaim leftover hidden staging from interrupted copy-on-write
     commits (the plain-parquet analog of Delta ``VACUUM``).

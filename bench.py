@@ -91,6 +91,7 @@ HEADLINE = [
     "q_scd2_enrich",
     "op_skew_report",
     "t_budget_select",
+    "s_hard_negatives",
 ]
 
 

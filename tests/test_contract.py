@@ -38,7 +38,7 @@ def test_rotation_order_is_applied():
         "t_kmv_distinct", "q_funnel_steps", "q_cohort_retention", "t_pii_stats",
         "st_mv_refresh", "t_novelty", "s_cell_balance", "st_kmv_distinct",
         "q_ewma_windowed", "dd_clusters_star", "t_weighted_sample",
-        "q_scd2_enrich", "op_skew_report", "t_budget_select",
+        "q_scd2_enrich", "op_skew_report", "t_budget_select", "s_hard_negatives",
     }
     assert must_check <= head, sorted(must_check - head)
 

@@ -1380,3 +1380,33 @@ class TestSkewReport:
             for r in skew_report(df, "key_col", top_k=2).collect()
         ]
         assert got == [(1, 1, 70, 700), (2, 2, 20, 200)]
+
+
+class TestAutoCompact:
+    def test_policy_triggers_only_on_small_files(self, spark, tmp_path):
+        """A healthy table is untouched (returns 0, file paths stable);
+        a fragmented one is rewritten to the byte target."""
+        from astro_spark.operators.catalog import auto_compact
+
+        name = "auto_compact_t"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df = spark.range(0, 20_000).selectExpr("id", "id % 7 AS v")
+        df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(name)
+        # one right-sized file -> policy must not rewrite
+        assert auto_compact(spark, name, small_file_mb=0.0001) == 0
+        # fragment into 8 tiny files -> policy rewrites
+        spark.sql(f"DROP TABLE {name}")
+        df.repartition(8).write.mode("overwrite").format("parquet").saveAsTable(
+            name
+        )
+        n = auto_compact(spark, name, small_file_mb=16, min_small_files=4)
+        assert n >= 1
+        spark.catalog.refreshTable(name)
+        files_after = sorted(
+            r[0] for r in spark.sql(
+                f"SELECT input_file_name() FROM {name}"
+            ).distinct().collect()
+        )
+        assert len(files_after) == n
+        assert spark.table(name).count() == 20_000
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
