@@ -620,3 +620,73 @@ class TestNoveltyProperties:
                 n_rare,
                 (1000 * n_rare) // max(len(s), 1),
             ), i
+
+
+class TestStarCcProperties:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_star_cc_equals_label_propagation(self, spark, edges):
+        """components_star == dup_clusters on arbitrary random graphs,
+        self-loops and duplicate edges included."""
+        from astro_spark.functions.dedup import dup_clusters
+        from astro_spark.functions.graph import components_star
+
+        all_ids = spark.createDataFrame(
+            [(i,) for i in range(26)], "doc_id long"
+        )
+        if edges:
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        else:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        want = {
+            r.doc_id: r.cluster_id
+            for r in dup_clusters(pairs, all_ids).collect()
+        }
+        got = {
+            r.doc_id: r.cluster_id
+            for r in components_star(pairs, all_ids).collect()
+        }
+        assert got == want
+
+
+class TestWeightedSampleProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 10**6),
+                st.floats(0.1, 1000.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        n=st.integers(1, 10),
+    )
+    def test_matches_bruteforce_priority_order(self, spark, rows, n):
+        """The selected set and ranks equal a pure-Python walk of the
+        (hash/weight, id) priority order."""
+        from astro_spark.functions.sampling import weighted_sample_n
+
+        P31, M = 2_147_483_647, 31
+
+        def h(s):
+            acc = 0
+            for ch in s:
+                acc = (acc * M + ord(ch)) % P31
+            return acc
+
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sorted(
+            (r.doc_id, r.sample_rank)
+            for r in weighted_sample_n(df, n, "w").collect()
+        )
+        order = sorted(rows, key=lambda t: (h(str(t[0])) / t[1], t[0]))
+        want = sorted((did, i + 1) for i, (did, _) in enumerate(order[:n]))
+        assert got == want
