@@ -203,6 +203,7 @@ def components_star(
 
     cur = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
         sym = sym.union(
@@ -215,8 +216,22 @@ def components_star(
         ).distinct()).localCheckpoint()
         sig = _sig(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # labels from a non-converged edge relation can be wrong with no
+        # other signal — O(log n) rounds suffice in theory, so hitting
+        # the cap means the cap is too low for this graph
+        import warnings
+
+        warnings.warn(
+            f"components_star: (count, checksum) signature did not "
+            f"stabilize within max_iterations={max_iterations}; labels "
+            f"may be incorrect — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # converged: every edge links a node to its component minimum
     labels = (

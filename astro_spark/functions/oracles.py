@@ -1782,6 +1782,13 @@ FROM agg, ex
 """
 
 
+def _sq(s: str) -> str:
+    """Escape a value for interpolation into a single-quoted SQL
+    literal (step names, regex patterns): '' is the quote escape in
+    both DuckDB and Spark SQL."""
+    return s.replace("'", "''")
+
+
 def funnel_sql(
     steps: list[str],
     table: str = "events",
@@ -1792,11 +1799,11 @@ def funnel_sql(
     """Mirrors events.funnel: per-user (ts, step)-sorted fold to the
     furthest in-order stage, then per-step reached-user counts."""
     whens = " ".join(
-        f"WHEN '{s}' THEN {i}" for i, s in enumerate(steps, start=1)
+        f"WHEN '{_sq(s)}' THEN {i}" for i, s in enumerate(steps, start=1)
     )
-    in_list = ", ".join(f"'{s}'" for s in steps)
+    in_list = ", ".join(f"'{_sq(s)}'" for s in steps)
     rows = " UNION ALL ".join(
-        f"SELECT {i}::BIGINT AS step_idx, '{s}' AS step, "
+        f"SELECT {i}::BIGINT AS step_idx, '{_sq(s)}' AS step, "
         f"(SELECT COALESCE(SUM(CASE WHEN stage >= {i} THEN 1 ELSE 0 END), 0)::BIGINT "
         f" FROM st) AS n_users"
         for i, s in enumerate(steps, start=1)
@@ -1866,9 +1873,12 @@ def pii_stats_sql(table: str = "documents") -> str:
     pats = list(PII_PATTERNS.items())
     redacted = "inj"
     for kind, pat in pats:
-        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+        redacted = (
+            f"regexp_replace({redacted}, '{_sq(pat)}', "
+            f"'[{_sq(kind.upper())}]', 'g')"
+        )
     counts = ", ".join(
-        f"SUM(len(regexp_extract_all(inj, '{pat}')))::BIGINT AS n_{kind}"
+        f"SUM(len(regexp_extract_all(inj, '{_sq(pat)}')))::BIGINT AS n_{kind}"
         for kind, pat in pats
     )
     return f"""

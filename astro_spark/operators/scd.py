@@ -96,6 +96,7 @@ def scd2_enrich(
     ts_col: str,
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    dim_prefix: str | None = None,
 ) -> DataFrame:
     """Point-in-time enrichment against a Type-2 dimension: each fact
     row joins the dim VERSION that was valid at its event time
@@ -103,6 +104,17 @@ def scd2_enrich(
     open current version) — the lookup every warehouse does against
     the history ``scd2_merge`` maintains, without leaking future
     attribute values into past facts.
+
+    PRECONDITION: per business key the dim's validity intervals must
+    be non-overlapping (the invariant ``scd2_merge`` maintains —
+    exactly one version valid at any instant).  Overlapping intervals
+    would match a fact to multiple versions and duplicate it; this is
+    NOT checked here because the check costs a self-join — run it as a
+    data-quality gate (``check_table``) on dims from other writers.
+
+    Dim attribute columns that collide with fact column names would
+    produce duplicate output names; pass ``dim_prefix`` to alias them
+    (``f"{dim_prefix}{col}"``) — colliding without a prefix raises.
 
     Plan shape: an EQUI-join on the business key with the interval
     test as a residual filter — shuffle on the key only, never a range
@@ -123,6 +135,14 @@ def scd2_enrich(
         for c in dim.columns
         if c not in key_cols and c not in (valid_from_col, valid_to_col)
     ]
+    colliding = [c for c in dim_attrs if c in facts.columns]
+    if colliding and dim_prefix is None:
+        raise ValueError(
+            f"scd2_enrich: dim attribute column(s) {colliding} collide "
+            f"with fact column names — pass dim_prefix to alias them"
+        )
+    prefix = dim_prefix or ""
     return joined.select(
-        *[facts[c] for c in facts.columns], *[dim[c] for c in dim_attrs]
+        *[facts[c] for c in facts.columns],
+        *[dim[c].alias(f"{prefix}{c}") for c in dim_attrs],
     )

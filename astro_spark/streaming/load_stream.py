@@ -282,6 +282,12 @@ def aggregate_mv_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_path)
     phys = f"{mv_name}_partials"
+    if checkpoint_dir is None and spark.catalog.tableExists(phys):
+        # fresh (auto-created) checkpoint: partials under the same
+        # mv_name belong to a previous logical stream — without this a
+        # rerun over a shorter input would re-aggregate the old run's
+        # higher __batch_id partitions into the MV
+        spark.sql(f"DROP TABLE IF EXISTS {phys}")
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         _write_sink_batch(agg_fn(batch_df), phys, batch_id)

@@ -33,6 +33,7 @@ tolerates lateness up to the watermark delay but cannot express the
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 import pandas as pd
@@ -353,7 +354,7 @@ def kmv_stream(
         stream.writeStream.foreachBatch(_merge)
         .option(
             "checkpointLocation",
-            f"/tmp/astro_kmv_ckpt_{uuid.uuid4().hex[:8]}",
+            tempfile.mkdtemp(prefix="astro_kmv_ckpt_"),
         )
         .trigger(availableNow=True)
         .start()

@@ -1563,6 +1563,25 @@ class TestFunnel:
         got = funnel(df, ["view", "click"]).collect()
         assert [(r.step_idx, r.n_users) for r in got] == [(1, 0), (2, 0)]
 
+    def test_funnel_sql_escapes_quoted_step_names(self):
+        """A step name containing a single quote must not break the
+        oracle SQL (ADVICE r5: '' escaping on interpolation)."""
+        import duckdb
+
+        from astro_spark.functions.oracles import funnel_sql
+
+        sql = funnel_sql(["add'l view", "buy"])
+        assert "add''l view" in sql and "add'l view'" not in sql.replace("''", "")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            "(1, TIMESTAMP '2024-01-01 00:00:00', 'add''l view'), "
+            "(1, TIMESTAMP '2024-01-01 00:01:00', 'buy')"
+            ") t(user_id, ts, event_type)"
+        )
+        rows = con.execute(sql).fetchall()
+        assert [(r[0], r[2]) for r in sorted(rows)] == [(1, 1), (2, 1)]
+
 
 class TestCohortRetention:
     def test_small_fixture(self, spark):
@@ -1735,6 +1754,26 @@ class TestComponentsStar:
         all_ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
         got = components_star(pairs, all_ids).collect()
         assert all(r.cluster_id == 0 for r in got)
+
+    def test_warns_when_iteration_cap_exits_before_convergence(self, spark):
+        """Exhausting max_iterations without the signature stabilizing
+        must WARN — silent non-converged labels are wrong clusters with
+        no signal (ADVICE r5)."""
+        import warnings
+
+        from astro_spark.functions.graph import components_star
+
+        edges = [(i, i + 1) for i in range(31)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        all_ids = spark.createDataFrame([(i,) for i in range(32)], "doc_id long")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            components_star(pairs, all_ids, max_iterations=1)
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "max_iterations" in str(w.message)
+            for w in caught
+        )
 
 
 class TestWeightedSampleN:

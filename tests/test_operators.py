@@ -1368,6 +1368,28 @@ class TestScd2Enrich:
             (2, "2020-06-01", "only"),
         ]
 
+    def test_colliding_dim_attr_requires_prefix(self, spark):
+        """A dim attribute sharing a fact column name raises unless
+        dim_prefix aliases it (ADVICE r5: duplicate output columns)."""
+        import datetime as dt
+
+        import pytest
+
+        from astro_spark.operators.scd import scd2_enrich
+
+        d = dt.date
+        dim = spark.createDataFrame(
+            [(1, "gold", d(2020, 1, 1), None)],
+            "k long, status string, valid_from date, valid_to date",
+        )
+        facts = spark.createDataFrame(
+            [(1, d(2021, 1, 1), "shipped")], "k long, ts date, status string"
+        )
+        with pytest.raises(ValueError, match="status"):
+            scd2_enrich(facts, dim, ["k"], "ts")
+        got = scd2_enrich(facts, dim, ["k"], "ts", dim_prefix="dim_").collect()
+        assert got[0].status == "shipped" and got[0].dim_status == "gold"
+
 
 class TestSkewReport:
     def test_hot_keys_ranked(self, spark):

@@ -596,6 +596,45 @@ class TestAggregateMvStream:
         }
         assert after == before
 
+    def test_reused_mv_name_with_fresh_checkpoint_drops_stale_partials(
+        self, spark, events_dir, tmp_path
+    ):
+        """A fresh run reusing an mv_name must not re-aggregate the
+        prior run's partials: a SHORTER second input yields exactly the
+        shorter input's aggregate (ADVICE r5)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import aggregate_mv_stream
+
+        mv_name = f"mv_test_{uuid.uuid4().hex[:8]}"
+
+        def partial(b):
+            return b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+        aggregate_mv_stream(
+            spark, events_dir, ["event_type"], partial, mv_name,
+            max_files_per_trigger=1,
+        )
+        # shorter input: only the first staged file, new (auto) checkpoint
+        short_dir = str(tmp_path / "short")
+        first = sorted(
+            p for p in __import__("os").listdir(events_dir)
+            if p.endswith(".parquet")
+        )[0]
+        spark.read.parquet(f"{events_dir}/{first}").write.parquet(short_dir)
+        mv2 = aggregate_mv_stream(
+            spark, short_dir, ["event_type"], partial, mv_name,
+            max_files_per_trigger=1,
+        )
+        got = {r.event_type: r.n for r in mv2.collect()}
+        expect = {
+            r.event_type: r.n
+            for r in partial(spark.read.parquet(short_dir)).collect()
+        }
+        assert got == expect
+
 
 class TestKmvStream:
     def test_streamed_equals_batch_sketch(self, spark, sf_dir):
