@@ -2115,6 +2115,27 @@ def _s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, emb.where("vec_id < 5"), k=5)
 
 
+def _s_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the SCALE path: seeded centroids +
+    nprobe=2 of 8 cells, so each query scores only ~1/4 of the corpus
+    via a shuffle equi-join on cell (never a cross join) — the layout
+    that keeps corpus-scale query sets linear.  Seeded centroids make
+    the approximate result deterministic, so the oracle replays the
+    whole pruned pipeline; full-probe equality with the brute-force
+    miner is pinned in tests/test_functions.py::TestSimilarity."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb,
+        emb.where("vec_id < 5"),
+        k=5,
+        centroids=SEMDEDUP_CENTROIDS,
+        nprobe=2,
+    )
+
+
 def _s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -3268,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_skew_report": _op_skew_report,
             "t_budget_select": _t_budget_select,
             "s_hard_negatives": _s_hard_negatives,
+            "s_hard_negatives_ivf": _s_hard_negatives_ivf,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3695,6 +3717,7 @@ SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
 FROM top, t
 """,
             "s_hard_negatives": oracles.hard_negatives_sql(),
+            "s_hard_negatives_ivf": oracles.hard_negatives_ivf_sql(),
             "t_budget_select": """
 WITH p AS (
   SELECT doc_id,

@@ -1975,6 +1975,68 @@ LIMIT {n}
 """
 
 
+def hard_negatives_ivf_sql(
+    table: str = "embeddings", k: int = 5, max_query_id: int = 5, nprobe: int = 2
+) -> str:
+    """Mirrors similarity.hard_negatives(centroids=SEMDEDUP_CENTROIDS):
+    the IVF cell-pruned scale path replayed end-to-end — corpus-side
+    argmax cell, query-side top-``nprobe`` cells (ties → larger index,
+    matching Spark's reverse(array_sort) over (s, i) structs), cell
+    equi-join with the label-mismatch predicate, exact cosine,
+    per-query window top-k."""
+    from .constants import SEMDEDUP_CENTROIDS
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) + '::DOUBLE' for v in c)}])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM {table}
+),
+cents(idx, cv) AS (
+  VALUES {cent_rows}
+),
+sims AS (
+  SELECT c.id, cents.idx, {cosine('c.v', 'cents.cv')} AS cs
+  FROM c CROSS JOIN cents
+),
+cell AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r <= {nprobe} AND id < {max_query_id}
+),
+scored AS (
+  SELECT p.id AS query_id, a.label AS query_label,
+         cl.id AS neighbor_id, b.label AS neighbor_label,
+         round({cosine('b.v', 'a.v')}, 4) AS cos_sim
+  FROM probes p
+  JOIN cell cl ON cl.cell = p.cell
+  JOIN c a ON a.id = p.id
+  JOIN c b ON b.id = cl.id
+  WHERE b.label != a.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def hard_negatives_sql(
     table: str = "embeddings", k: int = 5, max_query_id: int = 5
 ) -> str:

@@ -133,33 +133,80 @@ def hard_negatives(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each query's
     top-k most-similar corpus vectors whose ``label_col`` DIFFERS from
     the query's — the near-misses a retrieval/embedding model learns
     the most from (similar by cosine, wrong by label).
 
-    Same shape as ``brute_force_topk`` (broadcast query side, corpus
-    never shuffled, per-query window top-k) with the label-mismatch
-    predicate fused into the join — at 100 TB swap the scan side for
-    the IVF cell-pruned candidates exactly as ``knn_graph`` does.
+    Two execution paths:
 
-    Returns (query_id, query_label, neighbor_id, neighbor_label,
-    cos_sim, rank).
+    - ``centroids=None`` (default): exact brute force, same shape as
+      ``brute_force_topk`` (broadcast query side, corpus never
+      shuffled, per-query window top-k) with the label-mismatch
+      predicate fused into the join.  Right for a bounded query set;
+      O(corpus × queries) when queries are corpus-scale.
+    - ``centroids=[...]``: the 100 TB path — IVF cell pruning exactly
+      as ``knn_graph`` does it.  The corpus is cell-assigned (map-only
+      broadcast argmax), each query explodes its ``nprobe`` nearest
+      cells, and an ordinary SHUFFLE equi-join on ``cell`` (the probe
+      side is deliberately NOT broadcast) scores only ~nprobe/n_cells
+      of the corpus per query — so mining negatives for a FULL
+      training set (queries = corpus) stays linear × nprobe instead of
+      quadratic.  ``nprobe = len(centroids)`` provably recovers the
+      brute-force result (every corpus row is a candidate exactly
+      once; pinned in TestSimilarity), so recall is tunable with the
+      usual IVF dial.
+
+    Label mismatch subsumes self-exclusion (self always shares its own
+    label).  Returns (query_id, query_label, neighbor_id,
+    neighbor_label, cos_sim, rank).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        as_double(F.col(vec_col)).alias("cv"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        as_double(F.col(vec_col)).alias("qv"),
-    )
-    joined = c.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_label") != F.col("query_label")
-    )
+    if centroids is not None:
+        c = ivf_assign(corpus, centroids, vec_col=vec_col).select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(_centroid_sims(F.col("qv"), centroids))
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["i"],
+                )
+            ),
+        )
+        joined = c.join(q, on="cell").where(
+            F.col("neighbor_label") != F.col("query_label")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        joined = c.crossJoin(F.broadcast(q)).where(
+            F.col("neighbor_label") != F.col("query_label")
+        )
     scored = joined.select(
         "query_id",
         "query_label",

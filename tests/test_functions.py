@@ -513,6 +513,45 @@ class TestSimilarity:
         trained = similarity.pq_train(emb, m=8, n_codes=16, iterations=2)
         assert _sqerr(trained) < _sqerr(PQ_BOOKS)
 
+    def test_hard_negatives_full_probe_equals_brute_force(self, spark, emb):
+        """IVF-pruned hard-negative mining with nprobe = n_cells is
+        provably the brute-force result (every corpus row is a
+        candidate exactly once), independent of centroid quality —
+        the knn_graph equality contract applied to the miner."""
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+        q = emb.where("vec_id < 5")
+        brute = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in similarity.hard_negatives(emb, q, k=5).collect()
+        }
+        full_probe = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in similarity.hard_negatives(
+                emb, q, k=5,
+                centroids=SEMDEDUP_CENTROIDS,
+                nprobe=len(SEMDEDUP_CENTROIDS),
+            ).collect()
+        }
+        assert full_probe == brute
+
+    def test_hard_negatives_ivf_never_crosses_labels_and_prunes(self, spark, emb):
+        """nprobe < n_cells returns only label-mismatched neighbors and
+        a subset of the brute-force candidate space (recall ≤ 1 but
+        nothing invented)."""
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+        q = emb.where("vec_id < 5")
+        got = similarity.hard_negatives(
+            emb, q, k=5, centroids=SEMDEDUP_CENTROIDS, nprobe=2
+        ).collect()
+        assert got and all(r.query_label != r.neighbor_label for r in got)
+        brute_pairs = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.hard_negatives(emb, q, k=10_000).collect()
+        }
+        assert {(r.query_id, r.neighbor_id) for r in got} <= brute_pairs
+
     def test_pq_indivisible_dim_raises(self, spark, emb):
         """dim % m != 0 would silently drop trailing dims from codebooks
         and ADC scoring — both train and encode fail fast instead."""
