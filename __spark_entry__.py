@@ -1906,6 +1906,23 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state funnel: the view→click→purchase chain must
+    complete within one 7-day epoch window, and only each (user,
+    window)'s earliest 100 step events enter the fold — the hot-user
+    guard that keeps per-fold state bounded at 100 TB (a user counts
+    toward a step if any of their windows reached it)."""
+    from astro_spark.functions.events import funnel
+
+    _views(spark, sf_dir)
+    return funnel(
+        read_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        window_days=7,
+        max_events_per_user=100,
+    )
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events."""
     from astro_spark.functions.events import cohort_retention
@@ -3276,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_ivf_append": _st_ivf_append,
             "t_kmv_distinct": _t_kmv_distinct,
             "q_funnel_steps": _q_funnel_steps,
+            "q_funnel_windowed": _q_funnel_windowed,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
             "st_mv_refresh": _st_mv_refresh,
@@ -3669,6 +3687,11 @@ FROM pairs WHERE distance <= 3
             ),
             "t_kmv_distinct": oracles.kmv_token_report_sql(shingle=3),
             "q_funnel_steps": oracles.funnel_sql(["view", "click", "purchase"]),
+            "q_funnel_windowed": oracles.funnel_windowed_sql(
+                ["view", "click", "purchase"],
+                window_days=7,
+                max_events_per_user=100,
+            ),
             "q_cohort_retention": oracles.cohort_retention_sql(),
             "t_pii_stats": oracles.pii_stats_sql(),
             # the MV is batch-split independent by construction (sums of

@@ -33,12 +33,32 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    window_days: int | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: for each user, the furthest step
     reached by matching ``steps`` IN ORDER over the user's time-sorted
     events (a later step only counts after an earlier one — the
     classic "view → click → purchase" chain; unrelated events in
     between are ignored, ties on ts break by step index).
+
+    Bounded-state guards (the ``timeseries.ewma_anomalies`` treatment
+    — per-user event counts are bounded for humans but not for
+    bot-grade hot users at 100 TB, and the per-user fold collects its
+    step events into an array):
+
+    - ``window_days``: time is pre-bucketed into ``window_days``-sized
+      epochs and the fold runs per (user, window) — the CONVERSION
+      WINDOW semantics most funnel products ship (steps must complete
+      within one window); a user counts toward a step if any of their
+      windows reached it, so each fold's array is bounded by one
+      window's events no matter how long the user lives.
+    - ``max_events_per_user``: only each user's (or each (user,
+      window)'s) EARLIEST N step events by (ts, step) enter the fold —
+      a sort-based row_number cut, spillable, never a growing array.
+
+    For data confined to one window with users under the cap, the
+    guarded funnel equals the unguarded one (pinned in TestFunnel).
 
     Returns one row per step: (step_idx, step, n_users) where n_users
     counts users whose furthest stage reached at least that step.
@@ -54,6 +74,25 @@ def funnel(
         si.alias("si"),
     ).where(F.col("si").isNotNull())
 
+    grp = ["u"]
+    if window_days is not None:
+        events = events.withColumn(
+            "__win",
+            F.floor(
+                F.unix_timestamp(F.col("ts")) / F.lit(86400 * window_days)
+            ).cast("long"),
+        )
+        grp = ["u", "__win"]
+    if max_events_per_user is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*grp).orderBy("ts", "si")
+        events = (
+            events.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
+
     seq = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "si"))), lambda x: x["si"]
     )
@@ -63,11 +102,16 @@ def funnel(
         lambda acc, x: acc
         + F.when(x == acc + F.lit(1), F.lit(1)).otherwise(F.lit(0)),
     )
-    per_user = (
-        events.groupBy("u")
-        .agg(seq.alias("__seq"))
-        .select(stage.alias("stage"))
+    per_fold = events.groupBy(*grp).agg(seq.alias("__seq")).select(
+        "u", stage.alias("stage")
     )
+    if window_days is not None:
+        # a user's furthest stage across windows (the fold itself never
+        # sees more than one window's events)
+        per_user = per_fold.groupBy("u").agg(F.max("stage").alias("stage"))
+    else:
+        per_user = per_fold
+    per_user = per_user.select("stage")
     counts = per_user.agg(
         *[
             F.sum((F.col("stage") >= i).cast("long")).alias(f"__n{i}")

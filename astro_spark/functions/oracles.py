@@ -1826,6 +1826,67 @@ st AS (
 """
 
 
+def funnel_windowed_sql(
+    steps: list[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_days: int = 7,
+    max_events_per_user: int | None = None,
+) -> str:
+    """Replays events.funnel(window_days=..., max_events_per_user=...):
+    the same fold per (user, epoch-window) with an optional earliest-N
+    row_number cut; a user reaches a step if any window did.  Window id
+    floor(days / wd) matches Spark's floor(unix / (86400·wd)) by the
+    nested-floor identity (the ewma_anomalies_windowed_sql pattern)."""
+    whens = " ".join(
+        f"WHEN '{_sq(s)}' THEN {i}" for i, s in enumerate(steps, start=1)
+    )
+    in_list = ", ".join(f"'{_sq(s)}'" for s in steps)
+    win = (
+        f"CAST(floor(date_diff('day', DATE '1970-01-01', "
+        f"CAST({ts_col} AS DATE)) / {window_days}.0) AS BIGINT)"
+    )
+    cap_rel = "e"
+    if max_events_per_user is not None:
+        cap_rel = "capped"
+    rows = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step_idx, '{_sq(s)}' AS step, "
+        f"(SELECT COALESCE(SUM(CASE WHEN stage >= {i} THEN 1 ELSE 0 END), 0)::BIGINT "
+        f" FROM st) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    capped_cte = (
+        f""",
+capped AS (
+  SELECT u, win, ts, si FROM (
+    SELECT u, win, ts, si,
+           row_number() OVER (PARTITION BY u, win ORDER BY ts, si) AS rn
+    FROM e
+  ) WHERE rn <= {max_events_per_user}
+)"""
+        if max_events_per_user is not None
+        else ""
+    )
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS u, {ts_col} AS ts, {win} AS win,
+         CASE {type_col} {whens} END AS si
+  FROM {table} WHERE {type_col} IN ({in_list})
+){capped_cte},
+seqs AS (
+  SELECT u, win, list(si ORDER BY ts, si) AS seq FROM {cap_rel} GROUP BY u, win
+),
+st AS (
+  SELECT u, MAX(list_reduce(list_prepend(0, seq),
+            (acc, x) -> acc + CASE WHEN x = acc + 1 THEN 1 ELSE 0 END)) AS stage
+  FROM seqs GROUP BY u
+)
+{rows}
+"""
+
+
 def cohort_retention_sql(
     table: str = "events",
     user_col: str = "user_id",

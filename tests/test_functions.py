@@ -1602,6 +1602,92 @@ class TestFunnel:
         got = funnel(df, ["view", "click"]).collect()
         assert [(r.step_idx, r.n_users) for r in got] == [(1, 0), (2, 0)]
 
+    def test_windowed_equals_full_when_data_fits_one_window(self, spark):
+        """With all events inside one epoch window and users under the
+        cap, the guarded funnel IS the unguarded funnel — the
+        ewma-windowed equality contract applied here."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        data = {
+            1: [(0, "view"), (1, "click"), (2, "purchase")],
+            2: [(0, "click"), (1, "view"), (2, "click")],
+            3: [(0, "purchase"), (1, "view")],
+            5: [(0, "view"), (1, "purchase")],
+        }
+        rows = [
+            (u, base + dt.timedelta(minutes=m), t)
+            for u, evs in data.items()
+            for m, t in evs
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        steps = ["view", "click", "purchase"]
+        full = {(r.step_idx, r.n_users) for r in funnel(df, steps).collect()}
+        guarded = {
+            (r.step_idx, r.n_users)
+            for r in funnel(
+                df, steps, window_days=365, max_events_per_user=100
+            ).collect()
+        }
+        assert guarded == full
+
+    def test_window_boundary_splits_the_chain(self, spark):
+        """A chain straddling two windows does not convert: steps must
+        complete within one conversion window."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        # window_days=1: view on day0, click+purchase on day1 → the
+        # day-1 fold starts at 'click' (stage 0), day-0 fold stops at 1
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 23, 0), "view"),
+            (1, dt.datetime(2024, 1, 2, 1, 0), "click"),
+            (1, dt.datetime(2024, 1, 2, 2, 0), "purchase"),
+            (2, dt.datetime(2024, 1, 3, 1, 0), "view"),
+            (2, dt.datetime(2024, 1, 3, 2, 0), "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r.step_idx): r.n_users
+            for r in funnel(
+                df, ["view", "click", "purchase"], window_days=1
+            ).collect()
+        }
+        assert got == {1: 2, 2: 1, 3: 0}
+
+    def test_event_cap_truncates_late_steps(self, spark):
+        """max_events_per_user keeps only the EARLIEST N step events:
+        a conversion arriving after the cap is not counted."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, m), "view") for m in range(5)
+        ] + [(1, dt.datetime(2024, 1, 1, 1, 0), "click")]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        capped = {
+            r.step_idx: r.n_users
+            for r in funnel(
+                df, ["view", "click"], max_events_per_user=3
+            ).collect()
+        }
+        assert capped == {1: 1, 2: 0}
+        uncapped = {
+            r.step_idx: r.n_users
+            for r in funnel(df, ["view", "click"]).collect()
+        }
+        assert uncapped == {1: 1, 2: 1}
+
     def test_funnel_sql_escapes_quoted_step_names(self):
         """A step name containing a single quote must not break the
         oracle SQL (ADVICE r5: '' escaping on interpolation)."""
