@@ -1799,7 +1799,11 @@ def _t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.functions.sketches import kmv_token_report
 
     _views(spark, sf_dir)
-    return kmv_token_report(read_table(spark, sf_dir, "documents"), shingle=3)
+    # pre_aggregate exercises the no-DISTINCT-shuffle scale path under
+    # the driver oracle (provably equal to the DISTINCT path)
+    return kmv_token_report(
+        read_table(spark, sf_dir, "documents"), shingle=3, pre_aggregate=True
+    )
 
 
 def _q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

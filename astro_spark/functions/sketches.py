@@ -12,9 +12,10 @@ Scale shape: one DISTINCT shuffle on the 62-bit hash, then Spark's
 ``TakeOrderedAndProject`` (per-partition top-k, merge of k·partitions
 rows) — never a global sort, never more than k rows past the exchange.
 At 100 TB this is THE way to count distinct tokens/urls/ngrams without
-a full COUNT(DISTINCT) shuffle of the raw values: the hash DISTINCT
-can also be replaced by a per-partition top-k pre-aggregation when the
-value space is too large to distinct (not needed at fixture scale).
+a full COUNT(DISTINCT) shuffle of the raw values; when even the hash
+DISTINCT shuffle is too large, ``pre_aggregate=True`` switches to a
+per-partition top-k pre-aggregation (``kmv_mins``) so only
+k·partitions rows ever cross an exchange.
 
 Reference scope note: the reference SDK (astro python-sdk) has no
 sketching surface; this extends the engine for LLM-corpus accounting
@@ -38,10 +39,44 @@ KMV_K = 256
 KMV_RANGE = float((P31 + 1)) * float(P31 + 1)
 
 
+def kmv_mins(hvs: DataFrame, k: int, pre_aggregate: bool = False) -> DataFrame:
+    """The k smallest DISTINCT values of ``hvs.hv`` — the shared
+    min-selection for every KMV surface.
+
+    ``pre_aggregate=False``: hash DISTINCT shuffle + Spark's
+    ``TakeOrderedAndProject`` — fine while the distinct value space
+    fits a shuffle.  ``pre_aggregate=True``: the 100 TB shape — each
+    partition keeps its own k smallest distinct hashes inside one
+    Arrow pass (state = k longs per task, no shuffle of raw values),
+    and only ≤ k·partitions rows reach the final distinct/top-k.  A
+    partition's k smallest distinct values are a superset-cover of its
+    contribution to the global answer, so the two paths are provably
+    equal (pinned in TestKmvSketch).
+    """
+    if not pre_aggregate:
+        return hvs.distinct().orderBy("hv").limit(k)
+
+    def _topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf["hv"].to_numpy()
+            best = np.unique(np.concatenate([best, vals]))[:k]
+        yield pd.DataFrame({"hv": best})
+
+    local = hvs.mapInPandas(_topk, "hv long")
+    return local.distinct().orderBy("hv").limit(k)
+
+
 def kmv_distinct(
     df: DataFrame,
     col: Column | str = "text",
     k: int = KMV_K,
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """K-minimum-values distinct estimate of ``col``.
 
@@ -51,15 +86,14 @@ def kmv_distinct(
       distinct count (k_used, as a double for a stable schema);
     - otherwise ``est = (k-1) · R / h_(k)`` rounded to 4dp, computed
       with the identical double operation order as the SQL oracle.
+
+    ``pre_aggregate=True`` switches the min-selection to the
+    per-partition top-k pre-aggregation (``kmv_mins``) — use it when
+    the value space is too large to DISTINCT-shuffle.
     """
     c = F.col(col) if isinstance(col, str) else col
-    mins = (
-        df.where(c.isNotNull())
-        .select(fingerprint62(c).alias("hv"))
-        .distinct()
-        .orderBy("hv")
-        .limit(k)
-    )
+    hvs = df.where(c.isNotNull()).select(fingerprint62(c).alias("hv"))
+    mins = kmv_mins(hvs, k, pre_aggregate)
     agg = mins.agg(
         F.count(F.lit(1)).alias("k_used"),
         F.max("hv").alias("kth_min_hash"),
@@ -149,6 +183,7 @@ def kmv_token_report(
     text_col: str = "text",
     k: int = KMV_K,
     shingle: int = 1,
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """Corpus vocabulary accounting: KMV estimate of distinct
     whitespace tokens (``shingle=1``) or distinct ``shingle``-word
@@ -164,7 +199,7 @@ def kmv_token_report(
     exact_distinct, err_pct).
     """
     hvs = shingle_fingerprints(df, text_col, shingle)
-    mins = hvs.distinct().orderBy("hv").limit(k)
+    mins = kmv_mins(hvs, k, pre_aggregate)
     est = kmv_estimate(
         mins.agg(
             F.count(F.lit(1)).alias("k_used"),

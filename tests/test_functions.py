@@ -1558,6 +1558,31 @@ class TestKmvSketch:
         ).collect()[0]
         assert a_ == b_
 
+    def test_pre_aggregate_equals_distinct_path(self, spark, sf_dir):
+        """The per-partition top-k pre-aggregation (no DISTINCT shuffle
+        of raw hashes) must produce the identical sketch — on a
+        many-partition token stream, below-k inputs, and the shingle
+        report the driver checks."""
+        from astro_spark.functions.sketches import kmv_distinct, kmv_token_report
+        from astro_spark.testdata import read_table
+
+        rows = [(f"tok{i % 1500}",) for i in range(6000)]
+        df = spark.createDataFrame(rows, "v string").repartition(17)
+        assert (
+            kmv_distinct(df, "v", k=256, pre_aggregate=True).collect()
+            == kmv_distinct(df, "v", k=256).collect()
+        )
+        small = spark.createDataFrame(rows[:40], "v string").repartition(7)
+        assert (
+            kmv_distinct(small, "v", k=256, pre_aggregate=True).collect()
+            == kmv_distinct(small, "v", k=256).collect()
+        )
+        docs = read_table(spark, sf_dir, "documents")
+        assert (
+            kmv_token_report(docs, shingle=3, pre_aggregate=True).collect()
+            == kmv_token_report(docs, shingle=3).collect()
+        )
+
 
 class TestFunnel:
     def test_matches_pure_python_fold(self, spark):
