@@ -2583,6 +2583,47 @@ FROM merged GROUP BY event_type
 """
 
 
+def _st_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC drain with the auto-compaction policy wired in
+    (auto_compact_every_n_batches=1, thresholds forced hot so the tiny
+    fixture actually rewrites): the UNPARTITIONED target accumulates
+    copy-on-write files per micro-batch and the policy folds them back
+    — contents must equal the plain CDC merge (compaction is purely
+    physical), which is what the shared oracle checks."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.streaming import load_file_stream_merge
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tgt = a.Table(f"st_cdcc_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    src_dir = tempfile.mkdtemp(prefix="astro_cdcc_src_")
+    ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    load_file_stream_merge(
+        spark,
+        a.File(path=src_dir, filetype=a.FileType.PARQUET),
+        tgt,
+        ["event_id"],
+        if_conflicts="update",
+        max_files_per_trigger=2,
+        auto_compact_every_n_batches=1,
+        auto_compact_opts={"small_file_mb": 64, "min_small_files": 2},
+    )
+    return (
+        spark.table(tgt.name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+
+
 def _st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join: attribute each purchase
     to views by the same user in the preceding hour (deterministic
@@ -3284,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_binary_ingest": _mm_binary_ingest,
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
+            "st_cdc_compact": _st_cdc_compact,
             "st_interval_join": _st_interval_join,
             "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
@@ -3662,6 +3704,7 @@ FROM pairs WHERE distance <= 3
             "mm_binary_ingest": oracles.binary_ingest_sql(),
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
+            "st_cdc_compact": _ST_CDC_MERGE_DUCK,
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
             "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,

@@ -96,6 +96,8 @@ def load_file_stream_merge(
     schema: StructType | None = None,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    auto_compact_every_n_batches: int | None = None,
+    auto_compact_opts: dict | None = None,
 ):
     """CDC-style incremental ingestion: drain new files and MERGE each
     micro-batch into the target on ``conflict_columns``.
@@ -110,10 +112,21 @@ def load_file_stream_merge(
     touches (dynamic partition overwrite); ``update`` on an
     unpartitioned parquet target rewrites only the files whose keys
     the batch hits (file-scoped copy-on-write) — either way,
-    micro-batch cost tracks batch size, not table size.  Many small
-    batches accumulate small files; run ``compact_table``
-    periodically.  On Delta/Iceberg the merge body becomes a
-    row-level ``MERGE INTO``.
+    micro-batch cost tracks batch size, not table size.  On
+    Delta/Iceberg the merge body becomes a row-level ``MERGE INTO``.
+
+    Many small batches accumulate small files.
+    ``auto_compact_every_n_batches=N`` runs the ``auto_compact``
+    POLICY (``operators.catalog``) after every Nth merged batch: one
+    driver-side file listing per check, a rewrite only past the
+    small-file threshold — the maintenance cadence wired into the
+    drain instead of a separate job.  ``auto_compact_opts`` passes
+    thresholds through (``small_file_mb``/``min_small_files``/
+    ``target_file_mb``).  Compaction never changes table contents, so
+    a replayed drain stays idempotent (pinned in tests).  NOTE: the
+    compaction rewrite is unpartitioned — use it on unpartitioned
+    CDC targets (partitioned targets already confine rewrites to
+    touched partitions and rarely need it).
     """
     from ..operators.merge import merge
 
@@ -131,18 +144,33 @@ def load_file_stream_merge(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(input_file.path)
 
+    n_merged = 0
+
     def _merge_batch(batch_df, batch_id: int) -> None:
+        nonlocal n_merged
         if batch_df.isEmpty():
             return
+        sess = batch_df.sparkSession
         src = Table(f"_tmp_stream_src_{batch_id}")
         batch_df.createOrReplaceTempView(src.name)
         merge(
-            batch_df.sparkSession,
+            sess,
             src,
             target_table,
             conflict_columns,
             if_conflicts=if_conflicts,
         )
+        n_merged += 1
+        if (
+            auto_compact_every_n_batches
+            and n_merged % auto_compact_every_n_batches == 0
+        ):
+            from ..operators.catalog import auto_compact
+
+            # the merge may have staged-swapped the table; refresh THIS
+            # (cloned foreachBatch) session's listing before compacting
+            sess.catalog.refreshTable(target_table.qualified_name)
+            auto_compact(sess, target_table, **(auto_compact_opts or {}))
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_ckpt_")
     query = (

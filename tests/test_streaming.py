@@ -636,6 +636,73 @@ class TestAggregateMvStream:
         assert got == expect
 
 
+class TestCdcAutoCompact:
+    def test_compacts_small_files_and_replay_is_idempotent(self, spark, tmp_path):
+        """The CDC drain's auto-compact hook folds copy-on-write file
+        accumulation back to the byte target; contents equal the plain
+        merge result and a replayed drain (same checkpoint) changes
+        nothing."""
+        import os
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+        from astro_spark.operators.merge import _parquet_location
+        from astro_spark.streaming import load_file_stream_merge
+
+        base = spark.range(0, 300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        tgt = a.Table(f"cdc_compact_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(base.where("k % 3 = 0"), tgt)
+        src_dir = str(tmp_path / "src")
+        base.where("k % 2 = 0").withColumn(
+            "v", F.col("v") + F.lit(1)
+        ).repartition(4).write.parquet(src_dir)
+        ckpt = str(tmp_path / "ckpt")
+
+        def _drain():
+            load_file_stream_merge(
+                spark,
+                a.File(path=src_dir, filetype=a.FileType.PARQUET),
+                tgt,
+                ["k"],
+                if_conflicts="update",
+                checkpoint_dir=ckpt,
+                max_files_per_trigger=1,
+                auto_compact_every_n_batches=1,
+                auto_compact_opts={"small_file_mb": 64, "min_small_files": 2},
+            )
+
+        def _data_files():
+            loc = _parquet_location(spark, tgt.qualified_name).removeprefix(
+                "file:"
+            )
+            return [
+                f
+                for f in os.listdir(loc)
+                if not f.startswith(("_", "."))
+            ]
+
+        _drain()
+        # update-path COW across 4 micro-batches would leave many small
+        # files; the per-batch policy folds them to the byte target
+        assert len(_data_files()) <= 2
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        want = {
+            (k, 2 * k + 1 if k % 2 == 0 else 2 * k)
+            for k in range(300)
+            if k % 3 == 0 or k % 2 == 0
+        }
+        assert got == want
+        # replay with the same checkpoint: no new batches, no change
+        _drain()
+        spark.catalog.refreshTable(tgt.qualified_name)
+        assert {(r.k, r.v) for r in spark.table(tgt.name).collect()} == want
+
+
 class TestKmvStream:
     def test_streamed_equals_batch_sketch(self, spark, sf_dir):
         """Min-merge across micro-batches equals the one-shot batch KMV
