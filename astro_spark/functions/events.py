@@ -133,6 +133,79 @@ def funnel(
     return counts.select(F.inline(rows))
 
 
+def funnel_spark_sql(
+    steps: list[str],
+    table: str = "{{events}}",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """The funnel as a Spark-SQL SELECT for the ``transform`` /
+    ``run_raw_sql`` shell — the reference's "user writes SQL" surface
+    (SURVEY §2.4) reaching the same per-user ordered fold the
+    ``funnel`` operator runs (identical rows, pinned in tests).
+
+    ``table`` defaults to a ``{{events}}`` placeholder so the text
+    drops straight into ``run_transform(spark, sql, {"events": t})``.
+    """
+    if not steps:
+        raise ValueError("funnel_spark_sql needs at least one step")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    whens = " ".join(
+        f"WHEN '{q(s)}' THEN {i}" for i, s in enumerate(steps, start=1)
+    )
+    in_list = ", ".join(f"'{q(s)}'" for s in steps)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step_idx, '{q(s)}' AS step, "
+        f"(SELECT CAST(COALESCE(SUM(IF(stage >= {i}, 1, 0)), 0) AS BIGINT) "
+        f" FROM st) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS u, {ts_col} AS ts,
+         CASE {type_col} {whens} END AS si
+  FROM {table} WHERE {type_col} IN ({in_list})
+),
+seqs AS (
+  SELECT u, transform(array_sort(collect_list(struct(ts, si))), x -> x.si) AS seq
+  FROM e GROUP BY u
+),
+st AS (
+  SELECT aggregate(seq, 0, (acc, x) -> acc + IF(x = acc + 1, 1, 0)) AS stage
+  FROM seqs
+)
+{rows}
+"""
+
+
+def cohort_retention_spark_sql(
+    table: str = "{{events}}",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """Weekly cohort retention as a Spark-SQL SELECT for the
+    ``transform`` shell — same rows as ``cohort_retention`` (pinned in
+    tests); ``table`` defaults to a ``{{events}}`` placeholder."""
+    wk = (
+        f"CAST(FLOOR(datediff(CAST({ts_col} AS DATE), "
+        f"DATE '{WEEK_EPOCH}') / 7.0) AS BIGINT)"
+    )
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {user_col} AS u, {wk} AS wk FROM {table}
+),
+f AS (SELECT u, MIN(wk) AS cohort_wk FROM a GROUP BY u)
+SELECT cohort_wk, (wk - cohort_wk) AS offset_wk,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (u)
+GROUP BY cohort_wk, (wk - cohort_wk)
+"""
+
+
 def epoch_week(ts_col):
     """Week number since WEEK_EPOCH (a Monday): floor(days / 7.0) —
     identical double arithmetic on the oracle side."""

@@ -74,6 +74,55 @@ class TestTransform:
         assert spark.table(out.name).collect()[0].n == 25
 
 
+class TestEventSqlRecipes:
+    def test_funnel_via_transform_equals_operator(self, spark, sf_dir):
+        """The reference's "user writes SQL" path (SURVEY §2.4) reaches
+        the funnel: the recipe SQL through run_transform produces the
+        operator's exact rows."""
+        import uuid
+
+        from astro_spark.functions.events import funnel, funnel_spark_sql
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        ev = read_table(spark, sf_dir, "events")
+        t = a.Table(f"ev_recipe_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(ev, t)
+        steps = ["view", "click", "purchase"]
+        out = a.run_transform(spark, funnel_spark_sql(steps), {"events": t})
+        got = {
+            (r.step_idx, r.step, r.n_users)
+            for r in spark.table(out.name).collect()
+        }
+        want = {
+            (r.step_idx, r.step, r.n_users)
+            for r in funnel(ev, steps).collect()
+        }
+        assert got == want
+
+    def test_cohort_via_transform_equals_operator(self, spark, sf_dir):
+        import uuid
+
+        from astro_spark.functions.events import (
+            cohort_retention,
+            cohort_retention_spark_sql,
+        )
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        ev = read_table(spark, sf_dir, "events")
+        t = a.Table(f"ev_recipe_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(ev, t)
+        out = a.run_transform(spark, cohort_retention_spark_sql(), {"events": t})
+        got = {
+            (r.cohort_wk, r.offset_wk, r.n_users)
+            for r in spark.table(out.name).collect()
+        }
+        want = {
+            (r.cohort_wk, r.offset_wk, r.n_users)
+            for r in cohort_retention(ev).collect()
+        }
+        assert got == want
+
+
 class TestAppendMerge:
     def test_append_missing_target_raises(self, spark):
         with pytest.raises(NonExistentTableError):
