@@ -3366,63 +3366,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-5 driver-verification order (the driver checks the FIRST 50
-# entries): the 7 CAST-fixed TPC-H analogs lead (their r04 rows are the
-# only reds — re-verify the fix with the hard signal), then the 5
-# round-5 additions, then the stalest rows oldest-first (9 whose last
-# driver row is r01, then 29 of the 50 r02 rows; the remaining 21 r02
-# rows lead round 6).  No query goes >3 rounds unchecked.
+# Round-6 driver-verification order (the driver checks the FIRST 50
+# entries): the 3 round-6 additions plus t_kmv_distinct (its code path
+# switched to pre_aggregate — re-verify under the hard signal) lead,
+# then ALL 31 queries whose last driver row is r02 (they predate the
+# driver-faithful checker rewrite, so their green has never been
+# confirmed under the current hashing — VERDICT r5 item 2), then the
+# 15 alphabetically-first of the 50 r03 rows (the remaining 35 lead
+# round 7).  No query goes >3 rounds unchecked.
 _DRIVER_PRIORITY = [
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q19_disjunct_revenue",
-    "q22_global_balance",
+    "s_hard_negatives_ivf",
+    "q_funnel_windowed",
+    "st_cdc_compact",
     "t_kmv_distinct",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "t_pii_stats",
-    "st_mv_refresh",
-    "t_novelty",
-    "s_cell_balance",
-    "st_kmv_distinct",
-    "q_ewma_windowed",
-    "dd_clusters_star",
-    "t_weighted_sample",
-    "q_scd2_enrich",
-    "op_skew_report",
-    "t_budget_select",
-    "s_hard_negatives",
-    "op_check_column",
-    "op_check_table",
-    "op_profile",
-    "op_raw_sql",
-    "t_fingerprint",
-    "t_hash_split",
-    "t_lang_id",
-    "t_quality_metrics",
-    "t_token_counts",
-    "dd_clusters",
-    "dd_decontaminate",
-    "dd_embedding_cosine",
-    "dd_embedding_cosine_np",
-    "dd_exact",
-    "dd_incremental",
-    "dd_minhash_lsh",
-    "dd_ngram_jaccard",
-    "dd_normalized",
-    "dd_simhash",
-    "mm_features",
-    "mm_frames",
-    "op_catalog",
-    "op_compact",
-    "op_dml",
-    "op_lifecycle",
-    "op_merge_update",
-    "op_merge_update_part",
-    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_pivot_status",
+    "q_recursive_paths",
+    "q_recursive_spine",
+    "q_skew_salted_join",
+    "s_brute_topk",
+    "s_centroids",
+    "s_ivf_label_topk",
+    "s_ivf_trained_topk",
+    "s_lsh_buckets",
+    "s_lsh_pairs",
+    "s_quantize",
+    "st_cdc_merge",
+    "st_dedup",
+    "st_incremental_load",
+    "st_interval_join",
+    "st_sessions",
+    "st_static_enrich",
+    "st_windowed_counts",
+    "t_chunks",
+    "t_corpus_prep",
+    "t_dataset_card",
+    "t_domain_mix",
+    "t_pack_sequences",
+    "t_pseudonymize",
+    "t_quality_filter",
+    "t_repetition",
+    "t_shards",
+    "t_stratified",
+    "t_top_terms",
+    "dd_minhash_est",
+    "dd_spans",
+    "mm_binary_ingest",
+    "op_append",
+    "op_csv_roundtrip",
+    "op_diff",
+    "op_load_export_roundtrip",
+    "op_merge_ignore",
+    "op_ndjson_flatten",
+    "op_scd2",
+    "op_schema_evolution",
+    "op_transform_ctas",
+    "op_transform_file",
+    "q10_returned_customers",
+    "q6_revenue_forecast",
 ]
 
 

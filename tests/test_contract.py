@@ -28,17 +28,23 @@ def test_rotation_order_is_applied():
     q = list(entry.queries())
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
-    # round 5: the 7 CAST-fixed TPC-H analogs and the 5 round-5
-    # additions must all sit inside the driver's 50-query window
+    # round 6: the 3 new queries, the pre_aggregate-switched
+    # t_kmv_distinct, and ALL 31 queries last driver-checked in r02
+    # (VERDICT r5 item 2) must sit inside the driver's 50-query window
     head = set(q[:50])
     must_check = {
-        "q7_volume_shipping", "q9_product_profit", "q11_important_stock",
-        "q12_priority_lines", "q15_top_supplier", "q19_disjunct_revenue",
-        "q22_global_balance",
-        "t_kmv_distinct", "q_funnel_steps", "q_cohort_retention", "t_pii_stats",
-        "st_mv_refresh", "t_novelty", "s_cell_balance", "st_kmv_distinct",
-        "q_ewma_windowed", "dd_clusters_star", "t_weighted_sample",
-        "q_scd2_enrich", "op_skew_report", "t_budget_select", "s_hard_negatives",
+        "s_hard_negatives_ivf", "q_funnel_windowed", "st_cdc_compact",
+        "t_kmv_distinct",
+        "q3_shipping_priority", "q5_local_supplier_volume", "q_pivot_status",
+        "q_recursive_paths", "q_recursive_spine", "q_skew_salted_join",
+        "s_brute_topk", "s_centroids", "s_ivf_label_topk",
+        "s_ivf_trained_topk", "s_lsh_buckets", "s_lsh_pairs", "s_quantize",
+        "st_cdc_merge", "st_dedup", "st_incremental_load",
+        "st_interval_join", "st_sessions", "st_static_enrich",
+        "st_windowed_counts", "t_chunks", "t_corpus_prep",
+        "t_dataset_card", "t_domain_mix", "t_pack_sequences",
+        "t_pseudonymize", "t_quality_filter", "t_repetition", "t_shards",
+        "t_stratified", "t_top_terms",
     }
     assert must_check <= head, sorted(must_check - head)
 
