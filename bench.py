@@ -92,6 +92,9 @@ HEADLINE = [
     "op_skew_report",
     "t_budget_select",
     "s_hard_negatives",
+    "s_hard_negatives_ivf",
+    "q_funnel_windowed",
+    "st_cdc_compact",
 ]
 
 
