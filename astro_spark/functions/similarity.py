@@ -579,10 +579,18 @@ def knn_graph(
     horizontally (no side is ever replicated whole).  A (src, neighbor)
     pair appears at most once because a neighbor lives in exactly one
     cell.  ``nprobe = n_cells`` recovers the exact kNN graph (pinned in
-    tests against ``brute_force_topk``); at 100 TB keep ``nprobe``
-    small and pre-partition the corpus by cell (``ivf_write_index``) so
-    probes prune at the file level.  Training-pipeline uses: SemDeDup
-    neighbor audits, kNN-graph clustering, coreset selection.
+    tests against ``brute_force_topk``).
+
+    SCALING CONTRACT: candidate pairs = n² · nprobe / n_cells, so with
+    a FIXED cell count the graph is quadratic in the corpus — grow
+    ``n_cells`` ∝ n to hold |cell| (and per-vector candidates)
+    constant, train on a sample (``ivf_train(corpus.sample(...))``),
+    keep ``nprobe`` small, and pre-partition the corpus by cell
+    (``ivf_write_index``) so probes prune at the file level.  Measured
+    at a 10× corpus (PERF.md round-6 scale sweep): fixed 8 cells →
+    20.7× wall; cells scaled 8 → 80 → 5.8× wall (sublinear).
+    Training-pipeline uses: SemDeDup neighbor audits, kNN-graph
+    clustering, coreset selection.
 
     ``np_score=True`` computes the candidate cosines per cell inside
     Arrow-batched ``applyInPandas`` with the SAME float evaluation
