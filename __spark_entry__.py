@@ -1910,6 +1910,26 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted priority sample over the staged documents
+    backlog: the drained n-row bounded-state reservoir must equal the
+    one-shot batch sample (priority sampling is mergeable exactly like
+    KMV — the n smallest keys of a union are the n smallest of each
+    side's n smallest), which is what the shared oracle computes."""
+    from astro_spark.streaming import weighted_sample_stream
+
+    _views(spark, sf_dir)
+    staged = _staged_table_dir(spark, sf_dir, "documents")
+    return weighted_sample_stream(
+        spark,
+        staged,
+        n=100,
+        weight_col="n_chars",
+        cols=["doc_id", "lang", "n_chars"],
+        max_files_per_trigger=1,
+    )
+
+
 def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state funnel: the view→click→purchase chain must
     complete within one 7-day epoch window, and only each (user,
@@ -3340,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_kmv_distinct": _t_kmv_distinct,
             "q_funnel_steps": _q_funnel_steps,
             "q_funnel_windowed": _q_funnel_windowed,
+            "st_weighted_sample": _st_weighted_sample,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
             "st_mv_refresh": _st_mv_refresh,
@@ -3378,6 +3399,7 @@ _DRIVER_PRIORITY = [
     "s_hard_negatives_ivf",
     "q_funnel_windowed",
     "st_cdc_compact",
+    "st_weighted_sample",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3424,7 +3446,6 @@ _DRIVER_PRIORITY = [
     "op_transform_ctas",
     "op_transform_file",
     "q10_returned_customers",
-    "q6_revenue_forecast",
 ]
 
 
@@ -3761,6 +3782,7 @@ FROM events GROUP BY event_type
             "q_ewma_windowed": oracles.ewma_anomalies_windowed_sql(),
             "dd_clusters_star": oracles.dup_clusters_sql(),
             "t_weighted_sample": oracles.weighted_sample_n_sql(),
+            "st_weighted_sample": oracles.weighted_sample_n_sql(),
             "q_scd2_enrich": """
 WITH dim AS (
   SELECT c_custkey AS k, c_mktsegment AS segment,

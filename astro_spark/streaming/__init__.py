@@ -14,6 +14,7 @@ from .sessions import (
     kmv_stream,
     minhash_screen_stream,
     sessionize_stream,
+    weighted_sample_stream,
 )
 from .windows import (
     drift_screen_stream,
@@ -36,5 +37,6 @@ __all__ = [
     "sessionize_stream",
     "fan_out_stream",
     "late_data_windowed_counts",
+    "weighted_sample_stream",
     "windowed_counts_stream",
 ]

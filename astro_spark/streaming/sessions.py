@@ -366,3 +366,86 @@ def kmv_stream(
         "k_used long, kth_min_hash long",
     )
     return kmv_estimate(agg, k)
+
+
+def weighted_sample_stream(
+    spark: SparkSession,
+    input_path: str,
+    n: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming deterministic weighted priority sample: maintain the
+    ``n`` rows with the smallest ``hash(id)/weight`` priority keys
+    across micro-batches — ``sampling.weighted_sample_n`` over an
+    unbounded stream with bounded state.
+
+    Priority sampling is MERGEABLE exactly like KMV: the n smallest
+    keys of a union are the n smallest of each side's n smallest, so
+    each micro-batch computes its own bounded top-n
+    (TakeOrderedAndProject inside the batch) and the driver min-merges
+    ≤ n rows into the running reservoir.  State is n rows no matter
+    how much data streams past; the merge keys rows by ``id_col``, so
+    an at-least-once batch REPLAY is a no-op (idempotent by set
+    algebra).  The drained sample provably equals the one-shot batch
+    sample over the same data (pinned in TestWeightedSampleStream;
+    ``st_weighted_sample`` oracle-verifies it).
+
+    Returns the sampled rows (``cols``, default: all input columns)
+    with ``sample_rank`` 1..n in priority order — the
+    ``weighted_sample_n`` output contract.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.text import char_poly_hash
+
+    schema = spark.read.parquet(input_path).schema
+    cols = cols or [f.name for f in schema.fields]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    state: dict = {}  # id -> (priority_key, row tuple)
+
+    def _prune() -> None:
+        if len(state) > n:
+            keep = sorted(state.items(), key=lambda kv: (kv[1][0], kv[0]))[:n]
+            state.clear()
+            state.update(keep)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        key = char_poly_hash(F.col(id_col).cast("string")).cast(
+            "double"
+        ) / F.col(weight_col).cast("double")
+        top = (
+            batch_df.where(F.col(weight_col) > 0)
+            .select(*cols, key.alias("__k"))
+            .orderBy("__k", id_col)
+            .limit(n)
+            .collect()
+        )
+        for r in top:
+            state[r[id_col]] = (r["__k"], tuple(r[c] for c in cols))
+        _prune()
+
+    query = (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="astro_wsample_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    ordered = sorted(state.items(), key=lambda kv: (kv[1][0], kv[0]))
+    data = [kv[1][1] + (i + 1,) for i, kv in enumerate(ordered)]
+    out_schema = StructType(
+        [f for f in schema.fields if f.name in set(cols)]
+        + [StructField("sample_rank", LongType(), False)]
+    )
+    return spark.createDataFrame(data, out_schema)

@@ -636,6 +636,57 @@ class TestAggregateMvStream:
         assert got == expect
 
 
+class TestWeightedSampleStream:
+    def test_streamed_equals_batch_sample(self, spark, sf_dir, tmp_path):
+        """The drained bounded-state reservoir equals the one-shot
+        batch priority sample (mergeability), with the backlog
+        genuinely split across micro-batches."""
+        from astro_spark.functions.sampling import weighted_sample_n
+        from astro_spark.streaming import weighted_sample_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        staged = str(tmp_path / "docs")
+        docs.repartition(3).write.parquet(staged)
+        streamed = weighted_sample_stream(
+            spark, staged, n=50, weight_col="n_chars",
+            cols=["doc_id", "lang", "n_chars"], max_files_per_trigger=1,
+        ).collect()
+        batch = weighted_sample_n(docs, 50, "n_chars").collect()
+        key = lambda r: (r.sample_rank, r.doc_id, r.lang, r.n_chars)
+        assert sorted(map(key, streamed)) == sorted(map(key, batch))
+
+    def test_replayed_batch_is_noop(self, spark, sf_dir, tmp_path):
+        """Re-merging a batch's top-n into the reservoir changes
+        nothing (set algebra keyed by id) — at-least-once safety."""
+        from astro_spark.streaming import weighted_sample_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        staged = str(tmp_path / "docs")
+        # duplicate the SAME file twice: the second "batch" replays the
+        # first's rows
+        docs.coalesce(1).write.parquet(staged)
+        import glob
+        import shutil
+
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{staged}/part-replay.parquet")
+        streamed = weighted_sample_stream(
+            spark, staged, n=50, weight_col="n_chars",
+            cols=["doc_id", "lang", "n_chars"], max_files_per_trigger=1,
+        ).collect()
+        from astro_spark.functions.sampling import weighted_sample_n
+
+        batch = weighted_sample_n(docs, 50, "n_chars").collect()
+        key = lambda r: (r.sample_rank, r.doc_id)
+        assert sorted(map(key, streamed)) == sorted(map(key, batch))
+
+
 class TestCdcAutoCompact:
     def test_compacts_small_files_and_replay_is_idempotent(self, spark, tmp_path):
         """The CDC drain's auto-compact hook folds copy-on-write file
