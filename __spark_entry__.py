@@ -1806,6 +1806,98 @@ def _t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_check_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval-overlap gate over a customer dim with INJECTED
+    overlaps (every 10th key's v2 opens 30 days before v1 closes):
+    the check must count exactly those keys' pairs and nothing from
+    the healthy half-open adjacencies."""
+    from astro_spark.operators.scd import check_scd2
+
+    _views(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer")
+    split = F.date_add(
+        F.to_date(F.lit("1995-01-01")), (F.col("c_custkey") % 2000).cast("int")
+    )
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.date_sub(
+            split,
+            F.when(F.col("c_custkey") % 10 == 0, F.lit(30)).otherwise(F.lit(0)),
+        ).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return check_scd2(v1.unionByName(v2), ["k"])
+
+
+_OP_CHECK_SCD2_DUCK = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         DATE '1995-01-01' + (c_custkey % 2000)::INT AS split
+  FROM customer
+),
+dim AS (
+  SELECT k, DATE '1990-01-01' AS vf, split AS vt FROM base
+  UNION ALL
+  SELECT k,
+         split - (CASE WHEN k % 10 = 0 THEN 30 ELSE 0 END)::INT AS vf,
+         NULL AS vt
+  FROM base
+),
+d AS (SELECT k, vf, COALESCE(vt, DATE '9999-12-31') AS vt FROM dim),
+pairs AS (
+  SELECT a.k FROM d a JOIN d b
+  ON a.k = b.k AND (a.vf, a.vt) < (b.vf, b.vt)
+     AND a.vf < b.vt AND b.vf < a.vt
+)
+SELECT (SELECT COUNT(DISTINCT k) FROM d)::BIGINT AS n_keys,
+       (SELECT COUNT(*) FROM d)::BIGINT AS n_versions,
+       ((SELECT COUNT(*) FROM d)
+        - (SELECT COUNT(DISTINCT (k, vf, vt)) FROM d))::BIGINT AS n_dup_versions,
+       (SELECT COUNT(*) FROM pairs)::BIGINT AS n_overlap_pairs
+"""
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 next-event transition counts over the events stream."""
+    from astro_spark.functions.events import event_transitions
+
+    _views(spark, sf_dir)
+    return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+_Q_EVENT_TRANSITIONS_DUCK = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type, COUNT(*)::BIGINT AS n_transitions
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY n_transitions DESC, from_type, next_type
+LIMIT 20
+"""
+
+
+def _t_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-shingle KMV cardinality: every source's distinct
+    shingle estimate in ONE job — grouped bounded-state accounting
+    (k rows per group past the exchange, never a per-group
+    COUNT(DISTINCT))."""
+    from astro_spark.functions.sketches import kmv_distinct_by
+
+    _views(spark, sf_dir)
+    return kmv_distinct_by(
+        read_table(spark, sf_dir, "documents"), "source", shingle=3, k=64
+    )
+
+
 def _q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 enrichment: orders join the customer-dim
     VERSION valid at order date (v1 until a per-customer split date,
@@ -3361,6 +3453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_funnel_steps": _q_funnel_steps,
             "q_funnel_windowed": _q_funnel_windowed,
             "st_weighted_sample": _st_weighted_sample,
+            "t_kmv_by_source": _t_kmv_by_source,
+            "op_check_scd2": _op_check_scd2,
+            "q_event_transitions": _q_event_transitions,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
             "st_mv_refresh": _st_mv_refresh,
@@ -3400,6 +3495,9 @@ _DRIVER_PRIORITY = [
     "q_funnel_windowed",
     "st_cdc_compact",
     "st_weighted_sample",
+    "t_kmv_by_source",
+    "op_check_scd2",
+    "q_event_transitions",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3443,9 +3541,6 @@ _DRIVER_PRIORITY = [
     "op_ndjson_flatten",
     "op_scd2",
     "op_schema_evolution",
-    "op_transform_ctas",
-    "op_transform_file",
-    "q10_returned_customers",
 ]
 
 
@@ -3756,6 +3851,9 @@ FROM pairs WHERE distance <= 3
                 + ")"
             ),
             "t_kmv_distinct": oracles.kmv_token_report_sql(shingle=3),
+            "t_kmv_by_source": oracles.kmv_by_group_sql(),
+            "op_check_scd2": _OP_CHECK_SCD2_DUCK,
+            "q_event_transitions": _Q_EVENT_TRANSITIONS_DUCK,
             "q_funnel_steps": oracles.funnel_sql(["view", "click", "purchase"]),
             "q_funnel_windowed": oracles.funnel_windowed_sql(
                 ["view", "click", "purchase"],

@@ -206,6 +206,42 @@ GROUP BY cohort_wk, (wk - cohort_wk)
 """
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k next-event transition counts — the behavioral bigram
+    matrix ("after a view, what happens next?") product analytics and
+    session-modeling features are built from.
+
+    Per user the events sort by (ts, id) — ``id_col`` is the
+    deterministic tie-break — and each event pairs with its successor
+    (``lead`` over a sort-based window: spillable, no collected
+    arrays).  Pairs then map-side-combine into (from, next) counts and
+    a TakeOrderedAndProject keeps the top-k by (count DESC, from,
+    next) — no global sort.
+
+    Returns (from_type, next_type, n_transitions).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = df.select(user_col, ts_col, id_col, type_col).withColumn(
+        "next_type", F.lead(type_col).over(w)
+    )
+    return (
+        nxt.where(F.col("next_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "from_type", "next_type")
+        .limit(k)
+    )
+
+
 def epoch_week(ts_col):
     """Week number since WEEK_EPOCH (a Monday): floor(days / 7.0) —
     identical double arithmetic on the oracle side."""

@@ -1782,6 +1782,67 @@ FROM agg, ex
 """
 
 
+def kmv_by_group_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    k: int = 64,
+    shingle: int = 3,
+) -> str:
+    """Mirrors sketches.kmv_distinct_by: per-group k smallest distinct
+    62-bit shingle fingerprints → per-group (k-1)·R/h_(k) with the
+    identical double arithmetic (the grouped kmv_token_report_sql)."""
+    R = float(P31 + 1) * float(P31 + 1)
+    t = tokens("text")
+    if shingle <= 1:
+        hv_rel = f"""
+  SELECT g, {fingerprint62('tok')} AS hv FROM (
+    SELECT g, unnest(t) AS tok
+    FROM (SELECT {group_col} AS g, {t} AS t FROM {table})
+  ) WHERE tok <> ''"""
+    else:
+        from .constants import KMV_COEFFS
+
+        (a1, b1), (a2, b2) = KMV_COEFFS
+        fold1 = (
+            f"list_reduce(list_prepend(0::BIGINT, list_slice(th1, i, i + {shingle - 1})), "
+            f"(a, b) -> (a * {MULT2} + b) % {P31})"
+        )
+        fold2 = (
+            f"list_reduce(list_prepend(0::BIGINT, list_slice(th2, i, i + {shingle - 1})), "
+            f"(a, b) -> (a * {MULT1} + b) % {P31})"
+        )
+        hv_rel = f"""
+  SELECT g, unnest(list_transform(
+           range(1, greatest(len(th1) - {shingle - 1}, 0) + 1),
+           i -> ((({fold1}) * {a1} + {b1}) % {P31}) * {P31 + 1}
+                + ((({fold2}) * {a2} + {b2}) % {P31}))) AS hv
+  FROM (
+    SELECT {group_col} AS g,
+           list_transform(t, tok -> {poly_hash('tok', MULT1)}) AS th1,
+           list_transform(t, tok -> {poly_hash('tok', MULT2)}) AS th2
+    FROM (SELECT {group_col}, {t} AS t FROM {table})
+  )"""
+    return f"""
+WITH tk AS ({hv_rel}
+),
+hs AS (SELECT DISTINCT g, hv FROM tk),
+km AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM hs
+  ) WHERE rn <= {k}
+),
+agg AS (
+  SELECT g, COUNT(*)::BIGINT AS k_used, MAX(hv)::BIGINT AS kth_min_hash
+  FROM km GROUP BY g
+)
+SELECT g AS {group_col}, k_used, kth_min_hash,
+       CASE WHEN k_used < {k} THEN k_used::DOUBLE
+            ELSE round({float(k - 1)} * ({R!r} / kth_min_hash::DOUBLE), 4)
+       END AS est_distinct
+FROM agg
+"""
+
+
 def _sq(s: str) -> str:
     """Escape a value for interpolation into a single-quoted SQL
     literal (step names, regex patterns): '' is the quote escape in

@@ -89,6 +89,67 @@ def scd2_merge(
     _swap_table(spark, result, target_table)
 
 
+def check_scd2(
+    dim: DataFrame,
+    key_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Data-quality gate for the Type-2 invariant ``scd2_enrich``
+    assumes: per business key, validity intervals must be
+    NON-OVERLAPPING (half-open ``[valid_from, valid_to)``, NULL
+    ``valid_to`` = open).  Run it on dims maintained outside
+    ``scd2_merge`` before point-in-time joins — the check the
+    ``scd2_enrich`` docstring prescribes.
+
+    Plan shape: an equi-self-join on the business key with the
+    interval test as a residual — versions per key are bounded (one
+    per change), so the pair scan per key is tiny; totals join as a
+    1-row broadcast scalar.  Each unordered pair is counted once via a
+    strict (valid_from, valid_to) struct ordering; EXACT duplicate
+    versions (which the strict ordering skips) surface separately as
+    ``n_dup_versions``.
+
+    Returns ONE row (n_keys, n_versions, n_dup_versions,
+    n_overlap_pairs) — healthy means the last two are 0.
+    """
+    inf = F.to_date(F.lit("9999-12-31"))
+    vt_inf = F.coalesce(F.col(valid_to_col), inf)
+    a = dim.select(
+        *key_cols, F.col(valid_from_col).alias("af"), vt_inf.alias("at")
+    )
+    b = dim.select(
+        *[F.col(c).alias(f"b_{c}") for c in key_cols],
+        F.col(valid_from_col).alias("bf"),
+        vt_inf.alias("bt"),
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (a[c] == b[f"b_{c}"])
+    pair_lt = F.struct(F.col("af"), F.col("at")) < F.struct(
+        F.col("bf"), F.col("bt")
+    )
+    overlap = (F.col("af") < F.col("bt")) & (F.col("bf") < F.col("at"))
+    pairs = (
+        a.join(b, cond)
+        .where(pair_lt & overlap)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"))
+    )
+    stats = dim.agg(
+        F.countDistinct(*key_cols).cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.struct(*key_cols, F.col(valid_from_col), vt_inf)
+            )
+        )
+        .cast("long")
+        .alias("n_dup_versions"),
+    )
+    return stats.crossJoin(F.broadcast(pairs))
+
+
 def scd2_enrich(
     facts: DataFrame,
     dim: DataFrame,

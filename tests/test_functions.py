@@ -1558,6 +1558,59 @@ class TestKmvSketch:
         ).collect()[0]
         assert a_ == b_
 
+    def test_grouped_sketch_equals_per_group_runs(self, spark, sf_dir):
+        """kmv_distinct_by over all groups in one job equals running
+        the single sketch per filtered group."""
+        from astro_spark.functions.sketches import (
+            kmv_distinct_by,
+            kmv_token_report,
+        )
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = {
+            r.lang: (r.k_used, r.kth_min_hash, r.est_distinct)
+            for r in kmv_distinct_by(
+                docs, "lang", shingle=3, k=64
+            ).collect()
+        }
+        for lang in got:
+            row = kmv_token_report(
+                docs.where(F.col("lang") == lang), shingle=3, k=64
+            ).collect()[0]
+            assert got[lang] == (row.k_used, row.kth_min_hash, row.est_distinct)
+
+    def test_event_transitions_small_fixture(self, spark):
+        """Next-event bigram counts match the hand-computed matrix with
+        deterministic (ts, id) ordering."""
+        import datetime as dt
+
+        from astro_spark.functions.events import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 1, base, "view"),
+            (2, 1, base + dt.timedelta(minutes=1), "click"),
+            (3, 1, base + dt.timedelta(minutes=2), "view"),
+            (4, 2, base, "view"),
+            (5, 2, base + dt.timedelta(minutes=1), "click"),
+            # same-ts tie inside user 3: event_id breaks it -> a then b
+            (6, 3, base, "a"),
+            (7, 3, base, "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r.from_type, r.next_type): r.n_transitions
+            for r in event_transitions(df).collect()
+        }
+        assert got == {
+            ("view", "click"): 2,
+            ("click", "view"): 1,
+            ("a", "b"): 1,
+        }
+
     def test_pre_aggregate_equals_distinct_path(self, spark, sf_dir):
         """The per-partition top-k pre-aggregation (no DISTINCT shuffle
         of raw hashes) must produce the identical sketch — on a

@@ -1417,6 +1417,38 @@ class TestScd2Enrich:
             (2, "2020-06-01", "only"),
         ]
 
+    def test_check_scd2_counts_overlaps_and_duplicates(self, spark):
+        """Healthy half-open adjacency → zeros; a genuine overlap and
+        an exact duplicate version are counted separately."""
+        import datetime as dt
+
+        from astro_spark.operators.scd import check_scd2
+
+        d = dt.date
+        healthy = spark.createDataFrame(
+            [
+                (1, d(2020, 1, 1), d(2021, 1, 1)),
+                (1, d(2021, 1, 1), None),
+                (2, d(2020, 1, 1), None),
+            ],
+            "k long, valid_from date, valid_to date",
+        )
+        row = check_scd2(healthy, ["k"]).collect()[0]
+        assert (row.n_keys, row.n_versions, row.n_dup_versions,
+                row.n_overlap_pairs) == (2, 3, 0, 0)
+
+        broken = spark.createDataFrame(
+            [
+                (1, d(2020, 1, 1), d(2021, 1, 1)),
+                (1, d(2020, 6, 1), None),          # overlaps v1
+                (2, d(2020, 1, 1), None),
+                (2, d(2020, 1, 1), None),          # exact duplicate
+            ],
+            "k long, valid_from date, valid_to date",
+        )
+        row = check_scd2(broken, ["k"]).collect()[0]
+        assert row.n_overlap_pairs == 1 and row.n_dup_versions == 1
+
     def test_colliding_dim_attr_requires_prefix(self, spark):
         """A dim attribute sharing a fact column name raises unless
         dim_prefix aliases it (ADVICE r5: duplicate output columns)."""
