@@ -95,6 +95,10 @@ HEADLINE = [
     "s_hard_negatives_ivf",
     "q_funnel_windowed",
     "st_cdc_compact",
+    "st_weighted_sample",
+    "t_kmv_by_source",
+    "op_check_scd2",
+    "q_event_transitions",
 ]
 
 
