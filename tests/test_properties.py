@@ -690,3 +690,127 @@ class TestWeightedSampleProperties:
         order = sorted(rows, key=lambda t: (h(str(t[0])) / t[1], t[0]))
         want = sorted((did, i + 1) for i, (did, _) in enumerate(order[:n]))
         assert got == want
+
+
+class TestFunnelProperties:
+    events = st.lists(
+        st.tuples(
+            st.integers(1, 5),                      # user
+            st.integers(0, 2000),                   # minute offset
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @staticmethod
+    def _py_funnel(rows, steps, window_minutes=None, cap=None):
+        """Pure-Python reference: per (user[, window]) sort by (ts,
+        step-idx), optional earliest-N cut, in-order fold; user stage =
+        max over windows."""
+        idx = {s: i + 1 for i, s in enumerate(steps)}
+        groups: dict = {}
+        for u, m, t in rows:
+            if t not in idx:
+                continue
+            w = 0 if window_minutes is None else m // window_minutes
+            groups.setdefault((u, w), []).append((m, idx[t]))
+        best: dict = {}
+        for (u, _w), evs in groups.items():
+            evs.sort()
+            if cap is not None:
+                evs = evs[:cap]
+            stage = 0
+            for _m, si in evs:
+                if si == stage + 1:
+                    stage += 1
+            best[u] = max(best.get(u, 0), stage)
+        return {
+            i: sum(1 for s in best.values() if s >= i)
+            for i in range(1, len(steps) + 1)
+        }
+
+    @SETTINGS
+    @given(rows=events)
+    def test_funnel_matches_python_fold(self, spark, rows):
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(u, base + dt.timedelta(minutes=m), t) for u, m, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        steps = ["view", "click", "purchase"]
+        got = {
+            r.step_idx: r.n_users for r in funnel(df, steps).collect()
+        }
+        assert got == self._py_funnel(rows, steps)
+
+    @SETTINGS
+    @given(rows=events, cap=st.integers(1, 8))
+    def test_guarded_funnel_matches_python_fold(self, spark, rows, cap):
+        """window_days=1 + max_events_per_user against the python model
+        with the same 1440-minute windows and earliest-N cut."""
+        import datetime as dt
+
+        from astro_spark.functions.events import funnel
+
+        base = dt.datetime(2024, 1, 1)  # midnight: minute m // 1440 IS the window
+        df = spark.createDataFrame(
+            [(u, base + dt.timedelta(minutes=m), t) for u, m, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        steps = ["view", "click", "purchase"]
+        got = {
+            r.step_idx: r.n_users
+            for r in funnel(
+                df, steps, window_days=1, max_events_per_user=cap
+            ).collect()
+        }
+        assert got == self._py_funnel(
+            rows, steps, window_minutes=1440, cap=cap
+        )
+
+
+class TestEventTransitionProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 4),
+                st.integers(0, 100),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_python_bigrams(self, spark, rows):
+        import datetime as dt
+        from collections import Counter
+
+        from astro_spark.functions.events import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (i, u, base + dt.timedelta(minutes=m), t)
+            for i, (u, m, t) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        want: Counter = Counter()
+        byu: dict = {}
+        for i, u, ts, t in data:
+            byu.setdefault(u, []).append((ts, i, t))
+        for evs in byu.values():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                want[(a, b)] += 1
+        got = {
+            (r.from_type, r.next_type): r.n_transitions
+            for r in event_transitions(df, k=1000).collect()
+        }
+        assert got == dict(want)
