@@ -3171,6 +3171,35 @@ def _st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_mv_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV drain with partials compaction forced after the drain
+    (threshold 1 < 4 batches): the sums-of-sums over the single folded
+    __batch_id=-1 partition must still equal the plain batch GROUP BY
+    — compaction is exact by additivity."""
+    from astro_spark.streaming import aggregate_mv_stream
+
+    _views(spark, sf_dir)
+    staged = _staged_events_dir(spark, sf_dir)
+
+    def _partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+
+    return aggregate_mv_stream(
+        spark,
+        staged,
+        ["event_type"],
+        _partial,
+        f"mv_evtc_{uuid.uuid4().hex[:8]}",
+        max_files_per_trigger=1,
+        compact_partials_over_n_batches=1,
+    )
+
+
 def _st_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index maintenance: base index built from the even
     vec_ids, the odd ones drained in as micro-batches through
@@ -3459,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
             "st_mv_refresh": _st_mv_refresh,
+            "st_mv_compact": _st_mv_compact,
             "t_novelty": _t_novelty,
             "s_cell_balance": _s_cell_balance,
             "st_kmv_distinct": _st_kmv_distinct,
@@ -3498,6 +3528,7 @@ _DRIVER_PRIORITY = [
     "t_kmv_by_source",
     "op_check_scd2",
     "q_event_transitions",
+    "st_mv_compact",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3540,7 +3571,6 @@ _DRIVER_PRIORITY = [
     "op_merge_ignore",
     "op_ndjson_flatten",
     "op_scd2",
-    "op_schema_evolution",
 ]
 
 
@@ -3866,6 +3896,11 @@ FROM pairs WHERE distance <= 3
             # per-batch partial sums), so the oracle is the plain batch
             # GROUP BY over the same events
             "st_mv_refresh": """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+            "st_mv_compact": """
 SELECT event_type, COUNT(*)::BIGINT AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type

@@ -3,6 +3,7 @@
 from .joins import interval_join_stream, stream_static_join
 from .load_stream import (
     aggregate_mv_stream,
+    compact_mv_partials,
     fan_out_stream,
     ivf_index_stream,
     load_file_stream,
@@ -24,6 +25,7 @@ from .windows import (
 
 __all__ = [
     "aggregate_mv_stream",
+    "compact_mv_partials",
     "bloom_screen_stream",
     "drift_screen_stream",
     "dedup_stream",

@@ -272,6 +272,59 @@ def _write_sink_batch(out: DataFrame, phys_table: str, batch_id: int) -> None:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_mv_partials(
+    spark: SparkSession, mv_name: str, group_cols: list[str]
+) -> int:
+    """Collapse an aggregate-MV's per-batch partials into ONE
+    pre-aggregated partition (``__batch_id = -1``) — the maintenance
+    step the MV needs once n_batches grows large, since the MV read
+    re-aggregates |groups| × n_batches partial rows.
+
+    Additivity makes the fold exact: sums of sums — the MV is
+    bit-identical before and after (pinned in TestAggregateMvStream).
+    Safe under the checkpoint contract (committed batches never
+    re-fire on resume; new batches land in their own ``__batch_id``
+    partitions next to the compacted one).  After a checkpoint LOSS a
+    replayed batch would double-count into compacted history — rebuild
+    the partials from scratch in that case, exactly as without
+    compaction.  Returns the number of batch partitions collapsed.
+    """
+    from pyspark.sql import functions as F
+
+    phys = f"{mv_name}_partials"
+    partials = spark.table(phys)
+    n_parts = partials.select("__batch_id").distinct().count()
+    if n_parts <= 1:
+        return 0
+    dtypes = dict(partials.dtypes)
+    measures = [
+        c for c in partials.columns if c not in group_cols + ["__batch_id"]
+    ]
+    folded = (
+        partials.drop("__batch_id")
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in measures])
+        .withColumn("__batch_id", F.lit(-1).cast(dtypes["__batch_id"]))
+        .select(*partials.columns)
+    )
+    # materialize the fold OUTSIDE the table (Spark cannot overwrite a
+    # table it is reading), then a STATIC-mode INSERT OVERWRITE replaces
+    # every batch partition with the single -1 partition atomically at
+    # the catalog level — a table rename would strand the partition
+    # locations the catalog recorded for the staging name
+    staging_dir = tempfile.mkdtemp(prefix="astro_mv_compact_")
+    folded.write.mode("overwrite").parquet(staging_dir)
+    staged = spark.read.parquet(staging_dir).select(*partials.columns)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        staged.write.mode("overwrite").insertInto(phys)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(phys)
+    return n_parts
+
+
 def aggregate_mv_stream(
     spark: SparkSession,
     input_path: str,
@@ -280,6 +333,7 @@ def aggregate_mv_stream(
     mv_name: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    compact_partials_over_n_batches: int | None = None,
 ) -> DataFrame:
     """Incrementally-maintained aggregate materialized view: each
     micro-batch contributes a PARTIAL aggregate; the MV is the
@@ -297,10 +351,12 @@ def aggregate_mv_stream(
 
     Cost model at scale: per batch one partial aggregation (map-side
     combine, O(batch)) + one partition write; the MV read re-aggregates
-    |groups| × n_batches tiny partial rows — compact them by rewriting
-    the partials table whenever n_batches grows large (same cadence as
-    ``compact_table``).  The base data is never re-scanned: THE
-    incremental-view maintenance shape for append-only streams.
+    |groups| × n_batches tiny partial rows —
+    ``compact_partials_over_n_batches=N`` folds them back to one
+    pre-aggregated partition after any drain that leaves more than N
+    batch partitions (``compact_mv_partials``; MV provably unchanged).
+    The base data is never re-scanned: THE incremental-view
+    maintenance shape for append-only streams.
 
     Registers the MV as a temp view ``mv_name`` and returns its frame.
     """
@@ -330,6 +386,13 @@ def aggregate_mv_stream(
     query.awaitTermination()
 
     from pyspark.sql import functions as F
+
+    if (
+        compact_partials_over_n_batches is not None
+        and spark.table(phys).select("__batch_id").distinct().count()
+        > compact_partials_over_n_batches
+    ):
+        compact_mv_partials(spark, mv_name, group_cols)
 
     partials = spark.table(phys).drop("__batch_id")
     measures = [c for c in partials.columns if c not in group_cols]

@@ -596,6 +596,58 @@ class TestAggregateMvStream:
         }
         assert after == before
 
+    def test_compaction_preserves_mv_and_resume(self, spark, events_dir, tmp_path):
+        """Folding the per-batch partials into one __batch_id=-1
+        partition leaves the MV bit-identical, and a resumed drain
+        (same checkpoint) lands new batches NEXT to the compacted
+        history without double-counting."""
+        import glob
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from astro_spark.streaming import aggregate_mv_stream, compact_mv_partials
+
+        mv_name = f"mv_test_{uuid.uuid4().hex[:8]}"
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copytree(events_dir, src)
+
+        def partial(b):
+            return b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+        def drain():
+            return aggregate_mv_stream(
+                spark, src, ["event_type"], partial, mv_name,
+                checkpoint_dir=ckpt, max_files_per_trigger=1,
+                compact_partials_over_n_batches=None,
+            )
+
+        before = {r.event_type: r.n for r in drain().collect()}
+        assert compact_mv_partials(spark, mv_name, ["event_type"]) == 2
+        phys = f"{mv_name}_partials"
+        assert spark.table(phys).select("__batch_id").distinct().count() == 1
+        after = {r.event_type: r.n for r in drain().collect()}
+        assert after == before
+        # resume: a new file arrives; its batch partial lands beside -1
+        part = glob.glob(f"{events_dir}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/part-resume.parquet")
+        resumed = {r.event_type: r.n for r in drain().collect()}
+        extra = {
+            r.event_type: r.n
+            for r in partial(spark.read.parquet(f"{src}/part-resume.parquet")).collect()
+        }
+        want = {t: before.get(t, 0) + extra.get(t, 0) for t in set(before) | set(extra)}
+        assert resumed == want
+        # the auto-hook folds again once the partition count crosses N
+        aggregate_mv_stream(
+            spark, src, ["event_type"], partial, mv_name,
+            checkpoint_dir=ckpt, max_files_per_trigger=1,
+            compact_partials_over_n_batches=1,
+        )
+        assert spark.table(phys).select("__batch_id").distinct().count() == 1
+
     def test_reused_mv_name_with_fresh_checkpoint_drops_stale_partials(
         self, spark, events_dir, tmp_path
     ):
