@@ -1885,6 +1885,24 @@ LIMIT 20
 """
 
 
+def _op_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of documents — the exact
+    snapshot-equality screen (one map-side-combined scan, no sort/join)
+    run before paying for a full op_diff."""
+    from astro_spark.operators.checks import table_checksum
+
+    _views(spark, sf_dir)
+    out = table_checksum(
+        read_table(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # DECIMAL(38,0) → string for the driver compare: DuckDB's HUGEINT
+    # SUM degrades to float64 through pandas (the r05 CAST lesson)
+    return out.select(
+        "n_rows", F.col("content_checksum").cast("string").alias("content_checksum")
+    )
+
+
 def _t_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source 3-shingle KMV cardinality: every source's distinct
     shingle estimate in ONE job — grouped bounded-state accounting
@@ -3484,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_weighted_sample": _st_weighted_sample,
             "t_kmv_by_source": _t_kmv_by_source,
             "op_check_scd2": _op_check_scd2,
+            "op_checksum": _op_checksum,
             "q_event_transitions": _q_event_transitions,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
@@ -3529,6 +3548,7 @@ _DRIVER_PRIORITY = [
     "op_check_scd2",
     "q_event_transitions",
     "st_mv_compact",
+    "op_checksum",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3570,7 +3590,6 @@ _DRIVER_PRIORITY = [
     "op_load_export_roundtrip",
     "op_merge_ignore",
     "op_ndjson_flatten",
-    "op_scd2",
 ]
 
 
@@ -3883,6 +3902,19 @@ FROM pairs WHERE distance <= 3
             "t_kmv_distinct": oracles.kmv_token_report_sql(shingle=3),
             "t_kmv_by_source": oracles.kmv_by_group_sql(),
             "op_check_scd2": _OP_CHECK_SCD2_DUCK,
+            "op_checksum": (
+                "SELECT COUNT(*)::BIGINT AS n_rows, "
+                "SUM(CAST("
+                + oracles.fingerprint62(
+                    "concat_ws(chr(31), "
+                    "COALESCE(doc_id::VARCHAR, '__NULL__'), "
+                    "COALESCE(text, '__NULL__'), "
+                    "COALESCE(lang, '__NULL__'), "
+                    "COALESCE(source, '__NULL__'), "
+                    "COALESCE(n_chars::VARCHAR, '__NULL__'))"
+                )
+                + " AS DECIMAL(38,0)))::VARCHAR AS content_checksum FROM documents"
+            ),
             "q_event_transitions": _Q_EVENT_TRANSITIONS_DUCK,
             "q_funnel_steps": oracles.funnel_sql(["view", "click", "purchase"]),
             "q_funnel_windowed": oracles.funnel_windowed_sql(

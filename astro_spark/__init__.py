@@ -23,6 +23,7 @@ from .operators import (
     append,
     check_column,
     profile_table,
+    table_checksum,
     columns_exist,
     analyze_table,
     auto_compact,
@@ -72,6 +73,7 @@ __all__ = [
     "TempTable",
     "append",
     "check_column",
+    "table_checksum",
     "check_table",
     "cleanup",
     "columns_exist",

@@ -13,7 +13,7 @@ from .catalog import (
     schema_exists,
     table_exists,
 )
-from .checks import check_column, check_table, profile_table
+from .checks import check_column, check_table, profile_table, table_checksum
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
 from .dml import delete_rows, update_rows
@@ -30,6 +30,7 @@ __all__ = [
     "append",
     "check_column",
     "check_table",
+    "table_checksum",
     "cleanup",
     "columns_exist",
     "analyze_table",

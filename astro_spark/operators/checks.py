@@ -294,3 +294,34 @@ def _as_df(spark: SparkSession, x) -> DataFrame:
         return x
     name = x.qualified_name if isinstance(x, Table) else str(x)
     return spark.table(name)
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent exact content checksum: SUM (DECIMAL(38,0),
+    never overflows at any corpus size) of each row's 62-bit
+    fingerprint over the chosen columns, plus the row count — the
+    cheap snapshot-equality screen a 100 TB pipeline runs BEFORE
+    paying for a full ``diff_tables``: equal (n_rows, checksum) means
+    equal multisets of rows up to hash collision; unequal means a real
+    difference, no sort, no join, ONE map-side-combined scan.
+
+    Rows serialize as unit-separator-joined string casts with a NULL
+    sentinel (plain ``concat_ws`` would make ('a', NULL) collide with
+    ('a',)).  Keep ``cols`` to strings/integers/dates for cross-engine
+    string-cast stability — float formatting differs between engines.
+
+    Returns ONE row (n_rows, content_checksum).
+    """
+    from ..functions.text import fingerprint62
+
+    cols = cols or df.columns
+    row_repr = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("__NULL__")) for c in cols],
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(fingerprint62(row_repr).cast("decimal(38,0)")).alias(
+            "content_checksum"
+        ),
+    )

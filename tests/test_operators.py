@@ -1417,6 +1417,33 @@ class TestScd2Enrich:
             (2, "2020-06-01", "only"),
         ]
 
+    def test_table_checksum_order_independent_and_discriminating(self, spark):
+        """The content checksum ignores row order/partitioning, detects
+        a single changed value, and does not collide ('a', NULL) with
+        ('a',)-style null ambiguity."""
+        from astro_spark.operators.checks import table_checksum
+
+        rows = [(i, f"t{i}", None if i % 7 == 0 else f"l{i%3}") for i in range(200)]
+        schema = "id long, text string, lang string"
+        a_ = table_checksum(
+            spark.createDataFrame(rows, schema).repartition(1)
+        ).collect()[0]
+        b_ = table_checksum(
+            spark.createDataFrame(rows[::-1], schema).repartition(13)
+        ).collect()[0]
+        assert (a_.n_rows, a_.content_checksum) == (b_.n_rows, b_.content_checksum)
+        changed = rows.copy()
+        changed[17] = (17, "t17x", changed[17][2])
+        c_ = table_checksum(spark.createDataFrame(changed, schema)).collect()[0]
+        assert c_.content_checksum != a_.content_checksum
+        null_vs_empty = table_checksum(
+            spark.createDataFrame([(1, "a", None)], schema)
+        ).collect()[0]
+        empty = table_checksum(
+            spark.createDataFrame([(1, "a", "")], schema)
+        ).collect()[0]
+        assert null_vs_empty.content_checksum != empty.content_checksum
+
     def test_check_scd2_counts_overlaps_and_duplicates(self, spark):
         """Healthy half-open adjacency → zeros; a genuine overlap and
         an exact duplicate version are counted separately."""

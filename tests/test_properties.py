@@ -814,3 +814,49 @@ class TestEventTransitionProperties:
             for r in event_transitions(df, k=1000).collect()
         }
         assert got == dict(want)
+
+
+class TestCheckScd2Properties:
+    intervals = st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # key
+            st.integers(0, 20),                     # valid_from day
+            st.one_of(st.none(), st.integers(1, 25)),  # length (None = open)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @SETTINGS
+    @given(rows=intervals)
+    def test_overlap_pairs_match_python_counter(self, spark, rows):
+        import datetime as dt
+
+        from astro_spark.operators.scd import check_scd2
+
+        base = dt.date(2020, 1, 1)
+        INF = dt.date(9999, 12, 31)
+        data = [
+            (
+                k,
+                base + dt.timedelta(days=f),
+                None if ln is None else base + dt.timedelta(days=f + ln),
+            )
+            for k, f, ln in rows
+        ]
+        df = spark.createDataFrame(
+            data, "k long, valid_from date, valid_to date"
+        )
+        norm = [(k, vf, vt or INF) for k, vf, vt in data]
+        want_overlaps = sum(
+            1
+            for i, (k1, f1, t1) in enumerate(norm)
+            for (k2, f2, t2) in norm[i + 1 :]
+            if k1 == k2 and (f1, t1) != (f2, t2) and f1 < t2 and f2 < t1
+        )
+        want_dups = len(norm) - len(set(norm))
+        got = check_scd2(df, ["k"]).collect()[0]
+        assert got.n_overlap_pairs == want_overlaps
+        assert got.n_dup_versions == want_dups
+        assert got.n_versions == len(norm)
+        assert got.n_keys == len({k for k, _, _ in norm})
