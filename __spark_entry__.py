@@ -1964,6 +1964,31 @@ def _op_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(read_table(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
+def _op_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fan-out gauge for the lineitem self-join on supplier:
+    top-10 keys by predicted emitted pairs plus the total — read before
+    launching a potentially many-to-many join."""
+    from astro_spark.plans.skew import join_explosion_report
+
+    _views(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    return join_explosion_report(li, li, "l_suppkey")
+
+
+_OP_JOIN_EXPLOSION_DUCK = """
+WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+j AS (
+  SELECT key, n AS n_left, n AS n_right, (n * n)::BIGINT AS n_pairs FROM c
+),
+t AS (SELECT SUM(n_pairs)::BIGINT AS total_pairs FROM j),
+top AS (SELECT * FROM j ORDER BY n_pairs DESC, key LIMIT 10)
+SELECT row_number() OVER (ORDER BY n_pairs DESC, key) AS rank,
+       key, n_left::BIGINT AS n_left, n_right::BIGINT AS n_right,
+       n_pairs, total_pairs
+FROM top, t
+"""
+
+
 def _t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: best-first by type-token-ratio
     pmille until 50k tokens are selected (two-phase prefix sum — no
@@ -3503,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_kmv_by_source": _t_kmv_by_source,
             "op_check_scd2": _op_check_scd2,
             "op_checksum": _op_checksum,
+            "op_join_explosion": _op_join_explosion,
             "q_event_transitions": _q_event_transitions,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
@@ -3549,6 +3575,7 @@ _DRIVER_PRIORITY = [
     "q_event_transitions",
     "st_mv_compact",
     "op_checksum",
+    "op_join_explosion",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3589,7 +3616,6 @@ _DRIVER_PRIORITY = [
     "op_diff",
     "op_load_export_roundtrip",
     "op_merge_ignore",
-    "op_ndjson_flatten",
 ]
 
 
@@ -3902,6 +3928,7 @@ FROM pairs WHERE distance <= 3
             "t_kmv_distinct": oracles.kmv_token_report_sql(shingle=3),
             "t_kmv_by_source": oracles.kmv_by_group_sql(),
             "op_check_scd2": _OP_CHECK_SCD2_DUCK,
+            "op_join_explosion": _OP_JOIN_EXPLOSION_DUCK,
             "op_checksum": (
                 "SELECT COUNT(*)::BIGINT AS n_rows, "
                 "SUM(CAST("

@@ -98,3 +98,51 @@ def skew_report(
             ),
         )
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join fan-out gauge: for an inner equi-join on ``key_col``,
+    the per-key row counts on BOTH sides and their product — the rows
+    that key will EMIT — top-k by product, plus the total predicted
+    output size.  The number you read BEFORE launching a join that
+    might be a many-to-many explosion (a single key at n_left·n_right
+    = 10¹⁰ pairs is a job-killer no AQE setting fixes; the fix is
+    upstream dedup or a semi-join rewrite).
+
+    Cost: one map-side-combined groupBy per side, an equi-join of the
+    two COUNT tables (|distinct keys| rows — never the data), a
+    TakeOrderedAndProject top-k, and a 1-row total broadcast.  Nothing
+    unbounded crosses an exchange; the report is O(distinct keys) no
+    matter the join's output size.
+
+    Returns (rank, key, n_left, n_right, n_pairs, total_pairs) ordered
+    by predicted fan-out with a deterministic (pairs desc, key asc)
+    tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    lc = left.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    j = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("long").alias("n_pairs"),
+    )
+    total = j.agg(F.sum("n_pairs").cast("long").alias("total_pairs"))
+    top = j.orderBy(F.col("n_pairs").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "key", "n_left", "n_right", "n_pairs", "total_pairs")
+    )

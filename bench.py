@@ -99,6 +99,8 @@ HEADLINE = [
     "t_kmv_by_source",
     "op_check_scd2",
     "q_event_transitions",
+    "st_mv_compact",
+    "op_checksum",
 ]
 
 

@@ -1499,6 +1499,26 @@ class TestScd2Enrich:
         assert got[0].status == "shipped" and got[0].dim_status == "gold"
 
 
+class TestJoinExplosionReport:
+    def test_predicts_inner_join_fanout(self, spark):
+        """n_pairs per key and total_pairs equal the actual inner-join
+        output sizes."""
+        from astro_spark.plans.skew import join_explosion_report
+
+        left = spark.createDataFrame(
+            [(k,) for k in [1] * 5 + [2] * 3 + [3]], "k long"
+        )
+        right = spark.createDataFrame(
+            [(k,) for k in [1] * 4 + [2] * 2 + [4]], "k long"
+        )
+        rows = join_explosion_report(left, right, "k", top_k=5).collect()
+        got = {r.key: (r.n_left, r.n_right, r.n_pairs) for r in rows}
+        assert got == {1: (5, 4, 20), 2: (3, 2, 6)}
+        assert rows[0].key == 1 and rows[0].rank == 1
+        actual = left.join(right, "k").count()
+        assert rows[0].total_pairs == actual == 26
+
+
 class TestSkewReport:
     def test_hot_keys_ranked(self, spark):
         from astro_spark.plans.skew import skew_report
