@@ -1964,6 +1964,48 @@ def _op_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(read_table(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
+def _t_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality carve: keep each lang's docs at
+    or above the median type-token-ratio pmille score — exact integer
+    thresholds from bounded score histograms, no approx-percentile."""
+    from astro_spark.functions.sampling import percentile_filter
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST((1000 * size(array_distinct(split(trim(text), '\\\\s+')))) "
+            "DIV size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("score"),
+    )
+    return percentile_filter(scored, "score", q_pmille=500, group_col="lang")
+
+
+_T_QUALITY_PERCENTILE_DUCK = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (1000 * len(list_distinct(string_split_regex(trim(text), '\\s+'))))
+           // len(string_split_regex(trim(text), '\\s+')) AS score
+  FROM documents
+),
+h AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY lang, score),
+cum AS (
+  SELECT lang, score,
+         SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS tot
+  FROM h
+),
+thr AS (
+  SELECT lang, MIN(score) AS thr FROM cum
+  WHERE cum >= (500 * tot + 999) // 1000 GROUP BY lang
+)
+SELECT doc_id, scored.lang, CAST(score AS BIGINT) AS score
+FROM scored JOIN thr ON scored.lang = thr.lang AND score >= thr
+"""
+
+
 def _op_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join fan-out gauge for the lineitem self-join on supplier:
     top-10 keys by predicted emitted pairs plus the total — read before
@@ -3529,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_check_scd2": _op_check_scd2,
             "op_checksum": _op_checksum,
             "op_join_explosion": _op_join_explosion,
+            "t_quality_percentile": _t_quality_percentile,
             "q_event_transitions": _q_event_transitions,
             "q_cohort_retention": _q_cohort_retention,
             "t_pii_stats": _t_pii_stats,
@@ -3576,6 +3619,7 @@ _DRIVER_PRIORITY = [
     "st_mv_compact",
     "op_checksum",
     "op_join_explosion",
+    "t_quality_percentile",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3615,7 +3659,6 @@ _DRIVER_PRIORITY = [
     "op_csv_roundtrip",
     "op_diff",
     "op_load_export_roundtrip",
-    "op_merge_ignore",
 ]
 
 
@@ -3929,6 +3972,7 @@ FROM pairs WHERE distance <= 3
             "t_kmv_by_source": oracles.kmv_by_group_sql(),
             "op_check_scd2": _OP_CHECK_SCD2_DUCK,
             "op_join_explosion": _OP_JOIN_EXPLOSION_DUCK,
+            "t_quality_percentile": _T_QUALITY_PERCENTILE_DUCK,
             "op_checksum": (
                 "SELECT COUNT(*)::BIGINT AS n_rows, "
                 "SUM(CAST("

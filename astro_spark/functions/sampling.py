@@ -453,6 +453,61 @@ def budget_select(
 # --------------------------------------------------------------------------
 # distribution drift (corpus-snapshot comparison gate)
 # --------------------------------------------------------------------------
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    q_pmille: int = 500,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Keep the rows at or above the ``q_pmille``-th per-mille
+    percentile of ``score_col`` — per ``group_col`` when given (the
+    per-domain/per-language quality carve every training-mix spec
+    applies: "top half of each language by quality").
+
+    EXACT by integer arithmetic, no approx-percentile: ``score_col``
+    must be a bounded-cardinality integer (a pmille score, ≤1001
+    distinct values — the ``budget_select`` contract), so the
+    per-group score histogram is tiny.  The threshold is the smallest
+    score whose cumulative count reaches ``ceil(q·n/1000)``; rows with
+    ``score >= threshold`` are kept, ties included (so the kept
+    fraction is ≥ (1000-q)/1000).
+
+    Scale shape: one map-side-combined groupBy((group), score), a
+    per-group window over ≤1001 histogram rows, and an equi-join of
+    the per-group threshold table back to the data (plain join — AQE
+    broadcasts it when groups are few); no global sort, no
+    per-row window.
+
+    Returns the input rows (all columns) that pass.
+    """
+    from pyspark.sql.window import Window
+
+    grp = [group_col] if group_col else []
+    hist = df.groupBy(*grp, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*grp).orderBy(score_col)
+        if grp
+        else Window.orderBy(score_col)
+    )
+    wt = Window.partitionBy(*grp) if grp else Window.partitionBy()
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__tot", F.sum("__c").over(wt)
+    )
+    # BIGINT ceil-division — a double divide would lose exactness past
+    # 2^53 at extreme totals
+    need = F.expr(f"(CAST({q_pmille} AS BIGINT) * __tot + 999) DIV 1000")
+    thr = (
+        cum.where(F.col("__cum") >= need)
+        .groupBy(*grp)
+        .agg(F.min(score_col).alias("__thr"))
+    )
+    if grp:
+        joined = df.join(thr, on=grp)
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
+    return joined.where(F.col(score_col) >= F.col("__thr")).drop("__thr")
+
+
 def distribution_drift(
     ref: DataFrame | None,
     cand: DataFrame,

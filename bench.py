@@ -101,6 +101,8 @@ HEADLINE = [
     "q_event_transitions",
     "st_mv_compact",
     "op_checksum",
+    "op_join_explosion",
+    "t_quality_percentile",
 ]
 
 

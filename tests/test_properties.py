@@ -860,3 +860,41 @@ class TestCheckScd2Properties:
         assert got.n_dup_versions == want_dups
         assert got.n_versions == len(norm)
         assert got.n_keys == len({k for k, _, _ in norm})
+
+
+class TestPercentileFilterProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["en", "fr"]), st.integers(0, 1000)),
+            min_size=1,
+            max_size=40,
+        ),
+        q=st.integers(0, 1000),
+    )
+    def test_matches_python_threshold(self, spark, rows, q):
+        """Kept set equals the python model: per group, smallest score
+        whose cumulative count reaches ceil(q*n/1000); keep >= it."""
+        from astro_spark.functions.sampling import percentile_filter
+
+        data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, g string, score long")
+        got = {r.id for r in percentile_filter(df, "score", q, "g").collect()}
+        want = set()
+        for grp in {g for _, g, _ in data}:
+            scores = sorted(s for _, g, s in data if g == grp)
+            need = -(-q * len(scores) // 1000)  # ceil
+            cum = 0
+            thr = None
+            by_score: dict = {}
+            for s in scores:
+                by_score[s] = by_score.get(s, 0) + 1
+            for s in sorted(by_score):
+                cum += by_score[s]
+                if cum >= need:
+                    thr = s
+                    break
+            if thr is None:  # q == 0 → need 0 → first score qualifies
+                thr = scores[0]
+            want |= {i for i, g, s in data if g == grp and s >= thr}
+        assert got == want
