@@ -1775,6 +1775,15 @@ def _t_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_n(docs, 100)
 
 
+def _t_sample_n_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-20-per-language sample of documents."""
+    from astro_spark.functions.sampling import sample_exact_n_by
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_exact_n_by(docs, "lang", 20)
+
+
 def _t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bigram LM fluency scores, self-trained on the corpus."""
     _views(spark, sf_dir)
@@ -3529,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_check_outliers": _op_check_outliers,
             "t_bigram_lm": _t_bigram_lm,
             "t_sample_n": _t_sample_n,
+            "t_sample_n_by": _t_sample_n_by,
             "dd_embedding_cosine": _dd_embedding_cosine,
             "dd_embedding_cosine_np": _dd_embedding_cosine_np,
             "s_brute_topk": _s_topk,
@@ -3620,6 +3630,7 @@ _DRIVER_PRIORITY = [
     "op_checksum",
     "op_join_explosion",
     "t_quality_percentile",
+    "t_sample_n_by",
     "t_kmv_distinct",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3658,7 +3669,6 @@ _DRIVER_PRIORITY = [
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
-    "op_load_export_roundtrip",
 ]
 
 
@@ -3916,6 +3926,7 @@ FROM pairs WHERE distance <= 3
 """,
             "t_bigram_lm": oracles.bigram_lm_sql(),
             "t_sample_n": oracles.sample_exact_n_sql(),
+            "t_sample_n_by": oracles.sample_exact_n_by_sql(),
             "dd_embedding_cosine": oracles.cosine_dup_pairs_sql(),
             "dd_embedding_cosine_np": (
                 f"SELECT id_a, id_b FROM ({oracles.cosine_dup_pairs_sql()})"

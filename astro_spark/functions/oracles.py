@@ -1714,6 +1714,21 @@ LIMIT {n}
 """
 
 
+def sample_exact_n_by_sql(
+    table: str = "documents", group_col: str = "lang", n: int = 20
+) -> str:
+    """Mirrors sampling.sample_exact_n_by on (doc_id, group_col)."""
+    key = poly_hash("doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, {group_col}, sample_rank FROM (
+  SELECT doc_id, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {key}, doc_id) AS sample_rank
+  FROM {table}
+) WHERE sample_rank <= {n}
+"""
+
+
 # --------------------------------------------------------------------------
 # round-5 additions: KMV sketch, funnels, cohorts, PII stats
 # --------------------------------------------------------------------------

@@ -364,6 +364,27 @@ def sample_exact_n(
     )
 
 
+def sample_exact_n_by(
+    df: DataFrame, group_col: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic EXACT-size sample PER GROUP: each ``group_col``
+    value's ``n`` rows with the smallest (id-hash, id) key — the
+    stratified eval-set carve ("100 docs from every language/domain")
+    with ``sample_exact_n``'s reproducibility guarantees.
+
+    One per-group row_number window over (hash, id) — a sort-based
+    shuffle on the group key, spillable, no collected arrays; groups
+    smaller than ``n`` contribute all their rows.  Returns the sampled
+    rows with ``sample_rank`` (1..n within each group).
+    """
+    key = char_poly_hash(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
 def weighted_sample_n(
     df: DataFrame,
     n: int,

@@ -1239,6 +1239,33 @@ class TestSampleExactN:
         assert "TakeOrderedAndProject" in plan  # no global sort
 
 
+class TestSampleExactNBy:
+    def test_per_group_sizes_and_consistency(self, spark, docs):
+        """Each group yields min(n, group size) rows, and a group's
+        sample IS sample_exact_n run on that group alone (same hash
+        order ⇒ same rows and ranks)."""
+        from astro_spark.functions.sampling import (
+            sample_exact_n,
+            sample_exact_n_by,
+        )
+
+        d = docs.select("doc_id", "lang")
+        by = sample_exact_n_by(d, "lang", 7).collect()
+        sizes = {}
+        for r in by:
+            sizes[r.lang] = sizes.get(r.lang, 0) + 1
+        group_counts = {r.lang: r.n for r in d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == {g: min(7, n) for g, n in group_counts.items()}
+        lang0 = by[0].lang
+        want = {
+            (r.doc_id, r.sample_rank)
+            for r in sample_exact_n(d.where(F.col("lang") == lang0), 7).collect()
+        }
+        got = {(r.doc_id, r.sample_rank) for r in by if r.lang == lang0}
+        assert got == want
+
+
 class TestDistributionDrift:
     def test_identical_snapshots_have_zero_drift(self, spark):
         from astro_spark.functions.sampling import distribution_drift
