@@ -2532,6 +2532,26 @@ def _s_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining against the PERSISTED IVF index: the label
+    rides in the index files, probes prune at the cell-directory
+    level, and the seeded centroids + nprobe=2 make the pruned result
+    deterministic — the same oracle as the in-memory IVF miner."""
+    from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "ivf_index")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_ivfidx_")
+        similarity.ivf_write_index(emb, SEMDEDUP_CENTROIDS, d)
+        _STAGED_DIRS[key] = d
+    return similarity.hard_negatives_indexed(
+        spark, d, emb.where("vec_id < 5"), nprobe=2, k=5
+    )
+
+
 def _s_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index MAINTENANCE: build the persisted IVF index from the even
     vec_ids, append the odd ones against the stored centroids (no
@@ -3598,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_budget_select": _t_budget_select,
             "s_hard_negatives": _s_hard_negatives,
             "s_hard_negatives_ivf": _s_hard_negatives_ivf,
+            "s_hard_negatives_indexed": _s_hard_negatives_indexed,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -3620,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round 7).  No query goes >3 rounds unchecked.
 _DRIVER_PRIORITY = [
     "s_hard_negatives_ivf",
+    "s_hard_negatives_indexed",
     "q_funnel_windowed",
     "st_cdc_compact",
     "st_weighted_sample",
@@ -3668,7 +3690,6 @@ _DRIVER_PRIORITY = [
     "mm_binary_ingest",
     "op_append",
     "op_csv_roundtrip",
-    "op_diff",
 ]
 
 
@@ -4059,6 +4080,7 @@ FROM top, t
 """,
             "s_hard_negatives": oracles.hard_negatives_sql(),
             "s_hard_negatives_ivf": oracles.hard_negatives_ivf_sql(),
+            "s_hard_negatives_indexed": oracles.hard_negatives_ivf_sql(),
             "t_budget_select": """
 WITH p AS (
   SELECT doc_id,

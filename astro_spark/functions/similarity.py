@@ -1246,3 +1246,73 @@ def ivf_topk_indexed(
             "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def hard_negatives_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining against a PERSISTED IVF index
+    (``ivf_write_index`` keeps every corpus column, so the label rides
+    in the index): probe each query's ``nprobe`` nearest cells, scan
+    ONLY those ``cell=`` partition directories (PartitionFilters at
+    the file level), and keep the top-k label-mismatched neighbors —
+    ``hard_negatives(centroids=...)`` with the assignment pass already
+    paid at index-build time.  Equals the in-memory IVF path with the
+    same centroids (pinned in tests).
+    """
+    centroids = ivf_read_centroids(spark, path)
+    c = spark.read.parquet(path).select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    joined = c.join(q, on="cell").where(
+        F.col("neighbor_label") != F.col("query_label")
+    )
+    scored = joined.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -33,7 +33,8 @@ def test_rotation_order_is_applied():
     # (VERDICT r5 item 2) must sit inside the driver's 50-query window
     head = set(q[:50])
     must_check = {
-        "s_hard_negatives_ivf", "q_funnel_windowed", "st_cdc_compact",
+        "s_hard_negatives_ivf", "s_hard_negatives_indexed",
+        "q_funnel_windowed", "st_cdc_compact",
         "st_weighted_sample", "t_kmv_by_source", "op_check_scd2",
         "q_event_transitions", "st_mv_compact", "op_checksum",
         "op_join_explosion", "t_quality_percentile", "t_sample_n_by",

@@ -535,6 +535,22 @@ class TestSimilarity:
         }
         assert full_probe == brute
 
+    def test_hard_negatives_indexed_equals_in_memory_ivf(self, spark, emb, tmp_path):
+        """Mining against the persisted index (label stored in the cell
+        files) returns exactly the in-memory IVF miner's rows."""
+        from astro_spark.functions.constants import SEMDEDUP_CENTROIDS
+
+        idx = str(tmp_path / "idx")
+        similarity.ivf_write_index(emb, SEMDEDUP_CENTROIDS, idx)
+        q = emb.where("vec_id < 5")
+        key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim,
+                         r.query_label, r.neighbor_label)
+        mem = sorted(map(key, similarity.hard_negatives(
+            emb, q, k=5, centroids=SEMDEDUP_CENTROIDS, nprobe=2).collect()))
+        idx_rows = sorted(map(key, similarity.hard_negatives_indexed(
+            spark, idx, q, nprobe=2, k=5).collect()))
+        assert idx_rows == mem
+
     def test_hard_negatives_ivf_never_crosses_labels_and_prunes(self, spark, emb):
         """nprobe < n_cells returns only label-mismatched neighbors and
         a subset of the brute-force candidate space (recall ≤ 1 but
