@@ -103,6 +103,8 @@ HEADLINE = [
     "op_checksum",
     "op_join_explosion",
     "t_quality_percentile",
+    "t_sample_n_by",
+    "s_hard_negatives_indexed",
 ]
 
 
