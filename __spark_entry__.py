@@ -1894,6 +1894,69 @@ LIMIT 20
 """
 
 
+def _op_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tombstone application: seed a target from the id%3 slice,
+    apply a two-snapshot change feed (seq 1 upserts every even id with
+    value+1; seq 2 tombstones every id%10) — last change per key wins,
+    so the %10 keys are deleted and the remaining evens upserted."""
+    from astro_spark.operators.cdc import apply_changes
+    from astro_spark.operators.load_file import save_dataframe_as_table
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tgt = a.Table(f"cdc_apply_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    upd = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dels = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    apply_changes(
+        spark, tgt, upd.unionByName(dels), ["event_id"], seq_col="seq"
+    )
+    return (
+        spark.table(tgt.name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+
+
+_OP_APPLY_CHANGES_DUCK = """
+WITH tgt AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+), up AS (
+  SELECT event_id, event_type, value + 1.0 AS value
+  FROM events WHERE event_id % 2 = 0 AND event_id % 10 != 0
+), dels AS (
+  SELECT event_id FROM events WHERE event_id % 10 = 0
+), merged AS (
+  SELECT * FROM up
+  UNION ALL
+  SELECT t.* FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.event_id = t.event_id)
+    AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.event_id = t.event_id)
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM merged GROUP BY event_type
+"""
+
+
 def _op_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content checksum of documents — the exact
     snapshot-equality screen (one map-side-combined scan, no sort/join)
@@ -3600,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_kmv_by_source": _t_kmv_by_source,
             "op_check_scd2": _op_check_scd2,
             "op_checksum": _op_checksum,
+            "op_apply_changes": _op_apply_changes,
             "op_join_explosion": _op_join_explosion,
             "t_quality_percentile": _t_quality_percentile,
             "q_event_transitions": _q_event_transitions,
@@ -3650,6 +3714,7 @@ _DRIVER_PRIORITY = [
     "q_event_transitions",
     "st_mv_compact",
     "op_checksum",
+    "op_apply_changes",
     "op_join_explosion",
     "t_quality_percentile",
     "t_sample_n_by",
@@ -3689,7 +3754,6 @@ _DRIVER_PRIORITY = [
     "dd_spans",
     "mm_binary_ingest",
     "op_append",
-    "op_csv_roundtrip",
 ]
 
 
@@ -4003,6 +4067,7 @@ FROM pairs WHERE distance <= 3
             "t_kmv_distinct": oracles.kmv_token_report_sql(shingle=3),
             "t_kmv_by_source": oracles.kmv_by_group_sql(),
             "op_check_scd2": _OP_CHECK_SCD2_DUCK,
+            "op_apply_changes": _OP_APPLY_CHANGES_DUCK,
             "op_join_explosion": _OP_JOIN_EXPLOSION_DUCK,
             "t_quality_percentile": _T_QUALITY_PERCENTILE_DUCK,
             "op_checksum": (

@@ -21,6 +21,7 @@ from .exceptions import (
 from .file import File, FileType
 from .operators import (
     append,
+    apply_changes,
     check_column,
     profile_table,
     table_checksum,
@@ -72,6 +73,7 @@ __all__ = [
     "Table",
     "TempTable",
     "append",
+    "apply_changes",
     "check_column",
     "table_checksum",
     "check_table",

@@ -13,6 +13,7 @@ from .catalog import (
     schema_exists,
     table_exists,
 )
+from .cdc import apply_changes
 from .checks import check_column, check_table, profile_table, table_checksum
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
@@ -28,6 +29,7 @@ from .transform import transform, transform_file
 
 __all__ = [
     "append",
+    "apply_changes",
     "check_column",
     "check_table",
     "table_checksum",

@@ -37,8 +37,8 @@ def test_rotation_order_is_applied():
         "q_funnel_windowed", "st_cdc_compact",
         "st_weighted_sample", "t_kmv_by_source", "op_check_scd2",
         "q_event_transitions", "st_mv_compact", "op_checksum",
-        "op_join_explosion", "t_quality_percentile", "t_sample_n_by",
-        "t_kmv_distinct",
+        "op_join_explosion", "op_apply_changes", "t_quality_percentile",
+        "t_sample_n_by", "t_kmv_distinct",
         "q3_shipping_priority", "q5_local_supplier_volume", "q_pivot_status",
         "q_recursive_paths", "q_recursive_spine", "q_skew_salted_join",
         "s_brute_topk", "s_centroids", "s_ivf_label_topk",

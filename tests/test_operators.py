@@ -1499,6 +1499,64 @@ class TestScd2Enrich:
         assert got[0].status == "shipped" and got[0].dim_status == "gold"
 
 
+class TestApplyChanges:
+    def _target(self, spark, rows):
+        import uuid
+
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t = a.Table(f"cdc_t_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame(rows, "k long, v string"), t
+        )
+        return t
+
+    def test_last_change_wins_and_tombstones_delete(self, spark):
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a"), (2, "b"), (3, "c")])
+        changes = spark.createDataFrame(
+            [
+                (1, "a1", "U", 1),
+                (1, None, "D", 2),     # latest for key 1: delete
+                (2, "b1", "U", 2),
+                (2, "b0", "U", 1),     # stale update loses
+                (4, "d", "I", 1),      # brand-new key
+                (9, None, "D", 1),     # tombstone for absent key: no-op
+            ],
+            "k long, v string, op string, seq long",
+        )
+        stats = apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        assert stats == {"upserted": 2, "deleted": 2}
+        got = {(r.k, r.v) for r in spark.table(t.name).collect()}
+        assert got == {(2, "b1"), (3, "c"), (4, "d")}
+
+    def test_reapply_is_idempotent(self, spark):
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a"), (2, "b")])
+        changes = spark.createDataFrame(
+            [(1, None, "D", 1), (2, "b2", "U", 1), (5, "e", "I", 1)],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        once = {(r.k, r.v) for r in spark.table(t.name).collect()}
+        apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        assert {(r.k, r.v) for r in spark.table(t.name).collect()} == once
+
+    def test_duplicate_keys_without_seq_raise(self, spark):
+        import pytest
+
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a")])
+        changes = spark.createDataFrame(
+            [(1, "x", "U"), (1, None, "D")], "k long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="seq_col"):
+            apply_changes(spark, t, changes, ["k"])
+
+
 class TestJoinExplosionReport:
     def test_predicts_inner_join_fanout(self, spark):
         """n_pairs per key and total_pairs equal the actual inner-join
