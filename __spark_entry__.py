@@ -2913,6 +2913,62 @@ def _st_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC with tombstones: snapshot-1 upserts (every even id,
+    value+1) staged as file 00, snapshot-2 tombstones (every id%10)
+    staged as file 01; a one-file-per-trigger drain applies them in
+    arrival order, so the tombstones override — same final state as
+    the batch op_apply_changes, which is what the shared oracle says."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.streaming import load_file_stream_changes
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tgt = a.Table(f"cdc_st_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    src_dir = tempfile.mkdtemp(prefix="astro_cdcch_src_")
+    up = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+        F.lit("U").alias("op"),
+    )
+    dels = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type", "value", F.lit("D").alias("op")
+    )
+    # two files whose lexicographic names fix the arrival order
+    up.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/stage")
+    import glob as _glob
+    import shutil as _shutil
+
+    _shutil.move(
+        _glob.glob(f"{src_dir}/stage/part-*.parquet")[0], f"{src_dir}/00-up.parquet"
+    )
+    dels.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/stage")
+    _shutil.move(
+        _glob.glob(f"{src_dir}/stage/part-*.parquet")[0], f"{src_dir}/01-del.parquet"
+    )
+    _shutil.rmtree(f"{src_dir}/stage")
+    load_file_stream_changes(
+        spark,
+        a.File(path=src_dir, filetype=a.FileType.PARQUET),
+        tgt,
+        ["event_id"],
+        max_files_per_trigger=1,
+    )
+    return (
+        spark.table(tgt.name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+
+
 def _st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join: attribute each purchase
     to views by the same user in the preceding hour (deterministic
@@ -3645,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
             "st_cdc_compact": _st_cdc_compact,
+            "st_apply_changes": _st_apply_changes,
             "st_interval_join": _st_interval_join,
             "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
@@ -3708,6 +3765,7 @@ _DRIVER_PRIORITY = [
     "s_hard_negatives_indexed",
     "q_funnel_windowed",
     "st_cdc_compact",
+    "st_apply_changes",
     "st_weighted_sample",
     "t_kmv_by_source",
     "op_check_scd2",
@@ -3753,7 +3811,6 @@ _DRIVER_PRIORITY = [
     "dd_minhash_est",
     "dd_spans",
     "mm_binary_ingest",
-    "op_append",
 ]
 
 
@@ -4037,6 +4094,7 @@ FROM pairs WHERE distance <= 3
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_cdc_compact": _ST_CDC_MERGE_DUCK,
+            "st_apply_changes": _OP_APPLY_CHANGES_DUCK,
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
             "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,

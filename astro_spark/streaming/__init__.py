@@ -7,6 +7,7 @@ from .load_stream import (
     fan_out_stream,
     ivf_index_stream,
     load_file_stream,
+    load_file_stream_changes,
     load_file_stream_merge,
 )
 from .sessions import (
@@ -35,6 +36,7 @@ __all__ = [
     "kmv_stream",
     "stream_static_join",
     "load_file_stream",
+    "load_file_stream_changes",
     "load_file_stream_merge",
     "sessionize_stream",
     "fan_out_stream",

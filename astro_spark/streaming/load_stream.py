@@ -189,6 +189,74 @@ def load_file_stream_merge(
     return query
 
 
+def load_file_stream_changes(
+    spark: SparkSession,
+    input_file: File | str,
+    target_table: Table,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    schema: StructType | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """CDC ingestion WITH delete tombstones: drain new change files and
+    ``apply_changes`` each micro-batch to the target — the
+    streaming form of the APPLY CHANGES INTO surface
+    (``operators/cdc.py``), composing the Autoloader discover-once
+    contract with last-change-wins upsert+delete semantics.
+
+    Within a batch ``seq_col`` orders changes per key; across batches
+    the micro-batch order applies them in file-arrival order (CDC
+    feeds are time-ordered by construction).  A batch replayed after a
+    checkpoint-committed crash re-applies the same change set, which
+    is a no-op by ``apply_changes``'s idempotence.  Per-batch write
+    cost follows the batch applier: merge-path upserts O(touched
+    files/partitions), pushed-down tombstone deletes.
+    """
+    from ..operators.cdc import apply_changes
+
+    if isinstance(input_file, str):
+        input_file = File(path=input_file)
+    ftype = input_file.filetype or FileType.PARQUET
+    fmt = "json" if ftype == FileType.NDJSON else ftype.value
+    if schema is None:
+        schema = spark.read.format(fmt).load(input_file.path).schema
+
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_file.path)
+
+    def _apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            batch_df.sparkSession,
+            target_table,
+            batch_df,
+            key_cols,
+            op_col=op_col,
+            seq_col=seq_col,
+        )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_cdcch_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    try:
+        spark.catalog.refreshTable(target_table.qualified_name)
+    except Exception:
+        pass
+    return query
+
+
 def fan_out_stream(
     spark: SparkSession,
     input_path: str,

@@ -34,7 +34,7 @@ def test_rotation_order_is_applied():
     head = set(q[:50])
     must_check = {
         "s_hard_negatives_ivf", "s_hard_negatives_indexed",
-        "q_funnel_windowed", "st_cdc_compact",
+        "q_funnel_windowed", "st_cdc_compact", "st_apply_changes",
         "st_weighted_sample", "t_kmv_by_source", "op_check_scd2",
         "q_event_transitions", "st_mv_compact", "op_checksum",
         "op_join_explosion", "op_apply_changes", "t_quality_percentile",

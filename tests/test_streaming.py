@@ -739,6 +739,61 @@ class TestWeightedSampleStream:
         assert sorted(map(key, streamed)) == sorted(map(key, batch))
 
 
+class TestStreamApplyChanges:
+    def test_drain_applies_in_order_and_resumes(self, spark, tmp_path):
+        """Two change files drain in arrival order (later tombstone
+        overrides earlier upsert); a third file appended later resumes
+        from the checkpoint and applies on top."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+        from astro_spark.streaming import load_file_stream_changes
+
+        tgt = a.Table(f"cdc_sc_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+            tgt,
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def _stage(name, rows):
+            stage = str(tmp_path / "stage")
+            spark.createDataFrame(rows, "k long, v string, op string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            import glob
+            import shutil
+
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], str(src / name))
+
+        _stage("00.parquet", [(1, "a1", "U"), (4, "d", "I")])
+        _stage("01.parquet", [(1, None, "D"), (2, "b1", "U")])
+
+        def _drain():
+            load_file_stream_changes(
+                spark,
+                a.File(path=str(src), filetype=a.FileType.PARQUET),
+                tgt,
+                ["k"],
+                checkpoint_dir=ckpt,
+                max_files_per_trigger=1,
+            )
+
+        _drain()
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(2, "b1"), (3, "c"), (4, "d")}
+        # resume: new file revives key 1 and deletes key 4
+        _stage("02.parquet", [(1, "a2", "I"), (4, None, "D")])
+        _drain()
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(1, "a2"), (2, "b1"), (3, "c")}
+
+
 class TestCdcAutoCompact:
     def test_compacts_small_files_and_replay_is_idempotent(self, spark, tmp_path):
         """The CDC drain's auto-compact hook folds copy-on-write file
