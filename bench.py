@@ -105,6 +105,8 @@ HEADLINE = [
     "t_quality_percentile",
     "t_sample_n_by",
     "s_hard_negatives_indexed",
+    "op_apply_changes",
+    "st_apply_changes",
 ]
 
 
