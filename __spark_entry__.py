@@ -2969,6 +2969,70 @@ def _st_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_apply_changes_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER streaming CDC: the same two snapshots as
+    st_apply_changes but staged in REVERSE arrival order (the seq-2
+    tombstones land as file 00, the seq-1 upserts as file 01 — a
+    retried-upload / multi-writer feed).  With seq_col the applied-seq
+    sidecar drops the stale late upserts for tombstoned keys, so the
+    drain converges to the in-seq-order result — the same final state
+    the shared oracle describes (VERDICT r6 #1)."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.streaming import load_file_stream_changes
+
+    _views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tgt = a.Table(f"cdc_ooo_{uuid.uuid4().hex[:8]}", temp=False)
+    save_dataframe_as_table(ev.where(F.col("event_id") % 3 == 0), tgt)
+    src_dir = tempfile.mkdtemp(prefix="astro_cdcooo_src_")
+    up = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dels = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    # REVERSED lexicographic arrival: newer tombstones first
+    dels.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/stage")
+    _shutil.move(
+        _glob.glob(f"{src_dir}/stage/part-*.parquet")[0], f"{src_dir}/00-del.parquet"
+    )
+    up.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/stage")
+    _shutil.move(
+        _glob.glob(f"{src_dir}/stage/part-*.parquet")[0], f"{src_dir}/01-up.parquet"
+    )
+    _shutil.rmtree(f"{src_dir}/stage")
+    load_file_stream_changes(
+        spark,
+        a.File(path=src_dir, filetype=a.FileType.PARQUET),
+        tgt,
+        ["event_id"],
+        seq_col="seq",
+        max_files_per_trigger=1,
+    )
+    return (
+        spark.table(tgt.name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+
+
 def _st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join: attribute each purchase
     to views by the same user in the preceding hour (deterministic
@@ -3702,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_cdc_merge": _st_cdc_merge,
             "st_cdc_compact": _st_cdc_compact,
             "st_apply_changes": _st_apply_changes,
+            "st_apply_changes_ooo": _st_apply_changes_ooo,
             "st_interval_join": _st_interval_join,
             "st_static_enrich": _st_static_enrich,
             "st_windowed_counts": _st_windowed_counts,
@@ -4095,6 +4160,7 @@ FROM pairs WHERE distance <= 3
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_cdc_compact": _ST_CDC_MERGE_DUCK,
             "st_apply_changes": _OP_APPLY_CHANGES_DUCK,
+            "st_apply_changes_ooo": _OP_APPLY_CHANGES_DUCK,
             "st_interval_join": _ST_INTERVAL_JOIN_DUCK,
             "st_static_enrich": _ST_STATIC_ENRICH_DUCK,
             "st_windowed_counts": _ST_WINDOWED_DUCK,

@@ -12,22 +12,36 @@ plain parquet).
 
 Semantics:
 - ``changes`` holds ``key_cols`` + ``op_col`` ∈ {'I','U','D'} + the
-  target's data columns (+ optional ``seq_col``);
+  target's data columns (+ optional ``seq_col``); any other op value
+  (or a NULL op) raises up front — a corrupted feed must never be
+  half-applied;
 - per key only the LATEST change applies — ``seq_col`` descending with
   a deterministic (seq, op) tie-break; without ``seq_col`` the feed
   must carry at most one change per key (raises otherwise: silently
   picking one would corrupt the target);
 - latest op D → the key's row is deleted; latest I/U → upserted
   (insert-or-update, the ``merge`` update path); keys absent from the
-  target delete to a no-op, exactly the idempotent-replay contract.
+  target delete to a no-op, exactly the idempotent-replay contract;
+- ``track_seq=True`` persists the applied sequence per key in a
+  sidecar table ``<target>__applied_seq`` and DROPS any change whose
+  seq is ≤ the recorded one — the guard DLT's APPLY CHANGES keeps so
+  an out-of-order batch (a late-arriving retried upload, a
+  multi-writer feed) cannot overwrite newer state with stale data.
+  The sidecar survives target-row deletion, so a stale upsert cannot
+  resurrect a newer tombstone's key.
 
 Physical story: upserts commit through ``merge``'s scale machinery
 (partition-scoped dynamic overwrite / file-scoped copy-on-write —
-O(touched files), not table size); deletes commit through
-``delete_rows``'s file-scoped COW when the tombstone key set is small
-enough to push down as literals, else an anti-join staged swap (the
-documented last resort).  Re-applying the same change set is a no-op
-(upsert and delete are both idempotent) — pinned in tests.
+O(touched files), not table size).  Deletes: a small SINGLE-column key
+set pushes down as an ``isin`` literal (parquet min/max + bloom
+pruning at the scan); anything else — multi-column keys or any number
+of tombstones past the cap — deletes through
+``delete_rows_by_keys``'s semi-join-driven file-scoped copy-on-write,
+so delete cost is O(touched files) at ANY tombstone count (never a
+full-table swap, never a 10k-term OR expression tree).  Re-applying
+the same change set is a no-op (upsert and delete are both
+idempotent; with ``track_seq`` the replay is filtered out entirely) —
+pinned in tests.
 """
 
 from __future__ import annotations
@@ -38,12 +52,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..table import Table
-from .dml import delete_rows
-from .merge import _swap_table, merge
+from .dml import delete_rows, delete_rows_by_keys
+from .merge import merge
 
-#: tombstone key sets up to this size delete via a pushed-down literal
-#: predicate (file-scoped COW); larger sets take the anti-join swap
+#: single-column tombstone key sets up to this size delete via a
+#: pushed-down ``isin`` literal (row-group pruning at the scan); larger
+#: or multi-column sets take the semi-join file-scoped COW
 DELETE_PUSHDOWN_CAP = 10_000
+
+_VALID_OPS = ("I", "U", "D")
+
+
+def _seq_sidecar(target_table: Table) -> Table:
+    return Table(f"{target_table.name}__applied_seq", temp=False)
 
 
 def apply_changes(
@@ -53,70 +74,138 @@ def apply_changes(
     key_cols: list[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    track_seq: bool = False,
+    delete_pushdown_cap: int = DELETE_PUSHDOWN_CAP,
 ) -> dict:
     """Apply a CDC change set to ``target_table``.
 
     Returns ``{"upserted": int, "deleted": int}`` — the latest-change
     counts applied (deleted counts tombstone KEYS, present in the
-    target or not).
+    target or not; with ``track_seq`` both counts exclude changes
+    dropped as stale).
     """
     from pyspark.sql.window import Window
 
-    data_cols = [
-        c for c in changes.columns if c not in (op_col, seq_col)
-    ]
+    if track_seq and seq_col is None:
+        raise ValueError("apply_changes: track_seq=True requires seq_col")
+
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(list(_VALID_OPS))
+
+    # one window pass: latest row per key (seq desc, op desc tie-break),
+    # per-key corrupt-op flag, and — when no seq orders the feed — the
+    # per-key change count (same partitioning → one shuffle)
+    by_key = Window.partitionBy(*key_cols)
+    flagged = changes.withColumn(
+        "__kbad", F.max(bad_op.cast("int")).over(by_key)
+    )
     if seq_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc(), F.col(op_col).desc()
-        )
+        w = by_key.orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
         latest = (
-            changes.withColumn("__rn", F.row_number().over(w))
+            flagged.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .drop("__rn", seq_col)
+            .drop("__rn")
         )
     else:
-        dups = (
-            changes.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dups:
+        latest = flagged.withColumn("__kn", F.count(F.lit(1)).over(by_key))
+
+    applied_sidecar = None
+    if track_seq:
+        applied_sidecar = _seq_sidecar(target_table)
+        if spark.catalog.tableExists(applied_sidecar.qualified_name):
+            applied = spark.table(applied_sidecar.qualified_name).select(
+                *key_cols, F.col("__seq").alias("__applied_seq")
+            )
+            latest = (
+                latest.join(applied, on=key_cols, how="left")
+                .where(
+                    F.col("__applied_seq").isNull()
+                    | (F.col(seq_col) > F.col("__applied_seq"))
+                )
+                .drop("__applied_seq")
+            )
+
+    latest = latest.persist()
+    try:
+        stat_cols = [
+            F.sum((F.col(op_col) != "D").cast("long")).alias("n_up"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("n_del"),
+            F.sum(F.col("__kbad").cast("long")).alias("n_bad"),
+        ]
+        if seq_col is None:
+            stat_cols.append(F.max("__kn").alias("max_dup"))
+        stats = latest.agg(*stat_cols).collect()[0]
+        if stats["n_bad"]:
+            raise ValueError(
+                f"apply_changes: {stats['n_bad']} key(s) carry a NULL or "
+                f"unknown {op_col!r} value (must be one of {_VALID_OPS}) — "
+                "refusing to apply a corrupted change feed"
+            )
+        if seq_col is None and (stats["max_dup"] or 0) > 1:
             raise ValueError(
                 "apply_changes: multiple changes share a key but no "
                 "seq_col was given — ordering would be arbitrary"
             )
-        latest = changes
+        n_up = int(stats["n_up"] or 0)
+        n_del = int(stats["n_del"] or 0)
 
-    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
-    tombstones = latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
+        if n_up:
+            upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+            src = Table(f"_tmp_cdc_up_{uuid.uuid4().hex[:8]}")
+            upserts.createOrReplaceTempView(src.name)
+            try:
+                merge(spark, src, target_table, key_cols, if_conflicts="update")
+            finally:
+                spark.catalog.dropTempView(src.name)
 
-    n_up = upserts.count()
-    if n_up:
-        src = Table(f"_tmp_cdc_up_{uuid.uuid4().hex[:8]}")
-        upserts.createOrReplaceTempView(src.name)
-        merge(spark, src, target_table, key_cols, if_conflicts="update")
+        if n_del:
+            tombstones = (
+                latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
+            )
+            if len(key_cols) == 1 and n_del <= delete_pushdown_cap:
+                keys = tombstones.collect()
+                delete_rows(
+                    spark,
+                    target_table,
+                    F.col(key_cols[0]).isin([r[0] for r in keys]),
+                )
+            else:
+                # multi-column keys or a large set: semi-join file-scoped
+                # COW; a small multi-column set still prunes the discovery
+                # scan with a sargable per-column isin SUPERSET predicate
+                scan_filter = None
+                if n_del <= delete_pushdown_cap:
+                    keys = tombstones.collect()
+                    scan_filter = F.lit(True)
+                    for k in key_cols:
+                        scan_filter = scan_filter & F.col(k).isin(
+                            [r[k] for r in keys]
+                        )
+                delete_rows_by_keys(
+                    spark, target_table, tombstones, key_cols, scan_filter
+                )
 
-    keys = [r for r in tombstones.limit(DELETE_PUSHDOWN_CAP + 1).collect()]
-    n_del = len(keys)
-    if 0 < n_del <= DELETE_PUSHDOWN_CAP:
-        if len(key_cols) == 1:
-            cond = F.col(key_cols[0]).isin([r[0] for r in keys])
-        else:
-            cond = F.lit(False)
-            for r in keys:
-                row_eq = F.lit(True)
-                for k in key_cols:
-                    row_eq = row_eq & (F.col(k) == F.lit(r[k]))
-                cond = cond | row_eq
-        delete_rows(spark, target_table, cond)
-    elif n_del:
-        # tombstone set too large to push down: anti-join staged swap
-        n_del = tombstones.count()
-        tgt = spark.table(target_table.qualified_name)
-        _swap_table(
-            spark, tgt.join(tombstones, on=key_cols, how="left_anti"), target_table
-        )
-    spark.catalog.refreshTable(target_table.qualified_name)
-    return {"upserted": n_up, "deleted": n_del}
+        if track_seq and (n_up or n_del):
+            new_seq = latest.select(
+                *key_cols, F.col(seq_col).alias("__seq")
+            )
+            if spark.catalog.tableExists(applied_sidecar.qualified_name):
+                src = Table(f"_tmp_cdc_seq_{uuid.uuid4().hex[:8]}")
+                new_seq.createOrReplaceTempView(src.name)
+                try:
+                    merge(
+                        spark, src, applied_sidecar, key_cols,
+                        if_conflicts="update",
+                    )
+                finally:
+                    spark.catalog.dropTempView(src.name)
+            else:
+                from .load_file import save_dataframe_as_table
+
+                save_dataframe_as_table(new_seq, applied_sidecar)
+
+        if n_up or n_del:
+            spark.catalog.refreshTable(target_table.qualified_name)
+        return {"upserted": n_up, "deleted": n_del}
+    finally:
+        latest.unpersist()

@@ -123,6 +123,70 @@ def _commit_cow(
         _cow_swap_files(spark, t.qualified_name, location, files, result)
 
 
+def delete_rows_by_keys(
+    spark: SparkSession,
+    table: Table | str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    scan_filter: Column | None = None,
+) -> int:
+    """DELETE every row whose ``key_cols`` tuple appears in ``keys_df``
+    — the relational form of DELETE for key sets too large (or too
+    wide) to push down as a literal predicate.
+
+    Physical strategy: the touched-file set is discovered with a
+    LEFT SEMI join of the metadata-tagged table against the key
+    relation (broadcast when small, shuffled equi-join otherwise —
+    never an expression tree, so 10 million tombstones cost the same
+    plan shape as 10), then ONLY those files are rewritten with a
+    LEFT ANTI join (file-scoped copy-on-write).  Delete cost is
+    O(touched files) at ANY key count — the 100 TB CDC-drain shape.
+    ``scan_filter`` optionally narrows the discovery scan with a
+    sargable superset predicate (e.g. per-column ``isin`` for a small
+    multi-column key set) so parquet min/max pruning still applies;
+    exactness always comes from the joins, never the filter.
+
+    Returns the number of rows deleted.
+    """
+    t = _as_table(table)
+    df = spark.table(t.qualified_name)
+    keys = keys_df.select(*key_cols).distinct()
+    location = _parquet_location(spark, t.qualified_name)
+    if location is not None:
+        try:
+            tagged = df.select(
+                *df.columns, F.col("_metadata.file_path").alias("__file")
+            )
+        except Exception:  # pragma: no cover - source without file metadata
+            tagged = None
+        if tagged is not None:
+            scan = tagged.where(scan_filter) if scan_filter is not None else tagged
+            hit = scan.join(keys, on=key_cols, how="left_semi")
+            files = [
+                r[0]
+                for r in hit.select("__file")
+                .distinct()
+                .limit(MAX_TOUCHED_FILES + 1)
+                .collect()
+            ]
+            if not files:
+                return 0
+            if len(files) <= MAX_TOUCHED_FILES:
+                touched = tagged.where(F.col("__file").isin(files))
+                n = touched.join(keys, on=key_cols, how="left_semi").count()
+                keep = touched.join(keys, on=key_cols, how="left_anti").drop(
+                    "__file"
+                )
+                _commit_cow(spark, t, location, files, keep)
+                return n
+    # non-parquet provider / no file metadata / touched set over the cap:
+    # staged swap (readers never observe a half-applied delete)
+    n = df.join(keys, on=key_cols, how="left_semi").count()
+    if n:
+        _swap_table(spark, df.join(keys, on=key_cols, how="left_anti"), t)
+    return n
+
+
 def update_rows(
     spark: SparkSession,
     table: Table | str,

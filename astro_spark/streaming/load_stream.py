@@ -199,6 +199,7 @@ def load_file_stream_changes(
     schema: StructType | None = None,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    enforce_order: bool | None = None,
 ):
     """CDC ingestion WITH delete tombstones: drain new change files and
     ``apply_changes`` each micro-batch to the target — the
@@ -206,15 +207,29 @@ def load_file_stream_changes(
     (``operators/cdc.py``), composing the Autoloader discover-once
     contract with last-change-wins upsert+delete semantics.
 
-    Within a batch ``seq_col`` orders changes per key; across batches
-    the micro-batch order applies them in file-arrival order (CDC
-    feeds are time-ordered by construction).  A batch replayed after a
-    checkpoint-committed crash re-applies the same change set, which
-    is a no-op by ``apply_changes``'s idempotence.  Per-batch write
-    cost follows the batch applier: merge-path upserts O(touched
-    files/partitions), pushed-down tombstone deletes.
+    Within a batch ``seq_col`` orders changes per key; ACROSS batches
+    ordering is enforced by the applied-seq sidecar whenever
+    ``seq_col`` is given (``enforce_order`` defaults to that): the
+    per-key applied sequence persists in ``<target>__applied_seq`` and
+    a late-arriving file carrying a LOWER seq for a key — retried
+    uploads, multi-writer feeds, routine on object stores — is
+    DROPPED instead of overwriting newer state, so draining the same
+    change files in ANY arrival order converges to the same target
+    (pinned by the shuffled-file-order test).  Without a ``seq_col``
+    the feed must be time-ordered by construction (file-arrival order
+    applies).  A batch replayed after a checkpoint-committed crash
+    re-applies the same change set, which is a no-op by
+    ``apply_changes``'s idempotence (with the sidecar the replay is
+    filtered out entirely).  Per-batch write cost follows the batch
+    applier: merge-path upserts O(touched files/partitions),
+    file-scoped tombstone deletes.
     """
     from ..operators.cdc import apply_changes
+
+    if enforce_order is None:
+        enforce_order = seq_col is not None
+    if enforce_order and seq_col is None:
+        raise ValueError("enforce_order=True requires seq_col")
 
     if isinstance(input_file, str):
         input_file = File(path=input_file)
@@ -240,6 +255,7 @@ def load_file_stream_changes(
             key_cols,
             op_col=op_col,
             seq_col=seq_col,
+            track_seq=enforce_order,
         )
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_cdcch_ckpt_")
@@ -454,6 +470,13 @@ def aggregate_mv_stream(
     query.awaitTermination()
 
     from pyspark.sql import functions as F
+
+    if not spark.catalog.tableExists(phys):
+        # zero files matched → no batch ever fired → empty MV with the
+        # aggregated schema (agg_fn over an empty batch defines it)
+        mv = agg_fn(spark.createDataFrame([], schema))
+        mv.createOrReplaceTempView(mv_name)
+        return mv
 
     if (
         compact_partials_over_n_batches is not None

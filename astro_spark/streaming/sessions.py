@@ -403,6 +403,14 @@ def weighted_sample_stream(
 
     schema = spark.read.parquet(input_path).schema
     cols = cols or [f.name for f in schema.fields]
+    if id_col not in cols:
+        raise ValueError(
+            f"weighted_sample_stream: id_col {id_col!r} must be in cols "
+            "(the reservoir merges rows by id)"
+        )
+    missing = [c for c in cols if c not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"weighted_sample_stream: unknown cols {missing}")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -444,8 +452,12 @@ def weighted_sample_stream(
 
     ordered = sorted(state.items(), key=lambda kv: (kv[1][0], kv[0]))
     data = [kv[1][1] + (i + 1,) for i, kv in enumerate(ordered)]
+    # schema fields in CALLER-SUPPLIED cols order — the data tuples are
+    # built in that order, and matching by file order would silently
+    # swap values between same-typed columns (ADVICE r6)
+    by_name = {f.name: f for f in schema.fields}
     out_schema = StructType(
-        [f for f in schema.fields if f.name in set(cols)]
+        [by_name[c] for c in cols]
         + [StructField("sample_rank", LongType(), False)]
     )
     return spark.createDataFrame(data, out_schema)

@@ -1556,6 +1556,112 @@ class TestApplyChanges:
         with pytest.raises(ValueError, match="seq_col"):
             apply_changes(spark, t, changes, ["k"])
 
+    def test_bad_op_codes_raise(self, spark):
+        """A corrupted feed (NULL or unknown op code) raises instead of
+        silently upserting / dropping rows (ADVICE r6)."""
+        import pytest
+
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a")])
+        for bad in ["X", "d", None]:
+            changes = spark.createDataFrame(
+                [(1, "x", "U", 1), (2, "y", bad, 1)],
+                "k long, v string, op string, seq long",
+            )
+            with pytest.raises(ValueError, match="corrupted"):
+                apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        # target untouched by the refused feeds
+        assert {(r.k, r.v) for r in spark.table(t.name).collect()} == {(1, "a")}
+
+    def test_out_of_order_batches_with_track_seq(self, spark):
+        """track_seq: a late-arriving batch with LOWER seq is dropped —
+        it can neither overwrite newer values nor resurrect a newer
+        tombstone's key (VERDICT r6 #1)."""
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a"), (2, "b")])
+        newer = spark.createDataFrame(
+            [(1, None, "D", 5), (2, "new", "U", 5), (3, "c", "I", 5)],
+            "k long, v string, op string, seq long",
+        )
+        stale = spark.createDataFrame(
+            [(1, "zombie", "U", 2), (2, "old", "U", 2), (4, "d", "I", 2)],
+            "k long, v string, op string, seq long",
+        )
+        s1 = apply_changes(spark, t, newer, ["k"], seq_col="seq", track_seq=True)
+        assert s1 == {"upserted": 2, "deleted": 1}
+        s2 = apply_changes(spark, t, stale, ["k"], seq_col="seq", track_seq=True)
+        # only the genuinely-new key 4 survives the sidecar filter
+        assert s2 == {"upserted": 1, "deleted": 0}
+        got = {(r.k, r.v) for r in spark.table(t.name).collect()}
+        assert got == {(2, "new"), (3, "c"), (4, "d")}
+        # full replay of the newer batch is filtered to a no-op
+        s3 = apply_changes(spark, t, newer, ["k"], seq_col="seq", track_seq=True)
+        assert s3 == {"upserted": 0, "deleted": 0}
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}__applied_seq")
+
+    def test_large_tombstone_set_file_scoped(self, spark):
+        """Past the pushdown cap the delete goes through the semi-join
+        file-scoped COW — untouched files keep their paths, never a
+        full-table swap (VERDICT r6 #2)."""
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+
+        name = f"cdc_big_{_uuid.uuid4().hex[:8]}"
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet AS "
+            "SELECT id AS k, CAST(id AS STRING) AS v FROM range(0)"
+        )
+        spark.sql("SELECT id AS k, CAST(id AS STRING) AS v FROM range(800)") \
+            .repartitionByRange(8, "k").write.mode("overwrite") \
+            .format("parquet").insertInto(name)
+        t = a.Table(name, temp=False)
+        before = set(spark.table(name).inputFiles())
+        assert len(before) == 8
+        changes = spark.sql(
+            "SELECT id AS k, CAST(NULL AS STRING) AS v, 'D' AS op, 1 AS seq "
+            "FROM range(40, 60)"
+        )
+        stats = apply_changes(
+            spark, t, changes, ["k"], seq_col="seq", delete_pushdown_cap=5
+        )
+        assert stats == {"upserted": 0, "deleted": 20}
+        after = set(spark.table(name).inputFiles())
+        assert spark.table(name).count() == 780
+        assert spark.table(name).where("k = 45").count() == 0
+        assert len(before & after) == 7  # only the hit file rewritten
+        spark.sql(f"DROP TABLE {name}")
+
+    def test_multi_key_tombstones_no_literal_tree(self, spark):
+        """Composite-key tombstones delete through the semi-join COW with
+        a sargable per-column isin superset — correct even when the
+        per-column superset over-matches (ADVICE r6: no OR-of-ANDs)."""
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t = a.Table(f"cdc_mk_{_uuid.uuid4().hex[:8]}", temp=False)
+        rows = [(a_, b_, f"{a_}-{b_}") for a_ in range(4) for b_ in range(4)]
+        save_dataframe_as_table(
+            spark.createDataFrame(rows, "ka long, kb long, v string"), t
+        )
+        # delete (1,1) and (2,2); superset {1,2}×{1,2} also contains
+        # (1,2),(2,1) which must SURVIVE
+        changes = spark.createDataFrame(
+            [(1, 1, None, "D", 1), (2, 2, None, "D", 1), (0, 0, "upd", "U", 1)],
+            "ka long, kb long, v string, op string, seq long",
+        )
+        stats = apply_changes(spark, t, changes, ["ka", "kb"], seq_col="seq")
+        assert stats == {"upserted": 1, "deleted": 2}
+        got = {(r.ka, r.kb): r.v for r in spark.table(t.name).collect()}
+        assert (1, 1) not in got and (2, 2) not in got
+        assert got[(1, 2)] == "1-2" and got[(2, 1)] == "2-1"
+        assert got[(0, 0)] == "upd" and len(got) == 14
+        spark.sql(f"DROP TABLE {t.name}")
+
 
 class TestJoinExplosionReport:
     def test_predicts_inner_join_fanout(self, spark):

@@ -793,6 +793,57 @@ class TestStreamApplyChanges:
         got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
         assert got == {(1, "a2"), (2, "b1"), (3, "c")}
 
+    def test_shuffled_file_order_converges_with_seq(self, spark, tmp_path):
+        """With seq_col, draining the SAME change files in any arrival
+        order converges to the in-order result: the applied-seq sidecar
+        drops stale late arrivals instead of letting them overwrite
+        newer state (VERDICT r6 #1)."""
+        import uuid
+
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+        from astro_spark.streaming import load_file_stream_changes
+
+        batches = [
+            [(1, "v1", "U", 1), (2, "w1", "U", 1), (5, "e1", "I", 1)],
+            [(1, "v2", "U", 2), (3, "x2", "I", 2)],
+            [(1, None, "D", 3), (2, "w3", "U", 3), (5, None, "D", 3)],
+        ]
+        # in-order result: 2→w3, 3→x2, 4→d (seed), 1 and 5 deleted
+        expect = {(2, "w3"), (3, "x2"), (4, "d")}
+
+        for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+            tgt = a.Table(f"cdc_ooo_{uuid.uuid4().hex[:8]}", temp=False)
+            save_dataframe_as_table(
+                spark.createDataFrame([(4, "d")], "k long, v string"), tgt
+            )
+            src = tmp_path / f"src_{'_'.join(map(str, order))}"
+            src.mkdir()
+            for pos, batch_idx in enumerate(order):
+                stage = str(tmp_path / "stage")
+                spark.createDataFrame(
+                    batches[batch_idx], "k long, v string, op string, seq long"
+                ).coalesce(1).write.mode("overwrite").parquet(stage)
+                import glob
+                import shutil
+
+                shutil.move(
+                    glob.glob(f"{stage}/part-*.parquet")[0],
+                    str(src / f"{pos:02d}.parquet"),
+                )
+            load_file_stream_changes(
+                spark,
+                a.File(path=str(src), filetype=a.FileType.PARQUET),
+                tgt,
+                ["k"],
+                seq_col="seq",
+                max_files_per_trigger=1,
+            )
+            got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+            assert got == expect, f"arrival order {order} diverged: {got}"
+            spark.sql(f"DROP TABLE IF EXISTS {tgt.name}")
+            spark.sql(f"DROP TABLE IF EXISTS {tgt.name}__applied_seq")
+
 
 class TestCdcAutoCompact:
     def test_compacts_small_files_and_replay_is_idempotent(self, spark, tmp_path):
