@@ -2755,6 +2755,102 @@ def _mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(blobs).orderBy("doc_id")
 
 
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decoding end-to-end: synthesize PNG (RGB), BMP, and
+    WAV payloads from doc_id arithmetic inside mapInPandas workers
+    (encode), decode them back through ``decode_features`` (the
+    de-stubbed from-scratch stdlib codecs — all PNG filter types
+    exercised by the encoder's row%5 cycle), and report dimensions /
+    sample counts / content sums the oracle recomputes arithmetically.
+    Encode and decode never touch the driver — the 100 TB shape."""
+    _views(spark, sf_dir)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def _gen(batches):
+        import array
+
+        import pandas as pd
+
+        from astro_spark.functions import media_codecs as mc
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    w, h = doc_id % 7 + 1, doc_id % 5 + 1
+                    pix = bytes(
+                        (doc_id * 31 + i) % 256 for i in range(w * h * 3)
+                    )
+                    if doc_id % 4 == 0:
+                        payload, mt = mc.encode_png(pix, w, h, 3), "image/png"
+                    else:
+                        payload, mt = mc.encode_bmp(pix, w, h), "image/bmp"
+                else:
+                    n = doc_id % 50 + 10
+                    pcm = array.array(
+                        "h",
+                        [((doc_id * 7 + i * 13) % 65536) - 32768 for i in range(n)],
+                    )
+                    payload, mt = mc.encode_wav(pcm.tobytes()), "audio/wav"
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    payloads = docs.repartition(8).mapInPandas(
+        _gen, "doc_id long, media_type string, payload binary"
+    )
+    return multimodal.decode_features(payloads).orderBy("doc_id")
+
+
+_MM_DECODE_DUCK = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+img AS (
+  SELECT doc_id, (doc_id % 7) + 1 AS width, (doc_id % 5) + 1 AS height
+  FROM ids WHERE doc_id % 2 = 0
+),
+ie AS (
+  SELECT doc_id, width, height,
+         unnest(range(width * height * 3)) AS i
+  FROM img
+),
+isum AS (
+  SELECT doc_id, CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS payload_sum
+  FROM ie GROUP BY doc_id
+),
+aud AS (
+  SELECT doc_id, (doc_id % 50) + 10 AS n_samples FROM ids WHERE doc_id % 2 = 1
+),
+ae AS (
+  SELECT doc_id, n_samples, unnest(range(n_samples)) AS i FROM aud
+),
+asum AS (
+  SELECT doc_id,
+         CAST(SUM(((doc_id * 7 + i * 13) % 65536) - 32768) AS BIGINT)
+           AS payload_sum
+  FROM ae GROUP BY doc_id
+)
+SELECT i.doc_id, 'image' AS kind,
+       i.width::BIGINT AS width, i.height::BIGINT AS height,
+       3::BIGINT AS channels,
+       CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+       s.payload_sum
+FROM img i JOIN isum s USING (doc_id)
+UNION ALL
+SELECT a.doc_id, 'audio' AS kind,
+       CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+       1::BIGINT AS channels, 16000::BIGINT AS sample_rate,
+       a.n_samples::BIGINT AS n_samples, s.payload_sum
+FROM aud a JOIN asum s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -3762,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_features": _mm_features,
             "mm_frames": _mm_frames,
             "mm_binary_ingest": _mm_binary_ingest,
+            "mm_decode": _mm_decode,
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
             "st_cdc_compact": _st_cdc_compact,
@@ -4156,6 +4253,7 @@ FROM pairs WHERE distance <= 3
             "mm_features": oracles.multimodal_features_sql(),
             "mm_frames": oracles.multimodal_frames_sql(),
             "mm_binary_ingest": oracles.binary_ingest_sql(),
+            "mm_decode": _MM_DECODE_DUCK,
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_cdc_compact": _ST_CDC_MERGE_DUCK,

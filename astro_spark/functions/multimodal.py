@@ -96,12 +96,108 @@ def attach_binary_payload(
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """STUB: real deployments plug PIL/ffmpeg/soundfile here."""
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode a media payload to raw pixels/samples.
+
+    Dispatch by ``media_type``: PNG / BMP / WAV decode through the
+    from-scratch stdlib codecs (``media_codecs`` — baseline profiles,
+    all PNG filter types, round-trip-pinned); images prefer PIL when it
+    IS installed (full format coverage, C-speed); everything else
+    (JPEG, video, compressed audio) still raises NotImplementedError —
+    those genuinely need libjpeg/ffmpeg.
+
+    Returns ``{"kind": "image", width, height, channels, pixels}`` or
+    ``{"kind": "audio", channels, sample_rate, n_samples, pcm}``.
+    """
+    from . import media_codecs as mc
+
+    payload = bytes(payload)
+    mt = (media_type or "").lower()
+    if "png" in mt or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:  # PIL preferred when installed
+            from PIL import Image  # type: ignore
+
+            img = Image.open(__import__("io").BytesIO(payload))
+            img.load()
+            ch = len(img.getbands())
+            return {
+                "kind": "image",
+                "width": img.width,
+                "height": img.height,
+                "channels": ch,
+                "pixels": img.tobytes(),
+            }
+        except ImportError:
+            return mc.decode_png(payload)
+    if "bmp" in mt or payload[:2] == b"BM":
+        return mc.decode_bmp(payload)
+    if "wav" in mt or payload[:4] == b"RIFF":
+        return mc.decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; extract_features uses deterministic byte-level features"
+        f"no decoder for media type {media_type!r}: PNG/BMP/WAV decode via "
+        "stdlib codecs; JPEG/video/compressed audio need PIL/ffmpeg"
     )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("payload_sum", LongType()),
+    ]
+)
+
+
+def decode_features(
+    df: DataFrame, payload_col: str = "payload", type_col: str = "media_type"
+) -> DataFrame:
+    """Arrow-batched REAL decoding over binary payloads: each row's
+    payload is decoded (``decode_media``) inside a ``mapInPandas``
+    worker and summarized to (dimensions, channels, sample counts, and
+    a content sum — unsigned pixel bytes for images, signed samples for
+    audio).
+
+    This is the de-stubbed twin of ``extract_features``: same batch
+    shape and partitioning, but the codec step is real.  At 100 TB the
+    decode is embarrassingly parallel (no shuffle, no driver bytes);
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds worker
+    memory for large blobs.
+    """
+
+    def _decode_one(doc_id, payload, mtype) -> tuple:
+        d = decode_media(payload, mtype)
+        if d["kind"] == "image":
+            return (
+                doc_id, "image", d["width"], d["height"], d["channels"],
+                None, None, sum(d["pixels"]),
+            )
+        import array
+
+        # WAV PCM: 8-bit is UNSIGNED, 16/32-bit are signed little-endian
+        code = {1: "B", 2: "h", 4: "i"}[d["sample_width"]]
+        samples = array.array(code, d["pcm"])
+        return (
+            doc_id, "audio", None, None, d["channels"],
+            d["sample_rate"], d["n_samples"], sum(samples),
+        )
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                _decode_one(i, p, t)
+                for i, p, t in zip(
+                    pdf["doc_id"], pdf[payload_col], pdf[type_col]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_mapper, DECODED_SCHEMA)
 
 
 def extract_features(

@@ -920,9 +920,132 @@ class TestMultimodal:
             (r.doc_id, bytes(r.payload)) for r in again
         }
 
-    def test_decode_stub_raises(self):
+    def test_decode_unknown_type_raises(self):
         with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+    def test_decode_malformed_png_raises(self):
+        with pytest.raises(ValueError, match="PNG"):
             multimodal.decode_media(b"x", "image/png")
+
+
+class TestMediaCodecs:
+    """From-scratch stdlib PNG/BMP/WAV codecs (de-stubbed decode_media)."""
+
+    def _pix(self, n, seed=7):
+        return bytes((seed * 31 + i * 13) % 256 for i in range(n))
+
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_png_roundtrip_all_color_types(self, channels):
+        from astro_spark.functions import media_codecs as mc
+
+        # height 11 > 5 so the encoder's row%5 filter cycle exercises
+        # EVERY unfilter path (None/Sub/Up/Average/Paeth) at least twice
+        w, h = 9, 11
+        pixels = self._pix(w * h * channels, seed=channels)
+        png = mc.encode_png(pixels, w, h, channels)
+        d = mc.decode_png(png)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+        assert d["pixels"] == pixels
+
+    def test_png_palette_decode(self):
+        """Color type 3 (palette) expands through PLTE to RGB."""
+        import struct
+        import zlib
+
+        from astro_spark.functions import media_codecs as mc
+
+        w, h = 4, 3
+        palette = bytes(range(48))  # 16 RGB entries
+        idx = bytes([(x + y) % 16 for y in range(h) for x in range(w)])
+        raw = b"".join(b"\x00" + idx[y * w : (y + 1) * w] for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + mc._png_chunk(b"IHDR", ihdr)
+            + mc._png_chunk(b"PLTE", palette)
+            + mc._png_chunk(b"IDAT", zlib.compress(raw))
+            + mc._png_chunk(b"IEND", b"")
+        )
+        d = mc.decode_png(png)
+        assert d["channels"] == 3 and d["width"] == w
+        expect = b"".join(
+            palette[i * 3 : i * 3 + 3] for i in idx
+        )
+        assert d["pixels"] == expect
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        from astro_spark.functions import media_codecs as mc
+
+        # width 3 → 9-byte rows padded to 12: exercises the pad path
+        w, h = 3, 5
+        pixels = self._pix(w * h * 3, seed=3)
+        bmp = mc.encode_bmp(pixels, w, h)
+        d = mc.decode_bmp(bmp)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == pixels
+
+    def test_wav_roundtrip(self):
+        import array
+
+        from astro_spark.functions import media_codecs as mc
+
+        samples = array.array(
+            "h", [((i * 257) % 65536) - 32768 for i in range(50)]
+        )
+        wav = mc.encode_wav(samples.tobytes(), sample_rate=8000)
+        d = mc.decode_wav(wav)
+        assert (d["channels"], d["sample_rate"], d["n_samples"]) == (1, 8000, 50)
+        assert array.array("h", d["pcm"]) == samples
+
+    def test_decode_media_dispatch(self):
+        from astro_spark.functions import media_codecs as mc
+
+        png = mc.encode_png(self._pix(12), 4, 3, 1)
+        bmp = mc.encode_bmp(self._pix(36), 4, 3)
+        wav = mc.encode_wav(b"\x00\x01" * 10)
+        assert multimodal.decode_media(png, "image/png")["kind"] == "image"
+        assert multimodal.decode_media(bmp, "image/bmp")["channels"] == 3
+        assert multimodal.decode_media(wav, "audio/wav")["n_samples"] == 10
+
+    def test_decode_features_distributed(self, spark):
+        """decode_features decodes REAL PNG and WAV payloads inside
+        mapInPandas workers; sums/dims verified against the generators."""
+        import array
+
+        from astro_spark.functions import media_codecs as mc
+
+        rows = []
+        for doc_id in range(20):
+            if doc_id % 2 == 0:
+                w, h = doc_id % 7 + 1, doc_id % 5 + 1
+                pix = bytes((doc_id * 31 + i) % 256 for i in range(w * h))
+                rows.append((doc_id, "image/png", mc.encode_png(pix, w, h, 1)))
+            else:
+                n = doc_id % 50 + 10
+                pcm = array.array(
+                    "h", [((doc_id * 7 + i * 13) % 65536) - 32768 for i in range(n)]
+                )
+                rows.append((doc_id, "audio/wav", mc.encode_wav(pcm.tobytes())))
+        df = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary"
+        ).repartition(4)
+        got = {r.doc_id: r for r in multimodal.decode_features(df).collect()}
+        assert len(got) == 20
+        for doc_id in range(20):
+            r = got[doc_id]
+            if doc_id % 2 == 0:
+                w, h = doc_id % 7 + 1, doc_id % 5 + 1
+                assert (r.kind, r.width, r.height, r.channels) == ("image", w, h, 1)
+                assert r.payload_sum == sum(
+                    (doc_id * 31 + i) % 256 for i in range(w * h)
+                )
+            else:
+                n = doc_id % 50 + 10
+                assert (r.kind, r.sample_rate, r.n_samples) == ("audio", 16000, n)
+                assert r.payload_sum == sum(
+                    ((doc_id * 7 + i * 13) % 65536) - 32768 for i in range(n)
+                )
 
 
 class TestPlanShape:
