@@ -2851,6 +2851,114 @@ ORDER BY doc_id
 """
 
 
+def _mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode end-to-end through the from-scratch T.81
+    codec (``functions/jpeg_codec.py``): synthesize JPEG payloads from
+    doc_id arithmetic inside mapInPandas workers (gray + RGB, 4:4:4 and
+    4:2:0, edge-padded non-multiple-of-8 dims), decode them back via
+    ``decode_media`` in a second mapInPandas stage, and report the
+    exactly-recomputable fields (kind/dims/channels) plus ``mae_ok`` —
+    mean |decoded−original| < 8.0, a real reconstruction-fidelity gate
+    (random decoder output would score ~60+).  JPEG is lossy, so the
+    content check is a bounded-error boolean rather than a sum the
+    oracle recomputes; dims stay hash-exact."""
+    _views(spark, sf_dir)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 150)
+    )
+
+    def _spec(doc_id: int) -> tuple:
+        w = doc_id % 9 + 8
+        h = doc_id % 6 + 8
+        ch = 3 if doc_id % 3 else 1
+        sub = (doc_id % 2 == 0) and ch == 3
+        return w, h, ch, sub
+
+    def _pixels(doc_id: int, w: int, h: int, ch: int) -> bytes:
+        # triangle wave: smooth everywhere (no 255→0 sawtooth edges that
+        # would blow the lossy-reconstruction bound with DCT ringing)
+        return bytes(
+            abs(((x * 4 + y * 4 + c * 40 + doc_id) % 510) - 255)
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from astro_spark.functions.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, ch, sub = _spec(doc_id)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append("image/jpeg")
+                out["payload"].append(
+                    encode_jpeg(
+                        _pixels(doc_id, w, h, ch), w, h, ch,
+                        quality=90, subsample=sub,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    def _dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        from astro_spark.functions.multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                doc_id = int(doc_id)
+                d = decode_media(payload, mt)
+                w, h, ch, _sub = _spec(doc_id)
+                orig = np.frombuffer(
+                    _pixels(doc_id, w, h, ch), np.uint8
+                ).astype(int)
+                got = np.frombuffer(d["pixels"], np.uint8).astype(int)
+                mae_ok = (
+                    len(orig) == len(got)
+                    and float(np.abs(orig - got).mean()) < 8.0
+                )
+                rows.append(
+                    (doc_id, d["kind"], d["width"], d["height"],
+                     d["channels"], mae_ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "width", "height", "channels",
+                         "mae_ok"],
+            )
+
+    payloads = docs.repartition(8).mapInPandas(
+        _gen, "doc_id long, media_type string, payload binary"
+    )
+    return payloads.mapInPandas(
+        _dec,
+        "doc_id long, kind string, width long, height long, channels long, "
+        "mae_ok boolean",
+    ).orderBy("doc_id")
+
+
+_MM_DECODE_JPEG_DUCK = """
+SELECT doc_id, 'image' AS kind,
+       CAST((doc_id % 9) + 8 AS BIGINT) AS width,
+       CAST((doc_id % 6) + 8 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+       TRUE AS mae_ok
+FROM documents WHERE doc_id < 150
+ORDER BY doc_id
+"""
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -3859,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_frames": _mm_frames,
             "mm_binary_ingest": _mm_binary_ingest,
             "mm_decode": _mm_decode,
+            "mm_decode_jpeg": _mm_decode_jpeg,
             "st_incremental_load": _st_incremental_load,
             "st_cdc_merge": _st_cdc_merge,
             "st_cdc_compact": _st_cdc_compact,
@@ -3914,65 +4023,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-6 driver-verification order (the driver checks the FIRST 50
-# entries): the 3 round-6 additions plus t_kmv_distinct (its code path
-# switched to pre_aggregate — re-verify under the hard signal) lead,
-# then ALL 31 queries whose last driver row is r02 (they predate the
-# driver-faithful checker rewrite, so their green has never been
-# confirmed under the current hashing — VERDICT r5 item 2), then the
-# 15 alphabetically-first of the 50 r03 rows (the remaining 35 lead
-# round 7).  No query goes >3 rounds unchecked.
+# Round-7 driver-verification order (the driver checks the FIRST 50
+# entries): the 3 round-7 additions that have never had a driver row
+# (mm_decode, mm_decode_jpeg, st_apply_changes_ooo) lead, then ALL 47
+# queries whose latest driver row is r03 — the oldest cohort (VERDICT
+# r6 item 5).  After this round no query's latest check is older than
+# r04 (≤3 rounds stale).
 _DRIVER_PRIORITY = [
-    "s_hard_negatives_ivf",
-    "s_hard_negatives_indexed",
-    "q_funnel_windowed",
-    "st_cdc_compact",
-    "st_apply_changes",
-    "st_weighted_sample",
-    "t_kmv_by_source",
-    "op_check_scd2",
-    "q_event_transitions",
-    "st_mv_compact",
-    "op_checksum",
-    "op_apply_changes",
-    "op_join_explosion",
-    "t_quality_percentile",
-    "t_sample_n_by",
-    "t_kmv_distinct",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_pivot_status",
-    "q_recursive_paths",
-    "q_recursive_spine",
-    "q_skew_salted_join",
-    "s_brute_topk",
-    "s_centroids",
-    "s_ivf_label_topk",
-    "s_ivf_trained_topk",
-    "s_lsh_buckets",
-    "s_lsh_pairs",
-    "s_quantize",
-    "st_cdc_merge",
-    "st_dedup",
-    "st_incremental_load",
-    "st_interval_join",
-    "st_sessions",
-    "st_static_enrich",
-    "st_windowed_counts",
-    "t_chunks",
-    "t_corpus_prep",
-    "t_dataset_card",
-    "t_domain_mix",
-    "t_pack_sequences",
-    "t_pseudonymize",
-    "t_quality_filter",
-    "t_repetition",
-    "t_shards",
-    "t_stratified",
-    "t_top_terms",
-    "dd_minhash_est",
-    "dd_spans",
-    "mm_binary_ingest",
+    "mm_decode",
+    "mm_decode_jpeg",
+    "st_apply_changes_ooo",
+    "op_append",
+    "op_csv_roundtrip",
+    "op_diff",
+    "op_load_export_roundtrip",
+    "op_merge_ignore",
+    "op_ndjson_flatten",
+    "op_scd2",
+    "op_schema_evolution",
+    "op_transform_ctas",
+    "op_transform_file",
+    "q10_returned_customers",
+    "q6_revenue_forecast",
+    "q_antijoin_nations",
+    "q_asof_join",
+    "q_correlated_scalar",
+    "q_cube_orders",
+    "q_events_hourly",
+    "q_events_json",
+    "q_events_sessions",
+    "q_exists_big_quantity",
+    "q_explode_positions",
+    "q_funnel",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_having_top_customers",
+    "q_hist_quantiles",
+    "q_multi_distinct",
+    "q_ntile_ranks",
+    "q_percentiles",
+    "q_range_frame",
+    "q_range_join",
+    "q_retention",
+    "q_rollup_lineitem",
+    "q_running_total",
+    "q_semijoin_parts",
+    "q_session_window",
+    "q_setops_customers",
+    "q_string_agg",
+    "q_unpivot",
+    "q_window_top_suppliers",
+    "s_pq_topk",
+    "st_late_data",
+    "st_multi_sink",
+    "t_classify",
+    "t_cms_top_terms",
+    "t_collocations",
+    "t_tfidf",
 ]
 
 
@@ -4254,6 +4361,7 @@ FROM pairs WHERE distance <= 3
             "mm_frames": oracles.multimodal_frames_sql(),
             "mm_binary_ingest": oracles.binary_ingest_sql(),
             "mm_decode": _MM_DECODE_DUCK,
+            "mm_decode_jpeg": _MM_DECODE_JPEG_DUCK,
             "st_incremental_load": _ST_INCREMENTAL_DUCK,
             "st_cdc_merge": _ST_CDC_MERGE_DUCK,
             "st_cdc_compact": _ST_CDC_MERGE_DUCK,

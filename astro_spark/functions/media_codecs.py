@@ -16,6 +16,8 @@ baseline profiles need nothing beyond the stdlib —
 - **BMP** (Windows DIB): 24-bit uncompressed BITMAPINFOHEADER profile,
   bottom-up rows padded to 4 bytes.
 - **WAV**: stdlib ``wave`` (PCM 8/16/24/32-bit).
+- **JPEG**: baseline sequential DCT lives in the sibling
+  ``jpeg_codec`` module (ITU-T T.81; numpy for the DCT math).
 
 These codecs exist for correctness and testability of the multimodal
 plumbing — per-pixel throughput is not the point (a production

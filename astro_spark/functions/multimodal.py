@@ -2,9 +2,11 @@
 
 Design: media are opaque ``binary`` columns plus typed metadata columns.
 The Spark-side machinery — schema, Arrow batching via mapInPandas, batch
-shape, partitioning — is real and tested; the actual codec step is STUBBED
-(this container has no image/audio libraries) behind
-``NotImplementedError`` with a deterministic fake for tests.
+shape, partitioning — is real and tested; decoding is real too for
+PNG/BMP/WAV (``media_codecs``) and baseline JPEG (``jpeg_codec``) via
+from-scratch stdlib codecs (this container has no image/audio
+libraries); only video / compressed audio remain gated behind
+``NotImplementedError`` — those genuinely need ffmpeg.
 
 At 100 TB: binary payloads ride in parquet row groups; feature extraction
 is an Arrow-batched mapInPandas (one Python worker per task, vectorized
@@ -101,10 +103,12 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 
     Dispatch by ``media_type``: PNG / BMP / WAV decode through the
     from-scratch stdlib codecs (``media_codecs`` — baseline profiles,
-    all PNG filter types, round-trip-pinned); images prefer PIL when it
-    IS installed (full format coverage, C-speed); everything else
-    (JPEG, video, compressed audio) still raises NotImplementedError —
-    those genuinely need libjpeg/ffmpeg.
+    all PNG filter types, round-trip-pinned); baseline JPEG decodes
+    through the from-scratch T.81 codec (``jpeg_codec`` — SOF0,
+    1/3 components, 4:4:4/4:2:2/4:2:0, restart intervals); images
+    prefer PIL when it IS installed (full format coverage, C-speed);
+    video and compressed audio still raise NotImplementedError — those
+    genuinely need ffmpeg.
 
     Returns ``{"kind": "image", width, height, channels, pixels}`` or
     ``{"kind": "audio", channels, sample_rate, n_samples, pcm}``.
@@ -113,7 +117,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 
     payload = bytes(payload)
     mt = (media_type or "").lower()
-    if "png" in mt or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    is_png = "png" in mt or payload[:8] == b"\x89PNG\r\n\x1a\n"
+    is_jpg = "jpg" in mt or "jpeg" in mt or payload[:2] == b"\xff\xd8"
+    if is_png or is_jpg:
         try:  # PIL preferred when installed
             from PIL import Image  # type: ignore
 
@@ -128,14 +134,18 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                 "pixels": img.tobytes(),
             }
         except ImportError:
-            return mc.decode_png(payload)
+            if is_png:
+                return mc.decode_png(payload)
+            from .jpeg_codec import decode_jpeg
+
+            return decode_jpeg(payload)
     if "bmp" in mt or payload[:2] == b"BM":
         return mc.decode_bmp(payload)
     if "wav" in mt or payload[:4] == b"RIFF":
         return mc.decode_wav(payload)
     raise NotImplementedError(
-        f"no decoder for media type {media_type!r}: PNG/BMP/WAV decode via "
-        "stdlib codecs; JPEG/video/compressed audio need PIL/ffmpeg"
+        f"no decoder for media type {media_type!r}: PNG/JPEG/BMP/WAV decode "
+        "via from-scratch stdlib codecs; video/compressed audio need ffmpeg"
     )
 
 

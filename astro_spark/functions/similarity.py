@@ -409,16 +409,47 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+#: target vectors per IVF cell when ``n_cells="auto"`` — holds per-probe
+#: candidate work constant as the corpus grows (the cells-∝-n contract)
+DEFAULT_CELL_SIZE = 256
+
+
+def resolve_n_cells(
+    corpus: DataFrame,
+    n_cells: int | str,
+    target_cell_size: int = DEFAULT_CELL_SIZE,
+) -> int:
+    """Resolve ``n_cells="auto"`` to ``⌈n / target_cell_size⌉``.
+
+    The round-6 scale sweep proved a FIXED cell count makes kNN-graph
+    candidate pairs quadratic in the corpus (n²·nprobe/n_cells; 20.7×
+    wall at 10× data).  Auto sizing holds |cell| ≈ ``target_cell_size``
+    so candidates per vector stay constant and the sweep goes sublinear
+    out of the box — the documented remedy made self-executing.  The
+    count is one metadata-cheap job; at 100 TB train on a sample and
+    size cells from the FULL corpus count.
+    """
+    if n_cells != "auto":
+        return int(n_cells)
+    n = corpus.count()
+    return max(1, -(-n // int(target_cell_size)))
+
+
 def ivf_train(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 5,
+    target_cell_size: int = DEFAULT_CELL_SIZE,
 ) -> list[list[float]]:
     """Train IVF cell centroids with Lloyd's k-means, expressed as
     DataFrame ops (assign = broadcast argmax-cosine projection; update =
     one groupBy with per-dimension means).
+
+    ``n_cells="auto"`` trains ``⌈n / target_cell_size⌉`` cells
+    (``resolve_n_cells``) so the index keeps the cells-∝-n scaling
+    contract without the caller doing the arithmetic.
 
     Deterministic init: the ``n_cells`` vectors with the smallest ids.
     Only ``n_cells × dim`` floats ever reach the driver per iteration —
@@ -427,6 +458,7 @@ def ivf_train(
     For 100 TB practice, train on a sampled slice (``corpus.sample``)
     and assign the full corpus once with ``ivf_assign``.
     """
+    n_cells = resolve_n_cells(corpus, n_cells, target_cell_size)
     seed_rows = (
         corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
         .orderBy(id_col)
@@ -499,7 +531,7 @@ def cell_balance(
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     nprobe: int = 2,
     k: int = 5,
     id_col: str = "vec_id",
@@ -560,7 +592,7 @@ def ivf_topk(
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -586,9 +618,13 @@ def knn_graph(
     ``n_cells`` ∝ n to hold |cell| (and per-vector candidates)
     constant, train on a sample (``ivf_train(corpus.sample(...))``),
     keep ``nprobe`` small, and pre-partition the corpus by cell
-    (``ivf_write_index``) so probes prune at the file level.  Measured
-    at a 10× corpus (PERF.md round-6 scale sweep): fixed 8 cells →
-    20.7× wall; cells scaled 8 → 80 → 5.8× wall (sublinear).
+    (``ivf_write_index``) so probes prune at the file level.
+    ``n_cells="auto"`` executes the contract for you: it trains
+    ``⌈n/DEFAULT_CELL_SIZE⌉`` cells (``resolve_n_cells``), so the same
+    call stays sublinear as the corpus grows.  Measured at a 10× corpus
+    (PERF.md round-6 scale sweep): fixed 8 cells → 20.7× wall; cells
+    scaled 8 → 80 → 5.8× wall (sublinear); round-7 sweep pins "auto"
+    reproducing the sublinear shape with no caller arithmetic.
     Training-pipeline uses: SemDeDup neighbor audits, kNN-graph
     clustering, coreset selection.
 

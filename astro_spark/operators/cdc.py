@@ -30,10 +30,15 @@ Semantics:
   The sidecar survives target-row deletion, so a stale upsert cannot
   resurrect a newer tombstone's key.
 
-Physical story: upserts commit through ``merge``'s scale machinery
+Physical story: a batch carrying BOTH upserts and tombstones commits
+through ``_apply_fused`` on unpartitioned parquet targets — one
+semi-join discovers the files touched by any change key and ONE
+copy-on-write pass rewrites them with deletes anti-joined out and
+upserts merged in, so overlapping files are never rewritten twice.
+Otherwise upserts commit through ``merge``'s scale machinery
 (partition-scoped dynamic overwrite / file-scoped copy-on-write —
-O(touched files), not table size).  Deletes: a small SINGLE-column key
-set pushes down as an ``isin`` literal (parquet min/max + bloom
+O(touched files), not table size), and deletes: a small SINGLE-column
+key set pushes down as an ``isin`` literal (parquet min/max + bloom
 pruning at the scan); anything else — multi-column keys or any number
 of tombstones past the cap — deletes through
 ``delete_rows_by_keys``'s semi-join-driven file-scoped copy-on-write,
@@ -53,7 +58,16 @@ from pyspark.sql import functions as F
 
 from ..table import Table
 from .dml import delete_rows, delete_rows_by_keys
-from .merge import merge
+from .merge import (
+    KEY_PUSHDOWN_CAP,
+    MAX_TOUCHED_FILES,
+    _align,
+    _cow_swap_files,
+    _parquet_location,
+    _partition_columns,
+    _upsert,
+    merge,
+)
 
 #: single-column tombstone key sets up to this size delete via a
 #: pushed-down ``isin`` literal (row-group pruning at the scan); larger
@@ -149,7 +163,19 @@ def apply_changes(
         n_up = int(stats["n_up"] or 0)
         n_del = int(stats["n_del"] or 0)
 
-        if n_up:
+        fused = False
+        if n_up and n_del:
+            # both sides present: ONE fused copy-on-write commit applies
+            # upserts and tombstones together — files touched by either
+            # key set are discovered with a single semi-join and
+            # rewritten once, instead of merge-then-delete rewriting
+            # overlapping files twice (per-batch cost halves on a
+            # high-frequency CDC drain)
+            fused = _apply_fused(
+                spark, target_table, latest, key_cols, op_col, data_cols
+            )
+
+        if n_up and not fused:
             upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
             src = Table(f"_tmp_cdc_up_{uuid.uuid4().hex[:8]}")
             upserts.createOrReplaceTempView(src.name)
@@ -158,7 +184,7 @@ def apply_changes(
             finally:
                 spark.catalog.dropTempView(src.name)
 
-        if n_del:
+        if n_del and not fused:
             tombstones = (
                 latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
             )
@@ -209,3 +235,70 @@ def apply_changes(
         return {"upserted": n_up, "deleted": n_del}
     finally:
         latest.unpersist()
+
+
+def _apply_fused(
+    spark: SparkSession,
+    target_table: Table,
+    latest: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    data_cols: list[str],
+) -> bool:
+    """One-commit upsert+delete: rewrite the files touched by ANY change
+    key with tombstoned rows anti-joined out and upserts merged in
+    (new keys ride along as inserts in the same staged write).
+
+    Upsert keys and delete keys are disjoint by construction (``latest``
+    keeps exactly one change per key), so applying both in one pass is
+    order-independent and equals merge-then-delete — pinned by the
+    mixed-op tests.  Restricted to unpartitioned parquet targets (the
+    partition-scoped dynamic-overwrite ladder stays with the two-step
+    path); returns False to fall back when ineligible, including a
+    touched set over ``MAX_TOUCHED_FILES``.
+    """
+    name = target_table.qualified_name
+    location = _parquet_location(spark, name)
+    if location is None or _partition_columns(spark, target_table):
+        return False
+    tgt = spark.table(name)
+    tbl_cols = tgt.columns
+    try:
+        tagged = tgt.select(
+            *tbl_cols, F.col("_metadata.file_path").alias("__file")
+        )
+    except Exception:  # pragma: no cover - source without file metadata
+        return False
+
+    all_keys = latest.select(*key_cols).distinct()
+    # small combined key set: sargable per-column isin SUPERSET so
+    # parquet min/max stats prune the discovery scan (exactness comes
+    # from the semi-join, never the filter)
+    key_rows = all_keys.limit(KEY_PUSHDOWN_CAP + 1).collect()
+    discovery = tagged
+    if len(key_rows) <= KEY_PUSHDOWN_CAP:
+        for i, k in enumerate(key_cols):
+            vals = list({r[i] for r in key_rows if r[i] is not None})
+            if vals:
+                discovery = discovery.where(F.col(k).isin(vals))
+    files = [
+        r[0]
+        for r in discovery.join(all_keys, on=key_cols, how="left_semi")
+        .select("__file")
+        .distinct()
+        .limit(MAX_TOUCHED_FILES + 1)
+        .collect()
+    ]
+    if len(files) > MAX_TOUCHED_FILES:
+        return False
+
+    if files:
+        touched = tagged.where(F.col("__file").isin(files)).drop("__file")
+    else:
+        touched = tgt.where(F.lit(False))
+    del_keys = latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    kept = touched.join(del_keys, on=key_cols, how="left_anti")
+    result = _align(_upsert(kept, upserts, key_cols).select(*tbl_cols), tgt)
+    _cow_swap_files(spark, name, location, files, result)
+    return True

@@ -111,6 +111,17 @@ HEADLINE = [
 
 
 def main() -> None:
+    # the final JSON must be the ONLY stdout line (BENCH_r06 was
+    # parsed:null because the driver's capture lost it among other
+    # output).  Redirect at the OS-FD level, not just sys.stdout: the
+    # Spark JVM inherits the process's real FD 1 and writes its banner
+    # there regardless of Python-level stream swaps.  The saved FD is
+    # reserved for the one json.dumps at the end.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    real_stdout = os.fdopen(real_stdout_fd, "w")
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry
     from astro_spark import get_session
@@ -143,18 +154,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": n_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs_per_query": n_runs,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line, file=real_stdout, flush=True)
+    real_stdout.close()
+    print(line, file=sys.stderr, flush=True)  # keep a copy in the log
     spark.stop()
 
 

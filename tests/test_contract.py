@@ -21,36 +21,37 @@ def test_every_query_has_an_oracle():
     assert stale == [], stale
 
 
+def _latest_driver_round() -> dict[str, int]:
+    """Latest round each query got a driver row, from the r-file union."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    for p in Path(".").glob("CORRECTNESS_r*.json"):
+        r = int(re.search(r"r(\d+)", p.name).group(1))
+        for k in json.loads(p.read_text()):
+            latest[k] = max(latest.get(k, 0), r)
+    return latest
+
+
 def test_rotation_order_is_applied():
     """queries() must serve the _DRIVER_PRIORITY order so the 50-query
-    driver cap lands on the intended entries (new + longest-unchecked
-    first)."""
+    driver cap lands on the intended entries: never-checked queries
+    first, then the stalest cohort — computed from the CORRECTNESS_r*
+    union, not hardcoded, so the check survives every rotation."""
     q = list(entry.queries())
     prio = [n for n in entry._DRIVER_PRIORITY if n in set(q)]
     assert q[: len(prio)] == prio
-    # round 6: the 3 new queries, the pre_aggregate-switched
-    # t_kmv_distinct, and ALL 31 queries last driver-checked in r02
-    # (VERDICT r5 item 2) must sit inside the driver's 50-query window
+    latest = _latest_driver_round()
+    if not latest:  # round 1: no driver rows exist yet
+        return
     head = set(q[:50])
-    must_check = {
-        "s_hard_negatives_ivf", "s_hard_negatives_indexed",
-        "q_funnel_windowed", "st_cdc_compact", "st_apply_changes",
-        "st_weighted_sample", "t_kmv_by_source", "op_check_scd2",
-        "q_event_transitions", "st_mv_compact", "op_checksum",
-        "op_join_explosion", "op_apply_changes", "t_quality_percentile",
-        "t_sample_n_by", "t_kmv_distinct",
-        "q3_shipping_priority", "q5_local_supplier_volume", "q_pivot_status",
-        "q_recursive_paths", "q_recursive_spine", "q_skew_salted_join",
-        "s_brute_topk", "s_centroids", "s_ivf_label_topk",
-        "s_ivf_trained_topk", "s_lsh_buckets", "s_lsh_pairs", "s_quantize",
-        "st_cdc_merge", "st_dedup", "st_incremental_load",
-        "st_interval_join", "st_sessions", "st_static_enrich",
-        "st_windowed_counts", "t_chunks", "t_corpus_prep",
-        "t_dataset_card", "t_domain_mix", "t_pack_sequences",
-        "t_pseudonymize", "t_quality_filter", "t_repetition", "t_shards",
-        "t_stratified", "t_top_terms",
-    }
-    assert must_check <= head, sorted(must_check - head)
+    # the whole oldest cohort must fit in the driver's window (never-
+    # checked queries are pinned by the head-50 test below)
+    oldest = min(latest.get(n, 0) for n in q if n in latest)
+    stalest = {n for n in q if latest.get(n) == oldest}
+    assert stalest <= head, sorted(stalest - head)
 
 
 def test_oracle_sql_is_nonempty_select():

@@ -821,6 +821,27 @@ class TestKnnGraph:
             )
             assert fold == np_, nprobe
 
+    def test_auto_cell_sizing(self, emb):
+        """n_cells='auto' resolves to ceil(n/target) and flows through
+        ivf_train/knn_graph — the cells-∝-n contract self-executes."""
+        from astro_spark.functions.similarity import resolve_n_cells
+
+        n = emb.count()
+        assert resolve_n_cells(emb, "auto", 50) == -(-n // 50)
+        assert resolve_n_cells(emb, "auto", 10 ** 9) == 1
+        assert resolve_n_cells(emb, 8, 50) == 8
+        target = max(1, n // 6)
+        cents = similarity.ivf_train(
+            emb, n_cells="auto", iterations=1, target_cell_size=target
+        )
+        assert len(cents) == -(-n // target)
+        out = similarity.knn_graph(
+            emb, k=3, n_cells="auto", nprobe=len(cents), centroids=cents
+        )
+        # full probe over the auto-trained cells is still a valid graph
+        per_src = out.groupBy("src_id").count().agg(F.max("count")).collect()[0][0]
+        assert per_src == 3
+
     def test_plan_has_no_replicated_side(self, emb):
         """The probe side must reach the cell join as a plain equi-join
         input (shuffle or small-table broadcast chosen by AQE) — never a
@@ -921,8 +942,9 @@ class TestMultimodal:
         }
 
     def test_decode_unknown_type_raises(self):
+        # video genuinely needs ffmpeg — still gated
         with pytest.raises(NotImplementedError):
-            multimodal.decode_media(b"\xff\xd8\xff", "image/jpeg")
+            multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
     def test_decode_malformed_png_raises(self):
         with pytest.raises(ValueError, match="PNG"):
@@ -999,14 +1021,18 @@ class TestMediaCodecs:
         assert array.array("h", d["pcm"]) == samples
 
     def test_decode_media_dispatch(self):
+        from astro_spark.functions import jpeg_codec as jc
         from astro_spark.functions import media_codecs as mc
 
         png = mc.encode_png(self._pix(12), 4, 3, 1)
         bmp = mc.encode_bmp(self._pix(36), 4, 3)
         wav = mc.encode_wav(b"\x00\x01" * 10)
+        jpg = jc.encode_jpeg(self._pix(48), 4, 4, 3)
         assert multimodal.decode_media(png, "image/png")["kind"] == "image"
         assert multimodal.decode_media(bmp, "image/bmp")["channels"] == 3
         assert multimodal.decode_media(wav, "audio/wav")["n_samples"] == 10
+        d = multimodal.decode_media(jpg, "image/jpeg")
+        assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
 
     def test_decode_features_distributed(self, spark):
         """decode_features decodes REAL PNG and WAV payloads inside
@@ -1046,6 +1072,91 @@ class TestMediaCodecs:
                 assert r.payload_sum == sum(
                     ((doc_id * 7 + i * 13) % 65536) - 32768 for i in range(n)
                 )
+
+
+class TestJpegCodec:
+    """From-scratch baseline JPEG (ITU-T T.81) — the last image gate."""
+
+    def _gradient(self, w, h, ch):
+        return bytes(
+            ((x * 5 + c * 11) if c != 1 else (y * 7)) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+
+    def _mae(self, a: bytes, b: bytes) -> float:
+        import numpy as np
+
+        x = np.frombuffer(a, np.uint8).astype(int)
+        y = np.frombuffer(b, np.uint8).astype(int)
+        return float(np.abs(x - y).mean())
+
+    def test_flat_block_roundtrips_exactly(self):
+        """A uniform image is pure DC — the DCT/quant/Huffman chain must
+        reproduce it bit-exactly at any quality (a strong transform-math
+        check that needs no external decoder)."""
+        from astro_spark.functions import jpeg_codec as jc
+
+        for val, q in [(128, 50), (37, 85), (200, 95)]:
+            pix = bytes([val]) * (16 * 16 * 3)
+            d = jc.decode_jpeg(jc.encode_jpeg(pix, 16, 16, 3, quality=q))
+            assert self._mae(pix, d["pixels"]) <= 1.0
+            assert (d["width"], d["height"], d["channels"]) == (16, 16, 3)
+
+    def test_rgb_444_roundtrip_close(self):
+        from astro_spark.functions import jpeg_codec as jc
+
+        # non-multiple-of-8 dims exercise edge padding + cropping
+        w, h = 37, 23
+        pix = self._gradient(w, h, 3)
+        d = jc.decode_jpeg(jc.encode_jpeg(pix, w, h, 3, quality=90))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert self._mae(pix, d["pixels"]) < 4.0
+
+    def test_420_subsampling_roundtrip(self):
+        """4:2:0 encoding exercises multi-block MCUs and the decoder's
+        chroma upsampling."""
+        from astro_spark.functions import jpeg_codec as jc
+
+        w, h = 33, 18
+        pix = self._gradient(w, h, 3)
+        d = jc.decode_jpeg(jc.encode_jpeg(pix, w, h, 3, quality=90, subsample=True))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert self._mae(pix, d["pixels"]) < 8.0
+
+    def test_grayscale_and_restart_markers(self):
+        from astro_spark.functions import jpeg_codec as jc
+
+        w, h = 24, 17
+        pix = bytes((x * 3 + y * 2) % 256 for y in range(h) for x in range(w))
+        data = jc.encode_jpeg(pix, w, h, 1, quality=90, restart_interval=2)
+        assert b"\xff\xdd" in data  # DRI present
+        d = jc.decode_jpeg(data)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        assert self._mae(pix, d["pixels"]) < 2.5
+
+    def test_decode_is_deterministic(self):
+        from astro_spark.functions import jpeg_codec as jc
+
+        data = jc.encode_jpeg(self._gradient(19, 13, 3), 19, 13, 3)
+        assert jc.decode_jpeg(data)["pixels"] == jc.decode_jpeg(data)["pixels"]
+
+    def test_non_baseline_rejected(self):
+        from astro_spark.functions import jpeg_codec as jc
+
+        data = bytearray(jc.encode_jpeg(self._gradient(8, 8, 3), 8, 8, 3))
+        i = bytes(data).find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="non-baseline"):
+            jc.decode_jpeg(bytes(data))
+
+    def test_truncated_stream_raises(self):
+        from astro_spark.functions import jpeg_codec as jc
+
+        data = jc.encode_jpeg(self._gradient(16, 16, 3), 16, 16, 3)
+        with pytest.raises(ValueError):
+            jc.decode_jpeg(data[: len(data) // 2])
 
 
 class TestPlanShape:

@@ -1634,6 +1634,46 @@ class TestApplyChanges:
         assert len(before & after) == 7  # only the hit file rewritten
         spark.sql(f"DROP TABLE {name}")
 
+    def test_fused_mixed_batch_single_cow_commit(self, spark):
+        """A batch carrying BOTH upserts and tombstones commits through
+        ONE fused copy-on-write pass: files touched by either key set
+        are rewritten once, untouched files keep their paths, and the
+        result equals merge-then-delete (VERDICT r6 #6)."""
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+
+        name = f"cdc_fuse_{_uuid.uuid4().hex[:8]}"
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet AS "
+            "SELECT id AS k, CAST(id AS STRING) AS v FROM range(0)"
+        )
+        spark.sql("SELECT id AS k, CAST(id AS STRING) AS v FROM range(800)") \
+            .repartitionByRange(8, "k").write.mode("overwrite") \
+            .format("parquet").insertInto(name)
+        t = a.Table(name, temp=False)
+        before = set(spark.table(name).inputFiles())
+        assert len(before) == 8
+        # upserts hit the 40-60 file; tombstones hit the 140-160 file;
+        # one brand-new key inserts — 6 of 8 files must keep their paths
+        changes = spark.sql(
+            "SELECT id AS k, CAST(NULL AS STRING) AS v, 'D' AS op, 1 AS seq "
+            "FROM range(140, 160) "
+            "UNION ALL SELECT id, concat('u', id), 'U', 1 FROM range(40, 60) "
+            "UNION ALL SELECT 9000, 'new', 'I', 1"
+        )
+        stats = apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        assert stats == {"upserted": 21, "deleted": 20}
+        after = set(spark.table(name).inputFiles())
+        assert len(before & after) == 6
+        df = spark.table(name)
+        assert df.count() == 781
+        assert df.where("k = 145").count() == 0
+        assert df.where("k = 45").first().v == "u45"
+        assert df.where("k = 9000").first().v == "new"
+        assert df.where("k = 700").first().v == "700"
+        spark.sql(f"DROP TABLE {name}")
+
     def test_multi_key_tombstones_no_literal_tree(self, spark):
         """Composite-key tombstones delete through the semi-join COW with
         a sargable per-column isin superset — correct even when the

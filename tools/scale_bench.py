@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "op_check_outliers",
     "dd_clusters_star",
     "s_knn_graph_probe",
+    "s_knn_graph_auto",
     "dd_simhash",
     "st_kmv_distinct",
     "dd_minhash_incr",
@@ -66,6 +67,26 @@ DEFAULT_QUERIES = [
     "q1_pricing_summary",
     "op_merge_update",
 ]
+
+def _s_knn_graph_auto(spark, sf_dir):
+    """Sweep-only twin of s_knn_graph_probe with ``n_cells="auto"``:
+    the same pruned pipeline but the cell count resolves to
+    ⌈n/DEFAULT_CELL_SIZE⌉ (8 at sf0.1, ~79 at 10×), pinning that the
+    cells-∝-n scaling contract executes itself — the caller writes no
+    arithmetic and the 10× ratio stays sublinear (round-6 sweep: fixed
+    8 cells → 20.7×; manual 80 cells → 5.8×; this entry reproduces the
+    latter out of the box)."""
+    from astro_spark.functions import similarity
+    from astro_spark.testdata import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5, nprobe=2, n_cells="auto", np_score=True)
+
+
+#: sweep-only pseudo-queries (not in the driver registry: k-means
+#: training is data-dependent, so no SQL oracle — the correctness of
+#: knn_graph itself is pinned by the registry twins and TestKnnGraph)
+EXTRA_QUERIES = {"s_knn_graph_auto": _s_knn_graph_auto}
 
 SCALED = {"documents", "embeddings", "lineitem", "events"}
 COPIED = [
@@ -184,7 +205,7 @@ def main() -> None:
 
     results = []
     for name in names:
-        fn = qs[name]
+        fn = qs.get(name) or EXTRA_QUERIES[name]
         base_sec, base_n = time_query(fn, spark, BASE_SF)
         scaled_sec, scaled_n = time_query(fn, spark, args.out)
         ratio = round(scaled_sec / base_sec, 2) if base_sec else None
