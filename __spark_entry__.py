@@ -3827,6 +3827,154 @@ FROM s JOIN last ON s.user_id = last.user_id AND s.sid < last.last_sid
 """
 
 
+def _op_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vacuum_table: plant an orphaned ``.cow_stage_*`` dir (the residue
+    of a crash during a copy-on-write data write), vacuum it away, prove
+    idempotence and that live data survives untouched."""
+    from astro_spark.operators.catalog import vacuum_table
+    from astro_spark.operators.merge import _parquet_location
+
+    _views(spark, sf_dir)
+    tname = f"op_vacuum_{uuid.uuid4().hex[:8]}"
+    read_table(spark, sf_dir, "nation").write.format("parquet").saveAsTable(tname)
+    t = a.Table(tname, temp=False)
+    loc = _parquet_location(spark, tname).removeprefix("file:")
+    stage = os.path.join(loc, ".cow_stage_deadbeef")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    n_first = vacuum_table(spark, t)
+    n_second = vacuum_table(spark, t)
+    n_rows = spark.table(tname).count()
+    a.drop_table(spark, t)
+    return spark.createDataFrame(
+        [(n_first, n_second, n_rows)],
+        "n_reclaimed long, n_reclaimed_again long, n_rows long",
+    )
+
+
+_OP_VACUUM_DUCK = """
+SELECT CAST(1 AS BIGINT) AS n_reclaimed,
+       CAST(0 AS BIGINT) AS n_reclaimed_again,
+       (SELECT COUNT(*) FROM nation) AS n_rows
+"""
+
+
+def _s_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d Gram matrix of the embedding corpus — the reduce
+    behind covariance/PCA/whitening.  Micro-unit product quantization
+    makes the long sums associative (shuffle-order independent, DuckDB
+    bit-exact); one shuffle of d² groups, partials combined map-side."""
+    from astro_spark.functions import linalg
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = linalg.gram_matrix(emb, scale=1_000_000)
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("g"),
+    )
+
+
+_S_GRAM_MATRIX_DUCK = """
+WITH c AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+u AS (
+  SELECT i.i AS i, j.i AS j, v[i.i + 1] * v[j.i + 1] AS p
+  FROM c,
+       (SELECT unnest(range(0, 64)) AS i) i,
+       (SELECT unnest(range(0, 64)) AS i) j
+)
+SELECT i AS i, j AS j,
+       round(CAST(SUM(CAST(FLOOR(p * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000, 6) AS g
+FROM u GROUP BY i, j
+"""
+
+
+_VOCAB_SIZE = 500
+
+
+def _t_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build + corpus integer encoding: top-500
+    tokens by frequency (TakeOrderedAndProject, never a full token-
+    universe sort), broadcast-joined onto posexploded tokens, document
+    order preserved.  Output is a compact per-doc signature (count, OOV
+    count, id sum, position-weighted id sum) so the hash pins both the
+    id assignment AND the within-document ordering."""
+    from astro_spark.functions import text as text_fns
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = text_fns.build_vocab(docs, size=_VOCAB_SIZE)
+    enc = text_fns.encode_documents(docs, vocab)
+    ids = F.col("token_ids")
+    posw = F.when(
+        F.size(ids) > 0,
+        F.aggregate(
+            F.zip_with(
+                ids,
+                F.sequence(F.lit(1), F.greatest(F.size(ids), F.lit(1))),
+                lambda a, b: a.cast("long") * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    id_sum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(
+            ids, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return enc.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tok"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        id_sum.alias("id_sum"),
+        posw.alias("posw"),
+    )
+
+
+def _t_vocab_encode_duck() -> str:
+    from astro_spark.functions.oracles import tokens as toks
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({toks('text')}, x -> x <> '') AS toklist
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(toklist) AS tok,
+         generate_subscripts(toklist, 1) AS pos
+  FROM t
+),
+cnt AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY tok),
+v AS (
+  SELECT tok, (row_number() OVER (ORDER BY n DESC, tok) - 1) AS tok_id
+  FROM cnt QUALIFY tok_id < {_VOCAB_SIZE}
+),
+j AS (
+  SELECT u.doc_id, u.pos, COALESCE(v.tok_id, -1) AS tid
+  FROM u LEFT JOIN v USING (tok)
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+         SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_oov,
+         SUM(tid) AS id_sum, SUM(pos * tid) AS posw
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_tok, 0)::BIGINT AS n_tok,
+       COALESCE(s.n_oov, 0)::BIGINT AS n_oov,
+       COALESCE(s.id_sum, 0)::BIGINT AS id_sum,
+       COALESCE(s.posw, 0)::BIGINT AS posw
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4011,6 +4159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_hard_negatives": _s_hard_negatives,
             "s_hard_negatives_ivf": _s_hard_negatives_ivf,
             "s_hard_negatives_indexed": _s_hard_negatives_indexed,
+            "op_vacuum": _op_vacuum,
+            "s_gram_matrix": _s_gram_matrix,
+            "t_vocab_encode": _t_vocab_encode,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4498,6 +4649,9 @@ FROM c WHERE cum_tokens - n_tokens < 50000
                 + oracles.kmv_token_report_sql(shingle=3)
                 + ")"
             ),
+            "op_vacuum": _OP_VACUUM_DUCK,
+            "s_gram_matrix": _S_GRAM_MATRIX_DUCK,
+            "t_vocab_encode": _t_vocab_encode_duck(),
         }
     )
     return out

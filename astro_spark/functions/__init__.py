@@ -13,6 +13,7 @@ from . import (
     constants,
     dedup,
     events,
+    linalg,
     multimodal,
     similarity,
     sketches,
@@ -23,6 +24,7 @@ __all__ = [
     "constants",
     "dedup",
     "events",
+    "linalg",
     "multimodal",
     "similarity",
     "sketches",

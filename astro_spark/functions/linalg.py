@@ -1,0 +1,203 @@
+"""Distributed dense linear algebra over embedding columns: Gram /
+covariance matrices and PCA.
+
+Beyond-reference surface (the reference — an Airflow ELT SDK — has no
+vector math; this layer serves the training-data pipeline the engine
+targets: whitening, dimensionality reduction before ANN, drift
+detection through spectral summaries).
+
+Scale story (the classic tall-skinny pattern): a corpus of n vectors of
+dimension d has an n×d design matrix that never materializes anywhere —
+only the d×d Gram matrix G = Σ xᵀx is ever reduced, and d is small
+(10²–10³) while n is huge (10⁹⁺ at 100 TB).  Two physical paths:
+
+- ``gram_matrix``: pure JVM — posexplode the vector once (n·d rows),
+  multiply each element against the whole vector with ``transform``,
+  posexplode again, and groupBy (i, j).  Partial aggregation combines
+  map-side, so the single shuffle carries only d² groups per task.
+  Exact and oracle-reproducible; the n·d² intermediate row count makes
+  it the small-d path (d ≤ a few hundred).
+- ``gram_matrix_np``: Arrow ``mapInPandas`` computes one d×d partial
+  Gram per batch with one BLAS ``X.T @ X`` call, then d² tiny rows
+  reduce.  Same single-shuffle shape with the n·d² blow-up replaced by
+  (#batches)·d² — the 100 TB path for any d.
+
+PCA then eigendecomposes the d×d Gram ON THE DRIVER (numpy ``eigh`` on
+a d×d symmetric matrix is microseconds; nothing corpus-sized ever
+leaves the executors) and projection back onto the corpus is a map-only
+broadcast product — the standard big-data PCA factorization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double
+
+
+def _vec(df: DataFrame, vec_col: str):
+    return as_double(F.col(vec_col))
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    center: bool = False,
+    scale: int | None = None,
+) -> DataFrame:
+    """d×d Gram matrix ``G[i][j] = Σ_rows v[i]·v[j]`` as (i, j, g) rows.
+
+    ``center=True`` subtracts the column means first (G becomes n·cov).
+    Pure built-in functions; ONE shuffle of d² groups (partials combine
+    map-side).  With ``scale`` set, every product is quantized to
+    micro-unit integers (``floor(p·scale + .5)``) before the sum — an
+    associative, shuffle-order-independent long sum that the DuckDB
+    oracle reproduces bit-for-bit (the ``label_centroids`` portability
+    contract), emitted as ``round(sum/scale, 6)``.
+    """
+    v = _vec(df, vec_col)
+    if center:
+        d = df.select(F.size(_vec(df, vec_col)).alias("d")).first()["d"]
+        means = df.agg(
+            *[
+                F.avg(_vec(df, vec_col)[i]).alias(f"m{i}")
+                for i in range(d)
+            ]
+        ).first()
+        v = F.array(*[_vec(df, vec_col)[i] - F.lit(float(means[i])) for i in range(d)])
+    prods = (
+        df.select(v.alias("v"))
+        .select(F.posexplode("v").alias("i", "x"), F.col("v"))
+        .select(
+            "i",
+            F.posexplode(F.transform("v", lambda y: F.col("x") * y)).alias(
+                "j", "p"
+            ),
+        )
+    )
+    if scale is not None:
+        return prods.groupBy("i", "j").agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("p") * scale + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / scale,
+                6,
+            ).alias("g")
+        )
+    return prods.groupBy("i", "j").agg(F.sum("p").alias("g"))
+
+
+def gram_matrix_np(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of ``gram_matrix``: one BLAS ``X.T @ X`` per record
+    batch, d² partial rows per batch, one d²-group reduce.  The 100 TB
+    path (no n·d² row blow-up; identical result up to float order)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("g", DoubleType()),
+        ]
+    )
+
+    def partial(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()}
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(partial, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def pca_train(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> dict:
+    """Top-``k`` principal components from the centered Gram matrix.
+
+    Distributed part: one ``gram_matrix(center=True)`` pass (d² rows to
+    the driver).  Driver part: numpy ``eigh`` on the d×d symmetric
+    matrix.  Returns ``{"components": k×d, "explained_variance": k,
+    "mean": d}`` (components sign-canonicalized: largest-|coeff| entry
+    positive, so results are deterministic up to float noise).
+    """
+    import numpy as np
+
+    d = df.select(F.size(_vec(df, vec_col)).alias("d")).first()["d"]
+    n = df.count()
+    means = df.agg(
+        *[F.avg(_vec(df, vec_col)[i]).alias(f"m{i}") for i in range(d)]
+    ).first()
+    mean = np.array([float(means[i]) for i in range(d)])
+    g = np.zeros((d, d))
+    for r in gram_matrix(df, vec_col, center=True).collect():
+        g[r["i"], r["j"]] = r["g"]
+    evals, evecs = np.linalg.eigh(g / max(n - 1, 1))
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k×d
+    for c in comps:  # canonical sign: peak coefficient positive
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "components": comps.tolist(),
+        "explained_variance": evals[order].tolist(),
+        "mean": mean.tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Map-only projection ``(v - mean) @ componentsᵀ`` (the k×d model
+    travels inside the plan as literals — broadcast-free, no shuffle)."""
+    mean = model["mean"]
+    comps = model["components"]
+    centered = F.array(
+        *[
+            _vec(df, vec_col)[i] - F.lit(float(mean[i]))
+            for i in range(len(mean))
+        ]
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in comps
+    ]
+    return df.withColumn(out_col, F.array(*projs))

@@ -753,3 +753,74 @@ def _pairs_of(toks: Column) -> Column:
             x.alias("a"), F.element_at(toks, i + 2).alias("b")
         ),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 1000,
+) -> DataFrame:
+    """Top-``size`` whitespace tokens by corpus frequency as a
+    (tok, tok_id, n) id table — the tokenizer-vocabulary step of a
+    training-data pipeline (tok_id 0 is the most frequent token;
+    deterministic tie-break on the token string).
+
+    Scale shape: one shuffle for the token counts (partials combine
+    map-side), then the global top-``size`` runs as
+    ``TakeOrderedAndProject`` — a distributed bounded top-k, NOT a
+    full sort of the token universe.  Only the ≤``size`` winners pass
+    through the final rank window, so its single-partition sort is
+    bounded by the vocab size, never the corpus.
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return top.withColumn("tok_id", F.row_number().over(w) - 1).select(
+        "tok", "tok_id", "n"
+    )
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Integer-encode each document against ``vocab``: adds
+    ``token_ids`` (array<int>, document order preserved, out-of-vocab →
+    ``oov_id``) and ``n_oov``.
+
+    posexplode keeps each token's position; the vocab joins as a
+    BROADCAST lookup (a vocabulary is ≤ a few hundred thousand rows —
+    tiny next to the corpus), so encoding is one map-side join plus one
+    groupBy(id) shuffle; ``array_sort`` over (pos, id) structs restores
+    document order without relying on collect_list ordering.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    joined = toks.join(
+        F.broadcast(vocab.select("tok", "tok_id")), on="tok", how="left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("tok_id"), F.lit(oov_id)).alias("tid"),
+    )
+    encoded = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+    )
+    return docs.join(encoded, on=id_col, how="left").withColumn(
+        "token_ids",
+        F.coalesce(F.col("token_ids"), F.array().cast("array<int>")),
+    ).withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))

@@ -2369,3 +2369,126 @@ class TestBudgetSelect:
         assert got == sorted(want)
         # the budget is a lower bound: last selected doc crosses it
         assert max(c for _, c in got) >= budget
+
+
+# ---------------------------------------------------------------- linalg
+
+
+class TestLinalg:
+    def _emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_gram_matrix_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from astro_spark.functions import linalg
+
+        emb = self._emb(spark, sf_dir)
+        rows = linalg.gram_matrix(emb).collect()
+        x = np.array(
+            [np.asarray(r[0], dtype="float64") for r in emb.select("embedding").collect()]
+        )
+        expected = x.T @ x
+        d = expected.shape[0]
+        assert len(rows) == d * d
+        got = np.zeros((d, d))
+        for r in rows:
+            got[r["i"], r["j"]] = r["g"]
+        assert np.allclose(got, expected, rtol=1e-9, atol=1e-9)
+
+    def test_gram_matrix_np_twin_matches(self, spark, sf_dir):
+        import numpy as np
+
+        from astro_spark.functions import linalg
+
+        emb = self._emb(spark, sf_dir).repartition(4)
+        jvm = {(r["i"], r["j"]): r["g"] for r in linalg.gram_matrix(emb).collect()}
+        arrow = {
+            (r["i"], r["j"]): r["g"] for r in linalg.gram_matrix_np(emb).collect()
+        }
+        assert set(jvm) == set(arrow)
+        for k in jvm:
+            assert abs(jvm[k] - arrow[k]) < 1e-6
+
+    def test_gram_matrix_quantized_is_order_independent(self, spark, sf_dir):
+        from astro_spark.functions import linalg
+
+        emb = self._emb(spark, sf_dir)
+        a = sorted(
+            (r["i"], r["j"], r["g"])
+            for r in linalg.gram_matrix(emb, scale=1_000_000).collect()
+        )
+        b = sorted(
+            (r["i"], r["j"], r["g"])
+            for r in linalg.gram_matrix(
+                emb.repartition(7), scale=1_000_000
+            ).collect()
+        )
+        assert a == b
+
+    def test_pca_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from astro_spark.functions import linalg
+
+        emb = self._emb(spark, sf_dir)
+        model = linalg.pca_train(emb, k=4)
+        x = np.array(
+            [np.asarray(r[0], dtype="float64") for r in emb.select("embedding").collect()]
+        )
+        xc = x - x.mean(axis=0)
+        cov = (xc.T @ xc) / (x.shape[0] - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        np.testing.assert_allclose(
+            model["explained_variance"], evals[order], rtol=1e-6, atol=1e-9
+        )
+        for got, exp in zip(np.array(model["components"]), evecs[:, order].T):
+            if exp[np.argmax(np.abs(exp))] < 0:
+                exp = -exp
+            np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-8)
+
+    def test_pca_project_reduces_dim_and_centers(self, spark, sf_dir):
+        import numpy as np
+
+        from astro_spark.functions import linalg
+
+        emb = self._emb(spark, sf_dir)
+        model = linalg.pca_train(emb, k=2)
+        out = linalg.pca_project(emb, model).select("vec_id", "pc").collect()
+        assert all(len(r["pc"]) == 2 for r in out)
+        # projections of centered data have ~zero mean per component
+        arr = np.array([r["pc"] for r in out])
+        np.testing.assert_allclose(arr.mean(axis=0), 0.0, atol=1e-6)
+
+
+# ----------------------------------------------------------- vocab encode
+
+
+class TestVocabEncode:
+    def test_build_vocab_ranks_by_frequency_then_token(self, spark):
+        from astro_spark.functions import text as T
+
+        docs = spark.createDataFrame(
+            [(1, "b b a a c"), (2, "b z")], ["doc_id", "text"]
+        )
+        vocab = {r["tok"]: r["tok_id"] for r in T.build_vocab(docs, size=3).collect()}
+        # b:3, a:2, c:1/z:1 -> tie broken by token string asc
+        assert vocab == {"b": 0, "a": 1, "c": 2}
+
+    def test_encode_documents_preserves_order_and_flags_oov(self, spark):
+        from astro_spark.functions import text as T
+
+        docs = spark.createDataFrame(
+            [(1, "b a q b"), (2, ""), (3, "q q")], ["doc_id", "text"]
+        )
+        vocab = T.build_vocab(docs, size=2)  # b:0 (2x), q:1 (hmm q:3x)
+        enc = {
+            r["doc_id"]: (list(r["token_ids"]), r["n_oov"])
+            for r in T.encode_documents(docs, vocab).collect()
+        }
+        ranked = {r["tok"]: r["tok_id"] for r in vocab.collect()}
+        ids1 = [ranked.get(t, -1) for t in "b a q b".split()]
+        assert enc[1] == (ids1, sum(1 for i in ids1 if i == -1))
+        assert enc[2] == ([], 0)
+        assert enc[3][1] == (0 if "q" in ranked else 2)
