@@ -3975,6 +3975,85 @@ FROM t LEFT JOIN s USING (doc_id)
 """
 
 
+def _st_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 drain: two dated dimension snapshots land as
+    files and stream into a history-preserving target in ONE micro-batch
+    (the multi-day-backlog path — dates must apply in ascending order
+    for the history to close correctly)."""
+    from astro_spark.operators.load_file import save_dataframe_as_table
+    from astro_spark.streaming import load_file_stream_scd2
+
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    tgt = a.Table(f"st_scd2_{uuid.uuid4().hex[:8]}", temp=False)
+    seed = orders.where("o_orderkey % 3 = 0").select(
+        "o_orderkey",
+        cents.alias("price_cents"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    save_dataframe_as_table(seed, tgt, if_exists="replace")
+    snap_a = orders.where(
+        "(o_orderkey % 3 = 0 AND o_orderkey % 2 = 0) OR o_orderkey % 3 = 1"
+    ).select(
+        "o_orderkey",
+        (cents * 2).alias("price_cents"),
+        F.lit("2024-02-01").alias("eff"),
+    )
+    snap_b = orders.where(
+        "o_orderkey % 5 = 0 AND o_orderkey % 3 <> 2"
+    ).select(
+        "o_orderkey",
+        (cents * 3).alias("price_cents"),
+        F.lit("2024-03-01").alias("eff"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="astro_scd2_src_")
+    snap_a.coalesce(1).write.mode("append").parquet(src_dir)
+    snap_b.coalesce(1).write.mode("append").parquet(src_dir)
+    load_file_stream_scd2(
+        spark,
+        a.File(path=src_dir, filetype=a.FileType.PARQUET),
+        tgt,
+        key_cols=["o_orderkey"],
+        attr_cols=["price_cents"],
+        effective_date_col="eff",
+    )
+    return spark.table(tgt.name)
+
+
+_ST_SCD2_DUCK = """
+WITH cents AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+),
+states AS (
+  SELECT o_orderkey, c AS price_cents, '2024-01-01' AS eff
+  FROM cents WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, c * 2, '2024-02-01'
+  FROM cents
+  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0) OR o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, c * 3, '2024-03-01'
+  FROM cents WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 2
+),
+ordered AS (
+  SELECT o_orderkey, price_cents, eff,
+         lag(price_cents) OVER (PARTITION BY o_orderkey ORDER BY eff)
+           AS prev_val
+  FROM states
+),
+changes AS (
+  SELECT o_orderkey, price_cents, eff
+  FROM ordered WHERE prev_val IS NULL OR price_cents <> prev_val
+)
+SELECT o_orderkey, price_cents, eff AS valid_from,
+       lead(eff) OVER (PARTITION BY o_orderkey ORDER BY eff) AS valid_to
+FROM changes
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4162,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_vacuum": _op_vacuum,
             "s_gram_matrix": _s_gram_matrix,
             "t_vocab_encode": _t_vocab_encode,
+            "st_scd2": _st_scd2,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4652,6 +4732,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_vacuum": _OP_VACUUM_DUCK,
             "s_gram_matrix": _S_GRAM_MATRIX_DUCK,
             "t_vocab_encode": _t_vocab_encode_duck(),
+            "st_scd2": _ST_SCD2_DUCK,
         }
     )
     return out

@@ -949,3 +949,117 @@ class TestKmvStream:
         once = set(state)
         merge(state, batch)
         assert state == once == {2, 5, 7, 9}
+
+
+class TestStreamScd2:
+    def _seed(self, spark, rows):
+        import uuid
+
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        tgt = a.Table(f"scd2_st_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame(
+                rows, "k long, val string, valid_from string, valid_to string"
+            ),
+            tgt,
+        )
+        return tgt
+
+    def test_multi_day_backlog_applies_dates_ascending(self, spark, tmp_path):
+        """One micro-batch carrying TWO snapshot dates must close and
+        open history in date order, matching sequential batch scd2."""
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_scd2
+
+        tgt = self._seed(spark, [(1, "x", "2024-01-01", None), (2, "y", "2024-01-01", None)])
+        src = tmp_path / "snaps"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "x2", "2024-02-01"), (2, "y", "2024-02-01")],
+            "k long, val string, eff string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        spark.createDataFrame(
+            [(1, "x3", "2024-03-01"), (3, "z", "2024-03-01")],
+            "k long, val string, eff string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        load_file_stream_scd2(
+            spark,
+            a.File(path=str(src), filetype=a.FileType.PARQUET),
+            tgt,
+            key_cols=["k"],
+            attr_cols=["val"],
+            effective_date_col="eff",
+        )
+        got = {
+            (r.k, r.val, r.valid_from, r.valid_to)
+            for r in spark.table(tgt.name).collect()
+        }
+        assert got == {
+            (1, "x", "2024-01-01", "2024-02-01"),
+            (1, "x2", "2024-02-01", "2024-03-01"),
+            (1, "x3", "2024-03-01", None),
+            (2, "y", "2024-01-01", None),  # unchanged snapshot value
+            (3, "z", "2024-03-01", None),  # first seen in day-2 snapshot
+        }
+
+    def test_replayed_snapshot_is_noop(self, spark, tmp_path):
+        """Re-draining the same snapshot files with a FRESH checkpoint
+        re-applies identical snapshots — matching attributes leave the
+        history untouched (idempotent replay)."""
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_scd2
+
+        tgt = self._seed(spark, [(1, "x", "2024-01-01", None)])
+        src = tmp_path / "snaps"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "x2", "2024-02-01")], "k long, val string, eff string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        def _drain(ck):
+            load_file_stream_scd2(
+                spark,
+                a.File(path=str(src), filetype=a.FileType.PARQUET),
+                tgt,
+                key_cols=["k"],
+                attr_cols=["val"],
+                effective_date_col="eff",
+                checkpoint_dir=str(tmp_path / ck),
+            )
+
+        _drain("ck1")
+        first = sorted(
+            (r.k, r.val, r.valid_from, r.valid_to)
+            for r in spark.table(tgt.name).collect()
+        )
+        _drain("ck2")
+        second = sorted(
+            (r.k, r.val, r.valid_from, r.valid_to)
+            for r in spark.table(tgt.name).collect()
+        )
+        assert first == second
+
+    def test_duplicate_key_in_snapshot_raises(self, spark, tmp_path):
+        import pytest
+
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_scd2
+
+        tgt = self._seed(spark, [(1, "x", "2024-01-01", None)])
+        src = tmp_path / "snaps"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "x2", "2024-02-01"), (1, "x3", "2024-02-01")],
+            "k long, val string, eff string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with pytest.raises(Exception, match="one state per key"):
+            load_file_stream_scd2(
+                spark,
+                a.File(path=str(src), filetype=a.FileType.PARQUET),
+                tgt,
+                key_cols=["k"],
+                attr_cols=["val"],
+                effective_date_col="eff",
+            )
