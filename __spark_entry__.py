@@ -4054,6 +4054,69 @@ FROM changes
 """
 
 
+def _op_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recover_table: a COW commit interrupted HALFWAY through its
+    rename/delete window (stage + manifest on disk, one file renamed,
+    old generation still present) rolls forward to the decided state —
+    the write-ahead-manifest redo pass."""
+    from astro_spark.operators.catalog import recover_table
+    from astro_spark.operators.merge import (
+        _parquet_location,
+        _write_cow_manifest,
+    )
+
+    _views(spark, sf_dir)
+    tname = f"op_recover_{uuid.uuid4().hex[:8]}"
+    nation = read_table(spark, sf_dir, "nation")
+    nation.write.format("parquet").saveAsTable(tname)
+    t = a.Table(tname, temp=False)
+    loc = _parquet_location(spark, tname)
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(loc)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_files = [
+        st.getPath().toString()
+        for st in fs.listStatus(root)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    gen = "drvrec"
+    stage_name = f".cow_stage_{gen}"
+    nation.withColumn(
+        "n_nationkey", F.col("n_nationkey") + F.lit(1000)
+    ).repartition(2).write.mode("overwrite").parquet(
+        loc.rstrip("/") + "/" + stage_name
+    )
+    _write_cow_manifest(fs, HPath, root, gen, stage_name, old_files)
+    staged = HPath(root, stage_name)
+    first = next(
+        st.getPath()
+        for st in fs.listStatus(staged)
+        if st.getPath().getName().startswith("part-")
+    )
+    fs.rename(first, HPath(root, f"cow-{gen}-{first.getName()}"))
+    n_rec = recover_table(spark, t)
+    n_again = recover_table(spark, t)
+    out = spark.table(tname).agg(
+        F.lit(n_rec).cast("long").alias("n_recovered"),
+        F.lit(n_again).cast("long").alias("n_recovered_again"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    rows = out.collect()
+    a.drop_table(spark, t)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_OP_RECOVER_DUCK = """
+SELECT CAST(1 AS BIGINT) AS n_recovered,
+       CAST(0 AS BIGINT) AS n_recovered_again,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(n_nationkey + 1000)::BIGINT AS key_sum
+FROM nation
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4242,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_gram_matrix": _s_gram_matrix,
             "t_vocab_encode": _t_vocab_encode,
             "st_scd2": _st_scd2,
+            "op_recover": _op_recover,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4733,6 +4797,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "s_gram_matrix": _S_GRAM_MATRIX_DUCK,
             "t_vocab_encode": _t_vocab_encode_duck(),
             "st_scd2": _ST_SCD2_DUCK,
+            "op_recover": _OP_RECOVER_DUCK,
         }
     )
     return out

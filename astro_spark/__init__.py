@@ -29,6 +29,7 @@ from .operators import (
     analyze_table,
     auto_compact,
     compact_table,
+    recover_table,
     vacuum_table,
     create_schema_if_not_exists,
     create_table,
@@ -82,6 +83,7 @@ __all__ = [
     "analyze_table",
     "auto_compact",
     "compact_table",
+    "recover_table",
     "vacuum_table",
     "create_schema_if_not_exists",
     "create_table",

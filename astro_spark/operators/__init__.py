@@ -4,6 +4,7 @@ from .catalog import (
     analyze_table,
     auto_compact,
     compact_table,
+    recover_table,
     vacuum_table,
     create_schema_if_not_exists,
     create_table,
@@ -38,6 +39,7 @@ __all__ = [
     "analyze_table",
     "auto_compact",
     "compact_table",
+    "recover_table",
     "vacuum_table",
     "create_schema_if_not_exists",
     "create_table",

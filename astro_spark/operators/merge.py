@@ -66,9 +66,12 @@ strategy 3 stages the new generation inside a listing-invisible
 ``.cow_stage_*`` dir in the table location (same filesystem — no
 cross-FS copy), makes it visible with metadata-only renames, THEN
 deletes the old generation — a crash during the data write leaves the
-table untouched; a crash inside the rename/delete window leaves
-transient duplicates of the matched rows (rollback = delete the
-interrupted generation's shared ``cow-<hex>-`` prefix), never data loss;
+table untouched; the rename/delete window is covered by a
+write-ahead ``.cow_manifest_<gen>.json`` (stage dir + old-file set,
+written at the decision point, deleted as the commit's final act), so
+a crash inside the window leaves at worst transient duplicates that
+``recover_table`` (``operators/catalog.py``) rolls forward — redo, not
+rollback — never data loss;
 strategy 4 has a non-atomic DROP→RENAME window — a crash between the two
 statements leaves the merged data intact in the uniquely-named staging
 table (``<target>__astro_merge_<uuid>``) for manual recovery, and the
@@ -545,6 +548,7 @@ def _cow_commit_partitioned(
     dst_dir = HPath(location)
     fs = dst_dir.getFileSystem(hconf)
     staged_path = HPath(dst_dir, stage_name)
+    _write_cow_manifest(fs, HPath, dst_dir, gen, stage_name, old_files)
     stage_uri = staged_path.toUri().getPath()
     it = fs.listFiles(staged_path, True)
     while it.hasNext():
@@ -560,6 +564,7 @@ def _cow_commit_partitioned(
     for f in sorted(old_files):
         fs.delete(HPath(f), False)
     fs.delete(staged_path, True)
+    _delete_cow_manifest(fs, HPath, dst_dir, gen)
 
 
 def _parquet_location(spark: SparkSession, name: str) -> str | None:
@@ -569,6 +574,40 @@ def _parquet_location(spark: SparkSession, name: str) -> str | None:
     if detail.get("Provider", "").lower() != "parquet":
         return None
     return detail.get("Location") or None
+
+
+def _write_cow_manifest(
+    fs, HPath, dst_dir, gen: str, stage_name: str, old_files: list[str]
+) -> None:
+    """Persist the commit intent BEFORE the rename/delete window: the
+    staged dir plus the exact old-file set to retire.  Once the
+    manifest is durable the commit is decided — ``recover_table``
+    (``operators/catalog.py``) rolls any interrupted rename/delete
+    forward to completion, so a crash inside the window no longer
+    leaves transient duplicates for a human to clean up.  The manifest
+    is deleted as the commit's final act; its absence + an orphan
+    ``.cow_stage_*`` dir means the crash happened BEFORE the decision
+    point and the stage is inert (reclaimed by ``vacuum_table``)."""
+    import json
+
+    man = HPath(dst_dir, f".cow_manifest_{gen}.json")
+    out = fs.create(man, True)
+    out.write(
+        bytearray(
+            json.dumps(
+                {
+                    "gen": gen,
+                    "stage": stage_name,
+                    "old_files": sorted(old_files),
+                }
+            ).encode("utf-8")
+        )
+    )
+    out.close()
+
+
+def _delete_cow_manifest(fs, HPath, dst_dir, gen: str) -> None:
+    fs.delete(HPath(dst_dir, f".cow_manifest_{gen}.json"), False)
 
 
 def _cow_swap_files(
@@ -588,12 +627,13 @@ def _cow_swap_files(
     s3/hdfs), and a crash during it leaves the table untouched; (2)
     rename each staged part-file into the table directory (metadata-only
     ops, one per file); (3) delete ``old_files`` and the stage dir.  The
-    non-atomic window is only the rename/delete loop: a crash there
-    shows transient duplicates of the matched rows — never data loss —
-    and every file of the interrupted generation shares one
-    ``cow-<hex>-`` prefix, so rollback is "delete that prefix" (an
-    orphaned ``.cow_stage_*`` dir from a pre-rename crash is inert and
-    reclaimed by the next ``compact_table``/replace).  CONCURRENT
+    non-atomic window is only the rename/delete loop, and it is covered
+    by a write-ahead manifest (``_write_cow_manifest``) persisted at the
+    decision point and deleted as the final act: a crash inside the
+    window shows transient duplicates of the matched rows — never data
+    loss — until ``recover_table`` replays the manifest forward (an
+    orphaned ``.cow_stage_*`` dir WITHOUT a manifest is a pre-decision
+    crash, inert, reclaimed by ``vacuum_table``).  CONCURRENT
     writers on the same table need external coordination — two COW
     commits that delete overlapping old files race (the same limitation
     every non-transactional parquet table has; Delta/Iceberg solve it
@@ -611,6 +651,7 @@ def _cow_swap_files(
     dst_dir = HPath(location)
     fs = dst_dir.getFileSystem(hconf)
     staged_path = HPath(dst_dir, stage_name)
+    _write_cow_manifest(fs, HPath, dst_dir, gen, stage_name, old_files)
     for st in fs.listStatus(staged_path):
         pname = st.getPath().getName()
         if not pname.startswith("part-"):
@@ -619,6 +660,7 @@ def _cow_swap_files(
     for f in sorted(old_files):
         fs.delete(HPath(f), False)
     fs.delete(staged_path, True)
+    _delete_cow_manifest(fs, HPath, dst_dir, gen)
     spark.catalog.refreshTable(name)
 
 

@@ -1764,3 +1764,155 @@ class TestAutoCompact:
         assert len(files_after) == n
         assert spark.table(name).count() == 20_000
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestCowRecovery:
+    """Crash-recovery for copy-on-write commits: the manifest written
+    before the rename/delete window lets recover_table roll an
+    interrupted commit forward (redo, never undo)."""
+
+    def _make_table(self, spark, rows, n_files=2):
+        import uuid
+
+        import astro_spark as a
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        tgt = a.Table(f"cowrec_{uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame(rows, "k long, v string").repartition(n_files),
+            tgt,
+        )
+        return tgt
+
+    def _fs(self, spark, location):
+        from astro_spark.operators.catalog import _table_fs
+
+        return _table_fs(spark, location)
+
+    def test_recover_completes_interrupted_commit(self, spark):
+        """Simulate a crash HALFWAY through the rename/delete window:
+        stage written, manifest written, one staged file renamed, old
+        files untouched.  recover_table must finish the commit exactly."""
+        import astro_spark as a
+        from astro_spark.operators.merge import (
+            _parquet_location,
+            _write_cow_manifest,
+        )
+
+        tgt = self._make_table(spark, [(1, "a"), (2, "b"), (3, "c")])
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        old_files = [
+            st.getPath().toString()
+            for st in fs.listStatus(root)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        # the decided new generation: entirely different rows
+        result = spark.createDataFrame(
+            [(10, "x"), (20, "y")], "k long, v string"
+        ).repartition(2)
+        gen = "testgen1"
+        stage_name = f".cow_stage_{gen}"
+        result.write.mode("overwrite").parquet(f"{loc.rstrip('/')}/{stage_name}")
+        _write_cow_manifest(fs, HPath, root, gen, stage_name, old_files)
+        # crash simulation: rename only ONE staged part, delete nothing
+        staged = HPath(root, stage_name)
+        first = next(
+            st.getPath()
+            for st in fs.listStatus(staged)
+            if st.getPath().getName().startswith("part-")
+        )
+        fs.rename(first, HPath(root, f"cow-{gen}-{first.getName()}"))
+
+        assert a.recover_table(spark, tgt) == 1
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(10, "x"), (20, "y")}
+        # old generation gone, stage gone, manifest gone
+        names = [st.getPath().getName() for st in fs.listStatus(root)]
+        assert not any(n.startswith(".cow_stage_") for n in names)
+        assert not any(n.startswith(".cow_manifest_") for n in names)
+        assert a.recover_table(spark, tgt) == 0  # idempotent
+
+    def test_recover_replays_fully_renamed_commit(self, spark):
+        """Crash AFTER all renames but before any old-file delete:
+        recovery only retires the old generation (no duplicate rows)."""
+        import astro_spark as a
+        from astro_spark.operators.merge import (
+            _parquet_location,
+            _write_cow_manifest,
+        )
+
+        tgt = self._make_table(spark, [(1, "a"), (2, "b")])
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        old_files = [
+            st.getPath().toString()
+            for st in fs.listStatus(root)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        result = spark.createDataFrame([(7, "z")], "k long, v string")
+        gen = "testgen2"
+        stage_name = f".cow_stage_{gen}"
+        result.coalesce(1).write.mode("overwrite").parquet(
+            f"{loc.rstrip('/')}/{stage_name}"
+        )
+        _write_cow_manifest(fs, HPath, root, gen, stage_name, old_files)
+        staged = HPath(root, stage_name)
+        for st in fs.listStatus(staged):
+            if st.getPath().getName().startswith("part-"):
+                fs.rename(
+                    st.getPath(),
+                    HPath(root, f"cow-{gen}-{st.getPath().getName()}"),
+                )
+        assert a.recover_table(spark, tgt) == 1
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(7, "z")}
+
+    def test_vacuum_skips_manifest_protected_stage(self, spark):
+        """An orphan stage WITHOUT a manifest is inert (vacuumed); a
+        stage WITH one belongs to recovery and must survive vacuum."""
+        import astro_spark as a
+        from astro_spark.operators.merge import (
+            _parquet_location,
+            _write_cow_manifest,
+        )
+
+        tgt = self._make_table(spark, [(1, "a")], n_files=1)
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        spark.createDataFrame([(5, "e")], "k long, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{loc.rstrip('/')}/.cow_stage_inert")
+        spark.createDataFrame([(6, "f")], "k long, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{loc.rstrip('/')}/.cow_stage_alive")
+        _write_cow_manifest(fs, HPath, root, "alive", ".cow_stage_alive", [])
+        assert a.vacuum_table(spark, tgt) == 1  # only the inert stage
+        names = [st.getPath().getName() for st in fs.listStatus(root)]
+        assert ".cow_stage_alive" in names and ".cow_stage_inert" not in names
+        # recovery then completes the decided commit (append: no olds)
+        assert a.recover_table(spark, tgt) == 1
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(1, "a"), (6, "f")}
+
+    def test_normal_commits_leave_no_manifest(self, spark):
+        """The happy path cleans up after itself: a merge through the
+        file-scoped COW leaves neither stage dirs nor manifests."""
+        import uuid
+
+        import astro_spark as a
+        from astro_spark.operators.merge import _parquet_location, merge
+
+        tgt = self._make_table(spark, [(1, "a"), (2, "b"), (3, "c")])
+        src = a.Table(f"cowrec_src_{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(
+            [(2, "b2"), (4, "d")], "k long, v string"
+        ).createOrReplaceTempView(src.name)
+        merge(spark, src, tgt, ["k"], if_conflicts="update")
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        names = [st.getPath().getName() for st in fs.listStatus(root)]
+        assert not any(n.startswith(".cow_stage_") for n in names)
+        assert not any(n.startswith(".cow_manifest_") for n in names)
