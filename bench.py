@@ -107,6 +107,11 @@ HEADLINE = [
     "s_hard_negatives_indexed",
     "op_apply_changes",
     "st_apply_changes",
+    "s_gram_matrix",
+    "t_vocab_encode",
+    "st_scd2",
+    "op_vacuum",
+    "op_recover",
 ]
 
 
