@@ -587,9 +587,26 @@ def _write_cow_manifest(
     leaves transient duplicates for a human to clean up.  The manifest
     is deleted as the commit's final act; its absence + an orphan
     ``.cow_stage_*`` dir means the crash happened BEFORE the decision
-    point and the stage is inert (reclaimed by ``vacuum_table``)."""
+    point and the stage is inert (reclaimed by ``vacuum_table``).
+
+    The manifest doubles as a single-writer guard: a live manifest from
+    ANOTHER commit means the table holds an undecided redo — committing
+    on top of it would race its old-file deletes — so this raises
+    ``RuntimeError`` directing the operator to ``recover_table`` first
+    (fail-fast beats the silent concurrent-COW race documented on
+    ``_cow_swap_files``)."""
     import json
 
+    for st in fs.listStatus(dst_dir):
+        name = st.getPath().getName()
+        if name.startswith(".cow_manifest_") and name.endswith(".json"):
+            raise RuntimeError(
+                f"copy-on-write commit blocked: pending commit manifest "
+                f"{name} exists in the table location — an earlier commit "
+                "was interrupted (or another writer is mid-commit). Run "
+                "astro_spark.recover_table(spark, table) to roll it "
+                "forward, then retry."
+            )
     man = HPath(dst_dir, f".cow_manifest_{gen}.json")
     out = fs.create(man, True)
     out.write(

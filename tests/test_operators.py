@@ -1916,3 +1916,37 @@ class TestCowRecovery:
         names = [st.getPath().getName() for st in fs.listStatus(root)]
         assert not any(n.startswith(".cow_stage_") for n in names)
         assert not any(n.startswith(".cow_manifest_") for n in names)
+
+    def test_pending_manifest_blocks_new_commits_until_recovered(self, spark):
+        """A live manifest marks an undecided redo: new COW commits on
+        the table fail fast instead of racing its old-file deletes;
+        recovery unblocks them."""
+        import uuid
+
+        import pytest
+
+        import astro_spark as a
+        from astro_spark.operators.merge import (
+            _parquet_location,
+            _write_cow_manifest,
+            merge,
+        )
+
+        tgt = self._make_table(spark, [(1, "a"), (2, "b")])
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        spark.createDataFrame([(9, "q")], "k long, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{loc.rstrip('/')}/.cow_stage_pend")
+        _write_cow_manifest(fs, HPath, root, "pend", ".cow_stage_pend", [])
+
+        src = a.Table(f"cowrec_src_{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(
+            [(2, "b9")], "k long, v string"
+        ).createOrReplaceTempView(src.name)
+        with pytest.raises(Exception, match="pending commit manifest"):
+            merge(spark, src, tgt, ["k"], if_conflicts="update")
+        assert a.recover_table(spark, tgt) == 1
+        merge(spark, src, tgt, ["k"], if_conflicts="update")
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(1, "a"), (2, "b9"), (9, "q")}
