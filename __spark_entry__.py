@@ -4319,15 +4319,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-7 driver-verification order (the driver checks the FIRST 50
-# entries): the 3 round-7 additions that have never had a driver row
-# (mm_decode, mm_decode_jpeg, st_apply_changes_ooo) lead, then ALL 47
-# queries whose latest driver row is r03 — the oldest cohort (VERDICT
-# r6 item 5).  After this round no query's latest check is older than
-# r04 (≤3 rounds stale).
+# entries): the 8 round-7 additions that have never had a driver row
+# lead, then the queries whose latest driver row is r03 — the oldest
+# cohort (VERDICT r6 item 5), filled greedily until the 50-slot window
+# runs out (8 + 47 > 50, so the last few r03 entries wait one round —
+# never-checked queries always outrank staleness).
 _DRIVER_PRIORITY = [
     "mm_decode",
     "mm_decode_jpeg",
     "st_apply_changes_ooo",
+    "op_vacuum",
+    "op_recover",
+    "s_gram_matrix",
+    "t_vocab_encode",
+    "st_scd2",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",

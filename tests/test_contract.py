@@ -46,12 +46,19 @@ def test_rotation_order_is_applied():
     latest = _latest_driver_round()
     if not latest:  # round 1: no driver rows exist yet
         return
-    head = set(q[:50])
-    # the whole oldest cohort must fit in the driver's window (never-
-    # checked queries are pinned by the head-50 test below)
-    oldest = min(latest.get(n, 0) for n in q if n in latest)
-    stalest = {n for n in q if latest.get(n) == oldest}
-    assert stalest <= head, sorted(stalest - head)
+    # greedy-by-staleness: after the never-checked queries (pinned by
+    # the head-50 test below), the window must be spent on the stalest
+    # checked queries — no query inside head-50 may be FRESHER than one
+    # left outside (ties may straddle the boundary when a cohort
+    # doesn't fit, e.g. 8 never-checked + 47 r03-stale > 50 slots)
+    head, tail = q[:50], q[50:]
+    head_rounds = [latest[n] for n in head if n in latest]
+    tail_rounds = [latest[n] for n in tail if n in latest]
+    if head_rounds and tail_rounds:
+        assert max(head_rounds) <= min(tail_rounds), (
+            max(head_rounds),
+            min(tail_rounds),
+        )
 
 
 def test_oracle_sql_is_nonempty_select():
