@@ -4117,6 +4117,39 @@ FROM nation
 """
 
 
+def _st_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gram-matrix maintenance: embedding files drain through
+    the generic incremental-MV machinery (`aggregate_mv_stream`) with
+    `gram_matrix_long` as the per-batch partial — integer quantization
+    makes partials exactly additive, so the drained state equals the
+    one-shot batch Gram bit-for-bit (same oracle as s_gram_matrix)."""
+    from astro_spark.functions import linalg
+    from astro_spark.streaming import aggregate_mv_stream
+
+    _views(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    src_dir = tempfile.mkdtemp(prefix="astro_gram_src_")
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    mv = aggregate_mv_stream(
+        spark,
+        src_dir,
+        ["i", "j"],
+        lambda batch: linalg.gram_matrix_long(batch),
+        f"gram_mv_{uuid.uuid4().hex[:8]}",
+        max_files_per_trigger=1,  # force one batch per embedding slice
+    )
+    return mv.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(F.col("s").cast("double") / 1_000_000, 6).alias("g"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4306,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_vocab_encode": _t_vocab_encode,
             "st_scd2": _st_scd2,
             "op_recover": _op_recover,
+            "st_gram": _st_gram,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4331,6 +4365,7 @@ _DRIVER_PRIORITY = [
     "op_vacuum",
     "op_recover",
     "s_gram_matrix",
+    "st_gram",
     "t_vocab_encode",
     "st_scd2",
     "op_append",
@@ -4803,6 +4838,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "t_vocab_encode": _t_vocab_encode_duck(),
             "st_scd2": _ST_SCD2_DUCK,
             "op_recover": _OP_RECOVER_DUCK,
+            "st_gram": _S_GRAM_MATRIX_DUCK,
         }
     )
     return out

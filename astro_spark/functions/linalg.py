@@ -89,6 +89,37 @@ def gram_matrix(
     return prods.groupBy("i", "j").agg(F.sum("p").alias("g"))
 
 
+def gram_matrix_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantized Gram PARTIAL as raw long sums (i, j, s) — the additive
+    form: partials from any split of the corpus sum to exactly the full
+    corpus's values (integer associativity), which is what lets a
+    streaming drain maintain a Gram/covariance state table through the
+    generic ``aggregate_mv_stream`` sums-of-sums contract.  Read the
+    matrix back as ``round(s / scale, 6)`` (= ``gram_matrix(scale=)``).
+    """
+    v = _vec(df, vec_col)
+    return (
+        df.select(v.alias("v"))
+        .select(F.posexplode("v").alias("i", "x"), F.col("v"))
+        .select(
+            "i",
+            F.posexplode(F.transform("v", lambda y: F.col("x") * y)).alias(
+                "j", "p"
+            ),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.floor(F.col("p") * scale + F.lit(0.5)).cast("long")).alias(
+                "s"
+            )
+        )
+    )
+
+
 def gram_matrix_np(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2492,3 +2492,31 @@ class TestVocabEncode:
         assert enc[1] == (ids1, sum(1 for i in ids1 if i == -1))
         assert enc[2] == ([], 0)
         assert enc[3][1] == (0 if "q" in ranked else 2)
+
+class TestGramAdditivity:
+    def test_gram_long_partials_are_exactly_additive(self, spark, sf_dir):
+        """Integer quantization makes gram partials additive: any split
+        of the corpus sums to the full corpus values bit-for-bit — the
+        property the streaming Gram MV (st_gram) rests on."""
+        from astro_spark.functions import linalg
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        full = {
+            (r["i"], r["j"]): r["s"]
+            for r in linalg.gram_matrix_long(emb).collect()
+        }
+        a_part = {
+            (r["i"], r["j"]): r["s"]
+            for r in linalg.gram_matrix_long(
+                emb.where("vec_id % 2 = 0")
+            ).collect()
+        }
+        b_part = {
+            (r["i"], r["j"]): r["s"]
+            for r in linalg.gram_matrix_long(
+                emb.where("vec_id % 2 = 1")
+            ).collect()
+        }
+        assert full == {
+            k: a_part.get(k, 0) + b_part.get(k, 0) for k in full
+        }
