@@ -71,8 +71,12 @@ from .merge import (
 
 #: single-column tombstone key sets up to this size delete via a
 #: pushed-down ``isin`` literal (row-group pruning at the scan); larger
-#: or multi-column sets take the semi-join file-scoped COW
-DELETE_PUSHDOWN_CAP = 10_000
+#: or multi-column sets take the semi-join file-scoped COW.  Measured
+#: at sf0.1: a 10k-literal isin costs 11.1 s against the semi-join's
+#: 2.4 s — Catalyst analysis/codegen on huge expression trees swamps
+#: whatever scan pruning the literals buy, so the cap sits at 1k
+#: (matching merge.py's multi-column pushdown cap rationale)
+DELETE_PUSHDOWN_CAP = 1_000
 
 _VALID_OPS = ("I", "U", "D")
 
@@ -106,22 +110,44 @@ def apply_changes(
     data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(list(_VALID_OPS))
 
-    # one window pass: latest row per key (seq desc, op desc tie-break),
-    # per-key corrupt-op flag, and — when no seq orders the feed — the
-    # per-key change count (same partitioning → one shuffle)
-    by_key = Window.partitionBy(*key_cols)
-    flagged = changes.withColumn(
-        "__kbad", F.max(bad_op.cast("int")).over(by_key)
-    )
+    # validate the feed with ONE map-side-combined aggregate over the
+    # raw changes — no per-key window: corrupt ops are a global any();
+    # seq-less duplicate keys show as count(*) != count_distinct(keys)
+    pre_cols = [
+        F.sum(bad_op.cast("long")).alias("n_bad"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col(op_col) != "D").cast("long")).alias("n_up_all"),
+        F.sum((F.col(op_col) == "D").cast("long")).alias("n_del_all"),
+    ]
+    if seq_col is None:
+        pre_cols.append(
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("n_keys")
+        )
+    pre = changes.agg(*pre_cols).collect()[0]
+    if pre["n_bad"]:
+        raise ValueError(
+            f"apply_changes: {pre['n_bad']} change row(s) carry a NULL or "
+            f"unknown {op_col!r} value (must be one of {_VALID_OPS}) — "
+            "refusing to apply a corrupted change feed"
+        )
+    if seq_col is None and (pre["n_all"] or 0) != (pre["n_keys"] or 0):
+        raise ValueError(
+            "apply_changes: multiple changes share a key but no "
+            "seq_col was given — ordering would be arbitrary"
+        )
+
     if seq_col is not None:
-        w = by_key.orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
+        # latest change per key: seq desc with deterministic op tie-break
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
         latest = (
-            flagged.withColumn("__rn", F.row_number().over(w))
+            changes.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
     else:
-        latest = flagged.withColumn("__kn", F.count(F.lit(1)).over(by_key))
+        latest = changes  # one change per key, just proven
 
     applied_sidecar = None
     if track_seq:
@@ -139,29 +165,22 @@ def apply_changes(
                 .drop("__applied_seq")
             )
 
-    latest = latest.persist()
+    # the no-seq path needs no second aggregate (latest IS changes, so
+    # the pre-validation counts are the apply counts) and no persist —
+    # a streaming drain's single-op micro-batches stay two-job cheap
+    if seq_col is not None:
+        latest = latest.persist()
     try:
-        stat_cols = [
-            F.sum((F.col(op_col) != "D").cast("long")).alias("n_up"),
-            F.sum((F.col(op_col) == "D").cast("long")).alias("n_del"),
-            F.sum(F.col("__kbad").cast("long")).alias("n_bad"),
-        ]
-        if seq_col is None:
-            stat_cols.append(F.max("__kn").alias("max_dup"))
-        stats = latest.agg(*stat_cols).collect()[0]
-        if stats["n_bad"]:
-            raise ValueError(
-                f"apply_changes: {stats['n_bad']} key(s) carry a NULL or "
-                f"unknown {op_col!r} value (must be one of {_VALID_OPS}) — "
-                "refusing to apply a corrupted change feed"
-            )
-        if seq_col is None and (stats["max_dup"] or 0) > 1:
-            raise ValueError(
-                "apply_changes: multiple changes share a key but no "
-                "seq_col was given — ordering would be arbitrary"
-            )
-        n_up = int(stats["n_up"] or 0)
-        n_del = int(stats["n_del"] or 0)
+        if seq_col is not None:
+            stats = latest.agg(
+                F.sum((F.col(op_col) != "D").cast("long")).alias("n_up"),
+                F.sum((F.col(op_col) == "D").cast("long")).alias("n_del"),
+            ).collect()[0]
+            n_up = int(stats["n_up"] or 0)
+            n_del = int(stats["n_del"] or 0)
+        else:
+            n_up = int(pre["n_up_all"] or 0)
+            n_del = int(pre["n_del_all"] or 0)
 
         fused = False
         if n_up and n_del:
@@ -234,7 +253,8 @@ def apply_changes(
             spark.catalog.refreshTable(target_table.qualified_name)
         return {"upserted": n_up, "deleted": n_del}
     finally:
-        latest.unpersist()
+        if seq_col is not None:
+            latest.unpersist()
 
 
 def _apply_fused(
