@@ -232,3 +232,88 @@ def pca_project(
         for comp in comps
     ]
     return df.withColumn(out_col, F.array(*projs))
+
+
+def gram_state_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Full second-moment state as ONE additive (i, j, s) frame:
+
+    - ``(i, j, s)`` with ``i, j ≥ 0`` — quantized Gram long sums;
+    - ``(i, -1, s)`` — per-dimension quantized value sums (→ mean);
+    - ``(-1, -1, n)`` — row count.
+
+    Everything is an integer sum, so state from any corpus split adds
+    to the full-corpus state exactly — drained through
+    ``aggregate_mv_stream`` this maintains all the sufficient
+    statistics of PCA incrementally, and ``pca_from_state`` refreshes
+    components from the ≤(d²+d+1)-row state without rescanning the
+    corpus (incremental PCA, exact — not the approximate streaming-PCA
+    update).
+    """
+    v = _vec(df, vec_col)
+    gram = gram_matrix_long(df, vec_col, scale)
+    sums = (
+        df.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.floor(F.col("x") * scale + F.lit(0.5)).cast("long")).alias(
+                "s"
+            )
+        )
+        .select("i", F.lit(-1).alias("j"), "s")
+    )
+    cnt = df.agg(F.count(F.lit(1)).alias("s")).select(
+        F.lit(-1).alias("i"), F.lit(-1).alias("j"), "s"
+    )
+    return gram.unionByName(sums).unionByName(cnt)
+
+
+def pca_from_state(
+    state_rows,
+    k: int,
+    scale: int = 1_000_000,
+) -> dict:
+    """Principal components from a ``gram_state_long`` state (rows or
+    a DataFrame): covariance = (G/scale² − n·mean·meanᵀ·(1/scale²…))
+    assembled driver-side from the ≤(d²+d+1)-row state, then the same
+    ``eigh`` + sign canonicalization as ``pca_train``.  Quantization
+    means the result matches ``pca_train`` to ~1/scale, not bit-for-bit
+    — pinned with that tolerance in tests.
+    """
+    import numpy as np
+
+    if hasattr(state_rows, "collect"):
+        state_rows = state_rows.collect()
+    n = None
+    sums = {}
+    gram = {}
+    for r in state_rows:
+        i, j, s = r["i"], r["j"], r["s"]
+        if i == -1 and j == -1:
+            n = int(s)
+        elif j == -1:
+            sums[i] = int(s)
+        else:
+            gram[(i, j)] = int(s)
+    if not n:
+        raise ValueError("pca_from_state: empty state (no count row)")
+    d = max(sums) + 1
+    g = np.zeros((d, d))
+    for (i, j), s in gram.items():
+        g[i, j] = s / scale
+    mean = np.array([sums[i] / scale / n for i in range(d)])
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "components": comps.tolist(),
+        "explained_variance": evals[order].tolist(),
+        "mean": mean.tolist(),
+    }

@@ -2520,3 +2520,36 @@ class TestGramAdditivity:
         assert full == {
             k: a_part.get(k, 0) + b_part.get(k, 0) for k in full
         }
+
+    def test_incremental_pca_from_state_matches_batch(self, spark, sf_dir):
+        """PCA refreshed from the additive sufficient-statistics state
+        (Gram + per-dim sums + count) matches full-corpus pca_train to
+        quantization tolerance — and state merged from two corpus
+        slices equals one-shot state, so the refresh needs no corpus
+        rescan (the incremental-PCA contract behind st_gram)."""
+        import numpy as np
+
+        from astro_spark.functions import linalg
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        merged = {}
+        for pred in ("vec_id % 2 = 0", "vec_id % 2 = 1"):
+            for r in linalg.gram_state_long(emb.where(pred)).collect():
+                k = (r["i"], r["j"])
+                merged[k] = merged.get(k, 0) + r["s"]
+        one_shot = {
+            (r["i"], r["j"]): r["s"]
+            for r in linalg.gram_state_long(emb).collect()
+        }
+        assert merged == one_shot
+        inc = linalg.pca_from_state(
+            [{"i": i, "j": j, "s": s} for (i, j), s in merged.items()], k=3
+        )
+        batch = linalg.pca_train(emb, k=3)
+        np.testing.assert_allclose(
+            inc["explained_variance"], batch["explained_variance"],
+            rtol=1e-4, atol=1e-7,
+        )
+        np.testing.assert_allclose(inc["mean"], batch["mean"], atol=1e-6)
+        for a_c, b_c in zip(inc["components"], batch["components"]):
+            np.testing.assert_allclose(a_c, b_c, rtol=1e-3, atol=1e-4)
