@@ -1553,6 +1553,14 @@ def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A|: catches a doc WRAPPING
+    another where symmetric Jaccard stays low (boilerplate around a
+    quoted article) — same inverted-index shuffle shape as Jaccard."""
+    _views(spark, sf_dir)
+    return dedup.containment_pairs(read_table(spark, sf_dir, "documents"))
+
+
 def _dd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-lite: per-doc counts of 8-token spans shared across docs."""
     _views(spark, sf_dir)
@@ -4150,6 +4158,49 @@ def _st_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary maintenance: token counts are additive, so
+    the corpus token-frequency relation drains through the generic
+    incremental-MV machinery and the vocabulary re-ranks from the
+    maintained counts — streamed == one-shot batch vocabulary."""
+    from astro_spark.functions.text import token_counts_table, vocab_from_counts
+    from astro_spark.streaming import aggregate_mv_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    src_dir = tempfile.mkdtemp(prefix="astro_vocab_src_")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    mv = aggregate_mv_stream(
+        spark,
+        src_dir,
+        ["tok"],
+        lambda batch: token_counts_table(batch),
+        f"vocab_mv_{uuid.uuid4().hex[:8]}",
+        max_files_per_trigger=1,
+    )
+    return vocab_from_counts(mv, size=_VOCAB_SIZE)
+
+
+def _st_vocab_duck() -> str:
+    from astro_spark.functions.oracles import tokens as toks
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({toks('text')}, x -> x <> '') AS toklist
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toklist) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM u GROUP BY tok)
+SELECT tok, (row_number() OVER (ORDER BY n DESC, tok) - 1)::INT AS tok_id, n
+FROM cnt QUALIFY tok_id < {_VOCAB_SIZE}
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4340,6 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_scd2": _st_scd2,
             "op_recover": _op_recover,
             "st_gram": _st_gram,
+            "dd_containment": _dd_containment,
+            "st_vocab": _st_vocab,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4368,6 +4421,8 @@ _DRIVER_PRIORITY = [
     "st_gram",
     "t_vocab_encode",
     "st_scd2",
+    "dd_containment",
+    "st_vocab",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -4839,6 +4894,8 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "st_scd2": _ST_SCD2_DUCK,
             "op_recover": _OP_RECOVER_DUCK,
             "st_gram": _S_GRAM_MATRIX_DUCK,
+            "dd_containment": oracles.containment_sql(),
+            "st_vocab": _st_vocab_duck(),
         }
     )
     return out

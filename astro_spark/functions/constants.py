@@ -40,6 +40,7 @@ SIMHASH_MAX_HAMMING = 4
 
 # --- N-gram jaccard --------------------------------------------------------
 NGRAM_JACCARD_THRESHOLD = 0.30
+CONTAINMENT_THRESHOLD = 0.60  # |A∩B|/|A| — "A is mostly inside B"
 
 # --- Embedding LSH (random hyperplanes) ------------------------------------
 N_HYPERPLANES = 8

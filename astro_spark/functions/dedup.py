@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .constants import (
+    CONTAINMENT_THRESHOLD,
     COSINE_DUP_THRESHOLD,
     LSH_BANDS,
     MINHASH_COEFFS,
@@ -1320,4 +1321,51 @@ def pair_threshold_sweep(
             "n_pairs",
             "n_pairs_at_or_above",
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-containment pairs: ``|A∩B| / |A|`` — the
+    asymmetric cousin of Jaccard that catches a document WRAPPING
+    another (boilerplate around a quoted article, a post embedding an
+    earlier post) where symmetric Jaccard stays low because the
+    container is much larger.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (explode
+    shingles, self-join on hash, count shared per DIRECTED pair), so
+    the same scale story: shuffle on shingle hash, never all-pairs;
+    ``max_shingle_df`` is the boilerplate-shingle skew guard.  Returns
+    (id_a, id_b, containment) where id_a ≠ id_b and ``containment`` is
+    the fraction of A's shingles found in B, rounded to 4.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
+    ).persist()
+    sizes = base.select("id", F.size("sh").alias("n"))
+    inv = base.select("id", F.explode("sh").alias("h"))
+    if max_shingle_df is not None:
+        doc_freq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(doc_freq.where(F.col("df") <= max_shingle_df), "h")
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.h") == F.col("r.h"), F.col("l.id") != F.col("r.id")])
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .withColumn(
+            "containment", F.round(F.col("shared") / F.col("n_a"), 4)
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment")
     )

@@ -2199,3 +2199,24 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
        rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def containment_sql(table: str = "documents") -> str:
+    from .constants import CONTAINMENT_THRESHOLD
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingle_hashes(tokens('text'))} AS sh FROM {table}
+),
+sizes AS (SELECT id, len(sh) AS n FROM base),
+inv AS (SELECT id, unnest(sh) AS h FROM base),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS shared
+  FROM inv l JOIN inv r ON l.h = r.h AND l.id != r.id
+  GROUP BY l.id, r.id
+)
+SELECT s.id_a, s.id_b,
+       round(s.shared::DOUBLE / sa.n, 4) AS containment
+FROM shared s JOIN sizes sa ON sa.id = s.id_a
+WHERE round(s.shared::DOUBLE / sa.n, 4) >= {CONTAINMENT_THRESHOLD}
+"""

@@ -772,12 +772,26 @@ def build_vocab(
     through the final rank window, so its single-partition sort is
     bounded by the vocab size, never the corpus.
     """
-    counts = (
+    return vocab_from_counts(token_counts_table(docs, text_col), size)
+
+
+def token_counts_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency relation (tok, n) — one map-side-combined
+    shuffle.  ADDITIVE: counts from any corpus split sum to the full
+    counts, so ``aggregate_mv_stream`` can maintain this incrementally
+    (the streaming vocabulary, ``st_vocab``)."""
+    return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def vocab_from_counts(counts: DataFrame, size: int = 1000) -> DataFrame:
+    """Rank a (tok, n) count relation into the (tok, tok_id, n) id
+    table: bounded top-``size`` via TakeOrderedAndProject, then the
+    rank window runs over only the ≤``size`` winners."""
     top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(size)
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
     return top.withColumn("tok_id", F.row_number().over(w) - 1).select(

@@ -2553,3 +2553,36 @@ class TestGramAdditivity:
         np.testing.assert_allclose(inc["mean"], batch["mean"], atol=1e-6)
         for a_c, b_c in zip(inc["components"], batch["components"]):
             np.testing.assert_allclose(a_c, b_c, rtol=1e-3, atol=1e-4)
+
+
+class TestContainment:
+    def test_wrapped_doc_is_caught_directionally(self, spark):
+        """A short doc fully quoted inside a much larger one: containment
+        A→B is 1.0 while B→A (and symmetric Jaccard) stays low."""
+        from astro_spark.functions import dedup
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, quoted), (2, f"{filler} {quoted} {filler}")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(docs, threshold=0.0).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(2, 1)] < 0.1
+        # symmetric jaccard would miss this pair at its threshold
+        jac = dedup.ngram_jaccard_pairs(docs).collect()
+        assert jac == []
+
+    def test_threshold_filters(self, spark):
+        from astro_spark.functions import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f g h i j k l m n o p")],
+            ["doc_id", "text"],
+        )
+        out = dedup.containment_pairs(docs, threshold=0.9).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
