@@ -4201,6 +4201,56 @@ FROM cnt QUALIFY tok_id < {_VOCAB_SIZE}
 """
 
 
+def _op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join: orders and lineitem bucketed on the join key
+    join WITHOUT an exchange (asserted on the physical plan here, not
+    just in tests) — the persisted-partitioning contract that turns a
+    100 TB fact-fact join from a double shuffle into a local zip."""
+    _views(spark, sf_dir)
+    o = a.Table(f"bkj_o_{uuid.uuid4().hex[:8]}", temp=False)
+    li = a.Table(f"bkj_l_{uuid.uuid4().hex[:8]}", temp=False)
+    a.load_file(
+        spark, f"{sf_dir}/orders.parquet", output_table=o,
+        bucket_by=(8, ["o_orderkey"]),
+    )
+    a.load_file(
+        spark, f"{sf_dir}/lineitem.parquet", output_table=li,
+        bucket_by=(8, ["l_orderkey"]),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(o.name).join(
+            spark.table(li.name),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        shuffle_free = "Exchange" not in plan
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+            F.lit(shuffle_free).alias("join_was_shuffle_free"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        a.drop_table(spark, o)
+        a.drop_table(spark, li)
+
+
+_OP_BUCKETED_JOIN_DUCK = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS price_cents,
+       TRUE AS join_was_shuffle_free
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4393,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_gram": _st_gram,
             "dd_containment": _dd_containment,
             "st_vocab": _st_vocab,
+            "op_bucketed_join": _op_bucketed_join,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4423,6 +4474,7 @@ _DRIVER_PRIORITY = [
     "st_scd2",
     "dd_containment",
     "st_vocab",
+    "op_bucketed_join",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -4896,6 +4948,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "st_gram": _S_GRAM_MATRIX_DUCK,
             "dd_containment": oracles.containment_sql(),
             "st_vocab": _st_vocab_duck(),
+            "op_bucketed_join": _OP_BUCKETED_JOIN_DUCK,
         }
     )
     return out
