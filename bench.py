@@ -112,6 +112,10 @@ HEADLINE = [
     "st_scd2",
     "op_vacuum",
     "op_recover",
+    "st_gram",
+    "st_vocab",
+    "op_bucketed_join",
+    "dd_containment",
 ]
 
 
