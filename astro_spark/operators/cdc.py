@@ -62,7 +62,10 @@ from .merge import (
     KEY_PUSHDOWN_CAP,
     MAX_TOUCHED_FILES,
     _align,
+    _cow_commit_partitioned,
+    _cow_stage_partitioned,
     _cow_swap_files,
+    _no_partition_moves,
     _parquet_location,
     _partition_columns,
     _upsert,
@@ -272,15 +275,19 @@ def _apply_fused(
     Upsert keys and delete keys are disjoint by construction (``latest``
     keeps exactly one change per key), so applying both in one pass is
     order-independent and equals merge-then-delete — pinned by the
-    mixed-op tests.  Restricted to unpartitioned parquet targets (the
-    partition-scoped dynamic-overwrite ladder stays with the two-step
-    path); returns False to fall back when ineligible, including a
-    touched set over ``MAX_TOUCHED_FILES``.
+    mixed-op tests.  Works on unpartitioned parquet targets AND on
+    partitioned ones when no matched upsert would move a row between
+    partitions (``_no_partition_moves`` — deletes never move rows, so
+    only the upsert side gates): untouched files keep their paths,
+    new-key inserts append through ``insertInto`` so new partitions
+    register.  Returns False to fall back to the two-step path when
+    ineligible, including a touched set over ``MAX_TOUCHED_FILES``.
     """
     name = target_table.qualified_name
     location = _parquet_location(spark, name)
-    if location is None or _partition_columns(spark, target_table):
+    if location is None:
         return False
+    part_cols = _partition_columns(spark, target_table)
     tgt = spark.table(name)
     tbl_cols = tgt.columns
     try:
@@ -288,6 +295,12 @@ def _apply_fused(
             *tbl_cols, F.col("_metadata.file_path").alias("__file")
         )
     except Exception:  # pragma: no cover - source without file metadata
+        return False
+
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    if part_cols and not _no_partition_moves(
+        tgt, upserts, key_cols, part_cols
+    ):
         return False
 
     all_keys = latest.select(*key_cols).distinct()
@@ -317,8 +330,36 @@ def _apply_fused(
     else:
         touched = tgt.where(F.lit(False))
     del_keys = latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
-    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
     kept = touched.join(del_keys, on=key_cols, how="left_anti")
-    result = _align(_upsert(kept, upserts, key_cols).select(*tbl_cols), tgt)
-    _cow_swap_files(spark, name, location, files, result)
+
+    if not part_cols:
+        # flat: new keys ride along as inserts in the single staged write
+        result = _align(
+            _upsert(kept, upserts, key_cols).select(*tbl_cols), tgt
+        )
+        _cow_swap_files(spark, name, location, files, result)
+        return True
+
+    # partitioned: matched upserts rewrite in place inside their
+    # partition dirs; new keys append via insertInto (registers new
+    # partitions).  The insert append runs between stage and commit,
+    # reading only the old generation — a crash before the commit
+    # leaves inserts applied and the stage inert (no manifest yet);
+    # re-applying the batch is idempotent.
+    touched_keys = touched.select(*key_cols).distinct()
+    matched_src = upserts.join(touched_keys, on=key_cols, how="left_semi")
+    inserts = upserts.join(touched_keys, on=key_cols, how="left_anti")
+    rewrite = _align(
+        _upsert(kept, matched_src, key_cols).select(*tbl_cols), tgt
+    )
+    staged = None
+    if files:
+        staged = _cow_stage_partitioned(spark, location, part_cols, rewrite)
+    if inserts.limit(1).count() > 0:
+        _align(inserts, tgt).select(*tbl_cols).write.mode("append").insertInto(
+            name
+        )
+    if staged is not None:
+        _cow_commit_partitioned(spark, location, files, staged)
+    spark.catalog.refreshTable(name)
     return True

@@ -1950,3 +1950,68 @@ class TestCowRecovery:
         merge(spark, src, tgt, ["k"], if_conflicts="update")
         got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
         assert got == {(1, "a"), (2, "b9"), (9, "q")}
+
+    def test_fused_mixed_batch_partitioned_in_place(self, spark):
+        """Mixed upsert+tombstone batch on a PARTITIONED target commits
+        through the fused partition-preserving COW: untouched partition
+        files keep their paths, a new key registers its partition via
+        append, and the result equals merge-then-delete."""
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t = a.Table(f"cdc_fpart_{_uuid.uuid4().hex[:8]}", temp=False)
+        rows = [(i, f"p{i % 3}", f"v{i}") for i in range(90)]
+        save_dataframe_as_table(
+            spark.createDataFrame(rows, "k long, pt string, v string"),
+            t,
+            partition_by=["pt"],
+        )
+        before = set(spark.table(t.name).inputFiles())
+        # upserts + deletes confined to partition p0 (keys % 3 == 0,
+        # partition value re-asserted → no partition moves); one new key
+        # lands in a brand-new partition p9
+        changes = spark.createDataFrame(
+            [(0, "p0", None, "D", 1), (3, "p0", None, "D", 1),
+             (6, "p0", "u6", "U", 1), (900, "p9", "new", "I", 1)],
+            "k long, pt string, v string, op string, seq long",
+        )
+        stats = apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        assert stats == {"upserted": 2, "deleted": 2}
+        df = spark.table(t.name)
+        assert df.count() == 89  # 90 - 2 deleted + 1 new
+        assert df.where("k = 6").first().v == "u6"
+        assert df.where("k = 900").first().pt == "p9"
+        assert df.where("k in (0, 3)").count() == 0
+        after = set(spark.table(t.name).inputFiles())
+        # p1/p2 partition files untouched
+        untouched = {f for f in before if "/pt=p1/" in f or "/pt=p2/" in f}
+        assert untouched <= after
+
+    def test_fused_partition_move_falls_back_correctly(self, spark):
+        """An upsert that CHANGES a partition value cannot rewrite in
+        place — the fused path must decline and the two-step fallback
+        must still produce the right rows in the right partitions."""
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        t = a.Table(f"cdc_fmove_{_uuid.uuid4().hex[:8]}", temp=False)
+        save_dataframe_as_table(
+            spark.createDataFrame(
+                [(1, "pa", "x"), (2, "pa", "y"), (3, "pb", "z")],
+                "k long, pt string, v string",
+            ),
+            t,
+            partition_by=["pt"],
+        )
+        changes = spark.createDataFrame(
+            [(1, "pb", "moved", "U", 1), (3, "pb", None, "D", 1)],
+            "k long, pt string, v string, op string, seq long",
+        )
+        stats = apply_changes(spark, t, changes, ["k"], seq_col="seq")
+        assert stats == {"upserted": 1, "deleted": 1}
+        got = {(r.k): (r.pt, r.v) for r in spark.table(t.name).collect()}
+        assert got == {1: ("pb", "moved"), 2: ("pa", "y")}
