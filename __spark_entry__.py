@@ -4251,6 +4251,63 @@ GROUP BY o_orderpriority
 """
 
 
+def _op_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: orders written Morton-interleaved on
+    (o_custkey, o_totalprice) must produce files covering compact
+    hyper-rectangles — per-file spans shrink on BOTH dimensions, the
+    row-group-skipping lever for selective scans on either column.
+    The layout claim is folded into the oracle hash (both booleans
+    must be TRUE to match), mirroring op_bucketed_join."""
+    _views(spark, sf_dir)
+    t = a.Table(f"op_zorder_{uuid.uuid4().hex[:8]}", temp=False)
+    a.load_file(
+        spark, f"{sf_dir}/orders.parquet", output_table=t,
+        zorder_by=(16, ["o_custkey", "o_totalprice"]),
+    )
+    try:
+        tagged = spark.table(t.name).select(
+            "o_custkey", "o_totalprice",
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        per_file = tagged.groupBy("__file").agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("span_ck"),
+            (
+                F.floor(F.max("o_totalprice") * 100 + 0.5)
+                - F.floor(F.min("o_totalprice") * 100 + 0.5)
+            ).alias("span_tp"),
+        )
+        totals = spark.table(t.name).agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("t_ck"),
+            (
+                F.floor(F.max("o_totalprice") * 100 + 0.5)
+                - F.floor(F.min("o_totalprice") * 100 + 0.5)
+            ).alias("t_tp"),
+        )
+        stats = per_file.crossJoin(F.broadcast(totals)).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            (F.avg("span_ck") < 0.75 * F.first("t_ck")).alias("ck_clustered"),
+            (F.avg("span_tp") < 0.75 * F.first("t_tp")).alias("tp_clustered"),
+        )
+        n_rows = spark.table(t.name).count()
+        row = stats.collect()[0]
+        return spark.createDataFrame(
+            [(int(row["n_files"]), bool(row["ck_clustered"]),
+              bool(row["tp_clustered"]), n_rows)],
+            "n_files long, ck_clustered boolean, tp_clustered boolean, "
+            "n_rows long",
+        )
+    finally:
+        a.drop_table(spark, t)
+
+
+_OP_ZORDER_DUCK = """
+SELECT CAST(16 AS BIGINT) AS n_files,
+       TRUE AS ck_clustered, TRUE AS tp_clustered,
+       COUNT(*)::BIGINT AS n_rows
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4444,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_containment": _dd_containment,
             "st_vocab": _st_vocab,
             "op_bucketed_join": _op_bucketed_join,
+            "op_zorder": _op_zorder,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4475,6 +4533,7 @@ _DRIVER_PRIORITY = [
     "dd_containment",
     "st_vocab",
     "op_bucketed_join",
+    "op_zorder",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -4949,6 +5008,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "dd_containment": oracles.containment_sql(),
             "st_vocab": _st_vocab_duck(),
             "op_bucketed_join": _OP_BUCKETED_JOIN_DUCK,
+            "op_zorder": _OP_ZORDER_DUCK,
         }
     )
     return out
