@@ -4308,6 +4308,52 @@ FROM orders
 """
 
 
+def _op_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a selective broadcast-dim join against
+    a fact table partitioned on the join key must inject a
+    dynamicpruning subquery into the fact scan — at 100 TB the
+    difference between scanning one day and scanning a year.  The plan
+    claim is folded into the oracle hash (dpp_applied must be TRUE)."""
+    _views(spark, sf_dir)
+    fact = a.Table(f"op_dpp_{uuid.uuid4().hex[:8]}", temp=False)
+    a.load_file(
+        spark, f"{sf_dir}/orders.parquet", output_table=fact,
+        partition_by=["o_orderpriority"],
+    )
+    try:
+        dim = spark.createDataFrame(
+            [("1-URGENT", "keep"), ("2-HIGH", "drop")], ["prio", "tag"]
+        )
+        joined = spark.table(fact.name).join(
+            F.broadcast(dim.where(F.col("tag") == "keep")),
+            F.col("o_orderpriority") == F.col("prio"),
+        )
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruning" in (optimized + executed).lower()
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(int(agg["n_rows"]), int(agg["price_cents"]), bool(dpp))],
+            "n_rows long, price_cents long, dpp_applied boolean",
+        )
+    finally:
+        a.drop_table(spark, fact)
+
+
+_OP_DPP_DUCK = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS price_cents,
+       TRUE AS dpp_applied
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4502,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_vocab": _st_vocab,
             "op_bucketed_join": _op_bucketed_join,
             "op_zorder": _op_zorder,
+            "op_dpp": _op_dpp,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4534,6 +4581,7 @@ _DRIVER_PRIORITY = [
     "st_vocab",
     "op_bucketed_join",
     "op_zorder",
+    "op_dpp",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5009,6 +5057,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "st_vocab": _st_vocab_duck(),
             "op_bucketed_join": _OP_BUCKETED_JOIN_DUCK,
             "op_zorder": _OP_ZORDER_DUCK,
+            "op_dpp": _OP_DPP_DUCK,
         }
     )
     return out
