@@ -4354,6 +4354,64 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def _op_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the row-level complement to
+    dynamic partition pruning for shuffle joins on NON-partition keys:
+    a selective dim side injects a bloom filter into the fact scan.
+    Locally the 10 GB application-side threshold is lowered; at 100 TB
+    the fact scan crosses it naturally.  The plan claim is folded into
+    the oracle hash (bloom_injected must be TRUE)."""
+    _views(spark, sf_dir)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        bloom = "bloom" in plan.lower()
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(int(agg["n_rows"]), int(agg["price_cents"]), bool(bloom))],
+            "n_rows long, price_cents long, bloom_injected boolean",
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_OP_RUNTIME_BLOOM_DUCK = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS price_cents,
+       TRUE AS bloom_injected
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4549,6 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_bucketed_join": _op_bucketed_join,
             "op_zorder": _op_zorder,
             "op_dpp": _op_dpp,
+            "op_runtime_bloom": _op_runtime_bloom,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4582,6 +4641,7 @@ _DRIVER_PRIORITY = [
     "op_bucketed_join",
     "op_zorder",
     "op_dpp",
+    "op_runtime_bloom",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5058,6 +5118,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_bucketed_join": _OP_BUCKETED_JOIN_DUCK,
             "op_zorder": _OP_ZORDER_DUCK,
             "op_dpp": _OP_DPP_DUCK,
+            "op_runtime_bloom": _OP_RUNTIME_BLOOM_DUCK,
         }
     )
     return out
