@@ -4412,6 +4412,120 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def _op_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyze_table: ANALYZE TABLE (+ FOR COLUMNS) must land row-count
+    and column NDV statistics in the catalog — the CBO inputs that turn
+    join-order/build-side guesses into informed choices at 100 TB.  The
+    stats claims are folded into the oracle hash: the recorded rowCount
+    must equal the true count and the key column's NDV must be exact
+    (ANALYZE FOR COLUMNS uses HLL±5%; nation's 25 keys are exact)."""
+    from astro_spark.operators.catalog import analyze_table
+
+    _views(spark, sf_dir)
+    t = a.Table(f"op_analyze_{uuid.uuid4().hex[:8]}", temp=False)
+    read_table(spark, sf_dir, "nation").write.format("parquet").saveAsTable(
+        t.name
+    )
+    try:
+        analyze_table(spark, t, columns=["n_nationkey"])
+        n_rows = spark.table(t.name).count()
+        stats_row = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}")
+            .where("col_name = 'Statistics'")
+            .collect()
+        )
+        row_count_ok = bool(
+            stats_row and f"{n_rows} rows" in stats_row[0].data_type
+        )
+        ndv_rows = spark.sql(
+            f"DESCRIBE EXTENDED {t.name} n_nationkey"
+        ).collect()
+        ndv = {r.info_name: r.info_value for r in ndv_rows}.get(
+            "distinct_count"
+        )
+        ndv_ok = ndv is not None and int(ndv) == n_rows
+        return spark.createDataFrame(
+            [(n_rows, row_count_ok, ndv_ok)],
+            "n_rows long, row_count_recorded boolean, ndv_exact boolean",
+        )
+    finally:
+        a.drop_table(spark, t)
+
+
+_OP_ANALYZE_DUCK = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       TRUE AS row_count_recorded, TRUE AS ndv_exact
+FROM nation
+"""
+
+
+def _op_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join split — the no-code-change complement to
+    the explicit salted_join: one hot key carrying ~98% of the left
+    rows must get its partition split into parallel subtasks (the
+    executed SortMergeJoin marked skew=true).  Thresholds are lowered
+    locally (at 100 TB a hot key crosses the 256 MB default
+    naturally); the skew=true plan claim is folded into the oracle
+    hash along with the exact join aggregate."""
+    _views(spark, sf_dir)
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 50 < 49, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            (F.col("id") % 1000).alias("w"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # finalize THIS plan's adaptive execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        skew_split = "isFinalPlan=true" in plan and "skew=true" in plan
+        n = len(rows)
+        s = sum(r["w"] + r["v"] for r in rows)
+        return spark.createDataFrame(
+            [(n, s, bool(skew_split))],
+            "n_rows long, checksum long, skew_split boolean",
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_OP_SKEW_AQE_DUCK = """
+WITH l AS (
+  SELECT CASE WHEN i % 50 < 49 THEN 7 ELSE i % 97 END AS k,
+         i % 1000 AS w
+  FROM (SELECT unnest(range(0, 300000)) AS i)
+),
+r AS (SELECT i AS k, i * 10 AS v FROM (SELECT unnest(range(0, 97)) AS i))
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(l.w + r.v)::BIGINT AS checksum,
+       TRUE AS skew_split
+FROM l JOIN r ON l.k = r.k
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4608,6 +4722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_zorder": _op_zorder,
             "op_dpp": _op_dpp,
             "op_runtime_bloom": _op_runtime_bloom,
+            "op_analyze": _op_analyze,
+            "op_skew_aqe": _op_skew_aqe,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4642,6 +4758,8 @@ _DRIVER_PRIORITY = [
     "op_zorder",
     "op_dpp",
     "op_runtime_bloom",
+    "op_analyze",
+    "op_skew_aqe",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5119,6 +5237,8 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_zorder": _OP_ZORDER_DUCK,
             "op_dpp": _OP_DPP_DUCK,
             "op_runtime_bloom": _OP_RUNTIME_BLOOM_DUCK,
+            "op_analyze": _OP_ANALYZE_DUCK,
+            "op_skew_aqe": _OP_SKEW_AQE_DUCK,
         }
     )
     return out
