@@ -4526,6 +4526,73 @@ FROM l JOIN r ON l.k = r.k
 """
 
 
+_PAD_MAX_LEN = 16
+
+
+def _t_pad_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ready tensors: vocab-encode then truncate/right-pad to a
+    fixed length with an attention mask (the last mile before a
+    training dataloader).  Map-only after the encode; the signature
+    (padded-id sum + mask sum) pins truncation boundary and pad
+    content."""
+    from astro_spark.functions import text as text_fns
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = text_fns.build_vocab(docs, size=_VOCAB_SIZE)
+    enc = text_fns.encode_documents(docs, vocab)
+    padded = text_fns.pad_token_ids(enc, max_len=_PAD_MAX_LEN)
+    ids, mask = F.col("input_ids"), F.col("attention_mask")
+    lsum = lambda col: F.when(  # noqa: E731
+        F.size(col) > 0,
+        F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return padded.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("padded_len"),
+        lsum(ids).alias("ids_sum"),
+        lsum(mask).alias("mask_sum"),
+    )
+
+
+def _t_pad_encode_duck() -> str:
+    from astro_spark.functions.oracles import tokens as toks
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({toks('text')}, x -> x <> '') AS toklist
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(toklist) AS tok,
+         generate_subscripts(toklist, 1) AS pos
+  FROM t
+),
+cnt AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY tok),
+v AS (
+  SELECT tok, (row_number() OVER (ORDER BY n DESC, tok) - 1) AS tok_id
+  FROM cnt QUALIFY tok_id < {_VOCAB_SIZE}
+),
+j AS (
+  SELECT u.doc_id, u.pos, COALESCE(v.tok_id, -1) AS tid
+  FROM u LEFT JOIN v USING (tok)
+),
+s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN pos <= {_PAD_MAX_LEN} THEN tid ELSE 0 END) AS ids_sum,
+         LEAST(COUNT(*), {_PAD_MAX_LEN}) AS mask_sum
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST({_PAD_MAX_LEN} AS BIGINT) AS padded_len,
+       COALESCE(s.ids_sum, 0)::BIGINT AS ids_sum,
+       COALESCE(s.mask_sum, 0)::BIGINT AS mask_sum
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -4724,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_runtime_bloom": _op_runtime_bloom,
             "op_analyze": _op_analyze,
             "op_skew_aqe": _op_skew_aqe,
+            "t_pad_encode": _t_pad_encode,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4760,6 +4828,7 @@ _DRIVER_PRIORITY = [
     "op_runtime_bloom",
     "op_analyze",
     "op_skew_aqe",
+    "t_pad_encode",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5239,6 +5308,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_runtime_bloom": _OP_RUNTIME_BLOOM_DUCK,
             "op_analyze": _OP_ANALYZE_DUCK,
             "op_skew_aqe": _OP_SKEW_AQE_DUCK,
+            "t_pad_encode": _t_pad_encode_duck(),
         }
     )
     return out

@@ -838,3 +838,30 @@ def encode_documents(
         "token_ids",
         F.coalesce(F.col("token_ids"), F.array().cast("array<int>")),
     ).withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+
+
+def pad_token_ids(
+    df: DataFrame,
+    max_len: int,
+    ids_col: str = "token_ids",
+    pad_id: int = 0,
+    out_ids: str = "input_ids",
+    out_mask: str = "attention_mask",
+) -> DataFrame:
+    """Model-ready fixed-length encoding: truncate ``ids_col`` to
+    ``max_len`` and right-pad with ``pad_id``, plus the matching 0/1
+    attention mask — the last mile from ``encode_documents`` to
+    training tensors.  Pure map-only built-ins (slice + concat of a
+    repeated pad array); zero shuffle at any corpus size.
+    """
+    ids = F.col(ids_col)
+    kept = F.slice(ids, 1, max_len)
+    n_kept = F.least(F.size(ids), F.lit(max_len))
+    pad_n = F.lit(max_len) - n_kept
+    padded = F.concat(
+        kept, F.array_repeat(F.lit(pad_id).cast("int"), pad_n)
+    )
+    mask = F.concat(
+        F.array_repeat(F.lit(1), n_kept), F.array_repeat(F.lit(0), pad_n)
+    )
+    return df.withColumn(out_ids, padded).withColumn(out_mask, mask)

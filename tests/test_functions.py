@@ -2586,3 +2586,22 @@ class TestContainment:
         )
         out = dedup.containment_pairs(docs, threshold=0.9).collect()
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+class TestPadTokenIds:
+    def test_truncates_pads_and_masks(self, spark):
+        from astro_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [(1, [5, 6, 7]), (2, [1]), (3, [])],
+            "doc_id long, token_ids array<int>",
+        )
+        out = {
+            r.doc_id: (list(r.input_ids), list(r.attention_mask))
+            for r in T.pad_token_ids(df, max_len=2).collect()
+        }
+        assert out == {
+            1: ([5, 6], [1, 1]),          # truncated
+            2: ([1, 0], [1, 0]),          # padded
+            3: ([0, 0], [0, 0]),          # empty doc -> all pad
+        }

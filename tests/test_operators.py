@@ -2015,3 +2015,58 @@ class TestCowRecovery:
         assert stats == {"upserted": 1, "deleted": 1}
         got = {(r.k): (r.pt, r.v) for r in spark.table(t.name).collect()}
         assert got == {1: ("pb", "moved"), 2: ("pa", "y")}
+
+
+class TestApplyChangesEquivalence:
+    def test_batchwise_equals_all_at_once_random_feeds(self, spark):
+        """Property: with a seq column and track_seq, applying a random
+        change feed micro-batch-by-micro-batch (in seq order) converges
+        to the same target as applying the whole feed at once — the
+        fold/flatten equivalence that makes the streaming drain and the
+        batch applier interchangeable."""
+        import random
+        import uuid as _uuid
+
+        from astro_spark.operators.cdc import apply_changes
+        from astro_spark.operators.load_file import save_dataframe_as_table
+
+        rng = random.Random(42)
+        for trial in range(3):
+            keys = list(range(20))
+            feed = []
+            for seq in range(1, 16):
+                k = rng.choice(keys)
+                op = rng.choice(["U", "U", "I", "D"])
+                v = None if op == "D" else f"v{seq}"
+                feed.append((k, v, op, seq))
+
+            def _apply(batches, tag):
+                t = a.Table(
+                    f"cdc_eq_{tag}_{trial}_{_uuid.uuid4().hex[:6]}", temp=False
+                )
+                save_dataframe_as_table(
+                    spark.createDataFrame(
+                        [(k, "seed") for k in keys[:10]], "k long, v string"
+                    ),
+                    t,
+                )
+                for batch in batches:
+                    apply_changes(
+                        spark,
+                        t,
+                        spark.createDataFrame(
+                            batch, "k long, v string, op string, seq long"
+                        ),
+                        ["k"],
+                        seq_col="seq",
+                        track_seq=True,
+                    )
+                return {(r.k, r.v) for r in spark.table(t.name).collect()}
+
+            whole = _apply([feed], "whole")
+            # split into 4 seq-ordered batches
+            bs = [feed[i::4] for i in range(4)]
+            # each batch internally arbitrary, but batches applied in
+            # interleaved order — the sidecar must still converge
+            split = _apply(bs, "split")
+            assert whole == split, (trial, whole ^ split)
