@@ -1561,6 +1561,16 @@ def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_containment_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containment_dedup: the dedup ACTION on the containment pairs —
+    docs mostly contained in a strictly-larger doc drop, containers
+    survive (id ascending breaks exact-size ties)."""
+    _views(spark, sf_dir)
+    return dedup.containment_dedup(
+        read_table(spark, sf_dir, "documents")
+    ).select("doc_id", "n_chars")
+
+
 def _dd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-lite: per-doc counts of 8-token spans shared across docs."""
     _views(spark, sf_dir)
@@ -4792,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_analyze": _op_analyze,
             "op_skew_aqe": _op_skew_aqe,
             "t_pad_encode": _t_pad_encode,
+            "dd_containment_kept": _dd_containment_kept,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4829,6 +4840,7 @@ _DRIVER_PRIORITY = [
     "op_analyze",
     "op_skew_aqe",
     "t_pad_encode",
+    "dd_containment_kept",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5309,6 +5321,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_analyze": _OP_ANALYZE_DUCK,
             "op_skew_aqe": _OP_SKEW_AQE_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
+            "dd_containment_kept": oracles.containment_dedup_sql(),
         }
     )
     return out

@@ -1369,3 +1369,43 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(threshold))
         .select("id_a", "id_b", "containment")
     )
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Drop documents mostly CONTAINED in another document, keeping the
+    container — the dedup action on top of ``containment_pairs`` (a
+    quoted article dies, the page that wraps it survives).
+
+    A doc A drops when some B holds ≥``threshold`` of A's shingles and
+    B is strictly larger (shingle count; id ascending breaks exact
+    ties, so mutual 100% containment keeps exactly one).  Same
+    inverted-index shuffle shape as the pair scan; the drop set comes
+    back as one broadcast-friendly anti-join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
+    ).persist()
+    sizes = base.select("id", F.size("sh").alias("n"))
+    pairs = containment_pairs(df, text_col, id_col, threshold, max_shingle_df)
+    ranked = (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .where(
+            (F.col("n_b") > F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+    )
+    dropped = ranked.select(F.col("id_a").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")

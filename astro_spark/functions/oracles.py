@@ -2220,3 +2220,35 @@ SELECT s.id_a, s.id_b,
 FROM shared s JOIN sizes sa ON sa.id = s.id_a
 WHERE round(s.shared::DOUBLE / sa.n, 4) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+def containment_dedup_sql(table: str = "documents") -> str:
+    from .constants import CONTAINMENT_THRESHOLD
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingle_hashes(tokens('text'))} AS sh FROM {table}
+),
+sizes AS (SELECT id, len(sh) AS n FROM base),
+inv AS (SELECT id, unnest(sh) AS h FROM base),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS shared
+  FROM inv l JOIN inv r ON l.h = r.h AND l.id != r.id
+  GROUP BY l.id, r.id
+),
+pairs AS (
+  SELECT s.id_a, s.id_b,
+         round(s.shared::DOUBLE / sa.n, 4) AS c, sa.n AS n_a, sb.n AS n_b
+  FROM shared s
+  JOIN sizes sa ON sa.id = s.id_a
+  JOIN sizes sb ON sb.id = s.id_b
+),
+dropped AS (
+  SELECT DISTINCT id_a FROM pairs
+  WHERE c >= {CONTAINMENT_THRESHOLD}
+    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a))
+)
+SELECT d.doc_id, d.n_chars
+FROM {table} d
+WHERE d.doc_id NOT IN (SELECT id_a FROM dropped)
+"""

@@ -2588,6 +2588,44 @@ class TestContainment:
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
 
 
+    def test_containment_dedup_keeps_container_and_breaks_ties(self, spark):
+        from astro_spark.functions import dedup
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, quoted),                          # contained -> drops
+                (2, f"{filler} {quoted} {filler}"),    # container -> kept
+                (5, "one two three four five six"),    # exact dup, higher id
+                (4, "one two three four five six"),    # exact dup, lower id
+            ],
+            ["doc_id", "text"],
+        )
+        kept = {
+            r.doc_id for r in dedup.containment_dedup(docs, threshold=0.8).collect()
+        }
+        assert kept == {2, 4}
+
+    def test_containment_bounds_jaccard(self, spark, sf_dir):
+        """For every directed pair, containment(A→B) ≥ jaccard(A,B):
+        the denominator shrinks from |A∪B| to |A|."""
+        from astro_spark.functions import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+        jac = {
+            frozenset((r.id_a, r.id_b)): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        }
+        cont = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(docs, threshold=0.0).collect()
+        }
+        assert jac and cont
+        for (a, b), c in cont.items():
+            j = jac.get(frozenset((a, b)))
+            assert j is not None and c >= j - 1e-9, (a, b, c, j)
+
 class TestPadTokenIds:
     def test_truncates_pads_and_masks(self, spark):
         from astro_spark.functions import text as T
