@@ -1561,6 +1561,18 @@ def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_containment_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time containment screen: batch docs (doc_id % 7 == 0)
+    checked for being mostly contained in the existing corpus (the
+    rest) — batch explodes map-only against the corpus inverted
+    index, candidates bounded by shingle co-occurrence."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.containment_incremental_pairs(
+        docs.where("doc_id % 7 = 0"), docs.where("doc_id % 7 != 0")
+    )
+
+
 def _dd_containment_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """containment_dedup: the dedup ACTION on the containment pairs —
     docs mostly contained in a strictly-larger doc drop, containers
@@ -4803,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_skew_aqe": _op_skew_aqe,
             "t_pad_encode": _t_pad_encode,
             "dd_containment_kept": _dd_containment_kept,
+            "dd_containment_incr": _dd_containment_incr,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4841,6 +4854,7 @@ _DRIVER_PRIORITY = [
     "op_skew_aqe",
     "t_pad_encode",
     "dd_containment_kept",
+    "dd_containment_incr",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5322,6 +5336,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_skew_aqe": _OP_SKEW_AQE_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
+            "dd_containment_incr": oracles.containment_incremental_sql(),
         }
     )
     return out

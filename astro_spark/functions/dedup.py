@@ -1409,3 +1409,55 @@ def containment_dedup(
     )
     dropped = ranked.select(F.col("id_a").alias(id_col)).distinct()
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def containment_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    corpus_inverted: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time containment screen: which BATCH docs are mostly
+    contained in an EXISTING corpus doc (quotes, mirrors, re-posts of
+    already-held content) — the containment member of the incremental
+    screen family (exact anti-join / Bloom / MinHash / this).
+
+    The corpus side is its (id, shingle-hash) inverted index —
+    ``corpus_inverted`` at scale is a PERSISTED table maintained per
+    ingest, so each batch explodes map-only and joins it on the hash
+    without re-scanning corpus text; candidate cost is bounded by
+    shingle co-occurrence, never |batch| × |corpus|.  Returns
+    (batch_id, corpus_id, containment = shared/|batch shingles| ≥
+    threshold, 4dp).
+    """
+    b_base = batch.select(
+        F.col(id_col).alias("bid"),
+        shingle_hash_array(F.col(text_col)).alias("sh"),
+    ).persist()
+    b_sizes = b_base.select("bid", F.size("sh").alias("n_b"))
+    b_inv = b_base.select("bid", F.explode("sh").alias("h"))
+    c_inv = (
+        corpus_inverted
+        if corpus_inverted is not None
+        else corpus.select(
+            F.col(id_col).alias("cid"),
+            F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        )
+    )
+    shared = (
+        b_inv.join(c_inv, on="h")
+        .groupBy("bid", "cid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(b_sizes, "bid")
+        .withColumn("containment", F.round(F.col("shared") / F.col("n_b"), 4))
+        .where(F.col("containment") >= F.lit(threshold))
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("cid").alias("corpus_id"),
+            "containment",
+        )
+    )

@@ -2252,3 +2252,31 @@ SELECT d.doc_id, d.n_chars
 FROM {table} d
 WHERE d.doc_id NOT IN (SELECT id_a FROM dropped)
 """
+
+
+def containment_incremental_sql(
+    table: str = "documents", batch_pred: str = "doc_id % 7 = 0"
+) -> str:
+    from .constants import CONTAINMENT_THRESHOLD
+
+    return f"""
+WITH b AS (
+  SELECT doc_id AS bid, {shingle_hashes(tokens('text'))} AS sh
+  FROM {table} WHERE {batch_pred}
+),
+c AS (
+  SELECT doc_id AS cid, {shingle_hashes(tokens('text'))} AS sh
+  FROM {table} WHERE NOT ({batch_pred})
+),
+b_sizes AS (SELECT bid, len(sh) AS n_b FROM b),
+b_inv AS (SELECT bid, unnest(sh) AS h FROM b),
+c_inv AS (SELECT cid, unnest(sh) AS h FROM c),
+shared AS (
+  SELECT bid, cid, count(*)::BIGINT AS shared
+  FROM b_inv JOIN c_inv USING (h) GROUP BY bid, cid
+)
+SELECT s.bid AS batch_id, s.cid AS corpus_id,
+       round(s.shared::DOUBLE / z.n_b, 4) AS containment
+FROM shared s JOIN b_sizes z USING (bid)
+WHERE round(s.shared::DOUBLE / z.n_b, 4) >= {CONTAINMENT_THRESHOLD}
+"""

@@ -2643,3 +2643,68 @@ class TestPadTokenIds:
             2: ([1, 0], [1, 0]),          # padded
             3: ([0, 0], [0, 0]),          # empty doc -> all pad
         }
+
+
+class TestContainmentIncremental:
+    def test_batch_screen_matches_cross_slice_of_full_pairs(self, spark):
+        """The incremental screen equals the (batch -> corpus) slice of
+        the full containment_pairs self-join."""
+        from astro_spark.functions import dedup
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, quoted),
+                (2, f"{filler} {quoted} {filler}"),
+                (3, "unrelated content entirely " * 5),
+                (7, quoted + " iota kappa"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = docs.where("doc_id in (1, 7)")
+        corpus = docs.where("doc_id in (2, 3)")
+        incr = {
+            (r.batch_id, r.corpus_id): r.containment
+            for r in dedup.containment_incremental_pairs(
+                batch, corpus, threshold=0.5
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(docs, threshold=0.5).collect()
+            if r.id_a in (1, 7) and r.id_b in (2, 3)
+        }
+        assert incr == full
+        assert (1, 2) in incr and incr[(1, 2)] == 1.0
+
+    def test_persisted_inverted_index_path(self, spark):
+        """Passing the pre-built corpus inverted index (the persisted
+        at-scale shape) gives identical results."""
+        from pyspark.sql import functions as F
+
+        from astro_spark.functions import dedup
+        from astro_spark.functions.dedup import shingle_hash_array
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y z " * 10 + "a b c d e f g h")],
+            ["doc_id", "text"],
+        )
+        batch, corpus = docs.where("doc_id = 1"), docs.where("doc_id = 2")
+        inv = corpus.select(
+            F.col("doc_id").alias("cid"),
+            F.explode(shingle_hash_array(F.col("text"))).alias("h"),
+        )
+        direct = sorted(
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in dedup.containment_incremental_pairs(
+                batch, corpus, threshold=0.5
+            ).collect()
+        )
+        via_index = sorted(
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in dedup.containment_incremental_pairs(
+                batch, corpus, threshold=0.5, corpus_inverted=inv
+            ).collect()
+        )
+        assert direct == via_index and direct[0][2] == 1.0
