@@ -1573,6 +1573,27 @@ def _dd_containment_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming containment screen: incoming doc files drain in
+    micro-batches against the once-persisted corpus inverted index;
+    per-doc screens are independent, so the drained union equals the
+    one-shot batch screen (same oracle as dd_containment_incr, minus
+    the batch-id bookkeeping column)."""
+    from astro_spark.streaming import containment_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    src_dir = tempfile.mkdtemp(prefix="astro_cont_src_")
+    batch = docs.where("doc_id % 7 = 0")
+    batch.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src_dir)
+    batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
+    out = containment_screen_stream(
+        spark, src_dir, docs.where("doc_id % 7 != 0"),
+        max_files_per_trigger=1,
+    )
+    return out.select("batch_id", "corpus_id", "containment")
+
+
 def _dd_containment_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """containment_dedup: the dedup ACTION on the containment pairs —
     docs mostly contained in a strictly-larger doc drop, containers
@@ -4816,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_pad_encode": _t_pad_encode,
             "dd_containment_kept": _dd_containment_kept,
             "dd_containment_incr": _dd_containment_incr,
+            "st_containment": _st_containment,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -4855,6 +4877,7 @@ _DRIVER_PRIORITY = [
     "t_pad_encode",
     "dd_containment_kept",
     "dd_containment_incr",
+    "st_containment",
     "op_append",
     "op_csv_roundtrip",
     "op_diff",
@@ -5337,6 +5360,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),
+            "st_containment": oracles.containment_incremental_sql(),
         }
     )
     return out

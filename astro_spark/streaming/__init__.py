@@ -13,6 +13,7 @@ from .load_stream import (
 )
 from .sessions import (
     bloom_screen_stream,
+    containment_screen_stream,
     dedup_stream,
     kmv_stream,
     minhash_screen_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "aggregate_mv_stream",
     "compact_mv_partials",
     "bloom_screen_stream",
+    "containment_screen_stream",
     "drift_screen_stream",
     "dedup_stream",
     "minhash_screen_stream",

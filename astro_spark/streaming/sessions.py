@@ -461,3 +461,69 @@ def weighted_sample_stream(
         + [StructField("sample_rank", LongType(), False)]
     )
     return spark.createDataFrame(data, out_schema)
+
+
+def containment_screen_stream(
+    spark: SparkSession,
+    input_path: str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming containment screen: each micro-batch of incoming docs
+    is checked for being mostly CONTAINED in an existing corpus doc
+    (re-posts/quotes of already-held content) — the asymmetric
+    complement of ``minhash_screen_stream`` (that one catches
+    near-dups; symmetric Jaccard misses a small doc wrapped in a big
+    one).
+
+    The corpus (id, shingle-hash) inverted index is computed ONCE and
+    persisted before the drain — at scale the maintained per-ingest
+    table — so micro-batches explode map-only and hash-join it without
+    rescanning corpus text.  Per-batch results land in idempotent
+    per-batch-id dirs.  Returns (batch_id, corpus_id, containment)
+    across the whole drain; screens are per-doc independent, so the
+    drained union provably equals the one-shot batch screen.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.constants import CONTAINMENT_THRESHOLD
+    from ..functions.dedup import (
+        containment_incremental_pairs,
+        shingle_hash_array,
+    )
+
+    threshold = threshold if threshold is not None else CONTAINMENT_THRESHOLD
+    inv = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+    ).persist()
+    inv.count()  # materialize once, not per micro-batch
+
+    out_dir = tempfile.mkdtemp(prefix="astro_cont_screen_")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        pairs = containment_incremental_pairs(
+            batch_df, corpus_df, text_col, id_col, threshold,
+            corpus_inverted=inv,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    query = (
+        stream.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    inv.unpersist()
+    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return out.select("batch_id", "corpus_id", "containment")

@@ -1063,3 +1063,38 @@ class TestStreamScd2:
                 attr_cols=["val"],
                 effective_date_col="eff",
             )
+
+
+class TestContainmentScreenStream:
+    def test_drained_union_equals_one_shot_screen(self, spark, tmp_path):
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import containment_screen_stream
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        corpus = spark.createDataFrame(
+            [(100, f"{filler} {quoted} {filler}"), (101, "noise " * 20)],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(1, quoted), (2, "totally different words here indeed")],
+            ["doc_id", "text"],
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        batch.where("doc_id = 1").coalesce(1).write.mode("append").parquet(str(src))
+        batch.where("doc_id = 2").coalesce(1).write.mode("append").parquet(str(src))
+        streamed = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in containment_screen_stream(
+                spark, str(src), corpus, threshold=0.5,
+                max_files_per_trigger=1,
+            ).collect()
+        }
+        one_shot = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in dedup.containment_incremental_pairs(
+                batch, corpus, threshold=0.5
+            ).collect()
+        }
+        assert streamed == one_shot == {(1, 100, 1.0)}
