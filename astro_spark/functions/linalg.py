@@ -40,15 +40,32 @@ def _vec(df: DataFrame, vec_col: str):
     return as_double(F.col(vec_col))
 
 
+def _dim_and_means(df: DataFrame, vec_col: str) -> tuple[int, list[float]]:
+    """(d, column means) in two bounded actions; clear error on empty
+    input (a bare ``.first()["d"]`` raised an opaque TypeError —
+    ADVICE r7)."""
+    row = df.select(F.size(_vec(df, vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"empty input: no rows with a {vec_col!r} vector")
+    d = row["d"]
+    means = df.agg(
+        *[F.avg(_vec(df, vec_col)[i]).alias(f"m{i}") for i in range(d)]
+    ).first()
+    return d, [float(means[i]) for i in range(d)]
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
     center: bool = False,
     scale: int | None = None,
+    dim_means: tuple[int, list[float]] | None = None,
 ) -> DataFrame:
     """d×d Gram matrix ``G[i][j] = Σ_rows v[i]·v[j]`` as (i, j, g) rows.
 
-    ``center=True`` subtracts the column means first (G becomes n·cov).
+    ``center=True`` subtracts the column means first (G becomes n·cov);
+    pass precomputed ``dim_means=(d, means)`` to skip the two stats
+    passes when the caller already has them (``pca_train`` does).
     Pure built-in functions; ONE shuffle of d² groups (partials combine
     map-side).  With ``scale`` set, every product is quantized to
     micro-unit integers (``floor(p·scale + .5)``) before the sum — an
@@ -58,13 +75,9 @@ def gram_matrix(
     """
     v = _vec(df, vec_col)
     if center:
-        d = df.select(F.size(_vec(df, vec_col)).alias("d")).first()["d"]
-        means = df.agg(
-            *[
-                F.avg(_vec(df, vec_col)[i]).alias(f"m{i}")
-                for i in range(d)
-            ]
-        ).first()
+        d, means = dim_means if dim_means is not None else _dim_and_means(
+            df, vec_col
+        )
         v = F.array(*[_vec(df, vec_col)[i] - F.lit(float(means[i])) for i in range(d)])
     prods = (
         df.select(v.alias("v"))
@@ -174,21 +187,22 @@ def pca_train(
     """Top-``k`` principal components from the centered Gram matrix.
 
     Distributed part: one ``gram_matrix(center=True)`` pass (d² rows to
-    the driver).  Driver part: numpy ``eigh`` on the d×d symmetric
-    matrix.  Returns ``{"components": k×d, "explained_variance": k,
-    "mean": d}`` (components sign-canonicalized: largest-|coeff| entry
-    positive, so results are deterministic up to float noise).
+    the driver) — the (d, means) stats computed here are THREADED into
+    it, not recomputed (three full corpus passes saved; ADVICE r7).
+    Driver part: numpy ``eigh`` on the d×d symmetric matrix.  Returns
+    ``{"components": k×d, "explained_variance": k, "mean": d}``
+    (components sign-canonicalized: largest-|coeff| entry positive, so
+    results are deterministic up to float noise).
     """
     import numpy as np
 
-    d = df.select(F.size(_vec(df, vec_col)).alias("d")).first()["d"]
+    d, means_l = _dim_and_means(df, vec_col)
     n = df.count()
-    means = df.agg(
-        *[F.avg(_vec(df, vec_col)[i]).alias(f"m{i}") for i in range(d)]
-    ).first()
-    mean = np.array([float(means[i]) for i in range(d)])
+    mean = np.array(means_l)
     g = np.zeros((d, d))
-    for r in gram_matrix(df, vec_col, center=True).collect():
+    for r in gram_matrix(
+        df, vec_col, center=True, dim_means=(d, means_l)
+    ).collect():
         g[r["i"], r["j"]] = r["g"]
     evals, evecs = np.linalg.eigh(g / max(n - 1, 1))
     order = np.argsort(evals)[::-1][:k]

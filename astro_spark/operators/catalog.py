@@ -300,8 +300,17 @@ def recover_table(spark: SparkSession, table: Table | str) -> int:
     ]
     n = 0
     for man_path in manifests:
-        man = json.loads(_read_small_file(spark, fs, man_path))
-        gen, stage_name = man["gen"], man["stage"]
+        try:
+            man = json.loads(_read_small_file(spark, fs, man_path))
+            gen, stage_name = man["gen"], man["stage"]
+        except Exception:
+            # truncated/corrupt manifest = the crash hit MID-manifest-write,
+            # i.e. BEFORE the commit's decision point (the manifest write IS
+            # the decision).  The commit never happened: delete the manifest
+            # so the single-writer guard unwedges, and leave the inert stage
+            # dir for vacuum_table (ADVICE r7)
+            fs.delete(man_path, False)
+            continue
         staged = HPath(root, stage_name)
         if fs.exists(staged):
             stage_uri = staged.toUri().getPath()

@@ -123,8 +123,14 @@ def apply_changes(
         F.sum((F.col(op_col) == "D").cast("long")).alias("n_del_all"),
     ]
     if seq_col is None:
+        # struct-wrap the keys: count_distinct over bare columns SKIPS
+        # rows where any key is NULL, so a NULL-keyed row would falsely
+        # trip the duplicate-key guard — a non-null struct with null
+        # fields counts each NULL tuple once (ADVICE r7)
         pre_cols.append(
-            F.count_distinct(*[F.col(k) for k in key_cols]).alias("n_keys")
+            F.count_distinct(F.struct(*[F.col(k) for k in key_cols])).alias(
+                "n_keys"
+            )
         )
     pre = changes.agg(*pre_cols).collect()[0]
     if pre["n_bad"]:

@@ -247,6 +247,24 @@ def bloom_screen_stream(
     return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")
 
 
+def read_batch_dirs(spark: SparkSession, out_dir: str, empty_schema: str):
+    """Read back a drain's per-batch result dirs (``batch=*`` layout).
+
+    A drain over an input path whose files were all consumed by ZERO
+    micro-batches (empty dir, already-checkpointed files) writes no
+    ``batch=*`` subdirs, and a bare ``spark.read.parquet`` on the glob
+    raises path-not-found — return an empty frame with the screen's
+    schema instead (ADVICE r7).  ``empty_schema`` is a DDL string; the
+    ``batch_id`` partition column comes back as LONG either way.
+    """
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(out_dir, "batch=*")):
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+
+
 def minhash_screen_stream(
     spark: SparkSession,
     input_path: str,
@@ -299,7 +317,10 @@ def minhash_screen_stream(
     )
     query.awaitTermination()
     banded.unpersist()
-    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    id_t = corpus_df.schema[id_col].dataType.simpleString()
+    out = read_batch_dirs(
+        spark, out_dir, f"batch_id long, corpus_id {id_t}, jaccard double"
+    )
     return out.select("batch_id", "corpus_id", "jaccard")
 
 
@@ -525,5 +546,8 @@ def containment_screen_stream(
     )
     query.awaitTermination()
     inv.unpersist()
-    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    id_t = corpus_df.schema[id_col].dataType.simpleString()
+    out = read_batch_dirs(
+        spark, out_dir, f"batch_id long, corpus_id {id_t}, containment double"
+    )
     return out.select("batch_id", "corpus_id", "containment")

@@ -156,7 +156,14 @@ def drift_screen_stream(
     )
     query.awaitTermination()
     ref_counts.unpersist()
-    out = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    from .sessions import read_batch_dirs
+
+    out = read_batch_dirs(
+        spark,
+        out_dir,
+        "batch long, bin string, n_ref long, n_cand long, "
+        "p_ref_e6 long, p_cand_e6 long, contrib long",
+    )
     return out.select(
         F.col("batch").cast("long").alias("batch_id"),
         "bin",

@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"n_queries": N, "sf": ..., "runs_per_query": R, "queries_file": path}.
+
+The per-query timing map goes to BENCH_local.json next to this script —
+three rounds running, the full map pushed the stdout line past the
+driver's capture window (~2 KB tail) and BENCH_r{N}.json came back
+parsed:null, so stdout now carries only the ~150-byte headline.
 
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) after a warm-up
 query primes the JVM/session; the reported per-query number and the total
@@ -161,17 +166,37 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query map to a sidecar file (the driver's stdout capture
+    # truncates long lines; the headline line must stay tiny)
+    queries_file = str(Path(__file__).resolve().parent / "BENCH_local.json")
+    with open(queries_file, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "runs_per_query": n_runs,
+                "sf": sf_val,
+            },
+            f,
+            separators=(",", ":"),
+        )
+        f.write("\n")
     line = json.dumps(
         {
             "metric": "headline_suite_wall_sec",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "n_queries": len(timings),
+            "sf": sf_val,
             "runs_per_query": n_runs,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
+            "queries_file": "BENCH_local.json",
+        },
+        separators=(",", ":"),
     )
     print(line, file=real_stdout, flush=True)
     real_stdout.close()

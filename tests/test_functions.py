@@ -2448,6 +2448,17 @@ class TestLinalg:
                 exp = -exp
             np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-8)
 
+    def test_pca_train_empty_input_raises_clearly(self, spark):
+        """An empty corpus raises ValueError('empty input'), not an
+        opaque TypeError from .first()['d'] (ADVICE r8)."""
+        import pytest
+
+        from astro_spark.functions import linalg
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty input"):
+            linalg.pca_train(empty, k=2)
+
     def test_pca_project_reduces_dim_and_centers(self, spark, sf_dir):
         import numpy as np
 

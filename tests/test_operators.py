@@ -1556,6 +1556,30 @@ class TestApplyChanges:
         with pytest.raises(ValueError, match="seq_col"):
             apply_changes(spark, t, changes, ["k"])
 
+    def test_null_keyed_unique_rows_pass_the_seqless_guard(self, spark):
+        """The seq-less duplicate-key guard is NULL-safe: count_distinct
+        over bare key columns SKIPS null-keyed rows, which falsely
+        tripped 'multiple changes share a key' on a feed with ONE unique
+        NULL-keyed row (ADVICE r8).  A struct-wrapped count treats the
+        NULL tuple as one key: unique feeds pass, and two rows SHARING
+        the NULL key still raise."""
+        import pytest
+
+        from astro_spark.operators.cdc import apply_changes
+
+        t = self._target(spark, [(1, "a")])
+        ok = spark.createDataFrame(
+            [(2, "b", "I"), (None, "n", "I")], "k long, v string, op string"
+        )
+        stats = apply_changes(spark, t, ok, ["k"])
+        assert stats["upserted"] == 2
+        dup_null = spark.createDataFrame(
+            [(None, "n1", "I"), (None, "n2", "U")],
+            "k long, v string, op string",
+        )
+        with pytest.raises(ValueError, match="seq_col"):
+            apply_changes(spark, t, dup_null, ["k"])
+
     def test_bad_op_codes_raise(self, spark):
         """A corrupted feed (NULL or unknown op code) raises instead of
         silently upserting / dropping rows (ADVICE r6)."""
@@ -1950,6 +1974,40 @@ class TestCowRecovery:
         merge(spark, src, tgt, ["k"], if_conflicts="update")
         got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
         assert got == {(1, "a"), (2, "b9"), (9, "q")}
+
+    def test_recover_deletes_corrupt_manifest_and_unwedges(self, spark):
+        """A TRUNCATED manifest (crash mid-manifest-write = before the
+        commit's decision point) must not wedge the table: recover_table
+        deletes it (commit never decided), the stage falls to vacuum,
+        and new COW commits proceed (ADVICE r8)."""
+        import uuid
+
+        import astro_spark as a
+        from astro_spark.operators.merge import _parquet_location, merge
+
+        tgt = self._make_table(spark, [(1, "a"), (2, "b")])
+        loc = _parquet_location(spark, tgt.qualified_name)
+        HPath, root, fs = self._fs(spark, loc)
+        spark.createDataFrame([(9, "q")], "k long, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{loc.rstrip('/')}/.cow_stage_bad")
+        out = fs.create(HPath(root, ".cow_manifest_bad.json"), True)
+        out.write(bytearray(b'{"gen": "bad", "sta'))  # truncated JSON
+        out.close()
+
+        assert a.recover_table(spark, tgt) == 0  # nothing to redo
+        names = [st.getPath().getName() for st in fs.listStatus(root)]
+        assert ".cow_manifest_bad.json" not in names  # unwedged
+        assert ".cow_stage_bad" in names  # left for vacuum
+        assert a.vacuum_table(spark, tgt) == 1
+        # table unchanged and writable again
+        src = a.Table(f"cowrec_src_{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(
+            [(2, "b2")], "k long, v string"
+        ).createOrReplaceTempView(src.name)
+        merge(spark, src, tgt, ["k"], if_conflicts="update")
+        got = {(r.k, r.v) for r in spark.table(tgt.name).collect()}
+        assert got == {(1, "a"), (2, "b2")}
 
     def test_fused_mixed_batch_partitioned_in_place(self, spark):
         """Mixed upsert+tombstone batch on a PARTITIONED target commits

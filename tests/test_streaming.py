@@ -1098,3 +1098,17 @@ class TestContainmentScreenStream:
             ).collect()
         }
         assert streamed == one_shot == {(1, 100, 1.0)}
+
+    def test_zero_batch_drain_reads_back_empty(self, spark, tmp_path):
+        """A drain that fired ZERO micro-batches leaves no batch=* dirs;
+        the read-back must return an empty frame with the screen schema
+        instead of raising path-not-found (ADVICE r8)."""
+        from astro_spark.streaming.sessions import read_batch_dirs
+
+        out = read_batch_dirs(
+            spark,
+            str(tmp_path / "nothing_here"),
+            "batch_id long, corpus_id long, containment double",
+        )
+        assert out.count() == 0
+        assert out.columns == ["batch_id", "corpus_id", "containment"]
