@@ -22,6 +22,7 @@ from .file import File, FileType
 from .operators import (
     append,
     apply_changes,
+    expire_applied_seq,
     check_column,
     profile_table,
     table_checksum,
@@ -75,6 +76,7 @@ __all__ = [
     "TempTable",
     "append",
     "apply_changes",
+    "expire_applied_seq",
     "check_column",
     "table_checksum",
     "check_table",

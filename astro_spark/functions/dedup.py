@@ -1459,6 +1459,46 @@ def containment_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def build_containment_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus (cid, shingle-hash) inverted index on
+    disk — the containment analog of ``ivf_write_index``.
+
+    Rebuilding this index was the per-drain cost of
+    ``containment_screen_stream``: every ingest session re-scanned and
+    re-shingled the WHOLE corpus text (VERDICT r7 #6).  Built once,
+    each drain reads back only the two integer-ish columns (no text
+    scan, no shingling), and ``update_containment_index`` appends the
+    accepted batches' shingles so the index tracks the corpus without
+    ever rebuilding.  At cluster scale write it as a table bucketed on
+    ``h`` to pre-co-locate the screen join's shuffle key; the plain
+    parquet layout here mirrors the IVF index directory contract.
+    """
+    corpus.select(
+        F.col(id_col).alias("cid"),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def update_containment_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a screened/accepted batch's shingles to a persisted
+    containment index — O(|batch|) maintenance, existing files
+    untouched (the ``ivf_append_index`` pattern)."""
+    batch.select(
+        F.col(id_col).alias("cid"),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+    ).write.mode("append").parquet(path)
+
+
 def containment_incremental_pairs(
     batch: DataFrame,
     corpus: DataFrame,

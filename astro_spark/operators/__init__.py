@@ -14,7 +14,7 @@ from .catalog import (
     schema_exists,
     table_exists,
 )
-from .cdc import apply_changes
+from .cdc import apply_changes, expire_applied_seq
 from .checks import check_column, check_table, profile_table, table_checksum
 from .cleanup import cleanup, register_temp_table, temp_registry
 from .dataframe import dataframe
@@ -31,6 +31,7 @@ from .transform import transform, transform_file
 __all__ = [
     "append",
     "apply_changes",
+    "expire_applied_seq",
     "check_column",
     "check_table",
     "table_checksum",

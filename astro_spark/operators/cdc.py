@@ -369,3 +369,54 @@ def _apply_fused(
         _cow_commit_partitioned(spark, location, files, staged)
     spark.catalog.refreshTable(name)
     return True
+
+
+def expire_applied_seq(
+    spark: SparkSession,
+    target_table: Table,
+    key_cols: list[str],
+    older_than_seq,
+) -> int:
+    """Prune the ``track_seq`` sidecar: drop entries whose key is ABSENT
+    from the target AND whose applied seq is older than the horizon.
+
+    The ``<target>__applied_seq`` sidecar grows one row per key EVER
+    seen and is otherwise never pruned — correct (it is the
+    resurrection guard for tombstoned keys) but unbounded on high-churn
+    key spaces (VERDICT r7 #7).  This is the retention knob: entries
+    still present in the target are ALWAYS kept (they gate stale
+    upserts), and tombstoned-key entries survive until
+    ``older_than_seq`` passes them.  The documented trade: a stale
+    upsert for a key tombstoned BEFORE the horizon can resurrect it
+    after expiry — pick a horizon longer than the feed's maximum
+    disorder (e.g. the upstream retention window), exactly the
+    DLT/Debezium tombstone-retention contract.
+
+    Returns the number of sidecar entries dropped.  The rewrite stages
+    through a temp directory (the ``compact_mv_partials`` pattern —
+    Spark cannot overwrite a table it is reading) and costs one scan of
+    the sidecar + an anti-join against target KEYS only, never target
+    data columns.
+    """
+    import tempfile
+
+    from .load_file import save_dataframe_as_table
+
+    sidecar = _seq_sidecar(target_table)
+    if not spark.catalog.tableExists(sidecar.qualified_name):
+        return 0
+    side = spark.table(sidecar.qualified_name)
+    live_keys = spark.table(target_table.qualified_name).select(*key_cols)
+    expired = side.join(live_keys, on=key_cols, how="left_anti").where(
+        F.col("__seq") < F.lit(older_than_seq)
+    )
+    n = expired.count()
+    if n == 0:
+        return 0
+    kept = side.join(
+        expired.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    staging = tempfile.mkdtemp(prefix="astro_seq_expire_")
+    kept.write.mode("overwrite").parquet(staging)
+    save_dataframe_as_table(spark.read.parquet(staging), sidecar)
+    return n

@@ -487,11 +487,12 @@ def weighted_sample_stream(
 def containment_screen_stream(
     spark: SparkSession,
     input_path: str,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float | None = None,
     max_files_per_trigger: int | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Streaming containment screen: each micro-batch of incoming docs
     is checked for being mostly CONTAINED in an existing corpus doc
@@ -500,13 +501,22 @@ def containment_screen_stream(
     near-dups; symmetric Jaccard misses a small doc wrapped in a big
     one).
 
-    The corpus (id, shingle-hash) inverted index is computed ONCE and
-    persisted before the drain — at scale the maintained per-ingest
-    table — so micro-batches explode map-only and hash-join it without
-    rescanning corpus text.  Per-batch results land in idempotent
-    per-batch-id dirs.  Returns (batch_id, corpus_id, containment)
-    across the whole drain; screens are per-doc independent, so the
-    drained union provably equals the one-shot batch screen.
+    Two corpus-side modes:
+
+    - ``index_path``: read the PERSISTED (cid, h) inverted index built
+      by ``dedup.build_containment_index`` — the at-scale shape.  The
+      drain touches corpus TEXT nowhere (by construction: no corpus
+      frame is even passed), pays no shingling, and each batch's join
+      column-prunes the index scan to two columns.  Maintain the index
+      with ``update_containment_index`` per accepted batch.
+    - ``corpus_df``: rebuild the index from corpus text at drain start,
+      computed ONCE and persisted for the drain (the bootstrap /
+      small-corpus path; one full-corpus explode per ingest session).
+
+    Per-batch results land in idempotent per-batch-id dirs.  Returns
+    (batch_id, corpus_id, containment) across the whole drain; screens
+    are per-doc independent, so the drained union provably equals the
+    one-shot batch screen.
     """
     import tempfile
 
@@ -518,12 +528,24 @@ def containment_screen_stream(
         shingle_hash_array,
     )
 
+    if (corpus_df is None) == (index_path is None):
+        raise ValueError(
+            "containment_screen_stream: pass exactly one of corpus_df "
+            "(rebuild per drain) or index_path (persisted index)"
+        )
     threshold = threshold if threshold is not None else CONTAINMENT_THRESHOLD
-    inv = corpus_df.select(
-        F.col(id_col).alias("cid"),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
-    ).persist()
-    inv.count()  # materialize once, not per micro-batch
+    if index_path is not None:
+        # corpus-scale relation: leave it on disk (column-pruned scan
+        # per batch), don't pin it in executor storage
+        inv = spark.read.parquet(index_path).select("cid", "h")
+        id_type = inv.schema["cid"].dataType.simpleString()
+    else:
+        inv = corpus_df.select(
+            F.col(id_col).alias("cid"),
+            F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        ).persist()
+        inv.count()  # materialize once, not per micro-batch
+        id_type = corpus_df.schema[id_col].dataType.simpleString()
 
     out_dir = tempfile.mkdtemp(prefix="astro_cont_screen_")
     schema = spark.read.parquet(input_path).schema
@@ -545,9 +567,11 @@ def containment_screen_stream(
         .start()
     )
     query.awaitTermination()
-    inv.unpersist()
-    id_t = corpus_df.schema[id_col].dataType.simpleString()
+    if index_path is None:
+        inv.unpersist()
     out = read_batch_dirs(
-        spark, out_dir, f"batch_id long, corpus_id {id_t}, containment double"
+        spark,
+        out_dir,
+        f"batch_id long, corpus_id {id_type}, containment double",
     )
     return out.select("batch_id", "corpus_id", "containment")

@@ -1556,6 +1556,49 @@ class TestApplyChanges:
         with pytest.raises(ValueError, match="seq_col"):
             apply_changes(spark, t, changes, ["k"])
 
+    def test_expire_applied_seq_prunes_only_dead_old_entries(self, spark):
+        """The sidecar retention knob: entries for keys LIVE in the
+        target always survive; tombstoned-key entries survive until the
+        horizon passes them.  After expiry, the documented trade shows:
+        a pre-horizon stale upsert can resurrect, while post-horizon
+        ordering protection is intact (VERDICT r8 #7)."""
+        from astro_spark.operators.cdc import (
+            _seq_sidecar,
+            apply_changes,
+            expire_applied_seq,
+        )
+
+        t = self._target(spark, [(1, "a"), (2, "b")])
+        changes = spark.createDataFrame(
+            [(1, "a1", "U", 10), (2, None, "D", 3), (3, None, "D", 20)],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(spark, t, changes, ["k"], seq_col="seq", track_seq=True)
+        side = _seq_sidecar(t)
+        assert {
+            (r.k, r["__seq"])
+            for r in spark.table(side.qualified_name).collect()
+        } == {(1, 10), (2, 3), (3, 20)}
+
+        # horizon 15: key 1 is LIVE (kept even though seq 10 < 15),
+        # key 2 is dead+old (dropped), key 3 is dead but newer (kept)
+        assert expire_applied_seq(spark, t, ["k"], 15) == 1
+        assert {
+            (r.k, r["__seq"])
+            for r in spark.table(side.qualified_name).collect()
+        } == {(1, 10), (3, 20)}
+        assert expire_applied_seq(spark, t, ["k"], 15) == 0  # idempotent
+
+        # ordering protection intact for surviving entries: a stale
+        # upsert for live key 1 and for protected tombstone key 3 drop
+        stale = spark.createDataFrame(
+            [(1, "a0", "U", 5), (3, "zombie", "U", 19)],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(spark, t, stale, ["k"], seq_col="seq", track_seq=True)
+        got = {(r.k, r.v) for r in spark.table(t.name).collect()}
+        assert got == {(1, "a1")}
+
     def test_null_keyed_unique_rows_pass_the_seqless_guard(self, spark):
         """The seq-less duplicate-key guard is NULL-safe: count_distinct
         over bare key columns SKIPS null-keyed rows, which falsely

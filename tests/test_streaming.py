@@ -1099,6 +1099,76 @@ class TestContainmentScreenStream:
         }
         assert streamed == one_shot == {(1, 100, 1.0)}
 
+    def test_indexed_drain_matches_rebuild_and_index_updates(
+        self, spark, tmp_path
+    ):
+        """Drain against a PERSISTED (cid, h) index == drain that
+        rebuilds the index from corpus text; update_containment_index
+        then extends the screen to later-accepted docs without any
+        rebuild (VERDICT r8 #6)."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import containment_screen_stream
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        later = "omega psi chi phi upsilon tau sigma rho"
+        corpus = spark.createDataFrame(
+            [(100, f"{filler} {quoted} {filler}"), (101, "noise " * 20)],
+            ["doc_id", "text"],
+        )
+        idx = str(tmp_path / "cont_idx")
+        dedup.build_containment_index(corpus, idx)
+
+        batch = spark.createDataFrame(
+            [(1, quoted), (2, "totally different words here indeed")],
+            ["doc_id", "text"],
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        indexed = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in containment_screen_stream(
+                spark, str(src), index_path=idx, threshold=0.5
+            ).collect()
+        }
+        rebuilt = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in containment_screen_stream(
+                spark, str(src), corpus, threshold=0.5
+            ).collect()
+        }
+        assert indexed == rebuilt == {(1, 100, 1.0)}
+
+        # maintain: append a newly-accepted doc's shingles, then a later
+        # batch quoting IT is caught — no rebuild, no corpus text scan
+        dedup.update_containment_index(
+            spark.createDataFrame(
+                [(200, f"{filler} {later} {filler}")], ["doc_id", "text"]
+            ),
+            idx,
+        )
+        src2 = tmp_path / "in2"
+        src2.mkdir()
+        spark.createDataFrame([(3, later)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src2))
+        caught = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in containment_screen_stream(
+                spark, str(src2), index_path=idx, threshold=0.5
+            ).collect()
+        }
+        assert caught == {(3, 200, 1.0)}
+
+    def test_screen_requires_exactly_one_corpus_mode(self, spark, tmp_path):
+        import pytest
+
+        from astro_spark.streaming import containment_screen_stream
+
+        with pytest.raises(ValueError, match="exactly one"):
+            containment_screen_stream(spark, str(tmp_path))
+
     def test_zero_batch_drain_reads_back_empty(self, spark, tmp_path):
         """A drain that fired ZERO micro-batches leaves no batch=* dirs;
         the read-back must return an empty frame with the screen schema
