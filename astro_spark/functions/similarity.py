@@ -943,6 +943,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     np_encode: bool = False,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank top-k (the production ANN shape:
     IVF-PQ minus the IVF cells, which ``ivf_topk`` already covers).
@@ -954,13 +955,17 @@ def pq_topk(
     raw vectors and exact-ranks the final k.  With an adequate
     shortlist the result EQUALS exact brute force (hash-checked against
     the brute-force oracle); recall/shortlist is the documented knob.
+    Pass a precomputed ``codes`` (id, pq_codes) frame to skip the
+    encode pass — the encode is the dominant corpus scan, and a caller
+    grading several PQ variants (``recall_report``) should pay it once.
     """
     if books is None:
         books = pq_train(corpus, id_col=id_col, vec_col=vec_col)
     m = len(books)
     dsub = len(books[0][0])
-    encode = pq_encode_np if np_encode else pq_encode
-    codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        encode = pq_encode_np if np_encode else pq_encode
+        codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -1038,6 +1043,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     np_encode: bool = False,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the production composite (FAISS ``IVFPQ`` layout):
     coarse cell pruning THEN compact-code ADC scanning THEN exact
@@ -1071,8 +1077,9 @@ def ivf_pq_topk(
         .select("query_id", "label")
     )
 
-    encode = pq_encode_np if np_encode else pq_encode
-    codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        encode = pq_encode_np if np_encode else pq_encode
+        codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
     cand = corpus.select(
         F.col(partition_col).alias("label"), F.col(id_col).alias("neighbor_id")
     ).join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
