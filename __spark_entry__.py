@@ -5063,63 +5063,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-7 driver-verification order (the driver checks the FIRST 50
-# entries): the 8 round-7 additions that have never had a driver row
-# lead, then the queries whose latest driver row is r03 — the oldest
-# cohort (VERDICT r6 item 5), filled greedily until the 50-slot window
-# runs out (8 + 47 > 50, so the last few r03 entries wait one round —
-# never-checked queries always outrank staleness).
+# Round-8 driver-verification order (the driver checks the FIRST 50
+# entries): the 3 round-8 additions that have never had a driver row
+# lead, then the 18 queries whose latest driver row is r03 (the oldest
+# cohort), then 29 of the 43 r04-stale entries (alphabetical; the
+# leftover 14 queue right behind the window as next round's stalest).
+# _ROTATION_BUILT_FOR_ROUND pins the r-file horizon this order was
+# computed from, so tests/test_contract.py stays green AFTER the driver
+# publishes CORRECTNESS_r08.json (the r07 rotation went red the moment
+# its own results landed — VERDICT r7 #1).
+_ROTATION_BUILT_FOR_ROUND = 8
+
 _DRIVER_PRIORITY = [
-    "mm_decode",
-    "mm_decode_jpeg",
-    "st_apply_changes_ooo",
-    "op_vacuum",
-    "op_recover",
-    "s_gram_matrix",
-    "st_gram",
-    "t_vocab_encode",
-    "st_scd2",
-    "dd_containment",
-    "st_vocab",
-    "op_bucketed_join",
-    "op_zorder",
-    "op_dpp",
-    "op_runtime_bloom",
-    "op_analyze",
-    "op_skew_aqe",
-    "t_pad_encode",
-    "dd_containment_kept",
-    "dd_containment_incr",
-    "st_containment",
-    "op_append",
-    "op_csv_roundtrip",
-    "op_diff",
-    "op_load_export_roundtrip",
-    "op_merge_ignore",
-    "op_ndjson_flatten",
-    "op_scd2",
-    "op_schema_evolution",
-    "op_transform_ctas",
-    "op_transform_file",
-    "q10_returned_customers",
-    "q6_revenue_forecast",
-    "q_antijoin_nations",
-    "q_asof_join",
-    "q_correlated_scalar",
-    "q_cube_orders",
-    "q_events_hourly",
-    "q_events_json",
-    "q_events_sessions",
-    "q_exists_big_quantity",
-    "q_explode_positions",
-    "q_funnel",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_having_top_customers",
-    "q_hist_quantiles",
-    "q_multi_distinct",
-    "q_ntile_ranks",
-    "q_percentiles",
+    "st_containment_indexed",
+    "op_merge_cow_scope",
+    "op_mv_incremental",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5138,6 +5096,50 @@ _DRIVER_PRIORITY = [
     "t_cms_top_terms",
     "t_collocations",
     "t_tfidf",
+    "dd_bloom",
+    "dd_cross_source",
+    "dd_minhash_incr",
+    "dd_pagerank",
+    "dd_quality_rep",
+    "dd_semantic",
+    "dd_semantic_kept",
+    "dd_semantic_np",
+    "dd_span_removal",
+    "dd_threshold_sweep",
+    "op_check_outliers",
+    "op_check_referential",
+    "op_dataframe_bridge",
+    "op_merge_exception",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q_ewma_anomaly",
+    "q_fuzzy_match",
+    "s_ivf_index_append",
+    "s_ivf_indexed_topk",
+    "s_ivf_pq_topk",
+    # --- below the 50-slot window: the r04 leftovers, next in line ---
+    "s_knn_graph",
+    "s_knn_graph_probe",
+    "s_recall_report",
+    "st_bloom_screen",
+    "st_drift",
+    "st_ivf_append",
+    "st_minhash_screen",
+    "t_bigram_lm",
+    "t_bpe",
+    "t_drift",
+    "t_drift_by_lang",
+    "t_dsir",
+    "t_langid_eval",
+    "t_sample_n",
 ]
 
 

@@ -22,14 +22,26 @@ def test_every_query_has_an_oracle():
 
 
 def _latest_driver_round() -> dict[str, int]:
-    """Latest round each query got a driver row, from the r-file union."""
+    """Latest round each query got a driver row, from the r-file union —
+    capped at the rounds the CURRENT rotation was computed from.
+
+    The rotation is built at round N from CORRECTNESS_r1..r{N-1}; the
+    driver then publishes CORRECTNESS_r{N}.json AFTER the final commit,
+    which makes the rotation head the FRESHEST cohort and flipped this
+    check red in the committed round-7 tree (VERDICT r7 #1).  Ignoring
+    r-files ≥ ``_ROTATION_BUILT_FOR_ROUND`` keeps the tree green at
+    rest while still forcing a re-rotation whenever the constant is
+    bumped at round start."""
     import json
     import re
     from pathlib import Path
 
+    horizon = getattr(entry, "_ROTATION_BUILT_FOR_ROUND", 10**9)
     latest: dict[str, int] = {}
     for p in Path(".").glob("CORRECTNESS_r*.json"):
         r = int(re.search(r"r(\d+)", p.name).group(1))
+        if r >= horizon:
+            continue
         for k in json.loads(p.read_text()):
             latest[k] = max(latest.get(k, 0), r)
     return latest
