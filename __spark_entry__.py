@@ -2528,6 +2528,7 @@ def _s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=PQ_SHORTLIST,
         np_encode=True,
+        np_adc=True,
     )
 
 
@@ -2612,11 +2613,13 @@ def _s_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     methods = {
         "pq": similarity.pq_topk(
-            emb, q, books=PQ_BOOKS, k=k, shortlist=10, np_encode=True
+            emb, q, books=PQ_BOOKS, k=k, shortlist=10, np_encode=True,
+        np_adc=True,
         ),
         "ivf_label": similarity.partitioned_topk(emb, q, k=k),
         "ivf_pq": similarity.ivf_pq_topk(
-            emb, q, books=PQ_BOOKS, k=k, nprobe=2, shortlist=10, np_encode=True
+            emb, q, books=PQ_BOOKS, k=k, nprobe=2, shortlist=10,
+            np_encode=True, np_adc=True,
         ),
     }
     qids = exact.select("query_id").distinct()
@@ -2659,7 +2662,7 @@ def _s_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
         emb, emb.where("vec_id < 5"), books=PQ_BOOKS, k=5, nprobe=2,
-        shortlist=50, np_encode=True,
+        shortlist=50, np_encode=True, np_adc=True,
     )
 
 

@@ -944,9 +944,15 @@ def pq_topk(
     vec_col: str = "embedding",
     np_encode: bool = False,
     codes: DataFrame | None = None,
+    np_adc: bool = False,
 ) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank top-k (the production ANN shape:
     IVF-PQ minus the IVF cells, which ``ivf_topk`` already covers).
+    ``np_adc=True`` swaps the shortlist phase for the Arrow LUT scorer
+    (``pq_adc_shortlist_np``: map-side per-batch top-k, bit-identical
+    scores, no corpus-wide window sort) — the 100 TB scan shape; falls
+    back to the expression path past 1024 queries (the LUTs ride in
+    the task closure).
 
     Phase 1 scores every corpus CODE row against the broadcast queries
     with the asymmetric distance (query subvector · reconstructed
@@ -969,24 +975,34 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    approx, recon_sq = _adc_exprs(books)
-    scored = (
-        codes.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            (approx / F.sqrt(recon_sq)).alias("adc_score"),
+    q_rows = q.limit(1025).collect() if np_adc else None
+    if np_adc and len(q_rows) <= 1024:
+        short = pq_adc_shortlist_np(
+            codes,
+            books,
+            [(r["query_id"], list(r["qv"])) for r in q_rows],
+            shortlist,
+            id_col=id_col,
         )
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id").asc()
-    )
-    short = (
-        scored.withColumn("r", F.row_number().over(w_short))
-        .where(F.col("r") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
+    else:
+        approx, recon_sq = _adc_exprs(books)
+        scored = (
+            codes.crossJoin(F.broadcast(q))
+            .where(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                (approx / F.sqrt(recon_sq)).alias("adc_score"),
+            )
+        )
+        w_short = Window.partitionBy("query_id").orderBy(
+            F.col("adc_score").desc(), F.col("neighbor_id").asc()
+        )
+        short = (
+            scored.withColumn("r", F.row_number().over(w_short))
+            .where(F.col("r") <= shortlist)
+            .select("query_id", "neighbor_id")
+        )
     # exact re-rank on the shortlist only
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
@@ -1044,6 +1060,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     np_encode: bool = False,
     codes: DataFrame | None = None,
+    np_adc: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN — the production composite (FAISS ``IVFPQ`` layout):
     coarse cell pruning THEN compact-code ADC scanning THEN exact
@@ -1083,17 +1100,28 @@ def ivf_pq_topk(
     cand = corpus.select(
         F.col(partition_col).alias("label"), F.col(id_col).alias("neighbor_id")
     ).join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-    approx, recon_sq = _adc_exprs(books)
-    scored = (
-        probed.join(cand, "label")
-        .join(F.broadcast(q), "query_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (approx / F.sqrt(recon_sq)).alias("adc_score"),
+    q_rows = q.limit(1025).collect() if np_adc else None
+    if np_adc and len(q_rows) <= 1024:
+        # probed cells already bound the candidates; the Arrow LUT
+        # scorer replaces the deep codegen expression row-for-row
+        rows = probed.join(cand, "label").where(
+            F.col("neighbor_id") != F.col("query_id")
         )
-    )
+        scored = _adc_score_rows_np(
+            rows, books, [(r["query_id"], list(r["qv"])) for r in q_rows]
+        )
+    else:
+        approx, recon_sq = _adc_exprs(books)
+        scored = (
+            probed.join(cand, "label")
+            .join(F.broadcast(q), "query_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (approx / F.sqrt(recon_sq)).alias("adc_score"),
+            )
+        )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
@@ -1166,6 +1194,165 @@ def pq_encode_np(
             yield pd.DataFrame({id_col: pdf[id_col], "pq_codes": list(codes)})
 
     return df.mapInPandas(_mapper, f"{id_col} long, pq_codes array<bigint>")
+
+
+def _adc_luts(books, q_rows):
+    """Per-query ADC lookup tables + per-(subspace, code) reconstructed
+    squared norms, replaying ``_adc_exprs``'s EXACT float evaluation
+    order (left-to-right folds starting at 0.0, in Python IEEE doubles
+    = JVM doubles), so LUT-based scores are bit-identical to the
+    expression form.  This is the classic PQ-ADC LUT: one m×n_codes
+    table per query replaces the per-row dot products."""
+    m = len(books)
+    dsub = len(books[0][0])
+    luts = {}
+    for qid, qv in q_rows:
+        lut = [[0.0] * len(books[s]) for s in range(m)]
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            for c, cent in enumerate(books[s]):
+                acc = 0.0
+                for i in range(dsub):
+                    acc = acc + qs[i] * cent[i]
+                lut[s][c] = acc
+        luts[qid] = lut
+    recon = [[0.0] * len(books[s]) for s in range(m)]
+    for s in range(m):
+        for c, cent in enumerate(books[s]):
+            r = 0.0
+            for x in cent:
+                r = r + x * x
+            recon[s][c] = r
+    return luts, recon
+
+
+def pq_adc_shortlist_np(
+    codes_df: DataFrame,
+    books: list[list[list[float]]],
+    q_rows: list[tuple],
+    shortlist: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side PQ-ADC shortlist: each Arrow batch scores its code rows
+    against ALL queries via the per-query LUT (one add per subspace)
+    and emits only its LOCAL top-``shortlist`` per query; a final tiny
+    window over |queries| × shortlist × n_batches rows picks the global
+    shortlist.
+
+    This is the 100 TB candidate-generation shape: no corpus-sized
+    crossJoin output, no full-corpus window sort — per-partition top-k
+    then a bounded reduce (the TakeOrderedAndProject pattern,
+    per-query).  Scores are bit-identical to the ``_adc_exprs``
+    expression path (``_adc_luts`` replays its fold order; numpy
+    elementwise adds keep the per-row IEEE sequence), and the global
+    top-N is provably inside the union of per-batch top-Ns, so the
+    selected ids equal the window-over-everything form — pinned by
+    ``test_np_adc_shortlist_matches_expression_path``.
+    Returns (query_id, neighbor_id) shortlist rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    luts, recon = _adc_luts(books, q_rows)
+    m = len(books)
+    np_luts = {qid: [np.asarray(l, dtype=np.float64) for l in lut]
+               for qid, lut in luts.items()}
+    np_recon = [np.asarray(r, dtype=np.float64) for r in recon]
+
+    def _mapper(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                pdf["pq_codes"].map(lambda x: np.asarray(x, dtype=np.int64))
+            )
+            ids = pdf[id_col].to_numpy()
+            recon_vec = np.zeros(len(pdf))
+            for s in range(m):
+                recon_vec = recon_vec + np_recon[s][codes[:, s]]
+            denom = np.sqrt(recon_vec)
+            out_q, out_n, out_s = [], [], []
+            for qid, lut in np_luts.items():
+                approx = np.zeros(len(pdf))
+                for s in range(m):
+                    approx = approx + lut[s][codes[:, s]]
+                adc = approx / denom
+                mask = ids != qid
+                cand_ids, cand_adc = ids[mask], adc[mask]
+                if len(cand_ids) > shortlist:
+                    # exact (score desc, id asc) order; stable lexsort
+                    top = np.lexsort((cand_ids, -cand_adc))[:shortlist]
+                else:
+                    top = np.arange(len(cand_ids))
+                out_q.extend([qid] * len(top))
+                out_n.extend(cand_ids[top])
+                out_s.extend(cand_adc[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
+            )
+
+    local = codes_df.mapInPandas(
+        _mapper, "query_id long, neighbor_id long, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _adc_score_rows_np(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    q_rows: list[tuple],
+) -> DataFrame:
+    """Arrow LUT scorer for PRE-JOINED candidate rows (query_id,
+    neighbor_id, pq_codes) — the IVF-PQ variant, where cell probing has
+    already bounded the candidates so each row scores against ITS
+    query's LUT.  Same bit-exact float order as ``_adc_exprs``.
+    Returns the frame with ``adc_score`` added."""
+    import numpy as np
+    import pandas as pd
+
+    luts, recon = _adc_luts(books, q_rows)
+    m = len(books)
+    np_luts = {qid: [np.asarray(l, dtype=np.float64) for l in lut]
+               for qid, lut in luts.items()}
+    np_recon = [np.asarray(r, dtype=np.float64) for r in recon]
+
+    def _mapper(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                pdf["pq_codes"].map(lambda x: np.asarray(x, dtype=np.int64))
+            )
+            recon_vec = np.zeros(len(pdf))
+            for s in range(m):
+                recon_vec = recon_vec + np_recon[s][codes[:, s]]
+            approx = np.zeros(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = np_luts[qid]
+                part = np.zeros(mask.sum())
+                for s in range(m):
+                    part = part + lut[s][codes[mask, s]]
+                approx[mask] = part
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc_score": approx / np.sqrt(recon_vec),
+                }
+            )
+
+    return df.select("query_id", "neighbor_id", "pq_codes").mapInPandas(
+        _mapper, "query_id long, neighbor_id long, adc_score double"
+    )
 
 
 # --------------------------------------------------------------------------

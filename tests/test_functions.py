@@ -637,6 +637,33 @@ class TestSimilarity:
             }
             assert shared == base
 
+    def test_np_adc_shortlist_matches_expression_path(self, spark, emb):
+        """The Arrow LUT ADC scorer (np_adc=True: map-side per-batch
+        top-k, no corpus-wide window) returns EXACTLY the expression
+        path's rows — _adc_luts replays the fold order bit-for-bit, and
+        the global top-N is inside the union of per-batch top-Ns."""
+        from astro_spark.functions.constants import PQ_BOOKS
+
+        q = emb.where("vec_id < 5")
+        for fn, kw in [
+            (similarity.pq_topk, dict(shortlist=10)),
+            (similarity.ivf_pq_topk, dict(shortlist=10, nprobe=2)),
+        ]:
+            base = sorted(
+                tuple(r)
+                for r in fn(
+                    emb, q, books=PQ_BOOKS, k=5, np_encode=True, **kw
+                ).collect()
+            )
+            np_ = sorted(
+                tuple(r)
+                for r in fn(
+                    emb, q, books=PQ_BOOKS, k=5, np_encode=True,
+                    np_adc=True, **kw
+                ).collect()
+            )
+            assert np_ == base
+
     def test_ivf_pq_full_probe_full_shortlist_equals_brute(self, spark, emb):
         """With nprobe = n_cells and an unbounded shortlist, IVF-PQ's
         exact re-rank sees every candidate exactly once → the result
