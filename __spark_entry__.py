@@ -3706,6 +3706,29 @@ def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
 
 
+def _st_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup screen against a PERSISTED banding index
+    (built once via ``build_minhash_index``, maintainable per ingest via
+    ``update_minhash_index``): the drain reads back only the stored
+    (id, sh, band, bh) relation and touches corpus TEXT nowhere, by
+    construction (no corpus frame is passed) — the minhash sibling of
+    ``st_containment_indexed``.  Hash-matches the rebuild-per-drain
+    ``st_minhash_screen`` result through the same oracle."""
+    from astro_spark.streaming import minhash_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    key = (sf_dir, "documents_odd")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
+        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    idx_dir = tempfile.mkdtemp(prefix="astro_mh_idx_")
+    dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), idx_dir)
+    return minhash_screen_stream(spark, d, index_path=idx_dir)
+
+
 def _st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor: odd doc_ids stream in; each micro-batch's
     char-length histogram is graded against the even-doc reference with
@@ -5054,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_containment_indexed": _st_containment_indexed,
             "op_merge_cow_scope": _op_merge_cow_scope,
             "op_mv_incremental": _op_mv_incremental,
+            "st_minhash_indexed": _st_minhash_indexed,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5081,6 +5105,7 @@ _DRIVER_PRIORITY = [
     "st_containment_indexed",
     "op_merge_cow_scope",
     "op_mv_incremental",
+    "st_minhash_indexed",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5577,6 +5602,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_skew_aqe": _OP_SKEW_AQE_DUCK,
             "op_merge_cow_scope": _OP_MERGE_COW_SCOPE_DUCK,
             "op_mv_incremental": _OP_MV_INCREMENTAL_DUCK,
+            "st_minhash_indexed": oracles.minhash_incremental_sql(),
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

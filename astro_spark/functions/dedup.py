@@ -1459,6 +1459,36 @@ def containment_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus MinHash BANDING relation (id, sh, band,
+    bh) on disk — the near-dup sibling of ``build_containment_index``.
+
+    ``minhash_screen_stream`` used to recompute this from corpus text at
+    every drain start (one full shingle+signature pass per ingest
+    session); built once, drains hash-join the stored relation on
+    (band, bh) — no text scan, no re-signing — and
+    ``update_minhash_index`` appends accepted batches' bandings so the
+    index tracks the corpus.  At cluster scale write it bucketed on
+    (band, bh) to pre-co-locate the screen join."""
+    _banded(corpus, text_col, id_col).write.mode("overwrite").parquet(path)
+
+
+def update_minhash_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a screened/accepted batch's banding rows to a persisted
+    MinHash index — O(|batch|), existing files untouched."""
+    _banded(batch, text_col, id_col).write.mode("append").parquet(path)
+
+
 def build_containment_index(
     corpus: DataFrame,
     path: str,

@@ -268,33 +268,49 @@ def read_batch_dirs(spark: SparkSession, out_dir: str, empty_schema: str):
 def minhash_screen_stream(
     spark: SparkSession,
     input_path: str,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = None,
     max_files_per_trigger: int | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup screen: each micro-batch's MinHash bands join
     the corpus banding relation, with exact-Jaccard verification —
     the LSH complement of ``bloom_screen_stream`` (that one catches
     exact dups; this one catches near-dups).
 
-    The corpus banding relation is computed ONCE and persisted before
-    the drain starts — at scale it is the maintained (band, hash, id,
-    shingles) table, so micro-batches band map-only and hash-join it
-    without rescanning corpus text.  Pairs append per batch to a
-    result directory (idempotent layout: one subdir per batch id).
+    Two corpus-side modes (mirroring ``containment_screen_stream``):
 
-    Returns (batch_id, corpus_id, jaccard) across the whole drain.
+    - ``index_path``: read the PERSISTED (id, sh, band, bh) banding
+      relation built by ``dedup.build_minhash_index`` — the at-scale
+      shape: the drain touches corpus text nowhere and pays no
+      re-shingling/re-signing; maintain with ``update_minhash_index``.
+    - ``corpus_df``: compute the banding relation from corpus text at
+      drain start, ONCE, persisted for the drain (bootstrap path).
+
+    Pairs append per batch to a result directory (idempotent layout:
+    one subdir per batch id).  Returns (batch_id, corpus_id, jaccard)
+    across the whole drain.
     """
     import tempfile
 
     from ..functions.constants import MINHASH_JACCARD_THRESHOLD
     from ..functions.dedup import _banded, minhash_incremental_pairs
 
+    if (corpus_df is None) == (index_path is None):
+        raise ValueError(
+            "minhash_screen_stream: pass exactly one of corpus_df "
+            "(rebuild per drain) or index_path (persisted index)"
+        )
     threshold = threshold or MINHASH_JACCARD_THRESHOLD
-    banded = _banded(corpus_df, text_col, id_col).persist()
-    banded.count()  # materialize once, not per micro-batch
+    if index_path is not None:
+        banded = spark.read.parquet(index_path)
+        id_type = banded.schema["id"].dataType.simpleString()
+    else:
+        banded = _banded(corpus_df, text_col, id_col).persist()
+        banded.count()  # materialize once, not per micro-batch
+        id_type = corpus_df.schema[id_col].dataType.simpleString()
 
     out_dir = tempfile.mkdtemp(prefix="astro_mh_screen_")
     schema = spark.read.parquet(input_path).schema
@@ -316,10 +332,10 @@ def minhash_screen_stream(
         .start()
     )
     query.awaitTermination()
-    banded.unpersist()
-    id_t = corpus_df.schema[id_col].dataType.simpleString()
+    if index_path is None:
+        banded.unpersist()
     out = read_batch_dirs(
-        spark, out_dir, f"batch_id long, corpus_id {id_t}, jaccard double"
+        spark, out_dir, f"batch_id long, corpus_id {id_type}, jaccard double"
     )
     return out.select("batch_id", "corpus_id", "jaccard")
 

@@ -440,6 +440,65 @@ class TestMinhashScreenStream:
         }
         assert streamed == expected
 
+    def test_indexed_drain_matches_rebuild_and_index_updates(
+        self, spark, tmp_path
+    ):
+        """Drain against a PERSISTED banding index == drain that
+        rebuilds the banding from corpus text; update_minhash_index then
+        extends the screen to later-accepted docs without any rebuild
+        (the minhash sibling of the containment index)."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import minhash_screen_stream
+        from astro_spark.testdata import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.where("doc_id % 2 = 0")
+        batch = docs.where("doc_id % 2 = 1")
+        d = str(tmp_path / "odd")
+        batch.repartition(3).write.parquet(d)
+        idx = str(tmp_path / "mh_idx")
+        dedup.build_minhash_index(corpus, idx)
+
+        indexed = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in minhash_screen_stream(
+                spark, d, index_path=idx, max_files_per_trigger=1
+            ).collect()
+        }
+        rebuilt = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in minhash_screen_stream(spark, d, corpus).collect()
+        }
+        assert indexed == rebuilt
+
+        # maintain: append one batch doc's banding; a later stream of
+        # its near-identical twin is caught against the UPDATED index
+        twin_src = docs.where("doc_id % 2 = 1").limit(1)
+        row = twin_src.collect()[0]
+        dedup.update_minhash_index(
+            spark.createDataFrame([(90000, row.text)], ["doc_id", "text"]),
+            idx,
+        )
+        d2 = str(tmp_path / "twin")
+        spark.createDataFrame(
+            [(90001, row.text)], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(d2)
+        caught = {
+            (r.batch_id, r.corpus_id)
+            for r in minhash_screen_stream(
+                spark, d2, index_path=idx
+            ).collect()
+        }
+        assert (90001, 90000) in caught
+
+    def test_screen_requires_exactly_one_corpus_mode(self, spark, tmp_path):
+        import pytest
+
+        from astro_spark.streaming import minhash_screen_stream
+
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_screen_stream(spark, str(tmp_path))
+
 
 class TestDriftScreenStream:
     def test_per_batch_histograms_tile_the_full_candidate(self, spark, tmp_path):
