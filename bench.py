@@ -121,6 +121,10 @@ HEADLINE = [
     "st_vocab",
     "op_bucketed_join",
     "dd_containment",
+    "st_containment_indexed",
+    "st_minhash_indexed",
+    "op_merge_cow_scope",
+    "op_mv_incremental",
 ]
 
 
