@@ -4721,6 +4721,72 @@ FROM orders
 """
 
 
+def _op_seq_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC sidecar retention, data-driven: a tracked change feed built
+    from orders keys leaves live-key entries (seq 10), stale dead-key
+    tombstones (seq 3) and recent dead-key tombstones (seq 20) in the
+    applied-seq sidecar; ``expire_applied_seq(horizon=15)`` must drop
+    EXACTLY the stale dead-key cohort — live keys keep their ordering
+    protection at any seq, recent tombstones keep resurrection
+    protection.  The surviving sidecar is the result the oracle
+    replays from the orders key space."""
+    from astro_spark.operators.cdc import (
+        _seq_sidecar,
+        apply_changes,
+        expire_applied_seq,
+    )
+    from astro_spark.operators.load_file import save_dataframe_as_table
+
+    _views(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    t = a.Table(f"seqexp_{uuid.uuid4().hex[:8]}", temp=False)
+    k = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    save_dataframe_as_table(
+        orders.where("o_orderkey % 5 = 0").select(
+            k.alias("k"), cents.alias("v")
+        ),
+        t,
+    )
+    try:
+        ups = orders.where("o_orderkey % 5 = 0 AND o_orderkey % 2 = 0").select(
+            k.alias("k"), (cents + 1).alias("v"),
+            F.lit("U").alias("op"), F.lit(10).cast("long").alias("seq"),
+        )
+        d_stale = orders.where("o_orderkey % 5 = 3").select(
+            k.alias("k"), F.lit(None).cast("long").alias("v"),
+            F.lit("D").alias("op"), F.lit(3).cast("long").alias("seq"),
+        )
+        d_recent = orders.where(
+            "o_orderkey % 5 = 4 AND o_orderkey % 3 = 0"
+        ).select(
+            k.alias("k"), F.lit(None).cast("long").alias("v"),
+            F.lit("D").alias("op"), F.lit(20).cast("long").alias("seq"),
+        )
+        changes = ups.unionByName(d_stale).unionByName(d_recent)
+        apply_changes(spark, t, changes, ["k"], seq_col="seq", track_seq=True)
+        expire_applied_seq(spark, t, ["k"], 15)
+        side = _seq_sidecar(t)
+        out = spark.table(side.qualified_name).select(
+            "k", F.col("__seq").alias("applied_seq")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        sidecar = _seq_sidecar(t)
+        spark.sql(f"DROP TABLE IF EXISTS {sidecar.qualified_name}")
+        a.drop_table(spark, t)
+
+
+_OP_SEQ_EXPIRE_DUCK = """
+SELECT o_orderkey AS k, CAST(10 AS BIGINT) AS applied_seq
+FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(20 AS BIGINT)
+FROM orders WHERE o_orderkey % 5 = 4 AND o_orderkey % 3 = 0
+"""
+
+
 def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-path plan property for the MV machinery: a refresh after
     ONE new batch must process only that batch — proven three ways and
@@ -5078,6 +5144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_cow_scope": _op_merge_cow_scope,
             "op_mv_incremental": _op_mv_incremental,
             "st_minhash_indexed": _st_minhash_indexed,
+            "op_seq_expire": _op_seq_expire,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5106,6 +5173,7 @@ _DRIVER_PRIORITY = [
     "op_merge_cow_scope",
     "op_mv_incremental",
     "st_minhash_indexed",
+    "op_seq_expire",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5603,6 +5671,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_merge_cow_scope": _OP_MERGE_COW_SCOPE_DUCK,
             "op_mv_incremental": _OP_MV_INCREMENTAL_DUCK,
             "st_minhash_indexed": oracles.minhash_incremental_sql(),
+            "op_seq_expire": _OP_SEQ_EXPIRE_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

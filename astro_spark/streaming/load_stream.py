@@ -200,6 +200,7 @@ def load_file_stream_changes(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     enforce_order: bool | None = None,
+    expire_seq_older_than=None,
 ):
     """CDC ingestion WITH delete tombstones: drain new change files and
     ``apply_changes`` each micro-batch to the target — the
@@ -223,13 +224,25 @@ def load_file_stream_changes(
     filtered out entirely).  Per-batch write cost follows the batch
     applier: merge-path upserts O(touched files/partitions),
     file-scoped tombstone deletes.
+
+    ``expire_seq_older_than``: after the drain, run ONE
+    ``expire_applied_seq`` pass with this horizon — the sidecar
+    retention knob wired into the drain, so a high-churn key space
+    doesn't need a separate maintenance job (dead-key entries older
+    than the horizon drop; see ``expire_applied_seq`` for the
+    resurrection-protection trade).  Requires ``enforce_order``.
     """
-    from ..operators.cdc import apply_changes
+    from ..operators.cdc import apply_changes, expire_applied_seq
 
     if enforce_order is None:
         enforce_order = seq_col is not None
     if enforce_order and seq_col is None:
         raise ValueError("enforce_order=True requires seq_col")
+    if expire_seq_older_than is not None and not enforce_order:
+        raise ValueError(
+            "expire_seq_older_than requires enforce_order (there is no "
+            "applied-seq sidecar to expire otherwise)"
+        )
 
     if isinstance(input_file, str):
         input_file = File(path=input_file)
@@ -270,6 +283,10 @@ def load_file_stream_changes(
         spark.catalog.refreshTable(target_table.qualified_name)
     except Exception:
         pass
+    if expire_seq_older_than is not None:
+        expire_applied_seq(
+            spark, target_table, key_cols, expire_seq_older_than
+        )
     return query
 
 
