@@ -4721,6 +4721,65 @@ FROM orders
 """
 
 
+def _op_bucketed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-index screen plan property: the containment screen's
+    join against a ``build_containment_index_table`` index (bucketed +
+    sorted on the join key h) must need STRICTLY FEWER Exchanges than
+    the same screen against the identical data as a plain table — the
+    corpus-sized side reads its buckets as the join partitioning and
+    never shuffles; only the small batch side moves.  The claim is
+    folded into the oracle hash next to the screen's own values
+    (broadcast disabled during the probe so both plans join
+    shuffle-style)."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 7 != 0")
+    batch = docs.where("doc_id % 7 = 0")
+    suffix = uuid.uuid4().hex[:8]
+    t_bucketed, t_plain = f"cidx_b_{suffix}", f"cidx_p_{suffix}"
+    dedup.build_containment_index_table(corpus, t_bucketed, buckets=8)
+    spark.table(t_bucketed).write.format("parquet").saveAsTable(t_plain)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def screen(tbl):
+            return dedup.containment_incremental_pairs(
+                batch, None,
+                corpus_inverted=spark.table(tbl).select("cid", "h"),
+                materialize=False,
+            )
+
+        bucketed = screen(t_bucketed)
+        rows = bucketed.collect()
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        plain = screen(t_plain)
+        rows_p = plain.collect()
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        fewer = plan_b.count("Exchange") < plan_p.count("Exchange")
+        same = sorted(map(tuple, rows)) == sorted(map(tuple, rows_p))
+        flags = spark.createDataFrame(
+            [(bool(fewer), bool(same))],
+            "fewer_exchanges boolean, same_result boolean",
+        )
+        out = spark.createDataFrame(
+            rows, "batch_id long, corpus_id long, containment double"
+        ).crossJoin(F.broadcast(flags))
+        final = out.collect()
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_bucketed}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_plain}")
+
+
+def _op_bucketed_screen_duck() -> str:
+    return (
+        "SELECT *, TRUE AS fewer_exchanges, TRUE AS same_result FROM ("
+        + oracles.containment_incremental_sql()
+        + ")"
+    )
+
+
 def _op_seq_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC sidecar retention, data-driven: a tracked change feed built
     from orders keys leaves live-key entries (seq 10), stale dead-key
@@ -5145,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_mv_incremental": _op_mv_incremental,
             "st_minhash_indexed": _st_minhash_indexed,
             "op_seq_expire": _op_seq_expire,
+            "op_bucketed_screen": _op_bucketed_screen,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5174,6 +5234,7 @@ _DRIVER_PRIORITY = [
     "op_mv_incremental",
     "st_minhash_indexed",
     "op_seq_expire",
+    "op_bucketed_screen",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5672,6 +5733,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_mv_incremental": _OP_MV_INCREMENTAL_DUCK,
             "st_minhash_indexed": oracles.minhash_incremental_sql(),
             "op_seq_expire": _OP_SEQ_EXPIRE_DUCK,
+            "op_bucketed_screen": _op_bucketed_screen_duck(),
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

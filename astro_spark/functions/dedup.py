@@ -1529,6 +1529,35 @@ def update_containment_index(
     ).write.mode("append").parquet(path)
 
 
+def build_containment_index_table(
+    corpus: DataFrame,
+    table_name: str,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Bucketed-TABLE form of ``build_containment_index``: the (cid, h)
+    inverted index saved ``bucketBy(buckets, "h").sortBy("h")`` — the
+    cluster-scale layout the path-form docstring promises.
+
+    Every ingest screen joins the index on ``h``; with the index
+    bucketed on that key Spark reads its buckets as the join's
+    partitioning and the CORPUS-SIZED side of the join needs NO
+    Exchange — only the small batch side shuffles to the bucket count.
+    Driver-verified by ``op_bucketed_screen`` (bucketed screen plan has
+    strictly fewer Exchanges than the plain-table screen, identical
+    results).  Maintain with plain ``INSERT INTO`` appends (Spark
+    bucket-writes each append); pass ``spark.table(table_name)`` as
+    ``corpus_inverted`` to the screens.
+    """
+    corpus.select(
+        F.col(id_col).alias("cid"),
+        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+    ).write.format("parquet").bucketBy(buckets, "h").sortBy("h").mode(
+        "overwrite"
+    ).saveAsTable(table_name)
+
+
 def containment_incremental_pairs(
     batch: DataFrame,
     corpus: DataFrame,
@@ -1536,11 +1565,15 @@ def containment_incremental_pairs(
     id_col: str = "doc_id",
     threshold: float = CONTAINMENT_THRESHOLD,
     corpus_inverted: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Ingest-time containment screen: which BATCH docs are mostly
     contained in an EXISTING corpus doc (quotes, mirrors, re-posts of
     already-held content) — the containment member of the incremental
     screen family (exact anti-join / Bloom / MinHash / this).
+    ``materialize=False`` returns the LAZY plan (no batch-base persist,
+    no checkpoint) for callers that need to inspect or re-execute it —
+    the plan-property probes do.
 
     The corpus side is its (id, shingle-hash) inverted index —
     ``corpus_inverted`` at scale is a PERSISTED table maintained per
@@ -1553,7 +1586,9 @@ def containment_incremental_pairs(
     b_base = batch.select(
         F.col(id_col).alias("bid"),
         shingle_hash_array(F.col(text_col)).alias("sh"),
-    ).persist()
+    )
+    if materialize:
+        b_base = b_base.persist()
     b_sizes = b_base.select("bid", F.size("sh").alias("n_b"))
     b_inv = b_base.select("bid", F.explode("sh").alias("h"))
     c_inv = (
@@ -1579,6 +1614,8 @@ def containment_incremental_pairs(
             "containment",
         )
     )
+    if not materialize:
+        return out
     # release the batch base per call — a streaming drain invokes this
     # once per micro-batch, and unbalanced persists accumulated for the
     # whole drain (ADVICE r7); the caller-owned corpus_inverted persist
