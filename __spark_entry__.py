@@ -4780,6 +4780,103 @@ def _op_bucketed_screen_duck() -> str:
     )
 
 
+def _op_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three scan/codegen properties the 100 TB brief grades on,
+    folded into one oracle hash: a filter+project+aggregate pipeline
+    must (a) run inside WholeStageCodegen spans (the ``*(n)`` markers
+    in the executed plan — JVM-fused loops, no per-operator row
+    boxing), (b) push its predicate into the parquet scan
+    (``PushedFilters`` carries the l_quantity bound, so row groups
+    prune before decode), and (c) prune the read schema to EXACTLY the
+    3 referenced columns of lineitem's 16 (``ReadSchema``) — a scan
+    reading all columns for a 3-column pipeline is wrong at any
+    scale."""
+    import re
+
+    _views(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.where("l_quantity < 24").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("cents"),
+    )
+    vals = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    codegen_spans = "*(" in plan
+    filter_pushed = bool(
+        re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity,24", plan)
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    schema_pruned = bool(m) and len(m.group(1).split(",")) == 3
+    flags = spark.createDataFrame(
+        [(bool(codegen_spans), bool(filter_pushed), bool(schema_pruned))],
+        "codegen_spans boolean, filter_pushed boolean, schema_pruned boolean",
+    )
+    out = spark.createDataFrame(vals, agg.schema).crossJoin(F.broadcast(flags))
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+_OP_CODEGEN_DUCK = """
+SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS cents,
+       TRUE AS codegen_spans, TRUE AS filter_pushed, TRUE AS schema_pruned
+FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag
+"""
+
+
+def _op_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange/stage reuse: when one plan consumes the SAME aggregate
+    twice (here a self-join of the per-priority revenue rollup), Spark
+    must compute the shuffle ONCE and wire a ReusedExchange into the
+    second consumer — at 100 TB this halves the heaviest stage of any
+    diamond-shaped plan for free, but ONLY if the two subtrees stay
+    expression-identical (a stray column or cast silently forks the
+    stage).  The reuse claim is folded into the oracle hash next to the
+    joined values."""
+    _views(spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("c")
+    )
+    j = (
+        agg.alias("a")
+        .join(
+            agg.alias("b"),
+            F.col("a.o_orderpriority") == F.col("b.o_orderpriority"),
+        )
+        .select(
+            F.col("a.o_orderpriority").alias("priority"),
+            F.col("a.c").alias("cents_a"),
+            F.col("b.c").alias("cents_b"),
+        )
+    )
+    vals = j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    reused = "ReusedExchange" in plan
+    flags = spark.createDataFrame(
+        [(bool(reused),)], "exchange_reused boolean"
+    )
+    out = spark.createDataFrame(vals, j.schema).crossJoin(F.broadcast(flags))
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+_OP_EXCHANGE_REUSE_DUCK = """
+WITH a AS (
+  SELECT o_orderpriority AS priority,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS c
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT priority, c AS cents_a, c AS cents_b, TRUE AS exchange_reused
+FROM a
+"""
+
+
 def _op_seq_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC sidecar retention, data-driven: a tracked change feed built
     from orders keys leaves live-key entries (seq 10), stale dead-key
@@ -5205,6 +5302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_minhash_indexed": _st_minhash_indexed,
             "op_seq_expire": _op_seq_expire,
             "op_bucketed_screen": _op_bucketed_screen,
+            "op_codegen": _op_codegen,
+            "op_exchange_reuse": _op_exchange_reuse,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5235,6 +5334,8 @@ _DRIVER_PRIORITY = [
     "st_minhash_indexed",
     "op_seq_expire",
     "op_bucketed_screen",
+    "op_codegen",
+    "op_exchange_reuse",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5734,6 +5835,8 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "st_minhash_indexed": oracles.minhash_incremental_sql(),
             "op_seq_expire": _OP_SEQ_EXPIRE_DUCK,
             "op_bucketed_screen": _op_bucketed_screen_duck(),
+            "op_codegen": _OP_CODEGEN_DUCK,
+            "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

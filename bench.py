@@ -125,6 +125,10 @@ HEADLINE = [
     "st_minhash_indexed",
     "op_merge_cow_scope",
     "op_mv_incremental",
+    "op_seq_expire",
+    "op_bucketed_screen",
+    "op_codegen",
+    "op_exchange_reuse",
 ]
 
 
