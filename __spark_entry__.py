@@ -4780,6 +4780,99 @@ def _op_bucketed_screen_duck() -> str:
     )
 
 
+def _mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup end-to-end: synthesize PNG/BMP payloads from
+    doc_id arithmetic (consecutive ids share a seed — the odd twin gets
+    one perturbed pixel, a near-duplicate by construction), decode them
+    through the from-scratch codecs inside Arrow workers, hash each to
+    the 62-bit perceptual aHash (``image_ahash``), and band-join the
+    signatures with the generic ``hash_hamming_pairs`` (the SimHash
+    chunk machinery, reused) — the image member of the dedup family.
+    All-integer, so the oracle replays pixels → grays → mean → bits →
+    hamming arithmetically; pigeonhole makes the banded join provably
+    equal to the oracle's all-pairs form at hamming ≤ 4 < 5 chunks."""
+    from astro_spark.functions.multimodal import image_ahash
+
+    _views(spark, sf_dir)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 400)
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from astro_spark.functions import media_codecs as mc
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                seed = doc_id // 2
+                w, h = seed % 7 + 6, seed % 5 + 6
+                # quadratic-residue generator: (x² mod p) mod 256 is
+                # pseudo-random per (seed, i) — a linear ramp's high or
+                # low bits phase-collide across seeds and drown the twin
+                # pairs in structural matches
+                pix = bytearray(
+                    ((seed * 1009 + i) ** 2) % 1000003 % 256
+                    for i in range(w * h * 3)
+                )
+                if doc_id % 2 == 1:  # near-dup twin: 6 perturbed bytes
+                    for i in range(6):
+                        pix[i] = (pix[i] + 40) % 256
+                if seed % 2 == 0:
+                    payload, mt = mc.encode_png(bytes(pix), w, h, 3), "image/png"
+                else:
+                    payload, mt = mc.encode_bmp(bytes(pix), w, h), "image/bmp"
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        _gen, "doc_id long, media_type string, payload binary"
+    )
+    sigs = image_ahash(payloads)
+    return dedup.hash_hamming_pairs(
+        sigs, id_col="id", hash_col="ahash", max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
+_MM_AHASH_PAIRS_DUCK = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+px AS (
+  SELECT doc_id, doc_id // 2 AS seed,
+         ((doc_id // 2) % 7 + 6) * ((doc_id // 2) % 5 + 6) AS n
+  FROM ids
+),
+g AS (
+  SELECT doc_id, j,
+         ((((seed * 1009 + 3 * j) * (seed * 1009 + 3 * j)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j < 6 THEN 40 ELSE 0 END) % 256
+          + (((seed * 1009 + 3 * j + 1) * (seed * 1009 + 3 * j + 1)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j + 1 < 6 THEN 40 ELSE 0 END) % 256
+          + (((seed * 1009 + 3 * j + 2) * (seed * 1009 + 3 * j + 2)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j + 2 < 6 THEN 40 ELSE 0 END) % 256
+         ) // 3 AS gray
+  FROM px, LATERAL (SELECT unnest(range(0, n)) AS j)
+),
+m AS (SELECT doc_id, SUM(gray) // COUNT(*) AS mean FROM g GROUP BY doc_id),
+a AS (
+  SELECT g.doc_id,
+         SUM(CASE WHEN g.gray > m.mean AND g.j < 62
+                  THEN (CAST(1 AS BIGINT) << g.j) ELSE 0 END)::BIGINT AS ahash
+  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+FROM a x JOIN a y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.ahash, y.ahash)) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 def _op_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three scan/codegen properties the 100 TB brief grades on,
     folded into one oracle hash: a filter+project+aggregate pipeline
@@ -5304,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_bucketed_screen": _op_bucketed_screen,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
+            "mm_ahash_pairs": _mm_ahash_pairs,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5336,6 +5430,7 @@ _DRIVER_PRIORITY = [
     "op_bucketed_screen",
     "op_codegen",
     "op_exchange_reuse",
+    "mm_ahash_pairs",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -5837,6 +5932,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_bucketed_screen": _op_bucketed_screen_duck(),
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
+            "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

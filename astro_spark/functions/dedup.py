@@ -285,24 +285,40 @@ def simhash_table(
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = 62,
+    n_chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
-    """Near-dup pairs: share ≥1 of SIMHASH_CHUNKS bit-chunks AND hamming ≤ k.
+    """Generic banded hamming join over ANY ≤62-bit signature relation
+    (id, hash): pairs share ≥1 of ``n_chunks`` bit-chunks AND hamming ≤
+    ``max_hamming`` — the chunk-banding machinery behind
+    ``simhash_pairs``, factored out so every 62-bit signature family
+    (SimHash text, perceptual image aHash, any future audio
+    fingerprint) gets the same linear candidate generation instead of
+    an all-pairs join.
 
-    Banding on chunks keeps the join linear; the hamming verify is exact.
-    Returns (id_a, id_b, hamming), id_a < id_b.
+    Pigeonhole soundness requires ``n_chunks > max_hamming`` (else a
+    pair could differ in every chunk and never band together) —
+    enforced.  62-bit ceiling keeps the arithmetic in non-negative
+    signed-long territory (bit 63 would flip the sign and break the
+    shiftright/compare logic).  Returns (id_a, id_b, hamming) with
+    id_a < id_b; eager, base released (the pair-scan persist contract).
     """
-    chunk_bits = 62 // SIMHASH_CHUNKS + 1  # 13
-    # the simhash table is self-joined (2 consumers) — compute once
-    base = (
-        simhash_table(df, text_col, id_col)
-        .withColumnRenamed("simhash", "sh")
-        .persist()
-    )
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"hash_hamming_pairs: n_chunks={n_chunks} must exceed "
+            f"max_hamming={max_hamming} (pigeonhole soundness)"
+        )
+    if bits > 62:
+        raise ValueError("hash_hamming_pairs: bits must be ≤ 62 (sign bit)")
+    chunk_bits = bits // n_chunks + (1 if bits % n_chunks else 0)
+    base = sig.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    ).persist()
     chunks = base.select(
         "id",
         "sh",
@@ -315,7 +331,7 @@ def simhash_pairs(
                         .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("ch"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),
@@ -346,6 +362,28 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _materialize_and_release(out, base)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs: share ≥1 of SIMHASH_CHUNKS bit-chunks AND hamming ≤ k.
+
+    Banding on chunks keeps the join linear; the hamming verify is exact.
+    Returns (id_a, id_b, hamming), id_a < id_b.  (Thin wrapper over the
+    generic ``hash_hamming_pairs`` — same plan, oracle-pinned.)
+    """
+    return hash_hamming_pairs(
+        simhash_table(df, text_col, id_col),
+        id_col="id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        bits=62,
+        n_chunks=SIMHASH_CHUNKS,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -210,6 +210,66 @@ def decode_features(
     return df.mapInPandas(_mapper, DECODED_SCHEMA)
 
 
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """62-bit perceptual average-hash per image: decode the payload
+    (real codecs, inside Arrow workers), grayscale each pixel as
+    ``(r+g+b)//3`` (identity for 1-channel), take the integer mean,
+    and set bit j iff gray_j exceeds it (first 62 pixels, row-major) —
+    the classic aHash bit signature, all-integer so an oracle can
+    replay it from deterministic pixels.
+
+    Feed the result to ``dedup.hash_hamming_pairs`` for image NEAR-dup
+    pairs: re-encodes, small overlays, and brightness-shifted copies
+    keep most bits while unrelated images differ in ~half — the image
+    member of the dedup family (exact/MinHash/SimHash/embedding/this),
+    with the same linear chunk-banding candidate generation.  Decode is
+    map-only (no shuffle, no driver bytes); at 100 TB hash first, band
+    later, exactly like text SimHash.  Returns (id, ahash).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("ahash", LongType())]
+    )
+
+    def _one(payload, mtype) -> int:
+        d = decode_media(payload, mtype)
+        if d["kind"] != "image":
+            raise ValueError("image_ahash: non-image payload")
+        px, ch = d["pixels"], d["channels"]
+        grays = [
+            sum(px[j * ch : j * ch + min(ch, 3)]) // min(ch, 3)
+            for j in range(d["width"] * d["height"])
+        ]
+        mean = sum(grays) // len(grays)
+        h = 0
+        for j, g in enumerate(grays[:62]):
+            if g > mean:
+                h |= 1 << j
+        return h
+
+    def _mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "ahash": [
+                        _one(p, t)
+                        for p, t in zip(pdf[payload_col], pdf[type_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_mapper, schema)
+
+
 def extract_features(
     df: DataFrame,
     batch_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,

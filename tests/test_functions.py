@@ -995,6 +995,52 @@ class TestMultimodal:
             (r.doc_id, bytes(r.payload)) for r in again
         }
 
+    def test_image_ahash_twin_close_unrelated_far(self, spark):
+        """Perceptual aHash: a re-encode with 6 perturbed bytes keeps
+        hamming ≤ 4 (near-dup twin), an unrelated image lands far; PNG
+        and BMP encodings of the SAME pixels hash identically (codec-
+        independent signature)."""
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.dedup import hash_hamming_pairs
+        from astro_spark.functions.multimodal import image_ahash
+
+        w, h = 8, 8
+        base = bytes(((7 * 1009 + i) ** 2) % 1000003 % 256 for i in range(w * h * 3))
+        twin = bytearray(base)
+        for i in range(3):  # one gray pixel shifts by ~13
+            twin[i] = (twin[i] + 40) % 256
+        other = bytes(((9 * 1009 + i) ** 2) % 1000003 % 256 for i in range(w * h * 3))
+        rows = [
+            (1, "image/png", mc.encode_png(base, w, h, 3)),
+            (2, "image/bmp", mc.encode_bmp(base, w, h)),  # same pixels
+            (3, "image/png", mc.encode_png(bytes(twin), w, h, 3)),
+            (4, "image/png", mc.encode_png(other, w, h, 3)),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary"
+        )
+        sigs = {r.id: r.ahash for r in image_ahash(df).collect()}
+        assert sigs[1] == sigs[2]  # codec-independent
+        ham_twin = bin(sigs[1] ^ sigs[3]).count("1")
+        ham_other = bin(sigs[1] ^ sigs[4]).count("1")
+        assert ham_twin <= 4 < ham_other
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in hash_hamming_pairs(
+                image_ahash(df), id_col="id", hash_col="ahash", max_hamming=4
+            ).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) not in pairs
+
+    def test_hash_hamming_pairs_pigeonhole_guard(self, spark):
+        import pytest as _pytest
+
+        from astro_spark.functions.dedup import hash_hamming_pairs
+
+        df = spark.createDataFrame([(1, 3)], "id long, sh long")
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            hash_hamming_pairs(df, max_hamming=5, n_chunks=5)
+
     def test_decode_unknown_type_raises(self):
         # video genuinely needs ffmpeg — still gated
         with pytest.raises(NotImplementedError):
