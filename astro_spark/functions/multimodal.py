@@ -270,6 +270,77 @@ def image_ahash(
     return df.mapInPandas(_mapper, schema)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """62-bit audio fingerprint per clip: decode the payload (real WAV
+    codec, inside Arrow workers), split the PCM stream into 62 equal
+    time windows, and set bit j iff window j's mean |amplitude| exceeds
+    the clip's overall mean |amplitude| — an integer energy-envelope
+    signature (the banding-friendly skeleton of a Shazam-style
+    fingerprint; spectral peaks would need an FFT, the envelope needs
+    only sums).
+
+    Robust to the transforms that matter for dedup: re-encoding,
+    DC-offset-free gain changes scale every window together (bits
+    stable), and a localized edit moves only its windows' bits.  Feed
+    to ``dedup.hash_hamming_pairs`` for audio NEAR-dup pairs — the
+    audio member of the modality dedup triple (text SimHash / image
+    aHash / this), same linear chunk-banded candidates.  All-integer
+    (sample→window by ``i*62//n``, floor-division means) so an oracle
+    replays it exactly.  Returns (id, afp).
+    """
+    import array
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("afp", LongType())]
+    )
+
+    def _one(payload, mtype) -> int:
+        d = decode_media(payload, mtype)
+        if d["kind"] != "audio":
+            raise ValueError("audio_fingerprint: non-audio payload")
+        code = {1: "B", 2: "h", 4: "i"}[d["sample_width"]]
+        samples = array.array(code, d["pcm"])
+        n = len(samples)
+        sums = [0] * 62
+        cnts = [0] * 62
+        total = 0
+        for i, s in enumerate(samples):
+            w = i * 62 // n
+            a = abs(int(s))
+            sums[w] += a
+            cnts[w] += 1
+            total += a
+        overall = total // n
+        h = 0
+        for j in range(62):
+            if cnts[j] and sums[j] // cnts[j] > overall:
+                h |= 1 << j
+        return h
+
+    def _mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "afp": [
+                        _one(p, t)
+                        for p, t in zip(pdf[payload_col], pdf[type_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_mapper, schema)
+
+
 def extract_features(
     df: DataFrame,
     batch_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,

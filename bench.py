@@ -129,6 +129,8 @@ HEADLINE = [
     "op_bucketed_screen",
     "op_codegen",
     "op_exchange_reuse",
+    "mm_ahash_pairs",
+    "mm_audio_fp_pairs",
 ]
 
 

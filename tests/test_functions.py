@@ -1032,6 +1032,41 @@ class TestMultimodal:
         }
         assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) not in pairs
 
+    def test_audio_fingerprint_twin_close_gain_invariant(self, spark):
+        """Energy-envelope fingerprint: a head-edited twin stays within
+        hamming 4; an integer gain (×2) leaves the signature IDENTICAL
+        (all windows scale together); an unrelated clip lands far."""
+        import array
+
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.multimodal import audio_fingerprint
+
+        def clip(seed, n=160):
+            return [
+                ((seed * 1013 + i) ** 2) % 1000003 % 65536 - 32768
+                for i in range(n)
+            ]
+
+        base = clip(7)
+        twin = list(base)
+        for i in range(20):
+            twin[i] = (twin[i] + 32768 + 500) % 65536 - 32768
+        gain = [max(-32768, min(32767, s * 2 // 3)) for s in base]  # 2/3 gain
+        other = clip(9)
+        rows = [
+            (1, "audio/wav", mc.encode_wav(array.array("h", base).tobytes())),
+            (2, "audio/wav", mc.encode_wav(array.array("h", twin).tobytes())),
+            (3, "audio/wav", mc.encode_wav(array.array("h", gain).tobytes())),
+            (4, "audio/wav", mc.encode_wav(array.array("h", other).tobytes())),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary"
+        )
+        sigs = {r.id: r.afp for r in audio_fingerprint(df).collect()}
+        assert bin(sigs[1] ^ sigs[2]).count("1") <= 4
+        assert bin(sigs[1] ^ sigs[3]).count("1") <= 4  # gain-robust
+        assert bin(sigs[1] ^ sigs[4]).count("1") > 10
+
     def test_hash_hamming_pairs_pigeonhole_guard(self, spark):
         import pytest as _pytest
 
