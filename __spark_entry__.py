@@ -4780,20 +4780,14 @@ def _op_bucketed_screen_duck() -> str:
     )
 
 
-def _mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMAGE near-dup dedup end-to-end: synthesize PNG/BMP payloads from
-    doc_id arithmetic (consecutive ids share a seed — the odd twin gets
-    one perturbed pixel, a near-duplicate by construction), decode them
-    through the from-scratch codecs inside Arrow workers, hash each to
-    the 62-bit perceptual aHash (``image_ahash``), and band-join the
-    signatures with the generic ``hash_hamming_pairs`` (the SimHash
-    chunk machinery, reused) — the image member of the dedup family.
-    All-integer, so the oracle replays pixels → grays → mean → bits →
-    hamming arithmetically; pigeonhole makes the banded join provably
-    equal to the oracle's all-pairs form at hamming ≤ 4 < 5 chunks."""
-    from astro_spark.functions.multimodal import image_ahash
-
-    _views(spark, sf_dir)
+def _synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PNG/BMP payloads for doc_id < 400, generated inside
+    mapInPandas workers: quadratic-residue pixels ((x² mod p) mod 256 —
+    a linear ramp's high or low bits phase-collide across seeds and
+    drown the twin pairs in structural matches); consecutive ids share
+    a seed and the odd twin gets 6 perturbed bytes.  Shared by the
+    batch pair scan (mm_ahash_pairs) and the streaming perceptual
+    screen (st_ahash_screen); the oracle replays the same arithmetic."""
     docs = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -4811,10 +4805,6 @@ def _mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 seed = doc_id // 2
                 w, h = seed % 7 + 6, seed % 5 + 6
-                # quadratic-residue generator: (x² mod p) mod 256 is
-                # pseudo-random per (seed, i) — a linear ramp's high or
-                # low bits phase-collide across seeds and drown the twin
-                # pairs in structural matches
                 pix = bytearray(
                     ((seed * 1009 + i) ** 2) % 1000003 % 256
                     for i in range(w * h * 3)
@@ -4831,10 +4821,26 @@ def _mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
+    return docs.mapInPandas(
         _gen, "doc_id long, media_type string, payload binary"
     )
-    sigs = image_ahash(payloads)
+
+
+def _mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup end-to-end: synthesize PNG/BMP payloads from
+    doc_id arithmetic (consecutive ids share a seed — the odd twin gets
+    one perturbed pixel, a near-duplicate by construction), decode them
+    through the from-scratch codecs inside Arrow workers, hash each to
+    the 62-bit perceptual aHash (``image_ahash``), and band-join the
+    signatures with the generic ``hash_hamming_pairs`` (the SimHash
+    chunk machinery, reused) — the image member of the dedup family.
+    All-integer, so the oracle replays pixels → grays → mean → bits →
+    hamming arithmetically; pigeonhole makes the banded join provably
+    equal to the oracle's all-pairs form at hamming ≤ 4 < 5 chunks."""
+    from astro_spark.functions.multimodal import image_ahash
+
+    _views(spark, sf_dir)
+    sigs = image_ahash(_synth_image_payloads(spark, sf_dir))
     return dedup.hash_hamming_pairs(
         sigs, id_col="id", hash_col="ahash", max_hamming=4
     ).orderBy("id_a", "id_b")
@@ -4870,6 +4876,71 @@ SELECT x.doc_id AS id_a, y.doc_id AS id_b,
 FROM a x JOIN a y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.ahash, y.ahash)) <= 4
 ORDER BY id_a, id_b
+"""
+
+
+def _st_ahash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERCEPTUAL ingest screen: incoming IMAGE payload files
+    drain in micro-batches, are aHash-signatured inside Arrow workers,
+    and band-join the persisted corpus signature index (one long per
+    corpus image — the cheapest corpus state of any screen; payload
+    bytes are never re-decoded at drain time, by construction).  The
+    multimodal member of the ingest-screen family; every batch doc's
+    near-identical twin lives in the corpus by construction and must be
+    caught.  The oracle replays signatures arithmetically and takes the
+    all-pairs batch × corpus form, which pigeonhole makes exactly equal
+    to the banded screen."""
+    from astro_spark.functions.multimodal import image_ahash
+    from astro_spark.streaming import signature_screen_stream
+
+    _views(spark, sf_dir)
+    payloads = _synth_image_payloads(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="astro_sig_idx_")
+    image_ahash(payloads.where("doc_id % 7 != 0")).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    src_dir = tempfile.mkdtemp(prefix="astro_sig_src_")
+    batch = payloads.where("doc_id % 7 = 0")
+    batch.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src_dir)
+    batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
+    out = signature_screen_stream(
+        spark, src_dir, image_ahash, idx_dir, sig_col="ahash",
+        max_hamming=4, max_files_per_trigger=1,
+    )
+    return out.orderBy("batch_id", "corpus_id")
+
+
+_ST_AHASH_SCREEN_DUCK = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+px AS (
+  SELECT doc_id, doc_id // 2 AS seed,
+         ((doc_id // 2) % 7 + 6) * ((doc_id // 2) % 5 + 6) AS n
+  FROM ids
+),
+g AS (
+  SELECT doc_id, j,
+         ((((seed * 1009 + 3 * j) * (seed * 1009 + 3 * j)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j < 6 THEN 40 ELSE 0 END) % 256
+          + (((seed * 1009 + 3 * j + 1) * (seed * 1009 + 3 * j + 1)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j + 1 < 6 THEN 40 ELSE 0 END) % 256
+          + (((seed * 1009 + 3 * j + 2) * (seed * 1009 + 3 * j + 2)) % 1000003 % 256
+           + CASE WHEN doc_id % 2 = 1 AND 3 * j + 2 < 6 THEN 40 ELSE 0 END) % 256
+         ) // 3 AS gray
+  FROM px, LATERAL (SELECT unnest(range(0, n)) AS j)
+),
+m AS (SELECT doc_id, SUM(gray) // COUNT(*) AS mean FROM g GROUP BY doc_id),
+a AS (
+  SELECT g.doc_id,
+         SUM(CASE WHEN g.gray > m.mean AND g.j < 62
+                  THEN (CAST(1 AS BIGINT) << g.j) ELSE 0 END)::BIGINT AS ahash
+  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+)
+SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       bit_count(xor(b.ahash, c.ahash))::BIGINT AS hamming
+FROM a b JOIN a c
+  ON b.doc_id % 7 = 0 AND c.doc_id % 7 != 0
+WHERE bit_count(xor(b.ahash, c.ahash)) <= 4
+ORDER BY batch_id, corpus_id
 """
 
 
@@ -5491,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_exchange_reuse": _op_exchange_reuse,
             "mm_ahash_pairs": _mm_ahash_pairs,
             "mm_audio_fp_pairs": _mm_audio_fp_pairs,
+            "st_ahash_screen": _st_ahash_screen,
         }
     )
     # The driver verifies the first ~50 queries() entries in insertion order
@@ -5525,6 +5597,7 @@ _DRIVER_PRIORITY = [
     "op_exchange_reuse",
     "mm_ahash_pairs",
     "mm_audio_fp_pairs",
+    "st_ahash_screen",
     "q_range_frame",
     "q_range_join",
     "q_retention",
@@ -6028,6 +6101,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,
             "mm_audio_fp_pairs": _MM_AUDIO_FP_PAIRS_DUCK,
+            "st_ahash_screen": _ST_AHASH_SCREEN_DUCK,
             "t_pad_encode": _t_pad_encode_duck(),
             "dd_containment_kept": oracles.containment_dedup_sql(),
             "dd_containment_incr": oracles.containment_incremental_sql(),

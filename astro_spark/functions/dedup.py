@@ -364,6 +364,71 @@ def hash_hamming_pairs(
     return _materialize_and_release(out, base)
 
 
+def hash_hamming_incremental_pairs(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = 62,
+    n_chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Ingest-time banded hamming screen: which BATCH signatures sit
+    within ``max_hamming`` of an EXISTING corpus signature — the
+    batch-vs-corpus form of ``hash_hamming_pairs`` (never
+    |batch| × |corpus|: both sides chunk-band, candidates come from
+    bucket co-occurrence, pigeonhole keeps it exact for
+    max_hamming < n_chunks).  Works for ANY ≤62-bit signature family —
+    text SimHash, image aHash, audio fingerprints — making perceptual
+    screening a first-class member of the incremental screen family
+    (exact anti-join / Bloom / MinHash / containment / this).
+    Returns (batch_id, corpus_id, hamming).
+    """
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"hash_hamming_incremental_pairs: n_chunks={n_chunks} must "
+            f"exceed max_hamming={max_hamming} (pigeonhole soundness)"
+        )
+    chunk_bits = bits // n_chunks + (1 if bits % n_chunks else 0)
+
+    def banded(df, side):
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(hash_col).alias(f"{side}_sh"),
+        ).select(
+            f"{side}_id",
+            f"{side}_sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright(F.col(f"{side}_sh"), c * chunk_bits)
+                            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                            .alias("ch"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select(
+            f"{side}_id", f"{side}_sh",
+            F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"),
+        )
+
+    cand = (
+        banded(batch_sigs, "batch")
+        .join(banded(corpus_sigs, "corpus"), on=["chunk", "ch"])
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    hamming = F.bit_count(F.col("batch_sh").bitwiseXOR(F.col("corpus_sh")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("batch_id", "corpus_id", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -14,6 +14,7 @@ from .load_stream import (
 from .sessions import (
     bloom_screen_stream,
     containment_screen_stream,
+    signature_screen_stream,
     dedup_stream,
     kmv_stream,
     minhash_screen_stream,
@@ -28,6 +29,7 @@ from .windows import (
 
 __all__ = [
     "aggregate_mv_stream",
+    "signature_screen_stream",
     "compact_mv_partials",
     "bloom_screen_stream",
     "containment_screen_stream",

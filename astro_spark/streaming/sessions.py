@@ -500,6 +500,67 @@ def weighted_sample_stream(
     return spark.createDataFrame(data, out_schema)
 
 
+def signature_screen_stream(
+    spark: SparkSession,
+    input_path: str,
+    sig_fn,
+    index_path: str,
+    sig_col: str = "sig",
+    max_hamming: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming PERCEPTUAL near-dup screen: each micro-batch of binary
+    payloads (images, audio clips — any modality with a 62-bit
+    signature function) is signatured inside Arrow workers
+    (``sig_fn``: e.g. ``multimodal.image_ahash`` /
+    ``multimodal.audio_fingerprint``) and banded-hamming-joined against
+    a PERSISTED corpus signature index — the multimodal member of the
+    ingest-screen family (exact / Bloom / MinHash / containment /
+    this).
+
+    The index at ``index_path`` is a tiny (id, <sig_col>) parquet
+    relation — ONE long per corpus item, the cheapest corpus state of
+    any screen here — written by signaturing the corpus once and
+    appended per accepted batch (the ivf/containment index-maintenance
+    pattern).  Each drain reads signatures only: corpus payload BYTES
+    are never re-decoded, by construction.  Per-batch results land in
+    idempotent per-batch-id dirs.  Returns (batch_id, corpus_id,
+    hamming) across the whole drain; screens are per-item independent,
+    so the drained union equals the one-shot screen.
+    """
+    import tempfile
+
+    from ..functions.dedup import hash_hamming_incremental_pairs
+
+    inv = spark.read.parquet(index_path).select("id", sig_col)
+
+    out_dir = tempfile.mkdtemp(prefix="astro_sig_screen_")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        sigs = sig_fn(batch_df).select("id", sig_col)
+        pairs = hash_hamming_incremental_pairs(
+            sigs, inv, id_col="id", hash_col=sig_col,
+            max_hamming=max_hamming,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    query = (
+        stream.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = read_batch_dirs(
+        spark, out_dir, "batch_id long, corpus_id long, hamming long"
+    )
+    return out.select("batch_id", "corpus_id", "hamming")
+
+
 def containment_screen_stream(
     spark: SparkSession,
     input_path: str,

@@ -500,6 +500,61 @@ class TestMinhashScreenStream:
             minhash_screen_stream(spark, str(tmp_path))
 
 
+class TestSignatureScreenStream:
+    def test_drained_union_equals_one_shot_screen(self, spark, tmp_path):
+        """Perceptual image screen: the multi-batch drain against a
+        persisted aHash index equals the one-shot batch-vs-corpus
+        banded hamming screen, and each batch twin is caught."""
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.dedup import hash_hamming_incremental_pairs
+        from astro_spark.functions.multimodal import image_ahash
+        from astro_spark.streaming import signature_screen_stream
+
+        def png(seed, perturb=False):
+            w = h = 8
+            pix = bytearray(
+                ((seed * 1009 + i) ** 2) % 1000003 % 256
+                for i in range(w * h * 3)
+            )
+            if perturb:
+                for i in range(3):
+                    pix[i] = (pix[i] + 40) % 256
+            return mc.encode_png(bytes(pix), w, h, 3)
+
+        corpus = spark.createDataFrame(
+            [(100, "image/png", png(1)), (101, "image/png", png(2))],
+            "doc_id long, media_type string, payload binary",
+        )
+        batch = spark.createDataFrame(
+            [(1, "image/png", png(1, perturb=True)),
+             (2, "image/png", png(9))],
+            "doc_id long, media_type string, payload binary",
+        )
+        idx = str(tmp_path / "sig_idx")
+        image_ahash(corpus).write.parquet(idx)
+        src = tmp_path / "in"
+        src.mkdir()
+        batch.where("doc_id = 1").coalesce(1).write.mode("append").parquet(str(src))
+        batch.where("doc_id = 2").coalesce(1).write.mode("append").parquet(str(src))
+
+        streamed = {
+            (r.batch_id, r.corpus_id, r.hamming)
+            for r in signature_screen_stream(
+                spark, str(src), image_ahash, idx, sig_col="ahash",
+                max_hamming=4, max_files_per_trigger=1,
+            ).collect()
+        }
+        one_shot = {
+            (r.batch_id, r.corpus_id, r.hamming)
+            for r in hash_hamming_incremental_pairs(
+                image_ahash(batch), image_ahash(corpus),
+                id_col="id", hash_col="ahash", max_hamming=4,
+            ).collect()
+        }
+        assert streamed == one_shot
+        assert {(b, c) for b, c, _ in streamed} == {(1, 100)}  # twin caught
+
+
 class TestDriftScreenStream:
     def test_per_batch_histograms_tile_the_full_candidate(self, spark, tmp_path):
         """Drained one file per micro-batch: per-bin n_cand summed over
