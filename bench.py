@@ -131,6 +131,7 @@ HEADLINE = [
     "op_exchange_reuse",
     "mm_ahash_pairs",
     "mm_audio_fp_pairs",
+    "st_ahash_screen",
 ]
 
 
