@@ -389,6 +389,10 @@ def hash_hamming_incremental_pairs(
             f"hash_hamming_incremental_pairs: n_chunks={n_chunks} must "
             f"exceed max_hamming={max_hamming} (pigeonhole soundness)"
         )
+    if bits > 62:
+        raise ValueError(
+            "hash_hamming_incremental_pairs: bits must be ≤ 62 (sign bit)"
+        )
     chunk_bits = bits // n_chunks + (1 if bits % n_chunks else 0)
 
     def banded(df, side):

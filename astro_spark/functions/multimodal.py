@@ -310,6 +310,11 @@ def audio_fingerprint(
         code = {1: "B", 2: "h", 4: "i"}[d["sample_width"]]
         samples = array.array(code, d["pcm"])
         n = len(samples)
+        if n == 0:
+            raise ValueError(
+                "audio_fingerprint: empty PCM payload (zero samples) — "
+                "a valid-but-empty WAV has no energy envelope to hash"
+            )
         sums = [0] * 62
         cnts = [0] * 62
         total = 0

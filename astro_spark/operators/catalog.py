@@ -300,15 +300,22 @@ def recover_table(spark: SparkSession, table: Table | str) -> int:
     ]
     n = 0
     for man_path in manifests:
+        # Read OUTSIDE the corrupt-manifest handler: a transient IO error
+        # (object-store hiccup, permission blip) must propagate — a complete
+        # manifest marks a DECIDED commit that must roll forward, and
+        # deleting it on a read failure would silently roll the commit back
+        # and lose the update when vacuum later reaps the stage (ADVICE r8).
+        raw = _read_small_file(spark, fs, man_path)
         try:
-            man = json.loads(_read_small_file(spark, fs, man_path))
+            man = json.loads(raw)
             gen, stage_name = man["gen"], man["stage"]
-        except Exception:
+        except (ValueError, KeyError, TypeError):
             # truncated/corrupt manifest = the crash hit MID-manifest-write,
             # i.e. BEFORE the commit's decision point (the manifest write IS
             # the decision).  The commit never happened: delete the manifest
             # so the single-writer guard unwedges, and leave the inert stage
-            # dir for vacuum_table (ADVICE r7)
+            # dir for vacuum_table (ADVICE r7).  json.JSONDecodeError is a
+            # ValueError subclass.
             fs.delete(man_path, False)
             continue
         staged = HPath(root, stage_name)

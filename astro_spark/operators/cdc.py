@@ -392,31 +392,67 @@ def expire_applied_seq(
     disorder (e.g. the upstream retention window), exactly the
     DLT/Debezium tombstone-retention contract.
 
-    Returns the number of sidecar entries dropped.  The rewrite stages
-    through a temp directory (the ``compact_mv_partials`` pattern —
-    Spark cannot overwrite a table it is reading) and costs one scan of
-    the sidecar + an anti-join against target KEYS only, never target
-    data columns.
+    Returns the number of sidecar entries dropped.  Costs one scan of
+    the sidecar + a null-safe liveness join against target KEYS only,
+    never target data columns.  The rewrite reuses the copy-on-write
+    manifest commit (``merge.py:_cow_swap_files``): the kept rows stage
+    inside the sidecar's own location, the manifest is persisted before
+    the rename/delete window, and ``recover_table`` rolls any
+    interrupted rewrite forward — a crash can never lose the sidecar
+    (it is the feed's ordering + tombstone-resurrection guard, and this
+    runs after every drain when wired into the stream).
     """
-    import tempfile
-
-    from .load_file import save_dataframe_as_table
-
     sidecar = _seq_sidecar(target_table)
     if not spark.catalog.tableExists(sidecar.qualified_name):
         return 0
     side = spark.table(sidecar.qualified_name)
-    live_keys = spark.table(target_table.qualified_name).select(*key_cols)
-    expired = side.join(live_keys, on=key_cols, how="left_anti").where(
-        F.col("__seq") < F.lit(older_than_seq)
+    # Null-safe liveness probe: apply_changes supports NULL-keyed rows,
+    # and plain left_anti SQL equality never matches NULL = NULL — it
+    # would classify a LIVE NULL-keyed target row's sidecar entry as
+    # dead and expire it, reopening the resurrection window for exactly
+    # the rows the struct-wrapped dup guard protects.
+    live = (
+        spark.table(target_table.qualified_name)
+        .select(*key_cols)
+        .distinct()
+        .withColumn("__live", F.lit(True))
     )
-    n = expired.count()
+    cond = None
+    for k in key_cols:
+        eq = side[k].eqNullSafe(live[k])
+        cond = eq if cond is None else (cond & eq)
+    marked = side.join(live, on=cond, how="left").select(
+        side["*"], live["__live"]
+    )
+    dead_expired = F.coalesce(
+        F.col("__live").isNull() & (F.col("__seq") < F.lit(older_than_seq)),
+        F.lit(False),
+    )
+    n = marked.where(dead_expired).count()
     if n == 0:
         return 0
-    kept = side.join(
-        expired.select(*key_cols), on=key_cols, how="left_anti"
-    )
+    kept = marked.where(~dead_expired).drop("__live")
+    location = _parquet_location(spark, sidecar.qualified_name)
+    if location is not None:
+        old_files = list(spark.table(sidecar.qualified_name).inputFiles())
+        _cow_swap_files(
+            spark, sidecar.qualified_name, location, old_files, kept
+        )
+        return n
+    # temp-view sidecar: no filesystem location to COW-commit into —
+    # stage through a temp dir (Spark cannot overwrite a table it is
+    # reading), detach via eager localCheckpoint, and clean the staging
+    # directory up.
+    import shutil
+    import tempfile
+
+    from .load_file import save_dataframe_as_table
+
     staging = tempfile.mkdtemp(prefix="astro_seq_expire_")
-    kept.write.mode("overwrite").parquet(staging)
-    save_dataframe_as_table(spark.read.parquet(staging), sidecar)
+    try:
+        kept.write.mode("overwrite").parquet(staging)
+        detached = spark.read.parquet(staging).localCheckpoint(eager=True)
+        save_dataframe_as_table(detached, sidecar)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return n

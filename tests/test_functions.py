@@ -1076,6 +1076,39 @@ class TestMultimodal:
         with _pytest.raises(ValueError, match="pigeonhole"):
             hash_hamming_pairs(df, max_hamming=5, n_chunks=5)
 
+    def test_hash_hamming_guards_match_between_batch_and_incremental(
+        self, spark
+    ):
+        """The incremental screen enforces the SAME 62-bit ceiling as
+        its batch sibling (ADVICE r9): a 63-bit signature must raise in
+        both paths, not silently band wrong in one of them."""
+        import pytest as _pytest
+
+        from astro_spark.functions.dedup import (
+            hash_hamming_incremental_pairs,
+            hash_hamming_pairs,
+        )
+
+        df = spark.createDataFrame([(1, 3)], "id long, sh long")
+        with _pytest.raises(ValueError, match="62"):
+            hash_hamming_pairs(df, bits=63)
+        with _pytest.raises(ValueError, match="62"):
+            hash_hamming_incremental_pairs(df, df, bits=63)
+
+    def test_audio_fingerprint_empty_pcm_raises_clearly(self, spark):
+        """A valid-but-empty WAV (zero samples) raises a clear
+        ValueError instead of crashing the Arrow task with an opaque
+        ZeroDivisionError (ADVICE r9)."""
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.multimodal import audio_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "audio/wav", mc.encode_wav(b""))],
+            "doc_id long, media_type string, payload binary",
+        )
+        with pytest.raises(Exception, match="empty PCM"):
+            audio_fingerprint(df).collect()
+
     def test_decode_unknown_type_raises(self):
         # video genuinely needs ffmpeg — still gated
         with pytest.raises(NotImplementedError):

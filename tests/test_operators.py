@@ -1599,6 +1599,34 @@ class TestApplyChanges:
         got = {(r.k, r.v) for r in spark.table(t.name).collect()}
         assert got == {(1, "a1")}
 
+    def test_expire_applied_seq_null_key_live_survives(self, spark):
+        """A LIVE NULL-keyed target row's sidecar entry must survive
+        expiry: plain SQL equality never matches NULL = NULL, so the
+        liveness probe must be null-safe (ADVICE r9) — otherwise the
+        entry is classified dead and expired, reopening the
+        resurrection window for exactly the NULL-keyed rows
+        apply_changes explicitly supports."""
+        from astro_spark.operators.cdc import (
+            _seq_sidecar,
+            apply_changes,
+            expire_applied_seq,
+        )
+
+        t = self._target(spark, [(1, "a")])
+        changes = spark.createDataFrame(
+            [(None, "n1", "I", 5), (2, None, "D", 3)],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(spark, t, changes, ["k"], seq_col="seq", track_seq=True)
+        side = _seq_sidecar(t)
+        # NULL key is live in the target; key 2 is a dead old tombstone
+        assert expire_applied_seq(spark, t, ["k"], 10) == 1
+        kept = {
+            (r.k, r["__seq"])
+            for r in spark.table(side.qualified_name).collect()
+        }
+        assert kept == {(None, 5)}
+
     def test_null_keyed_unique_rows_pass_the_seqless_guard(self, spark):
         """The seq-less duplicate-key guard is NULL-safe: count_distinct
         over bare key columns SKIPS null-keyed rows, which falsely
