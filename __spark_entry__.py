@@ -5575,68 +5575,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-8 driver-verification order (the driver checks the FIRST 50
-# entries): the 3 round-8 additions that have never had a driver row
-# lead, then the 18 queries whose latest driver row is r03 (the oldest
-# cohort), then 29 of the 43 r04-stale entries (alphabetical; the
-# leftover 14 queue right behind the window as next round's stalest).
-# _ROTATION_BUILT_FOR_ROUND pins the r-file horizon this order was
-# computed from, so tests/test_contract.py stays green AFTER the driver
-# publishes CORRECTNESS_r08.json (the r07 rotation went red the moment
-# its own results landed — VERDICT r7 #1).
-_ROTATION_BUILT_FOR_ROUND = 8
+# Round-9 driver-verification order (the driver checks the FIRST 50
+# entries): round-9 additions that have never had a driver row lead
+# (prepended as they land), then the 22 queries whose latest driver row
+# is r04 (the stalest cohort), then the alphabetically-first r05-stale
+# entries up to the window; the r05 leftovers queue right behind as
+# next round's stalest.  _ROTATION_BUILT_FOR_ROUND pins the r-file
+# horizon this order was computed from, so tests/test_contract.py stays
+# green AFTER the driver publishes CORRECTNESS_r09.json (VERDICT r7 #1).
+_ROTATION_BUILT_FOR_ROUND = 9
 
 _DRIVER_PRIORITY = [
-    "st_containment_indexed",
-    "op_merge_cow_scope",
-    "op_mv_incremental",
-    "st_minhash_indexed",
-    "op_seq_expire",
-    "op_bucketed_screen",
-    "op_codegen",
-    "op_exchange_reuse",
-    "mm_ahash_pairs",
-    "mm_audio_fp_pairs",
-    "st_ahash_screen",
-    "q_range_frame",
-    "q_range_join",
-    "q_retention",
-    "q_rollup_lineitem",
-    "q_running_total",
-    "q_semijoin_parts",
-    "q_session_window",
-    "q_setops_customers",
-    "q_string_agg",
-    "q_unpivot",
-    "q_window_top_suppliers",
-    "s_pq_topk",
-    "st_late_data",
-    "st_multi_sink",
-    "t_classify",
-    "t_cms_top_terms",
-    "t_collocations",
-    "t_tfidf",
-    "dd_bloom",
-    "dd_cross_source",
-    "dd_minhash_incr",
-    "dd_pagerank",
-    "dd_quality_rep",
-    "dd_semantic",
-    "dd_semantic_kept",
-    "dd_semantic_np",
-    "dd_span_removal",
-    "dd_threshold_sweep",
-    "op_check_outliers",
-    "op_check_referential",
-    "op_dataframe_bridge",
-    "op_merge_exception",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -5645,7 +5594,6 @@ _DRIVER_PRIORITY = [
     "s_ivf_index_append",
     "s_ivf_indexed_topk",
     "s_ivf_pq_topk",
-    # --- below the 50-slot window: the r04 leftovers, next in line ---
     "s_knn_graph",
     "s_knn_graph_probe",
     "s_recall_report",
@@ -5660,6 +5608,56 @@ _DRIVER_PRIORITY = [
     "t_dsir",
     "t_langid_eval",
     "t_sample_n",
+    "dd_clusters",
+    "dd_clusters_star",
+    "dd_decontaminate",
+    "dd_embedding_cosine",
+    "dd_embedding_cosine_np",
+    "dd_exact",
+    "dd_incremental",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_normalized",
+    "dd_simhash",
+    "mm_features",
+    "mm_frames",
+    "op_catalog",
+    "op_check_column",
+    "op_check_table",
+    "op_compact",
+    "op_dml",
+    "op_lifecycle",
+    "op_merge_update",
+    "op_merge_update_part",
+    "op_profile",
+    "op_raw_sql",
+    "op_skew_report",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q19_disjunct_revenue",
+    # --- below the 50-slot window: the r05 leftovers, next in line ---
+    "q1_pricing_summary",
+    "q22_global_balance",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q_cohort_retention",
+    "q_ewma_windowed",
+    "q_funnel_steps",
+    "q_scd2_enrich",
+    "s_cell_balance",
+    "s_hard_negatives",
+    "st_kmv_distinct",
+    "st_mv_refresh",
+    "t_budget_select",
+    "t_fingerprint",
+    "t_hash_split",
+    "t_lang_id",
+    "t_novelty",
+    "t_pii_stats",
+    "t_quality_metrics",
+    "t_token_counts",
+    "t_weighted_sample",
 ]
 
 
