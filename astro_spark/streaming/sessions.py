@@ -256,13 +256,21 @@ def read_batch_dirs(spark: SparkSession, out_dir: str, empty_schema: str):
     raises path-not-found — return an empty frame with the screen's
     schema instead (ADVICE r7).  ``empty_schema`` is a DDL string; the
     ``batch_id`` partition column comes back as LONG either way.
+
+    The matched dirs are passed as CONCRETE paths, never the glob
+    string: ``FileStreamSink.hasMetadata`` stats each input path
+    verbatim, and a literal ``batch=*`` path does not exist — Spark
+    logs the resulting FileNotFoundException with a ~40-frame stack at
+    WARN on every drain read, polluting any capture window watching
+    the driver (VERDICT r8 #3).  Real dirs stat cleanly.
     """
     import glob as _glob
     import os as _os
 
-    if not _glob.glob(_os.path.join(out_dir, "batch=*")):
+    dirs = sorted(_glob.glob(_os.path.join(out_dir, "batch=*")))
+    if not dirs:
         return spark.createDataFrame([], empty_schema)
-    return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return spark.read.option("basePath", out_dir).parquet(*dirs)
 
 
 def minhash_screen_stream(
