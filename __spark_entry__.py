@@ -1620,6 +1620,50 @@ def _st_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("batch_id", "corpus_id", "containment")
 
 
+def _st_screen_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-screening containment drain (VERDICT r8 #2): with
+    ``self_screen=True`` each batch's ACCEPTED shingles append to the
+    persisted index inside ``foreachBatch``, so batch N screens against
+    corpus + accepted batches < N.  File 2 carries exact re-posts
+    (doc_id + 1000000) of file 1's docs — catchable ONLY through the
+    within-drain index append; the oracle replays the batch order
+    (screen file 1 vs corpus, append accepted, screen file 2 vs the
+    union)."""
+    import glob as _glob
+    import time as _time
+
+    from astro_spark.streaming import containment_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 7 != 0")
+    f1 = docs.where("doc_id % 7 = 0 AND doc_id % 2 = 0").select(
+        "doc_id", "text"
+    )
+    f2 = docs.where("doc_id % 7 = 0 AND doc_id % 2 = 1").select(
+        "doc_id", "text"
+    ).unionByName(
+        f1.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
+    idx_dir = tempfile.mkdtemp(prefix="astro_selfscr_idx_")
+    dedup.build_containment_index(corpus, idx_dir)
+    src_dir = tempfile.mkdtemp(prefix="astro_selfscr_src_")
+    # strictly increasing mtimes pin the batch order the oracle replays
+    t0 = _time.time()
+    for i, df in enumerate([f1, f2]):
+        before = set(_glob.glob(f"{src_dir}/*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+        for p in set(_glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    out = containment_screen_stream(
+        spark, src_dir, index_path=idx_dir,
+        max_files_per_trigger=1, self_screen=True,
+    )
+    return out.select("batch_id", "corpus_id", "containment")
+
+
 def _dd_containment_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """containment_dedup: the dedup ACTION on the containment pairs —
     docs mostly contained in a strictly-larger doc drop, containers
@@ -5553,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_containment_incr": _dd_containment_incr,
             "st_containment": _st_containment,
             "st_containment_indexed": _st_containment_indexed,
+            "st_screen_self_dedup": _st_screen_self_dedup,
             "op_merge_cow_scope": _op_merge_cow_scope,
             "op_mv_incremental": _op_mv_incremental,
             "st_minhash_indexed": _st_minhash_indexed,
@@ -5586,6 +5631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROTATION_BUILT_FOR_ROUND = 9
 
 _DRIVER_PRIORITY = [
+    # round-9 additions: never driver-checked, must sit in the head-50
+    "st_screen_self_dedup",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -6105,6 +6152,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "dd_containment_incr": oracles.containment_incremental_sql(),
             "st_containment": oracles.containment_incremental_sql(),
             "st_containment_indexed": oracles.containment_incremental_sql(),
+            "st_screen_self_dedup": oracles.containment_self_screen_sql(),
         }
     )
     return out

@@ -2280,3 +2280,60 @@ SELECT s.bid AS batch_id, s.cid AS corpus_id,
 FROM shared s JOIN b_sizes z USING (bid)
 WHERE round(s.shared::DOUBLE / z.n_b, 4) >= {CONTAINMENT_THRESHOLD}
 """
+
+def containment_self_screen_sql(table: str = "documents") -> str:
+    """Batch-order replay of the self-screening containment drain
+    (``containment_screen_stream(self_screen=True)``): file 1 (batch
+    docs with even doc_id) screens against the corpus index; its
+    ACCEPTED docs join the index; file 2 (odd batch docs plus exact
+    re-posts of file 1 at doc_id + 1000000) then screens against
+    corpus + accepted-file-1 — the re-posts are catchable ONLY through
+    the within-drain index append."""
+    from .constants import CONTAINMENT_THRESHOLD
+
+    sh = shingle_hashes(tokens("text"))
+    return f"""
+WITH f1 AS (
+  SELECT doc_id AS bid, {sh} AS sh
+  FROM {table} WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+),
+f2 AS (
+  SELECT doc_id AS bid, {sh} AS sh
+  FROM {table} WHERE doc_id % 7 = 0 AND doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS bid, {sh} AS sh
+  FROM {table} WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+),
+c AS (
+  SELECT doc_id AS cid, {sh} AS sh
+  FROM {table} WHERE doc_id % 7 != 0
+),
+p1 AS (
+  SELECT bi.bid, ci.cid,
+         round(count(*)::DOUBLE / any_value(z.n_b), 4) AS containment
+  FROM (SELECT bid, unnest(sh) AS h FROM f1) bi
+  JOIN (SELECT cid, unnest(sh) AS h FROM c) ci USING (h)
+  JOIN (SELECT bid, len(sh) AS n_b FROM f1) z ON z.bid = bi.bid
+  GROUP BY bi.bid, ci.cid
+  HAVING round(count(*)::DOUBLE / any_value(z.n_b), 4)
+         >= {CONTAINMENT_THRESHOLD}
+),
+c2 AS (
+  SELECT cid, sh FROM c
+  UNION ALL
+  SELECT bid AS cid, sh FROM f1
+  WHERE bid NOT IN (SELECT DISTINCT bid FROM p1)
+),
+p2 AS (
+  SELECT bi.bid, ci.cid,
+         round(count(*)::DOUBLE / any_value(z.n_b), 4) AS containment
+  FROM (SELECT bid, unnest(sh) AS h FROM f2) bi
+  JOIN (SELECT cid, unnest(sh) AS h FROM c2) ci USING (h)
+  JOIN (SELECT bid, len(sh) AS n_b FROM f2) z ON z.bid = bi.bid
+  GROUP BY bi.bid, ci.cid
+  HAVING round(count(*)::DOUBLE / any_value(z.n_b), 4)
+         >= {CONTAINMENT_THRESHOLD}
+),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT bid AS batch_id, cid AS corpus_id, containment FROM u
+"""

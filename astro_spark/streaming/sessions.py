@@ -282,6 +282,7 @@ def minhash_screen_stream(
     threshold: float = None,
     max_files_per_trigger: int | None = None,
     index_path: str | None = None,
+    self_screen: bool = False,
 ) -> DataFrame:
     """Streaming NEAR-dup screen: each micro-batch's MinHash bands join
     the corpus banding relation, with exact-Jaccard verification —
@@ -300,16 +301,35 @@ def minhash_screen_stream(
     Pairs append per batch to a result directory (idempotent layout:
     one subdir per batch id).  Returns (batch_id, corpus_id, jaccard)
     across the whole drain.
+
+    ``self_screen=True`` (requires ``index_path``): each batch's
+    ACCEPTED docs' banding rows append to the index inside
+    ``foreachBatch`` (``update_minhash_index``), so batch N screens
+    against corpus + accepted batches < N — two near-dup docs arriving
+    in different batches of one drain no longer both pass
+    (``incremental_exact_dedup`` semantics; twins INSIDE one
+    micro-batch still both pass).  A failed-and-re-run batch may append
+    its banding rows twice; duplicate rows only duplicate candidates,
+    which the verifier deduplicates — emitted pairs are unchanged.
     """
     import tempfile
 
     from ..functions.constants import MINHASH_JACCARD_THRESHOLD
-    from ..functions.dedup import _banded, minhash_incremental_pairs
+    from ..functions.dedup import (
+        _banded,
+        minhash_incremental_pairs,
+        update_minhash_index,
+    )
 
     if (corpus_df is None) == (index_path is None):
         raise ValueError(
             "minhash_screen_stream: pass exactly one of corpus_df "
             "(rebuild per drain) or index_path (persisted index)"
+        )
+    if self_screen and index_path is None:
+        raise ValueError(
+            "minhash_screen_stream: self_screen=True appends accepted "
+            "batches to the index and needs index_path"
         )
     threshold = threshold or MINHASH_JACCARD_THRESHOLD
     if index_path is not None:
@@ -328,11 +348,31 @@ def minhash_screen_stream(
     stream = reader.parquet(input_path)
 
     def _screen(batch_df, batch_id: int) -> None:
+        corpus_banded = (
+            # fresh file listing per batch: prior accepted batches'
+            # banding rows are new index files invisible to the
+            # drain-start plan
+            batch_df.sparkSession.read.parquet(index_path)
+            if self_screen
+            else banded
+        )
         pairs = minhash_incremental_pairs(
             batch_df, corpus_df, text_col, id_col, threshold,
-            corpus_banded=banded,
+            corpus_banded=corpus_banded,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if self_screen:
+            # read the just-written tiny pair file back rather than
+            # re-executing the (lazy) screen plan a second time
+            flagged = (
+                batch_df.sparkSession.read.parquet(
+                    f"{out_dir}/batch={batch_id}"
+                )
+                .select(F.col("batch_id").alias(id_col))
+                .distinct()
+            )
+            accepted = batch_df.join(flagged, on=id_col, how="left_anti")
+            update_minhash_index(accepted, index_path, text_col, id_col)
 
     query = (
         stream.writeStream.foreachBatch(_screen)
@@ -516,6 +556,7 @@ def signature_screen_stream(
     sig_col: str = "sig",
     max_hamming: int = 4,
     max_files_per_trigger: int | None = None,
+    self_screen: bool = False,
 ) -> DataFrame:
     """Streaming PERCEPTUAL near-dup screen: each micro-batch of binary
     payloads (images, audio clips — any modality with a 62-bit
@@ -533,8 +574,21 @@ def signature_screen_stream(
     pattern).  Each drain reads signatures only: corpus payload BYTES
     are never re-decoded, by construction.  Per-batch results land in
     idempotent per-batch-id dirs.  Returns (batch_id, corpus_id,
-    hamming) across the whole drain; screens are per-item independent,
-    so the drained union equals the one-shot screen.
+    hamming) across the whole drain.
+
+    ``self_screen=False`` (default): screens are per-item independent
+    against the index as it stood at drain start — the drained union
+    equals the one-shot screen, but two near-dup items arriving in
+    DIFFERENT batches of the same drain both pass (the caller appends
+    accepted signatures afterwards).  ``self_screen=True`` closes that
+    window: each batch's ACCEPTED (un-flagged) signatures append to
+    the index inside ``foreachBatch``, so batch N screens against
+    corpus + accepted batches < N — ``incremental_exact_dedup``
+    semantics, with per-batch granularity (twins INSIDE one micro-batch
+    still both pass; ``max_files_per_trigger=1`` narrows the window to
+    one file).  A failed-and-re-run batch may append its signatures
+    twice; duplicate index rows cost re-screen work but never change
+    which pairs are emitted (hamming pairs are per-id, deduplicated).
     """
     import tempfile
 
@@ -550,12 +604,28 @@ def signature_screen_stream(
     stream = reader.parquet(input_path)
 
     def _screen(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        corpus_sigs = (
+            # fresh file listing per batch: prior batches' accepted
+            # signatures are new index files invisible to the
+            # drain-start plan
+            sess.read.parquet(index_path).select("id", sig_col)
+            if self_screen
+            else inv
+        )
         sigs = sig_fn(batch_df).select("id", sig_col)
         pairs = hash_hamming_incremental_pairs(
-            sigs, inv, id_col="id", hash_col=sig_col,
+            sigs, corpus_sigs, id_col="id", hash_col=sig_col,
             max_hamming=max_hamming,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if self_screen:
+            flagged = pairs.select(
+                F.col("batch_id").alias("id")
+            ).distinct()
+            sigs.join(flagged, on="id", how="left_anti").write.mode(
+                "append"
+            ).parquet(index_path)
 
     query = (
         stream.writeStream.foreachBatch(_screen)
@@ -578,6 +648,7 @@ def containment_screen_stream(
     threshold: float | None = None,
     max_files_per_trigger: int | None = None,
     index_path: str | None = None,
+    self_screen: bool = False,
 ) -> DataFrame:
     """Streaming containment screen: each micro-batch of incoming docs
     is checked for being mostly CONTAINED in an existing corpus doc
@@ -585,6 +656,17 @@ def containment_screen_stream(
     complement of ``minhash_screen_stream`` (that one catches
     near-dups; symmetric Jaccard misses a small doc wrapped in a big
     one).
+
+    ``self_screen=True`` (requires ``index_path``): each batch's
+    ACCEPTED docs' shingles append to the inverted index inside
+    ``foreachBatch`` (``update_containment_index``), so batch N screens
+    against corpus + accepted batches < N — a re-post arriving two
+    batches after its accepted original is caught within the same
+    drain (``incremental_exact_dedup`` semantics; containment INSIDE
+    one micro-batch still passes).  Exactly-once caveat: a
+    failed-and-re-run batch would append its shingles twice, inflating
+    later batches' shared-shingle counts — acceptable for a screen
+    (over-flagging toward review), never under-flagging.
 
     Two corpus-side modes:
 
@@ -611,12 +693,18 @@ def containment_screen_stream(
     from ..functions.dedup import (
         containment_incremental_pairs,
         shingle_hash_array,
+        update_containment_index,
     )
 
     if (corpus_df is None) == (index_path is None):
         raise ValueError(
             "containment_screen_stream: pass exactly one of corpus_df "
             "(rebuild per drain) or index_path (persisted index)"
+        )
+    if self_screen and index_path is None:
+        raise ValueError(
+            "containment_screen_stream: self_screen=True appends "
+            "accepted batches to the index and needs index_path"
         )
     threshold = threshold if threshold is not None else CONTAINMENT_THRESHOLD
     if index_path is not None:
@@ -640,11 +728,29 @@ def containment_screen_stream(
     stream = reader.parquet(input_path)
 
     def _screen(batch_df, batch_id: int) -> None:
+        corpus_inv = (
+            # fresh file listing per batch: prior accepted batches'
+            # shingles are new index files invisible to the
+            # drain-start plan
+            batch_df.sparkSession.read.parquet(index_path).select("cid", "h")
+            if self_screen
+            else inv
+        )
         pairs = containment_incremental_pairs(
             batch_df, corpus_df, text_col, id_col, threshold,
-            corpus_inverted=inv,
+            corpus_inverted=corpus_inv,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if self_screen:
+            flagged = (
+                batch_df.sparkSession.read.parquet(
+                    f"{out_dir}/batch={batch_id}"
+                )
+                .select(F.col("batch_id").alias(id_col))
+                .distinct()
+            )
+            accepted = batch_df.join(flagged, on=id_col, how="left_anti")
+            update_containment_index(accepted, index_path, text_col, id_col)
 
     query = (
         stream.writeStream.foreachBatch(_screen)

@@ -413,6 +413,23 @@ class TestClusterRepresentatives:
             assert r.rep_doc_id == best and r.rep_tokens == toks[best]
 
 
+def _write_ordered_files(src, dfs):
+    """Write each df as one parquet file into ``src`` with strictly
+    increasing mtimes, so a maxFilesPerTrigger=1 drain processes them
+    in list order (FileStreamSource orders by modification time)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    src.mkdir(exist_ok=True)
+    t0 = _time.time()
+    for i, df in enumerate(dfs):
+        before = set(_glob.glob(str(src / "*.parquet")))
+        df.coalesce(1).write.mode("append").parquet(str(src))
+        for f in set(_glob.glob(str(src / "*.parquet"))) - before:
+            _os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+
 class TestMinhashScreenStream:
     def test_multi_batch_union_equals_batch_result(self, spark, tmp_path):
         """Drained one file per micro-batch, the union of per-batch
@@ -491,6 +508,57 @@ class TestMinhashScreenStream:
         }
         assert (90001, 90000) in caught
 
+    def test_self_screen_catches_cross_batch_twin(self, spark, tmp_path):
+        """self_screen=True closes the within-drain blind spot: a novel
+        doc accepted in batch 1 screens its near-dup twin arriving in
+        batch 2 of the SAME drain; the default mode documents the gap
+        (both pass).  Only ACCEPTED docs join the index (VERDICT r8 #2)."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import minhash_screen_stream
+
+        corpus = spark.createDataFrame(
+            [(100, "noise " * 30), (101, " ".join(f"c{i}" for i in range(40)))],
+            ["doc_id", "text"],
+        )
+        novel = " ".join(f"zq{i} qz{i}" for i in range(40))
+        twin = novel.replace("zq7", "zq7x")
+        f1 = spark.createDataFrame([(90000, novel)], ["doc_id", "text"])
+        f2 = spark.createDataFrame([(90001, twin)], ["doc_id", "text"])
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+        idx = str(tmp_path / "mh_idx")
+        dedup.build_minhash_index(corpus, idx)
+
+        blind = {
+            (r.batch_id, r.corpus_id)
+            for r in minhash_screen_stream(
+                spark, str(src), index_path=idx, max_files_per_trigger=1
+            ).collect()
+        }
+        assert blind == set()  # both novel vs corpus: the documented gap
+
+        caught = {
+            (r.batch_id, r.corpus_id)
+            for r in minhash_screen_stream(
+                spark, str(src), index_path=idx,
+                max_files_per_trigger=1, self_screen=True,
+            ).collect()
+        }
+        assert caught == {(90001, 90000)}
+        ids = {r.id for r in spark.read.parquet(idx).select("id").collect()}
+        assert 90000 in ids and 90001 not in ids  # accepted-only appends
+
+    def test_self_screen_requires_index_path(self, spark, tmp_path):
+        import pytest
+
+        from astro_spark.streaming import minhash_screen_stream
+
+        corpus = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="self_screen"):
+            minhash_screen_stream(
+                spark, str(tmp_path), corpus, self_screen=True
+            )
+
     def test_screen_requires_exactly_one_corpus_mode(self, spark, tmp_path):
         import pytest
 
@@ -553,6 +621,63 @@ class TestSignatureScreenStream:
         }
         assert streamed == one_shot
         assert {(b, c) for b, c, _ in streamed} == {(1, 100)}  # twin caught
+
+    def test_self_screen_catches_cross_batch_image_twin(self, spark, tmp_path):
+        """self_screen=True: an image accepted in batch 1 catches its
+        perturbed twin arriving in batch 2 of the SAME drain; default
+        mode passes both (VERDICT r8 #2).  Flagged items never join
+        the signature index."""
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.multimodal import image_ahash
+        from astro_spark.streaming import signature_screen_stream
+
+        def png(seed, perturb=False):
+            w = h = 8
+            pix = bytearray(
+                ((seed * 1009 + i) ** 2) % 1000003 % 256
+                for i in range(w * h * 3)
+            )
+            if perturb:
+                for i in range(3):
+                    pix[i] = (pix[i] + 40) % 256
+            return mc.encode_png(bytes(pix), w, h, 3)
+
+        corpus = spark.createDataFrame(
+            [(100, "image/png", png(1))],
+            "doc_id long, media_type string, payload binary",
+        )
+        f1 = spark.createDataFrame(
+            [(5, "image/png", png(5))],
+            "doc_id long, media_type string, payload binary",
+        )
+        f2 = spark.createDataFrame(
+            [(6, "image/png", png(5, perturb=True))],
+            "doc_id long, media_type string, payload binary",
+        )
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+        idx = str(tmp_path / "sig_idx")
+        image_ahash(corpus).write.parquet(idx)
+
+        blind = {
+            (r.batch_id, r.corpus_id)
+            for r in signature_screen_stream(
+                spark, str(src), image_ahash, idx, sig_col="ahash",
+                max_hamming=4, max_files_per_trigger=1,
+            ).collect()
+        }
+        assert blind == set()
+
+        caught = {
+            (r.batch_id, r.corpus_id)
+            for r in signature_screen_stream(
+                spark, str(src), image_ahash, idx, sig_col="ahash",
+                max_hamming=4, max_files_per_trigger=1, self_screen=True,
+            ).collect()
+        }
+        assert caught == {(6, 5)}
+        ids = {r.id for r in spark.read.parquet(idx).select("id").collect()}
+        assert 5 in ids and 6 not in ids
 
 
 class TestDriftScreenStream:
@@ -1329,6 +1454,47 @@ class TestContainmentScreenStream:
             ).collect()
         }
         assert caught == {(3, 200, 1.0)}
+
+    def test_self_screen_catches_cross_batch_repost(self, spark, tmp_path):
+        """self_screen=True: a long doc accepted in batch 1 catches a
+        re-post of its quoted core arriving in batch 2 of the SAME
+        drain; default mode passes both (VERDICT r8 #2)."""
+        from astro_spark.functions import dedup
+        from astro_spark.streaming import containment_screen_stream
+
+        corpus = spark.createDataFrame(
+            [(100, "noise " * 30)], ["doc_id", "text"]
+        )
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        f1 = spark.createDataFrame(
+            [(91000, f"{filler} {quoted} {filler}")], ["doc_id", "text"]
+        )
+        f2 = spark.createDataFrame([(91001, quoted)], ["doc_id", "text"])
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+        idx = str(tmp_path / "cont_idx")
+        dedup.build_containment_index(corpus, idx)
+
+        blind = {
+            (r.batch_id, r.corpus_id)
+            for r in containment_screen_stream(
+                spark, str(src), index_path=idx, threshold=0.5,
+                max_files_per_trigger=1,
+            ).collect()
+        }
+        assert blind == set()
+
+        caught = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in containment_screen_stream(
+                spark, str(src), index_path=idx, threshold=0.5,
+                max_files_per_trigger=1, self_screen=True,
+            ).collect()
+        }
+        assert caught == {(91001, 91000, 1.0)}
+        cids = {r.cid for r in spark.read.parquet(idx).select("cid").distinct().collect()}
+        assert 91000 in cids and 91001 not in cids
 
     def test_screen_requires_exactly_one_corpus_mode(self, spark, tmp_path):
         import pytest
