@@ -238,6 +238,8 @@ def check_outliers(
     data: Table | DataFrame | str,
     col: str,
     k_x100: int = 150,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """IQR outlier check over a numeric column — entirely integer-exact:
     values scale to cents, quartiles of integers interpolate at exact
@@ -252,17 +254,32 @@ def check_outliers(
     documented bounded-scalar cross-join shape).  Returns one row
     (n_rows, n_outliers, q1_qc, q3_qc, lo_x400, hi_x400) with quartiles
     in quarter-cents.
+
+    ``exact=True`` (default, the oracle path) uses ``percentile`` — a
+    sort-based aggregate whose per-group state is the value multiset;
+    bit-exact, fine for a data-quality gate at test scale.  At 100 TB
+    pass ``exact=False``: quartiles come from ``approx_percentile``
+    (Greenwald-Khanna sketch, bounded memory, one pass, map-side
+    combinable).  With the default ``accuracy=10000`` each estimated
+    quartile's RANK error is ≤ n/10000 (0.01% of rows); the VALUE error
+    in the fences — and so the outlier count — depends on the data's
+    density near the true quartiles (dense ⇒ negligible drift; a
+    sparse value gap near a quartile can move the fence by the gap
+    width × the rank slack).  Raise ``accuracy`` to tighten (memory is
+    O(accuracy); 10k ≈ a few MB of sketch).
     """
     df = _as_df(spark, data)
     cents = f"CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)"
+    pctl = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
     stats = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr(f"CAST(round(percentile({cents}, 0.25) * 4) AS BIGINT)").alias(
-            "q1_qc"
-        ),
-        F.expr(f"CAST(round(percentile({cents}, 0.75) * 4) AS BIGINT)").alias(
-            "q3_qc"
-        ),
+        F.expr(
+            f"CAST(round({pctl}({cents}, 0.25{acc}) * 4) AS BIGINT)"
+        ).alias("q1_qc"),
+        F.expr(
+            f"CAST(round({pctl}({cents}, 0.75{acc}) * 4) AS BIGINT)"
+        ).alias("q3_qc"),
     )
     flagged = (
         df.select(F.expr(cents).alias("v"))

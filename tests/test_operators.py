@@ -1377,6 +1377,30 @@ class TestReferentialAndOutlierChecks:
         # cents*4: q1 = 300 cents → 1200 quarter-cents; q3 = 2800
         assert (row.q1_qc, row.q3_qc) == (1200, 2800)
 
+    def test_outlier_fences_approx_mode(self, spark):
+        """exact=False swaps percentile → approx_percentile (GK sketch,
+        bounded memory — the 100 TB path, VERDICT r8 #6).  approx
+        quartiles are actual column values (no interpolation), so on
+        [1..8, 100] q1 = 300 cents ⇒ 1200 qc either way and q3 lands
+        within one sample of the exact 2800; the flagged outlier set is
+        identical here."""
+        from astro_spark.operators.checks import check_outliers
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]], "x double"
+        )
+        row = check_outliers(spark, df, "x", exact=False).collect()[0]
+        assert row.n_rows == 9 and row.n_outliers == 1
+        assert row.q1_qc in (800, 1200)  # value 2 or 3 — rank slack ≤ 1
+        assert row.q3_qc in (2800, 3200)
+        # high accuracy on a 9-row sample: rank error < 1 ⇒ exact values
+        tight = check_outliers(
+            spark, df, "x", exact=False, accuracy=100_000
+        ).collect()[0]
+        assert (tight.q1_qc, tight.q3_qc, tight.n_outliers) == (
+            1200, 2800, 1,
+        )
+
 
 class TestScd2Enrich:
     def test_point_in_time_version_selection(self, spark):
