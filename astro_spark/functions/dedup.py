@@ -156,11 +156,12 @@ def _materialize_and_release(result: DataFrame, *bases: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = MINHASH_JACCARD_THRESHOLD,
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over shingle sets.
@@ -175,34 +176,48 @@ def minhash_lsh_pairs(
     (their members usually co-occur in other, smaller bands; exact-dup
     floods belong to ``exact_dup_groups`` anyway).  Pinned by
     ``test_lsh_hot_bucket_cap``.
+
+    ``signatures``: a PREBUILT (id, sh, band, bh) banding relation —
+    what ``build_minhash_index`` persists — skips the shingle +
+    signature pass AND the per-call eager-materialize trade entirely
+    (the ``codes=`` pattern from ``pq_topk``): repeat callers — ingest
+    sessions re-running the pair scan per drain, threshold sweeps —
+    pay the corpus base ONCE at build time instead of one
+    localCheckpoint per call (VERDICT r8 #5 watch-list).  The result is
+    lazy over the caller's relation; ``df`` is ignored and may be None.
     """
     rows = MINHASH_K // LSH_BANDS
-    # materialize the signature table once: it is referenced by every band
-    # AND by the verify join (3+ consumers); at scale this would be a
-    # persisted table / shuffle-reused stage, locally a memory cache
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingle_hash_array(F.col(text_col)).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh")))
-        .persist()
-    )
-
-    bands = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _band_hash(F.col("sig"), b, rows).alias("bh")
-                    )
-                    for b in range(LSH_BANDS)
-                ]
+    if signatures is not None:
+        base = None
+        bands = signatures.select("id", "sh", "band", "bh")
+    else:
+        # materialize the signature table once: it is referenced by every
+        # band AND by the verify join (3+ consumers); at scale this would
+        # be a persisted table / shuffle-reused stage, locally a memory
+        # cache
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                shingle_hash_array(F.col(text_col)).alias("sh"),
             )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+            .withColumn("sig", minhash_signature(F.col("sh")))
+            .persist()
+        )
+
+        bands = base.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), _band_hash(F.col("sig"), b, rows).alias("bh")
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     if max_bucket_size is not None:
         # same shuffle key as the self-join, so the window adds no extra
@@ -241,6 +256,8 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    if base is None:
+        return out  # lazy over the caller's persisted banding relation
     return _materialize_and_release(out, base)
 
 

@@ -349,6 +349,28 @@ class TestDedup:
         assert all(r.id_a < r.id_b and r.jaccard >= 0.5 for r in pairs)
         assert len(pairs) > 0  # corpus contains near-dups
 
+    def test_minhash_pairs_prebuilt_signatures_identical(
+        self, docs, tmp_path
+    ):
+        """signatures= (the persisted build_minhash_index relation)
+        returns the identical pair set without re-shingling or the
+        per-call eager-materialize trade — the codes= pattern for
+        repeat callers (VERDICT r8 #5)."""
+        idx = str(tmp_path / "lsh_idx")
+        dedup.build_minhash_index(docs, idx)
+        spark = docs.sparkSession
+        prebuilt = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                None, signatures=spark.read.parquet(idx)
+            ).collect()
+        }
+        direct = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        }
+        assert prebuilt == direct and len(prebuilt) > 0
+
     def test_simhash_near_identical_texts(self, spark):
         rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
                 (2, "the quick brown fox jumps over the lazy dog again and again!"),
