@@ -4816,6 +4816,55 @@ def _op_bucketed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_plain}")
 
 
+def _op_hamming_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hamming plan property (VERDICT r8 #8): the dedup family's
+    generic chunk-banded join must execute as an EQUI-join on the chunk
+    key — never CartesianProduct / BroadcastNestedLoopJoin (the
+    all-pairs shapes that die at 100 TB) — and the banding relation
+    must shuffle ONCE: the self-join's right side rides a
+    ReusedExchange of the left's chunk-key exchange, so doubling the
+    corpus doubles one shuffle, not two.  Probed with broadcast
+    disabled (the at-scale shape; a broadcast would hide the claim at
+    test SF) and folded into the oracle hash next to the simhash pair
+    values themselves."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sig = dedup.simhash_table(docs)
+        pairs = dedup.hash_hamming_pairs(
+            sig, id_col="id", hash_col="simhash", materialize=False
+        )
+        rows = pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        no_product = (
+            "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan
+        )
+        banded_smj = "SortMergeJoin [chunk" in final
+        # exactly one MATERIALIZED chunk-key exchange ("+- Exchange"
+        # excludes the ReusedExchange line, which repeats the referenced
+        # exchange's description) plus the reuse itself
+        banding_shuffled_once = (
+            final.count("+- Exchange hashpartitioning(chunk") == 1
+            and "ReusedExchange" in final
+        )
+        flags = spark.createDataFrame(
+            [(bool(no_product), bool(banded_smj), bool(banding_shuffled_once))],
+            "no_product_join boolean, banded_smj boolean, "
+            "banding_shuffled_once boolean",
+        )
+        out = spark.createDataFrame(
+            rows, "id_a long, id_b long, hamming long"
+        ).crossJoin(F.broadcast(flags))
+        fin = out.collect()
+        return spark.createDataFrame(fin, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def _op_bucketed_screen_duck() -> str:
     return (
         "SELECT *, TRUE AS fewer_exchanges, TRUE AS same_result FROM ("
@@ -5603,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_minhash_indexed": _st_minhash_indexed,
             "op_seq_expire": _op_seq_expire,
             "op_bucketed_screen": _op_bucketed_screen,
+            "op_hamming_plan": _op_hamming_plan,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
             "mm_ahash_pairs": _mm_ahash_pairs,
@@ -5633,6 +5683,7 @@ _ROTATION_BUILT_FOR_ROUND = 9
 _DRIVER_PRIORITY = [
     # round-9 additions: never driver-checked, must sit in the head-50
     "st_screen_self_dedup",
+    "op_hamming_plan",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -6142,6 +6193,12 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "st_minhash_indexed": oracles.minhash_incremental_sql(),
             "op_seq_expire": _OP_SEQ_EXPIRE_DUCK,
             "op_bucketed_screen": _op_bucketed_screen_duck(),
+            "op_hamming_plan": (
+                "SELECT *, TRUE AS no_product_join, TRUE AS banded_smj, "
+                "TRUE AS banding_shuffled_once FROM ("
+                + oracles.simhash_pairs_sql()
+                + ")"
+            ),
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,

@@ -309,6 +309,7 @@ def hash_hamming_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     bits: int = 62,
     n_chunks: int = SIMHASH_CHUNKS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Generic banded hamming join over ANY ≤62-bit signature relation
     (id, hash): pairs share ≥1 of ``n_chunks`` bit-chunks AND hamming ≤
@@ -324,6 +325,10 @@ def hash_hamming_pairs(
     signed-long territory (bit 63 would flip the sign and break the
     shiftright/compare logic).  Returns (id_a, id_b, hamming) with
     id_a < id_b; eager, base released (the pair-scan persist contract).
+    ``materialize=False`` returns the LAZY plan (no base persist, no
+    checkpoint) for callers that need to inspect or re-execute it —
+    the plan-property probes do (``containment_incremental_pairs``
+    pattern).
     """
     if n_chunks <= max_hamming:
         raise ValueError(
@@ -335,7 +340,9 @@ def hash_hamming_pairs(
     chunk_bits = bits // n_chunks + (1 if bits % n_chunks else 0)
     base = sig.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
-    ).persist()
+    )
+    if materialize:
+        base = base.persist()
     chunks = base.select(
         "id",
         "sh",
@@ -378,6 +385,8 @@ def hash_hamming_pairs(
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+    if not materialize:
+        return out
     return _materialize_and_release(out, base)
 
 
