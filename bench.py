@@ -119,19 +119,31 @@ HEADLINE = [
     "op_recover",
     "st_gram",
     "st_vocab",
-    "op_bucketed_join",
     "dd_containment",
     "st_containment_indexed",
     "st_minhash_indexed",
     "op_merge_cow_scope",
     "op_mv_incremental",
     "op_seq_expire",
-    "op_bucketed_screen",
-    "op_codegen",
-    "op_exchange_reuse",
     "mm_ahash_pairs",
     "mm_audio_fp_pairs",
     "st_ahash_screen",
+    "st_screen_self_dedup",
+]
+
+# Plan-property probes: they exist to ASSERT an executed-plan shape
+# (codegen spans, pushdown, exchange elimination, banding reuse) and
+# several deliberately run their workload TWICE to compare plans
+# (op_bucketed_screen screens against a bucketed and a plain index).
+# Counting them in the headline inflates it with non-user-visible work
+# (VERDICT r8 #9): they are timed and recorded in a separate "probes"
+# section, excluded from the headline value.
+PLAN_PROBES = [
+    "op_bucketed_join",
+    "op_bucketed_screen",
+    "op_codegen",
+    "op_exchange_reuse",
+    "op_hamming_plan",
 ]
 
 
@@ -160,24 +172,31 @@ def main() -> None:
     read_table(spark, sf_dir, "lineitem").count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            runs.append(round(time.time() - t0, 3))
-        runs.sort()
-        timings[name] = runs[len(runs) // 2]
-        print(
-            f"  {name}: median {timings[name]}s of {runs} ({n} rows)",
-            file=sys.stderr,
-        )
+
+    def run_suite(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                runs.append(round(time.time() - t0, 3))
+            runs.sort()
+            timings[name] = runs[len(runs) // 2]
+            print(
+                f"  {name}: median {timings[name]}s of {runs} ({n} rows)",
+                file=sys.stderr,
+            )
+        return timings
+
+    timings = run_suite(HEADLINE)
+    probe_timings = run_suite(PLAN_PROBES)
 
     total = round(sum(timings.values()), 2)
+    probe_total = round(sum(probe_timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full per-query map to a sidecar file (the driver's stdout capture
@@ -190,6 +209,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
+                "probes": {k: round(v, 2) for k, v in probe_timings.items()},
+                "probes_total_sec": probe_total,
                 "runs_per_query": n_runs,
                 "sf": sf_val,
             },
@@ -203,6 +224,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "n_queries": len(timings),
+            "probes_sec": probe_total,
+            "n_probes": len(probe_timings),
             "sf": sf_val,
             "runs_per_query": n_runs,
             "queries_file": "BENCH_local.json",
