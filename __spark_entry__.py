@@ -1536,6 +1536,21 @@ def _dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _dd_minhash_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-caller MinHash pair scan: the banding relation is built
+    ONCE (``build_minhash_index``) and ``minhash_lsh_pairs`` runs over
+    it via ``signatures=`` — no re-shingling, no per-call eager
+    materialize (VERDICT r8 #5 watch-list).  Same oracle as
+    dd_minhash_lsh: the prebuilt path must be value-identical."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="astro_lshidx_")
+    dedup.build_minhash_index(docs, idx_dir)
+    return dedup.minhash_lsh_pairs(
+        None, signatures=spark.read.parquet(idx_dir)
+    )
+
+
 def _dd_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-based Jaccard estimates graded against exact Jaccard
     for every verified near-dup pair (sizes MINHASH_K for a corpus)."""
@@ -5528,6 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_hist_quantiles": _q_hist_quantiles,
             "dd_exact": _dd_exact,
             "dd_minhash_lsh": _dd_minhash,
+            "dd_minhash_prebuilt": _dd_minhash_prebuilt,
             "dd_simhash": _dd_simhash,
             "dd_ngram_jaccard": _dd_jaccard,
             "dd_spans": _dd_spans,
@@ -5684,6 +5700,7 @@ _DRIVER_PRIORITY = [
     # round-9 additions: never driver-checked, must sit in the head-50
     "st_screen_self_dedup",
     "op_hamming_plan",
+    "dd_minhash_prebuilt",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -5915,6 +5932,7 @@ ORDER BY o_orderkey, diff_status
             "t_fingerprint": oracles.fingerprint_sql(),
             "dd_exact": oracles.exact_dedup_sql(),
             "dd_minhash_lsh": oracles.minhash_pairs_sql(),
+            "dd_minhash_prebuilt": oracles.minhash_pairs_sql(),
             "dd_simhash": oracles.simhash_pairs_sql(),
             "dd_ngram_jaccard": oracles.ngram_jaccard_sql(),
             "dd_spans": oracles.span_dedup_sql(),

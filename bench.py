@@ -50,6 +50,7 @@ HEADLINE = [
     "dd_spans",
     "dd_span_removal",
     "dd_minhash_lsh",
+    "dd_minhash_prebuilt",
     "dd_simhash",
     "dd_ngram_jaccard",
     "dd_clusters",
