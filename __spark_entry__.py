@@ -33,6 +33,21 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # FileStreamSink.hasMetadata logs a ~40-frame FileNotFoundException
+    # stack at WARN whenever a checkpoint resume reconstructs its last
+    # committed batch over since-deleted input files (the
+    # op_mv_incremental proof deletes the consumed input ON PURPOSE) —
+    # benign, metadata-only, but it shreds every driver capture window
+    # (VERDICT r8 #3).  That logger emits nothing else of value at
+    # WARN, so scope it to ERROR for driver-run sessions.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: cosmetic feature, never fatal
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
@@ -5356,6 +5371,11 @@ def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in os.listdir(src_dir):
         if not f.startswith((".", "_")):
             os.remove(os.path.join(src_dir, f))
+    # drop the cached file listing for the mutated path: the resume's
+    # schema probe would otherwise stat the deleted part-file and spew
+    # a ~40-frame FileNotFoundException WARN into every driver capture
+    # (VERDICT r8 #3 — this fixture was the suspect)
+    spark.catalog.refreshByPath(src_dir)
     orders.where("o_orderkey % 2 = 1").coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
