@@ -3764,6 +3764,36 @@ def _st_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
 
 
+def _st_bloom_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-screening Bloom drain: each batch's accepted docs fold
+    their fingerprint bits into the driver-held mask, so file 2's exact
+    copies of file 1's docs (doc_id + 1000000) flag within the SAME
+    drain — state stays m bits regardless of acceptance volume.  The
+    oracle replays the batch order bit-exactly."""
+    import glob as _glob
+    import time as _time
+
+    from astro_spark.streaming import bloom_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    f1 = docs.where("doc_id % 4 = 1").select("doc_id", "text")
+    f2 = docs.where("doc_id % 4 = 3").select("doc_id", "text").unionByName(
+        f1.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+    )
+    src_dir = tempfile.mkdtemp(prefix="astro_bloomself_src_")
+    t0 = _time.time()
+    for i, df in enumerate([f1, f2]):
+        before = set(_glob.glob(f"{src_dir}/*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+        for p in set(_glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    return bloom_screen_stream(
+        spark, src_dir, docs.where("doc_id % 2 = 0"),
+        self_screen=True, max_files_per_trigger=1,
+    )
+
+
 def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup screen: odd doc_ids stream in and band-join
     the even-doc corpus banding relation (persisted once per drain)."""
@@ -5633,6 +5663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
             "st_bloom_screen": _st_bloom_screen,
+            "st_bloom_self": _st_bloom_self,
             "st_minhash_screen": _st_minhash_screen,
             "st_drift": _st_drift,
             "st_ivf_append": _st_ivf_append,
@@ -5721,6 +5752,7 @@ _DRIVER_PRIORITY = [
     "st_screen_self_dedup",
     "op_hamming_plan",
     "dd_minhash_prebuilt",
+    "st_bloom_self",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -6100,6 +6132,7 @@ FROM pairs WHERE distance <= 3
             "st_bloom_screen": (
                 f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
             ),
+            "st_bloom_self": oracles.bloom_self_screen_sql(),
             "st_minhash_screen": oracles.minhash_incremental_sql(),
             "st_drift": (
                 "SELECT 0::BIGINT AS batch_id, * FROM ("

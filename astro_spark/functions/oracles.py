@@ -2337,3 +2337,63 @@ p2 AS (
 u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
 SELECT bid AS batch_id, cid AS corpus_id, containment FROM u
 """
+
+def bloom_self_screen_sql(table: str = "documents") -> str:
+    """Batch-order replay of the self-screening Bloom drain
+    (``bloom_screen_stream(self_screen=True)``): file 1 (doc_id%4=1)
+    probes the even-doc corpus filter; its ACCEPTED docs' bits fold
+    into the mask; file 2 (doc_id%4=3 plus exact copies of file 1 at
+    doc_id + 1000000) probes the widened mask — the copies are
+    flaggable ONLY through the within-drain bit fold."""
+    fp = fingerprint62("text")
+    pos = ", ".join(_bloom_positions("fp"))
+    return f"""
+WITH corpus AS (
+  SELECT {fp} AS fp FROM {table} WHERE doc_id % 2 = 0
+),
+f1 AS (
+  SELECT doc_id, {fp} AS fp FROM {table} WHERE doc_id % 4 = 1
+),
+f2 AS (
+  SELECT doc_id, {fp} AS fp FROM {table} WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {fp} AS fp
+  FROM {table} WHERE doc_id % 4 = 1
+),
+bloom1 AS (
+  SELECT DISTINCT bit FROM (SELECT unnest([{pos}]) AS bit FROM corpus)
+),
+p1 AS (
+  SELECT doc_id, unnest(list_distinct([{pos}])) AS bit FROM f1
+),
+a1 AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_bits,
+         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+  FROM p1 p LEFT JOIN bloom1 b ON b.bit = p.bit
+  GROUP BY p.doc_id
+),
+r1 AS (SELECT doc_id, n_hits = n_bits AS maybe_dup FROM a1),
+acc1 AS (
+  SELECT f1.fp FROM f1 JOIN r1 USING (doc_id) WHERE NOT r1.maybe_dup
+),
+bloom2 AS (
+  SELECT bit FROM bloom1
+  UNION
+  SELECT DISTINCT bit FROM (SELECT unnest([{pos}]) AS bit FROM acc1)
+),
+p2 AS (
+  SELECT doc_id, unnest(list_distinct([{pos}])) AS bit FROM f2
+),
+a2 AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_bits,
+         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+  FROM p2 p LEFT JOIN bloom2 b ON b.bit = p.bit
+  GROUP BY p.doc_id
+),
+r2 AS (SELECT doc_id, n_hits = n_bits AS maybe_dup FROM a2)
+SELECT doc_id, maybe_dup FROM r1
+UNION ALL
+SELECT doc_id, maybe_dup FROM r2
+"""

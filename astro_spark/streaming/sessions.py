@@ -190,6 +190,8 @@ def bloom_screen_stream(
     id_col: str = "doc_id",
     m: int = None,
     k: int = None,
+    self_screen: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming Bloom screen: flag every incoming doc against the
     STATIC corpus Bloom filter, map-only.
@@ -203,6 +205,16 @@ def bloom_screen_stream(
     (possibly petabytes) never meets the stream.  False-positive rate
     is the standard Bloom bound; false negatives are impossible.
 
+    ``self_screen=True``: each batch's ACCEPTED (un-flagged) docs fold
+    their fingerprint bits into the driver-held bitmask inside
+    ``foreachBatch``, so batch N probes corpus + accepted batches < N —
+    an exact re-post arriving two batches after its accepted original
+    is flagged within the same drain (the Bloom member of the
+    self-screen family; state stays the SAME m bits regardless of how
+    much is accepted, the cheapest self-screen state of all).  Exact
+    dups INSIDE one micro-batch still both pass (per-batch
+    granularity).
+
     Returns (id, maybe_dup) for every streamed doc (append mode).
     """
     from ..functions.constants import BLOOM_M
@@ -213,38 +225,92 @@ def bloom_screen_stream(
     words = [0] * ((m + 63) // 64)
     for r in bloom_build(corpus_df, text_col, m, k).collect():  # <= m tiny rows
         words[r.bit >> 6] |= 1 << (r.bit & 63)
-    mask = F.array(
-        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("long") for w in words]
-    )
+
+    def _mask_literal():
+        return F.array(
+            *[
+                F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("long")
+                for w in words
+            ]
+        )
 
     schema = spark.read.parquet(input_path).schema
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(input_path)
     pos = bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
-    flagged = stream.select(
-        F.col(id_col),
-        F.forall(
-            pos,
-            lambda p: (
-                F.call_function(
-                    "shiftright",
-                    F.element_at(mask, (p / 64).cast("int") + 1),
-                    (p % 64).cast("int"),
-                ).bitwiseAND(F.lit(1).cast("long"))
-                == 1
-            ),
-        ).alias("maybe_dup"),
-    )
 
-    name = f"st_bloom_{uuid.uuid4().hex[:8]}"
+    def _flag(df, mask):
+        return df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.forall(
+                pos,
+                lambda p: (
+                    F.call_function(
+                        "shiftright",
+                        F.element_at(mask, (p / 64).cast("int") + 1),
+                        (p % 64).cast("int"),
+                    ).bitwiseAND(F.lit(1).cast("long"))
+                    == 1
+                ),
+            ).alias("maybe_dup"),
+        )
+
+    if not self_screen:
+        name = f"st_bloom_{uuid.uuid4().hex[:8]}"
+        query = (
+            _flag(stream, _mask_literal())
+            .select(id_col, "maybe_dup")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")
+
+    import tempfile
+
+    id_type = schema[id_col].dataType.simpleString()
+    out_dir = tempfile.mkdtemp(prefix="astro_bloom_self_")
+
+    def _screen(batch_df, batch_id: int) -> None:
+        # snapshot the CURRENT mask into this batch's projection
+        flagged = _flag(batch_df, _mask_literal()).persist()
+        flagged.select(id_col, "maybe_dup").write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        accepted_bits = (
+            flagged.where(~F.col("maybe_dup"))
+            .select(
+                F.explode(
+                    bloom_bit_positions(
+                        fingerprint62(F.col(text_col)), m, k
+                    )
+                ).alias("bit")
+            )
+            .distinct()
+            .collect()  # <= m tiny rows, bounded regardless of batch size
+        )
+        flagged.unpersist()
+        for r in accepted_bits:
+            words[r.bit >> 6] |= 1 << (r.bit & 63)
+
     query = (
-        flagged.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        stream.writeStream.foreachBatch(_screen)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")
+    out = read_batch_dirs(
+        spark, out_dir, f"{id_col} {id_type}, maybe_dup boolean"
+    )
+    return out.select(id_col, "maybe_dup")
 
 
 def read_batch_dirs(spark: SparkSession, out_dir: str, empty_schema: str):

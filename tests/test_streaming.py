@@ -382,6 +382,43 @@ class TestBloomScreenStream:
             if r.text in exact:
                 assert streamed[r.doc_id], f"stream false negative on {r.doc_id}"
 
+    def test_self_screen_flags_cross_batch_exact_dup(self, spark, tmp_path):
+        """self_screen=True: a doc accepted in batch 1 folds its bits
+        into the driver-held mask, so its exact copy in batch 2 of the
+        SAME drain flags; the default (static-mask) mode passes both.
+        State stays m bits regardless of acceptance volume."""
+        from astro_spark.streaming import bloom_screen_stream
+
+        corpus = spark.createDataFrame(
+            [(100, "corpus noise alpha"), (101, "corpus noise beta")],
+            ["doc_id", "text"],
+        )
+        novel = "entirely new zqx document body"
+        f1 = spark.createDataFrame([(90000, novel)], ["doc_id", "text"])
+        f2 = spark.createDataFrame(
+            [(90001, novel), (90002, "another fresh wqz item")],
+            ["doc_id", "text"],
+        )
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+
+        blind = {
+            r.doc_id: r.maybe_dup
+            for r in bloom_screen_stream(
+                spark, str(src), corpus, max_files_per_trigger=1
+            ).collect()
+        }
+        assert blind == {90000: False, 90001: False, 90002: False}
+
+        flagged = {
+            r.doc_id: r.maybe_dup
+            for r in bloom_screen_stream(
+                spark, str(src), corpus,
+                max_files_per_trigger=1, self_screen=True,
+            ).collect()
+        }
+        assert flagged == {90000: False, 90001: True, 90002: False}
+
 
 class TestClusterRepresentatives:
     def test_rep_is_best_member_of_each_cluster(self, spark):
