@@ -130,6 +130,7 @@ HEADLINE = [
     "mm_audio_fp_pairs",
     "st_ahash_screen",
     "st_screen_self_dedup",
+    "st_bloom_self",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape
