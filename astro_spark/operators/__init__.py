@@ -23,7 +23,7 @@ from .drop import drop_table, truncate_table
 from .export import export_file, export_table_to_file, export_to_file
 from .files import get_file_list
 from .load_file import load_file
-from .merge import merge
+from .merge import merge, merge_from_sql
 from .scd import scd2_merge
 from .raw_sql import get_value_list, run_raw_sql
 from .transform import transform, transform_file
@@ -59,6 +59,7 @@ __all__ = [
     "get_value_list",
     "load_file",
     "merge",
+    "merge_from_sql",
     "scd2_merge",
     "profile_table",
     "register_temp_table",

@@ -83,6 +83,7 @@ format (Delta/Iceberg).
 from __future__ import annotations
 
 import operator
+import re
 import uuid
 from functools import reduce
 
@@ -207,6 +208,171 @@ def merge(
     result = _upsert(target, source, keys)
     _swap_table(spark, result, target_table)
     return target_table
+
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*merge\s+into\s+(?P<tgt>[`\w.]+)\s+(?:as\s+)?(?P<ta>`?\w+`?)\s+"
+    r"using\s+(?P<src>[`\w.]+)\s+(?:as\s+)?(?P<sa>`?\w+`?)\s+on\s+",
+    re.IGNORECASE,
+)
+_MERGE_EQ_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$"
+)
+_MERGE_INSERT_RE = re.compile(
+    r"^not\s+matched\s+then\s+insert\s*\((?P<tcols>[^)]*)\)\s*"
+    r"values\s*\((?P<scols>[^)]*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_UPDATE_RE = re.compile(
+    r"^matched\s+then\s+update\s+set\s+(?P<sets>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def merge_from_sql(spark: SparkSession, statement: str) -> Table:
+    """Execute the ``MERGE INTO`` statement text the reference's Delta
+    backend generates (``databases/databricks/delta.py:383-442``)
+    against plain parquet tables — the SQL-text half of Delta parity
+    this engine can honor without delta-spark (semantics come from the
+    crash-recoverable partition-/file-scoped copy-on-write ``merge``).
+
+    Accepted grammar (case-insensitive; backticks optional; exactly
+    what ``_build_merge_sql`` emits)::
+
+        MERGE INTO <tgt> [AS] <ta> USING <src> [AS] <sa>
+        ON <ta>.<k> = <sa>.<k> [AND ...]
+        [WHEN MATCHED THEN UPDATE SET <ta>.<t> = <sa>.<s>[, ...]]
+        WHEN NOT MATCHED THEN INSERT (<ta>.<t>, ...) VALUES (<sa>.<s>, ...)
+
+    Column mapping comes from the INSERT/VALUES zip; a MATCHED clause
+    selects ``if_conflicts="update"`` (its SET pairs must equal the
+    insert mapping — ``merge`` updates all mapped columns), absence
+    selects ``"ignore"``.  Every identifier passes the strict allowlist
+    (injection attempts raise ``IllegalIdentifierError``).  Spark
+    itself rejects MERGE INTO on v1 parquet tables, so this is engine
+    capability, not sugar.
+    """
+    from ..table import Table as _Table
+    from ..table import validate_identifier
+
+    def _ident(tok: str) -> str:
+        return validate_identifier(tok.strip().strip("`"))
+
+    def _table(tok: str) -> _Table:
+        parts = [p.strip().strip("`") for p in tok.strip().split(".")]
+        if len(parts) == 1:
+            return _Table(_ident(parts[0]), temp=False)
+        if len(parts) == 2:
+            from ..table import Metadata
+
+            return _Table(
+                _ident(parts[1]),
+                metadata=Metadata(schema=_ident(parts[0])),
+                temp=False,
+            )
+        raise ValueError(f"merge_from_sql: unsupported table name {tok!r}")
+
+    s = statement.strip().rstrip(";")
+    head = _MERGE_HEAD_RE.match(s)
+    if not head:
+        raise ValueError(
+            "merge_from_sql: statement does not match the supported "
+            "MERGE INTO ... USING ... ON ... grammar"
+        )
+    ta, sa = _ident(head["ta"]), _ident(head["sa"])
+    rest = s[head.end():]
+    clauses = re.split(r"(?i)\s+when\s+", rest)
+    on_txt, when_clauses = clauses[0], clauses[1:]
+    if not when_clauses:
+        raise ValueError("merge_from_sql: missing WHEN NOT MATCHED clause")
+
+    keys: list[str] = []
+    for cond in re.split(r"(?i)\s+and\s+", on_txt):
+        eq = _MERGE_EQ_RE.match(cond)
+        if not eq:
+            raise ValueError(
+                f"merge_from_sql: unsupported ON condition {cond!r} "
+                "(only alias.col = alias.col equality)"
+            )
+        a_alias, a_col, b_alias, b_col = (
+            _ident(eq.group(1)), _ident(eq.group(2)),
+            _ident(eq.group(3)), _ident(eq.group(4)),
+        )
+        if {a_alias, b_alias} != {ta, sa}:
+            raise ValueError(
+                f"merge_from_sql: ON references unknown alias in {cond!r}"
+            )
+        t_col = a_col if a_alias == ta else b_col
+        s_col = b_col if b_alias == sa else a_col
+        if t_col != s_col:
+            raise ValueError(
+                "merge_from_sql: conflict columns must match by name "
+                f"({s_col!r} vs {t_col!r}) — the reference maps keys 1:1"
+            )
+        keys.append(t_col)
+
+    def _alias_cols(txt: str, expect_alias: str) -> list[str]:
+        cols = []
+        for piece in txt.split(","):
+            m = re.match(r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$", piece)
+            if not m or _ident(m.group(1)) != expect_alias:
+                raise ValueError(
+                    f"merge_from_sql: expected {expect_alias}.<col>, "
+                    f"got {piece.strip()!r}"
+                )
+            cols.append(_ident(m.group(2)))
+        return cols
+
+    col_map: dict[str, str] | None = None
+    update_pairs: dict[str, str] | None = None
+    for clause in when_clauses:
+        ins = _MERGE_INSERT_RE.match(clause.strip())
+        upd = _MERGE_UPDATE_RE.match(clause.strip())
+        if ins:
+            tcols = _alias_cols(ins["tcols"], ta)
+            scols = _alias_cols(ins["scols"], sa)
+            if len(tcols) != len(scols):
+                raise ValueError(
+                    "merge_from_sql: INSERT column/VALUES arity mismatch"
+                )
+            col_map = dict(zip(scols, tcols))
+        elif upd:
+            update_pairs = {}
+            for piece in upd["sets"].split(","):
+                eq = _MERGE_EQ_RE.match(piece)
+                if not eq:
+                    raise ValueError(
+                        f"merge_from_sql: unsupported SET assignment "
+                        f"{piece.strip()!r}"
+                    )
+                if _ident(eq.group(1)) != ta or _ident(eq.group(3)) != sa:
+                    raise ValueError(
+                        "merge_from_sql: SET must assign target.col = "
+                        "source.col"
+                    )
+                update_pairs[_ident(eq.group(4))] = _ident(eq.group(2))
+        else:
+            raise ValueError(
+                f"merge_from_sql: unsupported WHEN clause "
+                f"{clause.strip()[:60]!r}"
+            )
+    if col_map is None:
+        raise ValueError(
+            "merge_from_sql: missing WHEN NOT MATCHED THEN INSERT clause"
+        )
+    if update_pairs is not None and update_pairs != col_map:
+        raise ValueError(
+            "merge_from_sql: UPDATE SET pairs must equal the INSERT "
+            "mapping (merge updates all mapped columns)"
+        )
+    return merge(
+        spark,
+        source_table=_table(head["src"]),
+        target_table=_table(head["tgt"]),
+        target_conflict_columns=keys,
+        columns=col_map,
+        if_conflicts="update" if update_pairs is not None else "ignore",
+    )
 
 
 def _no_partition_moves(

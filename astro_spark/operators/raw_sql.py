@@ -42,6 +42,16 @@ def run_raw_sql(
         for q in query_modifier.pre_queries:
             spark.sql(q)
     rendered = render_sql(sql, parameters or {})
+    if rendered.lstrip()[:10].lower().startswith("merge into"):
+        # Spark rejects MERGE INTO on v1 parquet tables; route the
+        # reference's generated Delta MERGE text through the engine's
+        # copy-on-write merge (same semantics, crash-recoverable)
+        from .merge import merge_from_sql
+
+        merge_from_sql(spark, rendered)
+        return None if handler is None else handler(
+            spark.createDataFrame([], "ok boolean")
+        )
     df = spark.sql(rendered)
 
     def _finish(result: Any) -> Any:

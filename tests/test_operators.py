@@ -144,6 +144,77 @@ class TestAppendMerge:
         names = {r.r_regionkey: r.r_name for r in res.collect()}
         assert all(v is not None for v in names.values())
 
+    def test_merge_from_sql_update_and_ignore(self, spark, sf_dir):
+        """The reference's generated Delta MERGE INTO text executes
+        against plain parquet tables: the MATCHED+UPDATE form upserts,
+        the insert-only form appends new keys and leaves matches alone
+        (backticks optional, case-insensitive)."""
+        import uuid as _uuid
+
+        sfx = _uuid.uuid4().hex[:8]
+        tgt, src = f"msql_t_{sfx}", f"msql_s_{sfx}"
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ).write.format("parquet").saveAsTable(tgt)
+        spark.createDataFrame(
+            [(2, "B2"), (3, "c")], "k long, v string"
+        ).write.format("parquet").saveAsTable(src)
+        stmt = (
+            f"merge into {tgt} as `target_table` "
+            f"using {src} as `source_table` "
+            "on `target_table`.`k`=`source_table`.`k` "
+            "when matched then UPDATE SET "
+            "target_table.k = source_table.k, "
+            "target_table.v = source_table.v "
+            "when not matched then insert"
+            "(target_table.k,target_table.v) "
+            "values (source_table.k,source_table.v)"
+        )
+        a.run_raw_sql(spark, stmt)
+        got = {(r.k, r.v) for r in spark.table(tgt).collect()}
+        assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+        # insert-only (no WHEN MATCHED) → ignore semantics
+        spark.createDataFrame(
+            [(3, "ZZZ"), (4, "d")], "k long, v string"
+        ).write.mode("overwrite").format("parquet").saveAsTable(src)
+        a.merge_from_sql(
+            spark,
+            f"MERGE INTO {tgt} AS t USING {src} AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v);",
+        )
+        got = {(r.k, r.v) for r in spark.table(tgt).collect()}
+        assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+    def test_merge_from_sql_rejects_injection_and_bad_grammar(self, spark):
+        from astro_spark.exceptions import IllegalIdentifierError
+
+        # a quoted-injection table name can't even parse (the grammar's
+        # identifier class has no room for spaces/semicolons)
+        with pytest.raises(ValueError, match="grammar"):
+            a.merge_from_sql(
+                spark,
+                "merge into `x; drop table y` as t using s2 as s "
+                "on t.k = s.k "
+                "when not matched then insert (t.k) values (s.k)",
+            )
+        # a parseable but allowlist-illegal identifier hits the strict
+        # validator before any SQL is built
+        with pytest.raises(IllegalIdentifierError):
+            a.merge_from_sql(
+                spark,
+                "merge into 1bad as t using s2 as s on t.k = s.k "
+                "when not matched then insert (t.k) values (s.k)",
+            )
+        with pytest.raises(ValueError, match="grammar"):
+            a.merge_from_sql(spark, "merge into t using s")
+        with pytest.raises(ValueError, match="ON condition"):
+            a.merge_from_sql(
+                spark,
+                "merge into t1 as t using s1 as s on t.k > s.k "
+                "when not matched then insert (t.k) values (s.k)",
+            )
+
     def test_merge_exception(self, spark, sf_dir):
         region = read_table(spark, sf_dir, "region")
         spark.sql("DROP TABLE IF EXISTS me_tgt")
