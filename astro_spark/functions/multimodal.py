@@ -516,3 +516,26 @@ def read_binary_files(
         ).alias("media_type"),
         F.col("content").alias("payload"),
     )
+
+def build_signature_index(
+    corpus: DataFrame, sig_fn, path: str, sig_col: str
+) -> None:
+    """Materialize a corpus perceptual-signature index (id, <sig_col>)
+    on disk — the multimodal sibling of ``dedup.build_minhash_index`` /
+    ``build_containment_index``.  ``sig_fn`` is any Arrow-batched
+    signature function returning (id, <sig_col>) — ``image_ahash``,
+    ``audio_fingerprint``.  One long per corpus item: the cheapest
+    corpus state of any ingest screen.  Feed the path to
+    ``streaming.signature_screen_stream``; maintain with
+    ``update_signature_index`` per accepted batch (the screen's
+    ``self_screen=True`` mode does this inline)."""
+    sig_fn(corpus).select("id", sig_col).write.mode("overwrite").parquet(path)
+
+
+def update_signature_index(
+    batch: DataFrame, sig_fn, path: str, sig_col: str
+) -> None:
+    """Append a screened/accepted batch's signatures to a persisted
+    signature index — O(|batch|) decode + append, existing files
+    untouched (the ``update_minhash_index`` pattern)."""
+    sig_fn(batch).select("id", sig_col).write.mode("append").parquet(path)

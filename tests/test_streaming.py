@@ -716,6 +716,53 @@ class TestSignatureScreenStream:
         ids = {r.id for r in spark.read.parquet(idx).select("id").collect()}
         assert 5 in ids and 6 not in ids
 
+    def test_build_and_update_signature_index_helpers(self, spark, tmp_path):
+        """build/update_signature_index round out the ingest-index
+        family (minhash/containment siblings): built index == the
+        ad-hoc write, and an updated index extends the screen to
+        later-accepted items."""
+        from astro_spark.functions import media_codecs as mc
+        from astro_spark.functions.dedup import hash_hamming_incremental_pairs
+        from astro_spark.functions.multimodal import (
+            build_signature_index,
+            image_ahash,
+            update_signature_index,
+        )
+
+        def png(seed):
+            w = h = 8
+            pix = bytes(
+                ((seed * 1009 + i) ** 2) % 1000003 % 256
+                for i in range(w * h * 3)
+            )
+            return mc.encode_png(pix, w, h, 3)
+
+        corpus = spark.createDataFrame(
+            [(100, "image/png", png(1))],
+            "doc_id long, media_type string, payload binary",
+        )
+        later = spark.createDataFrame(
+            [(200, "image/png", png(2))],
+            "doc_id long, media_type string, payload binary",
+        )
+        idx = str(tmp_path / "idx")
+        build_signature_index(corpus, image_ahash, idx, sig_col="ahash")
+        assert {r.id for r in spark.read.parquet(idx).collect()} == {100}
+        update_signature_index(later, image_ahash, idx, sig_col="ahash")
+        assert {r.id for r in spark.read.parquet(idx).collect()} == {100, 200}
+        probe = spark.createDataFrame(
+            [(7, "image/png", png(2))],
+            "doc_id long, media_type string, payload binary",
+        )
+        pairs = {
+            (r.batch_id, r.corpus_id)
+            for r in hash_hamming_incremental_pairs(
+                image_ahash(probe), spark.read.parquet(idx),
+                id_col="id", hash_col="ahash", max_hamming=0,
+            ).collect()
+        }
+        assert pairs == {(7, 200)}
+
 
 class TestDriftScreenStream:
     def test_per_batch_histograms_tile_the_full_candidate(self, spark, tmp_path):
