@@ -3822,6 +3822,37 @@ def _st_bloom_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_bloom_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_bloom_self with ``within_batch=True``: keep-first-by-id also
+    flags exact dups INSIDE one micro-batch (exact-dup semantics are
+    window-replayable; chained near-dup acceptance is not) — the
+    fully-closed form of the within-drain blind spot for the exact
+    screen.  The oracle replays batch order AND the per-file
+    keep-first window."""
+    import glob as _glob
+    import time as _time
+
+    from astro_spark.streaming import bloom_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    f1 = docs.where("doc_id % 4 = 1").select("doc_id", "text")
+    f2 = docs.where("doc_id % 4 = 3").select("doc_id", "text").unionByName(
+        f1.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+    )
+    src_dir = tempfile.mkdtemp(prefix="astro_bloomstrict_src_")
+    t0 = _time.time()
+    for i, df in enumerate([f1, f2]):
+        before = set(_glob.glob(f"{src_dir}/*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+        for p in set(_glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    return bloom_screen_stream(
+        spark, src_dir, docs.where("doc_id % 2 = 0"),
+        self_screen=True, max_files_per_trigger=1, within_batch=True,
+    )
+
+
 def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup screen: odd doc_ids stream in and band-join
     the even-doc corpus banding relation (persisted once per drain)."""
@@ -5693,6 +5724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_dedup": _st_dedup,
             "st_bloom_screen": _st_bloom_screen,
             "st_bloom_self": _st_bloom_self,
+            "st_bloom_strict": _st_bloom_strict,
             "st_minhash_screen": _st_minhash_screen,
             "st_drift": _st_drift,
             "st_ivf_append": _st_ivf_append,
@@ -5783,6 +5815,7 @@ _DRIVER_PRIORITY = [
     "dd_minhash_prebuilt",
     "st_bloom_self",
     "op_merge_sql",
+    "st_bloom_strict",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
@@ -6170,6 +6203,7 @@ FROM pairs WHERE distance <= 3
                 f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
             ),
             "st_bloom_self": oracles.bloom_self_screen_sql(),
+            "st_bloom_strict": oracles.bloom_self_strict_sql(),
             "st_minhash_screen": oracles.minhash_incremental_sql(),
             "st_drift": (
                 "SELECT 0::BIGINT AS batch_id, * FROM ("

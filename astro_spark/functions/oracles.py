@@ -2397,3 +2397,75 @@ SELECT doc_id, maybe_dup FROM r1
 UNION ALL
 SELECT doc_id, maybe_dup FROM r2
 """
+
+def bloom_self_strict_sql(table: str = "documents") -> str:
+    """``bloom_self_screen_sql`` with ``within_batch=True``: inside
+    each file a doc is also flagged when an identical fingerprint
+    appears at a lower doc_id (keep-first-by-id), and only first
+    occurrences of novel fingerprints fold into the mask."""
+    fp = fingerprint62("text")
+    pos = ", ".join(_bloom_positions("fp"))
+    return f"""
+WITH corpus AS (
+  SELECT {fp} AS fp FROM {table} WHERE doc_id % 2 = 0
+),
+f1 AS (
+  SELECT doc_id, {fp} AS fp,
+         row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+  FROM {table} WHERE doc_id % 4 = 1
+),
+f2_raw AS (
+  SELECT doc_id, {fp} AS fp FROM {table} WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {fp} AS fp
+  FROM {table} WHERE doc_id % 4 = 1
+),
+f2 AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM f2_raw
+),
+bloom1 AS (
+  SELECT DISTINCT bit FROM (SELECT unnest([{pos}]) AS bit FROM corpus)
+),
+p1 AS (
+  SELECT doc_id, unnest(list_distinct([{pos}])) AS bit FROM f1
+),
+h1 AS (
+  SELECT p.doc_id,
+         count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit
+  FROM p1 p LEFT JOIN bloom1 b ON b.bit = p.bit
+  GROUP BY p.doc_id
+),
+r1 AS (
+  SELECT f1.doc_id, (h1.hit OR f1.rn > 1) AS maybe_dup
+  FROM f1 JOIN h1 ON h1.doc_id = f1.doc_id
+),
+acc1 AS (
+  SELECT f1.fp FROM f1 JOIN h1 ON h1.doc_id = f1.doc_id
+  WHERE NOT h1.hit AND f1.rn = 1
+),
+bloom2 AS (
+  SELECT bit FROM bloom1
+  UNION
+  SELECT DISTINCT bit FROM (SELECT unnest([{pos}]) AS bit FROM acc1)
+),
+p2 AS (
+  SELECT doc_id, unnest(list_distinct([{pos}])) AS bit FROM f2
+),
+h2 AS (
+  SELECT p.doc_id,
+         count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit
+  FROM p2 p LEFT JOIN bloom2 b ON b.bit = p.bit
+  GROUP BY p.doc_id
+),
+r2 AS (
+  SELECT f2.doc_id, (h2.hit OR f2.rn > 1) AS maybe_dup
+  FROM f2 JOIN h2 ON h2.doc_id = f2.doc_id
+)
+SELECT doc_id, maybe_dup FROM r1
+UNION ALL
+SELECT doc_id, maybe_dup FROM r2
+"""

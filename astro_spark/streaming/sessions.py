@@ -192,6 +192,7 @@ def bloom_screen_stream(
     k: int = None,
     self_screen: bool = False,
     max_files_per_trigger: int | None = None,
+    within_batch: bool = False,
 ) -> DataFrame:
     """Streaming Bloom screen: flag every incoming doc against the
     STATIC corpus Bloom filter, map-only.
@@ -213,7 +214,16 @@ def bloom_screen_stream(
     self-screen family; state stays the SAME m bits regardless of how
     much is accepted, the cheapest self-screen state of all).  Exact
     dups INSIDE one micro-batch still both pass (per-batch
-    granularity).
+    granularity) unless ``within_batch=True``.
+
+    ``within_batch=True`` (requires ``self_screen``) closes even the
+    intra-batch window: a doc is ALSO flagged when an identical
+    fingerprint appears at a LOWER ``id_col`` in the same micro-batch
+    (keep-first-by-id — exact-dup semantics have no chain problem, so
+    the sequential order is fully replayable by a window function; the
+    near-dup screens can't offer this because chained acceptance is
+    order-recursive).  One (fp)-keyed window per batch; accepted = the
+    first occurrence of each novel fingerprint only.
 
     Returns (id, maybe_dup) for every streamed doc (append mode).
     """
@@ -221,6 +231,11 @@ def bloom_screen_stream(
     from ..functions.dedup import bloom_bit_positions, bloom_build
     from ..functions.text import fingerprint62
 
+    if within_batch and not self_screen:
+        raise ValueError(
+            "bloom_screen_stream: within_batch=True refines the "
+            "self-screen's acceptance and needs self_screen=True"
+        )
     m = m or BLOOM_M
     words = [0] * ((m + 63) // 64)
     for r in bloom_build(corpus_df, text_col, m, k).collect():  # <= m tiny rows
@@ -281,7 +296,26 @@ def bloom_screen_stream(
 
     def _screen(batch_df, batch_id: int) -> None:
         # snapshot the CURRENT mask into this batch's projection
-        flagged = _flag(batch_df, _mask_literal()).persist()
+        flagged = _flag(batch_df, _mask_literal())
+        if within_batch:
+            # keep-first-by-id: an identical fingerprint at a lower id
+            # in THIS batch also flags (and only first occurrences of
+            # novel fingerprints fold into the mask below)
+            from pyspark.sql.window import Window as _W
+
+            wfp = _W.partitionBy("__fp").orderBy(F.col(id_col).asc())
+            flagged = (
+                flagged.withColumn(
+                    "__fp", fingerprint62(F.col(text_col))
+                )
+                .withColumn("__rn", F.row_number().over(wfp))
+                .withColumn(
+                    "maybe_dup",
+                    F.col("maybe_dup") | (F.col("__rn") > 1),
+                )
+                .drop("__rn", "__fp")
+            )
+        flagged = flagged.persist()
         flagged.select(id_col, "maybe_dup").write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )

@@ -419,6 +419,50 @@ class TestBloomScreenStream:
         }
         assert flagged == {90000: False, 90001: True, 90002: False}
 
+    def test_within_batch_keep_first_closes_intra_batch_window(
+        self, spark, tmp_path
+    ):
+        """within_batch=True flags an exact dup arriving in the SAME
+        micro-batch as its original (keep-first-by-id), and only the
+        first occurrence folds into the mask; plain self_screen passes
+        intra-batch twins (the documented granularity)."""
+        import pytest
+
+        from astro_spark.streaming import bloom_screen_stream
+
+        corpus = spark.createDataFrame(
+            [(100, "corpus noise alpha")], ["doc_id", "text"]
+        )
+        t = "brand new zzq document"
+        batch = spark.createDataFrame(
+            [(90000, t), (90001, t), (90002, "other fresh qqz text")],
+            ["doc_id", "text"],
+        )
+        src = tmp_path / "in"
+        _write_ordered_files(src, [batch])
+
+        plain = {
+            r.doc_id: r.maybe_dup
+            for r in bloom_screen_stream(
+                spark, str(src), corpus, self_screen=True
+            ).collect()
+        }
+        assert plain == {90000: False, 90001: False, 90002: False}
+
+        strict = {
+            r.doc_id: r.maybe_dup
+            for r in bloom_screen_stream(
+                spark, str(src), corpus,
+                self_screen=True, within_batch=True,
+            ).collect()
+        }
+        assert strict == {90000: False, 90001: True, 90002: False}
+
+        with pytest.raises(ValueError, match="within_batch"):
+            bloom_screen_stream(
+                spark, str(src), corpus, within_batch=True
+            )
+
 
 class TestClusterRepresentatives:
     def test_rep_is_best_member_of_each_cluster(self, spark):
