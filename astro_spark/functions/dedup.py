@@ -1735,7 +1735,13 @@ def containment_incremental_pairs(
     shared = (
         b_inv.join(c_inv, on="h")
         .groupBy("bid", "cid")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        # count DISTINCT matched shingles, not join rows: a duplicate
+        # (cid, h) row in a maintained inverted index (e.g. a
+        # crash-resumed self_screen batch re-appending its accepted
+        # shingles) must not inflate the containment score — distinct-h
+        # makes the screen idempotent under at-least-once index
+        # maintenance; identical result on a duplicate-free index
+        .agg(F.count_distinct("h").alias("shared"))
     )
     out = (
         shared.join(b_sizes, "bid")

@@ -763,10 +763,11 @@ def containment_screen_stream(
     against corpus + accepted batches < N — a re-post arriving two
     batches after its accepted original is caught within the same
     drain (``incremental_exact_dedup`` semantics; containment INSIDE
-    one micro-batch still passes).  Exactly-once caveat: a
-    failed-and-re-run batch would append its shingles twice, inflating
-    later batches' shared-shingle counts — acceptable for a screen
-    (over-flagging toward review), never under-flagging.
+    one micro-batch still passes).  A failed-and-re-run batch may
+    append its shingles twice; the screen counts DISTINCT matched
+    shingles per (batch, corpus) pair, so duplicate index rows cost
+    re-screen work but never change any containment score —
+    idempotent under at-least-once index maintenance.
 
     Two corpus-side modes:
 

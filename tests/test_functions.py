@@ -2849,6 +2849,38 @@ class TestContainment:
             j = jac.get(frozenset((a, b)))
             assert j is not None and c >= j - 1e-9, (a, b, c, j)
 
+    def test_containment_screen_robust_to_duplicate_index_rows(self, spark):
+        """The screen counts DISTINCT matched shingles: a duplicated
+        (cid, h) inverted-index relation (an at-least-once re-appended
+        self_screen batch) yields the IDENTICAL containment scores."""
+        from astro_spark.functions import dedup
+        from astro_spark.functions.dedup import shingle_hash_array
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        corpus = spark.createDataFrame(
+            [(100, f"{filler} {quoted} {filler}")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame([(1, quoted)], ["doc_id", "text"])
+        inv = corpus.select(
+            F.col("doc_id").alias("cid"),
+            F.explode(shingle_hash_array(F.col("text"))).alias("h"),
+        )
+        clean = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in dedup.containment_incremental_pairs(
+                batch, None, threshold=0.5, corpus_inverted=inv
+            ).collect()
+        }
+        doubled = {
+            (r.batch_id, r.corpus_id, r.containment)
+            for r in dedup.containment_incremental_pairs(
+                batch, None, threshold=0.5,
+                corpus_inverted=inv.unionAll(inv),
+            ).collect()
+        }
+        assert clean == doubled == {(1, 100, 1.0)}
+
 class TestPadTokenIds:
     def test_truncates_pads_and_masks(self, spark):
         from astro_spark.functions import text as T
