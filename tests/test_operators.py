@@ -186,6 +186,31 @@ class TestAppendMerge:
         got = {(r.k, r.v) for r in spark.table(tgt).collect()}
         assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
 
+    def test_merge_from_sql_multi_key(self, spark):
+        """Composite ON keys (AND-chained equalities) upsert on the
+        full key tuple."""
+        import uuid as _uuid
+
+        sfx = _uuid.uuid4().hex[:8]
+        tgt, src = f"msqlmk_t_{sfx}", f"msqlmk_s_{sfx}"
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b")], "k1 long, k2 long, v string"
+        ).write.format("parquet").saveAsTable(tgt)
+        spark.createDataFrame(
+            [(1, 20, "B2"), (2, 10, "c")], "k1 long, k2 long, v string"
+        ).write.format("parquet").saveAsTable(src)
+        a.merge_from_sql(
+            spark,
+            f"MERGE INTO {tgt} AS t USING {src} AS s "
+            "ON t.k1 = s.k1 AND t.k2 = s.k2 "
+            "WHEN MATCHED THEN UPDATE SET t.k1 = s.k1, t.k2 = s.k2, "
+            "t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (t.k1, t.k2, t.v) "
+            "VALUES (s.k1, s.k2, s.v)",
+        )
+        got = {(r.k1, r.k2, r.v) for r in spark.table(tgt).collect()}
+        assert got == {(1, 10, "a"), (1, 20, "B2"), (2, 10, "c")}
+
     def test_merge_from_sql_rejects_injection_and_bad_grammar(self, spark):
         from astro_spark.exceptions import IllegalIdentifierError
 
