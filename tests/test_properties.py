@@ -898,3 +898,91 @@ class TestPercentileFilterProperties:
                 thr = scores[0]
             want |= {i for i, g, s in data if g == grp and s >= thr}
         assert got == want
+
+
+class TestMergeSqlGrammarProperties:
+    """Fuzz the MERGE INTO parser: for ANY statement built from valid
+    identifiers — random aliases, key/column counts, backtick choices,
+    keyword case, whitespace — the parsed dispatch must equal the
+    generator's intent exactly (tables, keys, column map, strategy).
+    The merge dispatch is monkeypatched out, so hundreds of examples
+    cost no Spark work."""
+
+    _ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.data(),
+        n_keys=st.integers(1, 3),
+        n_extra=st.integers(0, 4),
+        with_update=st.booleans(),
+        backticks=st.booleans(),
+        upper=st.booleans(),
+    )
+    def test_parse_roundtrip(
+        self, data, n_keys, n_extra, with_update, backticks, upper
+    ):
+        import importlib
+
+        # the package re-exports the merge FUNCTION under the same name
+        # as the submodule; import_module bypasses the attribute shadow
+        merge_mod = importlib.import_module("astro_spark.operators.merge")
+
+        names = data.draw(
+            st.lists(
+                self._ident,
+                min_size=4 + n_keys + n_extra,
+                max_size=4 + n_keys + n_extra,
+                unique=True,
+            )
+        )
+        tgt, src, ta, sa = names[:4]
+        keys = names[4 : 4 + n_keys]
+        extras = names[4 + n_keys :]
+        cols = keys + extras
+
+        def q(x):  # identifier rendering: maybe backticked
+            return f"`{x}`" if backticks else x
+
+        on = " AND ".join(f"{q(ta)}.{q(k)} = {q(sa)}.{q(k)}" for k in keys)
+        ins_t = ",".join(f"{q(ta)}.{q(c)}" for c in cols)
+        ins_s = ",".join(f"{q(sa)}.{q(c)}" for c in cols)
+        stmt = (
+            f"merge into {q(tgt)} as {q(ta)} using {q(src)} as {q(sa)} "
+            f"on {on} "
+        )
+        if with_update:
+            sets = ", ".join(f"{q(ta)}.{q(c)} = {q(sa)}.{q(c)}" for c in cols)
+            stmt += f"when matched then update set {sets} "
+        stmt += f"when not matched then insert ({ins_t}) values ({ins_s});"
+        if upper:
+            # keywords AND identifiers uppercase: the parser must be
+            # case-preserving on identifiers, case-blind on keywords
+            stmt = stmt.upper()
+            tgt, src = tgt.upper(), src.upper()
+            keys = [k.upper() for k in keys]
+            cols = [c.upper() for c in cols]
+
+        captured = {}
+
+        def fake_merge(spark, source_table, target_table,
+                       target_conflict_columns, columns, if_conflicts):
+            captured.update(
+                src=source_table.name, tgt=target_table.name,
+                keys=list(target_conflict_columns), cols=dict(columns),
+                strat=if_conflicts,
+            )
+            return target_table
+
+        orig = merge_mod.merge
+        merge_mod.merge = fake_merge
+        try:
+            merge_mod.merge_from_sql(None, stmt)
+        finally:
+            merge_mod.merge = orig
+        assert captured["tgt"] == tgt and captured["src"] == src
+        assert captured["keys"] == keys
+        assert captured["cols"] == {c: c for c in cols}
+        assert captured["strat"] == (
+            "update" if with_update else "ignore"
+        )
