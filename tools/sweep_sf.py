@@ -53,8 +53,12 @@ DEFAULT_QUERIES = [
     "s_ivf_pq_topk",
     "dd_containment",
     "dd_minhash_lsh",
+    "dd_minhash_prebuilt",
     "dd_simhash",
     "op_hamming_plan",
+    "st_bloom_self",
+    "st_bloom_strict",
+    "op_merge_sql",
 ]
 
 
