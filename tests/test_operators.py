@@ -1719,6 +1719,45 @@ class TestApplyChanges:
         got = {(r.k, r.v) for r in spark.table(t.name).collect()}
         assert got == {(1, "a1")}
 
+    def test_expire_applied_seq_inherits_cow_guard_and_recovery(self, spark):
+        """The sidecar rewrite now rides the COW manifest commit: a
+        pending manifest in the sidecar location (an interrupted
+        earlier rewrite) blocks the next expiry with the single-writer
+        fail-fast, and recover_table unwedges it — the sidecar can
+        never be lost to a crash (ADVICE r9)."""
+        import astro_spark as a
+        from astro_spark.operators.cdc import (
+            _seq_sidecar,
+            apply_changes,
+            expire_applied_seq,
+        )
+        from astro_spark.operators.merge import (
+            _parquet_location,
+            _write_cow_manifest,
+        )
+        from astro_spark.sources.writers import _hadoop_fs
+
+        t = self._target(spark, [(1, "a")])
+        changes = spark.createDataFrame(
+            [(1, "a1", "U", 10), (2, None, "D", 3)],
+            "k long, v string, op string, seq long",
+        )
+        apply_changes(spark, t, changes, ["k"], seq_col="seq", track_seq=True)
+        side = _seq_sidecar(t)
+        loc = _parquet_location(spark, side.qualified_name)
+        fs, jvm, root = _hadoop_fs(spark, loc)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        # simulate an interrupted rewrite: stage + manifest left behind
+        spark.createDataFrame([(1, 10)], "k long, __seq long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{loc.rstrip('/')}/.cow_stage_g1")
+        _write_cow_manifest(fs, HPath, root, "g1", ".cow_stage_g1", [])
+        with pytest.raises(RuntimeError, match="pending commit manifest"):
+            expire_applied_seq(spark, t, ["k"], 15)
+        assert a.recover_table(spark, side) == 1
+        # unwedged: the expiry now drops exactly the stale dead key
+        assert expire_applied_seq(spark, t, ["k"], 15) == 1
+
     def test_expire_applied_seq_null_key_live_survives(self, spark):
         """A LIVE NULL-keyed target row's sidecar entry must survive
         expiry: plain SQL equality never matches NULL = NULL, so the
