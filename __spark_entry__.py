@@ -5798,79 +5798,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-9 driver-verification order (the driver checks the FIRST 50
-# entries): round-9 additions that have never had a driver row lead
-# (prepended as they land), then the 22 queries whose latest driver row
-# is r04 (the stalest cohort), then the alphabetically-first r05-stale
-# entries up to the window; the r05 leftovers queue right behind as
-# next round's stalest.  _ROTATION_BUILT_FOR_ROUND pins the r-file
-# horizon this order was computed from, so tests/test_contract.py stays
-# green AFTER the driver publishes CORRECTNESS_r09.json (VERDICT r7 #1).
-_ROTATION_BUILT_FOR_ROUND = 9
+# Round-10 driver-verification order (the driver checks the FIRST 50
+# entries): round-10 additions that have never had a driver row lead
+# (prepended as they land), then ALL 27 queries whose latest driver row
+# is r05 (the stalest cohort — VERDICT r9 #1: every one must be green
+# in CORRECTNESS_r10), then the alphabetically-first r06-stale entries
+# up to the window; the r06 leftovers queue right behind as next
+# round's stalest.  _ROTATION_BUILT_FOR_ROUND pins the r-file horizon
+# this order was computed from, so tests/test_contract.py stays green
+# AFTER the driver publishes CORRECTNESS_r10.json (VERDICT r7 #1).
+_ROTATION_BUILT_FOR_ROUND = 10
 
 _DRIVER_PRIORITY = [
-    # round-9 additions: never driver-checked, must sit in the head-50
-    "st_screen_self_dedup",
-    "op_hamming_plan",
-    "dd_minhash_prebuilt",
-    "st_bloom_self",
-    "op_merge_sql",
-    "st_bloom_strict",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q_ewma_anomaly",
-    "q_fuzzy_match",
-    "s_ivf_index_append",
-    "s_ivf_indexed_topk",
-    "s_ivf_pq_topk",
-    "s_knn_graph",
-    "s_knn_graph_probe",
-    "s_recall_report",
-    "st_bloom_screen",
-    "st_drift",
-    "st_ivf_append",
-    "st_minhash_screen",
-    "t_bigram_lm",
-    "t_bpe",
-    "t_drift",
-    "t_drift_by_lang",
-    "t_dsir",
-    "t_langid_eval",
-    "t_sample_n",
-    "dd_clusters",
-    "dd_clusters_star",
-    "dd_decontaminate",
-    "dd_embedding_cosine",
-    "dd_embedding_cosine_np",
-    "dd_exact",
-    "dd_incremental",
-    "dd_minhash_lsh",
-    "dd_ngram_jaccard",
-    "dd_normalized",
-    "dd_simhash",
-    "mm_features",
-    "mm_frames",
-    "op_catalog",
-    "op_check_column",
-    "op_check_table",
-    "op_compact",
-    "op_dml",
-    "op_lifecycle",
-    "op_merge_update",
-    "op_merge_update_part",
-    "op_profile",
+    # round-10 additions: never driver-checked, must sit in the head-50
+    "st_bloom_big",
+    "dd_containment_prebuilt",
+    "op_scd2_plan",
+    # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
+    "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q11_important_stock",
     "q12_priority_lines",
     "q15_top_supplier",
     "q19_disjunct_revenue",
-    # --- below the 50-slot window: the r05 leftovers, next in line ---
-    "q1_pricing_summary",
     "q22_global_balance",
-    "q7_volume_shipping",
-    "q9_product_profit",
     "q_cohort_retention",
     "q_ewma_windowed",
     "q_funnel_steps",
@@ -5888,6 +5842,58 @@ _DRIVER_PRIORITY = [
     "t_quality_metrics",
     "t_token_counts",
     "t_weighted_sample",
+    # alphabetically-first r06-stale entries filling the 50-window
+    "dd_minhash_est",
+    "dd_spans",
+    "mm_binary_ingest",
+    "op_apply_changes",
+    "op_check_scd2",
+    "op_checksum",
+    "op_join_explosion",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_event_transitions",
+    "q_funnel_windowed",
+    "q_pivot_status",
+    "q_recursive_paths",
+    "q_recursive_spine",
+    "q_skew_salted_join",
+    "s_brute_topk",
+    "s_centroids",
+    "s_hard_negatives_indexed",
+    "s_hard_negatives_ivf",
+    "s_ivf_label_topk",
+    # --- below the 50-slot window: the r06 leftovers, next in line ---
+    "s_ivf_trained_topk",
+    "s_lsh_buckets",
+    "s_lsh_pairs",
+    "s_quantize",
+    "st_apply_changes",
+    "st_cdc_compact",
+    "st_cdc_merge",
+    "st_dedup",
+    "st_incremental_load",
+    "st_interval_join",
+    "st_mv_compact",
+    "st_sessions",
+    "st_static_enrich",
+    "st_weighted_sample",
+    "st_windowed_counts",
+    "t_chunks",
+    "t_corpus_prep",
+    "t_dataset_card",
+    "t_domain_mix",
+    "t_kmv_by_source",
+    "t_kmv_distinct",
+    "t_pack_sequences",
+    "t_pseudonymize",
+    "t_quality_filter",
+    "t_quality_percentile",
+    "t_repetition",
+    "t_sample_n_by",
+    "t_shards",
+    "t_stratified",
+    "t_top_terms",
 ]
 
 

@@ -184,8 +184,14 @@ def minhash_lsh_pairs(
     sessions re-running the pair scan per drain, threshold sweeps —
     pay the corpus base ONCE at build time instead of one
     localCheckpoint per call (VERDICT r8 #5 watch-list).  The result is
-    lazy over the caller's relation; ``df`` is ignored and may be None.
+    lazy over the caller's relation; pass exactly one of ``df`` /
+    ``signatures`` (both or neither is a contract error).
     """
+    if (df is None) == (signatures is None):
+        raise ValueError(
+            "minhash_lsh_pairs: pass exactly one of df= or signatures= "
+            "(got both or neither)"
+        )
     rows = MINHASH_K // LSH_BANDS
     if signatures is not None:
         base = None

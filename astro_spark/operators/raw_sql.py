@@ -42,17 +42,6 @@ def run_raw_sql(
         for q in query_modifier.pre_queries:
             spark.sql(q)
     rendered = render_sql(sql, parameters or {})
-    if rendered.lstrip()[:10].lower().startswith("merge into"):
-        # Spark rejects MERGE INTO on v1 parquet tables; route the
-        # reference's generated Delta MERGE text through the engine's
-        # copy-on-write merge (same semantics, crash-recoverable)
-        from .merge import merge_from_sql
-
-        merge_from_sql(spark, rendered)
-        return None if handler is None else handler(
-            spark.createDataFrame([], "ok boolean")
-        )
-    df = spark.sql(rendered)
 
     def _finish(result: Any) -> Any:
         # post-queries run AFTER the result is materialized (Spark plans
@@ -61,6 +50,32 @@ def run_raw_sql(
             for q in query_modifier.post_queries:
                 spark.sql(q)
         return result
+
+    if rendered.lstrip()[:10].lower().startswith("merge into"):
+        # Spark rejects MERGE INTO on v1 parquet tables; route the
+        # reference's generated Delta MERGE text through the engine's
+        # copy-on-write merge (same semantics, crash-recoverable).  MERGE
+        # text outside merge_from_sql's grammar (literal VALUES sources,
+        # WHEN MATCHED THEN DELETE, conditional clauses) falls back to
+        # spark.sql so a session whose catalog CAN execute it (Delta /
+        # Iceberg v2) still does; on plain parquet that surfaces Spark's
+        # own UNSUPPORTED_FEATURE error rather than ours.
+        from ..exceptions import IllegalIdentifierError
+        from .merge import merge_from_sql
+
+        try:
+            merge_from_sql(spark, rendered)
+        except (ValueError, IllegalIdentifierError):
+            # merge_from_sql parses fully before executing, so a grammar
+            # / identifier rejection here means nothing ran yet
+            spark.sql(rendered)
+        # results_format / fail_on_empty are no-ops for MERGE (it returns
+        # no rows); post_queries still run via _finish, symmetric with
+        # every other statement type.
+        if handler is not None:
+            return _finish(handler(spark.createDataFrame([], "ok boolean")))
+        return _finish(None)
+    df = spark.sql(rendered)
 
     if fail_on_empty and df.isEmpty():
         raise ValueError("run_raw_sql(fail_on_empty=True): query returned no rows")

@@ -713,19 +713,28 @@ def signature_screen_stream(
             if self_screen
             else inv
         )
-        sigs = sig_fn(batch_df).select("id", sig_col)
+        # persist: sigs feeds BOTH the pair write and (self_screen) the
+        # accepted-append anti-join — without it sig_fn re-decodes every
+        # payload a second time per micro-batch (ADVICE r9)
+        sigs = sig_fn(batch_df).select("id", sig_col).persist()
         pairs = hash_hamming_incremental_pairs(
             sigs, corpus_sigs, id_col="id", hash_col=sig_col,
             max_hamming=max_hamming,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if self_screen:
-            flagged = pairs.select(
-                F.col("batch_id").alias("id")
-            ).distinct()
+            # read the just-written batch output back instead of
+            # re-executing the lazy hamming plan (the minhash /
+            # containment self_screen pattern)
+            flagged = (
+                sess.read.parquet(f"{out_dir}/batch={batch_id}")
+                .select(F.col("batch_id").alias("id"))
+                .distinct()
+            )
             sigs.join(flagged, on="id", how="left_anti").write.mode(
                 "append"
             ).parquet(index_path)
+        sigs.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(_screen)

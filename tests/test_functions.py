@@ -371,6 +371,14 @@ class TestDedup:
         }
         assert prebuilt == direct and len(prebuilt) > 0
 
+    def test_minhash_pairs_df_signatures_contract(self, docs):
+        """Both-or-neither of df/signatures is a clear contract error,
+        not an opaque AttributeError downstream (ADVICE r9)."""
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup.minhash_lsh_pairs(None)
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup.minhash_lsh_pairs(docs, signatures=docs)
+
     def test_simhash_near_identical_texts(self, spark):
         rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
                 (2, "the quick brown fox jumps over the lazy dog again and again!"),

@@ -186,6 +186,55 @@ class TestAppendMerge:
         got = {(r.k, r.v) for r in spark.table(tgt).collect()}
         assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
 
+    def test_run_raw_sql_merge_fallback_and_post_queries(self, spark):
+        """run_raw_sql's MERGE interception (ADVICE r9): grammar-
+        unsupported MERGE text falls back to spark.sql (surfacing
+        Spark's own error on plain parquet, not our grammar
+        ValueError), and post_queries run on the MERGE path just like
+        every other statement type."""
+        import uuid as _uuid
+
+        from pyspark.errors import UnsupportedOperationException
+
+        from astro_spark.operators.raw_sql import QueryModifier
+
+        sfx = _uuid.uuid4().hex[:8]
+        tgt, src = f"mfall_t_{sfx}", f"mfall_s_{sfx}"
+        spark.createDataFrame(
+            [(1, "a")], "k long, v string"
+        ).write.format("parquet").saveAsTable(tgt)
+        spark.createDataFrame(
+            [(1, "A2"), (2, "b")], "k long, v string"
+        ).write.format("parquet").saveAsTable(src)
+
+        # WHEN MATCHED THEN DELETE is valid Spark MERGE grammar but
+        # outside merge_from_sql's allowlist: it must reach spark.sql
+        # (which rejects MERGE on v1 parquet with UNSUPPORTED_FEATURE),
+        # not die in our parser with a grammar ValueError
+        with pytest.raises(UnsupportedOperationException):
+            a.run_raw_sql(
+                spark,
+                f"MERGE INTO {tgt} AS t USING {src} AS s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE",
+            )
+
+        # a supported MERGE still executes AND post_queries fire
+        marker = f"mfall_post_{sfx}"
+        a.run_raw_sql(
+            spark,
+            f"MERGE INTO {tgt} AS t USING {src} AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v)",
+            query_modifier=QueryModifier(
+                post_queries=[f"CREATE TABLE {marker} AS SELECT 1 AS ok"]
+            ),
+        )
+        got = {(r.k, r.v) for r in spark.table(tgt).collect()}
+        assert got == {(1, "A2"), (2, "b")}
+        assert spark.catalog.tableExists(marker)
+        for t in (tgt, src, marker):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_merge_from_sql_multi_key(self, spark):
         """Composite ON keys (AND-chained equalities) upsert on the
         full key tuple."""
