@@ -3853,6 +3853,28 @@ def _st_bloom_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_bloom_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_bloom_screen at m = 2^21 bits — above BLOOM_LITERAL_MAX_BITS,
+    so mask_mode='auto' takes the BROADCAST path: the mask ships as a
+    broadcast numpy array probed in one Arrow mapInPandas stage instead
+    of 32k plan literals (VERDICT r9 #2 — the petabyte-FPR mask sizes
+    the literal path can't serialize).  Same oracle replay as the
+    literal screen, positions mod the larger m."""
+    from astro_spark.streaming import bloom_screen_stream
+
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    key = (sf_dir, "documents_odd")
+    d = _STAGED_DIRS.get(key)
+    if not (d and os.path.isdir(d)):
+        d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
+        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    return bloom_screen_stream(
+        spark, d, docs.where("doc_id % 2 = 0"), m=1 << 21
+    )
+
+
 def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup screen: odd doc_ids stream in and band-join
     the even-doc corpus banding relation (persisted once per drain)."""
@@ -5723,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st_sessions": _st_sessions,
             "st_dedup": _st_dedup,
             "st_bloom_screen": _st_bloom_screen,
+            "st_bloom_big": _st_bloom_big,
             "st_bloom_self": _st_bloom_self,
             "st_bloom_strict": _st_bloom_strict,
             "st_minhash_screen": _st_minhash_screen,
@@ -6207,6 +6230,10 @@ FROM pairs WHERE distance <= 3
             ),
             "st_bloom_screen": (
                 f"SELECT doc_id, maybe_dup FROM ({oracles.bloom_membership_sql()})"
+            ),
+            "st_bloom_big": (
+                "SELECT doc_id, maybe_dup FROM "
+                f"({oracles.bloom_membership_sql(m=1 << 21)})"
             ),
             "st_bloom_self": oracles.bloom_self_screen_sql(),
             "st_bloom_strict": oracles.bloom_self_strict_sql(),

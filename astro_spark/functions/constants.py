@@ -148,6 +148,13 @@ SEMDEDUP_CENTROIDS: list[list[float]] = [
 # relation (<= m tiny rows) and broadcast.
 BLOOM_M = 32768  # bits
 BLOOM_K = 4  # hash functions
+# Above this mask size the streaming screen ships the bitmask as a
+# broadcast numpy array probed in an Arrow stage instead of compiling
+# it into the plan as an F.array literal: a petabyte-corpus FPR needs
+# m ≈ 10^10 bits, and a 10^8-element literal array blows plan
+# serialization long before that (VERDICT r9 #2).  2^20 bits = 16k
+# long literals, comfortably inside plan-size limits.
+BLOOM_LITERAL_MAX_BITS = 1 << 20
 _rng_bloom = random.Random(31337)
 BLOOM_COEFFS: list[tuple[int, int]] = [
     (_rng_bloom.randrange(1, P31), _rng_bloom.randrange(0, P31))

@@ -1515,22 +1515,24 @@ FROM pairs WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
 """
 
 
-def _bloom_positions(fp_expr: str) -> list[str]:
+def _bloom_positions(fp_expr: str, m: int | None = None) -> list[str]:
     from .constants import BLOOM_COEFFS, BLOOM_M
 
+    m = m or BLOOM_M
     h = f"(({fp_expr}) % {P31})"
     return [
-        f"((({a} * {h} + {b}) % {P31}) % {BLOOM_M})" for a, b in BLOOM_COEFFS
+        f"((({a} * {h} + {b}) % {P31}) % {m})" for a, b in BLOOM_COEFFS
     ]
 
 
-def bloom_membership_sql(table: str = "documents") -> str:
+def bloom_membership_sql(table: str = "documents", m: int | None = None) -> str:
     """Mirrors the dd_bloom query: Bloom filter built from the even
     doc_ids, probed by the odd ones (scale-independent split); is_dup
     is the exact fingerprint-membership ground truth graded next to
-    maybe_dup."""
+    maybe_dup.  ``m`` overrides the mask size (the big-mask broadcast
+    screen's oracle replays the same positions mod its larger m)."""
     fp = fingerprint62("text")
-    pos = ", ".join(_bloom_positions("fp"))
+    pos = ", ".join(_bloom_positions("fp", m))
     return f"""
 WITH corpus AS (
   SELECT {fp} AS fp FROM {table} WHERE doc_id % 2 = 0

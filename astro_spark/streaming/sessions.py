@@ -193,14 +193,30 @@ def bloom_screen_stream(
     self_screen: bool = False,
     max_files_per_trigger: int | None = None,
     within_batch: bool = False,
+    mask_mode: str = "auto",
 ) -> DataFrame:
     """Streaming Bloom screen: flag every incoming doc against the
     STATIC corpus Bloom filter, map-only.
 
     The filter is built once from the corpus (``dedup.bloom_build``),
-    collected as a bitmask of ``m`` bits (m/64 longs — a few KB), and
-    compiled INTO the stream's projection as an array literal: each
-    micro-batch row tests its k bit positions with shifts and masks.
+    collected as a bitmask of ``m`` bits (m/64 longs), and probed by
+    each micro-batch row's k bit positions with shifts and masks.  Two
+    bit-identical mask shipping paths (``mask_mode``):
+
+    - ``"literal"``: the mask is compiled INTO the stream's projection
+      as an ``F.array`` of long literals — whole-stage-codegen
+      probing, zero Python.  Right for small m (default 512 longs),
+      but an m big enough for a petabyte-corpus FPR (~10^10 bits)
+      would put ~10^8 literals in the plan and blow serialization.
+    - ``"broadcast"``: the mask ships ONCE per executor as a broadcast
+      numpy uint64 array and each batch probes it in one Arrow
+      ``mapInPandas`` stage (vectorized gather+shift over the whole
+      batch — still map-only, no shuffle, no state).  This is the
+      at-scale path: broadcast size is m/8 bytes (a 10^10-bit mask is
+      1.25 GB — executor-memory scale, never plan scale).
+    - ``"auto"`` (default): literal while ``m <=
+      constants.BLOOM_LITERAL_MAX_BITS`` (2^20), broadcast above.
+
     No stream-static join, no shuffle, no state — the production
     front-door shape for continuous ingestion, where the corpus itself
     (possibly petabytes) never meets the stream.  False-positive rate
@@ -227,7 +243,7 @@ def bloom_screen_stream(
 
     Returns (id, maybe_dup) for every streamed doc (append mode).
     """
-    from ..functions.constants import BLOOM_M
+    from ..functions.constants import BLOOM_LITERAL_MAX_BITS, BLOOM_M
     from ..functions.dedup import bloom_bit_positions, bloom_build
     from ..functions.text import fingerprint62
 
@@ -236,7 +252,15 @@ def bloom_screen_stream(
             "bloom_screen_stream: within_batch=True refines the "
             "self-screen's acceptance and needs self_screen=True"
         )
+    if mask_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            "bloom_screen_stream: mask_mode must be one of "
+            "'auto'/'literal'/'broadcast'"
+        )
     m = m or BLOOM_M
+    use_broadcast = mask_mode == "broadcast" or (
+        mask_mode == "auto" and m > BLOOM_LITERAL_MAX_BITS
+    )
     words = [0] * ((m + 63) // 64)
     for r in bloom_build(corpus_df, text_col, m, k).collect():  # <= m tiny rows
         words[r.bit >> 6] |= 1 << (r.bit & 63)
@@ -250,6 +274,8 @@ def bloom_screen_stream(
         )
 
     schema = spark.read.parquet(input_path).schema
+    id_type = schema[id_col].dataType.simpleString()
+    text_type = schema[text_col].dataType.simpleString()
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option(
@@ -258,7 +284,8 @@ def bloom_screen_stream(
     stream = reader.parquet(input_path)
     pos = bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
 
-    def _flag(df, mask):
+    def _flag_literal(df):
+        mask = _mask_literal()
         return df.select(
             F.col(id_col),
             F.col(text_col),
@@ -275,11 +302,55 @@ def bloom_screen_stream(
             ).alias("maybe_dup"),
         )
 
+    def _flag_broadcast(df, sess):
+        # mask snapshot ships ONCE per executor; the probe is a single
+        # vectorized numpy gather+shift over each Arrow batch — same
+        # map-only shape as the literal path, no shuffle, no state
+        import numpy as np
+
+        bc = sess.sparkContext.broadcast(
+            np.array([w & ((1 << 64) - 1) for w in words], dtype=np.uint64)
+        )
+
+        def _probe(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            mask = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                P = _np.stack(pdf["__pos"].to_numpy()).astype(_np.int64)
+                bits = (
+                    mask[P >> 6] >> (P & 63).astype(_np.uint64)
+                ) & _np.uint64(1)
+                yield _pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        text_col: pdf[text_col],
+                        "maybe_dup": bits.all(axis=1),
+                    }
+                )
+
+        out = df.select(
+            F.col(id_col), F.col(text_col), pos.alias("__pos")
+        ).mapInPandas(
+            _probe,
+            schema=(
+                f"{id_col} {id_type}, {text_col} {text_type}, "
+                "maybe_dup boolean"
+            ),
+        )
+        return out, bc
+
     if not self_screen:
+        if use_broadcast:
+            flagged, _bc = _flag_broadcast(stream, spark)
+        else:
+            flagged = _flag_literal(stream)
         name = f"st_bloom_{uuid.uuid4().hex[:8]}"
         query = (
-            _flag(stream, _mask_literal())
-            .select(id_col, "maybe_dup")
+            flagged.select(id_col, "maybe_dup")
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
@@ -291,12 +362,18 @@ def bloom_screen_stream(
 
     import tempfile
 
-    id_type = schema[id_col].dataType.simpleString()
     out_dir = tempfile.mkdtemp(prefix="astro_bloom_self_")
 
     def _screen(batch_df, batch_id: int) -> None:
-        # snapshot the CURRENT mask into this batch's projection
-        flagged = _flag(batch_df, _mask_literal())
+        # snapshot the CURRENT mask into this batch's probe (the mask
+        # mutates between batches, so the broadcast path re-broadcasts
+        # the m/8-byte snapshot per batch — still executor-memory
+        # scale, never plan scale)
+        bc = None
+        if use_broadcast:
+            flagged, bc = _flag_broadcast(batch_df, batch_df.sparkSession)
+        else:
+            flagged = _flag_literal(batch_df)
         if within_batch:
             # keep-first-by-id: an identical fingerprint at a lower id
             # in THIS batch also flags (and only first occurrences of
@@ -332,6 +409,8 @@ def bloom_screen_stream(
             .collect()  # <= m tiny rows, bounded regardless of batch size
         )
         flagged.unpersist()
+        if bc is not None:
+            bc.unpersist()
         for r in accepted_bits:
             words[r.bit >> 6] |= 1 << (r.bit & 63)
 
