@@ -1492,11 +1492,12 @@ def pair_threshold_sweep(
 
 
 def containment_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = CONTAINMENT_THRESHOLD,
     max_shingle_df: int | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-containment pairs: ``|A∩B| / |A|`` — the
     asymmetric cousin of Jaccard that catches a document WRAPPING
@@ -1510,7 +1511,29 @@ def containment_pairs(
     ``max_shingle_df`` is the boilerplate-shingle skew guard.  Returns
     (id_a, id_b, containment) where id_a ≠ id_b and ``containment`` is
     the fraction of A's shingles found in B, rounded to 4.
+
+    ``inverted``: a PREBUILT (cid, h) inverted-index relation — what
+    ``build_containment_index`` persists — skips the tokenize + shingle
+    explode AND the per-call eager-materialize trade entirely (the
+    ``signatures=`` pattern from ``minhash_lsh_pairs``): repeat callers
+    — threshold sweeps, per-drain pair scans — pay the corpus shingle
+    pass ONCE at build time.  Shingle counts (both per-doc sizes and
+    per-pair shared counts) are DISTINCT-counted so at-least-once index
+    maintenance (a re-appended batch) never changes any containment
+    score.  The result is lazy over the caller's relation; pass exactly
+    one of ``df`` / ``inverted``.
     """
+    if (df is None) == (inverted is None):
+        raise ValueError(
+            "containment_pairs: pass exactly one of df= or inverted= "
+            "(got both or neither)"
+        )
+    if inverted is not None:
+        inv = inverted.select(F.col("cid").alias("id"), "h")
+        sizes = inv.groupBy("id").agg(F.countDistinct("h").alias("n"))
+        return _containment_pairs_from_inv(
+            inv, sizes, threshold, max_shingle_df, distinct_shared=True
+        )
     base = _shingle_base(df, text_col, id_col).persist()
     out = _containment_pairs_from_base(base, threshold, max_shingle_df)
     return _materialize_and_release(out, base)
@@ -1534,14 +1557,37 @@ def _containment_pairs_from_base(
     (VERDICT r7 #2)."""
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("h"))
+    return _containment_pairs_from_inv(inv, sizes, threshold, max_shingle_df)
+
+
+def _containment_pairs_from_inv(
+    inv: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+    distinct_shared: bool = False,
+) -> DataFrame:
+    """Directed containment pairs from an exploded (id, h) inverted
+    relation + (id, n) sizes.  ``distinct_shared`` counts DISTINCT
+    shared shingles per pair — identical values on an exactly-built
+    index (shingle arrays are distinct per doc), but idempotent when
+    the relation carries at-least-once duplicate rows (the persisted
+    ``inverted=`` path)."""
     if max_shingle_df is not None:
-        doc_freq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        doc_freq = inv.groupBy("h").agg(
+            F.countDistinct("id").alias("df")
+            if distinct_shared
+            else F.count(F.lit(1)).alias("df")
+        )
         inv = inv.join(doc_freq.where(F.col("df") <= max_shingle_df), "h")
     l, r = inv.alias("l"), inv.alias("r")
+    grouped = l.join(
+        r, on=[F.col("l.h") == F.col("r.h"), F.col("l.id") != F.col("r.id")]
+    ).groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     shared = (
-        l.join(r, on=[F.col("l.h") == F.col("r.h"), F.col("l.id") != F.col("r.id")])
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        grouped.agg(F.countDistinct(F.col("l.h")).alias("shared"))
+        if distinct_shared
+        else grouped.agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
         shared.join(

@@ -371,6 +371,43 @@ class TestDedup:
         }
         assert prebuilt == direct and len(prebuilt) > 0
 
+    def test_containment_pairs_prebuilt_inverted_identical(
+        self, docs, tmp_path
+    ):
+        """inverted= (the persisted build_containment_index relation)
+        returns the identical directed pair set without re-shingling —
+        and stays value-identical when the index carries at-least-once
+        duplicate rows (DISTINCT-counted sizes and shared counts)."""
+        idx = str(tmp_path / "cont_idx")
+        dedup.build_containment_index(docs, idx)
+        spark = docs.sparkSession
+        direct = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(docs).collect()
+        }
+        prebuilt = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                None, inverted=spark.read.parquet(idx)
+            ).collect()
+        }
+        assert prebuilt == direct and len(direct) > 0
+        # a re-appended batch (duplicate rows) must not move any score
+        dedup.update_containment_index(docs.limit(20), idx)
+        dup_rows = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                None, inverted=spark.read.parquet(idx)
+            ).collect()
+        }
+        assert dup_rows == direct
+
+    def test_containment_pairs_df_inverted_contract(self, docs):
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup.containment_pairs(None)
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup.containment_pairs(docs, inverted=docs)
+
     def test_minhash_pairs_df_signatures_contract(self, docs):
         """Both-or-neither of df/signatures is a clear contract error,
         not an opaque AttributeError downstream (ADVICE r9)."""
