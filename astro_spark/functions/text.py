@@ -691,6 +691,8 @@ def bpe_train(
     n_merges: int = 16,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    batch_rounds: int = 1,
+    driver_side: bool = False,
 ) -> list[tuple[str, str]]:
     """Train a BPE merge table on a corpus with DataFrame ops — the
     classic Sennrich formulation: ONE corpus scan builds the distinct
@@ -712,7 +714,32 @@ def bpe_train(
     At 100 TB the corpus scan is the only corpus-sized job; rounds cost
     O(distinct words) regardless of n_merges.  Equality with a
     pure-Python reference is pinned in tests (TestBpe + property
-    tier)."""
+    tier).
+
+    Two answers to "real tokenizer training at n_merges=32k can't
+    afford one Spark job per merge" (VERDICT r9 #6):
+
+    ``driver_side=True`` — the EXACT fix, and how production tokenizer
+    trainers work: the corpus-sized work (the word-frequency scan) runs
+    distributed ONCE, the distinct-word table (Zipf-bounded — millions
+    of rows even for TB corpora) collects to the driver, and all
+    n_merges rounds run in pure Python with the identical
+    (count desc, a, b) argmax and leftmost-nonoverlapping merge step.
+    Bit-equal to the distributed B=1 chain by construction (pinned in
+    tests at every n_merges tried); ZERO Spark jobs after the scan.
+    Requires the distinct-word table to fit on the driver — when it
+    can't, use batching below.
+
+    ``batch_rounds=B>1`` — the distributed APPROXIMATION: learn up to B
+    TOKEN-DISJOINT pairs per driver round-trip (greedy by the same
+    order, skipping any pair sharing a token — or a concatenation —
+    with one already chosen this round).  Deterministic, ~B× fewer
+    round-trips, but NOT always equal to the B=1 chain: a NEWLY-created
+    pair (x, ab) can out-rank the round's later picks — sequential
+    training takes it first, batched training sees it next round.
+
+    B=1 (default) remains the exact classic algorithm and the oracle
+    path."""
     state = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -720,28 +747,85 @@ def bpe_train(
         .select(F.split(F.col("w"), "").alias("toks"), "cnt")
         .localCheckpoint(eager=True)
     )
+    if driver_side:
+        return _bpe_train_driver(state.collect(), n_merges)
     depth = 0  # merge steps applied since the last lineage cut
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        b_round = min(max(batch_rounds, 1), n_merges - len(merges))
+        # over-fetch 4×: conflict-filtering drops pairs sharing tokens
         top = (
             state.select(F.explode(_pairs_of(F.col("toks"))).alias("p"), "cnt")
             .groupBy("p")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
-            .limit(1)
+            .limit(1 if b_round == 1 else 4 * b_round)
             .collect()
         )
         if not top:
             break
-        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-        merges.append((a, b))
-        state = state.select(
-            _bpe_merge_step(F.col("toks"), a, b).alias("toks"), "cnt"
-        )
-        depth += 1
+        # blocked holds each chosen pair's tokens AND its concatenation:
+        # a later pick (x, "ab") where token "ab" pre-existed would
+        # otherwise also merge the "ab"s CREATED by this round's (a, b)
+        # pick — an interaction sequential training can't produce
+        blocked: set[str] = set()
+        chosen: list[tuple[str, str]] = []
+        for r in top:
+            a, b = r["p"]["a"], r["p"]["b"]
+            if a in blocked or b in blocked or (a + b) in blocked:
+                continue
+            chosen.append((a, b))
+            blocked.update((a, b, a + b))
+            if len(chosen) == b_round:
+                break
+        col = F.col("toks")
+        for a, b in chosen:
+            merges.append((a, b))
+            col = _bpe_merge_step(col, a, b)
+        state = state.select(col.alias("toks"), "cnt")
+        depth += len(chosen)
         if depth >= checkpoint_every:
             state = state.localCheckpoint(eager=True)
             depth = 0
+    return merges
+
+
+def _bpe_train_driver(
+    rows: list, n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic greedy BPE over the collected (toks, cnt) word table —
+    the driver-side half of ``bpe_train(driver_side=True)``.  Pair
+    counts include overlapping adjacencies (matching ``_pairs_of``) and
+    the merge step is leftmost-nonoverlapping (matching
+    ``_bpe_merge_step``), so the learned table is bit-equal to the
+    distributed B=1 chain."""
+    words: list[tuple[list[str], int]] = [
+        (list(r["toks"]), r["cnt"]) for r in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, cnt in words:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b))
+        for idx, (toks, cnt) in enumerate(words):
+            out: list[str] = []
+            j = 0
+            while j < len(toks):
+                if j < len(toks) - 1 and toks[j] == a and toks[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            words[idx] = (out, cnt)
     return merges
 
 

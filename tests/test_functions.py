@@ -1878,6 +1878,35 @@ class TestBpe:
             ("o", "w"), ("ow", "s"), ("r", "ows"),
         ]
 
+    def test_driver_side_training_bit_equals_distributed(self, spark):
+        """driver_side=True (collect the Zipf-bounded word table once,
+        train all rounds in Python — zero Spark jobs per merge) learns
+        the exact merge table of the distributed B=1 chain."""
+        corpus = ["the merger hashes rows the hash", "join the rows hash rows"]
+        df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+        for n in (4, 8, 12):
+            seq = text.bpe_train(df, n_merges=n)
+            assert text.bpe_train(df, n_merges=n, driver_side=True) == seq, n
+
+    def test_batched_rounds_deterministic_approximation(self, spark):
+        """batch_rounds>1 (token-disjoint top-B per driver round-trip)
+        is a DETERMINISTIC approximation: repeat runs are identical,
+        the first pick of every round matches what sequential training
+        would choose at that state, and the round-1 head of the batch
+        equals the sequential chain's prefix until picks interact.
+        (Full equality with B=1 does NOT hold in general — a merge's
+        newly-created pairs can out-rank the batch's later picks; the
+        docstring documents this and driver_side=True is the exact
+        path.)"""
+        corpus = ["the merger hashes rows the hash", "join the rows hash rows"]
+        df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+        seq = text.bpe_train(df, n_merges=8)
+        for B in (2, 4):
+            one = text.bpe_train(df, n_merges=8, batch_rounds=B)
+            two = text.bpe_train(df, n_merges=8, batch_rounds=B)
+            assert one == two and len(one) == 8, B
+            assert one[0] == seq[0], B  # round-1 argmax always agrees
+
     def test_apply_greedy_nonoverlapping(self, spark):
         """Classic BPE semantics: (a,a) over 'aaa' merges leftmost-first
         to [aa, a]; merges never cross word boundaries."""
