@@ -40,21 +40,46 @@ def _prep(spark: SparkSession) -> None:
     # benign, metadata-only, but it shreds every driver capture window
     # (VERDICT r8 #3).  That logger emits nothing else of value at
     # WARN, so scope it to ERROR for driver-run sessions.
+    # ResolveWriteToStream WARNs twice per availableNow drain (temp
+    # checkpoint created / AQE-disabled-for-streaming) — both are the
+    # documented one-shot-drain shape here, and with ~40 streaming
+    # queries per round they dominated BENCH_r09's capture tail
+    # (VERDICT r9 #9).  Same treatment: nothing else of value at WARN.
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
             "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+            "org.apache.spark.sql.execution.streaming.runtime"
+            ".ResolveWriteToStream",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:
         pass  # non-log4j2 deployments: cosmetic feature, never fatal
 
 
+_VIEWS_FOR: dict[int, str] = {}  # id(session) -> sf_dir last registered
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata views, memoized per (session, sf_dir).
+
+    Re-registering all 10 tables costs ~0.8 s at sf0.1 (one file
+    listing + footer read per table) — ~40% of every ~2 s streaming
+    drain's wall time, re-paid by EVERY queries() entry (the
+    st_incremental_load 1.65× mystery, VERDICT r9 #4, was mostly
+    this).  Nothing in the registry drops or clobbers the table-named
+    views, so one registration per session+sf_dir is sound; the
+    tableExists probe (~10 ms) guards the session-restart edge."""
     _prep(spark)
     from astro_spark.testdata import register_views
 
+    key = id(spark)
+    if _VIEWS_FOR.get(key) == sf_dir and spark.catalog.tableExists("lineitem"):
+        return
     register_views(spark, sf_dir)
+    _VIEWS_FOR[key] = sf_dir
 
 
 def _fresh_managed(spark: SparkSession, *names: str) -> None:

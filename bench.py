@@ -131,6 +131,8 @@ HEADLINE = [
     "st_ahash_screen",
     "st_screen_self_dedup",
     "st_bloom_self",
+    "st_bloom_big",
+    "dd_containment_prebuilt",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape
@@ -146,6 +148,7 @@ PLAN_PROBES = [
     "op_codegen",
     "op_exchange_reuse",
     "op_hamming_plan",
+    "op_scd2_plan",
 ]
 
 
@@ -168,7 +171,19 @@ def main() -> None:
     spark = get_session("bench")
     qs = entry.queries()
 
-    # warm-up: JVM + parquet footer caches
+    # Pinned cache protocol (VERDICT r9 #3): the same code measured
+    # 182.8 s hot vs 217.4 s cold across rounds — a ±19% page-cache
+    # floor that made round-over-round watch-lists unenforceable.
+    # Every run now starts from a DEFINED state: all input parquet
+    # bytes are read through the OS page cache before any timing
+    # (sf0.1 is ~100 MB — cheap), plus one JVM/session warm-up query.
+    # The protocol name is stamped into both JSON outputs so boards
+    # are only compared within the same protocol.
+    PROTOCOL = "warm-cache-v2"
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
     from astro_spark.testdata import read_table
 
     read_table(spark, sf_dir, "lineitem").count()
@@ -215,6 +230,7 @@ def main() -> None:
                 "probes_total_sec": probe_total,
                 "runs_per_query": n_runs,
                 "sf": sf_val,
+                "protocol": PROTOCOL,
             },
             f,
             separators=(",", ":"),
@@ -230,6 +246,7 @@ def main() -> None:
             "n_probes": len(probe_timings),
             "sf": sf_val,
             "runs_per_query": n_runs,
+            "protocol": PROTOCOL,
             "queries_file": "BENCH_local.json",
         },
         separators=(",", ":"),
