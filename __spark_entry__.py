@@ -5142,6 +5142,54 @@ def _op_scd2_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def _op_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-parquet time travel (operators/timetravel.py): create
+    v0 = nation, append a key-shifted copy (v1), overwrite with a
+    region slice (v2), RESTORE v1 (v3) — then read EVERY version back
+    through its manifest and aggregate.  The oracle reconstructs each
+    version's expected contents relationally, so the version manifests,
+    the restore, and the per-version reads are all value-checked."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="astro_tt_") + "/t"
+    a.tt_create(spark, nation, root)
+    a.tt_append(
+        spark,
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_regionkey"
+        ),
+        root,
+    )
+    a.tt_overwrite(spark, nation.where("n_regionkey < 2"), root)
+    a.tt_restore(spark, root, 1)
+    out = None
+    for v in range(4):
+        agg = a.tt_read(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("version", "n_rows", "sum_key")
+
+
+_OP_TIME_TRAVEL_DUCK = """
+WITH v0 AS (SELECT n_nationkey FROM nation),
+v1 AS (SELECT n_nationkey FROM nation
+       UNION ALL SELECT n_nationkey + 100 FROM nation),
+v2 AS (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+SELECT 0 AS version, COUNT(*)::BIGINT AS n_rows, SUM(n_nationkey)::BIGINT AS sum_key FROM v0
+UNION ALL
+SELECT 1, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT FROM v1
+UNION ALL
+SELECT 2, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT FROM v2
+UNION ALL
+SELECT 3, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT FROM v1
+"""
+
+
 def _op_bucketed_screen_duck() -> str:
     return (
         "SELECT *, TRUE AS fewer_exchanges, TRUE AS same_result FROM ("
@@ -5942,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_bucketed_screen": _op_bucketed_screen,
             "op_hamming_plan": _op_hamming_plan,
             "op_scd2_plan": _op_scd2_plan,
+            "op_time_travel": _op_time_travel,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
             "mm_ahash_pairs": _mm_ahash_pairs,
@@ -5975,6 +6024,7 @@ _DRIVER_PRIORITY = [
     "st_bloom_big",
     "dd_containment_prebuilt",
     "op_scd2_plan",
+    "op_time_travel",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
@@ -6502,6 +6552,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
                 + _SHARED_SQL_SCD2_ENRICH
                 + ")"
             ),
+            "op_time_travel": _OP_TIME_TRAVEL_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,

@@ -26,6 +26,16 @@ from .load_file import load_file
 from .merge import merge, merge_from_sql
 from .scd import scd2_merge
 from .raw_sql import get_value_list, run_raw_sql
+from .timetravel import (
+    ConcurrentWriteError,
+    tt_append,
+    tt_create,
+    tt_history,
+    tt_overwrite,
+    tt_read,
+    tt_restore,
+    tt_vacuum,
+)
 from .transform import transform, transform_file
 
 __all__ = [
@@ -65,6 +75,14 @@ __all__ = [
     "register_temp_table",
     "run_raw_sql",
     "temp_registry",
+    "ConcurrentWriteError",
+    "tt_append",
+    "tt_create",
+    "tt_history",
+    "tt_overwrite",
+    "tt_read",
+    "tt_restore",
+    "tt_vacuum",
     "transform",
     "transform_file",
     "truncate_table",

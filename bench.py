@@ -133,6 +133,7 @@ HEADLINE = [
     "st_bloom_self",
     "st_bloom_big",
     "dd_containment_prebuilt",
+    "op_time_travel",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

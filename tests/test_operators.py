@@ -2407,3 +2407,129 @@ class TestApplyChangesEquivalence:
             # interleaved order — the sidecar must still converge
             split = _apply(bs, "split")
             assert whole == split, (trial, whole ^ split)
+
+
+class TestTimeTravel:
+    """Versioned parquet tables (operators/timetravel.py): the Delta
+    capabilities the reference gets from USING DELTA CTAS
+    (delta.py:168-187), re-expressed as a manifest log on plain
+    parquet."""
+
+    def _seed(self, spark, tmp_path):
+        root = str(tmp_path / "tt")
+        v0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        )
+        assert a.tt_create(spark, v0, root) == 0
+        return root
+
+    def test_create_append_overwrite_read_versions(self, spark, tmp_path):
+        root = self._seed(spark, tmp_path)
+        assert a.tt_append(
+            spark, spark.createDataFrame([(3, "c")], "k long, v string"), root
+        ) == 1
+        assert a.tt_overwrite(
+            spark, spark.createDataFrame([(9, "z")], "k long, v string"), root
+        ) == 2
+        def rows(version=None):
+            return {
+                (r.k, r.v) for r in a.tt_read(spark, root, version).collect()
+            }
+        assert rows(0) == {(1, "a"), (2, "b")}
+        assert rows(1) == {(1, "a"), (2, "b"), (3, "c")}
+        assert rows(2) == {(9, "z")}
+        assert rows() == {(9, "z")}  # latest
+
+    def test_restore_preserves_history(self, spark, tmp_path):
+        root = self._seed(spark, tmp_path)
+        a.tt_overwrite(
+            spark, spark.createDataFrame([(9, "z")], "k long, v string"), root
+        )
+        assert a.tt_restore(spark, root, 0) == 2
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "a"), (2, "b")}
+        hist = {r.version: (r.op, r.n_files) for r in a.tt_history(spark, root).collect()}
+        assert set(hist) == {0, 1, 2}
+        assert hist[2][0] == "restore(v0)"
+        # the overwritten version is STILL readable (restore deletes nothing)
+        assert {(r.k, r.v) for r in a.tt_read(spark, root, 1).collect()} == {(9, "z")}
+
+    def test_as_of_timestamp(self, spark, tmp_path):
+        import time as _time
+
+        root = self._seed(spark, tmp_path)
+        mid = _time.time()
+        _time.sleep(0.05)
+        a.tt_append(
+            spark, spark.createDataFrame([(3, "c")], "k long, v string"), root
+        )
+        got = {(r.k, r.v) for r in a.tt_read(spark, root, as_of_ts=mid).collect()}
+        assert got == {(1, "a"), (2, "b")}
+        with pytest.raises(ValueError, match="at most one"):
+            a.tt_read(spark, root, version=0, as_of_ts=mid)
+
+    def test_concurrent_commit_isolation(self, spark, tmp_path):
+        """A manifest racing into the same version number loses with
+        ConcurrentWriteError (overwrite path) or retries transparently
+        (append path, whose intent is state-independent)."""
+        from astro_spark.operators import timetravel as tt
+
+        root = self._seed(spark, tmp_path)
+        # simulate a racing writer: pre-commit version 1 behind our back
+        HPath, _p, fs = tt._fs(spark, root)
+        tt._publish(
+            spark, fs, HPath, root, 1,
+            {"files": [], "op": "rival", "ts": 0.0},
+        )
+        with pytest.raises(a.exceptions.AstroSparkError):
+            # overwrite races for v1 -> surfaced conflict
+            tt._publish(
+                spark, fs, HPath, root, 1,
+                {"files": [], "op": "loser", "ts": 0.0},
+            )
+        # append retries onto v2 and succeeds
+        v = a.tt_append(
+            spark, spark.createDataFrame([(3, "c")], "k long, v string"), root
+        )
+        assert v == 2
+
+    def test_vacuum_reclaims_only_dead_files(self, spark, tmp_path):
+        root = self._seed(spark, tmp_path)
+        a.tt_overwrite(
+            spark, spark.createDataFrame([(9, "z")], "k long, v string"), root
+        )
+        a.tt_restore(spark, root, 0)  # v2 shares v0's files
+        deleted = a.tt_vacuum(spark, root, keep_last=1)
+        # v0/v1 manifests dropped; v0's files survive (v2 references
+        # them), v1's die
+        assert deleted >= 1
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "a"), (2, "b")}
+        with pytest.raises(a.exceptions.AstroSparkError):
+            a.tt_read(spark, root, 1)
+
+    def test_crashed_writer_files_invisible(self, spark, tmp_path):
+        """Data files without a published manifest never surface — a
+        crash between data write and manifest publish leaves garbage,
+        not corruption."""
+        root = self._seed(spark, tmp_path)
+        from astro_spark.operators import timetravel as tt
+
+        HPath, _p, fs = tt._fs(spark, root)
+        # orphan files = a writer that died before publishing
+        tt._write_data_files(
+            spark,
+            spark.createDataFrame([(666, "ghost")], "k long, v string"),
+            root, fs, HPath,
+        )
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "a"), (2, "b")}
+
+    def test_predicate_pushdown_reaches_versioned_scan(self, spark, tmp_path):
+        """The explicit-file-list read keeps parquet pushdown: the scan
+        shows a PushedFilters entry for the key predicate."""
+        root = self._seed(spark, tmp_path)
+        df = a.tt_read(spark, root, 0).where("k = 1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "IsNotNull(k)" in plan
+        assert df.count() == 1
