@@ -5175,6 +5175,64 @@ def _op_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("version", "n_rows", "sum_key")
 
 
+def _op_tt_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style DML on the versioned log: MERGE (file-scoped upsert
+    committing a new version) then DELETE WHERE (file-scoped rewrite),
+    every version still readable — the oracle reconstructs all three
+    states relationally, so upsert semantics, the delete predicate, AND
+    the old versions' immutability are all value-checked."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttdml_") + "/t"
+    a.tt_create(spark, nation.repartition(4), root)
+    src = nation.where("n_regionkey < 2").select(
+        "n_nationkey", (F.col("n_regionkey") + 10).alias("n_regionkey")
+    ).unionByName(
+        nation.select(
+            (F.col("n_nationkey") + 200).alias("n_nationkey"), "n_regionkey"
+        )
+    )
+    a.tt_merge(spark, src, root, ["n_nationkey"])
+    a.tt_delete_where(spark, root, "n_regionkey = 3")
+    out = None
+    for v in range(3):
+        agg = a.tt_read(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+            F.sum("n_regionkey").alias("sum_region"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("version", "n_rows", "sum_key", "sum_region")
+
+
+_OP_TT_DML_DUCK = """
+WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
+src AS (
+  SELECT n_nationkey, n_regionkey + 10 AS n_regionkey
+  FROM nation WHERE n_regionkey < 2
+  UNION ALL
+  SELECT n_nationkey + 200, n_regionkey FROM nation
+),
+v1 AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM v0
+  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+),
+v2 AS (SELECT * FROM v1 WHERE NOT (n_regionkey = 3))
+SELECT 0 AS version, COUNT(*)::BIGINT AS n_rows,
+       SUM(n_nationkey)::BIGINT AS sum_key,
+       SUM(n_regionkey)::BIGINT AS sum_region FROM v0
+UNION ALL
+SELECT 1, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT, SUM(n_regionkey)::BIGINT FROM v1
+UNION ALL
+SELECT 2, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT, SUM(n_regionkey)::BIGINT FROM v2
+"""
+
+
 _OP_TIME_TRAVEL_DUCK = """
 WITH v0 AS (SELECT n_nationkey FROM nation),
 v1 AS (SELECT n_nationkey FROM nation
@@ -5991,6 +6049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_hamming_plan": _op_hamming_plan,
             "op_scd2_plan": _op_scd2_plan,
             "op_time_travel": _op_time_travel,
+            "op_tt_dml": _op_tt_dml,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
             "mm_ahash_pairs": _mm_ahash_pairs,
@@ -6025,6 +6084,7 @@ _DRIVER_PRIORITY = [
     "dd_containment_prebuilt",
     "op_scd2_plan",
     "op_time_travel",
+    "op_tt_dml",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
@@ -6553,6 +6613,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
                 + ")"
             ),
             "op_time_travel": _OP_TIME_TRAVEL_DUCK,
+            "op_tt_dml": _OP_TT_DML_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,

@@ -30,7 +30,9 @@ from .timetravel import (
     ConcurrentWriteError,
     tt_append,
     tt_create,
+    tt_delete_where,
     tt_history,
+    tt_merge,
     tt_overwrite,
     tt_read,
     tt_restore,
@@ -78,7 +80,9 @@ __all__ = [
     "ConcurrentWriteError",
     "tt_append",
     "tt_create",
+    "tt_delete_where",
     "tt_history",
+    "tt_merge",
     "tt_overwrite",
     "tt_read",
     "tt_restore",

@@ -276,6 +276,127 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _head(spark: SparkSession, fs, HPath, root: str) -> tuple[int, dict]:
+    versions = _list_versions(fs, HPath, root)
+    if not versions:
+        raise AstroSparkError(f"no versioned table at {root}")
+    return versions[-1], _read_manifest(spark, fs, HPath, root, versions[-1])
+
+
+def _touched_relative(
+    spark: SparkSession, root: str, files: list[str], flagged: DataFrame
+) -> list[str]:
+    """Map a DISTINCT input_file_name() relation back to root-relative
+    manifest paths.  Bounded collect: at most len(files) rows."""
+    from pyspark.sql import functions as F
+
+    abs_by_rel = {f: f"{root.rstrip('/')}/{f}" for f in files}
+    hit = {r[0] for r in flagged.limit(len(files) + 1).collect()}
+
+    def _norm(u: str) -> str:
+        return u.removeprefix("file:").lstrip("/")
+
+    hit_norm = {_norm(u) for u in hit}
+    return [
+        rel
+        for rel, ab in abs_by_rel.items()
+        if _norm(ab) in hit_norm or ab in hit
+    ]
+
+
+def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+    """Delta ``DELETE FROM ... WHERE`` on the versioned log: rewrite
+    ONLY the files containing matching rows (minus those rows), commit
+    a new version = untouched files + rewritten files.  Old versions
+    stay readable — deleted rows remain time-travelable until
+    ``tt_vacuum``.  O(touched files) write cost, one column-pruned scan
+    to find them."""
+    from pyspark.sql import functions as F
+
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    files = manifest["files"]
+    full = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    flagged = (
+        full.where(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+    )
+    touched = _touched_relative(spark, root, files, flagged)
+    if not touched:
+        return head_v  # nothing matched: no new version
+    kept = (
+        spark.read.parquet(*[f"{root}/{f}" for f in touched])
+        .where(f"NOT ({predicate})")
+    )
+    new_files = _write_data_files(spark, kept, root, fs, HPath)
+    _publish(
+        spark, fs, HPath, root, head_v + 1,
+        {
+            "files": [f for f in files if f not in set(touched)] + new_files,
+            "op": "delete",
+            "ts": time.time(),
+        },
+    )
+    return head_v + 1
+
+
+def tt_merge(
+    spark: SparkSession, source: DataFrame, root: str, keys: list[str]
+) -> int:
+    """Delta ``MERGE INTO`` on the versioned log: upsert ``source``
+    into the head version — matched rows update, new keys insert — and
+    commit the result as a new version.  File-scoped copy-on-write:
+    only files CONTAINING matched keys are rewritten (untouched files
+    carry over by manifest reference; an untouched file cannot hold a
+    matched key by construction), inserts land in the rewrite commit's
+    files.  Source rows are pre-deduped deterministically on the keys
+    (the engine-wide merge convention — Delta errors on source dups).
+    Old versions stay readable: MERGE + time travel on plain parquet,
+    the combination the Delta backend gets from its log."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .merge import _upsert
+
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    files = manifest["files"]
+    target = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    source = source.select(*target.columns)  # align column order
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in source.columns])
+    source = (
+        source.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # input_file_name() must be captured IN the scan stage — after the
+    # join exchange it evaluates empty
+    tagged = target.select(*keys, F.input_file_name().alias("f"))
+    flagged = (
+        tagged.join(source.select(*keys).distinct(), on=keys, how="leftsemi")
+        .select("f")
+        .distinct()
+    )
+    touched = _touched_relative(spark, root, files, flagged)
+    base = (
+        spark.read.parquet(*[f"{root}/{f}" for f in touched])
+        if touched
+        else target.limit(0)
+    )
+    merged = _upsert(base, source, keys)
+    new_files = _write_data_files(spark, merged, root, fs, HPath)
+    _publish(
+        spark, fs, HPath, root, head_v + 1,
+        {
+            "files": [f for f in files if f not in set(touched)] + new_files,
+            "op": "merge",
+            "ts": time.time(),
+        },
+    )
+    return head_v + 1
+
+
 def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     """Delete data files referenced ONLY by versions older than the
     last ``keep_last``, then drop those versions' manifests.  Returns

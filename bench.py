@@ -134,6 +134,7 @@ HEADLINE = [
     "st_bloom_big",
     "dd_containment_prebuilt",
     "op_time_travel",
+    "op_tt_dml",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

@@ -2533,3 +2533,59 @@ class TestTimeTravel:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan and "IsNotNull(k)" in plan
         assert df.count() == 1
+
+    def test_merge_updates_inserts_and_time_travels(self, spark, tmp_path):
+        """tt_merge upserts file-scoped: matched rows update, new keys
+        insert, files without matched keys carry over by manifest
+        reference (their part-files are byte-identical paths), and the
+        pre-merge version stays readable."""
+        from astro_spark.operators import timetravel as tt
+
+        root = str(tmp_path / "ttm")
+        # two files: k=1..2 in one, k=3..4 in the other
+        f1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        a.tt_create(spark, f1, root)
+        a.tt_append(
+            spark, spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string"), root
+        )
+        HPath, _p, fs = tt._fs(spark, root)
+        before = set(tt._read_manifest(spark, fs, HPath, root, 1)["files"])
+
+        src = spark.createDataFrame(
+            [(2, "B2"), (2, "ZZZ"), (5, "e")], "k long, v string"
+        )  # dup source key: deterministic first-by-sort wins (B2)
+        v = a.tt_merge(spark, src, root, ["k"])
+        assert v == 2
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e")}
+        # pre-merge version intact
+        pre = {(r.k, r.v) for r in a.tt_read(spark, root, 1).collect()}
+        assert pre == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+        # the k=3..4 file was NOT rewritten: its manifest entry carries over
+        after = set(tt._read_manifest(spark, fs, HPath, root, 2)["files"])
+        assert before & after, "untouched file should carry over by reference"
+
+    def test_delete_where_rewrites_only_touched_files(self, spark, tmp_path):
+        from astro_spark.operators import timetravel as tt
+
+        root = str(tmp_path / "ttd")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), root
+        )
+        a.tt_append(
+            spark, spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string"), root
+        )
+        HPath, _p, fs = tt._fs(spark, root)
+        before = set(tt._read_manifest(spark, fs, HPath, root, 1)["files"])
+        v = a.tt_delete_where(spark, root, "k = 2")
+        assert v == 2
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "a"), (3, "c"), (4, "d")}
+        # deleted row still time-travelable
+        assert (2, "b") in {
+            (r.k, r.v) for r in a.tt_read(spark, root, 1).collect()
+        }
+        after = set(tt._read_manifest(spark, fs, HPath, root, 2)["files"])
+        assert before & after, "file without matches should carry over"
+        # no-match predicate: NO new version
+        assert a.tt_delete_where(spark, root, "k = 999") == 2
