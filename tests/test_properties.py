@@ -986,3 +986,104 @@ class TestMergeSqlGrammarProperties:
         assert captured["strat"] == (
             "update" if with_update else "ignore"
         )
+
+
+class TestTimeTravelProperties:
+    """The versioned-log invariant: after ANY op sequence, every
+    version reads back exactly the state a pure-Python model predicts —
+    immutability of history under later merges/deletes/restores
+    included."""
+
+    @SETTINGS
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("append"),
+                    st.lists(
+                        st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                        min_size=1,
+                        max_size=4,
+                    ),
+                ),
+                st.tuples(
+                    st.just("overwrite"),
+                    st.lists(
+                        st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                        min_size=1,
+                        max_size=4,
+                    ),
+                ),
+                st.tuples(
+                    st.just("merge"),
+                    st.lists(
+                        st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                        min_size=1,
+                        max_size=4,
+                        unique_by=lambda t: t[0],
+                    ),
+                ),
+                st.tuples(st.just("delete"), st.integers(0, 9)),
+                st.tuples(st.just("restore"), st.integers(0, 20)),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_every_version_matches_model(self, spark, tmp_path_factory, ops):
+        import uuid as _uuid
+
+        import astro_spark as a
+
+        root = str(tmp_path_factory.mktemp("ttprop") / _uuid.uuid4().hex)
+        seed = [(1, 7), (2, 8), (3, 9)]
+        a.tt_create(
+            spark,
+            spark.createDataFrame(seed, "k long, v long").repartition(2),
+            root,
+        )
+        model: list[list[tuple[int, int]]] = [sorted(seed)]
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "k long, v long")
+
+        for op, arg in ops:
+            if op == "append":
+                a.tt_append(spark, df_of(arg), root)
+                model.append(sorted(model[-1] + list(arg)))
+            elif op == "overwrite":
+                a.tt_overwrite(spark, df_of(arg), root)
+                model.append(sorted(arg))
+            elif op == "merge":
+                a.tt_merge(spark, df_of(arg), root, ["k"])
+                # Delta MERGE semantics: EVERY matched target row
+                # updates (duplicate target keys stay duplicated, each
+                # carrying the source value); unmatched source keys
+                # insert one row
+                from collections import Counter
+
+                src = dict(arg)
+                cnt = Counter(k for (k, _v) in model[-1])
+                kept = [(k, v) for (k, v) in model[-1] if k not in src]
+                newrows = []
+                for k, v in src.items():
+                    newrows.extend([(k, v)] * max(1, cnt.get(k, 0)))
+                model.append(sorted(kept + newrows))
+            elif op == "delete":
+                v = a.tt_delete_where(spark, root, f"k = {arg}")
+                new_state = sorted([(k, x) for (k, x) in model[-1] if k != arg])
+                if new_state != model[-1]:
+                    model.append(new_state)
+                # no-match delete commits nothing
+            elif op == "restore":
+                target = arg % len(model)
+                a.tt_restore(spark, root, target)
+                model.append(model[target])
+
+        hist = {r.version for r in a.tt_history(spark, root).collect()}
+        assert hist == set(range(len(model)))
+        for ver, expect in enumerate(model):
+            got = sorted(
+                (r.k, r.v) for r in a.tt_read(spark, root, ver).collect()
+            )
+            assert got == expect, (ver, ops)
