@@ -33,6 +33,7 @@ from .timetravel import (
     tt_delete_where,
     tt_history,
     tt_merge,
+    tt_optimize,
     tt_overwrite,
     tt_read,
     tt_restore,
@@ -83,6 +84,7 @@ __all__ = [
     "tt_delete_where",
     "tt_history",
     "tt_merge",
+    "tt_optimize",
     "tt_overwrite",
     "tt_read",
     "tt_restore",

@@ -46,6 +46,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from ..exceptions import AstroSparkError
 
@@ -391,6 +392,57 @@ def tt_merge(
         {
             "files": [f for f in files if f not in set(touched)] + new_files,
             "op": "merge",
+            "ts": time.time(),
+        },
+    )
+    return head_v + 1
+
+
+def tt_optimize(
+    spark: SparkSession,
+    root: str,
+    target_files: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> int:
+    """Delta ``OPTIMIZE [ZORDER BY]`` on the versioned log: rewrite the
+    head version's rows into ``target_files`` files (default: the
+    session shuffle-partition count capped at the current file count),
+    optionally range-partitioned on a Morton key over ``zorder_by``
+    columns so files cover compact hyper-rectangles (row-group pruning
+    on any clustered dimension), and commit the layout as a new
+    version.  Rows are IDENTICAL to the head version — only the file
+    layout changes; old versions stay readable."""
+    from ..plans.zorder import with_zorder_key
+
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    df = spark.read.parquet(*[f"{root}/{f}" for f in manifest["files"]])
+    if target_files is None:
+        target_files = max(
+            1,
+            min(
+                len(manifest["files"]),
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+            ),
+        )
+    if zorder_by:
+        df = (
+            with_zorder_key(df, zorder_by)
+            .repartitionByRange(target_files, F_col("__zorder"))
+            .drop("__zorder")
+        )
+    else:
+        df = df.coalesce(target_files)
+    new_files = _write_data_files(spark, df, root, fs, HPath)
+    _publish(
+        spark, fs, HPath, root, head_v + 1,
+        {
+            "files": new_files,
+            "op": (
+                f"optimize(zorder={','.join(zorder_by)})"
+                if zorder_by
+                else "optimize"
+            ),
             "ts": time.time(),
         },
     )

@@ -2589,3 +2589,31 @@ class TestTimeTravel:
         assert before & after, "file without matches should carry over"
         # no-match predicate: NO new version
         assert a.tt_delete_where(spark, root, "k = 999") == 2
+
+    def test_optimize_compacts_and_zorders_without_changing_rows(
+        self, spark, tmp_path
+    ):
+        """tt_optimize rewrites the head layout (fewer files /
+        Morton-clustered) as a NEW version with identical rows; the
+        pre-optimize version still reads its old file list."""
+        from astro_spark.operators import timetravel as tt
+
+        root = str(tmp_path / "tto")
+        rows = [(i, i % 7) for i in range(200)]
+        a.tt_create(
+            spark,
+            spark.createDataFrame(rows, "k long, g long").repartition(8),
+            root,
+        )
+        v = a.tt_optimize(spark, root, target_files=2, zorder_by=["k", "g"])
+        assert v == 1
+        got = sorted((r.k, r.g) for r in a.tt_read(spark, root).collect())
+        assert got == sorted(rows)
+        HPath, _p, fs = tt._fs(spark, root)
+        m0 = tt._read_manifest(spark, fs, HPath, root, 0)
+        m1 = tt._read_manifest(spark, fs, HPath, root, 1)
+        assert len(m1["files"]) <= 2 < len(m0["files"])
+        assert m1["op"] == "optimize(zorder=k,g)"
+        # plain compaction too
+        assert a.tt_optimize(spark, root, target_files=1) == 2
+        assert a.tt_read(spark, root, 0).count() == 200
