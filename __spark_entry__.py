@@ -5233,6 +5233,66 @@ SELECT 2, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT, SUM(n_regionkey)::BIGINT F
 """
 
 
+def _st_tt_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into a VERSIONED table: each micro-batch upserts
+    via tt_merge and commits one version — Delta's streaming-MERGE +
+    time-travel combination on plain parquet.  The oracle reconstructs
+    the state at EVERY batch boundary, so per-batch commit atomicity,
+    upsert semantics, and history immutability are all value-checked."""
+    import glob as _glob
+    import time as _time
+
+    from astro_spark.streaming import load_file_stream_versioned
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttcdc_") + "/t"
+    a.tt_create(spark, nation.where("r < 3"), root)
+    f1 = nation.where("r IN (2, 3)").select("k", (F.col("r") + 10).alias("r"))
+    f2 = nation.where("r IN (3, 4)").select("k", (F.col("r") + 20).alias("r"))
+    src_dir = tempfile.mkdtemp(prefix="astro_ttcdc_src_")
+    t0 = _time.time()
+    for i, df in enumerate([f1, f2]):
+        before = set(_glob.glob(f"{src_dir}/*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+        for p in set(_glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    load_file_stream_versioned(
+        spark, src_dir, root, conflict_columns=["k"],
+        max_files_per_trigger=1,
+        checkpoint_dir=tempfile.mkdtemp(prefix="astro_ttcdc_ckpt_"),
+    )
+    out = None
+    for v in range(3):
+        agg = a.tt_read(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_key"),
+            F.sum("r").alias("sum_region"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("version", "n_rows", "sum_key", "sum_region")
+
+
+_ST_TT_CDC_DUCK = """
+WITH v0 AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation WHERE n_regionkey < 3),
+f1 AS (SELECT n_nationkey AS k, n_regionkey + 10 AS r FROM nation WHERE n_regionkey IN (2, 3)),
+f2 AS (SELECT n_nationkey AS k, n_regionkey + 20 AS r FROM nation WHERE n_regionkey IN (3, 4)),
+v1 AS (SELECT * FROM f1 UNION ALL
+       SELECT * FROM v0 WHERE k NOT IN (SELECT k FROM f1)),
+v2 AS (SELECT * FROM f2 UNION ALL
+       SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM f2))
+SELECT 0 AS version, COUNT(*)::BIGINT AS n_rows,
+       SUM(k)::BIGINT AS sum_key, SUM(r)::BIGINT AS sum_region FROM v0
+UNION ALL
+SELECT 1, COUNT(*)::BIGINT, SUM(k)::BIGINT, SUM(r)::BIGINT FROM v1
+UNION ALL
+SELECT 2, COUNT(*)::BIGINT, SUM(k)::BIGINT, SUM(r)::BIGINT FROM v2
+"""
+
+
 _OP_TIME_TRAVEL_DUCK = """
 WITH v0 AS (SELECT n_nationkey FROM nation),
 v1 AS (SELECT n_nationkey FROM nation
@@ -6050,6 +6110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_scd2_plan": _op_scd2_plan,
             "op_time_travel": _op_time_travel,
             "op_tt_dml": _op_tt_dml,
+            "st_tt_cdc": _st_tt_cdc,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
             "mm_ahash_pairs": _mm_ahash_pairs,
@@ -6085,6 +6146,7 @@ _DRIVER_PRIORITY = [
     "op_scd2_plan",
     "op_time_travel",
     "op_tt_dml",
+    "st_tt_cdc",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
@@ -6614,6 +6676,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             ),
             "op_time_travel": _OP_TIME_TRAVEL_DUCK,
             "op_tt_dml": _OP_TT_DML_DUCK,
+            "st_tt_cdc": _ST_TT_CDC_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,
             "mm_ahash_pairs": _MM_AHASH_PAIRS_DUCK,

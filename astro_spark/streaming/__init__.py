@@ -9,6 +9,7 @@ from .load_stream import (
     load_file_stream,
     load_file_stream_changes,
     load_file_stream_merge,
+    load_file_stream_versioned,
     load_file_stream_scd2,
 )
 from .sessions import (
@@ -43,6 +44,7 @@ __all__ = [
     "load_file_stream",
     "load_file_stream_changes",
     "load_file_stream_merge",
+    "load_file_stream_versioned",
     "load_file_stream_scd2",
     "sessionize_stream",
     "fan_out_stream",

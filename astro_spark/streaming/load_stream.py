@@ -658,3 +658,67 @@ def ivf_index_stream(
     )
     query.awaitTermination()
     return n_batches
+
+
+def load_file_stream_versioned(
+    spark: SparkSession,
+    input_file: File | str,
+    root: str,
+    conflict_columns: list[str] | None = None,
+    schema: StructType | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingestion into a VERSIONED parquet table: every
+    micro-batch commits one version of the ``operators.timetravel``
+    log — Delta's flagship streaming shape (ACID per-batch commits +
+    time travel over the ingest history) on plain parquet.
+
+    ``conflict_columns=None`` appends each batch (``tt_append`` — one
+    manifest per batch, O(batch) write); with keys each batch upserts
+    (``tt_merge`` — file-scoped copy-on-write, O(touched files)).
+    Either way a reader can time-travel to the table as of any batch
+    boundary, and a crashed batch leaves invisible data files only
+    (the manifest IS the commit point) — replaying it under
+    at-least-once ``foreachBatch`` delivery re-commits the same rows
+    as a fresh version: append replays duplicate rows (exactly-once
+    needs the checkpoint, which availableNow provides), merge replays
+    idempotently by key.
+
+    The versioned root must already exist (``tt_create`` the seed —
+    the stream needs a v0 schema/state to merge into).
+    """
+    from ..operators.timetravel import tt_append, tt_merge
+
+    if isinstance(input_file, str):
+        input_file = File(path=input_file)
+    ftype = input_file.filetype or FileType.PARQUET
+    fmt = "json" if ftype == FileType.NDJSON else ftype.value
+    if schema is None:
+        schema = spark.read.format(fmt).load(input_file.path).schema
+
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_file.path)
+
+    def _commit(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        if conflict_columns:
+            tt_merge(sess, batch_df, root, conflict_columns)
+        else:
+            tt_append(sess, batch_df, root)
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="astro_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

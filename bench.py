@@ -135,6 +135,7 @@ HEADLINE = [
     "dd_containment_prebuilt",
     "op_time_travel",
     "op_tt_dml",
+    "st_tt_cdc",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

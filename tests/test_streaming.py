@@ -1730,3 +1730,52 @@ class TestContainmentScreenStream:
         )
         assert out.count() == 0
         assert out.columns == ["batch_id", "corpus_id", "containment"]
+
+
+class TestVersionedStream:
+    def test_each_batch_commits_one_version_merge_and_append(
+        self, spark, tmp_path
+    ):
+        """load_file_stream_versioned: one tt version per micro-batch;
+        time travel reaches every batch boundary; merge mode upserts by
+        key, append mode accumulates."""
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_versioned
+
+        root = str(tmp_path / "ttstream")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, "seed"), (2, "seed")], "k long, v string"),
+            root,
+        )
+        f1 = spark.createDataFrame([(2, "b1"), (3, "b1")], "k long, v string")
+        f2 = spark.createDataFrame([(3, "b2"), (4, "b2")], "k long, v string")
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+        load_file_stream_versioned(
+            spark, str(src), root, conflict_columns=["k"],
+            max_files_per_trigger=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        # v0 seed, v1 after batch 1, v2 after batch 2
+        states = [
+            {(r.k, r.v) for r in a.tt_read(spark, root, v).collect()}
+            for v in range(3)
+        ]
+        assert states[0] == {(1, "seed"), (2, "seed")}
+        assert states[1] == {(1, "seed"), (2, "b1"), (3, "b1")}
+        assert states[2] == {(1, "seed"), (2, "b1"), (3, "b2"), (4, "b2")}
+
+        # append mode: no keys, rows accumulate
+        root2 = str(tmp_path / "ttstream2")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(0, "seed")], "k long, v string"),
+            root2,
+        )
+        load_file_stream_versioned(
+            spark, str(src), root2, max_files_per_trigger=1,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        assert a.tt_read(spark, root2).count() == 5
+        assert a.tt_history(spark, root2).count() == 3
