@@ -344,8 +344,9 @@ def bloom_screen_stream(
         return out, bc
 
     if not self_screen:
+        bc = None
         if use_broadcast:
-            flagged, _bc = _flag_broadcast(stream, spark)
+            flagged, bc = _flag_broadcast(stream, spark)
         else:
             flagged = _flag_literal(stream)
         name = f"st_bloom_{uuid.uuid4().hex[:8]}"
@@ -358,6 +359,10 @@ def bloom_screen_stream(
             .start()
         )
         query.awaitTermination()
+        if bc is not None:
+            # drain is done and the memory sink holds plain rows: the
+            # executor-side mask copies can go
+            bc.unpersist()
         return spark.sql(f"SELECT {id_col}, maybe_dup FROM {name}")
 
     import tempfile
