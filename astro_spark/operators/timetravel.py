@@ -138,6 +138,43 @@ def _write_data_files(
     return sorted(out)
 
 
+def _schema_json(df: DataFrame) -> str:
+    return json.dumps(df.schema.jsonValue())
+
+
+def _evolved_schema(prev_json: str | None, df: DataFrame, merge_schema: bool) -> str:
+    """The manifest schema a commit publishes — Delta's log-owned-schema
+    model: the LOG, not parquet footer merging, is the source of truth.
+
+    Without ``merge_schema`` a df carrying columns the table doesn't
+    have is rejected (Delta's default); a df MISSING table columns is
+    fine (they read back as NULL through the stored schema).  With
+    ``merge_schema`` new columns append to the schema; a same-name
+    type conflict raises."""
+    from pyspark.sql.types import StructType
+
+    if prev_json is None:
+        return _schema_json(df)
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    new_fields = [f for f in df.schema.fields if f.name not in by_name]
+    for f in df.schema.fields:
+        if f.name in by_name and by_name[f.name].dataType != f.dataType:
+            raise AstroSparkError(
+                f"schema conflict on column {f.name!r}: table has "
+                f"{by_name[f.name].dataType.simpleString()}, write has "
+                f"{f.dataType.simpleString()}"
+            )
+    if new_fields and not merge_schema:
+        raise AstroSparkError(
+            f"write adds columns {[f.name for f in new_fields]} not in the "
+            "table schema — pass merge_schema=True to evolve it"
+        )
+    return json.dumps(
+        StructType(prev.fields + new_fields).jsonValue()
+    )
+
+
 def tt_create(spark: SparkSession, df: DataFrame, root: str) -> int:
     """Create a versioned table at ``root`` as version 0."""
     HPath, _p, fs = _fs(spark, root)
@@ -146,18 +183,29 @@ def tt_create(spark: SparkSession, df: DataFrame, root: str) -> int:
     files = _write_data_files(spark, df, root, fs, HPath)
     _publish(
         spark, fs, HPath, root, 0,
-        {"files": files, "op": "create", "ts": time.time()},
+        {
+            "files": files,
+            "op": "create",
+            "ts": time.time(),
+            "schema": _schema_json(df),
+        },
     )
     return 0
 
 
 def tt_append(
-    spark: SparkSession, df: DataFrame, root: str, max_retries: int = 10
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    max_retries: int = 10,
+    merge_schema: bool = False,
 ) -> int:
     """Commit a new version = previous files + df's files.  Append's
     intent is state-independent, so a lost race is retried against the
     fresh head (data files are written ONCE; only the manifest race
-    re-runs)."""
+    re-runs).  ``merge_schema=True`` evolves the table schema with the
+    df's new columns (old files read the new columns as NULL); without
+    it, new columns are rejected — Delta's mergeSchema contract."""
     HPath, _p, fs = _fs(spark, root)
     new_files = _write_data_files(spark, df, root, fs, HPath)
     for _ in range(max_retries):
@@ -173,6 +221,9 @@ def tt_append(
                     "files": prev["files"] + new_files,
                     "op": "append",
                     "ts": time.time(),
+                    "schema": _evolved_schema(
+                        prev.get("schema"), df, merge_schema
+                    ),
                 },
             )
             return head + 1
@@ -194,7 +245,12 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     files = _write_data_files(spark, df, root, fs, HPath)
     _publish(
         spark, fs, HPath, root, versions[-1] + 1,
-        {"files": files, "op": "overwrite", "ts": time.time()},
+        {
+            "files": files,
+            "op": "overwrite",
+            "ts": time.time(),
+            "schema": _schema_json(df),  # overwrite replaces the schema too
+        },
     )
     return versions[-1] + 1
 
@@ -231,12 +287,28 @@ def tt_read(
     if version not in versions:
         raise AstroSparkError(f"version {version} not found in {root}")
     manifest = _read_manifest(spark, fs, HPath, root, version)
+    schema_json = manifest.get("schema")
     if not manifest["files"]:
-        raise AstroSparkError(
-            f"version {version} of {root} has no data files "
-            "(empty-write commit) — no schema to serve"
+        if schema_json is None:
+            raise AstroSparkError(
+                f"version {version} of {root} has no data files "
+                "(empty-write commit) — no schema to serve"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
         )
-    return spark.read.parquet(*[f"{root}/{f}" for f in manifest["files"]])
+    paths = [f"{root}/{f}" for f in manifest["files"]]
+    if schema_json is None:  # pre-schema-log manifest: footer schema
+        return spark.read.parquet(*paths)
+    from pyspark.sql.types import StructType
+
+    # the LOG owns the schema (Delta's model): files written before a
+    # column existed read it as NULL — no footer merging, no ambiguity
+    return spark.read.schema(
+        StructType.fromJson(json.loads(schema_json))
+    ).parquet(*paths)
 
 
 def tt_restore(spark: SparkSession, root: str, version: int) -> int:
@@ -248,14 +320,14 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
     if version not in versions:
         raise AstroSparkError(f"version {version} not found in {root}")
     src = _read_manifest(spark, fs, HPath, root, version)
-    _publish(
-        spark, fs, HPath, root, versions[-1] + 1,
-        {
-            "files": src["files"],
-            "op": f"restore(v{version})",
-            "ts": time.time(),
-        },
-    )
+    manifest = {
+        "files": src["files"],
+        "op": f"restore(v{version})",
+        "ts": time.time(),
+    }
+    if src.get("schema") is not None:
+        manifest["schema"] = src["schema"]  # restore the schema too
+    _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
 
@@ -275,6 +347,19 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, op string, ts double, n_files long"
     )
+
+
+def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
+    """Read a manifest's file list through its stored schema (files
+    written before a column existed read it as NULL)."""
+    paths = [f"{root}/{f}" for f in manifest["files"]]
+    if manifest.get("schema") is None:
+        return spark.read.parquet(*paths)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(
+        StructType.fromJson(json.loads(manifest["schema"]))
+    ).parquet(*paths)
 
 
 def _head(spark: SparkSession, fs, HPath, root: str) -> tuple[int, dict]:
@@ -317,7 +402,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files = manifest["files"]
-    full = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    full = _read_files(spark, root, manifest)
     flagged = (
         full.where(predicate)
         .select(F.input_file_name().alias("f"))
@@ -326,10 +411,9 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     touched = _touched_relative(spark, root, files, flagged)
     if not touched:
         return head_v  # nothing matched: no new version
-    kept = (
-        spark.read.parquet(*[f"{root}/{f}" for f in touched])
-        .where(f"NOT ({predicate})")
-    )
+    kept = _read_files(
+        spark, root, {**manifest, "files": touched}
+    ).where(f"NOT ({predicate})")
     new_files = _write_data_files(spark, kept, root, fs, HPath)
     _publish(
         spark, fs, HPath, root, head_v + 1,
@@ -337,6 +421,11 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             "files": [f for f in files if f not in set(touched)] + new_files,
             "op": "delete",
             "ts": time.time(),
+            **(
+                {"schema": manifest["schema"]}
+                if manifest.get("schema") is not None
+                else {}
+            ),
         },
     )
     return head_v + 1
@@ -363,7 +452,7 @@ def tt_merge(
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files = manifest["files"]
-    target = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    target = _read_files(spark, root, manifest)
     source = source.select(*target.columns)  # align column order
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in source.columns])
     source = (
@@ -381,7 +470,7 @@ def tt_merge(
     )
     touched = _touched_relative(spark, root, files, flagged)
     base = (
-        spark.read.parquet(*[f"{root}/{f}" for f in touched])
+        _read_files(spark, root, {**manifest, "files": touched})
         if touched
         else target.limit(0)
     )
@@ -393,6 +482,11 @@ def tt_merge(
             "files": [f for f in files if f not in set(touched)] + new_files,
             "op": "merge",
             "ts": time.time(),
+            **(
+                {"schema": manifest["schema"]}
+                if manifest.get("schema") is not None
+                else {}
+            ),
         },
     )
     return head_v + 1
@@ -416,7 +510,7 @@ def tt_optimize(
 
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
-    df = spark.read.parquet(*[f"{root}/{f}" for f in manifest["files"]])
+    df = _read_files(spark, root, manifest)
     if target_files is None:
         target_files = max(
             1,
@@ -444,6 +538,11 @@ def tt_optimize(
                 else "optimize"
             ),
             "ts": time.time(),
+            **(
+                {"schema": manifest["schema"]}
+                if manifest.get("schema") is not None
+                else {}
+            ),
         },
     )
     return head_v + 1

@@ -2617,3 +2617,46 @@ class TestTimeTravel:
         # plain compaction too
         assert a.tt_optimize(spark, root, target_files=1) == 2
         assert a.tt_read(spark, root, 0).count() == 200
+
+    def test_schema_evolution_log_owned(self, spark, tmp_path):
+        """The manifest log owns the schema (Delta's model): appending
+        new columns needs merge_schema=True, old files read evolved
+        columns as NULL, old versions keep their old schema, and a
+        same-name type conflict raises."""
+        root = str(tmp_path / "ttschema")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, "a")], "k long, v string"), root
+        )
+        wide = spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        )
+        with pytest.raises(a.exceptions.AstroSparkError, match="merge_schema"):
+            a.tt_append(spark, wide, root)
+        v = a.tt_append(spark, wide, root, merge_schema=True)
+        assert v == 1
+        head = a.tt_read(spark, root)
+        assert head.columns == ["k", "v", "score"]
+        got = {(r.k, r.v, r.score) for r in head.collect()}
+        assert got == {(1, "a", None), (2, "b", 9.5)}
+        # the pre-evolution version keeps its 2-column schema
+        assert a.tt_read(spark, root, 0).columns == ["k", "v"]
+        # a df MISSING a table column is fine (reads back as NULL)
+        a.tt_append(
+            spark, spark.createDataFrame([(3, "c")], "k long, v string"), root
+        )
+        got = {
+            (r.k, r.score) for r in a.tt_read(spark, root).collect()
+        }
+        assert got == {(1, None), (2, 9.5), (3, None)}
+        # type conflict always raises, merge_schema or not
+        bad = spark.createDataFrame([(4, 5)], "k long, v long")
+        with pytest.raises(a.exceptions.AstroSparkError, match="conflict"):
+            a.tt_append(spark, bad, root, merge_schema=True)
+        # DML after evolution preserves the evolved schema
+        a.tt_merge(
+            spark,
+            spark.createDataFrame([(1, "A1", 1.0)], "k long, v string, score double"),
+            root, ["k"],
+        )
+        got = {(r.k, r.v, r.score) for r in a.tt_read(spark, root).collect()}
+        assert got == {(1, "A1", 1.0), (2, "b", 9.5), (3, "c", None)}
