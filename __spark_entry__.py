@@ -5208,6 +5208,51 @@ def _op_tt_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("version", "n_rows", "sum_key", "sum_region")
 
 
+def _op_tt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between versions (tt_diff — Delta CDF's query
+    surface from snapshots): the same merge+delete history as
+    op_tt_dml, diffed v0 → head; the oracle reconstructs the exact
+    added/removed/changed key sets relationally."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttdiff_") + "/t"
+    a.tt_create(spark, nation, root)
+    src = nation.where("r < 2").select(
+        "k", (F.col("r") + 10).alias("r")
+    ).unionByName(
+        nation.select((F.col("k") + 200).alias("k"), "r")
+    )
+    a.tt_merge(spark, src, root, ["k"])
+    a.tt_delete_where(spark, root, "r = 3")
+    return a.tt_diff(spark, root, ["k"], 0).select("diff_status", "k")
+
+
+_OP_TT_DIFF_DUCK = """
+WITH v0 AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+src AS (
+  SELECT n_nationkey AS k, n_regionkey + 10 AS r
+  FROM nation WHERE n_regionkey < 2
+  UNION ALL
+  SELECT n_nationkey + 200, n_regionkey FROM nation
+),
+v1 AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM v0 WHERE k NOT IN (SELECT k FROM src)
+),
+v2 AS (SELECT * FROM v1 WHERE NOT (r = 3))
+SELECT 'removed' AS diff_status, k FROM v0
+WHERE k NOT IN (SELECT k FROM v2)
+UNION ALL
+SELECT 'added', k FROM v2 WHERE k NOT IN (SELECT k FROM v0)
+UNION ALL
+SELECT 'changed', v0.k FROM v0 JOIN v2 USING (k)
+WHERE v0.r IS DISTINCT FROM v2.r
+"""
+
+
 _OP_TT_DML_DUCK = """
 WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
 src AS (
@@ -6110,6 +6155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_scd2_plan": _op_scd2_plan,
             "op_time_travel": _op_time_travel,
             "op_tt_dml": _op_tt_dml,
+            "op_tt_diff": _op_tt_diff,
             "st_tt_cdc": _st_tt_cdc,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
@@ -6146,6 +6192,7 @@ _DRIVER_PRIORITY = [
     "op_scd2_plan",
     "op_time_travel",
     "op_tt_dml",
+    "op_tt_diff",
     "st_tt_cdc",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
@@ -6676,6 +6723,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             ),
             "op_time_travel": _OP_TIME_TRAVEL_DUCK,
             "op_tt_dml": _OP_TT_DML_DUCK,
+            "op_tt_diff": _OP_TT_DIFF_DUCK,
             "st_tt_cdc": _ST_TT_CDC_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,

@@ -31,6 +31,7 @@ from .timetravel import (
     tt_append,
     tt_create,
     tt_delete_where,
+    tt_diff,
     tt_history,
     tt_merge,
     tt_optimize,
@@ -82,6 +83,7 @@ __all__ = [
     "tt_append",
     "tt_create",
     "tt_delete_where",
+    "tt_diff",
     "tt_history",
     "tt_merge",
     "tt_optimize",

@@ -368,7 +368,21 @@ def diff_tables(
     """
     lname = left.qualified_name if isinstance(left, Table) else left
     rname = right.qualified_name if isinstance(right, Table) else right
-    l_df, r_df = spark.table(lname), spark.table(rname)
+    return diff_dataframes(
+        spark.table(lname), spark.table(rname), key_cols,
+        names=(lname, rname),
+    )
+
+
+def diff_dataframes(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    key_cols: list[str],
+    names: tuple[str, str] = ("left", "right"),
+) -> DataFrame:
+    """DataFrame-level core of ``diff_tables`` (same hashing contract) —
+    also the engine behind ``timetravel.tt_diff`` version diffs."""
+    lname, rname = names
     attrs = [c for c in l_df.columns if c not in key_cols]
     r_attrs = [c for c in r_df.columns if c not in key_cols]
     if set(attrs) != set(r_attrs):

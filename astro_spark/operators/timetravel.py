@@ -548,6 +548,33 @@ def tt_optimize(
     return head_v + 1
 
 
+def tt_diff(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions — the query surface
+    of Delta's CHANGE DATA FEED, computed from the versioned snapshots
+    themselves: (diff_status ∈ added/removed/changed, *key_cols) for
+    every key whose row differs between ``from_version`` and
+    ``to_version`` (default: head).  One full-outer join on the keys;
+    non-key columns ride as two hashes, so the shuffle is key-width
+    regardless of row width (``catalog.diff_dataframes``' contract).
+    Because manifests share unchanged files, at scale this can prune to
+    the files the manifests DON'T share; the semantic diff here is
+    correct for any pair, including across overwrite/restore."""
+    from .catalog import diff_dataframes
+
+    return diff_dataframes(
+        tt_read(spark, root, from_version),
+        tt_read(spark, root, to_version),
+        key_cols,
+        names=(f"v{from_version}", f"v{to_version if to_version is not None else 'head'}"),
+    )
+
+
 def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     """Delete data files referenced ONLY by versions older than the
     last ``keep_last``, then drop those versions' manifests.  Returns

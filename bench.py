@@ -135,6 +135,7 @@ HEADLINE = [
     "dd_containment_prebuilt",
     "op_time_travel",
     "op_tt_dml",
+    "op_tt_diff",
     "st_tt_cdc",
 ]
 

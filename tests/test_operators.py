@@ -2660,3 +2660,34 @@ class TestTimeTravel:
         )
         got = {(r.k, r.v, r.score) for r in a.tt_read(spark, root).collect()}
         assert got == {(1, "A1", 1.0), (2, "b", 9.5), (3, "c", None)}
+
+    def test_diff_between_versions_is_a_change_feed(self, spark, tmp_path):
+        """tt_diff(v_from, v_to): added/removed/changed keys between any
+        two versions — Delta CDF's query surface from snapshots."""
+        root = str(tmp_path / "ttdiff")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+            ),
+            root,
+        )
+        a.tt_merge(
+            spark,
+            spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"),
+            root, ["k"],
+        )
+        a.tt_delete_where(spark, root, "k = 3")
+        got = {
+            (r.diff_status, r.k)
+            for r in a.tt_diff(spark, root, ["k"], 0).collect()
+        }
+        assert got == {("changed", 2), ("added", 4), ("removed", 3)}
+        # between intermediate versions too
+        got = {
+            (r.diff_status, r.k)
+            for r in a.tt_diff(spark, root, ["k"], 1, 2).collect()
+        }
+        assert got == {("removed", 3)}
+        # identical versions: empty feed
+        assert a.tt_diff(spark, root, ["k"], 0, 0).count() == 0
