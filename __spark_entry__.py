@@ -1543,6 +1543,52 @@ def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint62(F.col("text")).alias("fingerprint"))
 
 
+def _t_html_extract_duck() -> str:
+    html = (
+        "'<html><head><title>t</title><style>.c{color:red}</style>"
+        '<script type="text/javascript">var x = 1 < 2;</script>'
+        "</head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text || "
+        "' &amp; tail &lt;x&gt;</p><div>footer</div></body></html>'"
+    )
+    return f"""
+WITH ext AS (
+  SELECT doc_id, {oracles.html_to_text_expr(html)} AS t FROM documents
+)
+SELECT doc_id, LENGTH(t)::BIGINT AS n_chars,
+       {oracles.fingerprint62('t')} AS fp
+FROM ext
+"""
+
+
+def _t_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural HTML→text extraction (the WET step): each document is
+    wrapped in deterministic HTML (head with style+script noise,
+    heading, entities, a footer div) and run through html_to_text; the
+    oracle builds the identical HTML in SQL and replays the identical
+    RE2-subset regexp chain, so tag stripping, entity decode order,
+    and whitespace normalization are all value-checked via the
+    extracted text's fingerprint."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>.c{color:red}</style>'
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            "</head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;x&gt;</p><div>footer</div></body></html>"),
+    )
+    extracted = text.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars"),
+        text.fingerprint62(extracted).alias("fp"),
+    )
+
+
 def _t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -6007,6 +6053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_quality_metrics": _t_quality,
             "t_lang_id": _t_lang_id,
             "t_fingerprint": _t_fingerprint,
+            "t_html_extract": _t_html_extract,
             "t_token_counts": _t_token_counts,
             "t_hash_split": _t_hash_split,
             "t_shards": _t_shards,
@@ -6194,6 +6241,7 @@ _DRIVER_PRIORITY = [
     "op_tt_dml",
     "op_tt_diff",
     "st_tt_cdc",
+    "t_html_extract",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
@@ -6438,6 +6486,7 @@ ORDER BY o_orderkey, diff_status
             "t_quality_metrics": oracles.quality_metrics_sql(),
             "t_lang_id": oracles.lang_id_sql(),
             "t_fingerprint": oracles.fingerprint_sql(),
+            "t_html_extract": _t_html_extract_duck(),
             "dd_exact": oracles.exact_dedup_sql(),
             "dd_minhash_lsh": oracles.minhash_pairs_sql(),
             "dd_minhash_prebuilt": oracles.minhash_pairs_sql(),

@@ -2471,3 +2471,32 @@ SELECT doc_id, maybe_dup FROM r1
 UNION ALL
 SELECT doc_id, maybe_dup FROM r2
 """
+
+
+def html_to_text_expr(expr: str) -> str:
+    """DuckDB twin of ``text.html_to_text`` — the same RE2-subset
+    regexp_replace chain (global flag; inline (?i)/(?s) modifiers),
+    the same entity decode order (&amp; last), the same whitespace
+    normalization."""
+    c = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = (
+        f"regexp_replace({c}, "
+        "'(?i)<(br|/p|/div|/li|/tr|/h1|/h2|/h3|/h4|/h5|/h6)[^>]*>', "
+        "chr(10), 'g')"
+    )
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),  # SQL-escaped single quote
+        ("&amp;", "&"),
+    ):
+        c = f"replace({c}, '{ent}', '{ch}')"
+    c = f"regexp_replace({c}, '[ \\t\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
+    return f"regexp_replace({c}, '^[\\s]+|[\\s]+$', '', 'g')"

@@ -949,3 +949,44 @@ def pad_token_ids(
         F.array_repeat(F.lit(1), n_kept), F.array_repeat(F.lit(0), pad_n)
     )
     return df.withColumn(out_ids, padded).withColumn(out_mask, mask)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Structural HTML → text extraction: the first stage of every
+    web-corpus pipeline (the CommonCrawl WET step).  Drops
+    script/style/comment content entirely, turns block-element
+    boundaries into newlines, strips remaining tags, decodes the
+    common entities, and normalizes whitespace — all as chained
+    ``regexp_replace`` expressions (JVM whole-stage codegen, no UDF,
+    map-only at any scale).
+
+    Patterns stay inside the RE2 subset (no backreferences, no
+    lookaround) so the DuckDB oracle replays them verbatim
+    (``oracles.html_to_text_sql``).  This is the STRUCTURAL stage:
+    statistical boilerplate removal (link-density, text-density) is a
+    separate quality-filter concern — compose with
+    ``quality_filter``/``repetition_metrics`` downstream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # content-bearing containers drop WITH their contents
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-element closers/breaks become line boundaries
+    c = F.regexp_replace(
+        c, r"(?i)<(br|/p|/div|/li|/tr|/h1|/h2|/h3|/h4|/h5|/h6)[^>]*>", "\n"
+    )
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to the LITERAL "&lt;"
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.regexp_replace(c, r"^[\s]+|[\s]+$", "")

@@ -137,6 +137,7 @@ HEADLINE = [
     "op_tt_dml",
     "op_tt_diff",
     "st_tt_cdc",
+    "t_html_extract",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

@@ -3037,3 +3037,28 @@ class TestContainmentIncremental:
             ).collect()
         )
         assert direct == via_index and direct[0][2] == 1.0
+
+
+class TestHtmlToText:
+    def test_strips_structure_decodes_entities_normalizes_ws(self, spark):
+        """Script/style/comments drop with content, block closers become
+        newlines, entities decode (&amp; last so double-encoding stays
+        literal), whitespace collapses."""
+        html = (
+            '<html><head><style>.x{a:b}</style>'
+            '<script>var q = 1 < 2 && "x";</script></head>'
+            "<body><h1>Title A</h1><p>Hello &amp; goodbye &lt;tag&gt; "
+            "&quot;q&quot; &#39;s&nbsp;end &amp;lt;literal&amp;gt;</p>"
+            "<div>line<br>break</div><ul><li>one</li><li>two</li></ul>"
+            "<!-- hidden --></body></html>"
+        )
+        df = spark.createDataFrame([(1, html), (2, "plain"), (3, "")], ["i", "h"])
+        got = {
+            r.i: r.t
+            for r in df.select("i", text.html_to_text("h").alias("t")).collect()
+        }
+        assert got[1] == (
+            "Title A\nHello & goodbye <tag> \"q\" 's end &lt;literal&gt;"
+            "\nline\nbreak\none\ntwo"
+        )
+        assert got[2] == "plain" and got[3] == ""
