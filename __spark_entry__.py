@@ -1589,6 +1589,16 @@ def _t_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic sentence segmentation (terminal punctuation + space
+    boundaries, RE2-subset so the oracle replays it verbatim) — the
+    structural pass feeding sentence-level dedup and
+    chunk-at-boundaries."""
+    _views(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return text.split_sentences(docs)
+
+
 def _t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
@@ -6054,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_lang_id": _t_lang_id,
             "t_fingerprint": _t_fingerprint,
             "t_html_extract": _t_html_extract,
+            "t_sentences": _t_sentences,
             "t_token_counts": _t_token_counts,
             "t_hash_split": _t_hash_split,
             "t_shards": _t_shards,
@@ -6242,6 +6253,7 @@ _DRIVER_PRIORITY = [
     "op_tt_diff",
     "st_tt_cdc",
     "t_html_extract",
+    "t_sentences",
     # the full r05-stale cohort (latest driver row r05; 27 entries)
     "op_raw_sql",
     "op_skew_report",
@@ -6487,6 +6499,7 @@ ORDER BY o_orderkey, diff_status
             "t_lang_id": oracles.lang_id_sql(),
             "t_fingerprint": oracles.fingerprint_sql(),
             "t_html_extract": _t_html_extract_duck(),
+            "t_sentences": oracles.sentences_sql(),
             "dd_exact": oracles.exact_dedup_sql(),
             "dd_minhash_lsh": oracles.minhash_pairs_sql(),
             "dd_minhash_prebuilt": oracles.minhash_pairs_sql(),

@@ -2500,3 +2500,27 @@ def html_to_text_expr(expr: str) -> str:
     c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
     return f"regexp_replace({c}, '^[\\s]+|[\\s]+$', '', 'g')"
+
+
+def sentences_sql(table: str = "documents") -> str:
+    """Mirror of text.split_sentences: the same boundary-mark regex
+    (RE2 replacement backreference is \\1 in DuckDB, $1 in Spark),
+    the same chr(1) split and position semantics."""
+    return f"""
+WITH marked AS (
+  SELECT doc_id AS id,
+         string_split(
+           regexp_replace(trim(text), '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
+           chr(1)
+         ) AS parts
+  FROM {table}
+),
+expl AS (
+  SELECT id, i - 1 AS sent_idx, trim(parts[i]) AS sentence
+  FROM marked, (SELECT unnest(range(1, 10001)) AS i)
+  WHERE i <= len(parts)
+)
+SELECT id, sent_idx::BIGINT AS sent_idx, sentence,
+       LENGTH(sentence)::BIGINT AS n_chars
+FROM expl WHERE LENGTH(sentence) > 0
+"""

@@ -990,3 +990,35 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n+", "\n")
     return F.regexp_replace(c, r"^[\s]+|[\s]+$", "")
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heuristic sentence segmentation: terminal punctuation ([.!?]+)
+    followed by whitespace ends a sentence — the standard cheap
+    splitter feeding sentence-level dedup / chunk-at-boundaries /
+    per-sentence quality scoring.  (Abbreviation-aware segmentation is
+    a model problem; this is the deterministic structural pass.)
+
+    RE2-subset implementation (no lookbehind, which RE2 lacks): mark
+    each boundary by rewriting the punctuation run + whitespace to the
+    run + \\x01 (group backreference in the REPLACEMENT, which RE2
+    allows), split on \\x01, posexplode.  Map-only 1→N fan-out, no
+    shuffle; DuckDB replays it verbatim (``oracles.sentences_sql``).
+    Returns (id, sent_idx, sentence, n_chars), empties dropped.
+    """
+    c = F.col(text_col)
+    marked = F.regexp_replace(F.trim(c), r"([.!?]+)\s+", "$1\x01")
+    parts = F.split(marked, "\x01")
+    out = df.select(
+        F.col(id_col).alias("id"), F.posexplode(parts).alias("sent_idx", "s")
+    ).withColumn("sentence", F.trim("s"))
+    return out.where(F.length("sentence") > 0).select(
+        "id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("long").alias("n_chars"),
+    )

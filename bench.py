@@ -138,6 +138,7 @@ HEADLINE = [
     "op_tt_diff",
     "st_tt_cdc",
     "t_html_extract",
+    "t_sentences",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

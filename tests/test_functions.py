@@ -3062,3 +3062,19 @@ class TestHtmlToText:
             "\nline\nbreak\none\ntwo"
         )
         assert got[2] == "plain" and got[3] == ""
+
+    def test_split_sentences_boundaries_and_gaps(self, spark):
+        """Terminal-punctuation runs split; non-terminal text is one
+        sentence; empties drop but position indexes stay stable."""
+        df = spark.createDataFrame(
+            [(1, "A one. B two!  C three?"), (2, "no end"), (3, "")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id, r.sent_idx, r.sentence)
+            for r in text.split_sentences(df).collect()
+        }
+        assert got == {
+            (1, 0, "A one."), (1, 1, "B two!"), (1, 2, "C three?"),
+            (2, 0, "no end"),
+        }
