@@ -11,7 +11,7 @@ minimally on any Hadoop filesystem:
 Layout::
 
     <root>/
-      _log/v00000000.json   # {"files": [...], "op": ..., "ts": ...}
+      _log/v00000000.json   # {"files": [...], "op", "ts", "schema"}
       _log/v00000001.json
       files/<commit-uuid>/part-*.parquet   # immutable data files
 
@@ -374,8 +374,6 @@ def _touched_relative(
 ) -> list[str]:
     """Map a DISTINCT input_file_name() relation back to root-relative
     manifest paths.  Bounded collect: at most len(files) rows."""
-    from pyspark.sql import functions as F
-
     abs_by_rel = {f: f"{root.rstrip('/')}/{f}" for f in files}
     hit = {r[0] for r in flagged.limit(len(files) + 1).collect()}
 
