@@ -1779,3 +1779,39 @@ class TestVersionedStream:
         )
         assert a.tt_read(spark, root2).count() == 5
         assert a.tt_history(spark, root2).count() == 3
+
+    def test_checkpoint_resume_processes_only_new_files(self, spark, tmp_path):
+        """A second drain over the same checkpoint skips already-
+        committed batches: only the newly-arrived file commits a
+        version — the exactly-once half of the at-least-once replay
+        contract the docstring states."""
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_versioned
+
+        root = str(tmp_path / "ttresume")
+        a.tt_create(
+            spark, spark.createDataFrame([(0, "seed")], "k long, v string"), root
+        )
+        src = tmp_path / "in"
+        ckpt = str(tmp_path / "ckpt")
+        f1 = spark.createDataFrame([(1, "b1")], "k long, v string")
+        _write_ordered_files(src, [f1])
+        load_file_stream_versioned(
+            spark, str(src), root, conflict_columns=["k"], checkpoint_dir=ckpt
+        )
+        assert a.tt_history(spark, root).count() == 2  # seed + batch 1
+        # drain again with NOTHING new: no version committed
+        load_file_stream_versioned(
+            spark, str(src), root, conflict_columns=["k"], checkpoint_dir=ckpt
+        )
+        assert a.tt_history(spark, root).count() == 2
+        # one new file arrives: exactly one more version
+        f2 = spark.createDataFrame([(2, "b2")], "k long, v string")
+        _write_ordered_files(src, [f1, f2])  # f1 content already present
+        load_file_stream_versioned(
+            spark, str(src), root, conflict_columns=["k"], checkpoint_dir=ckpt
+        )
+        hist = a.tt_history(spark, root).count()
+        got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert (0, "seed") in got and (2, "b2") in got
+        assert hist >= 3  # the new file committed
