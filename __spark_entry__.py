@@ -5285,6 +5285,47 @@ def _op_tt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.tt_diff(spark, root, ["k"], 0).select("diff_status", "k")
 
 
+def _op_tt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping (the op_hamming_plan pattern for the
+    versioned log): per-file [min,max] stats recorded at commit prune
+    the file list BEFORE any footer is opened — tt_read(skip_by=) must
+    read strictly fewer files than the full version while returning the
+    identical filtered aggregate, both claims folded into the oracle
+    hash."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttskip_") + "/t"
+    a.tt_create(
+        spark,
+        nation.repartitionByRange(4, "n_nationkey"),
+        root,
+        stats_cols=["n_nationkey"],
+    )
+    full = a.tt_read(spark, root)
+    pruned = a.tt_read(spark, root, skip_by={"n_nationkey": (5, 11)})
+    n_full = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    agg = pruned.where("n_nationkey BETWEEN 5 AND 11").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("sum_key"),
+    )
+    flags = spark.createDataFrame(
+        [(bool(0 < n_pruned < n_full),)], "fewer_files boolean"
+    )
+    return agg.crossJoin(F.broadcast(flags)).select(
+        "n_rows", "sum_key", "fewer_files"
+    )
+
+
+_OP_TT_SKIP_DUCK = """
+SELECT COUNT(*)::BIGINT AS n_rows, SUM(n_nationkey)::BIGINT AS sum_key,
+       TRUE AS fewer_files
+FROM nation WHERE n_nationkey BETWEEN 5 AND 11
+"""
+
+
 _OP_TT_DIFF_DUCK = """
 WITH v0 AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
 src AS (
@@ -6214,6 +6255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_time_travel": _op_time_travel,
             "op_tt_dml": _op_tt_dml,
             "op_tt_diff": _op_tt_diff,
+            "op_tt_skip": _op_tt_skip,
             "st_tt_cdc": _st_tt_cdc,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
@@ -6251,6 +6293,7 @@ _DRIVER_PRIORITY = [
     "op_time_travel",
     "op_tt_dml",
     "op_tt_diff",
+    "op_tt_skip",
     "st_tt_cdc",
     "t_html_extract",
     "t_sentences",
@@ -6786,6 +6829,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_time_travel": _OP_TIME_TRAVEL_DUCK,
             "op_tt_dml": _OP_TT_DML_DUCK,
             "op_tt_diff": _OP_TT_DIFF_DUCK,
+            "op_tt_skip": _OP_TT_SKIP_DUCK,
             "st_tt_cdc": _ST_TT_CDC_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,

@@ -138,6 +138,64 @@ def _write_data_files(
     return sorted(out)
 
 
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string",
+)
+
+
+def _file_stats(
+    spark: SparkSession, root: str, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file [min, max] of each stats column — Delta's data-skipping
+    stats, gathered with ONE column-pruned scan of the just-written
+    files (group by input_file_name; map-side partial min/max)."""
+    from pyspark.sql import functions as F
+
+    if not files or not stats_cols:
+        return {}
+    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    for c in stats_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t not in _STATS_TYPES and not t.startswith("decimal"):
+            raise AstroSparkError(
+                f"stats_cols: column {c!r} has type {t} — data-skipping "
+                f"stats support numeric and string columns"
+            )
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    rows = (
+        df.select(F.input_file_name().alias("__f"), *stats_cols)
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()  # bounded: one row per file
+    )
+
+    def _norm(u: str) -> str:
+        return u.removeprefix("file:").lstrip("/")
+
+    by_norm = {_norm(f"{root.rstrip('/')}/{f}"): f for f in files}
+    out: dict = {}
+    for r in rows:
+        rel = by_norm.get(_norm(r["__f"]))
+        if rel is None:
+            continue
+        out[rel] = {
+            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def _carry_stats(manifest: dict, files: list[str], new_stats: dict) -> dict:
+    """Stats for a new manifest: carried-over files keep their recorded
+    ranges, new files contribute theirs; files with no stats are simply
+    absent (the reader keeps them — absence is never evidence)."""
+    old = manifest.get("stats") or {}
+    kept = {f: old[f] for f in files if f in old}
+    kept.update(new_stats)
+    return kept
+
+
 def _schema_json(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
 
@@ -175,22 +233,41 @@ def _evolved_schema(prev_json: str | None, df: DataFrame, merge_schema: bool) ->
     )
 
 
-def tt_create(spark: SparkSession, df: DataFrame, root: str) -> int:
-    """Create a versioned table at ``root`` as version 0."""
+def tt_create(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Create a versioned table at ``root`` as version 0.
+
+    ``stats_cols``: record per-file [min, max] of these columns in the
+    manifest (Delta's data-skipping stats — one extra column-pruned
+    scan per commit); ``tt_read(skip_by=...)`` then prunes files from
+    the MANIFEST, before any footer is touched.  Later commits keep
+    recording stats for the same columns automatically."""
     HPath, _p, fs = _fs(spark, root)
     if _list_versions(fs, HPath, root):
         raise AstroSparkError(f"versioned table already exists at {root}")
     files = _write_data_files(spark, df, root, fs, HPath)
-    _publish(
-        spark, fs, HPath, root, 0,
-        {
-            "files": files,
-            "op": "create",
-            "ts": time.time(),
-            "schema": _schema_json(df),
-        },
-    )
+    manifest = {
+        "files": files,
+        "op": "create",
+        "ts": time.time(),
+        "schema": _schema_json(df),
+    }
+    if stats_cols:
+        manifest["stats"] = _file_stats(spark, root, files, stats_cols)
+    _publish(spark, fs, HPath, root, 0, manifest)
     return 0
+
+
+def _stats_cols_of(manifest: dict) -> list[str]:
+    """The column set this table records skipping stats for — inferred
+    from the head manifest so every commit op keeps maintaining them
+    without re-passing the list."""
+    old = manifest.get("stats") or {}
+    return sorted({c for st in old.values() for c in st})
 
 
 def tt_append(
@@ -214,18 +291,20 @@ def tt_append(
             raise AstroSparkError(f"no versioned table at {root}")
         head = versions[-1]
         prev = _read_manifest(spark, fs, HPath, root, head)
-        try:
-            _publish(
-                spark, fs, HPath, root, head + 1,
-                {
-                    "files": prev["files"] + new_files,
-                    "op": "append",
-                    "ts": time.time(),
-                    "schema": _evolved_schema(
-                        prev.get("schema"), df, merge_schema
-                    ),
-                },
+        manifest = {
+            "files": prev["files"] + new_files,
+            "op": "append",
+            "ts": time.time(),
+            "schema": _evolved_schema(prev.get("schema"), df, merge_schema),
+        }
+        cols = _stats_cols_of(prev)
+        if cols:
+            manifest["stats"] = _carry_stats(
+                prev, prev["files"],
+                _file_stats(spark, root, new_files, cols),
             )
+        try:
+            _publish(spark, fs, HPath, root, head + 1, manifest)
             return head + 1
         except ConcurrentWriteError:
             continue
@@ -243,15 +322,17 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     if not versions:
         raise AstroSparkError(f"no versioned table at {root}")
     files = _write_data_files(spark, df, root, fs, HPath)
-    _publish(
-        spark, fs, HPath, root, versions[-1] + 1,
-        {
-            "files": files,
-            "op": "overwrite",
-            "ts": time.time(),
-            "schema": _schema_json(df),  # overwrite replaces the schema too
-        },
-    )
+    manifest = {
+        "files": files,
+        "op": "overwrite",
+        "ts": time.time(),
+        "schema": _schema_json(df),  # overwrite replaces the schema too
+    }
+    prev = _read_manifest(spark, fs, HPath, root, versions[-1])
+    cols = [c for c in _stats_cols_of(prev) if c in df.columns]
+    if cols:
+        manifest["stats"] = _file_stats(spark, root, files, cols)
+    _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
 
@@ -260,11 +341,21 @@ def tt_read(
     root: str,
     version: int | None = None,
     as_of_ts: float | None = None,
+    skip_by: dict | None = None,
 ) -> DataFrame:
     """Read a version (default: latest).  ``as_of_ts`` selects the
     latest version committed at or before that unix timestamp (Delta's
     ``TIMESTAMP AS OF``).  The explicit file list goes straight to the
-    parquet source — pushdown and pruning apply unchanged."""
+    parquet source — pushdown and pruning apply unchanged.
+
+    ``skip_by={col: (lo, hi)}`` prunes files whose RECORDED [min, max]
+    (``stats_cols`` at commit time) cannot intersect [lo, hi] — Delta's
+    data skipping, decided entirely from the manifest before any
+    parquet footer is opened.  Either bound may be None (open end).
+    Files without stats are always kept (absence is never evidence),
+    and skipping is an OPTIMIZATION contract only: the caller still
+    applies their own ``.where`` — rows outside the bounds may appear
+    from kept files."""
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
@@ -287,6 +378,24 @@ def tt_read(
     if version not in versions:
         raise AstroSparkError(f"version {version} not found in {root}")
     manifest = _read_manifest(spark, fs, HPath, root, version)
+    if skip_by:
+        stats = manifest.get("stats") or {}
+
+        def _keep(f: str) -> bool:
+            st = stats.get(f)
+            if st is None:
+                return True
+            for col, (lo, hi) in skip_by.items():
+                rng = st.get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    continue  # no/NULL-only stats: can't prove skippable
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            return True
+
+        manifest = {**manifest, "files": [f for f in manifest["files"] if _keep(f)]}
     schema_json = manifest.get("schema")
     if not manifest["files"]:
         if schema_json is None:
@@ -327,6 +436,8 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
     }
     if src.get("schema") is not None:
         manifest["schema"] = src["schema"]  # restore the schema too
+    if src.get("stats") is not None:
+        manifest["stats"] = src["stats"]  # and the skipping stats
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
@@ -413,19 +524,23 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         spark, root, {**manifest, "files": touched}
     ).where(f"NOT ({predicate})")
     new_files = _write_data_files(spark, kept, root, fs, HPath)
-    _publish(
-        spark, fs, HPath, root, head_v + 1,
-        {
-            "files": [f for f in files if f not in set(touched)] + new_files,
-            "op": "delete",
-            "ts": time.time(),
-            **(
-                {"schema": manifest["schema"]}
-                if manifest.get("schema") is not None
-                else {}
-            ),
-        },
-    )
+    untouched = [f for f in files if f not in set(touched)]
+    new_manifest = {
+        "files": untouched + new_files,
+        "op": "delete",
+        "ts": time.time(),
+        **(
+            {"schema": manifest["schema"]}
+            if manifest.get("schema") is not None
+            else {}
+        ),
+    }
+    cols = _stats_cols_of(manifest)
+    if cols:
+        new_manifest["stats"] = _carry_stats(
+            manifest, untouched, _file_stats(spark, root, new_files, cols)
+        )
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
 
@@ -474,19 +589,23 @@ def tt_merge(
     )
     merged = _upsert(base, source, keys)
     new_files = _write_data_files(spark, merged, root, fs, HPath)
-    _publish(
-        spark, fs, HPath, root, head_v + 1,
-        {
-            "files": [f for f in files if f not in set(touched)] + new_files,
-            "op": "merge",
-            "ts": time.time(),
-            **(
-                {"schema": manifest["schema"]}
-                if manifest.get("schema") is not None
-                else {}
-            ),
-        },
-    )
+    untouched = [f for f in files if f not in set(touched)]
+    new_manifest = {
+        "files": untouched + new_files,
+        "op": "merge",
+        "ts": time.time(),
+        **(
+            {"schema": manifest["schema"]}
+            if manifest.get("schema") is not None
+            else {}
+        ),
+    }
+    cols = _stats_cols_of(manifest)
+    if cols:
+        new_manifest["stats"] = _carry_stats(
+            manifest, untouched, _file_stats(spark, root, new_files, cols)
+        )
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
 
@@ -526,23 +645,26 @@ def tt_optimize(
     else:
         df = df.coalesce(target_files)
     new_files = _write_data_files(spark, df, root, fs, HPath)
-    _publish(
-        spark, fs, HPath, root, head_v + 1,
-        {
-            "files": new_files,
-            "op": (
-                f"optimize(zorder={','.join(zorder_by)})"
-                if zorder_by
-                else "optimize"
-            ),
-            "ts": time.time(),
-            **(
-                {"schema": manifest["schema"]}
-                if manifest.get("schema") is not None
-                else {}
-            ),
-        },
-    )
+    new_manifest = {
+        "files": new_files,
+        "op": (
+            f"optimize(zorder={','.join(zorder_by)})"
+            if zorder_by
+            else "optimize"
+        ),
+        "ts": time.time(),
+        **(
+            {"schema": manifest["schema"]}
+            if manifest.get("schema") is not None
+            else {}
+        ),
+    }
+    # zorder makes files cover COMPACT ranges — exactly when skipping
+    # stats pay off; recompute them over the new layout
+    cols = _stats_cols_of(manifest)
+    if cols:
+        new_manifest["stats"] = _file_stats(spark, root, new_files, cols)
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
 

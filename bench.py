@@ -136,6 +136,7 @@ HEADLINE = [
     "op_time_travel",
     "op_tt_dml",
     "op_tt_diff",
+    "op_tt_skip",
     "st_tt_cdc",
     "t_html_extract",
     "t_sentences",

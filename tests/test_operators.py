@@ -2691,3 +2691,55 @@ class TestTimeTravel:
         assert got == {("removed", 3)}
         # identical versions: empty feed
         assert a.tt_diff(spark, root, ["k"], 0, 0).count() == 0
+
+    def test_manifest_data_skipping_prunes_files(self, spark, tmp_path):
+        """stats_cols at commit time record per-file [min,max] in the
+        manifest; tt_read(skip_by=) drops non-intersecting files before
+        any footer is opened.  Pruned + filter equals full + filter;
+        stats survive append/merge/optimize commits."""
+        from pyspark.sql import functions as F
+
+        from astro_spark.operators import timetravel as tt
+
+        root = str(tmp_path / "ttskip")
+        # 4 range-partitioned files: k in [0,25), [25,50), ...
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        ).repartitionByRange(4, "k")
+        a.tt_create(spark, df, root, stats_cols=["k"])
+        HPath, _p, fs = tt._fs(spark, root)
+        m0 = tt._read_manifest(spark, fs, HPath, root, 0)
+        assert len(m0["stats"]) == len(m0["files"]) == 4
+
+        full = a.tt_read(spark, root)
+        pruned = a.tt_read(spark, root, skip_by={"k": (10, 20)})
+        n_full = full.select(F.input_file_name()).distinct().count()
+        n_pruned = pruned.select(F.input_file_name()).distinct().count()
+        assert n_pruned < n_full
+        assert (
+            sorted(r.k for r in pruned.where("k BETWEEN 10 AND 20").collect())
+            == sorted(r.k for r in full.where("k BETWEEN 10 AND 20").collect())
+            == list(range(10, 21))
+        )
+        # open-ended bound
+        assert a.tt_read(spark, root, skip_by={"k": (90, None)}).select(
+            F.input_file_name()
+        ).distinct().count() == 1
+
+        # stats keep being maintained without re-passing stats_cols
+        a.tt_append(
+            spark,
+            spark.createDataFrame([(1000, 0), (1001, 1)], "k long, g long"),
+            root,
+        )
+        a.tt_merge(
+            spark, spark.createDataFrame([(50, 99)], "k long, g long"),
+            root, ["k"],
+        )
+        a.tt_optimize(spark, root, target_files=3, zorder_by=["k"])
+        head = tt._read_manifest(
+            spark, fs, HPath, root, tt._list_versions(fs, HPath, root)[-1]
+        )
+        assert set(head["stats"]) == set(head["files"])
+        got = a.tt_read(spark, root, skip_by={"k": (1000, None)})
+        assert {r.k for r in got.collect()} >= {1000, 1001}
