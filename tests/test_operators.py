@@ -2743,3 +2743,21 @@ class TestTimeTravel:
         assert set(head["stats"]) == set(head["files"])
         got = a.tt_read(spark, root, skip_by={"k": (1000, None)})
         assert {r.k for r in got.collect()} >= {1000, 1001}
+
+    def test_data_skipping_string_bounds_and_type_guard(self, spark, tmp_path):
+        """String stats prune lexicographically; unsupported stat types
+        (arrays, maps) raise at commit time, not read time."""
+        root = str(tmp_path / "ttskipstr")
+        df = spark.createDataFrame(
+            [(1, "apple"), (2, "banana"), (3, "cherry"), (4, "damson")],
+            "k long, w string",
+        ).repartitionByRange(2, "w")
+        a.tt_create(spark, df, root, stats_cols=["w"])
+        from pyspark.sql import functions as F
+
+        pruned = a.tt_read(spark, root, skip_by={"w": ("a", "b")})
+        assert pruned.select(F.input_file_name()).distinct().count() == 1
+        assert {r.w for r in pruned.where("w < 'b'").collect()} == {"apple"}
+        arr = spark.createDataFrame([(1, ["x"])], "k long, v array<string>")
+        with pytest.raises(a.exceptions.AstroSparkError, match="stats_cols"):
+            a.tt_create(spark, arr, str(tmp_path / "bad"), stats_cols=["v"])
