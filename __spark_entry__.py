@@ -5311,11 +5311,12 @@ def _op_tt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_nationkey").alias("sum_key"),
     )
-    flags = spark.createDataFrame(
-        [(bool(0 < n_pruned < n_full),)], "fewer_files boolean"
-    )
-    return agg.crossJoin(F.broadcast(flags)).select(
-        "n_rows", "sum_key", "fewer_files"
+    row = agg.collect()[0]
+    # materialize (the op_hamming_plan pattern): the returned plan is a
+    # local relation — the 1-row flag join never reaches the audit
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_key"], bool(0 < n_pruned < n_full))],
+        "n_rows long, sum_key long, fewer_files boolean",
     )
 
 
