@@ -28,6 +28,48 @@ class QueryModifier:
         self.post_queries = post_queries or []
 
 
+_DESCRIBE_HISTORY_RE = None
+_RESTORE_RE = None
+
+
+def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
+    """Route the two Delta SQL maintenance shapes a reference user
+    issues against a versioned-parquet root through the timetravel
+    operators (the ``merge_from_sql`` precedent for SQL-text parity)::
+
+        DESCRIBE HISTORY '<root>'
+        RESTORE TABLE '<root>' TO VERSION AS OF <n>
+
+    The quoted path form targets this engine's versioned roots; bare
+    table identifiers fall through to ``spark.sql`` untouched (a real
+    Delta catalog handles them).  Returns the result DataFrame
+    (history rows; the restore's (version,) row) or None when the
+    statement is neither shape."""
+    global _DESCRIBE_HISTORY_RE, _RESTORE_RE
+    import re
+
+    if _DESCRIBE_HISTORY_RE is None:
+        _DESCRIBE_HISTORY_RE = re.compile(
+            r"(?is)^\s*describe\s+history\s+'([^']+)'\s*;?\s*$"
+        )
+        _RESTORE_RE = re.compile(
+            r"(?is)^\s*restore\s+table\s+'([^']+)'\s+to\s+version\s+as\s+of"
+            r"\s+(\d+)\s*;?\s*$"
+        )
+    m = _DESCRIBE_HISTORY_RE.match(stmt)
+    if m:
+        from .timetravel import tt_history
+
+        return tt_history(spark, m.group(1))
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        from .timetravel import tt_restore
+
+        v = tt_restore(spark, m.group(1), int(m.group(2)))
+        return spark.createDataFrame([(v,)], "restored_as_version long")
+    return None
+
+
 def run_raw_sql(
     spark: SparkSession,
     sql: str,
@@ -75,7 +117,12 @@ def run_raw_sql(
         if handler is not None:
             return _finish(handler(spark.createDataFrame([], "ok boolean")))
         return _finish(None)
-    df = spark.sql(rendered)
+
+    tt = _route_timetravel_sql(spark, rendered)
+    if tt is not None:
+        df = tt
+    else:
+        df = spark.sql(rendered)
 
     if fail_on_empty and df.isEmpty():
         raise ValueError("run_raw_sql(fail_on_empty=True): query returned no rows")

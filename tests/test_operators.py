@@ -2761,3 +2761,36 @@ class TestTimeTravel:
         arr = spark.createDataFrame([(1, ["x"])], "k long, v array<string>")
         with pytest.raises(a.exceptions.AstroSparkError, match="stats_cols"):
             a.tt_create(spark, arr, str(tmp_path / "bad"), stats_cols=["v"])
+
+    def test_delta_sql_text_front_door(self, spark, tmp_path):
+        """DESCRIBE HISTORY '<root>' and RESTORE TABLE '<root>' TO
+        VERSION AS OF n route through the timetravel operators via
+        run_raw_sql (the merge_from_sql precedent); bare identifiers
+        fall through to spark.sql untouched."""
+        root = str(tmp_path / "ttsql")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, "a")], "k long, v string"), root
+        )
+        a.tt_overwrite(
+            spark, spark.createDataFrame([(9, "z")], "k long, v string"), root
+        )
+        hist = a.run_raw_sql(
+            spark, f"DESCRIBE HISTORY '{root}'", results_format="list"
+        )
+        assert [(r.version, r.op) for r in hist] == [
+            (0, "create"), (1, "overwrite")
+        ]
+        got = a.run_raw_sql(
+            spark,
+            f"RESTORE TABLE '{root}' TO VERSION AS OF 0",
+            results_format="list",
+        )
+        assert got[0].restored_as_version == 2
+        assert {(r.k, r.v) for r in a.tt_read(spark, root).collect()} == {
+            (1, "a")
+        }
+        # a bare identifier is NOT intercepted: Spark's own parser sees it
+        from pyspark.errors import AnalysisException, ParseException
+
+        with pytest.raises((AnalysisException, ParseException)):
+            a.run_raw_sql(spark, "DESCRIBE HISTORY not_a_quoted_path")
