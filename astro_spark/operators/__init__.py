@@ -28,10 +28,12 @@ from .scd import scd2_merge
 from .raw_sql import get_value_list, run_raw_sql
 from .timetravel import (
     ConcurrentWriteError,
+    tt_add_constraint,
     tt_append,
     tt_create,
     tt_delete_where,
     tt_diff,
+    tt_drop_constraint,
     tt_history,
     tt_merge,
     tt_optimize,
@@ -80,10 +82,12 @@ __all__ = [
     "run_raw_sql",
     "temp_registry",
     "ConcurrentWriteError",
+    "tt_add_constraint",
     "tt_append",
     "tt_create",
     "tt_delete_where",
     "tt_diff",
+    "tt_drop_constraint",
     "tt_history",
     "tt_merge",
     "tt_optimize",

@@ -55,6 +55,10 @@ class ConcurrentWriteError(AstroSparkError):
     """Another writer committed the version this writer raced for."""
 
 
+class ConstraintViolationError(AstroSparkError):
+    """A write carried rows that fail a table CHECK constraint."""
+
+
 _LOG = "_log"
 _PAD = 8
 
@@ -262,6 +266,72 @@ def tt_create(
     return 0
 
 
+def _check_constraints(df: DataFrame, manifest: dict, what: str) -> None:
+    """Enforce the table's CHECK constraints on a write's rows BEFORE
+    its manifest publishes (the data files are still invisible, so a
+    rejected write leaves garbage, never a bad version).  Delta
+    semantics: the expression must be TRUE for every row — FALSE and
+    NULL both violate."""
+    from pyspark.sql import functions as F
+
+    for name, expr in (manifest.get("constraints") or {}).items():
+        bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"{what} violates CHECK constraint {name!r}: ({expr}) "
+                "is not TRUE for every written row"
+            )
+
+
+def _carry_constraints(manifest: dict) -> dict:
+    c = manifest.get("constraints")
+    return {"constraints": c} if c else {}
+
+
+def tt_add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Delta ``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``:
+    validates the CURRENT head data first (Delta does the same scan),
+    then commits a metadata-only version carrying the constraint —
+    every later append/merge/overwrite must satisfy it or fails before
+    publishing."""
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    if name in (manifest.get("constraints") or {}):
+        raise AstroSparkError(f"constraint {name!r} already exists")
+    trial = {**manifest, "constraints": {name: expr}}
+    _check_constraints(_read_files(spark, root, manifest), trial, "existing data")
+    new_manifest = {
+        **manifest,
+        "op": f"add_constraint({name})",
+        "ts": time.time(),
+        "constraints": {**(manifest.get("constraints") or {}), name: expr},
+    }
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
+def tt_drop_constraint(spark: SparkSession, root: str, name: str) -> int:
+    """Delta ``ALTER TABLE ... DROP CONSTRAINT``: metadata-only commit."""
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    cons = dict(manifest.get("constraints") or {})
+    if name not in cons:
+        raise AstroSparkError(f"constraint {name!r} does not exist")
+    del cons[name]
+    new_manifest = {
+        **manifest,
+        "op": f"drop_constraint({name})",
+        "ts": time.time(),
+    }
+    new_manifest.pop("constraints", None)
+    if cons:
+        new_manifest["constraints"] = cons
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
 def _stats_cols_of(manifest: dict) -> list[str]:
     """The column set this table records skipping stats for — inferred
     from the head manifest so every commit op keeps maintaining them
@@ -291,11 +361,13 @@ def tt_append(
             raise AstroSparkError(f"no versioned table at {root}")
         head = versions[-1]
         prev = _read_manifest(spark, fs, HPath, root, head)
+        _check_constraints(df, prev, "append")
         manifest = {
             "files": prev["files"] + new_files,
             "op": "append",
             "ts": time.time(),
             "schema": _evolved_schema(prev.get("schema"), df, merge_schema),
+            **_carry_constraints(prev),
         }
         cols = _stats_cols_of(prev)
         if cols:
@@ -321,14 +393,16 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     versions = _list_versions(fs, HPath, root)
     if not versions:
         raise AstroSparkError(f"no versioned table at {root}")
+    prev = _read_manifest(spark, fs, HPath, root, versions[-1])
+    _check_constraints(df, prev, "overwrite")
     files = _write_data_files(spark, df, root, fs, HPath)
     manifest = {
         "files": files,
         "op": "overwrite",
         "ts": time.time(),
         "schema": _schema_json(df),  # overwrite replaces the schema too
+        **_carry_constraints(prev),
     }
-    prev = _read_manifest(spark, fs, HPath, root, versions[-1])
     cols = [c for c in _stats_cols_of(prev) if c in df.columns]
     if cols:
         manifest["stats"] = _file_stats(spark, root, files, cols)
@@ -438,6 +512,8 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
         manifest["schema"] = src["schema"]  # restore the schema too
     if src.get("stats") is not None:
         manifest["stats"] = src["stats"]  # and the skipping stats
+    if src.get("constraints") is not None:
+        manifest["constraints"] = src["constraints"]  # and the checks
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
@@ -534,6 +610,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             if manifest.get("schema") is not None
             else {}
         ),
+        **_carry_constraints(manifest),  # deletes can't violate; carry
     }
     cols = _stats_cols_of(manifest)
     if cols:
@@ -589,6 +666,14 @@ def tt_merge(
     )
     merged = _upsert(base, source, keys)
     new_files = _write_data_files(spark, merged, root, fs, HPath)
+    # validate the rewrite's ACTUAL rows (updates included) against the
+    # CHECK constraints before anything publishes — one read-back of
+    # the just-written files, which are still invisible
+    _check_constraints(
+        _read_files(spark, root, {**manifest, "files": new_files}),
+        manifest,
+        "merge",
+    )
     untouched = [f for f in files if f not in set(touched)]
     new_manifest = {
         "files": untouched + new_files,
@@ -599,6 +684,7 @@ def tt_merge(
             if manifest.get("schema") is not None
             else {}
         ),
+        **_carry_constraints(manifest),
     }
     cols = _stats_cols_of(manifest)
     if cols:
@@ -658,6 +744,7 @@ def tt_optimize(
             if manifest.get("schema") is not None
             else {}
         ),
+        **_carry_constraints(manifest),  # rows identical; carry
     }
     # zorder makes files cover COMPACT ranges — exactly when skipping
     # stats pay off; recompute them over the new layout

@@ -2794,3 +2794,62 @@ class TestTimeTravel:
 
         with pytest.raises((AnalysisException, ParseException)):
             a.run_raw_sql(spark, "DESCRIBE HISTORY not_a_quoted_path")
+
+    def test_check_constraints_enforced_delta_semantics(self, spark, tmp_path):
+        """ADD CONSTRAINT validates existing data; appends/merges that
+        violate (FALSE or NULL) are rejected BEFORE publishing — no new
+        version, no bad state; deletes and optimize carry constraints;
+        drop removes enforcement; restore restores it."""
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        root = str(tmp_path / "ttcheck")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            root,
+        )
+        # existing data violates -> rejected, no version committed
+        with pytest.raises(ConstraintViolationError):
+            a.tt_add_constraint(spark, root, "v_cap", "v < 15")
+        assert a.tt_history(spark, root).count() == 1
+        v = a.tt_add_constraint(spark, root, "v_pos", "v > 0")
+        assert v == 1
+        # violating append (FALSE) rejected; NULL counts as violation
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark, spark.createDataFrame([(3, -5)], "k long, v long"), root
+            )
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark,
+                spark.createDataFrame([(3, None)], "k long, v long"),
+                root,
+            )
+        assert a.tt_history(spark, root).count() == 2  # nothing committed
+        # violating merge rejected (update path)
+        with pytest.raises(ConstraintViolationError):
+            a.tt_merge(
+                spark, spark.createDataFrame([(1, -1)], "k long, v long"),
+                root, ["k"],
+            )
+        # clean writes pass and the constraint carries forward
+        a.tt_append(
+            spark, spark.createDataFrame([(3, 30)], "k long, v long"), root
+        )
+        a.tt_optimize(spark, root, target_files=1)
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark, spark.createDataFrame([(4, 0)], "k long, v long"), root
+            )
+        # drop -> enforcement gone; restore to a constrained version -> back
+        constrained_v = a.tt_history(spark, root).count() - 1
+        a.tt_drop_constraint(spark, root, "v_pos")
+        a.tt_append(
+            spark, spark.createDataFrame([(4, -4)], "k long, v long"), root
+        )
+        a.tt_delete_where(spark, root, "k = 4")
+        a.tt_restore(spark, root, constrained_v)
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark, spark.createDataFrame([(5, -5)], "k long, v long"), root
+            )
