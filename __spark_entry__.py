@@ -5320,6 +5320,53 @@ def _op_tt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_tt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement on the versioned log: a violating
+    append must be REJECTED without committing a version, a clean
+    append must pass — both behavioral claims folded into the oracle
+    hash next to the final table aggregate."""
+    from astro_spark.operators.timetravel import ConstraintViolationError
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttcons_") + "/t"
+    a.tt_create(spark, nation, root)
+    a.tt_add_constraint(spark, root, "r_nonneg", "r >= 0")
+    before = a.tt_history(spark, root).count()
+    rejected = False
+    try:
+        a.tt_append(
+            spark, spark.createDataFrame([(9999, -1)], "k long, r long"), root
+        )
+    except ConstraintViolationError:
+        rejected = True
+    no_version = a.tt_history(spark, root).count() == before
+    a.tt_append(
+        spark,
+        nation.select((F.col("k") + 100).alias("k"), "r"),
+        root,
+    )
+    row = a.tt_read(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("k").alias("sum_key")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_key"], bool(rejected), bool(no_version))],
+        "n_rows long, sum_key long, rejected boolean, no_bad_version boolean",
+    )
+
+
+_OP_TT_CONSTRAINT_DUCK = """
+SELECT COUNT(*)::BIGINT AS n_rows, SUM(k)::BIGINT AS sum_key,
+       TRUE AS rejected, TRUE AS no_bad_version
+FROM (
+  SELECT n_nationkey AS k FROM nation
+  UNION ALL SELECT n_nationkey + 100 FROM nation
+)
+"""
+
+
 _OP_TT_SKIP_DUCK = """
 SELECT COUNT(*)::BIGINT AS n_rows, SUM(n_nationkey)::BIGINT AS sum_key,
        TRUE AS fewer_files
@@ -6257,6 +6304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tt_dml": _op_tt_dml,
             "op_tt_diff": _op_tt_diff,
             "op_tt_skip": _op_tt_skip,
+            "op_tt_constraint": _op_tt_constraint,
             "st_tt_cdc": _st_tt_cdc,
             "op_codegen": _op_codegen,
             "op_exchange_reuse": _op_exchange_reuse,
@@ -6295,6 +6343,7 @@ _DRIVER_PRIORITY = [
     "op_tt_dml",
     "op_tt_diff",
     "op_tt_skip",
+    "op_tt_constraint",
     "st_tt_cdc",
     "t_html_extract",
     "t_sentences",
@@ -6831,6 +6880,7 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_tt_dml": _OP_TT_DML_DUCK,
             "op_tt_diff": _OP_TT_DIFF_DUCK,
             "op_tt_skip": _OP_TT_SKIP_DUCK,
+            "op_tt_constraint": _OP_TT_CONSTRAINT_DUCK,
             "st_tt_cdc": _ST_TT_CDC_DUCK,
             "op_codegen": _OP_CODEGEN_DUCK,
             "op_exchange_reuse": _OP_EXCHANGE_REUSE_DUCK,

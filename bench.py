@@ -137,6 +137,7 @@ HEADLINE = [
     "op_tt_dml",
     "op_tt_diff",
     "op_tt_skip",
+    "op_tt_constraint",
     "st_tt_cdc",
     "t_html_extract",
     "t_sentences",
