@@ -5338,7 +5338,7 @@ def _op_tt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected = False
     try:
         a.tt_append(
-            spark, spark.createDataFrame([(9999, -1)], "k long, r long"), root
+            spark, spark.createDataFrame([(9999, -1)], "k int, r int"), root
         )
     except ConstraintViolationError:
         rejected = True

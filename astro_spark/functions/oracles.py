@@ -2516,9 +2516,13 @@ WITH marked AS (
   FROM {table}
 ),
 expl AS (
-  SELECT id, i - 1 AS sent_idx, trim(parts[i]) AS sentence
-  FROM marked, (SELECT unnest(range(1, 10001)) AS i)
-  WHERE i <= len(parts)
+  -- unnest + generate_subscripts zip positionally: unbounded, like
+  -- text.split_sentences (a fixed position range would silently cap
+  -- sentences per document)
+  SELECT id,
+         generate_subscripts(parts, 1) - 1 AS sent_idx,
+         trim(unnest(parts)) AS sentence
+  FROM marked
 )
 SELECT id, sent_idx::BIGINT AS sent_idx, sentence,
        LENGTH(sentence)::BIGINT AS n_chars

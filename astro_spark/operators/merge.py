@@ -95,6 +95,14 @@ from ..exceptions import MergeConflictError, NonExistentTableError
 from ..table import Table
 from .append import normalize_columns
 
+
+class MergeSqlGrammarError(ValueError):
+    """``merge_from_sql`` rejected the statement during its PARSE phase —
+    nothing has executed yet, so ``run_raw_sql`` may safely fall back to
+    ``spark.sql`` on the original text.  Execution-time ``ValueError``s
+    deliberately do NOT use this type: re-running a partially-applied
+    MERGE on a catalog that can execute it would double-apply."""
+
 # Above this many touched partitions a partition-scoped rewrite stops
 # paying for itself (the pruning predicate itself becomes huge) — fall
 # back to the full swap.  Multi-column partitioning builds an OR-of-ANDs
@@ -270,12 +278,12 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
                 metadata=Metadata(schema=_ident(parts[0])),
                 temp=False,
             )
-        raise ValueError(f"merge_from_sql: unsupported table name {tok!r}")
+        raise MergeSqlGrammarError(f"merge_from_sql: unsupported table name {tok!r}")
 
     s = statement.strip().rstrip(";")
     head = _MERGE_HEAD_RE.match(s)
     if not head:
-        raise ValueError(
+        raise MergeSqlGrammarError(
             "merge_from_sql: statement does not match the supported "
             "MERGE INTO ... USING ... ON ... grammar"
         )
@@ -284,13 +292,13 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
     clauses = re.split(r"(?i)\s+when\s+", rest)
     on_txt, when_clauses = clauses[0], clauses[1:]
     if not when_clauses:
-        raise ValueError("merge_from_sql: missing WHEN NOT MATCHED clause")
+        raise MergeSqlGrammarError("merge_from_sql: missing WHEN NOT MATCHED clause")
 
     keys: list[str] = []
     for cond in re.split(r"(?i)\s+and\s+", on_txt):
         eq = _MERGE_EQ_RE.match(cond)
         if not eq:
-            raise ValueError(
+            raise MergeSqlGrammarError(
                 f"merge_from_sql: unsupported ON condition {cond!r} "
                 "(only alias.col = alias.col equality)"
             )
@@ -299,13 +307,13 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
             _ident(eq.group(3)), _ident(eq.group(4)),
         )
         if {a_alias, b_alias} != {ta, sa}:
-            raise ValueError(
+            raise MergeSqlGrammarError(
                 f"merge_from_sql: ON references unknown alias in {cond!r}"
             )
         t_col = a_col if a_alias == ta else b_col
         s_col = b_col if b_alias == sa else a_col
         if t_col != s_col:
-            raise ValueError(
+            raise MergeSqlGrammarError(
                 "merge_from_sql: conflict columns must match by name "
                 f"({s_col!r} vs {t_col!r}) — the reference maps keys 1:1"
             )
@@ -316,7 +324,7 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
         for piece in txt.split(","):
             m = re.match(r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$", piece)
             if not m or _ident(m.group(1)) != expect_alias:
-                raise ValueError(
+                raise MergeSqlGrammarError(
                     f"merge_from_sql: expected {expect_alias}.<col>, "
                     f"got {piece.strip()!r}"
                 )
@@ -332,7 +340,7 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
             tcols = _alias_cols(ins["tcols"], ta)
             scols = _alias_cols(ins["scols"], sa)
             if len(tcols) != len(scols):
-                raise ValueError(
+                raise MergeSqlGrammarError(
                     "merge_from_sql: INSERT column/VALUES arity mismatch"
                 )
             col_map = dict(zip(scols, tcols))
@@ -341,27 +349,27 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
             for piece in upd["sets"].split(","):
                 eq = _MERGE_EQ_RE.match(piece)
                 if not eq:
-                    raise ValueError(
+                    raise MergeSqlGrammarError(
                         f"merge_from_sql: unsupported SET assignment "
                         f"{piece.strip()!r}"
                     )
                 if _ident(eq.group(1)) != ta or _ident(eq.group(3)) != sa:
-                    raise ValueError(
+                    raise MergeSqlGrammarError(
                         "merge_from_sql: SET must assign target.col = "
                         "source.col"
                     )
                 update_pairs[_ident(eq.group(4))] = _ident(eq.group(2))
         else:
-            raise ValueError(
+            raise MergeSqlGrammarError(
                 f"merge_from_sql: unsupported WHEN clause "
                 f"{clause.strip()[:60]!r}"
             )
     if col_map is None:
-        raise ValueError(
+        raise MergeSqlGrammarError(
             "merge_from_sql: missing WHEN NOT MATCHED THEN INSERT clause"
         )
     if update_pairs is not None and update_pairs != col_map:
-        raise ValueError(
+        raise MergeSqlGrammarError(
             "merge_from_sql: UPDATE SET pairs must equal the INSERT "
             "mapping (merge updates all mapped columns)"
         )

@@ -103,13 +103,14 @@ def run_raw_sql(
         # Iceberg v2) still does; on plain parquet that surfaces Spark's
         # own UNSUPPORTED_FEATURE error rather than ours.
         from ..exceptions import IllegalIdentifierError
-        from .merge import merge_from_sql
+        from .merge import MergeSqlGrammarError, merge_from_sql
 
         try:
             merge_from_sql(spark, rendered)
-        except (ValueError, IllegalIdentifierError):
-            # merge_from_sql parses fully before executing, so a grammar
-            # / identifier rejection here means nothing ran yet
+        except (MergeSqlGrammarError, IllegalIdentifierError):
+            # only the dedicated PARSE-phase rejections fall back —
+            # nothing ran yet.  An execution-time ValueError propagates
+            # (re-running a partially-applied MERGE would double-apply).
             spark.sql(rendered)
         # results_format / fail_on_empty are no-ops for MERGE (it returns
         # no rows); post_queries still run via _finish, symmetric with

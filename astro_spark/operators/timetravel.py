@@ -147,6 +147,24 @@ _STATS_TYPES = (
 )
 
 
+def _json_safe_bound(v, side: int):
+    """Manifest stats must survive ``json.dumps`` — Decimal bounds become
+    floats, widened OUTWARD (``side`` -1 for a min, +1 for a max) when
+    the nearest float would narrow the range, so file skipping stays
+    sound: a widened range can only keep extra files, never drop one."""
+    import math
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        f = float(v)
+        if side < 0 and Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        elif side > 0 and Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
+    return v
+
+
 def _file_stats(
     spark: SparkSession, root: str, files: list[str], stats_cols: list[str]
 ) -> dict:
@@ -185,7 +203,11 @@ def _file_stats(
         if rel is None:
             continue
         out[rel] = {
-            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols
+            c: [
+                _json_safe_bound(r[f"__lo_{c}"], -1),
+                _json_safe_bound(r[f"__hi_{c}"], +1),
+            ]
+            for c in stats_cols
         }
     return out
 
@@ -361,15 +383,30 @@ def tt_append(
             raise AstroSparkError(f"no versioned table at {root}")
         head = versions[-1]
         prev = _read_manifest(spark, fs, HPath, root, head)
-        _check_constraints(df, prev, "append")
+        evolved = _evolved_schema(prev.get("schema"), df, merge_schema)
+        # validate the ACTUAL written rows (the tt_merge pattern), not the
+        # caller's lazy df: a nondeterministic df (rand() sampling,
+        # unordered limit) must never publish rows the check didn't see.
+        # Reading the still-invisible files through the evolved schema
+        # also means columns df omits are checked as the NULLs they will
+        # read back as.
+        _check_constraints(
+            _read_files(spark, root, {"files": new_files, "schema": evolved}),
+            prev,
+            "append",
+        )
         manifest = {
             "files": prev["files"] + new_files,
             "op": "append",
             "ts": time.time(),
-            "schema": _evolved_schema(prev.get("schema"), df, merge_schema),
+            "schema": evolved,
             **_carry_constraints(prev),
         }
-        cols = _stats_cols_of(prev)
+        # stats only for columns the new files actually carry — a df
+        # legitimately missing table columns (they read back as NULL)
+        # must not crash the stats scan; absent per-file stats are
+        # already treated as "keep" by the skip_by reader
+        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
         if cols:
             manifest["stats"] = _carry_stats(
                 prev, prev["files"],
@@ -394,8 +431,15 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     if not versions:
         raise AstroSparkError(f"no versioned table at {root}")
     prev = _read_manifest(spark, fs, HPath, root, versions[-1])
-    _check_constraints(df, prev, "overwrite")
     files = _write_data_files(spark, df, root, fs, HPath)
+    # validate the ACTUAL written rows (tt_merge pattern) — the files are
+    # still invisible, so a rejected overwrite leaves garbage, never a
+    # bad version, even for a nondeterministic df
+    _check_constraints(
+        _read_files(spark, root, {"files": files, "schema": _schema_json(df)}),
+        prev,
+        "overwrite",
+    )
     manifest = {
         "files": files,
         "op": "overwrite",

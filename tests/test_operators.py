@@ -2853,3 +2853,94 @@ class TestTimeTravel:
             a.tt_append(
                 spark, spark.createDataFrame([(5, -5)], "k long, v long"), root
             )
+
+    def test_decimal_stats_cols_commit_and_skip(self, spark, tmp_path):
+        """ADVICE r10: decimal stats bounds are Python Decimal objects —
+        they must serialize into the JSON manifest (normalized to floats,
+        widened outward so skipping stays sound) instead of crashing the
+        commit after the data files were written."""
+        from decimal import Decimal
+
+        root = str(tmp_path / "ttdec")
+        df = spark.createDataFrame(
+            [(1, Decimal("1.10")), (2, Decimal("99.99"))],
+            "k long, amt decimal(10,2)",
+        ).repartition(2, "k")
+        assert a.tt_create(spark, df, root, stats_cols=["amt"]) == 0
+        a.tt_append(
+            spark,
+            spark.createDataFrame(
+                [(3, Decimal("50.00"))], "k long, amt decimal(10,2)"
+            ),
+            root,
+        )
+        got = {
+            (r.k, str(r.amt))
+            for r in a.tt_read(
+                spark, root, skip_by={"amt": (Decimal("40"), Decimal("60"))}
+            ).collect()
+        }
+        assert (3, "50.00") in got  # the in-range row always survives
+        full = {(r.k, str(r.amt)) for r in a.tt_read(spark, root).collect()}
+        assert full == {(1, "1.10"), (2, "99.99"), (3, "50.00")}
+
+    def test_append_missing_stats_column_ok(self, spark, tmp_path):
+        """ADVICE r10: a df legitimately omitting a stats column (reads
+        back as NULL through the log schema) must not crash tt_append's
+        stats scan; the new files simply carry no stats for it (skip_by
+        keeps stat-less files)."""
+        root = str(tmp_path / "ttmiss")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, 10, "x")], "k long, v long, s string"),
+            root,
+            stats_cols=["v"],
+        )
+        v = a.tt_append(
+            spark, spark.createDataFrame([(2, "y")], "k long, s string"), root
+        )
+        assert v == 1
+        rows = {
+            (r.k, r.v, r.s) for r in a.tt_read(spark, root).collect()
+        }
+        assert rows == {(1, 10, "x"), (2, None, "y")}
+        # skip_by on v still keeps the stat-less file (absence is never
+        # evidence): the NULL-v row survives any range
+        kept = {
+            r.k
+            for r in a.tt_read(spark, root, skip_by={"v": (100, 200)}).collect()
+        }
+        assert 2 in kept
+
+    def test_constraints_checked_on_written_rows(self, spark, tmp_path):
+        """ADVICE r10: append/overwrite validate CHECK constraints on the
+        READ-BACK of the just-written (still invisible) files — the rows
+        that will publish — not on a re-execution of the caller's plan.
+        A df omitting a constrained column therefore fails as the NULLs
+        it would read back as (Delta semantics), and a rejected write
+        leaves no new version."""
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        root = str(tmp_path / "ttwritten")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            root,
+        )
+        a.tt_add_constraint(spark, root, "v_pos", "v > 0")
+        # append omitting v: written files read back v=NULL -> violation
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark,
+                spark.createDataFrame([(2,)], "k long"),
+                root,
+                merge_schema=True,
+            )
+        assert a.tt_history(spark, root).count() == 2  # no version published
+        # overwrite with violating rows rejected post-write, pre-publish
+        with pytest.raises(ConstraintViolationError):
+            a.tt_overwrite(
+                spark, spark.createDataFrame([(9, -9)], "k long, v long"), root
+            )
+        assert a.tt_history(spark, root).count() == 2
+        assert {(r.k, r.v) for r in a.tt_read(spark, root).collect()} == {(1, 10)}
