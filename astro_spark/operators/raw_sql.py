@@ -70,6 +70,181 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
     return None
 
 
+def _split_top_level(txt: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/bracket depth 0 outside quoted strings —
+    SET assignments may carry commas inside function calls."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in txt:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
+def _find_top_level_kw(txt: str, kw: str) -> int:
+    """Index of the first standalone ``kw`` at depth 0 outside quotes
+    (so a string literal containing 'where' never splits), or -1."""
+    low, n, k = txt.lower(), len(txt), len(kw)
+    depth, q, i = 0, None, 0
+    while i < n:
+        ch = txt[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(kw, i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (
+                i + k >= n
+                or not (low[i + k].isalnum() or low[i + k] == "_")
+            )
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
+    """Route SQL-text row-level DML through the engine's file-scoped
+    copy-on-write DML (``operators/dml.py``) — the ``merge_from_sql``
+    precedent applied to the two shapes a reference user's raw SQL
+    carries daily (reference ``sql/operators/raw_sql.py:25-158`` accepts
+    arbitrary DML; on Delta-backed deployments the catalog executes it,
+    but Spark rejects DELETE/UPDATE on v1 parquet tables)::
+
+        DELETE FROM <table> [WHERE <cond>]
+        DELETE FROM '<versioned-root>' [WHERE <cond>]   -- tt_delete_where
+        UPDATE <table> SET <col> = <expr>[, ...] [WHERE <cond>]
+
+    Strict-allowlist identifiers; conditions/expressions are Spark SQL
+    expression text evaluated against the table's own columns.  Returns
+    a 1-row ``affected_rows`` (or ``committed_version``) DataFrame, or
+    None on any grammar miss — the caller falls back to ``spark.sql``
+    so a catalog that CAN run the text (Delta/Iceberg v2) still does.
+    The parse completes before anything executes; execution errors
+    propagate (never a second run)."""
+    import re
+
+    from ..exceptions import IllegalIdentifierError
+    from ..table import Metadata, Table, validate_identifier
+
+    s = stmt.strip().rstrip(";").strip()
+    low = s.lower()
+
+    def _table(tok: str) -> Table | None:
+        parts = [p.strip().strip("`") for p in tok.strip().split(".")]
+        try:
+            if len(parts) == 1:
+                return Table(validate_identifier(parts[0]), temp=False)
+            if len(parts) == 2:
+                return Table(
+                    validate_identifier(parts[1]),
+                    metadata=Metadata(schema=validate_identifier(parts[0])),
+                    temp=False,
+                )
+        except IllegalIdentifierError:
+            return None
+        return None
+
+    def _where_tail(tail: str) -> tuple[str | None, bool]:
+        """(condition text or None, grammar ok) from what follows the
+        target/SET body."""
+        tail = tail.strip()
+        if not tail:
+            return None, True
+        m = re.match(r"(?is)^where\s+(.+)$", tail)
+        if not m:
+            return None, False
+        return m.group(1).strip(), True
+
+    if low.startswith("delete"):
+        m = re.match(r"(?is)^delete\s+from\s+(.+)$", s)
+        if not m:
+            return None
+        rest = m.group(1).strip()
+        if rest.startswith("'"):
+            pm = re.match(r"(?s)^'([^']+)'(.*)$", rest)
+            if not pm:
+                return None
+            cond, ok = _where_tail(pm.group(2))
+            if not ok:
+                return None
+            from .timetravel import tt_delete_where
+
+            v = tt_delete_where(spark, pm.group(1), cond or "true")
+            return spark.createDataFrame([(v,)], "committed_version long")
+        tm = re.match(r"(?s)^(`?\w+`?(?:\s*\.\s*`?\w+`?)?)(\s.*|$)", rest)
+        if not tm:
+            return None
+        t = _table(tm.group(1))
+        if t is None:
+            return None
+        cond, ok = _where_tail(tm.group(2))
+        if not ok:
+            return None
+        from .dml import delete_rows
+
+        n = delete_rows(spark, t, cond if cond is not None else "true")
+        return spark.createDataFrame([(n,)], "affected_rows long")
+
+    if low.startswith("update"):
+        m = re.match(
+            r"(?is)^update\s+(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+set\s+(.+)$", s
+        )
+        if not m:
+            return None
+        t = _table(m.group(1))
+        if t is None:
+            return None
+        body = m.group(2)
+        wi = _find_top_level_kw(body, "where")
+        sets_txt, cond = (
+            (body[:wi], body[wi + 5 :].strip()) if wi >= 0 else (body, None)
+        )
+        if wi >= 0 and not cond:
+            return None
+        set_map: dict[str, str] = {}
+        for piece in _split_top_level(sets_txt):
+            am = re.match(r"(?s)^\s*`?(\w+)`?\s*=\s*(.+?)\s*$", piece)
+            if not am:
+                return None
+            try:
+                set_map[validate_identifier(am.group(1))] = am.group(2)
+            except IllegalIdentifierError:
+                return None
+        if not set_map:
+            return None
+        from .dml import update_rows
+
+        n = update_rows(spark, t, set_map, cond)
+        return spark.createDataFrame([(n,)], "affected_rows long")
+
+    return None
+
+
 def run_raw_sql(
     spark: SparkSession,
     sql: str,
@@ -120,6 +295,8 @@ def run_raw_sql(
         return _finish(None)
 
     tt = _route_timetravel_sql(spark, rendered)
+    if tt is None:
+        tt = _route_dml_sql(spark, rendered)
     if tt is not None:
         df = tt
     else:
