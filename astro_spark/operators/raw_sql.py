@@ -70,6 +70,63 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
     return None
 
 
+_TT_READ_RE = None
+
+
+def _rewrite_timetravel_reads(spark: SparkSession, stmt: str) -> str:
+    """Rewrite Delta's daily-driver time-travel READ syntax inside any
+    statement (VERDICT r10 missing #4)::
+
+        SELECT ... FROM '<versioned-root>' VERSION AS OF <n> ...
+        SELECT ... FROM '<versioned-root>' TIMESTAMP AS OF <epoch|'iso'> ...
+
+    Each quoted-path AS OF reference resolves through ``tt_read`` (the
+    manifest log picks the exact file list) and is substituted with a
+    session temp view, so the surrounding SQL — joins, CTEs, aggregates
+    — runs unchanged through Catalyst.  Quoted paths that are NOT
+    versioned roots are left untouched (the statement falls through to
+    ``spark.sql`` verbatim).  ISO timestamp strings without an offset
+    are interpreted in session-local time, numerics as unix epoch
+    seconds (the manifest's commit clock)."""
+    global _TT_READ_RE
+    import re
+    import uuid as _uuid
+
+    if _TT_READ_RE is None:
+        _TT_READ_RE = re.compile(
+            r"(?is)'([^']+)'\s+(version|timestamp)\s+as\s+of\s+"
+            r"('[^']*'|\d+(?:\.\d+)?)"
+        )
+
+    from .timetravel import _fs, _list_versions, tt_read
+
+    def _sub(m: "re.Match[str]") -> str:
+        root, kind, val = m.group(1), m.group(2).lower(), m.group(3)
+        try:
+            HPath, _p, fs = _fs(spark, root)
+            if not _list_versions(fs, HPath, root):
+                return m.group(0)  # not a versioned root: leave verbatim
+        except Exception:
+            return m.group(0)
+        if kind == "version":
+            if val.startswith("'") or "." in val:
+                return m.group(0)
+            df = tt_read(spark, root, version=int(val))
+        else:
+            if val.startswith("'"):
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(val.strip("'")).timestamp()
+            else:
+                ts = float(val)
+            df = tt_read(spark, root, as_of_ts=ts)
+        name = f"__tt_read_{_uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _TT_READ_RE.sub(_sub, stmt)
+
+
 def _split_top_level(txt: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/bracket depth 0 outside quoted strings —
     SET assignments may carry commas inside function calls."""
@@ -300,6 +357,8 @@ def run_raw_sql(
     if tt is not None:
         df = tt
     else:
+        if "as of" in rendered.lower():
+            rendered = _rewrite_timetravel_reads(spark, rendered)
         df = spark.sql(rendered)
 
     if fail_on_empty and df.isEmpty():

@@ -3048,3 +3048,61 @@ class TestDmlSql:
         assert a.run_raw_sql(spark, f"DELETE FROM {name} WHERE k = 0") is None
         assert spark.table(name).count() == 299
         spark.sql(f"DROP TABLE {name}")
+
+    def test_time_travel_read_sql(self, spark, tmp_path):
+        """SELECT ... FROM '<root>' VERSION AS OF n / TIMESTAMP AS OF
+        runs as statement text through run_raw_sql (each AS OF
+        reference resolves via the manifest log into a temp view);
+        non-versioned quoted paths are left verbatim."""
+        import time as _time
+
+        root = str(tmp_path / "ttsql")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+            root,
+        )
+        mid = _time.time()
+        _time.sleep(0.05)
+        a.tt_append(
+            spark, spark.createDataFrame([(3, "c")], "k long, s string"), root
+        )
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM '{root}' VERSION AS OF 0",
+            results_format="list",
+        )
+        assert rows[0].n == 2
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT MAX(k) AS mk FROM '{root}' VERSION AS OF 1",
+            results_format="list",
+        )
+        assert rows[0].mk == 3
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM '{root}' TIMESTAMP AS OF {mid}",
+            results_format="list",
+        )
+        assert rows[0].n == 2
+        # joinable with itself and with ordinary views in one statement
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM '{root}' VERSION AS OF 1 v1 "
+            f"JOIN '{root}' VERSION AS OF 0 v0 ON v1.k = v0.k",
+            results_format="list",
+        )
+        assert rows[0].n == 2
+        # a quoted path that is NOT a versioned root: statement untouched,
+        # spark.sql surfaces its own error
+        from pyspark.errors.exceptions.captured import (
+            AnalysisException,
+            ParseException,
+        )
+
+        with pytest.raises((AnalysisException, ParseException)):
+            a.run_raw_sql(
+                spark,
+                "SELECT * FROM '/nonexistent/path' VERSION AS OF 0",
+                results_format="list",
+            )
