@@ -974,6 +974,52 @@ FROM supplier WHERE s_nationkey <> 3
 """
 
 
+def _op_tt_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch load_file / run_transform into a VersionedTable target
+    (VERDICT r10 missing #2 tail: CTAS-to-versioned for batch, the
+    reference's CTAS USING DELTA at delta.py:168-187).  load -> v0,
+    append -> v1, transform-CTAS replace -> v2; every version read back
+    and aggregated, so the if_exists mapping AND history immutability
+    are value-checked against the relational replay."""
+    _views(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="astro_ttctas_") + "/t"
+    vt = a.VersionedTable(root)
+    a.load_file(spark, f"{sf_dir}/supplier.parquet", output_table=vt)
+    a.load_file(
+        spark, f"{sf_dir}/supplier.parquet", output_table=vt,
+        if_exists="append",
+    )
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "tt_ctas_supplier"
+    )
+    a.run_transform(
+        spark,
+        "SELECT s_suppkey, s_nationkey FROM tt_ctas_supplier "
+        "WHERE s_nationkey < 10",
+        output_table=vt,
+    )
+    out = None
+    for v in range(3):
+        agg = a.tt_read(spark, root, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("s_suppkey").alias("sum_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("version", "n_rows", "sum_key")
+
+
+_OP_TT_CTAS_DUCK = """
+SELECT 0::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,
+       SUM(s_suppkey)::BIGINT AS sum_key FROM supplier
+UNION ALL
+SELECT 1, 2 * COUNT(*), 2 * SUM(s_suppkey)::BIGINT FROM supplier
+UNION ALL
+SELECT 2, COUNT(*), SUM(s_suppkey)::BIGINT
+FROM supplier WHERE s_nationkey < 10
+"""
+
+
 def _op_tt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel READ SQL (VERDICT r10 missing #4): the Delta syntax
     users write daily — ``SELECT ... FROM '<root>' VERSION AS OF n``
@@ -6258,6 +6304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_merge_sql": _op_merge_sql,
             "op_dml_sql": _op_dml_sql,
             "op_tt_sql": _op_tt_sql,
+            "op_tt_ctas": _op_tt_ctas,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_merge_exception": _op_merge_exception,
@@ -6613,6 +6660,7 @@ def oracle_sql() -> dict[str, str]:
             "op_dml": _OP_DML_DUCK,
             "op_dml_sql": _OP_DML_SQL_DUCK,
             "op_tt_sql": _OP_TT_SQL_DUCK,
+            "op_tt_ctas": _OP_TT_CTAS_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
             "op_scd2": """
 WITH c AS (

@@ -30,6 +30,8 @@ from .timetravel import (
     ConcurrentWriteError,
     tt_add_constraint,
     tt_append,
+    VersionedTable,
+    save_dataframe_versioned,
     tt_create,
     tt_delete_where,
     tt_diff,
@@ -84,6 +86,8 @@ __all__ = [
     "ConcurrentWriteError",
     "tt_add_constraint",
     "tt_append",
+    "VersionedTable",
+    "save_dataframe_versioned",
     "tt_create",
     "tt_delete_where",
     "tt_diff",

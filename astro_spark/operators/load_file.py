@@ -29,12 +29,13 @@ from ..file import File
 from ..sources.readers import read_file
 from ..table import Table
 from .cleanup import register_temp_table
+from .timetravel import VersionedTable
 
 
 def load_file(
     spark: SparkSession,
     input_file: File | str,
-    output_table: Table | None = None,
+    output_table: Table | VersionedTable | None = None,
     if_exists: str = "replace",
     columns_names_capitalization: str = "original",
     schema: StructType | None = None,
@@ -65,6 +66,14 @@ def load_file(
 
     if output_table is None:
         return df
+
+    if isinstance(output_table, VersionedTable):
+        # the reference's CTAS USING DELTA shape: loading into a
+        # versioned root commits a version instead of replacing files
+        from .timetravel import save_dataframe_versioned
+
+        save_dataframe_versioned(spark, df, output_table, if_exists=if_exists)
+        return output_table
 
     save_dataframe_as_table(
         df,

@@ -259,6 +259,47 @@ def _evolved_schema(prev_json: str | None, df: DataFrame, merge_schema: bool) ->
     )
 
 
+class VersionedTable:
+    """Target handle addressing a versioned-parquet root, accepted by
+    batch ``load_file(..., output_table=)`` and
+    ``run_transform(..., output_table=)`` — the reference's CTAS
+    ``USING DELTA`` shape (``databases/databricks/delta.py:168-187``),
+    where pointing an ELT op at a Delta table implicitly buys the log.
+    ``stats_cols`` opt into per-file data-skipping stats on every
+    commit; streaming's counterpart is ``load_file_stream_versioned``.
+    """
+
+    columns: tuple = ()  # no explicit-columns shorthand (Table has one)
+
+    def __init__(self, root: str, stats_cols: list[str] | None = None):
+        self.root = root
+        self.stats_cols = stats_cols
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging nicety
+        return f"VersionedTable(root={self.root!r})"
+
+
+def save_dataframe_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    target: VersionedTable,
+    if_exists: str = "replace",
+) -> int:
+    """Commit ``df`` to a versioned root with load_file's ``if_exists``
+    vocabulary: absent root → version 0 (``tt_create``); ``replace`` →
+    ``tt_overwrite`` (a NEW version — old versions stay readable, which
+    is exactly what replacing a Delta table does); ``append`` →
+    ``tt_append``.  Returns the committed version."""
+    if if_exists not in ("replace", "append"):
+        raise ValueError(f"invalid if_exists: {if_exists!r}")
+    HPath, _p, fs = _fs(spark, target.root)
+    if not _list_versions(fs, HPath, target.root):
+        return tt_create(spark, df, target.root, stats_cols=target.stats_cols)
+    if if_exists == "append":
+        return tt_append(spark, df, target.root)
+    return tt_overwrite(spark, df, target.root)
+
+
 def tt_create(
     spark: SparkSession,
     df: DataFrame,

@@ -41,6 +41,15 @@ def run_transform(
     """Render {{placeholders}}, execute the SELECT, materialize as a table."""
     rendered = render_sql(sql, parameters or {})
     df = spark.sql(rendered)
+    from .timetravel import VersionedTable, save_dataframe_versioned
+
+    if isinstance(output_table, VersionedTable):
+        # CTAS into a versioned root (the reference's CTAS USING DELTA,
+        # delta.py:168-187): 'replace' commits a NEW version — the
+        # drop-then-CTAS below is the plain-catalog analog; here history
+        # is the point, so nothing is dropped
+        save_dataframe_versioned(spark, df, output_table, if_exists="replace")
+        return output_table
     out = output_table or TempTable()
     # reference drops the output table before CTAS (transform.py:60-61)
     drop_table(spark, out)

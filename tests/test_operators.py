@@ -3106,3 +3106,53 @@ class TestDmlSql:
                 "SELECT * FROM '/nonexistent/path' VERSION AS OF 0",
                 results_format="list",
             )
+
+    def test_batch_load_and_ctas_to_versioned_root(self, spark, tmp_path, sf_dir):
+        """Batch load_file/run_transform accept a VersionedTable target
+        (the reference's CTAS USING DELTA shape): create -> version 0,
+        if_exists='append' -> tt_append, 'replace' -> tt_overwrite (a
+        NEW version; old ones stay readable)."""
+        root = str(tmp_path / "ttctas")
+        vt = a.VersionedTable(root, stats_cols=["n_nationkey"])
+        out = a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=vt)
+        assert out is vt
+        assert a.tt_read(spark, root).count() == 25
+        a.load_file(
+            spark, f"{sf_dir}/nation.parquet", output_table=vt,
+            if_exists="append",
+        )
+        assert a.tt_read(spark, root).count() == 50
+        a.load_file(
+            spark, f"{sf_dir}/region.parquet", output_table=vt,
+            if_exists="replace",
+        )
+        assert a.tt_read(spark, root).count() == 5
+        # history intact: v0 create, v1 append, v2 overwrite
+        hist = {r.version: r.op for r in a.tt_history(spark, root).collect()}
+        assert hist == {0: "create", 1: "append", 2: "overwrite"}
+        assert a.tt_read(spark, root, 0).count() == 25
+        # CTAS via run_transform into a fresh versioned root
+        root2 = str(tmp_path / "ttctas2")
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "ttctas_nation"
+        )
+        a.run_transform(
+            spark,
+            "SELECT n_nationkey, n_regionkey FROM ttctas_nation "
+            "WHERE n_regionkey < 2",
+            output_table=a.VersionedTable(root2),
+        )
+        assert a.tt_read(spark, root2).count() == 10
+        # second CTAS replaces as a new version, v0 still readable
+        a.run_transform(
+            spark,
+            "SELECT n_nationkey FROM ttctas_nation WHERE n_regionkey = 0",
+            output_table=a.VersionedTable(root2),
+        )
+        assert a.tt_read(spark, root2).count() == 5
+        assert a.tt_read(spark, root2, 0).count() == 10
+        with pytest.raises(ValueError, match="invalid if_exists"):
+            a.load_file(
+                spark, f"{sf_dir}/nation.parquet", output_table=vt,
+                if_exists="exception",
+            )
