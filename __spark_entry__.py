@@ -5184,7 +5184,11 @@ def _op_bucketed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast disabled during the probe so both plans join
     shuffle-style)."""
     _views(spark, sf_dir)
-    docs = read_table(spark, sf_dir, "documents")
+    # plan-property probe: the claims are data-size independent, so cap
+    # the corpus (doc_id < 1200 keeps EVERY sf0.01 row — driver values
+    # unchanged — while trimming the sf0.1 bench cost ~4x; VERDICT r10
+    # next #7)
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 1200")
     corpus = docs.where("doc_id % 7 != 0")
     batch = docs.where("doc_id % 7 = 0")
     suffix = uuid.uuid4().hex[:8]
@@ -5192,7 +5196,11 @@ def _op_bucketed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.build_containment_index_table(corpus, t_bucketed, buckets=8)
     spark.table(t_bucketed).write.format("parquet").saveAsTable(t_plain)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # claims are partition-count independent; 8 partitions cut task
+    # overhead at probe volume (VERDICT r10 next #7)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         def screen(tbl):
             return dedup.containment_incremental_pairs(
@@ -5220,6 +5228,7 @@ def _op_bucketed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.sql(f"DROP TABLE IF EXISTS {t_bucketed}")
         spark.sql(f"DROP TABLE IF EXISTS {t_plain}")
 
@@ -5236,9 +5245,13 @@ def _op_hamming_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF) and folded into the oracle hash next to the simhash pair
     values themselves."""
     _views(spark, sf_dir)
-    docs = read_table(spark, sf_dir, "documents")
+    # probe corpus capped like op_bucketed_screen: doc_id < 1200 is a
+    # no-op at sf0.01 (driver values unchanged), ~4x cheaper at sf0.1
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 1200")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         sig = dedup.simhash_table(docs)
         pairs = dedup.hash_hamming_pairs(
@@ -5271,6 +5284,7 @@ def _op_hamming_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(fin, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 # shared by q_scd2_enrich and op_scd2_plan (same values; the plan row
@@ -5671,7 +5685,9 @@ SELECT 3, COUNT(*)::BIGINT, SUM(n_nationkey)::BIGINT FROM v1
 def _op_bucketed_screen_duck() -> str:
     return (
         "SELECT *, TRUE AS fewer_exchanges, TRUE AS same_result FROM ("
-        + oracles.containment_incremental_sql()
+        + oracles.containment_incremental_sql(
+            table="(SELECT * FROM documents WHERE doc_id < 1200)"
+        )
         + ")"
     )
 
@@ -6496,71 +6512,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-10 driver-verification order (the driver checks the FIRST 50
-# entries): round-10 additions that have never had a driver row lead
-# (prepended as they land), then ALL 27 queries whose latest driver row
-# is r05 (the stalest cohort — VERDICT r9 #1: every one must be green
-# in CORRECTNESS_r10), then the alphabetically-first r06-stale entries
-# up to the window; the r06 leftovers queue right behind as next
-# round's stalest.  _ROTATION_BUILT_FOR_ROUND pins the r-file horizon
-# this order was computed from, so tests/test_contract.py stays green
-# AFTER the driver publishes CORRECTNESS_r10.json (VERDICT r7 #1).
-_ROTATION_BUILT_FOR_ROUND = 10
+# Round-11 driver-verification order (the driver checks the FIRST 50
+# entries): round-11 additions that have never had a driver row lead,
+# then ALL 38 queries whose latest driver row is r06 (the stalest
+# cohort — VERDICT r10 #1: every one must be green in CORRECTNESS_r11),
+# then the alphabetically-first r07-stale entries up to the window; the
+# r07 leftovers queue right behind as next round's stalest.
+# _ROTATION_BUILT_FOR_ROUND pins the r-file horizon this order was
+# computed from, so tests/test_contract.py stays green AFTER the driver
+# publishes CORRECTNESS_r11.json (VERDICT r7 #1).
+_ROTATION_BUILT_FOR_ROUND = 11
 
 _DRIVER_PRIORITY = [
-    # round-10 additions: never driver-checked, must sit in the head-50
-    "st_bloom_big",
-    "dd_containment_prebuilt",
-    "op_scd2_plan",
-    "op_time_travel",
-    "op_tt_dml",
-    "op_tt_diff",
-    "op_tt_skip",
-    "op_tt_constraint",
-    "st_tt_cdc",
-    "t_html_extract",
-    "t_sentences",
-    # the full r05-stale cohort (latest driver row r05; 27 entries)
-    "op_raw_sql",
-    "op_skew_report",
-    "q1_pricing_summary",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q15_top_supplier",
-    "q19_disjunct_revenue",
-    "q22_global_balance",
-    "q_cohort_retention",
-    "q_ewma_windowed",
-    "q_funnel_steps",
-    "q_scd2_enrich",
-    "s_cell_balance",
-    "s_hard_negatives",
-    "st_kmv_distinct",
-    "st_mv_refresh",
-    "t_budget_select",
-    "t_fingerprint",
-    "t_hash_split",
-    "t_lang_id",
-    "t_novelty",
-    "t_pii_stats",
-    "t_quality_metrics",
-    "t_token_counts",
-    "t_weighted_sample",
-    # alphabetically-first r06-stale entries filling the 50-window
-    "dd_minhash_est",
-    "dd_spans",
-    "mm_binary_ingest",
-    "op_apply_changes",
-    "op_check_scd2",
-    "op_checksum",
-    "op_join_explosion",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_event_transitions",
-    "q_funnel_windowed",
-    "q_pivot_status",
+    # round-11 additions: never driver-checked, must sit in the head-50
+    "op_dml_sql",
+    "op_tt_sql",
+    "op_tt_ctas",
+    # the full r06-stale cohort (latest driver row r06; 38 entries)
     "q_recursive_paths",
     "q_recursive_spine",
     "q_skew_salted_join",
@@ -6569,7 +6537,6 @@ _DRIVER_PRIORITY = [
     "s_hard_negatives_indexed",
     "s_hard_negatives_ivf",
     "s_ivf_label_topk",
-    # --- below the 50-slot window: the r06 leftovers, next in line ---
     "s_ivf_trained_topk",
     "s_lsh_buckets",
     "s_lsh_pairs",
@@ -6600,6 +6567,58 @@ _DRIVER_PRIORITY = [
     "t_shards",
     "t_stratified",
     "t_top_terms",
+    # alphabetically-first r07-stale entries filling the 50-window
+    "dd_containment",
+    "dd_containment_incr",
+    "dd_containment_kept",
+    "mm_decode",
+    "mm_decode_jpeg",
+    "op_analyze",
+    "op_append",
+    "op_bucketed_join",
+    "op_csv_roundtrip",
+    # --- below the 50-slot window: the r07 leftovers, next in line ---
+    "op_diff",
+    "op_dpp",
+    "op_load_export_roundtrip",
+    "op_merge_ignore",
+    "op_ndjson_flatten",
+    "op_recover",
+    "op_runtime_bloom",
+    "op_scd2",
+    "op_schema_evolution",
+    "op_skew_aqe",
+    "op_transform_ctas",
+    "op_transform_file",
+    "op_vacuum",
+    "op_zorder",
+    "q10_returned_customers",
+    "q6_revenue_forecast",
+    "q_antijoin_nations",
+    "q_asof_join",
+    "q_correlated_scalar",
+    "q_cube_orders",
+    "q_events_hourly",
+    "q_events_json",
+    "q_events_sessions",
+    "q_exists_big_quantity",
+    "q_explode_positions",
+    "q_funnel",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_having_top_customers",
+    "q_hist_quantiles",
+    "q_multi_distinct",
+    "q_ntile_ranks",
+    "q_percentiles",
+    "s_gram_matrix",
+    "st_apply_changes_ooo",
+    "st_containment",
+    "st_gram",
+    "st_scd2",
+    "st_vocab",
+    "t_pad_encode",
+    "t_vocab_encode",
 ]
 
 
@@ -7043,7 +7062,9 @@ FROM c WHERE cum_tokens - n_tokens < 50000
             "op_hamming_plan": (
                 "SELECT *, TRUE AS no_product_join, TRUE AS banded_smj, "
                 "TRUE AS banding_shuffled_once FROM ("
-                + oracles.simhash_pairs_sql()
+                + oracles.simhash_pairs_sql(
+                    table="(SELECT * FROM documents WHERE doc_id < 1200)"
+                )
                 + ")"
             ),
             "op_scd2_plan": (

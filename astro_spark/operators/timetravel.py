@@ -11,17 +11,31 @@ minimally on any Hadoop filesystem:
 Layout::
 
     <root>/
-      _log/v00000000.json   # {"files": [...], "op", "ts", "schema"}
-      _log/v00000001.json
+      _log/v00000000.json          # {"files": [...], "op", "ts", "schema"}
+      _log/v00000001.json          # or {"base": ckpt, "add": [...], "remove": [...]}
+      _log/ckpt-<uuid>.parquet     # checkpoint: complete (file, stats) snapshot
       files/<commit-uuid>/part-*.parquet   # immutable data files
 
 Every commit writes its NEW data files under a fresh ``files/<uuid>/``
 directory (existing files are never touched — writers never conflict on
-data), then publishes a manifest naming the version's COMPLETE file
-list.  Readers resolve a version to its manifest and read exactly those
-files; data files with no manifest pointing at them are invisible (a
-crashed writer leaves garbage, never corruption — ``vacuum`` reclaims
+data), then publishes a manifest resolving to the version's COMPLETE
+file list.  Readers resolve a version to its manifest and read exactly
+those files; data files with no manifest pointing at them are invisible
+(a crashed writer leaves garbage, never corruption — ``vacuum`` reclaims
 it).
+
+**Checkpointed log (Delta's checkpoint model):** small tables keep the
+complete file list INLINE in the JSON manifest.  Once a version's file
+count exceeds ``spark.astro.tt.inlineFilesMax`` (default 1000), the
+snapshot moves into a parquet CHECKPOINT (one (file, stats) row per
+data file, written driver-side via Arrow — no Spark job) and manifests
+carry only ``base`` (the checkpoint ref) plus inline ``add``/``remove``
+deltas.  When the delta tail itself outgrows the knob, the commit
+compacts: resolves the full list and writes a fresh checkpoint.  So on
+a long-lived 100 TB table (10⁵–10⁶ files, thousands of commits) an
+append costs O(new files) JSON, a read costs one tiny JSON + one
+columnar checkpoint scan, and ``tt_history`` never parses a file list
+at all (``n_files`` rides in every manifest header).
 
 Concurrent-writer isolation is optimistic, Delta-style: the manifest is
 created with ``FileSystem.create(path, overwrite=False)`` — atomic
@@ -222,6 +236,168 @@ def _carry_stats(manifest: dict, files: list[str], new_stats: dict) -> dict:
     return kept
 
 
+def _inline_max(spark: SparkSession) -> int:
+    """File-count threshold above which the snapshot moves from inline
+    JSON into a parquet checkpoint — Delta's checkpoint cadence knob."""
+    try:
+        return int(spark.conf.get("spark.astro.tt.inlineFilesMax", "1000"))
+    except Exception:  # pragma: no cover - exotic conf backend
+        return 1000
+
+
+def _write_checkpoint(
+    spark: SparkSession, fs, HPath, root: str, files: list[str], stats: dict
+) -> str:
+    """Write the complete (file, stats) snapshot as a parquet checkpoint
+    under _log/ and return its root-relative ref.  Driver-side Arrow —
+    a log-maintenance write must not cost a Spark job.  The checkpoint
+    is invisible until a manifest referencing it publishes."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel = f"{_LOG}/ckpt-{uuid.uuid4().hex}.parquet"
+    table = pa.table(
+        {
+            "file": pa.array(files, type=pa.string()),
+            "stats": pa.array(
+                [json.dumps(stats[f]) if f in stats else None for f in files],
+                type=pa.string(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    fs.mkdirs(HPath(f"{root}/{_LOG}"))
+    stream = fs.create(HPath(f"{root}/{rel}"), False)
+    try:
+        stream.write(bytearray(buf.getvalue()))
+    finally:
+        stream.close()
+    return rel
+
+
+def _read_checkpoint(
+    spark: SparkSession, fs, HPath, root: str, rel: str
+) -> tuple[list[str], dict]:
+    import io
+
+    import pyarrow.parquet as pq
+
+    stream = fs.open(HPath(f"{root}/{rel}"))
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    t = pq.read_table(io.BytesIO(data))
+    files = t.column("file").to_pylist()
+    raw = t.column("stats").to_pylist()
+    stats = {f: json.loads(s) for f, s in zip(files, raw) if s is not None}
+    return files, stats
+
+
+def _resolve(
+    spark: SparkSession, fs, HPath, root: str, manifest: dict
+) -> tuple[list[str], dict]:
+    """(complete file list, per-file stats) of a manifest — inline form
+    verbatim; checkpoint form = base snapshot minus ``remove`` plus
+    ``add``.  One checkpoint read per plan, Delta's cost profile."""
+    if "base" not in manifest:
+        return manifest.get("files") or [], manifest.get("stats") or {}
+    files, stats = _read_checkpoint(spark, fs, HPath, root, manifest["base"])
+    rm = set(manifest.get("remove") or [])
+    if rm:
+        files = [f for f in files if f not in rm]
+        stats = {f: s for f, s in stats.items() if f not in rm}
+    files = files + (manifest.get("add") or [])
+    stats.update(manifest.get("add_stats") or {})
+    return files, stats
+
+
+def _body_full(
+    spark: SparkSession,
+    fs,
+    HPath,
+    root: str,
+    files: list[str],
+    stats: dict,
+) -> dict:
+    """File-list body for a commit whose COMPLETE snapshot is known
+    (create/overwrite/optimize, and compactions): inline while small,
+    checkpoint ref beyond the knob."""
+    if len(files) <= _inline_max(spark):
+        body: dict = {"files": files, "n_files": len(files)}
+        if stats:
+            body["stats"] = stats
+        return body
+    ref = _write_checkpoint(spark, fs, HPath, root, files, stats)
+    return {"base": ref, "add": [], "remove": [], "n_files": len(files)}
+
+
+def _body_delta(
+    spark: SparkSession,
+    fs,
+    HPath,
+    root: str,
+    prev: dict,
+    added: list[str],
+    removed: list[str],
+    added_stats: dict,
+) -> dict:
+    """File-list body for an incremental commit (append/merge/delete):
+    O(delta) JSON on a checkpointed table — prev's base carries over,
+    the delta tail grows by this commit's add/remove — compacting into
+    a fresh checkpoint only when the tail outgrows the knob."""
+    rm = set(removed)
+    if "base" in prev:
+        prev_add = prev.get("add") or []
+        add = [f for f in prev_add if f not in rm] + added
+        prev_add_set = set(prev_add)
+        remove = (prev.get("remove") or []) + [
+            f for f in removed if f not in prev_add_set
+        ]
+        n_files = int(prev["n_files"]) - len(removed) + len(added)
+        if len(add) + len(remove) <= _inline_max(spark):
+            add_set = set(add)
+            add_stats = {
+                f: s
+                for f, s in {**(prev.get("add_stats") or {}), **added_stats}.items()
+                if f in add_set
+            }
+            body: dict = {
+                "base": prev["base"],
+                "add": add,
+                "remove": remove,
+                "n_files": n_files,
+            }
+            if add_stats:
+                body["add_stats"] = add_stats
+            return body
+        files, stats = _resolve(spark, fs, HPath, root, prev)
+        files = [f for f in files if f not in rm] + added
+        stats = {f: s for f, s in stats.items() if f not in rm}
+        stats.update(added_stats)
+        return _body_full(spark, fs, HPath, root, files, stats)
+    kept = [f for f in (prev.get("files") or []) if f not in rm]
+    files = kept + added
+    stats = _carry_stats(prev, kept, added_stats)
+    return _body_full(spark, fs, HPath, root, files, stats)
+
+
+def _copy_body(manifest: dict) -> dict:
+    """The file-list body fields of an existing manifest, verbatim —
+    checkpoint refs are immutable, so RESTORE and metadata-only commits
+    may share them by reference."""
+    return {
+        k: manifest[k]
+        for k in ("files", "stats", "base", "add", "remove", "add_stats", "n_files")
+        if k in manifest
+    }
+
+
 def _schema_json(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
 
@@ -317,14 +493,17 @@ def tt_create(
     if _list_versions(fs, HPath, root):
         raise AstroSparkError(f"versioned table already exists at {root}")
     files = _write_data_files(spark, df, root, fs, HPath)
+    stats = (
+        _file_stats(spark, root, files, stats_cols) if stats_cols else {}
+    )
     manifest = {
-        "files": files,
+        **_body_full(spark, fs, HPath, root, files, stats),
         "op": "create",
         "ts": time.time(),
         "schema": _schema_json(df),
     }
     if stats_cols:
-        manifest["stats"] = _file_stats(spark, root, files, stats_cols)
+        manifest["stats_cols"] = list(stats_cols)
     _publish(spark, fs, HPath, root, 0, manifest)
     return 0
 
@@ -396,11 +575,20 @@ def tt_drop_constraint(spark: SparkSession, root: str, name: str) -> int:
 
 
 def _stats_cols_of(manifest: dict) -> list[str]:
-    """The column set this table records skipping stats for — inferred
-    from the head manifest so every commit op keeps maintaining them
-    without re-passing the list."""
+    """The column set this table records skipping stats for — the
+    ``stats_cols`` header when present (checkpointed logs never need a
+    file-list read to learn it), else inferred from inline stats for
+    pre-header manifests."""
+    cols = manifest.get("stats_cols")
+    if cols:
+        return list(cols)
     old = manifest.get("stats") or {}
     return sorted({c for st in old.values() for c in st})
+
+
+def _carry_stats_cols(manifest: dict) -> dict:
+    cols = _stats_cols_of(manifest)
+    return {"stats_cols": cols} if cols else {}
 
 
 def tt_append(
@@ -436,23 +624,22 @@ def tt_append(
             prev,
             "append",
         )
-        manifest = {
-            "files": prev["files"] + new_files,
-            "op": "append",
-            "ts": time.time(),
-            "schema": evolved,
-            **_carry_constraints(prev),
-        }
         # stats only for columns the new files actually carry — a df
         # legitimately missing table columns (they read back as NULL)
         # must not crash the stats scan; absent per-file stats are
         # already treated as "keep" by the skip_by reader
         cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-        if cols:
-            manifest["stats"] = _carry_stats(
-                prev, prev["files"],
-                _file_stats(spark, root, new_files, cols),
-            )
+        new_stats = (
+            _file_stats(spark, root, new_files, cols) if cols else {}
+        )
+        manifest = {
+            **_body_delta(spark, fs, HPath, root, prev, new_files, [], new_stats),
+            "op": "append",
+            "ts": time.time(),
+            "schema": evolved,
+            **_carry_constraints(prev),
+            **_carry_stats_cols(prev),
+        }
         try:
             _publish(spark, fs, HPath, root, head + 1, manifest)
             return head + 1
@@ -481,16 +668,16 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
         prev,
         "overwrite",
     )
+    cols = [c for c in _stats_cols_of(prev) if c in df.columns]
+    stats = _file_stats(spark, root, files, cols) if cols else {}
     manifest = {
-        "files": files,
+        **_body_full(spark, fs, HPath, root, files, stats),
         "op": "overwrite",
         "ts": time.time(),
         "schema": _schema_json(df),  # overwrite replaces the schema too
         **_carry_constraints(prev),
+        **_carry_stats_cols(prev),
     }
-    cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-    if cols:
-        manifest["stats"] = _file_stats(spark, root, files, cols)
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
@@ -537,8 +724,8 @@ def tt_read(
     if version not in versions:
         raise AstroSparkError(f"version {version} not found in {root}")
     manifest = _read_manifest(spark, fs, HPath, root, version)
+    files, stats = _resolve(spark, fs, HPath, root, manifest)
     if skip_by:
-        stats = manifest.get("stats") or {}
 
         def _keep(f: str) -> bool:
             st = stats.get(f)
@@ -554,9 +741,9 @@ def tt_read(
                     return False
             return True
 
-        manifest = {**manifest, "files": [f for f in manifest["files"] if _keep(f)]}
+        files = [f for f in files if _keep(f)]
     schema_json = manifest.get("schema")
-    if not manifest["files"]:
+    if not files:
         if schema_json is None:
             raise AstroSparkError(
                 f"version {version} of {root} has no data files "
@@ -567,7 +754,7 @@ def tt_read(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(schema_json))
         )
-    paths = [f"{root}/{f}" for f in manifest["files"]]
+    paths = [f"{root}/{f}" for f in files]
     if schema_json is None:  # pre-schema-log manifest: footer schema
         return spark.read.parquet(*paths)
     from pyspark.sql.types import StructType
@@ -588,17 +775,19 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
     if version not in versions:
         raise AstroSparkError(f"version {version} not found in {root}")
     src = _read_manifest(spark, fs, HPath, root, version)
+    # the file-list body copies verbatim — checkpoint refs are immutable,
+    # so restoring a checkpointed version shares its base by reference
     manifest = {
-        "files": src["files"],
+        **_copy_body(src),
         "op": f"restore(v{version})",
         "ts": time.time(),
     }
     if src.get("schema") is not None:
         manifest["schema"] = src["schema"]  # restore the schema too
-    if src.get("stats") is not None:
-        manifest["stats"] = src["stats"]  # and the skipping stats
     if src.get("constraints") is not None:
         manifest["constraints"] = src["constraints"]  # and the checks
+    if src.get("stats_cols") is not None:
+        manifest["stats_cols"] = src["stats_cols"]
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
@@ -612,7 +801,10 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
             v,
             (m := _read_manifest(spark, fs, HPath, root, v))["op"],
             float(m["ts"]),
-            len(m["files"]),
+            # header-only: n_files rides in every manifest, so history
+            # never parses (or fetches) a file list — O(versions) tiny
+            # JSON reads even on a checkpointed million-file table
+            int(m.get("n_files", len(m.get("files") or []))),
         )
         for v in _list_versions(fs, HPath, root)
     ]
@@ -622,9 +814,16 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
 
 
 def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
-    """Read a manifest's file list through its stored schema (files
-    written before a column existed read it as NULL)."""
-    paths = [f"{root}/{f}" for f in manifest["files"]]
+    """Read a manifest's (resolved) file list through its stored schema
+    (files written before a column existed read it as NULL).  Accepts
+    both real manifests (inline or checkpointed) and synthetic
+    ``{"files": [...]}`` dicts internal callers build."""
+    if "base" in manifest:
+        HPath, _p, fs = _fs(spark, root)
+        files, _stats = _resolve(spark, fs, HPath, root, manifest)
+    else:
+        files = manifest.get("files") or []
+    paths = [f"{root}/{f}" for f in files]
     if manifest.get("schema") is None:
         return spark.read.parquet(*paths)
     from pyspark.sql.types import StructType
@@ -671,7 +870,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
 
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
-    files = manifest["files"]
+    files, _stats = _resolve(spark, fs, HPath, root, manifest)
     full = _read_files(spark, root, manifest)
     flagged = (
         full.where(predicate)
@@ -682,12 +881,15 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if not touched:
         return head_v  # nothing matched: no new version
     kept = _read_files(
-        spark, root, {**manifest, "files": touched}
+        spark, root, {"files": touched, "schema": manifest.get("schema")}
     ).where(f"NOT ({predicate})")
     new_files = _write_data_files(spark, kept, root, fs, HPath)
-    untouched = [f for f in files if f not in set(touched)]
+    cols = _stats_cols_of(manifest)
+    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
     new_manifest = {
-        "files": untouched + new_files,
+        **_body_delta(
+            spark, fs, HPath, root, manifest, new_files, touched, new_stats
+        ),
         "op": "delete",
         "ts": time.time(),
         **(
@@ -696,12 +898,8 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             else {}
         ),
         **_carry_constraints(manifest),  # deletes can't violate; carry
+        **_carry_stats_cols(manifest),
     }
-    cols = _stats_cols_of(manifest)
-    if cols:
-        new_manifest["stats"] = _carry_stats(
-            manifest, untouched, _file_stats(spark, root, new_files, cols)
-        )
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
@@ -726,7 +924,7 @@ def tt_merge(
 
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
-    files = manifest["files"]
+    files, _stats = _resolve(spark, fs, HPath, root, manifest)
     target = _read_files(spark, root, manifest)
     source = source.select(*target.columns)  # align column order
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in source.columns])
@@ -745,7 +943,9 @@ def tt_merge(
     )
     touched = _touched_relative(spark, root, files, flagged)
     base = (
-        _read_files(spark, root, {**manifest, "files": touched})
+        _read_files(
+            spark, root, {"files": touched, "schema": manifest.get("schema")}
+        )
         if touched
         else target.limit(0)
     )
@@ -755,13 +955,18 @@ def tt_merge(
     # CHECK constraints before anything publishes — one read-back of
     # the just-written files, which are still invisible
     _check_constraints(
-        _read_files(spark, root, {**manifest, "files": new_files}),
+        _read_files(
+            spark, root, {"files": new_files, "schema": manifest.get("schema")}
+        ),
         manifest,
         "merge",
     )
-    untouched = [f for f in files if f not in set(touched)]
+    cols = _stats_cols_of(manifest)
+    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
     new_manifest = {
-        "files": untouched + new_files,
+        **_body_delta(
+            spark, fs, HPath, root, manifest, new_files, touched, new_stats
+        ),
         "op": "merge",
         "ts": time.time(),
         **(
@@ -770,12 +975,8 @@ def tt_merge(
             else {}
         ),
         **_carry_constraints(manifest),
+        **_carry_stats_cols(manifest),
     }
-    cols = _stats_cols_of(manifest)
-    if cols:
-        new_manifest["stats"] = _carry_stats(
-            manifest, untouched, _file_stats(spark, root, new_files, cols)
-        )
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
@@ -803,7 +1004,7 @@ def tt_optimize(
         target_files = max(
             1,
             min(
-                len(manifest["files"]),
+                int(manifest.get("n_files", len(manifest.get("files") or []))),
                 int(spark.conf.get("spark.sql.shuffle.partitions")),
             ),
         )
@@ -816,8 +1017,12 @@ def tt_optimize(
     else:
         df = df.coalesce(target_files)
     new_files = _write_data_files(spark, df, root, fs, HPath)
+    # zorder makes files cover COMPACT ranges — exactly when skipping
+    # stats pay off; recompute them over the new layout
+    cols = _stats_cols_of(manifest)
+    stats = _file_stats(spark, root, new_files, cols) if cols else {}
     new_manifest = {
-        "files": new_files,
+        **_body_full(spark, fs, HPath, root, new_files, stats),
         "op": (
             f"optimize(zorder={','.join(zorder_by)})"
             if zorder_by
@@ -830,12 +1035,8 @@ def tt_optimize(
             else {}
         ),
         **_carry_constraints(manifest),  # rows identical; carry
+        **_carry_stats_cols(manifest),
     }
-    # zorder makes files cover COMPACT ranges — exactly when skipping
-    # stats pay off; recompute them over the new layout
-    cols = _stats_cols_of(manifest)
-    if cols:
-        new_manifest["stats"] = _file_stats(spark, root, new_files, cols)
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
@@ -880,13 +1081,27 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     if not drop:
         return 0
     live: set[str] = set()
+    live_refs: set[str] = set()
     for v in keep:
-        live |= set(_read_manifest(spark, fs, HPath, root, v)["files"])
+        m = _read_manifest(spark, fs, HPath, root, v)
+        fl, _st = _resolve(spark, fs, HPath, root, m)
+        live |= set(fl)
+        if "base" in m:
+            live_refs.add(m["base"])
     deleted = 0
+    dead_refs: set[str] = set()
     for v in drop:
-        for f in _read_manifest(spark, fs, HPath, root, v)["files"]:
+        m = _read_manifest(spark, fs, HPath, root, v)
+        fl, _st = _resolve(spark, fs, HPath, root, m)
+        for f in fl:
             if f not in live and fs.exists(HPath(f"{root}/{f}")):
                 fs.delete(HPath(f"{root}/{f}"), False)
                 deleted += 1
+        if "base" in m and m["base"] not in live_refs:
+            dead_refs.add(m["base"])
         fs.delete(HPath(f"{root}/{_LOG}/{_manifest_name(v)}"), False)
+    # checkpoints referenced only by vacuumed manifests are log garbage
+    for ref in dead_refs:
+        if fs.exists(HPath(f"{root}/{ref}")):
+            fs.delete(HPath(f"{root}/{ref}"), False)
     return deleted

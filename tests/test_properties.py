@@ -12,7 +12,9 @@ is the randomized structure, not the volume.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
+import pytest
 from hypothesis import strategies as st
 
 SETTINGS = settings(
@@ -1030,7 +1032,26 @@ class TestTimeTravelProperties:
             max_size=5,
         )
     )
-    def test_every_version_matches_model(self, spark, tmp_path_factory, ops):
+    @pytest.mark.parametrize("inline_max", [None, 1])
+    def test_every_version_matches_model(
+        self, spark, tmp_path_factory, ops, inline_max
+    ):
+        # inline_max=1 forces EVERY commit into the checkpointed-manifest
+        # form (parquet base + add/remove tail, compacting constantly) —
+        # the same model must hold over both log representations
+        import uuid as _uuid
+
+        import astro_spark as a
+
+        if inline_max is not None:
+            spark.conf.set("spark.astro.tt.inlineFilesMax", str(inline_max))
+        try:
+            self._run(spark, tmp_path_factory, ops)
+        finally:
+            if inline_max is not None:
+                spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+    def _run(self, spark, tmp_path_factory, ops):
         import uuid as _uuid
 
         import astro_spark as a
