@@ -1020,6 +1020,51 @@ FROM supplier WHERE s_nationkey < 10
 """
 
 
+def _op_tt_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UPDATE on the versioned log (tt_update_where — the DML the
+    r10 log lacked): a predicate-scoped SET rewrites only the touched
+    files as a new version; the pre-update version stays readable; the
+    UPDATE '<root>' SQL text routes to the same engine.  Both versions'
+    aggregates and the update arithmetic are value-checked against the
+    relational replay."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="astro_ttupd_") + "/t"
+    a.tt_create(spark, nation.repartitionByRange(4, "n_nationkey"), root)
+    a.tt_update_where(
+        spark, root, {"n_regionkey": "n_regionkey + 100"}, "n_nationkey < 10"
+    )
+    a.run_raw_sql(
+        spark,
+        f"UPDATE '{root}' SET n_regionkey = n_regionkey * 2 "
+        "WHERE n_nationkey >= 20",
+    )
+    out = None
+    for v in range(3):
+        agg = a.tt_read(spark, root, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_regionkey").alias("sum_region"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("version", "n_rows", "sum_region")
+
+
+_OP_TT_UPDATE_DUCK = """
+WITH v0 AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+v1 AS (SELECT k, CASE WHEN k < 10 THEN r + 100 ELSE r END AS r FROM v0),
+v2 AS (SELECT k, CASE WHEN k >= 20 THEN r * 2 ELSE r END AS r FROM v1)
+SELECT 0::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,
+       SUM(r)::BIGINT AS sum_region FROM v0
+UNION ALL
+SELECT 1, COUNT(*), SUM(r)::BIGINT FROM v1
+UNION ALL
+SELECT 2, COUNT(*), SUM(r)::BIGINT FROM v2
+"""
+
+
 def _op_tt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel READ SQL (VERDICT r10 missing #4): the Delta syntax
     users write daily — ``SELECT ... FROM '<root>' VERSION AS OF n``
@@ -6321,6 +6366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_dml_sql": _op_dml_sql,
             "op_tt_sql": _op_tt_sql,
             "op_tt_ctas": _op_tt_ctas,
+            "op_tt_update": _op_tt_update,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_merge_exception": _op_merge_exception,
@@ -6528,6 +6574,7 @@ _DRIVER_PRIORITY = [
     "op_dml_sql",
     "op_tt_sql",
     "op_tt_ctas",
+    "op_tt_update",
     # the full r06-stale cohort (latest driver row r06; 38 entries)
     "q_recursive_paths",
     "q_recursive_spine",
@@ -6680,6 +6727,7 @@ def oracle_sql() -> dict[str, str]:
             "op_dml_sql": _OP_DML_SQL_DUCK,
             "op_tt_sql": _OP_TT_SQL_DUCK,
             "op_tt_ctas": _OP_TT_CTAS_DUCK,
+            "op_tt_update": _OP_TT_UPDATE_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
             "op_scd2": """
 WITH c AS (

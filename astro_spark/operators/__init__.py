@@ -42,6 +42,7 @@ from .timetravel import (
     tt_overwrite,
     tt_read,
     tt_restore,
+    tt_update_where,
     tt_vacuum,
 )
 from .transform import transform, transform_file
@@ -98,6 +99,7 @@ __all__ = [
     "tt_overwrite",
     "tt_read",
     "tt_restore",
+    "tt_update_where",
     "tt_vacuum",
     "transform",
     "transform_file",

@@ -268,15 +268,22 @@ def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         return spark.createDataFrame([(n,)], "affected_rows long")
 
     if low.startswith("update"):
-        m = re.match(
-            r"(?is)^update\s+(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+set\s+(.+)$", s
+        pm = re.match(r"(?is)^update\s+'([^']+)'\s+set\s+(.+)$", s)
+        m = (
+            None
+            if pm
+            else re.match(
+                r"(?is)^update\s+(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+set\s+(.+)$", s
+            )
         )
-        if not m:
+        if pm is None and m is None:
             return None
-        t = _table(m.group(1))
-        if t is None:
-            return None
-        body = m.group(2)
+        t = None
+        if m is not None:
+            t = _table(m.group(1))
+            if t is None:
+                return None
+        body = (pm or m).group(2)
         wi = _find_top_level_kw(body, "where")
         sets_txt, cond = (
             (body[:wi], body[wi + 5 :].strip()) if wi >= 0 else (body, None)
@@ -294,6 +301,11 @@ def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 return None
         if not set_map:
             return None
+        if pm is not None:  # versioned root: UPDATE commits a new version
+            from .timetravel import tt_update_where
+
+            v = tt_update_where(spark, pm.group(1), set_map, cond)
+            return spark.createDataFrame([(v,)], "committed_version long")
         from .dml import update_rows
 
         n = update_rows(spark, t, set_map, cond)

@@ -904,6 +904,77 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     return head_v + 1
 
 
+def tt_update_where(
+    spark: SparkSession,
+    root: str,
+    set_map: dict[str, str],
+    predicate: str | None = None,
+) -> int:
+    """Delta ``UPDATE ... SET ... WHERE`` on the versioned log: rewrite
+    ONLY the files containing matching rows (matching rows get
+    ``set_map``'s column → Spark-SQL-expression assignments, the file's
+    other rows carry unchanged), commit a new version = untouched files
+    + rewritten files.  Old versions stay readable.  O(touched files)
+    write cost; updated rows are validated against the table's CHECK
+    constraints on the READ-BACK of the written files before anything
+    publishes."""
+    from pyspark.sql import functions as F
+
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    files, _stats = _resolve(spark, fs, HPath, root, manifest)
+    full = _read_files(spark, root, manifest)
+    for c in set_map:
+        if c not in full.columns:
+            raise AstroSparkError(f"tt_update_where: unknown column {c!r}")
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    flagged = (
+        full.where(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+    )
+    touched = _touched_relative(spark, root, files, flagged)
+    if not touched:
+        return head_v  # nothing matched: no new version
+    touched_df = _read_files(
+        spark, root, {"files": touched, "schema": manifest.get("schema")}
+    )
+    rewritten = touched_df.select(
+        *[
+            F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
+            if c in set_map
+            else F.col(c)
+            for c in touched_df.columns
+        ]
+    )
+    new_files = _write_data_files(spark, rewritten, root, fs, HPath)
+    _check_constraints(
+        _read_files(
+            spark, root, {"files": new_files, "schema": manifest.get("schema")}
+        ),
+        manifest,
+        "update",
+    )
+    cols = _stats_cols_of(manifest)
+    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
+    new_manifest = {
+        **_body_delta(
+            spark, fs, HPath, root, manifest, new_files, touched, new_stats
+        ),
+        "op": "update",
+        "ts": time.time(),
+        **(
+            {"schema": manifest["schema"]}
+            if manifest.get("schema") is not None
+            else {}
+        ),
+        **_carry_constraints(manifest),
+        **_carry_stats_cols(manifest),
+    }
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
 def tt_merge(
     spark: SparkSession, source: DataFrame, root: str, keys: list[str]
 ) -> int:

@@ -3247,3 +3247,40 @@ class TestDmlSql:
             assert {r.k for r in a.tt_read(spark, root).collect()} == set(range(16))
         finally:
             spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+    def test_update_where_versioned(self, spark, tmp_path):
+        """tt_update_where: Delta UPDATE on the versioned log — only the
+        files holding matching rows rewrite, old versions stay readable,
+        CHECK constraints validate the updated rows, and the
+        UPDATE '<root>' SET ... SQL text routes to it."""
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        root = str(tmp_path / "ttupd")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "k long, v long"
+        ).repartitionByRange(4, "k")
+        a.tt_create(spark, df, root)
+        a.tt_add_constraint(spark, root, "v_cap", "v < 10000")
+        v = a.tt_update_where(spark, root, {"v": "v + 1"}, "k >= 6")
+        assert v == 2
+        got = {r.k: r.v for r in a.tt_read(spark, root).collect()}
+        assert got[6] == 61 and got[7] == 71 and got[0] == 0
+        # untouched version still reads the old values
+        assert {r.v for r in a.tt_read(spark, root, 0).where("k = 6").collect()} == {60}
+        # no match -> no new version
+        assert a.tt_update_where(spark, root, {"v": "0"}, "k = 999") == 2
+        # constraint-violating update rejected pre-publish
+        with pytest.raises(ConstraintViolationError):
+            a.tt_update_where(spark, root, {"v": "v + 100000"}, "k = 0")
+        assert a.tt_history(spark, root).count() == 3
+        # unknown column rejected
+        with pytest.raises(Exception, match="unknown column"):
+            a.tt_update_where(spark, root, {"nope": "1"})
+        # SQL text route
+        rows = a.run_raw_sql(
+            spark,
+            f"UPDATE '{root}' SET v = v * 2 WHERE k = 1",
+            results_format="list",
+        )
+        assert rows[0].committed_version == 3
+        assert {r.v for r in a.tt_read(spark, root).where("k = 1").collect()} == {20}
