@@ -33,18 +33,28 @@ _RESTORE_RE = None
 
 
 def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
-    """Route the two Delta SQL maintenance shapes a reference user
-    issues against a versioned-parquet root through the timetravel
-    operators (the ``merge_from_sql`` precedent for SQL-text parity)::
+    """Route the Delta SQL maintenance shapes a reference user issues
+    against a versioned-parquet root through the timetravel operators
+    (the ``merge_from_sql`` precedent for SQL-text parity)::
 
         DESCRIBE HISTORY '<root>'
         RESTORE TABLE '<root>' TO VERSION AS OF <n>
+        INSERT INTO|OVERWRITE '<root>' <select-or-values>
+        ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
+        ALTER TABLE '<root>' DROP CONSTRAINT <name>
+        OPTIMIZE '<root>' [ZORDER BY (c1, c2, ...)]
+        VACUUM '<root>' [RETAIN <n> VERSIONS]
 
     The quoted path form targets this engine's versioned roots; bare
     table identifiers fall through to ``spark.sql`` untouched (a real
-    Delta catalog handles them).  Returns the result DataFrame
-    (history rows; the restore's (version,) row) or None when the
-    statement is neither shape."""
+    Delta catalog handles them).  INSERT's source query may itself
+    contain ``'<root>' VERSION AS OF`` references (they resolve through
+    the manifest log first).  ``VACUUM ... RETAIN n VERSIONS`` keeps
+    the last n versions (this log versions explicitly, so retention is
+    stated in versions rather than Delta's wall-clock hours).  Returns
+    the result DataFrame (history rows; 1-row version/deleted-count
+    relations for the commands) or None when the statement is none of
+    these shapes."""
     global _DESCRIBE_HISTORY_RE, _RESTORE_RE
     import re
 
@@ -67,6 +77,92 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
 
         v = tt_restore(spark, m.group(1), int(m.group(2)))
         return spark.createDataFrame([(v,)], "restored_as_version long")
+    m = re.match(
+        r"(?is)^\s*insert\s+(into|overwrite)\s+'([^']+)'\s+(.+?)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from pyspark.sql import functions as F
+
+        from .timetravel import tt_append, tt_overwrite, tt_read
+
+        src_sql = m.group(3)
+        if "as of" in src_sql.lower():
+            src_sql = _rewrite_timetravel_reads(spark, src_sql)
+        df = spark.sql(src_sql)
+        # SQL INSERT is POSITIONAL: align the source to the table schema
+        # by position with casts (a VALUES source arrives as col1/col2)
+        tgt = tt_read(spark, m.group(2)).schema
+        if len(df.columns) != len(tgt.fields):
+            raise ValueError(
+                f"INSERT arity mismatch: table has {len(tgt.fields)} "
+                f"columns, source has {len(df.columns)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, tgt.fields)
+            ]
+        )
+        if m.group(1).lower() == "into":
+            v = tt_append(spark, df, m.group(2))
+        else:
+            v = tt_overwrite(spark, df, m.group(2))
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*alter\s+table\s+'([^']+)'\s+add\s+constraint\s+"
+        r"`?(\w+)`?\s+check\s*\((.+)\)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from ..table import validate_identifier
+        from .timetravel import tt_add_constraint
+
+        v = tt_add_constraint(
+            spark, m.group(1), validate_identifier(m.group(2)), m.group(3)
+        )
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*alter\s+table\s+'([^']+)'\s+drop\s+constraint\s+"
+        r"`?(\w+)`?\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from ..table import validate_identifier
+        from .timetravel import tt_drop_constraint
+
+        v = tt_drop_constraint(
+            spark, m.group(1), validate_identifier(m.group(2))
+        )
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*optimize\s+'([^']+)'"
+        r"(?:\s+zorder\s+by\s*\(([^)]+)\))?\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from ..table import validate_identifier
+        from .timetravel import tt_optimize
+
+        zcols = None
+        if m.group(2):
+            zcols = [
+                validate_identifier(c.strip().strip("`"))
+                for c in m.group(2).split(",")
+            ]
+        v = tt_optimize(spark, m.group(1), zorder_by=zcols)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*vacuum\s+'([^']+)'"
+        r"(?:\s+retain\s+(\d+)\s+versions)?\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from .timetravel import tt_vacuum
+
+        keep = int(m.group(2)) if m.group(2) else 1
+        n = tt_vacuum(spark, m.group(1), keep_last=keep)
+        return spark.createDataFrame([(n,)], "deleted_files long")
     return None
 
 

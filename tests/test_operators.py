@@ -3284,3 +3284,67 @@ class TestDmlSql:
         )
         assert rows[0].committed_version == 3
         assert {r.v for r in a.tt_read(spark, root).where("k = 1").collect()} == {20}
+
+    def test_delta_maintenance_sql_front_door(self, spark, tmp_path):
+        """The complete Delta SQL surface on a versioned root as
+        statement TEXT: INSERT INTO/OVERWRITE, ALTER TABLE ADD/DROP
+        CONSTRAINT, OPTIMIZE [ZORDER BY], VACUUM [RETAIN n VERSIONS] —
+        alongside the existing DESCRIBE HISTORY / RESTORE / SELECT AS
+        OF / DELETE / UPDATE / MERGE routes."""
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        root = str(tmp_path / "ttdoor")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(6)], "k long, v long"
+            ).repartitionByRange(3, "k"),
+            root,
+        )
+        # INSERT INTO appends a version; the source may time-travel
+        got = a.run_raw_sql(
+            spark,
+            f"INSERT INTO '{root}' SELECT k + 100 AS k, v FROM '{root}' "
+            "VERSION AS OF 0 WHERE k < 2",
+            results_format="list",
+        )
+        assert got[0].committed_version == 1
+        assert a.tt_read(spark, root).count() == 8
+        # ALTER TABLE ADD CONSTRAINT validates + enforces
+        got = a.run_raw_sql(
+            spark,
+            f"ALTER TABLE '{root}' ADD CONSTRAINT v_ok CHECK (v >= 0)",
+            results_format="list",
+        )
+        assert got[0].committed_version == 2
+        with pytest.raises(ConstraintViolationError):
+            a.run_raw_sql(spark, f"INSERT INTO '{root}' VALUES (1, -1)")
+        # OPTIMIZE ZORDER BY commits a layout version with same rows
+        got = a.run_raw_sql(
+            spark,
+            f"OPTIMIZE '{root}' ZORDER BY (k, v)",
+            results_format="list",
+        )
+        assert got[0].committed_version == 3
+        assert a.tt_read(spark, root).count() == 8
+        # INSERT OVERWRITE replaces as a new version
+        got = a.run_raw_sql(
+            spark,
+            f"INSERT OVERWRITE '{root}' SELECT CAST(9 AS LONG) AS k, "
+            "CAST(90 AS LONG) AS v",
+            results_format="list",
+        )
+        assert got[0].committed_version == 4
+        assert a.tt_read(spark, root).count() == 1
+        assert a.tt_read(spark, root, 3).count() == 8  # still readable
+        # DROP CONSTRAINT; negative insert now allowed
+        a.run_raw_sql(spark, f"ALTER TABLE '{root}' DROP CONSTRAINT v_ok")
+        a.run_raw_sql(spark, f"INSERT INTO '{root}' VALUES (1, -1)")
+        # VACUUM RETAIN 2 VERSIONS reclaims older data files
+        got = a.run_raw_sql(
+            spark, f"VACUUM '{root}' RETAIN 2 VERSIONS", results_format="list"
+        )
+        assert got[0].deleted_files > 0
+        assert a.tt_read(spark, root).count() == 2
+        hist = a.tt_history(spark, root)
+        assert hist.count() == 2  # only the retained versions remain
