@@ -141,6 +141,12 @@ HEADLINE = [
     "st_tt_cdc",
     "t_html_extract",
     "t_sentences",
+    # round-11 additions
+    "op_dml_sql",
+    "op_tt_sql",
+    "op_tt_ctas",
+    "op_tt_update",
+    "op_tt_maint_sql",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape
