@@ -237,58 +237,21 @@ _MERGE_UPDATE_RE = re.compile(
 )
 
 
-def merge_from_sql(spark: SparkSession, statement: str) -> Table:
-    """Execute the ``MERGE INTO`` statement text the reference's Delta
-    backend generates (``databases/databricks/delta.py:383-442``)
-    against plain parquet tables — the SQL-text half of Delta parity
-    this engine can honor without delta-spark (semantics come from the
-    crash-recoverable partition-/file-scoped copy-on-write ``merge``).
-
-    Accepted grammar (case-insensitive; backticks optional; exactly
-    what ``_build_merge_sql`` emits)::
-
-        MERGE INTO <tgt> [AS] <ta> USING <src> [AS] <sa>
-        ON <ta>.<k> = <sa>.<k> [AND ...]
-        [WHEN MATCHED THEN UPDATE SET <ta>.<t> = <sa>.<s>[, ...]]
-        WHEN NOT MATCHED THEN INSERT (<ta>.<t>, ...) VALUES (<sa>.<s>, ...)
-
-    Column mapping comes from the INSERT/VALUES zip; a MATCHED clause
-    selects ``if_conflicts="update"`` (its SET pairs must equal the
-    insert mapping — ``merge`` updates all mapped columns), absence
-    selects ``"ignore"``.  Every identifier passes the strict allowlist
-    (injection attempts raise ``IllegalIdentifierError``).  Spark
-    itself rejects MERGE INTO on v1 parquet tables, so this is engine
-    capability, not sugar.
-    """
-    from ..table import Table as _Table
+def _merge_sql_ident(tok: str) -> str:
     from ..table import validate_identifier
 
-    def _ident(tok: str) -> str:
-        return validate_identifier(tok.strip().strip("`"))
+    return validate_identifier(tok.strip().strip("`"))
 
-    def _table(tok: str) -> _Table:
-        parts = [p.strip().strip("`") for p in tok.strip().split(".")]
-        if len(parts) == 1:
-            return _Table(_ident(parts[0]), temp=False)
-        if len(parts) == 2:
-            from ..table import Metadata
 
-            return _Table(
-                _ident(parts[1]),
-                metadata=Metadata(schema=_ident(parts[0])),
-                temp=False,
-            )
-        raise MergeSqlGrammarError(f"merge_from_sql: unsupported table name {tok!r}")
-
-    s = statement.strip().rstrip(";")
-    head = _MERGE_HEAD_RE.match(s)
-    if not head:
-        raise MergeSqlGrammarError(
-            "merge_from_sql: statement does not match the supported "
-            "MERGE INTO ... USING ... ON ... grammar"
-        )
-    ta, sa = _ident(head["ta"]), _ident(head["sa"])
-    rest = s[head.end():]
+def _parse_merge_tail(
+    rest: str, ta: str, sa: str
+) -> tuple[list[str], dict[str, str], bool]:
+    """Parse everything after the MERGE head (the ON conjuncts and WHEN
+    clauses) into (conflict keys, source→target column map, has UPDATE
+    clause).  Shared by the catalog-table dispatch (``merge_from_sql``)
+    and the versioned-root dispatch (``run_raw_sql`` → ``tt_merge``);
+    PARSE-phase rejections raise ``MergeSqlGrammarError`` only."""
+    _ident = _merge_sql_ident
     clauses = re.split(r"(?i)\s+when\s+", rest)
     on_txt, when_clauses = clauses[0], clauses[1:]
     if not when_clauses:
@@ -373,13 +336,64 @@ def merge_from_sql(spark: SparkSession, statement: str) -> Table:
             "merge_from_sql: UPDATE SET pairs must equal the INSERT "
             "mapping (merge updates all mapped columns)"
         )
+    return keys, col_map, update_pairs is not None
+
+
+def merge_from_sql(spark: SparkSession, statement: str) -> Table:
+    """Execute the ``MERGE INTO`` statement text the reference's Delta
+    backend generates (``databases/databricks/delta.py:383-442``)
+    against plain parquet tables — the SQL-text half of Delta parity
+    this engine can honor without delta-spark (semantics come from the
+    crash-recoverable partition-/file-scoped copy-on-write ``merge``).
+
+    Accepted grammar (case-insensitive; backticks optional; exactly
+    what ``_build_merge_sql`` emits)::
+
+        MERGE INTO <tgt> [AS] <ta> USING <src> [AS] <sa>
+        ON <ta>.<k> = <sa>.<k> [AND ...]
+        [WHEN MATCHED THEN UPDATE SET <ta>.<t> = <sa>.<s>[, ...]]
+        WHEN NOT MATCHED THEN INSERT (<ta>.<t>, ...) VALUES (<sa>.<s>, ...)
+
+    Column mapping comes from the INSERT/VALUES zip; a MATCHED clause
+    selects ``if_conflicts="update"`` (its SET pairs must equal the
+    insert mapping — ``merge`` updates all mapped columns), absence
+    selects ``"ignore"``.  Every identifier passes the strict allowlist
+    (injection attempts raise ``IllegalIdentifierError``).  Spark
+    itself rejects MERGE INTO on v1 parquet tables, so this is engine
+    capability, not sugar.
+    """
+    from ..table import Metadata, Table as _Table
+
+    _ident = _merge_sql_ident
+
+    def _table(tok: str) -> _Table:
+        parts = [p.strip().strip("`") for p in tok.strip().split(".")]
+        if len(parts) == 1:
+            return _Table(_ident(parts[0]), temp=False)
+        if len(parts) == 2:
+            return _Table(
+                _ident(parts[1]),
+                metadata=Metadata(schema=_ident(parts[0])),
+                temp=False,
+            )
+        raise MergeSqlGrammarError(f"merge_from_sql: unsupported table name {tok!r}")
+
+    s = statement.strip().rstrip(";")
+    head = _MERGE_HEAD_RE.match(s)
+    if not head:
+        raise MergeSqlGrammarError(
+            "merge_from_sql: statement does not match the supported "
+            "MERGE INTO ... USING ... ON ... grammar"
+        )
+    ta, sa = _ident(head["ta"]), _ident(head["sa"])
+    keys, col_map, has_update = _parse_merge_tail(s[head.end():], ta, sa)
     return merge(
         spark,
         source_table=_table(head["src"]),
         target_table=_table(head["tgt"]),
         target_conflict_columns=keys,
         columns=col_map,
-        if_conflicts="update" if update_pairs is not None else "ignore",
+        if_conflicts="update" if has_update else "ignore",
     )
 
 

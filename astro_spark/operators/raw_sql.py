@@ -280,6 +280,53 @@ def _find_top_level_kw(txt: str, kw: str) -> int:
     return -1
 
 
+def _route_merge_versioned_sql(
+    spark: SparkSession, stmt: str
+) -> DataFrame | None:
+    """``MERGE INTO '<versioned-root>' [AS] t USING <src> [AS] s ON …``
+    — the quoted-path variant of ``merge_from_sql``'s grammar — routes
+    to ``tt_merge`` (a file-scoped upsert committing a new version).
+    The clause parser is shared with the catalog dispatch
+    (``merge.py:_parse_merge_tail``), so the same strict allowlist and
+    key/mapping rules apply; ``tt_merge`` is an upsert, so the grammar
+    additionally REQUIRES the WHEN MATCHED THEN UPDATE clause (a
+    MATCHED-silent merge is the catalog path's 'ignore', which the log
+    would misrepresent).  Returns a (committed_version,) relation or
+    None when the target isn't a quoted path."""
+    import re
+
+    from .merge import MergeSqlGrammarError, _merge_sql_ident, _parse_merge_tail
+
+    s = stmt.strip().rstrip(";")
+    head = re.match(
+        r"(?is)^\s*merge\s+into\s+'([^']+)'\s+(?:as\s+)?(`?\w+`?)\s+"
+        r"using\s+([`\w.]+)\s+(?:as\s+)?(`?\w+`?)\s+on\s+",
+        s,
+    )
+    if not head:
+        return None
+    root = head.group(1)
+    ta, sa = _merge_sql_ident(head.group(2)), _merge_sql_ident(head.group(4))
+    keys, col_map, has_update = _parse_merge_tail(s[head.end():], ta, sa)
+    if not has_update:
+        raise MergeSqlGrammarError(
+            "merge into '<root>': the versioned-log MERGE is an upsert — "
+            "a WHEN MATCHED THEN UPDATE clause is required"
+        )
+    from pyspark.sql import functions as F
+
+    from .timetravel import tt_merge
+
+    src_name = ".".join(
+        _merge_sql_ident(p) for p in head.group(3).split(".")
+    )
+    source = spark.table(src_name).select(
+        *[F.col(s_col).alias(t_col) for s_col, t_col in col_map.items()]
+    )
+    v = tt_merge(spark, source, root, keys)
+    return spark.createDataFrame([(v,)], "committed_version long")
+
+
 def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
     """Route SQL-text row-level DML through the engine's file-scoped
     copy-on-write DML (``operators/dml.py``) — the ``merge_from_sql``
@@ -432,6 +479,12 @@ def run_raw_sql(
             for q in query_modifier.post_queries:
                 spark.sql(q)
         return result
+
+    tt_merge_df = _route_merge_versioned_sql(spark, rendered)
+    if tt_merge_df is not None:
+        if handler is not None:
+            return _finish(handler(tt_merge_df))
+        return _finish(None)
 
     if rendered.lstrip()[:10].lower().startswith("merge into"):
         # Spark rejects MERGE INTO on v1 parquet tables; route the

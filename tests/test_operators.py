@@ -3348,3 +3348,38 @@ class TestDmlSql:
         assert a.tt_read(spark, root).count() == 2
         hist = a.tt_history(spark, root)
         assert hist.count() == 2  # only the retained versions remain
+
+    def test_merge_into_versioned_root_sql(self, spark, tmp_path):
+        """MERGE INTO '<root>' ... SQL text routes to tt_merge: matched
+        keys update, new keys insert, committed as a new version; the
+        pre-merge version stays readable; a MATCHED-silent statement is
+        a grammar error (the log MERGE is an upsert)."""
+        root = str(tmp_path / "ttmrg")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30)], "k long, v long"
+            ).repartitionByRange(3, "k"),
+            root,
+        )
+        spark.createDataFrame(
+            [(2, 999), (9, 90)], "k long, v long"
+        ).createOrReplaceTempView("ttmrg_src")
+        a.run_raw_sql(
+            spark,
+            f"MERGE INTO '{root}' AS t USING ttmrg_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v)",
+        )
+        got = {r.k: r.v for r in a.tt_read(spark, root).collect()}
+        assert got == {1: 10, 2: 999, 3: 30, 9: 90}
+        assert {r.v for r in a.tt_read(spark, root, 0).where("k = 2").collect()} == {20}
+        # MATCHED-silent grammar rejected (upsert-only on the log)
+        from astro_spark.operators.merge import MergeSqlGrammarError
+
+        with pytest.raises(MergeSqlGrammarError, match="UPDATE clause"):
+            a.run_raw_sql(
+                spark,
+                f"MERGE INTO '{root}' AS t USING ttmrg_src AS s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v)",
+            )
