@@ -3085,6 +3085,16 @@ class TestDmlSql:
             results_format="list",
         )
         assert rows[0].n == 2
+        # ISO-string timestamp (local-time naive) resolves the same way
+        from datetime import datetime
+
+        iso = datetime.fromtimestamp(mid).isoformat()
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM '{root}' TIMESTAMP AS OF '{iso}'",
+            results_format="list",
+        )
+        assert rows[0].n == 2
         # joinable with itself and with ordinary views in one statement
         rows = a.run_raw_sql(
             spark,
