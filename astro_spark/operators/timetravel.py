@@ -1139,6 +1139,132 @@ def tt_diff(
     )
 
 
+def tt_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED computed from the log's file deltas —
+    no stored change files, no key columns needed: for each version v
+    in (``from_version``, ``to_version``], the rows of v's ADDED files
+    multiset-minus the rows of its REMOVED files are the inserts, the
+    reverse are the deletes (an update surfaces as delete+insert, the
+    pre/post image pair).  Unchanged rows carried by a file rewrite
+    appear on both sides and cancel exactly, so the scan cost is
+    O(churned files), never O(table) — and a pure re-layout commit
+    (OPTIMIZE) correctly yields zero change rows.  Columns:
+    ``(*table columns, _change_type, _commit_version)``.  Use
+    ``tt_diff`` instead when you have key columns and want
+    added/removed/changed per key between two arbitrary snapshots."""
+    from pyspark.sql import functions as F
+
+    HPath, _p, fs = _fs(spark, root)
+    versions = _list_versions(fs, HPath, root)
+    if from_version not in versions:
+        raise AstroSparkError(
+            f"version {from_version} not found in {root} (vacuumed?)"
+        )
+    to_version = versions[-1] if to_version is None else to_version
+    if to_version not in versions:
+        raise AstroSparkError(f"version {to_version} not found in {root}")
+    out = None
+    prev_m = _read_manifest(spark, fs, HPath, root, from_version)
+    prev_files, _ = _resolve(spark, fs, HPath, root, prev_m)
+    for v in [x for x in versions if from_version < x <= to_version]:
+        cur_m = _read_manifest(spark, fs, HPath, root, v)
+        cur_files, _ = _resolve(spark, fs, HPath, root, cur_m)
+        added = [f for f in cur_files if f not in set(prev_files)]
+        removed = [f for f in prev_files if f not in set(cur_files)]
+        # read BOTH sides through the newer schema (the log owns it:
+        # pre-evolution files read new columns as NULL), so the
+        # multiset compare is well-typed across schema evolution
+        schema = cur_m.get("schema")
+        added_df = (
+            _read_files(spark, root, {"files": added, "schema": schema})
+            if added
+            else None
+        )
+        removed_df = (
+            _read_files(spark, root, {"files": removed, "schema": schema})
+            if removed
+            else None
+        )
+        if added_df is None and removed_df is None:
+            prev_files = cur_files
+            continue
+        if added_df is None:
+            added_df = removed_df.limit(0)
+        if removed_df is None:
+            removed_df = added_df.limit(0)
+        ins = added_df.exceptAll(removed_df).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = removed_df.exceptAll(added_df).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        chg = ins.unionByName(dels).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        out = chg if out is None else out.unionByName(
+            chg, allowMissingColumns=True
+        )
+        prev_files = cur_files
+    if out is None:  # no versions in range, or only no-op commits
+        base = _read_files(spark, root, prev_m).limit(0)
+        return base.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("long")
+        ).limit(0)
+    return out
+
+
+def tt_changes_drain(
+    spark: SparkSession,
+    root: str,
+    state_path: str,
+    fn,
+) -> list[int]:
+    """Incremental change-feed consumption — the versioned log as a
+    STREAMING SOURCE (Delta's ``readStream`` on a table), in the same
+    drain idiom as the rest of the streaming module: read the last
+    consumed version from ``state_path``, hand
+    ``fn(changes_df, head_version)`` the CDF for every version since,
+    then persist the new offset.  At-least-once: a crash between fn and
+    the offset write replays the same versions — make fn idempotent
+    (keyed upserts are; blind appends need the offset check).  First
+    call consumes from version 0 (the create's rows arrive as
+    inserts... of version > 0; seed state with ``-1`` semantics by
+    passing a table whose v0 matters through fn yourself, or start the
+    feed after tt_create).  Returns the versions consumed."""
+    HPath, _p, fs = _fs(spark, root)
+    versions = _list_versions(fs, HPath, root)
+    if not versions:
+        raise AstroSparkError(f"no versioned table at {root}")
+    head = versions[-1]
+    sp = HPath(state_path)
+    state_fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    last = versions[0]
+    if state_fs.exists(sp):
+        stream = state_fs.open(sp)
+        try:
+            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        last = int(json.loads(txt)["version"])
+    if head <= last:
+        return []
+    consumed = [v for v in versions if last < v <= head]
+    fn(tt_changes(spark, root, last, head), head)
+    stream = state_fs.create(sp, True)  # offset overwrite is the ack
+    try:
+        stream.write(bytearray(json.dumps({"version": head}).encode("utf-8")))
+    finally:
+        stream.close()
+    return consumed
+
+
 def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     """Delete data files referenced ONLY by versions older than the
     last ``keep_last``, then drop those versions' manifests.  Returns

@@ -147,6 +147,7 @@ HEADLINE = [
     "op_tt_ctas",
     "op_tt_update",
     "op_tt_maint_sql",
+    "op_tt_cdf",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

@@ -3393,3 +3393,55 @@ class TestDmlSql:
                 f"MERGE INTO '{root}' AS t USING ttmrg_src AS s ON t.k = s.k "
                 "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v)",
             )
+
+    def test_change_feed_from_file_deltas(self, spark, tmp_path):
+        """tt_changes: keyless multiset CDF from the log's file deltas —
+        appends surface as inserts, deletes as deletes, an update as its
+        pre/post image pair, carried (unchanged) rows cancel exactly,
+        and a pure OPTIMIZE re-layout yields ZERO change rows; the
+        drain consumes incrementally with a persisted version offset."""
+        root = str(tmp_path / "ttcdf")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30)], "k long, v long"
+            ).repartitionByRange(2, "k"),
+            root,
+        )
+        a.tt_append(
+            spark, spark.createDataFrame([(4, 40)], "k long, v long"), root
+        )
+        a.tt_update_where(spark, root, {"v": "v + 1"}, "k = 1")
+        a.tt_delete_where(spark, root, "k = 2")
+        a.tt_optimize(spark, root, target_files=1)
+        rows = {
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in a.tt_changes(spark, root, 0).collect()
+        }
+        assert rows == {
+            (4, 40, "insert", 1),
+            (1, 11, "insert", 2), (1, 10, "delete", 2),
+            (2, 20, "delete", 3),
+            # version 4 (optimize): rows identical -> no change rows
+        }
+        # bounded range
+        only_v2 = {
+            (r.k, r._change_type)
+            for r in a.tt_changes(spark, root, 1, 2).collect()
+        }
+        assert only_v2 == {(1, "insert"), (1, "delete")}
+        # drain: first call consumes everything after version 0,
+        # second call is a no-op, a new commit resumes from the offset
+        state = str(tmp_path / "cdf_state.json")
+        seen: list[tuple[int, int]] = []
+
+        def fn(df, head):
+            seen.append((df.count(), head))
+
+        assert a.tt_changes_drain(spark, root, state, fn) == [1, 2, 3, 4]
+        assert a.tt_changes_drain(spark, root, state, fn) == []
+        a.tt_append(
+            spark, spark.createDataFrame([(9, 90)], "k long, v long"), root
+        )
+        assert a.tt_changes_drain(spark, root, state, fn) == [5]
+        assert seen == [(4, 4), (1, 5)]
