@@ -148,6 +148,8 @@ HEADLINE = [
     "op_tt_update",
     "op_tt_maint_sql",
     "op_tt_cdf",
+    "st_tt_source",
+    "op_tt_datasource",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

@@ -499,3 +499,117 @@ class TestRescueMalformed:
         assert {r.id for r in good} == {1, 2}
         assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
         df.unpersist()
+
+
+class TestVersionedParquetDataSource:
+    """Spark 4 Python Data Source over the versioned log
+    (sources/tt_datasource.py): format-string integration — batch with
+    versionAsOf/timestampAsOf, and a streaming source with Delta's
+    append-commit contract."""
+
+    def _seed(self, spark, tmp_path):
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        root = str(tmp_path / "dsrc")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(6)], "k long, v long"
+            ).repartitionByRange(2, "k"),
+            root,
+        )
+        a.tt_append(
+            spark, spark.createDataFrame([(100, 1)], "k long, v long"), root
+        )
+        return root
+
+    def test_batch_read_versions(self, spark, tmp_path):
+        import astro_spark as a
+
+        root = self._seed(spark, tmp_path)
+
+        def rd(**opts):
+            r = spark.read.format("versioned_parquet").option("path", root)
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        assert rd().count() == 7
+        assert rd(versionAsOf="0").count() == 6
+        # matches the native reader row-for-row
+        got = {(r.k, r.v) for r in rd().collect()}
+        want = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
+        assert got == want
+        # commit-version column on demand; schema evolution reads NULLs
+        rc = rd(includeCommitVersion="true")
+        assert rc.columns == ["k", "v", "_commit_version"]
+        a.tt_append(
+            spark,
+            spark.createDataFrame([(7, 70, "x")], "k long, v long, s string"),
+            root,
+            merge_schema=True,
+        )
+        evolved = rd()
+        assert evolved.columns == ["k", "v", "s"]
+        assert evolved.where("s IS NULL").count() == 7
+
+    def test_batch_read_checkpointed_log(self, spark, tmp_path):
+        """The pyarrow-side resolver understands the checkpoint form:
+        base parquet snapshot minus remove plus add."""
+        import astro_spark as a
+
+        spark.conf.set("spark.astro.tt.inlineFilesMax", "2")
+        try:
+            root = self._seed(spark, tmp_path)
+            a.tt_delete_where(spark, root, "k = 0")
+            got = spark.read.format("versioned_parquet").option(
+                "path", root
+            ).load()
+            assert {r.k for r in got.collect()} == {1, 2, 3, 4, 5, 100}
+        finally:
+            spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+    def test_stream_appends_and_rewrite_refusal(self, spark, tmp_path):
+        import astro_spark as a
+
+        root = self._seed(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "sink")
+
+        def drain():
+            stream = (
+                spark.readStream.format("versioned_parquet")
+                .option("path", root)
+                .option("startingVersion", "0")
+                .option("includeCommitVersion", "true")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        first = sorted(
+            (r.k, r._commit_version) for r in spark.read.parquet(out).collect()
+        )
+        assert first == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (100, 1)]
+        # incremental: only the new commit arrives on the next drain
+        a.tt_append(
+            spark, spark.createDataFrame([(200, 2)], "k long, v long"), root
+        )
+        drain()
+        assert (200, 2) in {
+            (r.k, r._commit_version) for r in spark.read.parquet(out).collect()
+        }
+        assert spark.read.parquet(out).count() == 8
+        # a rewrite commit breaks the append contract -> refuse
+        a.tt_delete_where(spark, root, "k = 1")
+        with pytest.raises(Exception, match="rewrote data files"):
+            drain()
