@@ -682,12 +682,114 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     return versions[-1] + 1
 
 
+def _skip_bounds_from_predicate(where: str) -> dict:
+    """Manifest skip bounds derivable from a predicate's TOP-LEVEL
+    conjuncts — Delta's automatic data skipping for the sargable
+    shapes (``col >= lit``, ``<=``, ``<``, ``>``, ``=``,
+    ``col BETWEEN a AND b``; numeric or single-quoted string
+    literals).  Anything else contributes no bounds (the caller still
+    filters exactly); a top-level OR disables skipping entirely.
+    Strict bounds widen to closed ones — widening only ever KEEPS
+    extra files, so pruning stays sound."""
+    import re
+
+    out: dict[str, list] = {}
+
+    def _tighten(col: str, lo, hi) -> None:
+        cur = out.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    def _lit(txt: str):
+        txt = txt.strip()
+        if txt.startswith("'") and txt.endswith("'"):
+            return txt[1:-1]
+        try:
+            return int(txt)
+        except ValueError:
+            return float(txt)  # may raise → conjunct ignored by caller
+
+    # split on standalone AND at depth 0 outside quotes; a BETWEEN's
+    # own AND binds tighter and must not split its conjunct
+    def _word_at(low: str, i: int, w: str) -> bool:
+        return (
+            low.startswith(w, i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (
+                i + len(w) >= len(low)
+                or not (low[i + len(w)].isalnum() or low[i + len(w)] == "_")
+            )
+        )
+
+    parts: list[str] = []
+    depth, q, buf, i, low = 0, None, [], 0, where.lower()
+    pending_between = False
+    while i < len(where):
+        ch = where[i]
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and _word_at(low, i, "or"):
+            return {}  # a top-level OR: no conjunct is individually binding
+        elif depth == 0 and _word_at(low, i, "between"):
+            pending_between = True
+        elif depth == 0 and _word_at(low, i, "and"):
+            if pending_between:
+                pending_between = False  # BETWEEN a AND b — keep together
+            else:
+                parts.append("".join(buf))
+                buf = []
+                i += 3
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+
+    lit_re = r"(-?\d+(?:\.\d+)?|'[^']*')"
+    cmp_re = re.compile(
+        rf"(?is)^\s*`?(\w+)`?\s*(>=|<=|==|=|<|>)\s*{lit_re}\s*$"
+    )
+    btw_re = re.compile(
+        rf"(?is)^\s*`?(\w+)`?\s+between\s+{lit_re}\s+and\s+{lit_re}\s*$"
+    )
+    for piece in parts:
+        try:
+            m = cmp_re.match(piece)
+            if m:
+                col, op, val = m.group(1), m.group(2), _lit(m.group(3))
+                if op in (">=", ">"):
+                    _tighten(col, val, None)
+                elif op in ("<=", "<"):
+                    _tighten(col, None, val)
+                else:
+                    _tighten(col, val, val)
+                continue
+            m = btw_re.match(piece)
+            if m:
+                _tighten(m.group(1), _lit(m.group(2)), _lit(m.group(3)))
+        except ValueError:
+            continue  # unparseable literal: conjunct contributes nothing
+    return {c: (lo, hi) for c, (lo, hi) in out.items()}
+
+
 def tt_read(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     as_of_ts: float | None = None,
     skip_by: dict | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a version (default: latest).  ``as_of_ts`` selects the
     latest version committed at or before that unix timestamp (Delta's
@@ -701,7 +803,13 @@ def tt_read(
     Files without stats are always kept (absence is never evidence),
     and skipping is an OPTIMIZATION contract only: the caller still
     applies their own ``.where`` — rows outside the bounds may appear
-    from kept files."""
+    from kept files.
+
+    ``where=`` is the AUTOMATIC form: the predicate is applied exactly
+    (``.where``), and its top-level sargable conjuncts additionally
+    derive manifest skip bounds (``_skip_bounds_from_predicate``) —
+    Delta's stats-based skipping without hand-passing ``skip_by``.
+    Explicit ``skip_by`` bounds intersect with the derived ones."""
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
@@ -725,6 +833,17 @@ def tt_read(
         raise AstroSparkError(f"version {version} not found in {root}")
     manifest = _read_manifest(spark, fs, HPath, root, version)
     files, stats = _resolve(spark, fs, HPath, root, manifest)
+    if where is not None:
+        derived = _skip_bounds_from_predicate(where)
+        merged = dict(skip_by or {})
+        for col, (lo, hi) in derived.items():
+            cur_lo, cur_hi = merged.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            merged[col] = (cur_lo, cur_hi)
+        skip_by = merged or None
     if skip_by:
 
         def _keep(f: str) -> bool:
@@ -742,6 +861,10 @@ def tt_read(
             return True
 
         files = [f for f in files if _keep(f)]
+
+    def _finish(df: DataFrame) -> DataFrame:
+        return df.where(where) if where is not None else df
+
     schema_json = manifest.get("schema")
     if not files:
         if schema_json is None:
@@ -751,19 +874,19 @@ def tt_read(
             )
         from pyspark.sql.types import StructType
 
-        return spark.createDataFrame(
+        return _finish(spark.createDataFrame(
             [], StructType.fromJson(json.loads(schema_json))
-        )
+        ))
     paths = [f"{root}/{f}" for f in files]
     if schema_json is None:  # pre-schema-log manifest: footer schema
-        return spark.read.parquet(*paths)
+        return _finish(spark.read.parquet(*paths))
     from pyspark.sql.types import StructType
 
     # the LOG owns the schema (Delta's model): files written before a
     # column existed read it as NULL — no footer merging, no ambiguity
-    return spark.read.schema(
+    return _finish(spark.read.schema(
         StructType.fromJson(json.loads(schema_json))
-    ).parquet(*paths)
+    ).parquet(*paths))
 
 
 def tt_restore(spark: SparkSession, root: str, version: int) -> int:

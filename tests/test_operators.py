@@ -3445,3 +3445,46 @@ class TestDmlSql:
         )
         assert a.tt_changes_drain(spark, root, state, fn) == [5]
         assert seen == [(4, 4), (1, 5)]
+
+    def test_tt_read_where_auto_skipping(self, spark, tmp_path):
+        """tt_read(where=): the predicate applies exactly AND its
+        sargable top-level conjuncts derive manifest skip bounds —
+        Delta's automatic stats-based data skipping.  Strict bounds
+        widen (soundness), unparseable conjuncts contribute nothing,
+        and a top-level OR disables pruning but never filtering."""
+        from astro_spark.operators.timetravel import (
+            _skip_bounds_from_predicate as bounds,
+        )
+
+        assert bounds("k >= 5 AND k < 12") == {"k": (5, 12)}
+        assert bounds("k BETWEEN 3 AND 7 AND v = 10") == {
+            "k": (3, 7), "v": (10, 10),
+        }
+        assert bounds("s = 'x' AND length(s) > 0") == {"s": ("x", "x")}
+        assert bounds("k = 1 OR k = 9") == {}
+        assert bounds("v = 'where and or'") == {"v": ("where and or", "where and or")}
+
+        root = str(tmp_path / "ttwhere")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(16)], "k long, v long"
+            ).repartitionByRange(8, "k"),
+            root,
+            stats_cols=["k"],
+        )
+        full_files = len(a.tt_read(spark, root).inputFiles())
+        pruned = a.tt_read(spark, root, where="k BETWEEN 6 AND 7 AND v >= 0")
+        assert {r.k for r in pruned.collect()} == {6, 7}
+        assert len(pruned.inputFiles()) < full_files
+        # OR: exact rows, no pruning
+        either = a.tt_read(spark, root, where="k = 1 OR k = 15")
+        assert {r.k for r in either.collect()} == {1, 15}
+        assert len(either.inputFiles()) == full_files
+        # explicit skip_by intersects with derived bounds: the caller's
+        # (0, 9) pruning promise plus the derived k >= 6 leaves 6..9
+        both = a.tt_read(
+            spark, root, skip_by={"k": (0, 9)}, where="k >= 6"
+        )
+        assert {r.k for r in both.collect()} == {6, 7, 8, 9}
+        assert len(both.inputFiles()) < full_files
