@@ -650,6 +650,91 @@ def tt_append(
     )
 
 
+def tt_commit_files(
+    spark: SparkSession,
+    root: str,
+    new_files: list[str],
+    mode: str = "append",
+    max_retries: int = 10,
+) -> int:
+    """Publish ALREADY-WRITTEN data files (root-relative paths under
+    ``files/``) as a commit — the log-transaction half used by the
+    ``versioned_parquet`` Data Source writer, whose executors wrote the
+    parquet through Arrow.  Semantics match ``tt_append`` /
+    ``tt_overwrite`` exactly (schema checked against the log, CHECK
+    constraints validated on the read-back of the still-invisible
+    files, skipping stats recorded, append retries lost races); on an
+    absent table the commit CREATES version 0 with the files' footer
+    schema."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"tt_commit_files: invalid mode {mode!r}")
+    HPath, _p, fs = _fs(spark, root)
+    if not new_files:
+        raise ValueError("tt_commit_files: no files to commit")
+    df = spark.read.parquet(*[f"{root}/{f}" for f in new_files])
+    versions = _list_versions(fs, HPath, root)
+    if not versions:
+        manifest = {
+            **_body_full(spark, fs, HPath, root, sorted(new_files), {}),
+            "op": "create",
+            "ts": time.time(),
+            "schema": _schema_json(df),
+        }
+        _publish(spark, fs, HPath, root, 0, manifest)
+        return 0
+    if mode == "overwrite":
+        prev = _read_manifest(spark, fs, HPath, root, versions[-1])
+        _check_constraints(df, prev, "overwrite")
+        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
+        stats = (
+            _file_stats(spark, root, sorted(new_files), cols) if cols else {}
+        )
+        manifest = {
+            **_body_full(spark, fs, HPath, root, sorted(new_files), stats),
+            "op": "overwrite",
+            "ts": time.time(),
+            "schema": _schema_json(df),
+            **_carry_constraints(prev),
+            **_carry_stats_cols(prev),
+        }
+        _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
+        return versions[-1] + 1
+    for _ in range(max_retries):
+        versions = _list_versions(fs, HPath, root)
+        head = versions[-1]
+        prev = _read_manifest(spark, fs, HPath, root, head)
+        evolved = _evolved_schema(prev.get("schema"), df, False)
+        _check_constraints(
+            _read_files(
+                spark, root, {"files": sorted(new_files), "schema": evolved}
+            ),
+            prev,
+            "append",
+        )
+        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
+        new_stats = (
+            _file_stats(spark, root, sorted(new_files), cols) if cols else {}
+        )
+        manifest = {
+            **_body_delta(
+                spark, fs, HPath, root, prev, sorted(new_files), [], new_stats
+            ),
+            "op": "append",
+            "ts": time.time(),
+            "schema": evolved,
+            **_carry_constraints(prev),
+            **_carry_stats_cols(prev),
+        }
+        try:
+            _publish(spark, fs, HPath, root, head + 1, manifest)
+            return head + 1
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"commit to {root} lost {max_retries} commit races"
+    )
+
+
 def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     """Commit a new version containing ONLY df's files (old versions
     stay readable).  A lost race raises — the state this overwrite

@@ -47,9 +47,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -94,17 +97,33 @@ def _resolve_files(root: str, manifest: dict) -> list[str]:
     """Complete file list — inline form verbatim, checkpoint form =
     parquet base snapshot minus remove plus add (mirrors
     ``timetravel._resolve`` without a SparkSession)."""
+    return _resolve_files_stats(root, manifest)[0]
+
+
+def _resolve_files_stats(
+    root: str, manifest: dict
+) -> tuple[list[str], dict]:
+    """(complete file list, per-file stats) resolved pyarrow-side."""
     if "base" not in manifest:
-        return manifest.get("files") or []
+        return (
+            manifest.get("files") or [],
+            manifest.get("stats") or {},
+        )
     import pyarrow.parquet as pq
 
     f, path = _fs_of(root)
     with f.open_input_file(f"{path}/{manifest['base']}") as fh:
-        files = pq.read_table(fh, columns=["file"]).column("file").to_pylist()
+        t = pq.read_table(fh)
+    files = t.column("file").to_pylist()
+    raw = t.column("stats").to_pylist()
+    stats = {x: json.loads(s) for x, s in zip(files, raw) if s is not None}
     rm = set(manifest.get("remove") or [])
     if rm:
         files = [x for x in files if x not in rm]
-    return files + (manifest.get("add") or [])
+        stats = {x: s for x, s in stats.items() if x not in rm}
+    files = files + (manifest.get("add") or [])
+    stats.update(manifest.get("add_stats") or {})
+    return files, stats
 
 
 def _pick_version(root: str, options: dict) -> int:
@@ -178,13 +197,69 @@ class _TTBatchReader(DataSourceReader):
         self._root = root
         self._schema = schema
         self._version = _pick_version(root, options)
+        self._bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        """Catalyst's pushed conjuncts become manifest skip bounds —
+        the format path gets Delta's stats-based file pruning for free
+        on `.where("k > 5")`.  Every filter is also yielded back:
+        file-granularity pruning is partial, Spark re-applies the
+        predicate exactly."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _tighten(col: str, lo, hi) -> None:
+            cur = self._bounds.setdefault(col, [None, None])
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            val = getattr(flt, "value", None)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and isinstance(val, (int, float, str))
+            ):
+                col = attr[0]
+                if isinstance(flt, EqualTo):
+                    _tighten(col, val, val)
+                elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    _tighten(col, val, None)  # strict widens: sound
+                elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                    _tighten(col, None, val)
+            yield flt  # Spark always re-applies — pruning is partial
 
     def partitions(self):
         manifest = _read_manifest(self._root, self._version)
+        files, stats = _resolve_files_stats(self._root, manifest)
+        if self._bounds:
+
+            def _keep(rel: str) -> bool:
+                st = stats.get(rel)
+                if st is None:
+                    return True  # absence is never evidence
+                for col, (lo, hi) in self._bounds.items():
+                    rng = st.get(col)
+                    if rng is None or rng[0] is None or rng[1] is None:
+                        continue
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                return True
+
+            files = [rel for rel in files if _keep(rel)]
         _f, path = _fs_of(self._root)
         return [
-            _FilePartition(f"{path}/{rel}", self._version)
-            for rel in _resolve_files(self._root, manifest)
+            _FilePartition(f"{path}/{rel}", self._version) for rel in files
         ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
@@ -269,6 +344,100 @@ class _TTStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream's checkpoint; nothing to ack
 
 
+class _TTWriteMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class _TTArrowWriter(DataSourceArrowWriter):
+    """Executor half: each task writes its Arrow batches as ONE parquet
+    file under the commit's ``files/<uuid>/`` dir (invisible until the
+    driver publishes a manifest); driver half: ``commit`` runs the SAME
+    log transaction as ``tt_append``/``tt_overwrite``
+    (``tt_commit_files`` — schema check, CHECK constraints on the
+    read-back, skipping stats, append race retry), so
+    ``df.write.format('versioned_parquet')`` is an ACID commit.  A
+    failed/aborted job leaves invisible garbage only (``tt_vacuum``
+    reclaims it) — exactly the engine-native writers' guarantee."""
+
+    def __init__(self, root: str, overwrite: bool):
+        import uuid as _uuid
+
+        self._root = root
+        self._overwrite = overwrite
+        self._commit_dir = f"files/{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TTWriteMessage([])
+        table = pa.Table.from_batches(batches)
+        rel = f"{self._commit_dir}/part-{_uuid.uuid4().hex[:12]}.parquet"
+        f, path = _fs_of(self._root)
+        f.create_dir(f"{path}/{self._commit_dir}", recursive=True)
+        with f.open_output_stream(f"{path}/{rel}") as out:
+            pq.write_table(table, out)
+        return _TTWriteMessage([rel])
+
+    def _all_files(self, messages) -> list[str]:
+        return [rel for m in messages if m is not None for rel in m.files]
+
+    def commit(self, messages):
+        from pyspark.sql import SparkSession
+
+        from astro_spark.operators.timetravel import tt_commit_files
+
+        files = self._all_files(messages)
+        if not files:
+            return  # all-empty write: no version (matches no-op DML)
+        # the commit callback may run on a listener thread without an
+        # ACTIVE session; the default session in this driver JVM is the
+        # one running the write job
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        tt_commit_files(
+            spark,
+            self._root,
+            files,
+            mode="overwrite" if self._overwrite else "append",
+        )
+
+    def abort(self, messages):
+        f, path = _fs_of(self._root)
+        try:  # best-effort: unpublished files are invisible anyway
+            f.delete_dir(f"{path}/{self._commit_dir}")
+        except Exception:
+            pass
+
+
+class _TTStreamWriter(DataSourceStreamWriter, _TTArrowWriter):
+    """writeStream.format('versioned_parquet'): one ACID log commit per
+    micro-batch — the format-string twin of
+    ``load_file_stream_versioned``.  At-least-once under foreachBatch
+    replay semantics; the manifest is the commit point."""
+
+    def __init__(self, root: str, overwrite: bool):
+        _TTArrowWriter.__init__(self, root, overwrite)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        # a fresh dir per task invocation: micro-batches must not share
+        # commit dirs across retries
+        self._commit_dir = f"files/{_uuid.uuid4().hex}"
+        return _TTArrowWriter.write(self, iterator)
+
+    def commit(self, messages, batchId: int):
+        _TTArrowWriter.commit(self, messages)
+
+    def abort(self, messages, batchId: int):
+        _TTArrowWriter.abort(self, messages)
+
+
 class VersionedParquetDataSource(DataSource):
     """``format("versioned_parquet")`` — batch + streaming reads of the
     ``operators/timetravel.py`` log through Spark's data source API."""
@@ -307,6 +476,14 @@ class VersionedParquetDataSource(DataSource):
     def reader(self, schema: StructType) -> _TTBatchReader:
         return self._reader_with(schema, _TTBatchReader)
 
+    def writer(self, schema: StructType, overwrite: bool) -> _TTArrowWriter:
+        return _TTArrowWriter(self._root(), overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> _TTStreamWriter:
+        return _TTStreamWriter(self._root(), overwrite)
+
     def streamReader(self, schema: StructType) -> _TTStreamReader:
         return self._reader_with(schema, _TTStreamReader)
 
@@ -316,5 +493,10 @@ class VersionedParquetDataSource(DataSource):
 
 def register(spark) -> None:
     """Register the format with a session:
-    ``spark.read.format('versioned_parquet')`` afterwards."""
+    ``spark.read.format('versioned_parquet')`` afterwards.  Also
+    enables ``spark.sql.python.filterPushdown.enabled`` — the reader
+    implements ``pushFilters`` (stats-based file pruning), and Spark
+    4.1 REFUSES to run a pushFilters-bearing reader with the conf off
+    rather than silently skipping pushdown."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedParquetDataSource)

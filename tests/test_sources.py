@@ -613,3 +613,93 @@ class TestVersionedParquetDataSource:
         a.tt_delete_where(spark, root, "k = 1")
         with pytest.raises(Exception, match="rewrote data files"):
             drain()
+
+    def test_filter_pushdown_prunes_files(self, spark, tmp_path):
+        """pushFilters: Catalyst's pushed conjuncts prune files from
+        the manifest stats before any parquet is opened; every filter
+        is yielded back so Spark re-applies the predicate exactly."""
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import _TTBatchReader, register
+
+        register(spark)
+        root = str(tmp_path / "pf")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(16)], "k long, v long"
+            ).repartitionByRange(8, "k"),
+            root,
+            stats_cols=["k"],
+        )
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        r = _TTBatchReader(root, None, {})
+        leftover = list(r.pushFilters([GreaterThanOrEqual(("k",), 14)]))
+        assert len(leftover) == 1  # Spark must re-apply it
+        assert len(r.partitions()) < 8
+        got = (
+            spark.read.format("versioned_parquet")
+            .option("path", root)
+            .load()
+            .where("k >= 14")
+        )
+        assert {x.k for x in got.collect()} == {14, 15}
+
+    def test_format_writers_batch_and_stream(self, spark, tmp_path):
+        """df.write.format('versioned_parquet') commits create/append/
+        overwrite through the log transaction (constraints enforced on
+        the read-back); writeStream commits one version per
+        micro-batch."""
+        import astro_spark as a
+        from astro_spark.operators.timetravel import ConstraintViolationError
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        root = str(tmp_path / "w")
+
+        def wr(df, mode):
+            df.write.format("versioned_parquet").option("path", root).mode(
+                mode
+            ).save()
+
+        wr(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "k long, v long"
+            ).repartition(3),
+            "append",
+        )
+        assert a.tt_read(spark, root).count() == 8
+        a.tt_add_constraint(spark, root, "v_pos", "v >= 0")
+        wr(spark.createDataFrame([(100, 1)], "k long, v long"), "append")
+        assert a.tt_read(spark, root).count() == 9
+        with pytest.raises(Exception, match="violates CHECK"):
+            wr(spark.createDataFrame([(101, -1)], "k long, v long"), "append")
+        assert a.tt_history(spark, root).count() == 3  # no bad version
+        wr(spark.createDataFrame([(9, 9)], "k long, v long"), "overwrite")
+        assert a.tt_read(spark, root).count() == 1
+        assert a.tt_read(spark, root, 2).count() == 9  # history intact
+        # stream writer: one ACID commit per micro-batch
+        src_dir = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ck")
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+        def drain():
+            stream = spark.readStream.schema("k long, v long").parquet(src_dir)
+            q = (
+                stream.writeStream.format("versioned_parquet")
+                .option("path", root)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        assert a.tt_read(spark, root).count() == 2
+        spark.createDataFrame([(2, 20)], "k long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        drain()
+        assert sorted(r.k for r in a.tt_read(spark, root).collect()) == [1, 2, 9]
