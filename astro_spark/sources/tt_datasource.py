@@ -307,30 +307,37 @@ class _TTStreamReader(DataSourceStreamReader):
             return [_FilePartition("")]
         _f, path = _fs_of(self._root)
         out: list[_FilePartition] = []
-        prev: list[str] | None = None
-        versions = [v for v in _list_versions(self._root) if v <= hi]
-        for v in versions:
+        all_versions = _list_versions(self._root)
+        # seed the prev file set AT the start offset (one manifest read),
+        # then walk only (lo, hi] — a micro-batch costs O(batch versions)
+        # manifest reads, not O(table lifetime)
+        base = [v for v in all_versions if v <= lo]
+        prev: set[str] | None = (
+            set(
+                _resolve_files(
+                    self._root, _read_manifest(self._root, base[-1])
+                )
+            )
+            if base
+            else None
+        )
+        for v in [v for v in all_versions if lo < v <= hi]:
             manifest = _read_manifest(self._root, v)
             files = _resolve_files(self._root, manifest)
-            if v > lo:
-                prev_set = set(prev or [])
-                added = [f for f in files if f not in prev_set]
-                removed = prev is not None and any(
-                    f not in set(files) for f in prev
+            fset = set(files)
+            added = [f for f in files if prev is None or f not in prev]
+            removed = prev is not None and not prev <= fset
+            if removed and not self._ignore_changes:
+                raise ValueError(
+                    f"version {v} of {self._root} rewrote data files "
+                    "(merge/delete/update/overwrite) — an append "
+                    "stream cannot represent it; set "
+                    "ignoreChanges=true to stream the added files "
+                    "anyway (carried rows may duplicate), or consume "
+                    "astro_spark.tt_changes_drain for the exact feed"
                 )
-                if removed and not self._ignore_changes:
-                    raise ValueError(
-                        f"version {v} of {self._root} rewrote data files "
-                        "(merge/delete/update/overwrite) — an append "
-                        "stream cannot represent it; set "
-                        "ignoreChanges=true to stream the added files "
-                        "anyway (carried rows may duplicate), or consume "
-                        "astro_spark.tt_changes_drain for the exact feed"
-                    )
-                out.extend(
-                    _FilePartition(f"{path}/{rel}", v) for rel in added
-                )
-            prev = files
+            out.extend(_FilePartition(f"{path}/{rel}", v) for rel in added)
+            prev = fset
         return out or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):

@@ -120,6 +120,12 @@ def main() -> None:
                     ).count(),
                     args.repeat,
                 )
+                # CDF cost must track CHURN (the 10 one-file appends),
+                # not total file count
+                changes_sec = timeit(
+                    lambda: a.tt_changes(spark, root, 0).count(),
+                    args.repeat,
+                )
                 a.tt_add_constraint(spark, root, "k_nonneg", "k >= 0")
                 append_checked_sec = timeit(
                     lambda: a.tt_append(
@@ -137,6 +143,7 @@ def main() -> None:
                     "history_sec": round(history_sec, 4),
                     "count_sec": round(count_sec, 4),
                     "skip_sec": round(skip_sec, 4),
+                    "changes_sec": round(changes_sec, 4),
                     "append_checked_sec": round(append_checked_sec, 4),
                 }
                 rows.append(row)
@@ -168,6 +175,11 @@ def main() -> None:
             "ckpt_skip_ratio": round(
                 base[(hi, "checkpoint")]["skip_sec"]
                 / base[(lo, "checkpoint")]["skip_sec"],
+                2,
+            ),
+            "ckpt_changes_ratio": round(
+                base[(hi, "checkpoint")]["changes_sec"]
+                / base[(lo, "checkpoint")]["changes_sec"],
                 2,
             ),
             "ckpt_append_checked_ratio": round(
