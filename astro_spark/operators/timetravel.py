@@ -1382,8 +1382,9 @@ def tt_changes(
     for v in [x for x in versions if from_version < x <= to_version]:
         cur_m = _read_manifest(spark, fs, HPath, root, v)
         cur_files, _ = _resolve(spark, fs, HPath, root, cur_m)
-        added = [f for f in cur_files if f not in set(prev_files)]
-        removed = [f for f in prev_files if f not in set(cur_files)]
+        prev_set, cur_set = set(prev_files), set(cur_files)
+        added = [f for f in cur_files if f not in prev_set]
+        removed = [f for f in prev_files if f not in cur_set]
         # read BOTH sides through the newer schema (the log owns it:
         # pre-evolution files read new columns as NULL), so the
         # multiset compare is well-typed across schema evolution
