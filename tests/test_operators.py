@@ -3488,3 +3488,74 @@ class TestDmlSql:
         )
         assert {r.k for r in both.collect()} == {6, 7, 8, 9}
         assert len(both.inputFiles()) < full_files
+
+    def test_concurrent_append_race_checkpointed_form(self, spark, tmp_path):
+        """The append retry re-BUILDS its manifest body against the
+        fresh head — under the checkpointed form that means re-deriving
+        the delta tail (and compacting if needed) against the rival's
+        state, not just bumping a number.  The rival's rows and ours
+        must both survive."""
+        from astro_spark.operators import timetravel as tt
+
+        spark.conf.set("spark.astro.tt.inlineFilesMax", "1")
+        try:
+            root = str(tmp_path / "ttrace")
+            a.tt_create(
+                spark,
+                spark.createDataFrame(
+                    [(1, 10), (2, 20)], "k long, v long"
+                ).repartitionByRange(2, "k"),
+                root,
+            )
+            # rival commits version 1 behind our back: a REAL append
+            # (its own data files + checkpoint-form manifest)
+            a.tt_append(
+                spark, spark.createDataFrame([(3, 30)], "k long, v long"), root
+            )
+            HPath, _p, fs = tt._fs(spark, root)
+            head, m1 = tt._head(spark, fs, HPath, root)
+            assert head == 1 and "base" in m1  # checkpoint form active
+            # now simulate OUR append losing the race for version 2:
+            # pre-publish a rival v2, then append — the retry loop must
+            # land on v3 with a body built against v2's state
+            rival_files, _ = tt._resolve(spark, fs, HPath, root, m1)
+            tt._publish(
+                spark, fs, HPath, root, 2,
+                {**tt._copy_body(m1), "op": "rival", "ts": 0.0,
+                 "schema": m1.get("schema")},
+            )
+            v = a.tt_append(
+                spark, spark.createDataFrame([(4, 40)], "k long, v long"), root
+            )
+            assert v == 3
+            got = {r.k for r in a.tt_read(spark, root).collect()}
+            assert got == {1, 2, 3, 4}
+            hist = {r.version: r.op for r in a.tt_history(spark, root).collect()}
+            assert hist[2] == "rival" and hist[3] == "append"
+        finally:
+            spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+    def test_change_feed_across_schema_evolution(self, spark, tmp_path):
+        """tt_changes across a merge_schema append: both sides of every
+        per-version multiset compare read through the NEWER schema, so
+        pre-evolution change rows surface with NULL in the new column
+        instead of erroring."""
+        root = str(tmp_path / "ttcdfevo")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10)], "k long, v long"), root
+        )
+        a.tt_append(
+            spark,
+            spark.createDataFrame([(2, 20, "x")], "k long, v long, s string"),
+            root,
+            merge_schema=True,
+        )
+        a.tt_delete_where(spark, root, "k = 1")
+        rows = {
+            (r.k, r.v, r.s, r._change_type, r._commit_version)
+            for r in a.tt_changes(spark, root, 0).collect()
+        }
+        assert rows == {
+            (2, 20, "x", "insert", 1),
+            (1, 10, None, "delete", 2),
+        }
