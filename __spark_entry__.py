@@ -1298,6 +1298,70 @@ SELECT 1, COUNT(*), SUM(k)::BIGINT FROM v1
 """
 
 
+def _op_tt_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (tt_clone, round 11): the clone references
+    the source's data files by absolute path (zero copied — the probe
+    asserts the clone owns no data files at v0), clone-side DML
+    copies-on-write locally, and the SOURCE is bit-identical after the
+    clone diverges — all three states value-checked relationally, with
+    the zero-copy claim folded in as a boolean."""
+    import os as _os
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    work = tempfile.mkdtemp(prefix="astro_ttclone_")
+    src, dst = work + "/src", work + "/dst"
+    a.tt_create(spark, nation.repartitionByRange(3, "k"), src)
+    a.tt_clone(spark, src, dst)
+    zero_copy = not _os.path.isdir(f"{dst}/files")
+    a.tt_delete_where(spark, dst, "r = 3")
+    a.tt_merge(
+        spark,
+        nation.where("r = 0").select("k", (F.col("r") + 40).alias("r")),
+        dst,
+        ["k"],
+    )
+    out = None
+    for name, df in (
+        ("source_head", a.tt_read(spark, src)),
+        ("clone_v0", a.tt_read(spark, dst, 0)),
+        ("clone_head", a.tt_read(spark, dst)),
+    ):
+        agg = df.agg(
+            F.lit(name).alias("state"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.sum("r").alias("sum_r"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(bool(zero_copy),)], "zero_copy boolean")
+        )
+    ).select("state", "n_rows", "sum_k", "sum_r", "zero_copy")
+
+
+_OP_TT_CLONE_DUCK = """
+WITH v0 AS (SELECT n_nationkey::BIGINT AS k, n_regionkey::BIGINT AS r
+            FROM nation),
+clone_head AS (
+  SELECT k, CASE WHEN r = 0 THEN r + 40 ELSE r END AS r
+  FROM v0 WHERE r <> 3
+)
+SELECT 'source_head' AS state, COUNT(*)::BIGINT AS n_rows,
+       SUM(k)::BIGINT AS sum_k, SUM(r)::BIGINT AS sum_r,
+       TRUE AS zero_copy FROM v0
+UNION ALL
+SELECT 'clone_v0', COUNT(*), SUM(k)::BIGINT, SUM(r)::BIGINT, TRUE FROM v0
+UNION ALL
+SELECT 'clone_head', COUNT(*), SUM(k)::BIGINT, SUM(r)::BIGINT, TRUE
+FROM clone_head
+"""
+
+
 def _op_tt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel READ SQL (VERDICT r10 missing #4): the Delta syntax
     users write daily — ``SELECT ... FROM '<root>' VERSION AS OF n``
@@ -6610,6 +6674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tt_cdf": _op_tt_cdf,
             "st_tt_source": _st_tt_source,
             "op_tt_datasource": _op_tt_datasource,
+            "op_tt_clone": _op_tt_clone,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_merge_exception": _op_merge_exception,
@@ -6822,6 +6887,7 @@ _DRIVER_PRIORITY = [
     "op_tt_cdf",
     "st_tt_source",
     "op_tt_datasource",
+    "op_tt_clone",
     # the full r06-stale cohort (latest driver row r06; 38 entries)
     "q_recursive_paths",
     "q_recursive_spine",
@@ -6979,6 +7045,7 @@ def oracle_sql() -> dict[str, str]:
             "op_tt_cdf": _OP_TT_CDF_DUCK,
             "st_tt_source": _ST_TT_SOURCE_DUCK,
             "op_tt_datasource": _OP_TT_DATASOURCE_DUCK,
+            "op_tt_clone": _OP_TT_CLONE_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
             "op_scd2": """
 WITH c AS (

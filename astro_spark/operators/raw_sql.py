@@ -44,6 +44,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         ALTER TABLE '<root>' DROP CONSTRAINT <name>
         OPTIMIZE '<root>' [ZORDER BY (c1, c2, ...)]
         VACUUM '<root>' [RETAIN <n> VERSIONS]
+        CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF <n>]
 
     The quoted path form targets this engine's versioned roots; bare
     table identifiers fall through to ``spark.sql`` untouched (a real
@@ -151,6 +152,21 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 for c in m.group(2).split(",")
             ]
         v = tt_optimize(spark, m.group(1), zorder_by=zcols)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*create\s+table\s+'([^']+)'\s+shallow\s+clone\s+"
+        r"'([^']+)'(?:\s+version\s+as\s+of\s+(\d+))?\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from .timetravel import tt_clone
+
+        v = tt_clone(
+            spark,
+            m.group(2),
+            m.group(1),
+            int(m.group(3)) if m.group(3) else None,
+        )
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*vacuum\s+'([^']+)'"

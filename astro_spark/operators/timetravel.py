@@ -89,6 +89,18 @@ def _manifest_name(version: int) -> str:
     return f"v{version:0{_PAD}d}.json"
 
 
+def _is_external(entry: str) -> bool:
+    """Manifest file entries are root-relative (``files/<uuid>/...``)
+    EXCEPT for shallow-clone references, which are absolute paths/URIs
+    into another table's root.  External entries are readable but never
+    vacuum-deleted (they belong to the source table)."""
+    return entry.startswith("/") or "://" in entry
+
+
+def _abs(root: str, entry: str) -> str:
+    return entry if _is_external(entry) else f"{root.rstrip('/')}/{entry}"
+
+
 def _list_versions(fs, HPath, root: str) -> list[int]:
     log = HPath(f"{root}/{_LOG}")
     if not fs.exists(log):
@@ -189,7 +201,7 @@ def _file_stats(
 
     if not files or not stats_cols:
         return {}
-    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    df = spark.read.parquet(*[_abs(root, f) for f in files])
     for c in stats_cols:
         t = df.schema[c].dataType.simpleString()
         if t not in _STATS_TYPES and not t.startswith("decimal"):
@@ -210,7 +222,7 @@ def _file_stats(
     def _norm(u: str) -> str:
         return u.removeprefix("file:").lstrip("/")
 
-    by_norm = {_norm(f"{root.rstrip('/')}/{f}"): f for f in files}
+    by_norm = {_norm(_abs(root, f)): f for f in files}
     out: dict = {}
     for r in rows:
         rel = by_norm.get(_norm(r["__f"]))
@@ -671,7 +683,7 @@ def tt_commit_files(
     HPath, _p, fs = _fs(spark, root)
     if not new_files:
         raise ValueError("tt_commit_files: no files to commit")
-    df = spark.read.parquet(*[f"{root}/{f}" for f in new_files])
+    df = spark.read.parquet(*[_abs(root, f) for f in new_files])
     versions = _list_versions(fs, HPath, root)
     if not versions:
         manifest = {
@@ -962,7 +974,7 @@ def tt_read(
         return _finish(spark.createDataFrame(
             [], StructType.fromJson(json.loads(schema_json))
         ))
-    paths = [f"{root}/{f}" for f in files]
+    paths = [_abs(root, f) for f in files]
     if schema_json is None:  # pre-schema-log manifest: footer schema
         return _finish(spark.read.parquet(*paths))
     from pyspark.sql.types import StructType
@@ -1031,7 +1043,7 @@ def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
         files, _stats = _resolve(spark, fs, HPath, root, manifest)
     else:
         files = manifest.get("files") or []
-    paths = [f"{root}/{f}" for f in files]
+    paths = [_abs(root, f) for f in files]
     if manifest.get("schema") is None:
         return spark.read.parquet(*paths)
     from pyspark.sql.types import StructType
@@ -1053,7 +1065,7 @@ def _touched_relative(
 ) -> list[str]:
     """Map a DISTINCT input_file_name() relation back to root-relative
     manifest paths.  Bounded collect: at most len(files) rows."""
-    abs_by_rel = {f: f"{root.rstrip('/')}/{f}" for f in files}
+    abs_by_rel = {f: _abs(root, f) for f in files}
     hit = {r[0] for r in flagged.limit(len(files) + 1).collect()}
 
     def _norm(u: str) -> str:
@@ -1347,6 +1359,59 @@ def tt_diff(
     )
 
 
+def tt_clone(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
+    """Delta ``SHALLOW CLONE``: create ``dst_root`` as version 0
+    REFERENCING the source version's data files by absolute path —
+    zero bytes copied, instant dev/test sandboxes over any-size tables.
+    Reads serve the source's files through the clone's own log; every
+    WRITE to the clone copies-on-write into the clone's ``files/``
+    (append adds local files; merge/delete/update rewrite only touched
+    files locally and drop their external refs), so the source is
+    never modified; ``tt_vacuum`` on the clone never deletes external
+    refs (the source owns them).  Constraints, skipping stats and the
+    schema carry over.  Hazard shared with Delta's shallow clone: a
+    later VACUUM on the SOURCE can delete files the clone still
+    references — deep-copy (``tt_create`` from ``tt_read``) when the
+    source's retention isn't under your control."""
+    if not _is_external(_abs(src_root, "files")):
+        raise ValueError(
+            f"tt_clone: src_root must be an absolute path or URI, got "
+            f"{src_root!r}"
+        )
+    HPath, _p, fs = _fs(spark, src_root)
+    versions = _list_versions(fs, HPath, src_root)
+    if not versions:
+        raise AstroSparkError(f"no versioned table at {src_root}")
+    version = versions[-1] if version is None else version
+    if version not in versions:
+        raise AstroSparkError(f"version {version} not found in {src_root}")
+    m = _read_manifest(spark, fs, HPath, src_root, version)
+    files, stats = _resolve(spark, fs, HPath, src_root, m)
+    abs_files = [_abs(src_root, f) for f in files]
+    abs_stats = {_abs(src_root, f): s for f, s in stats.items()}
+    dHPath, _dp, dfs = _fs(spark, dst_root)
+    if _list_versions(dfs, dHPath, dst_root):
+        raise AstroSparkError(f"versioned table already exists at {dst_root}")
+    manifest = {
+        **_body_full(spark, dfs, dHPath, dst_root, abs_files, abs_stats),
+        "op": f"clone({src_root}@v{version})",
+        "ts": time.time(),
+    }
+    if m.get("schema") is not None:
+        manifest["schema"] = m["schema"]
+    if m.get("constraints") is not None:
+        manifest["constraints"] = m["constraints"]
+    if m.get("stats_cols") is not None:
+        manifest["stats_cols"] = m["stats_cols"]
+    _publish(spark, dfs, dHPath, dst_root, 0, manifest)
+    return 0
+
+
 def tt_changes(
     spark: SparkSession,
     root: str,
@@ -1500,6 +1565,8 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
         m = _read_manifest(spark, fs, HPath, root, v)
         fl, _st = _resolve(spark, fs, HPath, root, m)
         for f in fl:
+            if _is_external(f):
+                continue  # shallow-clone ref: the SOURCE table owns it
             if f not in live and fs.exists(HPath(f"{root}/{f}")):
                 fs.delete(HPath(f"{root}/{f}"), False)
                 deleted += 1

@@ -60,6 +60,12 @@ _LOG = "_log"
 _PAD = 8
 
 
+def _abs_entry(path: str, rel: str) -> str:
+    """Shallow-clone manifest entries are absolute paths/URIs into the
+    source table's root; everything else is root-relative."""
+    return rel if (rel.startswith("/") or "://" in rel) else f"{path}/{rel}"
+
+
 def _fs_of(root: str):
     from pyarrow import fs as pafs
 
@@ -259,7 +265,8 @@ class _TTBatchReader(DataSourceReader):
             files = [rel for rel in files if _keep(rel)]
         _f, path = _fs_of(self._root)
         return [
-            _FilePartition(f"{path}/{rel}", self._version) for rel in files
+            _FilePartition(_abs_entry(path, rel), self._version)
+            for rel in files
         ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
@@ -336,7 +343,9 @@ class _TTStreamReader(DataSourceStreamReader):
                     "anyway (carried rows may duplicate), or consume "
                     "astro_spark.tt_changes_drain for the exact feed"
                 )
-            out.extend(_FilePartition(f"{path}/{rel}", v) for rel in added)
+            out.extend(
+                _FilePartition(_abs_entry(path, rel), v) for rel in added
+            )
             prev = fset
         return out or [_FilePartition("")]
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "op_tt_cdf",
     "st_tt_source",
     "op_tt_datasource",
+    "op_tt_clone",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

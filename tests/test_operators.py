@@ -3559,3 +3559,88 @@ class TestDmlSql:
             (2, 20, "x", "insert", 1),
             (1, 10, None, "delete", 2),
         }
+
+    def test_shallow_clone_cow_divergence(self, spark, tmp_path):
+        """tt_clone: zero-copy clone referencing the source's files;
+        writes to the clone copy-on-write locally and NEVER touch the
+        source; vacuum on the clone never deletes external refs; time
+        travel, constraints and skipping stats all carry."""
+        import os
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "k long, v long"
+            ).repartitionByRange(4, "k"),
+            src,
+            stats_cols=["k"],
+        )
+        a.tt_add_constraint(spark, src, "v_pos", "v >= 0")
+        assert a.tt_clone(spark, src, dst) == 0
+        # zero data copied: the clone has no data files of its own yet
+        assert not os.path.isdir(f"{dst}/files")
+        assert {r.k for r in a.tt_read(spark, dst).collect()} == set(range(8))
+        # skipping stats carried (absolute-keyed)
+        pruned = a.tt_read(spark, dst, where="k BETWEEN 6 AND 7")
+        assert len(pruned.inputFiles()) < 4
+        # constraint carried
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        with pytest.raises(ConstraintViolationError):
+            a.tt_append(
+                spark, spark.createDataFrame([(9, -1)], "k long, v long"), dst
+            )
+        # COW divergence: clone-side DML rewrites locally, source intact
+        a.tt_delete_where(spark, dst, "k < 2")
+        a.tt_merge(
+            spark, spark.createDataFrame([(7, 777)], "k long, v long"),
+            dst, ["k"],
+        )
+        assert {r.k for r in a.tt_read(spark, dst).collect()} == set(range(2, 8))
+        assert {
+            r.v for r in a.tt_read(spark, dst).where("k = 7").collect()
+        } == {777}
+        assert {r.k for r in a.tt_read(spark, src).collect()} == set(range(8))
+        assert {
+            r.v for r in a.tt_read(spark, src).where("k = 7").collect()
+        } == {70}
+        # clone's own history time-travels
+        assert a.tt_read(spark, dst, 0).count() == 8
+        # vacuum on the clone deletes only LOCAL dead files
+        src_files_before = set()
+        for dirpath, _dirs, names in os.walk(f"{src}/files"):
+            src_files_before |= {f"{dirpath}/{n}" for n in names}
+        a.tt_vacuum(spark, dst, keep_last=1)
+        src_files_after = set()
+        for dirpath, _dirs, names in os.walk(f"{src}/files"):
+            src_files_after |= {f"{dirpath}/{n}" for n in names}
+        assert src_files_before == src_files_after
+        assert {r.k for r in a.tt_read(spark, dst).collect()} == set(range(2, 8))
+        # the format path reads clones too (absolute entries)
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        got = (
+            spark.read.format("versioned_parquet").option("path", dst).load()
+        )
+        assert {r.k for r in got.collect()} == set(range(2, 8))
+
+    def test_shallow_clone_sql(self, spark, tmp_path):
+        src = str(tmp_path / "clsrc")
+        dst = str(tmp_path / "cldst")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            src,
+        )
+        a.tt_append(
+            spark, spark.createDataFrame([(3, 30)], "k long, v long"), src
+        )
+        got = a.run_raw_sql(
+            spark,
+            f"CREATE TABLE '{dst}' SHALLOW CLONE '{src}' VERSION AS OF 0",
+            results_format="list",
+        )
+        assert got[0].committed_version == 0
+        assert a.tt_read(spark, dst).count() == 2  # cloned v0, not head
