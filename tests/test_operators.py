@@ -3644,3 +3644,36 @@ class TestDmlSql:
         )
         assert got[0].committed_version == 0
         assert a.tt_read(spark, dst).count() == 2  # cloned v0, not head
+
+    def test_shallow_clone_checkpointed_source(self, spark, tmp_path):
+        """Cloning a checkpoint-form source: the clone's v0 itself goes
+        checkpoint-form (absolute entries in the parquet snapshot) and
+        resolves through both the native reader and the data source."""
+        spark.conf.set("spark.astro.tt.inlineFilesMax", "3")
+        try:
+            src = str(tmp_path / "cksrc")
+            dst = str(tmp_path / "ckdst")
+            a.tt_create(
+                spark,
+                spark.createDataFrame(
+                    [(i, i) for i in range(12)], "k long, v long"
+                ).repartitionByRange(6, "k"),
+                src,
+                stats_cols=["k"],
+            )
+            import json as _json
+
+            m0 = _json.load(open(f"{src}/_log/v00000000.json"))
+            assert "base" in m0  # source is checkpoint-form
+            a.tt_clone(spark, src, dst)
+            md = _json.load(open(f"{dst}/_log/v00000000.json"))
+            assert "base" in md  # and so is the clone
+            assert {r.k for r in a.tt_read(spark, dst).collect()} == set(range(12))
+            # skipping still prunes through the absolute-keyed stats
+            pruned = a.tt_read(spark, dst, where="k BETWEEN 10 AND 11")
+            assert len(pruned.inputFiles()) < 6
+            a.tt_delete_where(spark, dst, "k = 0")
+            assert a.tt_read(spark, dst).count() == 11
+            assert a.tt_read(spark, src).count() == 12
+        finally:
+            spark.conf.unset("spark.astro.tt.inlineFilesMax")
