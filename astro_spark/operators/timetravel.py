@@ -951,10 +951,16 @@ def tt_read(
                 rng = st.get(col)
                 if rng is None or rng[0] is None or rng[1] is None:
                     continue  # no/NULL-only stats: can't prove skippable
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
-                    return False
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                except TypeError:
+                    # cross-type bound (e.g. a string literal against
+                    # numeric stats, where SQL would cast): can't prove
+                    # skippable — keep the file, the .where stays exact
+                    continue
             return True
 
         files = [f for f in files if _keep(f)]

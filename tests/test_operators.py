@@ -3677,3 +3677,45 @@ class TestDmlSql:
             assert a.tt_read(spark, src).count() == 12
         finally:
             spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+    def test_where_read_equivalence_battery(self, spark, tmp_path):
+        """Soundness battery for tt_read(where=): for every predicate
+        shape — sargable, partially sargable, OR'd, negated,
+        cross-typed, unparseable — the result must equal the plain
+        filter row-for-row (skipping may prune files, never rows)."""
+        root = str(tmp_path / "ttwb")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10, chr(97 + i % 5)) for i in range(16)],
+                "k long, v long, s string",
+            ).repartitionByRange(8, "k"),
+            root,
+            stats_cols=["k", "s"],
+        )
+        plain = a.tt_read(spark, root)
+        for pred in [
+            "k >= 5",
+            "k > 5",
+            "k <= 5",
+            "k < 5",
+            "k = 5",
+            "k BETWEEN 2 AND 5",
+            "k >= 2 AND k <= 5 AND v >= 0",
+            "k = 2 OR v = 30",
+            "v % 2 = 0",
+            "NOT (k < 5)",
+            "k >= '3'",          # cross-type: SQL casts, skipping must not crash
+            "s = 'c'",
+            "s BETWEEN 'b' AND 'd' AND k < 100",
+            "k IN (1, 5, 9)",    # unparseable by the bounds grammar: exact anyway
+            "upper(s) = 'A'",
+        ]:
+            want = sorted(
+                (r.k, r.v, r.s) for r in plain.where(pred).collect()
+            )
+            got = sorted(
+                (r.k, r.v, r.s)
+                for r in a.tt_read(spark, root, where=pred).collect()
+            )
+            assert got == want, pred
