@@ -70,6 +70,24 @@ def load_file(
     if isinstance(output_table, VersionedTable):
         # the reference's CTAS USING DELTA shape: loading into a
         # versioned root commits a version instead of replacing files
+        ignored = [
+            n
+            for n, v in (
+                ("partition_by", partition_by),
+                ("bucket_by", bucket_by),
+                ("cluster_by", cluster_by),
+                ("zorder_by", zorder_by),
+                ("target_file_mb", target_file_mb),
+            )
+            if v
+        ]
+        if ignored:
+            raise ValueError(
+                f"load_file: {', '.join(ignored)} do not apply to a "
+                "VersionedTable target — the log addresses explicit file "
+                "lists, not a Hive layout; use tt_optimize(zorder_by=) "
+                "for clustering after the load"
+            )
         from .timetravel import save_dataframe_versioned
 
         save_dataframe_versioned(spark, df, output_table, if_exists=if_exists)

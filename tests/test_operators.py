@@ -3719,3 +3719,27 @@ class TestDmlSql:
                 for r in a.tt_read(spark, root, where=pred).collect()
             )
             assert got == want, pred
+
+    def test_versioned_target_rejects_layout_args(self, spark, sf_dir, tmp_path):
+        with pytest.raises(ValueError, match="do not apply"):
+            a.load_file(
+                spark,
+                f"{sf_dir}/nation.parquet",
+                output_table=a.VersionedTable(str(tmp_path / "vt")),
+                partition_by=["n_regionkey"],
+            )
+
+    def test_clone_of_clone_chains(self, spark, tmp_path):
+        """Clone-of-clone: absolute entries carry verbatim, every layer
+        diverges independently, sources never change."""
+        r1, r2, r3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 1), (2, 2)], "k long, v long"), r1
+        )
+        a.tt_clone(spark, r1, r2)
+        a.tt_append(spark, spark.createDataFrame([(3, 3)], "k long, v long"), r2)
+        a.tt_clone(spark, r2, r3)
+        a.tt_delete_where(spark, r3, "k = 1")
+        assert a.tt_read(spark, r1).count() == 2
+        assert a.tt_read(spark, r2).count() == 3
+        assert {r.k for r in a.tt_read(spark, r3).collect()} == {2, 3}
