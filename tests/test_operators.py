@@ -3743,3 +3743,40 @@ class TestDmlSql:
         assert a.tt_read(spark, r1).count() == 2
         assert a.tt_read(spark, r2).count() == 3
         assert {r.k for r in a.tt_read(spark, r3).collect()} == {2, 3}
+
+    def test_commit_files_direct(self, spark, tmp_path):
+        """tt_commit_files (the Data Source writer's commit half) used
+        directly: externally-written parquet under files/ publishes as
+        create/append/overwrite with full log semantics."""
+        import uuid as _uuid
+
+        from astro_spark.operators.timetravel import tt_commit_files
+
+        root = str(tmp_path / "ttcf")
+
+        def stage(rows):
+            rel_dir = f"files/{_uuid.uuid4().hex}"
+            spark.createDataFrame(rows, "k long, v long").coalesce(1) \
+                .write.parquet(f"{root}/{rel_dir}")
+            import os
+
+            return [
+                f"{rel_dir}/{n}"
+                for n in os.listdir(f"{root}/{rel_dir}")
+                if n.endswith(".parquet")
+            ]
+
+        assert tt_commit_files(spark, root, stage([(1, 10)]), "append") == 0
+        assert tt_commit_files(spark, root, stage([(2, 20)]), "append") == 1
+        assert a.tt_read(spark, root).count() == 2
+        a.tt_add_constraint(spark, root, "vp", "v > 0")
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        with pytest.raises(ConstraintViolationError):
+            tt_commit_files(spark, root, stage([(3, -3)]), "append")
+        assert tt_commit_files(spark, root, stage([(9, 90)]), "overwrite") == 3
+        assert a.tt_read(spark, root).count() == 1
+        with pytest.raises(ValueError, match="no files"):
+            tt_commit_files(spark, root, [], "append")
+        with pytest.raises(ValueError, match="invalid mode"):
+            tt_commit_files(spark, root, ["x"], "merge")

@@ -703,3 +703,26 @@ class TestVersionedParquetDataSource:
         ).write.mode("append").parquet(src_dir)
         drain()
         assert sorted(r.k for r in a.tt_read(spark, root).collect()) == [1, 2, 9]
+
+    def test_timestamp_as_of_option(self, spark, tmp_path):
+        import time as _time
+
+        import astro_spark as a
+
+        root = self._seed(spark, tmp_path)
+        mid = _time.time()
+        _time.sleep(0.05)
+        a.tt_append(
+            spark, spark.createDataFrame([(200, 2)], "k long, v long"), root
+        )
+        got = (
+            spark.read.format("versioned_parquet")
+            .option("path", root)
+            .option("timestampAsOf", str(mid))
+            .load()
+        )
+        assert got.count() == 7  # the pre-append snapshot
+        with pytest.raises(Exception, match="at most one"):
+            spark.read.format("versioned_parquet").option("path", root) \
+                .option("timestampAsOf", str(mid)) \
+                .option("versionAsOf", "0").load().count()
