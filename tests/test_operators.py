@@ -3780,3 +3780,39 @@ class TestDmlSql:
             tt_commit_files(spark, root, [], "append")
         with pytest.raises(ValueError, match="invalid mode"):
             tt_commit_files(spark, root, ["x"], "merge")
+
+    def test_maintenance_sql_negative_paths(self, spark, tmp_path):
+        """Front-door rejections stay loud: invalid retention,
+        injection-shaped identifiers in OPTIMIZE/CONSTRAINT, and a
+        nonexistent clone source."""
+        from astro_spark.exceptions import IllegalIdentifierError
+
+        root = str(tmp_path / "ttneg")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 1)], "k long, v long"), root
+        )
+        with pytest.raises(ValueError, match="keep_last"):
+            a.run_raw_sql(spark, f"VACUUM '{root}' RETAIN 0 VERSIONS")
+        with pytest.raises(IllegalIdentifierError):
+            a.run_raw_sql(
+                spark, f"OPTIMIZE '{root}' ZORDER BY (k; DROP TABLE x)"
+            )
+        # a constraint name outside the grammar's token shape misses the
+        # route entirely -> verbatim spark.sql surfaces its own parse
+        # error; either way nothing executes
+        from pyspark.errors.exceptions.captured import ParseException
+
+        with pytest.raises((IllegalIdentifierError, ParseException)):
+            a.run_raw_sql(
+                spark,
+                f"ALTER TABLE '{root}' ADD CONSTRAINT `a;b` CHECK (v > 0)",
+            )
+        with pytest.raises(Exception, match="no versioned table"):
+            a.run_raw_sql(
+                spark,
+                f"CREATE TABLE '{root}_x' SHALLOW CLONE "
+                f"'{tmp_path}/does_not_exist'",
+            )
+        # the table is untouched by every rejected statement
+        assert a.tt_history(spark, root).count() == 1
+        assert a.tt_read(spark, root).count() == 1
