@@ -88,9 +88,15 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         from .timetravel import tt_append, tt_overwrite, tt_read
 
         src_sql = m.group(3)
-        if "as of" in src_sql.lower():
-            src_sql = _rewrite_timetravel_reads(spark, src_sql)
-        df = spark.sql(src_sql)
+        tt_views: list[str] = []
+        if _needs_tt_rewrite(src_sql):
+            src_sql, tt_views = _rewrite_timetravel_reads(spark, src_sql)
+        try:
+            df = spark.sql(src_sql)
+        finally:
+            # analysis already inlined the views' plans into df
+            for vn in tt_views:
+                spark.catalog.dropTempView(vn)
         # SQL INSERT is POSITIONAL: align the source to the table schema
         # by position with casts (a VALUES source arrives as col1/col2)
         tgt = tt_read(spark, m.group(2)).schema
@@ -183,9 +189,67 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
 
 
 _TT_READ_RE = None
+_TT_HEAD_RE = None
 
 
-def _rewrite_timetravel_reads(spark: SparkSession, stmt: str) -> str:
+def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
+    """Rewrite bare identifiers registered via ``tt_register`` into the
+    quoted-root form all routed Delta SQL shapes already speak — the
+    reference's Delta surface is NAME-addressed (CTAS ``USING DELTA``
+    into ``schema.table``, reference ``databases/databricks/
+    delta.py:168-187``; MERGE on names ``:357-442``), so a reference
+    user's statement text works verbatim once the name is registered.
+    Identifiers inside single/double-quoted strings and backticks are
+    never touched; unregistered names fall through to ``spark.sql``
+    (a real catalog handles them)."""
+    import re
+
+    from .timetravel import tt_registered
+
+    reg = tt_registered(spark)
+    if not reg:
+        return stmt
+    names = sorted(reg, key=len, reverse=True)  # db.t before t
+    pat = re.compile(
+        r"(?i)(?<![\w.$])("
+        + "|".join(re.escape(n) for n in names)
+        + r")(?![\w.$])"
+    )
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"`":
+            j = stmt.find(ch, i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            continue
+        m = pat.match(stmt, i)
+        if m:
+            out.append(f"'{reg[m.group(1).lower()]}'")
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _needs_tt_rewrite(stmt: str) -> bool:
+    """Cheap pre-gate for ``_rewrite_timetravel_reads``: AS-OF text or a
+    quoted path in FROM/JOIN position (a head read of a versioned
+    root — plain Spark SQL has no such form, so intercepting is safe)."""
+    import re
+
+    global _TT_HEAD_RE
+    if _TT_HEAD_RE is None:
+        _TT_HEAD_RE = re.compile(r"(?is)\b(from|join)\s+'([^']+)'")
+    return "as of" in stmt.lower() or _TT_HEAD_RE.search(stmt) is not None
+
+
+def _rewrite_timetravel_reads(
+    spark: SparkSession, stmt: str
+) -> tuple[str, list[str]]:
     """Rewrite Delta's daily-driver time-travel READ syntax inside any
     statement (VERDICT r10 missing #4)::
 
@@ -199,7 +263,13 @@ def _rewrite_timetravel_reads(spark: SparkSession, stmt: str) -> str:
     versioned roots are left untouched (the statement falls through to
     ``spark.sql`` verbatim).  ISO timestamp strings without an offset
     are interpreted in session-local time, numerics as unix epoch
-    seconds (the manifest's commit clock)."""
+    seconds (the manifest's commit clock).
+
+    Returns ``(rewritten_stmt, created_view_names)`` — the caller MUST
+    drop the views (``spark.catalog.dropTempView``) once ``spark.sql``
+    has analyzed the statement (analysis inlines the view's plan, so
+    the returned DataFrame survives the drop); otherwise long-lived
+    sessions accumulate views, each pinning a resolved file list."""
     global _TT_READ_RE
     import re
     import uuid as _uuid
@@ -211,6 +281,8 @@ def _rewrite_timetravel_reads(spark: SparkSession, stmt: str) -> str:
         )
 
     from .timetravel import _fs, _list_versions, tt_read
+
+    created: list[str] = []
 
     def _sub(m: "re.Match[str]") -> str:
         root, kind, val = m.group(1), m.group(2).lower(), m.group(3)
@@ -234,9 +306,38 @@ def _rewrite_timetravel_reads(spark: SparkSession, stmt: str) -> str:
             df = tt_read(spark, root, as_of_ts=ts)
         name = f"__tt_read_{_uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(name)
+        created.append(name)
         return name
 
-    return _TT_READ_RE.sub(_sub, stmt)
+    stmt = _TT_READ_RE.sub(_sub, stmt)
+
+    # Head reads: FROM/JOIN '<versioned-root>' with no AS OF clause
+    # resolves to the current snapshot (Delta's ``delta.`path```
+    # daily-driver; also what a tt_register'd bare name becomes after
+    # substitution).  AS-OF references were consumed above, so any
+    # quoted path left standing either isn't versioned (untouched —
+    # spark.sql surfaces its own error) or is a head read.
+    global _TT_HEAD_RE
+    if _TT_HEAD_RE is None:
+        import re as _re
+
+        _TT_HEAD_RE = _re.compile(r"(?is)\b(from|join)\s+'([^']+)'")
+
+    def _head_sub(m: "re.Match[str]") -> str:
+        kw, root = m.group(1), m.group(2)
+        try:
+            HPath, _p, fs = _fs(spark, root)
+            if not _list_versions(fs, HPath, root):
+                return m.group(0)
+        except Exception:
+            return m.group(0)
+        df = tt_read(spark, root)
+        name = f"__tt_read_{_uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(name)
+        created.append(name)
+        return f"{kw} {name}"
+
+    return _TT_HEAD_RE.sub(_head_sub, stmt), created
 
 
 def _split_top_level(txt: str, sep: str = ",") -> list[str]:
@@ -487,6 +588,9 @@ def run_raw_sql(
         for q in query_modifier.pre_queries:
             spark.sql(q)
     rendered = render_sql(sql, parameters or {})
+    # tt_register'd names become quoted versioned roots BEFORE any
+    # routing, so every Delta SQL shape accepts bare identifiers
+    rendered = _substitute_registered_names(spark, rendered)
 
     def _finish(result: Any) -> Any:
         # post-queries run AFTER the result is materialized (Spark plans
@@ -534,9 +638,16 @@ def run_raw_sql(
     if tt is not None:
         df = tt
     else:
-        if "as of" in rendered.lower():
-            rendered = _rewrite_timetravel_reads(spark, rendered)
-        df = spark.sql(rendered)
+        tt_views: list[str] = []
+        if _needs_tt_rewrite(rendered):
+            rendered, tt_views = _rewrite_timetravel_reads(spark, rendered)
+        try:
+            df = spark.sql(rendered)
+        finally:
+            # analysis already inlined the views' plans into df — drop
+            # them even on failure so long-lived sessions don't leak
+            for vn in tt_views:
+                spark.catalog.dropTempView(vn)
 
     if fail_on_empty and df.isEmpty():
         raise ValueError("run_raw_sql(fail_on_empty=True): query returned no rows")

@@ -1165,9 +1165,19 @@ def tt_update_where(
     touched_df = _read_files(
         spark, root, {"files": touched, "schema": manifest.get("schema")}
     )
+    # Cast each assignment back to the EXISTING column type (Delta's
+    # store-assignment policy): a widening expression (``SET r = r / 2``
+    # on a long column) would otherwise make when/otherwise coerce the
+    # whole column to double, publishing files whose physical type
+    # contradicts the log-owned schema — unreadable until tt_restore.
     rewritten = touched_df.select(
         *[
-            F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
+            F.when(
+                cond,
+                F.expr(set_map[c]).cast(touched_df.schema[c].dataType),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
             if c in set_map
             else F.col(c)
             for c in touched_df.columns
@@ -1555,8 +1565,6 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
-    if not drop:
-        return 0
     live: set[str] = set()
     live_refs: set[str] = set()
     for v in keep:
@@ -1583,4 +1591,105 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     for ref in dead_refs:
         if fs.exists(HPath(f"{root}/{ref}")):
             fs.delete(HPath(f"{root}/{ref}"), False)
+    # ORPHANED checkpoints: a commit retry that lost its optimistic-
+    # concurrency race (or an abandoned tail compaction) writes a
+    # _log/ckpt-*.parquet that no manifest ever references — on
+    # contended tables those full-snapshot files leak indefinitely.
+    # After this vacuum only `keep` manifests survive, so any ckpt not
+    # in their base refs is dead.  A brief grace window protects a
+    # checkpoint written by an IN-FLIGHT commit whose manifest hasn't
+    # published yet (Delta's VACUUM retention serves the same purpose);
+    # tests may set spark.astro.tt.vacuumCkptGraceSec=0.
+    try:
+        grace_s = float(
+            spark.conf.get("spark.astro.tt.vacuumCkptGraceSec", "600")
+        )
+    except Exception:  # pragma: no cover - exotic conf backend
+        grace_s = 600.0
+    now_ms = (
+        spark._jvm.java.lang.System.currentTimeMillis()
+    )  # FS clock, not driver clock
+    log = HPath(f"{root}/{_LOG}")
+    if fs.exists(log):
+        for st in fs.listStatus(log):
+            name = st.getPath().getName()
+            if not (name.startswith("ckpt-") and name.endswith(".parquet")):
+                continue
+            ref = f"{_LOG}/{name}"
+            if ref in live_refs:
+                continue
+            if now_ms - st.getModificationTime() < grace_s * 1000.0:
+                continue  # possibly an in-flight commit's checkpoint
+            fs.delete(st.getPath(), False)
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Name registry: catalog-style identifiers for versioned roots
+# ---------------------------------------------------------------------------
+#
+# The reference's Delta surface is NAME-addressed: CTAS `USING DELTA`
+# into `schema.table` (databases/databricks/delta.py:168-187) and MERGE
+# on names (:357-442).  This engine's versioned tables are PATH-
+# addressed (any Hadoop FS root).  The registry bridges the two: a
+# session-scoped mapping `db.table -> root` lets every routed Delta SQL
+# shape (`run_raw_sql`) accept bare identifiers — the statement text a
+# reference user already writes — by substituting the quoted-root form
+# before routing.  Session-scoped on purpose: a real metastore owns
+# durable name->location mappings; this is the in-session equivalent of
+# `CREATE TEMPORARY VIEW`, with no hidden persistent state.
+
+import weakref as _weakref
+
+_NAME_REGISTRY: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _validate_table_name(name: str) -> str:
+    """Normalize + validate a 1- or 2-part dotted identifier (Spark
+    identifiers are case-insensitive -> registry keys are lowercase)."""
+    from ..table import validate_identifier
+
+    parts = [p.strip().strip("`") for p in name.strip().split(".")]
+    if not 1 <= len(parts) <= 2 or not all(parts):
+        raise AstroSparkError(
+            f"tt_register: expected `table` or `db.table`, got {name!r}"
+        )
+    return ".".join(validate_identifier(p).lower() for p in parts)
+
+
+def tt_register(spark: SparkSession, name: str, root: str) -> None:
+    """Register ``name`` (``table`` or ``db.table``) as a session alias
+    for the versioned root at ``root``.  Afterwards every routed Delta
+    SQL shape in ``run_raw_sql`` accepts the bare identifier::
+
+        tt_register(spark, "sales.orders", "/data/orders_v")
+        run_raw_sql(spark, "MERGE INTO sales.orders t USING src s ON ...")
+        run_raw_sql(spark, "SELECT * FROM sales.orders VERSION AS OF 3")
+        run_raw_sql(spark, "DESCRIBE HISTORY sales.orders")
+
+    The root need not exist yet (a registered name may be the DST of
+    ``CREATE TABLE name SHALLOW CLONE ...`` or an INSERT-create);
+    resolution errors surface at use, exactly as with quoted paths."""
+    _validate_table_name(name)  # reject junk early
+    _NAME_REGISTRY.setdefault(spark, {})[_validate_table_name(name)] = root
+
+
+def tt_unregister(spark: SparkSession, name: str) -> None:
+    """Drop a session name alias (no effect on the table's data)."""
+    _NAME_REGISTRY.get(spark, {}).pop(_validate_table_name(name), None)
+
+
+def tt_registered(spark: SparkSession) -> dict[str, str]:
+    """Snapshot of this session's ``name -> versioned root`` aliases."""
+    return dict(_NAME_REGISTRY.get(spark, {}))
+
+
+def tt_resolve_name(spark: SparkSession, name: str) -> str | None:
+    """The root ``name`` is registered to, or None (case-insensitive)."""
+    try:
+        key = _validate_table_name(name)
+    except Exception:
+        return None
+    return _NAME_REGISTRY.get(spark, {}).get(key)

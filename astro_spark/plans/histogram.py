@@ -61,9 +61,16 @@ def histogram_quantiles(
             )
         ),
     )
+    # Project(Range(n)) rather than createDataFrame: identical rows, but
+    # the plan PROVES the relation is |quantiles| rows, so the plan
+    # auditor can statically whitelist the broadcast fold (an
+    # RDDScanExec's row count is opaque to the physical tree).
+    qarr = F.array(*[F.lit(int(q)) for q in quantiles])
     qdf = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(q),) for q in quantiles], "quantile long"
+        df.sparkSession.range(len(quantiles)).select(
+            F.element_at(qarr, (F.col("id") + 1).cast("int"))
+            .cast("long")
+            .alias("quantile")
         )
     )
     return (

@@ -256,10 +256,16 @@ class _TTBatchReader(DataSourceReader):
                     rng = st.get(col)
                     if rng is None or rng[0] is None or rng[1] is None:
                         continue
-                    if (hi is not None and rng[0] > hi) or (
-                        lo is not None and rng[1] < lo
-                    ):
-                        return False
+                    try:
+                        # cross-type bounds (string literal vs numeric
+                        # stats from an older manifest) don't order —
+                        # keep the file, Spark re-applies the predicate
+                        if (hi is not None and rng[0] > hi) or (
+                            lo is not None and rng[1] < lo
+                        ):
+                            return False
+                    except TypeError:
+                        continue
                 return True
 
             files = [rel for rel in files if _keep(rel)]
@@ -319,6 +325,18 @@ class _TTStreamReader(DataSourceStreamReader):
         # then walk only (lo, hi] — a micro-batch costs O(batch versions)
         # manifest reads, not O(table lifetime)
         base = [v for v in all_versions if v <= lo]
+        if lo >= 0 and not base:
+            # the checkpointed offset version was vacuumed: seeding
+            # prev=None here would silently re-emit every file of the
+            # first surviving version as 'added' — a full replay
+            # indistinguishable from the intentional startingVersion=0
+            # path (lo == -1).  Fail loudly instead (Delta does too).
+            raise ValueError(
+                f"stream offset version {lo} of {self._root} has been "
+                "vacuumed — the source cannot compute the file delta; "
+                "restart the stream with a fresh checkpoint (optionally "
+                "startingVersion=<first surviving version>)"
+            )
         prev: set[str] | None = (
             set(
                 _resolve_files(
@@ -363,6 +381,286 @@ class _TTStreamReader(DataSourceStreamReader):
 class _TTWriteMessage(WriterCommitMessage):
     def __init__(self, files: list[str]):
         self.files = files
+
+
+# -- Spark-free log commit ---------------------------------------------------
+#
+# Spark runs a Python STREAMING sink's commit() in a detached runner
+# process with no JVM gateway: `SparkSession.builder.getOrCreate()`
+# there boots an ENTIRE fresh local JVM (~7-9 s per stream start,
+# measured) just to publish one manifest.  The rest of this data source
+# is already Spark-free (pyarrow manifests + Arrow decode), so the
+# commit gets the same treatment: validate + build + atomically publish
+# the manifest with pyarrow/os only, mirroring
+# ``timetravel.tt_commit_files`` field-for-field.  Conditions the
+# Arrow path can't honor (non-local root — no O_EXCL put-if-absent;
+# CHECK constraints — Spark SQL expressions; exotic stats types) raise
+# ``_ArrowCommitUnsupported`` BEFORE anything publishes and fall back
+# to the session path, so semantics never fork.
+
+_INLINE_MAX_DEFAULT = 1000  # timetravel's spark.astro.tt.inlineFilesMax
+
+
+class _ArrowCommitUnsupported(Exception):
+    """The Spark-free commit can't honor this table/root — fall back."""
+
+
+class _ArrowCommitRace(Exception):
+    """Another writer published the raced version (retry the head)."""
+
+
+def _local_root(root: str) -> str:
+    """Absolute local path of ``root``, or raise (the Arrow commit's
+    isolation story is os.O_EXCL put-if-absent — local/NFS only; other
+    filesystems take the session path)."""
+    if root.startswith("file://"):
+        root = root[len("file://"):]
+    if "://" in root:
+        raise _ArrowCommitUnsupported(f"non-local root {root!r}")
+    return os.path.abspath(root)
+
+
+def _atomic_publish_arrow(path: str, version: int, manifest: dict) -> None:
+    log_dir = f"{path}/{_LOG}"
+    os.makedirs(log_dir, exist_ok=True)
+    target = f"{log_dir}/v{version:0{_PAD}d}.json"
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise _ArrowCommitRace(
+            f"version {version} was committed by another writer"
+        ) from exc
+    with os.fdopen(fd, "wb") as fh:
+        fh.write(json.dumps(manifest).encode("utf-8"))
+
+
+def _files_schema_arrow(path: str, files: list[str]):
+    """Unified Spark StructType of the just-written files' footers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    merged = None
+    for rel in files:
+        s = pq.read_schema(f"{path}/{rel}")
+        merged = s if merged is None else pa.unify_schemas([merged, s])
+    return from_arrow_schema(merged)
+
+
+def _evolved_schema_arrow(prev_json: str | None, file_schema) -> str:
+    """``timetravel._evolved_schema`` with merge_schema=False, on a
+    footer-derived schema.  Any conflict defers to the session path —
+    the JVM raises the authoritative error (a footer round-trip can
+    disagree on e.g. timestamp NTZ-ness where the plan schema
+    wouldn't), and the error path may be slow."""
+    from pyspark.sql.types import StructType
+
+    if prev_json is None:
+        return json.dumps(file_schema.jsonValue())
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    for f in file_schema.fields:
+        if f.name not in by_name:
+            raise _ArrowCommitUnsupported(f"write adds column {f.name!r}")
+        if by_name[f.name].dataType != f.dataType:
+            raise _ArrowCommitUnsupported(f"type conflict on {f.name!r}")
+    return prev_json  # no evolution possible with merge_schema=False
+
+
+def _file_stats_arrow(
+    path: str, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file [min, max] of the stats columns — exact, computed from
+    a column-pruned Arrow read of the just-written (micro-batch-sized)
+    files; int/float/string only, mirroring ``timetravel._STATS_TYPES``
+    minus decimal (whose outward float-widening stays JVM-side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in files:
+        schema = pq.read_schema(f"{path}/{rel}")
+        present = [c for c in stats_cols if c in schema.names]
+        if not present:
+            continue  # absence is never evidence: reader keeps the file
+        for c in present:
+            t = schema.field(c).type
+            if not (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+            ):
+                raise _ArrowCommitUnsupported(f"stats col {c!r} type {t}")
+        table = pq.read_table(f"{path}/{rel}", columns=present)
+        entry = {}
+        for c in present:
+            mm = pc.min_max(table.column(c))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None or hi is None:
+                continue  # all-NULL column: no bound to record
+            entry[c] = [lo, hi]
+        if entry:
+            out[rel] = entry
+    return out
+
+
+def _write_checkpoint_arrow(path: str, files: list[str], stats: dict) -> str:
+    """``timetravel._write_checkpoint``'s exact layout, local-fs."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel = f"{_LOG}/ckpt-{_uuid.uuid4().hex}.parquet"
+    table = pa.table(
+        {
+            "file": pa.array(files, type=pa.string()),
+            "stats": pa.array(
+                [json.dumps(stats[f]) if f in stats else None for f in files],
+                type=pa.string(),
+            ),
+        }
+    )
+    os.makedirs(f"{path}/{_LOG}", exist_ok=True)
+    pq.write_table(table, f"{path}/{rel}")
+    return rel
+
+
+def _body_full_arrow(
+    path: str, files: list[str], stats: dict, inline_max: int
+) -> dict:
+    if len(files) <= inline_max:
+        body: dict = {"files": files, "n_files": len(files)}
+        if stats:
+            body["stats"] = stats
+        return body
+    ref = _write_checkpoint_arrow(path, files, stats)
+    return {"base": ref, "add": [], "remove": [], "n_files": len(files)}
+
+
+def _body_delta_arrow(
+    path: str,
+    root: str,
+    prev: dict,
+    added: list[str],
+    added_stats: dict,
+    inline_max: int,
+) -> dict:
+    """``timetravel._body_delta`` for the append-only (removed=[]) case."""
+    if "base" in prev:
+        add = (prev.get("add") or []) + added
+        remove = prev.get("remove") or []
+        n_files = int(prev["n_files"]) + len(added)
+        if len(add) + len(remove) <= inline_max:
+            add_stats = {**(prev.get("add_stats") or {}), **added_stats}
+            body: dict = {
+                "base": prev["base"],
+                "add": add,
+                "remove": remove,
+                "n_files": n_files,
+            }
+            if add_stats:
+                body["add_stats"] = add_stats
+            return body
+        files, stats = _resolve_files_stats(root, prev)
+        files = files + added
+        stats = dict(stats)
+        stats.update(added_stats)
+        return _body_full_arrow(path, files, stats, inline_max)
+    kept = prev.get("files") or []
+    files = kept + added
+    old = prev.get("stats") or {}
+    stats = {f: old[f] for f in kept if f in old}
+    stats.update(added_stats)
+    return _body_full_arrow(path, files, stats, inline_max)
+
+
+def _commit_files_arrow(
+    root: str,
+    new_files: list[str],
+    mode: str,
+    inline_max: int = _INLINE_MAX_DEFAULT,
+    max_retries: int = 10,
+) -> int:
+    """Spark-free twin of ``timetravel.tt_commit_files``: same manifest
+    fields, same append-race retry, same log layout — raises
+    ``_ArrowCommitUnsupported`` (caller falls back to the session path)
+    for non-local roots, constrained tables, schema drift, or exotic
+    stats types.  Nothing publishes before every check passes."""
+    import time as _time
+
+    path = _local_root(root)
+    file_schema = _files_schema_arrow(path, sorted(new_files))
+    versions = _list_versions(root)
+    if not versions:
+        body = _body_full_arrow(path, sorted(new_files), {}, inline_max)
+        manifest = {
+            **body,
+            "op": "create",
+            "ts": _time.time(),
+            "schema": json.dumps(file_schema.jsonValue()),
+        }
+        try:
+            _atomic_publish_arrow(path, 0, manifest)
+            return 0
+        except _ArrowCommitRace:
+            versions = _list_versions(root)  # lost create: append below
+    if mode == "overwrite":
+        prev = _read_manifest(root, versions[-1])
+        if prev.get("constraints"):
+            raise _ArrowCommitUnsupported("table has CHECK constraints")
+        carry = _manifest_stats_cols(prev)
+        cols = [c for c in carry if c in {f.name for f in file_schema.fields}]
+        stats = _file_stats_arrow(path, sorted(new_files), cols) if cols else {}
+        manifest = {
+            **_body_full_arrow(path, sorted(new_files), stats, inline_max),
+            "op": "overwrite",
+            "ts": _time.time(),
+            "schema": json.dumps(file_schema.jsonValue()),
+            **({"stats_cols": carry} if carry else {}),
+        }
+        _atomic_publish_arrow(path, versions[-1] + 1, manifest)
+        return versions[-1] + 1
+    for _ in range(max_retries):
+        versions = _list_versions(root)
+        head = versions[-1]
+        prev = _read_manifest(root, head)
+        if prev.get("constraints"):
+            raise _ArrowCommitUnsupported("table has CHECK constraints")
+        evolved = _evolved_schema_arrow(prev.get("schema"), file_schema)
+        carry = _manifest_stats_cols(prev)
+        cols = [c for c in carry if c in {f.name for f in file_schema.fields}]
+        new_stats = (
+            _file_stats_arrow(path, sorted(new_files), cols) if cols else {}
+        )
+        manifest = {
+            **_body_delta_arrow(
+                path, root, prev, sorted(new_files), new_stats, inline_max
+            ),
+            "op": "append",
+            "ts": _time.time(),
+            "schema": evolved,
+            **({"stats_cols": carry} if carry else {}),
+        }
+        try:
+            _atomic_publish_arrow(path, head + 1, manifest)
+            return head + 1
+        except _ArrowCommitRace:
+            continue
+    raise RuntimeError(
+        f"lost the append race {max_retries} times at {root}"
+    )
+
+
+def _manifest_stats_cols(manifest: dict) -> list[str]:
+    """``timetravel._stats_cols_of`` without a SparkSession."""
+    cols = manifest.get("stats_cols")
+    if cols:
+        return list(cols)
+    old = manifest.get("stats") or {}
+    return sorted({c for st in old.values() for c in st})
 
 
 class _TTArrowWriter(DataSourceArrowWriter):
@@ -434,10 +732,26 @@ class _TTStreamWriter(DataSourceStreamWriter, _TTArrowWriter):
     """writeStream.format('versioned_parquet'): one ACID log commit per
     micro-batch — the format-string twin of
     ``load_file_stream_versioned``.  At-least-once under foreachBatch
-    replay semantics; the manifest is the commit point."""
+    replay semantics; the manifest is the commit point.
 
-    def __init__(self, root: str, overwrite: bool):
+    Spark runs a Python streaming sink's ``commit`` in a detached
+    runner process (no JVM gateway), where ``getOrCreate`` would boot a
+    whole fresh local JVM per stream (~7-9 s measured).  The commit is
+    therefore Arrow-first (``_commit_files_arrow`` — identical manifest
+    semantics, pure pyarrow/os), falling back to the session path only
+    for what the Spark-free twin can't honor: non-local roots, tables
+    with CHECK constraints (Spark SQL expressions), schema drift, or
+    decimal stats."""
+
+    def __init__(self, root: str, overwrite: bool, options: dict | None = None):
         _TTArrowWriter.__init__(self, root, overwrite)
+        opts = options or {}
+        try:
+            self._inline_max = int(
+                opts.get("inlinefilesmax", _INLINE_MAX_DEFAULT)
+            )
+        except (TypeError, ValueError):
+            self._inline_max = _INLINE_MAX_DEFAULT
 
     def write(self, iterator):
         import uuid as _uuid
@@ -448,7 +762,18 @@ class _TTStreamWriter(DataSourceStreamWriter, _TTArrowWriter):
         return _TTArrowWriter.write(self, iterator)
 
     def commit(self, messages, batchId: int):
-        _TTArrowWriter.commit(self, messages)
+        files = self._all_files(messages)
+        if not files:
+            return  # all-empty micro-batch: no version
+        try:
+            _commit_files_arrow(
+                self._root,
+                files,
+                mode="overwrite" if self._overwrite else "append",
+                inline_max=self._inline_max,
+            )
+        except _ArrowCommitUnsupported:
+            _TTArrowWriter.commit(self, messages)
 
     def abort(self, messages, batchId: int):
         _TTArrowWriter.abort(self, messages)
@@ -498,7 +823,7 @@ class VersionedParquetDataSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> _TTStreamWriter:
-        return _TTStreamWriter(self._root(), overwrite)
+        return _TTStreamWriter(self._root(), overwrite, dict(self.options))
 
     def streamReader(self, schema: StructType) -> _TTStreamReader:
         return self._reader_with(schema, _TTStreamReader)

@@ -99,3 +99,44 @@ def test_head_50_covers_every_never_driver_checked_query():
     q = list(entry.queries())
     never = [n for n in q if n not in checked]
     assert set(never) <= set(q[:50]), sorted(set(never) - set(q[:50]))
+
+
+def test_plan_auditor_bnlj_adjudication(spark):
+    """tools/audit_plans.py (VERDICT r11 #2): a REAL unbounded
+    BroadcastNestedLoopJoin must flag loudly, while the engine's
+    claim-fold pattern — crossJoin(F.broadcast(<1-row global agg>)) —
+    is whitelisted (build side provably ≤1 row), so real regressions
+    no longer drown in constant-fold noise."""
+    import importlib.util
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans", Path(__file__).resolve().parent.parent / "tools" / "audit_plans.py"
+    )
+    ap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ap)
+
+    big = spark.range(100).withColumnRenamed("id", "a")
+    # claim-fold: benign, not flagged
+    folded = big.crossJoin(F.broadcast(big.agg(F.count(F.lit(1)).alias("n"))))
+    res = ap.audit(folded)
+    assert res["bad"] == [] and res["benign_bnlj"] == 1
+    # a provably-BOUNDED build (Range(50) ≤ the 4096 bound) is noted,
+    # not flagged — the designed broadcast-query-scan shape
+    small = spark.range(50).withColumnRenamed("id", "b")
+    noted = big.join(F.broadcast(small), big.a > small.b)
+    res = ap.audit(noted)
+    assert res["bad"] == [] and res["bounded_bnlj"] == 1, res
+    # planted rogue: build side whose row count the plan CANNOT bound
+    # (an RDD-backed relation) in a non-equi join -> flags loudly
+    opaque = spark.createDataFrame([(i,) for i in range(50)], "b long")
+    rogue = big.join(F.broadcast(opaque), big.a > opaque.b)
+    res = ap.audit(rogue)
+    assert any("BroadcastNestedLoopJoin" in b for b in res["bad"]), res
+    # a multi-row grouped aggregate build side is NOT a claim-fold
+    grouped = big.crossJoin(
+        F.broadcast(big.groupBy((F.col("a") % 3).alias("g")).count())
+    )
+    assert ap.audit(grouped)["bad"], "grouped-agg build side must flag"

@@ -3117,6 +3117,130 @@ class TestDmlSql:
                 results_format="list",
             )
 
+    def test_name_addressable_versioned_tables(self, spark, tmp_path):
+        """tt_register maps `db.table` to a versioned root; every routed
+        Delta SQL shape then accepts the bare identifier — the
+        reference's NAME-addressed Delta surface (CTAS USING DELTA into
+        schema.table, MERGE on names)."""
+        root = str(tmp_path / "named")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30)], "k long, v long"
+            ),
+            root,
+        )
+        a.tt_register(spark, "sales.orders_v", root)
+        try:
+            # head read by name
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT k, v FROM sales.orders_v ORDER BY k",
+                results_format="list",
+            )
+            assert [(r.k, r.v) for r in rows] == [(1, 10), (2, 20), (3, 30)]
+            # DML by name commits a version
+            a.run_raw_sql(
+                spark, "UPDATE sales.orders_v SET v = v + 1 WHERE k = 1"
+            )
+            a.run_raw_sql(spark, "DELETE FROM sales.orders_v WHERE k = 3")
+            # MERGE INTO by name
+            spark.createDataFrame(
+                [(2, 200), (4, 40)], "k long, v long"
+            ).createOrReplaceTempView("named_src")
+            a.run_raw_sql(
+                spark,
+                "MERGE INTO sales.orders_v t USING named_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v "
+                "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v)",
+            )
+            got = {
+                (r.k, r.v) for r in a.tt_read(spark, root).collect()
+            }
+            assert got == {(1, 11), (2, 200), (4, 40)}
+            # time-travel read + maintenance + history by name
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT COUNT(*) AS n FROM sales.orders_v VERSION AS OF 0",
+                results_format="list",
+            )
+            assert rows[0].n == 3
+            hist = a.run_raw_sql(
+                spark,
+                "DESCRIBE HISTORY sales.orders_v",
+                results_format="list",
+            )
+            assert len(hist) == 4
+            a.run_raw_sql(spark, "OPTIMIZE sales.orders_v")
+            a.run_raw_sql(spark, "INSERT INTO sales.orders_v VALUES (9, 90)")
+            assert a.tt_read(spark, root).count() == 4
+            # string literals containing the name are never substituted
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT 'sales.orders_v' AS s",
+                results_format="list",
+            )
+            assert rows[0].s == "sales.orders_v"
+            assert a.tt_resolve_name(spark, "SALES.ORDERS_V") == root
+        finally:
+            a.tt_unregister(spark, "sales.orders_v")
+            spark.catalog.dropTempView("named_src")
+        # after unregister the name falls through to the catalog
+        with pytest.raises(Exception):
+            a.run_raw_sql(
+                spark,
+                "DESCRIBE HISTORY sales.orders_v",
+                results_format="list",
+            )
+        assert a.tt_registered(spark) == {}
+        with pytest.raises(a.exceptions.AstroSparkError):
+            a.tt_register(spark, "bad name; drop", root)
+
+    def test_timetravel_sql_drops_temp_views(self, spark, tmp_path):
+        """The __tt_read_* views the AS-OF rewrite registers are dropped
+        once analysis inlined them — long-lived sessions issuing
+        time-travel SQL must not accumulate views — and the returned
+        DataFrame still collects AFTER the drop."""
+        root = str(tmp_path / "ttviews")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10)], "k long, v long"), root
+        )
+        a.tt_append(
+            spark, spark.createDataFrame([(2, 20)], "k long, v long"), root
+        )
+
+        def tt_views():
+            return [
+                t.name
+                for t in spark.catalog.listTables()
+                if t.name.startswith("__tt_read_")
+            ]
+
+        df = a.run_raw_sql(
+            spark,
+            f"SELECT v1.k FROM '{root}' VERSION AS OF 1 v1 "
+            f"JOIN '{root}' VERSION AS OF 0 v0 ON v1.k = v0.k",
+            results_format="dataframe",
+        )
+        assert tt_views() == []
+        assert [r.k for r in df.collect()] == [1]  # plan survived the drop
+        # failure path drops them too
+        with pytest.raises(Exception):
+            a.run_raw_sql(
+                spark,
+                f"SELECT no_such_col FROM '{root}' VERSION AS OF 0",
+                results_format="list",
+            )
+        assert tt_views() == []
+        # INSERT ... SELECT ... AS OF route cleans up as well
+        a.run_raw_sql(
+            spark,
+            f"INSERT INTO '{root}' SELECT k + 100, v "
+            f"FROM '{root}' VERSION AS OF 0",
+        )
+        assert tt_views() == []
+        assert a.tt_read(spark, root).count() == 3
+
     def test_batch_load_and_ctas_to_versioned_root(self, spark, tmp_path, sf_dir):
         """Batch load_file/run_transform accept a VersionedTable target
         (the reference's CTAS USING DELTA shape): create -> version 0,
@@ -3294,6 +3418,76 @@ class TestDmlSql:
         )
         assert rows[0].committed_version == 3
         assert {r.v for r in a.tt_read(spark, root).where("k = 1").collect()} == {20}
+
+    def test_update_where_casts_to_column_type(self, spark, tmp_path):
+        """A type-widening SET expression (v / 2 on a long column yields
+        double) is cast back to the table column's type — Delta's
+        store-assignment policy.  Without the cast the new head's files
+        carry a physical type contradicting the log-owned schema and
+        tt_read fails until tt_restore."""
+        root = str(tmp_path / "ttcast")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            root,
+        )
+        a.tt_update_where(spark, root, {"v": "v / 2"}, "k = 2")
+        head = a.tt_read(spark, root)
+        assert dict(head.dtypes)["v"] == "bigint"
+        assert {(r.k, r.v) for r in head.collect()} == {(1, 10), (2, 10)}
+        # SQL route through the same engine
+        a.run_raw_sql(spark, f"UPDATE '{root}' SET v = v / 4 WHERE k = 1")
+        got = a.tt_read(spark, root)
+        assert dict(got.dtypes)["v"] == "bigint"
+        assert {(r.k, r.v) for r in got.collect()} == {(1, 2), (2, 10)}
+
+    def test_vacuum_reclaims_orphaned_checkpoints(self, spark, tmp_path):
+        """A checkpoint written by a lost commit race (no manifest ever
+        references it) is reclaimed by tt_vacuum — even when no versions
+        drop — while the head's live checkpoint survives.  A young
+        orphan inside the grace window is spared (it may belong to an
+        in-flight commit)."""
+        import os
+
+        from astro_spark.operators import timetravel as tt
+
+        root = str(tmp_path / "ttorph")
+        spark.conf.set("spark.astro.tt.inlineFilesMax", "1")
+        try:
+            a.tt_create(
+                spark,
+                spark.createDataFrame(
+                    [(i, i) for i in range(4)], "k long, v long"
+                ).repartitionByRange(2, "k"),
+                root,
+            )
+            a.tt_append(
+                spark, spark.createDataFrame([(9, 9)], "k long, v long"), root
+            )  # >1 files -> checkpointed manifest
+            HPath, _p, fs = tt._fs(spark, root)
+            head_v, head_m = tt._head(spark, fs, HPath, root)
+            assert "base" in head_m  # the live checkpoint exists
+            files, stats = tt._resolve(spark, fs, HPath, root, head_m)
+            orphan = tt._write_checkpoint(
+                spark, fs, HPath, root, files, stats
+            )  # simulates a commit retry that lost the publish race
+            names = lambda: {
+                f for f in os.listdir(f"{root}/_log") if f.startswith("ckpt-")
+            }
+            assert orphan.split("/")[-1] in names()
+            # inside the grace window: spared (in-flight commit safety)
+            a.tt_vacuum(spark, root, keep_last=10)
+            assert orphan.split("/")[-1] in names()
+            # grace 0 (test mode): orphan reclaimed, live ckpt survives,
+            # and the sweep ran although NO version dropped
+            spark.conf.set("spark.astro.tt.vacuumCkptGraceSec", "0")
+            assert a.tt_vacuum(spark, root, keep_last=10) == 0
+            assert orphan.split("/")[-1] not in names()
+            assert head_m["base"].split("/")[-1] in names()
+            assert a.tt_read(spark, root).count() == 5
+        finally:
+            spark.conf.unset("spark.astro.tt.inlineFilesMax")
+            spark.conf.unset("spark.astro.tt.vacuumCkptGraceSec")
 
     def test_delta_maintenance_sql_front_door(self, spark, tmp_path):
         """The complete Delta SQL surface on a versioned root as

@@ -645,6 +645,153 @@ class TestVersionedParquetDataSource:
         )
         assert {x.k for x in got.collect()} == {14, 15}
 
+    def test_spark_free_stream_commit(self, spark, tmp_path):
+        """The stream writer's commit is Arrow-first (no fresh JVM in
+    Spark's detached commit runner): same manifest semantics as
+    tt_commit_files — skipping stats from the table's stats_cols,
+    checkpoint compaction past the knob, schema-drift refusal — and
+    identical layout, so the native reader and tt_history read it
+    unchanged."""
+        import json as _json
+        import os
+
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import (
+            _ArrowCommitUnsupported,
+            _commit_files_arrow,
+        )
+
+        root = str(tmp_path / "sfree")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(4)], "k long, v long"
+            ),
+            root,
+            stats_cols=["k"],
+        )
+        # write data files the way the sink's tasks do, then Arrow-commit
+        commit_dir = "files/arrowtest"
+        os.makedirs(f"{root}/{commit_dir}")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"k": pa.array([50, 60], pa.int64()),
+                      "v": pa.array([500, 600], pa.int64())}),
+            f"{root}/{commit_dir}/part-0.parquet",
+        )
+        v = _commit_files_arrow(root, [f"{commit_dir}/part-0.parquet"], "append")
+        assert v == 1
+        # the native reader sees the commit; stats were recorded exactly
+        assert a.tt_read(spark, root).count() == 6
+        m = _json.loads(open(f"{root}/_log/v00000001.json").read())
+        assert m["stats"][f"{commit_dir}/part-0.parquet"]["k"] == [50, 60]
+        assert m["stats_cols"] == ["k"]
+        assert m["op"] == "append"
+        # data skipping through the stats the Arrow commit wrote
+        assert a.tt_read(spark, root, where="k >= 50").count() == 2
+        # schema drift defers to the session path
+        pq.write_table(
+            pa.table({"k": pa.array([1], pa.int64()),
+                      "extra": pa.array([1], pa.int64())}),
+            f"{root}/{commit_dir}/part-drift.parquet",
+        )
+        with pytest.raises(_ArrowCommitUnsupported):
+            _commit_files_arrow(
+                root, [f"{commit_dir}/part-drift.parquet"], "append"
+            )
+        # constrained tables defer too (constraints are Spark SQL)
+        a.tt_add_constraint(spark, root, "k_pos", "k >= 0")
+        pq.write_table(
+            pa.table({"k": pa.array([70], pa.int64()),
+                      "v": pa.array([700], pa.int64())}),
+            f"{root}/{commit_dir}/part-1.parquet",
+        )
+        with pytest.raises(_ArrowCommitUnsupported):
+            _commit_files_arrow(
+                root, [f"{commit_dir}/part-1.parquet"], "append"
+            )
+        # checkpoint compaction past the knob, readable by the JVM side
+        root2 = str(tmp_path / "sfree2")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i) for i in range(4)], "k long, v long"
+            ).repartitionByRange(3, "k"),
+            root2,
+        )
+        os.makedirs(f"{root2}/{commit_dir}")
+        pq.write_table(
+            pa.table({"k": pa.array([9], pa.int64()),
+                      "v": pa.array([9], pa.int64())}),
+            f"{root2}/{commit_dir}/part-0.parquet",
+        )
+        v = _commit_files_arrow(
+            root2, [f"{commit_dir}/part-0.parquet"], "append", inline_max=2
+        )
+        m2 = _json.loads(open(f"{root2}/_log/v00000001.json").read())
+        assert "base" in m2  # compacted into a checkpoint
+        assert a.tt_read(spark, root2).count() == 5
+        assert {r.k for r in a.tt_read(spark, root2, 0).collect()} == {0, 1, 2, 3}
+
+    def test_skip_bounds_cross_type_keeps_file(self, spark, tmp_path):
+        """A pushed bound whose literal type doesn't order against the
+        stored stats (string vs numeric) must KEEP the file — Spark
+        re-applies the predicate — not fail partition planning."""
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import _TTBatchReader, register
+
+        register(spark)
+        root = str(tmp_path / "xtype")
+        a.tt_create(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "k long, v long"
+            ).repartitionByRange(4, "k"),
+            root,
+            stats_cols=["k"],
+        )
+        r = _TTBatchReader(root, None, {})
+        r._bounds = {"k": ["5", None]}  # string bound vs long stats
+        parts = r.partitions()
+        assert len(parts) == 4  # nothing pruned, nothing raised
+        # a well-typed bound on the same table still prunes
+        r2 = _TTBatchReader(root, None, {})
+        r2._bounds = {"k": [6, None]}
+        assert len(r2.partitions()) < 4
+
+    def test_stream_offset_vacuumed_raises(self, spark, tmp_path):
+        """A checkpointed stream offset whose version was vacuumed must
+        raise, not silently full-replay the first surviving version's
+        files as 'added'.  startingVersion=0 (lo == -1) stays the one
+        legitimate full-replay path."""
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import _TTStreamReader
+
+        root = str(tmp_path / "vac")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10)], "k long, v long"), root
+        )
+        for i in range(2, 5):
+            a.tt_append(
+                spark,
+                spark.createDataFrame([(i, i * 10)], "k long, v long"),
+                root,
+            )
+        a.tt_vacuum(spark, root, keep_last=2)  # v0, v1 gone; v2, v3 live
+        rd = _TTStreamReader(root, None, {"startingversion": "3"})
+        # offset at a surviving version: incremental walk works — only
+        # v3's added files arrive
+        incr = rd.partitions({"version": 2}, {"version": 3})
+        assert incr and {p.commit_version for p in incr} == {3}
+        # offset at a vacuumed version: loud failure, no silent replay
+        with pytest.raises(ValueError, match="vacuumed"):
+            rd.partitions({"version": 1}, {"version": 3})
+        # explicit full replay (startingVersion=0 -> lo == -1) is fine
+        parts = rd.partitions({"version": -1}, {"version": 3})
+        assert {p.commit_version for p in parts} == {2, 3}
+
     def test_format_writers_batch_and_stream(self, spark, tmp_path):
         """df.write.format('versioned_parquet') commits create/append/
         overwrite through the log transaction (constraints enforced on
