@@ -77,6 +77,18 @@ _LOG = "_log"
 _PAD = 8
 
 
+def _named_root(spark: SparkSession, root: str) -> str:
+    """Resolve a tt_register'd name to its versioned root; path-shaped
+    strings (any separator) pass through untouched, so the whole
+    Python tt_* surface accepts ``db.table`` exactly like the SQL
+    front door."""
+    if isinstance(root, str) and "/" not in root and "\\" not in root:
+        resolved = tt_resolve_name(spark, root)
+        if resolved is not None:
+            return resolved
+    return root
+
+
 def _fs(spark: SparkSession, root: str):
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -501,6 +513,7 @@ def tt_create(
     scan per commit); ``tt_read(skip_by=...)`` then prunes files from
     the MANIFEST, before any footer is touched.  Later commits keep
     recording stats for the same columns automatically."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     if _list_versions(fs, HPath, root):
         raise AstroSparkError(f"versioned table already exists at {root}")
@@ -550,6 +563,7 @@ def tt_add_constraint(
     then commits a metadata-only version carrying the constraint —
     every later append/merge/overwrite must satisfy it or fails before
     publishing."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     if name in (manifest.get("constraints") or {}):
@@ -568,6 +582,7 @@ def tt_add_constraint(
 
 def tt_drop_constraint(spark: SparkSession, root: str, name: str) -> int:
     """Delta ``ALTER TABLE ... DROP CONSTRAINT``: metadata-only commit."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     cons = dict(manifest.get("constraints") or {})
@@ -616,6 +631,7 @@ def tt_append(
     re-runs).  ``merge_schema=True`` evolves the table schema with the
     df's new columns (old files read the new columns as NULL); without
     it, new columns are rejected — Delta's mergeSchema contract."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     new_files = _write_data_files(spark, df, root, fs, HPath)
     for _ in range(max_retries):
@@ -680,6 +696,7 @@ def tt_commit_files(
     schema."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"tt_commit_files: invalid mode {mode!r}")
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     if not new_files:
         raise ValueError("tt_commit_files: no files to commit")
@@ -751,6 +768,7 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
     """Commit a new version containing ONLY df's files (old versions
     stay readable).  A lost race raises — the state this overwrite
     meant to replace is gone."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
@@ -907,6 +925,7 @@ def tt_read(
     derive manifest skip bounds (``_skip_bounds_from_predicate``) —
     Delta's stats-based skipping without hand-passing ``skip_by``.
     Explicit ``skip_by`` bounds intersect with the derived ones."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
@@ -996,6 +1015,7 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
     """RESTORE: commit a NEW head version whose file list equals the
     given version's (Delta ``RESTORE TABLE ... TO VERSION AS OF``) —
     history is preserved, nothing is deleted."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if version not in versions:
@@ -1021,6 +1041,7 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
 def tt_history(spark: SparkSession, root: str) -> DataFrame:
     """(version, op, ts, n_files) per committed version — Delta
     ``DESCRIBE HISTORY``."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     rows = [
         (
@@ -1094,6 +1115,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     to find them."""
     from pyspark.sql import functions as F
 
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files, _stats = _resolve(spark, fs, HPath, root, manifest)
@@ -1146,6 +1168,7 @@ def tt_update_where(
     publishes."""
     from pyspark.sql import functions as F
 
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files, _stats = _resolve(spark, fs, HPath, root, manifest)
@@ -1229,6 +1252,7 @@ def tt_merge(
 
     from .merge import _upsert
 
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files, _stats = _resolve(spark, fs, HPath, root, manifest)
@@ -1304,6 +1328,7 @@ def tt_optimize(
     layout changes; old versions stay readable."""
     from ..plans.zorder import with_zorder_key
 
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     df = _read_files(spark, root, manifest)
@@ -1399,6 +1424,7 @@ def tt_clone(
             f"tt_clone: src_root must be an absolute path or URI, got "
             f"{src_root!r}"
         )
+    src_root = _named_root(spark, src_root)
     HPath, _p, fs = _fs(spark, src_root)
     versions = _list_versions(fs, HPath, src_root)
     if not versions:
@@ -1410,6 +1436,7 @@ def tt_clone(
     files, stats = _resolve(spark, fs, HPath, src_root, m)
     abs_files = [_abs(src_root, f) for f in files]
     abs_stats = {_abs(src_root, f): s for f, s in stats.items()}
+    dst_root = _named_root(spark, dst_root)
     dHPath, _dp, dfs = _fs(spark, dst_root)
     if _list_versions(dfs, dHPath, dst_root):
         raise AstroSparkError(f"versioned table already exists at {dst_root}")
@@ -1448,6 +1475,7 @@ def tt_changes(
     added/removed/changed per key between two arbitrary snapshots."""
     from pyspark.sql import functions as F
 
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if from_version not in versions:
@@ -1526,6 +1554,7 @@ def tt_changes_drain(
     inserts... of version > 0; seed state with ``-1`` semantics by
     passing a table whose v0 matters through fn yourself, or start the
     feed after tt_create).  Returns the versions consumed."""
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
@@ -1562,6 +1591,7 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
     versions stops working — exactly Delta ``VACUUM``'s trade."""
     if keep_last < 1:
         raise ValueError("tt_vacuum: keep_last must be >= 1")
+    root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     keep, drop = versions[-keep_last:], versions[:-keep_last]

@@ -53,6 +53,17 @@ def default_conf() -> dict[str, str]:
         # proper timestamp column.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        # Explicit-file-list reads (tt_read hands the parquet source its
+        # manifest's 10^4-10^6 paths) run a distributed LISTING job whose
+        # task count defaults to parallelPartitionDiscovery.parallelism
+        # = 10000 — at 50k files that is 10000 near-empty tasks of pure
+        # scheduler overhead (measured: construction 24.6 s -> 7.5-10.8 s
+        # with the cap, r12 file-count sweep, PERF.md).  Cap at a small
+        # multiple of the core count; on a real cluster this scales with
+        # executors via SPARK_GRAFT_CPUS.
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism": str(
+            max(64, int(_DEFAULT_CPUS) * 2 if _DEFAULT_CPUS.isdigit() else 64)
+        ),
         # files.maxPartitionBytes default 128MB is right for 100TB scans;
         # leave as-is. Driver-side niceties:
         "spark.ui.showConsoleProgress": "false",

@@ -3182,6 +3182,18 @@ class TestDmlSql:
             )
             assert rows[0].s == "sales.orders_v"
             assert a.tt_resolve_name(spark, "SALES.ORDERS_V") == root
+            # the PYTHON tt_* surface accepts the name too
+            assert a.tt_read(spark, "sales.orders_v").count() == 4
+            assert a.tt_history(spark, "SALES.orders_v").count() == 6
+            a.tt_append(
+                spark,
+                spark.createDataFrame([(10, 100)], "k long, v long"),
+                "sales.orders_v",
+            )
+            assert a.tt_read(spark, root).count() == 5
+            # unregistered bare names fail loudly, never treated as paths
+            with pytest.raises(a.exceptions.AstroSparkError):
+                a.tt_read(spark, "nope.missing")
         finally:
             a.tt_unregister(spark, "sales.orders_v")
             spark.catalog.dropTempView("named_src")
