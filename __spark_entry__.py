@@ -1535,6 +1535,137 @@ SELECT 'v0', COUNT(*), SUM(k)::BIGINT, SUM(r)::BIGINT, 4 FROM v0
 """
 
 
+def _op_tt_create_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS ``USING DELTA`` as statement TEXT (round 12) — the
+    reference's PRIMARY Delta shape (``databases/databricks/
+    delta.py:168-187``): ``CREATE TABLE db.t USING DELTA [LOCATION] AS
+    <select>`` creates the versioned table AND registers the name;
+    ``INSERT INTO db.t`` appends; ``CREATE OR REPLACE`` overwrites in
+    place with old versions still readable (the OR REPLACE source here
+    reads the table's own v1 through an AS-OF reference).  Every
+    version value-checked relationally; history depth folded in."""
+    _views(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="astro_ttctassql_") + "/t"
+    name = "astro.ctas_nation"
+    try:
+        a.run_raw_sql(
+            spark,
+            f"CREATE TABLE {name} USING DELTA LOCATION '{root}' AS "
+            "SELECT CAST(n_nationkey AS BIGINT) AS k, "
+            "CAST(n_regionkey AS BIGINT) AS r FROM nation",
+        )
+        a.run_raw_sql(spark, f"INSERT INTO {name} VALUES (999, 9)")
+        a.run_raw_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE {name} USING DELTA LOCATION "
+            f"'{root}' AS SELECT k, r FROM {name} VERSION AS OF 1 "
+            "WHERE r < 2",
+        )
+        states = a.run_raw_sql(
+            spark,
+            f"""
+            SELECT 'v0' AS state, COUNT(*) AS n_rows, SUM(k) AS sum_k
+            FROM {name} VERSION AS OF 0
+            UNION ALL
+            SELECT 'v1', COUNT(*), SUM(k) FROM {name} VERSION AS OF 1
+            UNION ALL
+            SELECT 'head', COUNT(*), SUM(k) FROM {name}
+            """,
+            results_format="dataframe",
+        )
+        hist = a.run_raw_sql(
+            spark, f"DESCRIBE HISTORY {name}", results_format="dataframe"
+        ).agg(F.count(F.lit(1)).alias("n_versions"))
+        return states.crossJoin(F.broadcast(hist)).select(
+            "state", "n_rows", "sum_k", "n_versions"
+        )
+    finally:
+        a.tt_unregister(spark, name)
+
+
+_OP_TT_CREATE_SQL_DUCK = """
+WITH v0 AS (SELECT n_nationkey::BIGINT AS k, n_regionkey::BIGINT AS r
+            FROM nation),
+v1 AS (SELECT * FROM v0 UNION ALL SELECT 999, 9),
+v2 AS (SELECT * FROM v1 WHERE r < 2)
+SELECT 'v0' AS state, COUNT(*)::BIGINT AS n_rows, SUM(k)::BIGINT AS sum_k,
+       3::BIGINT AS n_versions FROM v0
+UNION ALL
+SELECT 'v1', COUNT(*), SUM(k)::BIGINT, 3 FROM v1
+UNION ALL
+SELECT 'head', COUNT(*), SUM(k)::BIGINT, 3 FROM v2
+"""
+
+
+def _op_tt_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta migration story as statement TEXT (round 12):
+    ``CONVERT TO DELTA '<dir>'`` adopts a plain-parquet directory in
+    place (v0 references the existing files — the zero-rewrite claim is
+    folded as a boolean), normal COW commits follow, ``RESTORE ... TO
+    TIMESTAMP AS OF`` rolls back by clock, and ``VACUUM ... DRY RUN``
+    counts reclaimable files while provably changing nothing (dry==real
+    and history-intact claims folded).  States replay relationally."""
+    import os as _os
+    import time as _time_mod
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    d = tempfile.mkdtemp(prefix="astro_ttconv_") + "/plain"
+    nation.coalesce(2).write.parquet(d)
+    before = {f for f in _os.listdir(d) if f.endswith(".parquet")}
+    a.run_raw_sql(spark, f"CONVERT TO DELTA '{d}'")
+    after = {f for f in _os.listdir(d) if f.endswith(".parquet")}
+    zero_rewrite = before == after
+    a.tt_delete_where(spark, d, "r = 3")  # v1
+    ts = _time_mod.time()
+    a.tt_append(
+        spark, nation.select((F.col("k") + 100).alias("k"), "r"), d
+    )  # v2
+    a.run_raw_sql(spark, f"RESTORE TABLE '{d}' TO TIMESTAMP AS OF {ts}")
+    hist_before = a.tt_history(spark, d).count()
+    dry = a.run_raw_sql(
+        spark, f"VACUUM '{d}' RETAIN 1 VERSIONS DRY RUN",
+        results_format="list",
+    )[0]["deleted_files"]
+    dry_changed_nothing = (
+        a.tt_history(spark, d).count() == hist_before
+        and a.tt_read(spark, d, 0).count() == 25
+    )
+    real = a.run_raw_sql(
+        spark, f"VACUUM '{d}' RETAIN 1 VERSIONS", results_format="list"
+    )[0]["deleted_files"]
+    claims = _one_row(
+        spark,
+        (bool(zero_rewrite), bool(dry > 0), bool(dry == real),
+         bool(dry_changed_nothing)),
+        "zero_rewrite boolean, dry_found_files boolean, "
+        "dry_equals_real boolean, dry_changed_nothing boolean",
+    )
+    head = a.tt_read(spark, d).agg(
+        F.lit("head").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("sum_k"),
+    )
+    return head.crossJoin(F.broadcast(claims)).select(
+        "state", "n_rows", "sum_k", "zero_rewrite", "dry_found_files",
+        "dry_equals_real", "dry_changed_nothing",
+    )
+
+
+_OP_TT_CONVERT_DUCK = """
+WITH v0 AS (SELECT n_nationkey::BIGINT AS k, n_regionkey::BIGINT AS r
+            FROM nation),
+v1 AS (SELECT * FROM v0 WHERE r <> 3)
+SELECT 'head' AS state, COUNT(*)::BIGINT AS n_rows, SUM(k)::BIGINT AS sum_k,
+       TRUE AS zero_rewrite, TRUE AS dry_found_files,
+       TRUE AS dry_equals_real, TRUE AS dry_changed_nothing
+FROM v1
+"""
+
+
 def _op_tt_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """versioned_parquet WRITE path (round 12, VERDICT r11 missing #2):
     batch ``df.write.format('versioned_parquet')`` commits create (v0)
@@ -6905,6 +7036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tt_datasource": _op_tt_datasource,
             "op_tt_clone": _op_tt_clone,
             "op_tt_named": _op_tt_named,
+            "op_tt_create_sql": _op_tt_create_sql,
+            "op_tt_convert": _op_tt_convert,
             "op_tt_write": _op_tt_write,
             "op_tt_update_cast": _op_tt_update_cast,
             "op_merge_update_part": _op_merge_update_part,
@@ -7111,6 +7244,8 @@ _ROTATION_BUILT_FOR_ROUND = 12
 _DRIVER_PRIORITY = [
     # round-12 additions: never driver-checked, must sit in the head-50
     "op_tt_named",
+    "op_tt_create_sql",
+    "op_tt_convert",
     "op_tt_write",
     "op_tt_update_cast",
     # the full r07-stale cohort (latest driver row r07; 47 entries)
@@ -7280,6 +7415,8 @@ def oracle_sql() -> dict[str, str]:
             "op_tt_datasource": _OP_TT_DATASOURCE_DUCK,
             "op_tt_clone": _OP_TT_CLONE_DUCK,
             "op_tt_named": _OP_TT_NAMED_DUCK,
+            "op_tt_create_sql": _OP_TT_CREATE_SQL_DUCK,
+            "op_tt_convert": _OP_TT_CONVERT_DUCK,
             "op_tt_write": _OP_TT_WRITE_DUCK,
             "op_tt_update_cast": _OP_TT_UPDATE_CAST_DUCK,
             "op_compact": _OP_COMPACT_DUCK,

@@ -32,19 +32,42 @@ _DESCRIBE_HISTORY_RE = None
 _RESTORE_RE = None
 
 
+def _derived_root(spark: SparkSession, name: str) -> str:
+    """Deterministic versioned root for a name-only CREATE (no
+    LOCATION): ``<warehouse>/_versioned/<db>/<table>`` — re-deriving
+    the same name always lands on the same root, so a session that
+    lost its registry (restart) finds the table again by re-CREATE or
+    re-register."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    return f"{wh}/_versioned/{name.lower().replace('.', '/')}"
+
+
 def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
     """Route the Delta SQL maintenance shapes a reference user issues
     against a versioned-parquet root through the timetravel operators
     (the ``merge_from_sql`` precedent for SQL-text parity)::
 
         DESCRIBE HISTORY '<root>'
-        RESTORE TABLE '<root>' TO VERSION AS OF <n>
+        DESCRIBE DETAIL '<root>'
+        RESTORE TABLE '<root>' TO VERSION|TIMESTAMP AS OF <n|ts|'iso'>
         INSERT INTO|OVERWRITE '<root>' <select-or-values>
         ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
         ALTER TABLE '<root>' DROP CONSTRAINT <name>
         OPTIMIZE '<root>' [ZORDER BY (c1, c2, ...)]
-        VACUUM '<root>' [RETAIN <n> VERSIONS]
-        CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF <n>]
+        VACUUM '<root>' [RETAIN <n> VERSIONS] [DRY RUN]
+        CONVERT TO DELTA [parquet.]'<dir>'   -- adopt in place
+        CREATE TABLE <'<dst>'|db.t> SHALLOW CLONE '<src>'
+            [VERSION AS OF <n>] [LOCATION '<root>']
+        CREATE [OR REPLACE] TABLE <'<root>'|db.t> USING DELTA
+            [LOCATION '<root>'] AS <select>
+
+    The CTAS shape is the reference's primary Delta surface
+    (``databases/databricks/delta.py:168-187``): a bare-name target
+    creates the versioned table at LOCATION (else a warehouse-derived
+    root) and REGISTERS the name (``tt_register``), so every statement
+    afterwards addresses it by name.
 
     The quoted path form targets this engine's versioned roots; bare
     table identifiers fall through to ``spark.sql`` untouched (a real
@@ -64,19 +87,34 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             r"(?is)^\s*describe\s+history\s+'([^']+)'\s*;?\s*$"
         )
         _RESTORE_RE = re.compile(
-            r"(?is)^\s*restore\s+table\s+'([^']+)'\s+to\s+version\s+as\s+of"
-            r"\s+(\d+)\s*;?\s*$"
+            r"(?is)^\s*restore\s+table\s+'([^']+)'\s+to\s+"
+            r"(version|timestamp)\s+as\s+of\s+('[^']*'|[\d.]+)\s*;?\s*$"
         )
     m = _DESCRIBE_HISTORY_RE.match(stmt)
     if m:
         from .timetravel import tt_history
 
         return tt_history(spark, m.group(1))
+    m = re.match(r"(?is)^\s*describe\s+detail\s+'([^']+)'\s*;?\s*$", stmt)
+    if m:
+        from .timetravel import tt_detail
+
+        return tt_detail(spark, m.group(1))
     m = _RESTORE_RE.match(stmt)
     if m:
-        from .timetravel import tt_restore
+        from .timetravel import tt_restore, tt_restore_to_ts
 
-        v = tt_restore(spark, m.group(1), int(m.group(2)))
+        kind, val = m.group(2).lower(), m.group(3)
+        if kind == "version":
+            v = tt_restore(spark, m.group(1), int(val))
+        else:
+            if val.startswith("'"):
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(val.strip("'")).timestamp()
+            else:
+                ts = float(val)
+            v = tt_restore_to_ts(spark, m.group(1), ts)
         return spark.createDataFrame([(v,)], "restored_as_version long")
     m = re.match(
         r"(?is)^\s*insert\s+(into|overwrite)\s+'([^']+)'\s+(.+?)\s*;?\s*$",
@@ -160,31 +198,97 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         v = tt_optimize(spark, m.group(1), zorder_by=zcols)
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
-        r"(?is)^\s*create\s+table\s+'([^']+)'\s+shallow\s+clone\s+"
-        r"'([^']+)'(?:\s+version\s+as\s+of\s+(\d+))?\s*;?\s*$",
+        r"(?is)^\s*create\s+table\s+"
+        r"(?:'([^']+)'|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?))\s+shallow\s+clone\s+"
+        r"'([^']+)'(?:\s+version\s+as\s+of\s+(\d+))?"
+        r"(?:\s+location\s+'([^']+)')?\s*;?\s*$",
         stmt,
     )
     if m:
-        from .timetravel import tt_clone
+        from .timetravel import tt_clone, tt_register
 
+        dst_name = m.group(2)
+        dst_root = m.group(1) or m.group(5) or _derived_root(spark, dst_name)
         v = tt_clone(
             spark,
-            m.group(2),
-            m.group(1),
-            int(m.group(3)) if m.group(3) else None,
+            m.group(3),
+            dst_root,
+            int(m.group(4)) if m.group(4) else None,
         )
+        if dst_name:
+            tt_register(spark, dst_name, dst_root)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*create\s+(or\s+replace\s+)?table\s+"
+        r"(?:'([^']+)'|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?))\s+using\s+delta\s+"
+        r"(?:location\s+'([^']+)'\s+)?as\s+(.+?)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        # the reference's PRIMARY Delta shape: CTAS `USING DELTA` into a
+        # name (databases/databricks/delta.py:168-187) — create a
+        # versioned table (at LOCATION, else a warehouse-derived root)
+        # and register the name for every later statement.  A registered
+        # name re-CTAS'd arrives here already substituted to its quoted
+        # root (OR REPLACE then overwrites in place).
+        from ..exceptions import AstroSparkError
+        from .timetravel import (
+            _fs,
+            _list_versions,
+            tt_create,
+            tt_overwrite,
+            tt_register,
+        )
+
+        or_replace = bool(m.group(1))
+        name = m.group(3)
+        root = m.group(2) or m.group(4) or _derived_root(spark, name)
+        src_sql = m.group(5)
+        tt_views: list[str] = []
+        if _needs_tt_rewrite(src_sql):
+            src_sql, tt_views = _rewrite_timetravel_reads(spark, src_sql)
+        try:
+            df = spark.sql(src_sql)
+        finally:
+            for vn in tt_views:
+                spark.catalog.dropTempView(vn)
+        HPath, _p, fs = _fs(spark, root)
+        if _list_versions(fs, HPath, root):
+            if not or_replace:
+                raise AstroSparkError(
+                    f"versioned table already exists at {root} — use "
+                    "CREATE OR REPLACE TABLE to overwrite (old versions "
+                    "stay readable)"
+                )
+            v = tt_overwrite(spark, df, root)
+        else:
+            v = tt_create(spark, df, root)
+        if name:
+            tt_register(spark, name, root)
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*vacuum\s+'([^']+)'"
-        r"(?:\s+retain\s+(\d+)\s+versions)?\s*;?\s*$",
+        r"(?:\s+retain\s+(\d+)\s+versions)?(\s+dry\s+run)?\s*;?\s*$",
         stmt,
     )
     if m:
         from .timetravel import tt_vacuum
 
         keep = int(m.group(2)) if m.group(2) else 1
-        n = tt_vacuum(spark, m.group(1), keep_last=keep)
+        n = tt_vacuum(
+            spark, m.group(1), keep_last=keep, dry_run=bool(m.group(3))
+        )
         return spark.createDataFrame([(n,)], "deleted_files long")
+    m = re.match(
+        r"(?is)^\s*convert\s+to\s+delta\s+"
+        r"(?:parquet\s*\.\s*)?(?:'([^']+)'|`([^`]+)`)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from .timetravel import tt_convert
+
+        tt_convert(spark, m.group(1) or m.group(2))
+        return spark.createDataFrame([(0,)], "converted_as_version long")
     return None
 
 

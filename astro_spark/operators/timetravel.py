@@ -1038,6 +1038,110 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
     return versions[-1] + 1
 
 
+def tt_restore_to_ts(spark: SparkSession, root: str, as_of_ts: float) -> int:
+    """RESTORE to the latest version committed at or before the given
+    unix timestamp — Delta ``RESTORE TABLE ... TO TIMESTAMP AS OF``."""
+    root = _named_root(spark, root)
+    HPath, _p, fs = _fs(spark, root)
+    eligible = [
+        v
+        for v in _list_versions(fs, HPath, root)
+        if _read_manifest(spark, fs, HPath, root, v)["ts"] <= as_of_ts
+    ]
+    if not eligible:
+        raise AstroSparkError(
+            f"no version at or before ts={as_of_ts} in {root}"
+        )
+    return tt_restore(spark, root, eligible[-1])
+
+
+def tt_convert(spark: SparkSession, root: str) -> int:
+    """Delta ``CONVERT TO DELTA``: adopt an existing plain-parquet
+    directory as a versioned table IN PLACE — version 0's manifest
+    references the directory's parquet files by relative path, zero
+    bytes rewritten.  Later commits behave normally (appends land under
+    ``files/<uuid>/``, DML copies-on-write, vacuum may reclaim the
+    adopted files once no live version references them).  Refuses an
+    already-versioned root, an empty directory, and Hive-partitioned
+    layouts (``key=value`` subdirs carry values in PATHS, which the
+    manifest's file-list model does not represent — read such data
+    through ``load_file`` instead)."""
+    root = _named_root(spark, root)
+    HPath, _p, fs = _fs(spark, root)
+    if _list_versions(fs, HPath, root):
+        raise AstroSparkError(
+            f"tt_convert: {root} is already a versioned table"
+        )
+    files: list[str] = []
+
+    def _walk(path, rel_prefix: str) -> None:
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name == _LOG:
+                    continue
+                if "=" in name:
+                    raise AstroSparkError(
+                        "tt_convert: Hive-partitioned layout "
+                        f"({rel_prefix}{name}/) — partition values live "
+                        "in paths; convert is file-list based"
+                    )
+                _walk(st.getPath(), f"{rel_prefix}{name}/")
+            elif name.endswith(".parquet"):
+                files.append(f"{rel_prefix}{name}")
+
+    if not fs.exists(HPath(root)):
+        raise AstroSparkError(f"tt_convert: no such directory {root}")
+    _walk(HPath(root), "")
+    if not files:
+        raise AstroSparkError(f"tt_convert: no parquet files under {root}")
+    files = sorted(files)
+    df = spark.read.parquet(*[_abs(root, f) for f in files])
+    manifest = {
+        **_body_full(spark, fs, HPath, root, files, {}),
+        "op": "convert",
+        "ts": time.time(),
+        "schema": _schema_json(df),
+    }
+    _publish(spark, fs, HPath, root, 0, manifest)
+    return 0
+
+
+def tt_detail(spark: SparkSession, root: str) -> DataFrame:
+    """Delta ``DESCRIBE DETAIL``: one row describing the CURRENT
+    snapshot — format, location, head version, file count, total data
+    bytes, commit timestamp, and the constraint/stats-column metadata.
+    File sizes come from the filesystem (one getFileStatus per live
+    file; the manifest deliberately stores no sizes — Delta's detail
+    pays the same listing)."""
+    root = _named_root(spark, root)
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    files, _stats = _resolve(spark, fs, HPath, root, manifest)
+    size = 0
+    for f in files:
+        p = HPath(_abs(root, f))
+        if fs.exists(p):
+            size += int(fs.getFileStatus(p).getLen())
+    return spark.createDataFrame(
+        [
+            (
+                "versioned_parquet",
+                root,
+                int(head_v),
+                len(files),
+                size,
+                float(manifest.get("ts") or 0.0),
+                json.dumps(manifest.get("constraints") or {}),
+                list(_stats_cols_of(manifest)),
+            )
+        ],
+        "format string, location string, version long, num_files long, "
+        "size_bytes long, last_commit_ts double, constraints string, "
+        "stats_cols array<string>",
+    )
+
+
 def tt_history(spark: SparkSession, root: str) -> DataFrame:
     """(version, op, ts, n_files) per committed version — Delta
     ``DESCRIBE HISTORY``."""
@@ -1584,11 +1688,18 @@ def tt_changes_drain(
     return consumed
 
 
-def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
+def tt_vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> int:
     """Delete data files referenced ONLY by versions older than the
     last ``keep_last``, then drop those versions' manifests.  Returns
     the number of data files deleted.  Time travel to vacuumed
-    versions stops working — exactly Delta ``VACUUM``'s trade."""
+    versions stops working — exactly Delta ``VACUUM``'s trade.
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) counts the data
+    files that WOULD be reclaimed and changes nothing."""
     if keep_last < 1:
         raise ValueError("tt_vacuum: keep_last must be >= 1")
     root = _named_root(spark, root)
@@ -1604,6 +1715,7 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
         if "base" in m:
             live_refs.add(m["base"])
     deleted = 0
+    reclaimed: set[str] = set()
     dead_refs: set[str] = set()
     for v in drop:
         m = _read_manifest(spark, fs, HPath, root, v)
@@ -1611,12 +1723,21 @@ def tt_vacuum(spark: SparkSession, root: str, keep_last: int = 1) -> int:
         for f in fl:
             if _is_external(f):
                 continue  # shallow-clone ref: the SOURCE table owns it
-            if f not in live and fs.exists(HPath(f"{root}/{f}")):
-                fs.delete(HPath(f"{root}/{f}"), False)
+            if (
+                f not in live
+                and f not in reclaimed  # shared across dropped versions
+                and fs.exists(HPath(f"{root}/{f}"))
+            ):
+                if not dry_run:
+                    fs.delete(HPath(f"{root}/{f}"), False)
+                reclaimed.add(f)
                 deleted += 1
         if "base" in m and m["base"] not in live_refs:
             dead_refs.add(m["base"])
-        fs.delete(HPath(f"{root}/{_LOG}/{_manifest_name(v)}"), False)
+        if not dry_run:
+            fs.delete(HPath(f"{root}/{_LOG}/{_manifest_name(v)}"), False)
+    if dry_run:
+        return deleted  # nothing touched: no manifest drops, no sweeps
     # checkpoints referenced only by vacuumed manifests are log garbage
     for ref in dead_refs:
         if fs.exists(HPath(f"{root}/{ref}")):

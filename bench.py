@@ -151,6 +151,12 @@ HEADLINE = [
     "st_tt_source",
     "op_tt_datasource",
     "op_tt_clone",
+    # round-12 additions
+    "op_tt_named",
+    "op_tt_create_sql",
+    "op_tt_convert",
+    "op_tt_write",
+    "op_tt_update_cast",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

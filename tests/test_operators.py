@@ -3208,6 +3208,136 @@ class TestDmlSql:
         with pytest.raises(a.exceptions.AstroSparkError):
             a.tt_register(spark, "bad name; drop", root)
 
+    def test_describe_detail(self, spark, tmp_path):
+        """DESCRIBE DETAIL '<root>'|name: one-row snapshot description —
+        format/location/version/file count/bytes/constraints/stats
+        columns (Delta's introspection shape)."""
+        root = str(tmp_path / "det")
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            root,
+            stats_cols=["k"],
+        )
+        a.tt_add_constraint(spark, root, "k_pos", "k > 0")
+        r = a.run_raw_sql(
+            spark, f"DESCRIBE DETAIL '{root}'", results_format="list"
+        )[0]
+        assert r.format == "versioned_parquet" and r.location == root
+        assert r.version == 1 and r.num_files >= 1 and r.size_bytes > 0
+        assert r.stats_cols == ["k"] and "k_pos" in r.constraints
+        # tracks the head: a delete rewrites files and bumps the version
+        a.tt_delete_where(spark, root, "k = 1")
+        r2 = a.tt_detail(spark, root).first()
+        assert r2.version == 2 and r2.last_commit_ts > r.last_commit_ts
+
+    def test_convert_restore_ts_and_dry_run(self, spark, tmp_path):
+        """CONVERT TO DELTA adopts a plain parquet dir in place (zero
+        rewrite — v0 references the existing files), RESTORE TABLE ...
+        TO TIMESTAMP AS OF picks the latest version at-or-before the
+        clock, and VACUUM ... DRY RUN counts reclaimable files without
+        touching anything."""
+        import time as _t
+
+        d = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(10)], "k long, v long"
+        ).coalesce(2).write.parquet(d)
+        import os
+
+        before = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        a.run_raw_sql(spark, f"CONVERT TO DELTA '{d}'")
+        after = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        assert before == after  # adopted IN PLACE, zero bytes rewritten
+        assert a.tt_read(spark, d).count() == 10
+        # converting twice is an error; so is a Hive layout
+        with pytest.raises(a.exceptions.AstroSparkError, match="already"):
+            a.tt_convert(spark, d)
+        h = str(tmp_path / "hive")
+        spark.createDataFrame([(1, 2)], "k long, p long").write.partitionBy(
+            "p"
+        ).parquet(h)
+        with pytest.raises(a.exceptions.AstroSparkError, match="Hive"):
+            a.tt_convert(spark, h)
+        # normal commits on the adopted table
+        a.tt_delete_where(spark, d, "k < 3")
+        ts = _t.time()
+        a.tt_append(spark, spark.createDataFrame([(99, 0)], "k long, v long"), d)
+        a.run_raw_sql(spark, f"RESTORE TABLE '{d}' TO TIMESTAMP AS OF {ts}")
+        assert a.tt_read(spark, d).count() == 7
+        # DRY RUN: counts what a real vacuum reclaims, changes nothing
+        n_before = a.tt_history(spark, d).count()
+        dry = a.run_raw_sql(
+            spark, f"VACUUM '{d}' RETAIN 1 VERSIONS DRY RUN",
+            results_format="list",
+        )[0].deleted_files
+        assert a.tt_history(spark, d).count() == n_before
+        assert a.tt_read(spark, d, 0).count() == 10  # nothing deleted
+        real = a.run_raw_sql(
+            spark, f"VACUUM '{d}' RETAIN 1 VERSIONS", results_format="list"
+        )[0].deleted_files
+        assert real == dry and a.tt_read(spark, d).count() == 7
+
+    def test_ctas_using_delta_sql(self, spark, tmp_path):
+        """CREATE [OR REPLACE] TABLE <name|'root'> USING DELTA
+        [LOCATION] AS <select> — the reference's primary Delta shape as
+        statement text: creates the versioned table, registers the
+        name; plain CREATE on an existing table errors; OR REPLACE
+        overwrites in place with history intact; non-DELTA CREATE falls
+        through to spark.sql untouched."""
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, v long"
+        ).createOrReplaceTempView("ctas_src")
+        loc = str(tmp_path / "ctas")
+        try:
+            a.run_raw_sql(
+                spark,
+                f"CREATE TABLE lakehouse.kv USING DELTA LOCATION '{loc}' "
+                "AS SELECT k, v FROM ctas_src",
+            )
+            assert a.tt_resolve_name(spark, "lakehouse.kv") == loc
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT SUM(v) AS s FROM lakehouse.kv",
+                results_format="list",
+            )
+            assert rows[0].s == 30
+            with pytest.raises(a.exceptions.AstroSparkError, match="exists"):
+                a.run_raw_sql(
+                    spark,
+                    f"CREATE TABLE lakehouse.kv USING DELTA LOCATION "
+                    f"'{loc}' AS SELECT 1 AS k, 2 AS v",
+                )
+            a.run_raw_sql(
+                spark,
+                "CREATE OR REPLACE TABLE lakehouse.kv USING DELTA "
+                f"LOCATION '{loc}' AS "
+                "SELECT k, v * 10 AS v FROM lakehouse.kv VERSION AS OF 0",
+            )
+            assert a.tt_read(spark, loc).agg({"v": "sum"}).first()[0] == 300
+            assert a.tt_read(spark, loc, 0).count() == 2  # history intact
+            # name-only CREATE derives a deterministic warehouse root
+            a.run_raw_sql(
+                spark,
+                "CREATE OR REPLACE TABLE lakehouse.derived USING DELTA "
+                "AS SELECT k FROM ctas_src",
+            )
+            droot = a.tt_resolve_name(spark, "lakehouse.derived")
+            assert droot and "_versioned/lakehouse/derived" in droot
+            assert a.tt_read(spark, droot).count() == 2
+            # a non-DELTA CREATE is NOT intercepted
+            a.run_raw_sql(
+                spark,
+                "CREATE TABLE plain_ctas USING parquet AS "
+                "SELECT k FROM ctas_src",
+            )
+            assert spark.table("plain_ctas").count() == 2
+        finally:
+            a.tt_unregister(spark, "lakehouse.kv")
+            a.tt_unregister(spark, "lakehouse.derived")
+            spark.sql("DROP TABLE IF EXISTS plain_ctas")
+            spark.catalog.dropTempView("ctas_src")
+
     def test_timetravel_sql_drops_temp_views(self, spark, tmp_path):
         """The __tt_read_* views the AS-OF rewrite registers are dropped
         once analysis inlined them — long-lived sessions issuing
