@@ -1108,3 +1108,94 @@ class TestTimeTravelProperties:
                 (r.k, r.v) for r in a.tt_read(spark, root, ver).collect()
             )
             assert got == expect, (ver, ops)
+
+
+class TestArrowCommitEquivalence:
+    """The Spark-free stream-sink commit (`_commit_files_arrow`) must be
+    SEMANTICALLY IDENTICAL to the JVM log transaction
+    (`tt_commit_files`) — same resolved file lists, same skipping
+    stats, same schema, same read-back — across random append
+    sequences and BOTH log forms (inline / checkpoint-compacted)."""
+
+    @SETTINGS
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 50), st.integers(-5, 5)),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        inline_max=st.sampled_from([1, 2, 1000]),
+    )
+    def test_arrow_commit_equals_jvm_commit(
+        self, spark, tmp_path_factory, batches, inline_max
+    ):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import astro_spark as a
+        from astro_spark.operators import timetravel as tt
+        from astro_spark.sources.tt_datasource import _commit_files_arrow
+
+        base = tmp_path_factory.mktemp("arroweq") / _uuid.uuid4().hex
+        r_jvm, r_arw = str(base / "jvm"), str(base / "arw")
+        spark.conf.set("spark.astro.tt.inlineFilesMax", str(inline_max))
+        try:
+            seed = spark.createDataFrame([(0, 0)], "k long, v long")
+            a.tt_create(spark, seed, r_jvm, stats_cols=["k"])
+            a.tt_create(spark, seed, r_arw, stats_cols=["k"])
+            for i, rows in enumerate(batches):
+                t = pa.table(
+                    {
+                        "k": pa.array([r[0] for r in rows], pa.int64()),
+                        "v": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                )
+                rel = f"files/batch_{i}/part-0.parquet"
+                for root in (r_jvm, r_arw):
+                    os.makedirs(f"{root}/files/batch_{i}", exist_ok=True)
+                    pq.write_table(t, f"{root}/{rel}")
+                tt.tt_commit_files(spark, r_jvm, [rel])
+                _commit_files_arrow(r_arw, [rel], "append", inline_max=inline_max)
+            # identical read-back at EVERY version
+            for ver in range(len(batches) + 1):
+                gj = sorted(
+                    (r.k, r.v)
+                    for r in a.tt_read(spark, r_jvm, ver).collect()
+                )
+                ga = sorted(
+                    (r.k, r.v)
+                    for r in a.tt_read(spark, r_arw, ver).collect()
+                )
+                assert gj == ga, f"version {ver} diverged"
+            # identical resolved file lists + skipping stats at head
+            HPj, _pj, fsj = tt._fs(spark, r_jvm)
+            HPa, _pa, fsa = tt._fs(spark, r_arw)
+            vj, mj = tt._head(spark, fsj, HPj, r_jvm)
+            va, ma = tt._head(spark, fsa, HPa, r_arw)
+            assert vj == va
+            fj, sj = tt._resolve(spark, fsj, HPj, r_jvm, mj)
+            fa, sa = tt._resolve(spark, fsa, HPa, r_arw, ma)
+            # v0's seed files carry per-table UUID (hex) names; the BATCH
+            # files use a non-hex prefix and identical relative paths —
+            # those must match exactly, and the overall count too
+            ours = lambda fl: sorted(f for f in fl if f.startswith("files/batch_"))
+            assert len(fj) == len(fa)
+            assert ours(fj) == ours(fa)
+            assert {f: s for f, s in sj.items() if f.startswith("files/batch_")} == {
+                f: s for f, s in sa.items() if f.startswith("files/batch_")
+            }  # exact same [min, max] per batch file per column
+            assert mj.get("schema") == ma.get("schema")
+            assert tt._stats_cols_of(mj) == tt._stats_cols_of(ma)
+            # stats-based pruning behaves identically
+            nj = a.tt_read(spark, r_jvm, where="k >= 40").count()
+            na = a.tt_read(spark, r_arw, where="k >= 40").count()
+            assert nj == na
+        finally:
+            spark.conf.unset("spark.astro.tt.inlineFilesMax")
