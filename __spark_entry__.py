@@ -7232,11 +7232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-12 driver-verification order (the driver checks the FIRST 50
-# entries): the 3 round-12 additions that have never had a driver row
-# lead, then the FULL 47-query r07-stale cohort (the stalest — VERDICT
-# r11 #1: every one must be green in CORRECTNESS_r12) fills the window
-# exactly; the 50-query r08-stale cohort queues right behind as next
-# round's stalest.  _ROTATION_BUILT_FOR_ROUND pins the r-file horizon
+# entries): the 5 round-12 additions that have never had a driver row
+# lead (never-checked MUST sit in the head-50), then the 47-query
+# r07-stale cohort — its first 45 fit the window; the alphabetically
+# last two (t_pad_encode, t_vocab_encode) sit at slots 51-52 and head
+# next round's stalest cohort together with the 50 r08-stale entries
+# behind them.  Trade accepted: two extra never-checked rows displace
+# two stale re-checks; every displaced row is already multi-round
+# green.  _ROTATION_BUILT_FOR_ROUND pins the r-file horizon
 # this order was computed from, so tests/test_contract.py stays green
 # AFTER the driver publishes CORRECTNESS_r12.json (VERDICT r7 #1).
 _ROTATION_BUILT_FOR_ROUND = 12

@@ -303,9 +303,15 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
     into ``schema.table``, reference ``databases/databricks/
     delta.py:168-187``; MERGE on names ``:357-442``), so a reference
     user's statement text works verbatim once the name is registered.
-    Identifiers inside single/double-quoted strings and backticks are
-    never touched; unregistered names fall through to ``spark.sql``
-    (a real catalog handles them)."""
+    Substitution is TABLE-POSITION aware: a registered identifier is
+    rewritten only when the preceding token is a table-position keyword
+    (FROM/JOIN/INTO/UPDATE/TABLE/HISTORY/DETAIL/OPTIMIZE/VACUUM/CLONE/
+    USING), so a column, alias, or any other identifier that merely
+    EQUALS a registered one-part name is never clobbered.  Identifiers
+    inside single/double-quoted strings (backslash escapes and doubled
+    quotes respected) and backticks are never touched; unregistered
+    names fall through to ``spark.sql`` (a real catalog handles
+    them)."""
     import re
 
     from .timetravel import tt_registered
@@ -313,28 +319,54 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
     reg = tt_registered(spark)
     if not reg:
         return stmt
-    names = sorted(reg, key=len, reverse=True)  # db.t before t
-    pat = re.compile(
-        r"(?i)(?<![\w.$])("
-        + "|".join(re.escape(n) for n in names)
-        + r")(?![\w.$])"
-    )
+    kw = {
+        "from", "join", "into", "update", "table", "history", "detail",
+        "optimize", "vacuum", "clone", "using", "delta",
+    }  # "delta": CONVERT TO DELTA <name>
+    ident = re.compile(r"[A-Za-z_][\w.$]*")
     out: list[str] = []
     i, n = 0, len(stmt)
+    prev_token = ""
     while i < n:
         ch = stmt[i]
-        if ch in "'\"`":
-            j = stmt.find(ch, i + 1)
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "\\":
+                    j += 2  # Spark's default backslash escaping
+                    continue
+                if stmt[j] == ch:
+                    if j + 1 < n and stmt[j + 1] == ch:
+                        j += 2  # doubled quote = escaped quote
+                        continue
+                    break
+                j += 1
+            j = min(j, n - 1)
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            prev_token = ""  # a literal never puts us in table position
+            continue
+        if ch == "`":
+            j = stmt.find("`", i + 1)
             j = n - 1 if j < 0 else j
             out.append(stmt[i : j + 1])
             i = j + 1
+            prev_token = ""
             continue
-        m = pat.match(stmt, i)
+        m = ident.match(stmt, i)
         if m:
-            out.append(f"'{reg[m.group(1).lower()]}'")
+            tok = m.group(0)
+            key = tok.lower()
+            if key in reg and prev_token in kw:
+                out.append(f"'{reg[key]}'")
+            else:
+                out.append(tok)
+            prev_token = key
             i = m.end()
             continue
         out.append(ch)
+        if not ch.isspace():
+            prev_token = ""  # punctuation leaves table position
         i += 1
     return "".join(out)
 

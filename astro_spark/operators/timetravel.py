@@ -1523,12 +1523,13 @@ def tt_clone(
     later VACUUM on the SOURCE can delete files the clone still
     references — deep-copy (``tt_create`` from ``tt_read``) when the
     source's retention isn't under your control."""
+    src_root = _named_root(spark, src_root)  # BEFORE the path check:
+    # a registered db.table name resolves to its absolute root first
     if not _is_external(_abs(src_root, "files")):
         raise ValueError(
-            f"tt_clone: src_root must be an absolute path or URI, got "
-            f"{src_root!r}"
+            f"tt_clone: src_root must be an absolute path or URI (or a "
+            f"tt_register'd name), got {src_root!r}"
         )
-    src_root = _named_root(spark, src_root)
     HPath, _p, fs = _fs(spark, src_root)
     versions = _list_versions(fs, HPath, src_root)
     if not versions:
@@ -1823,7 +1824,6 @@ def tt_register(spark: SparkSession, name: str, root: str) -> None:
     The root need not exist yet (a registered name may be the DST of
     ``CREATE TABLE name SHALLOW CLONE ...`` or an INSERT-create);
     resolution errors surface at use, exactly as with quoted paths."""
-    _validate_table_name(name)  # reject junk early
     _NAME_REGISTRY.setdefault(spark, {})[_validate_table_name(name)] = root
 
 

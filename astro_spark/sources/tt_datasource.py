@@ -333,9 +333,12 @@ class _TTStreamReader(DataSourceStreamReader):
             # path (lo == -1).  Fail loudly instead (Delta does too).
             raise ValueError(
                 f"stream offset version {lo} of {self._root} has been "
-                "vacuumed — the source cannot compute the file delta; "
-                "restart the stream with a fresh checkpoint (optionally "
-                "startingVersion=<first surviving version>)"
+                "vacuumed — the source cannot compute the file delta. "
+                "Restart with a fresh checkpoint: the default start "
+                "(current snapshot) streams commits from now on, or "
+                "startingVersion=0 replays everything that survives; "
+                "a startingVersion pointing at a vacuumed boundary "
+                "re-raises this error"
             )
         prev: set[str] | None = (
             set(

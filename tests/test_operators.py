@@ -3181,6 +3181,34 @@ class TestDmlSql:
                 results_format="list",
             )
             assert rows[0].s == "sales.orders_v"
+            # substitution is TABLE-POSITION aware: a column or alias
+            # that equals a registered ONE-part name is never clobbered
+            a.tt_register(spark, "orders_col", root)
+            spark.createDataFrame(
+                [(7,)], "orders_col long"
+            ).createOrReplaceTempView("named_counts")
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT orders_col FROM named_counts",
+                results_format="list",
+            )
+            assert rows[0].orders_col == 7  # column, not the path
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT n.orders_col FROM named_counts n",
+                results_format="list",
+            )
+            assert rows[0].orders_col == 7
+            a.tt_unregister(spark, "orders_col")
+            spark.catalog.dropTempView("named_counts")
+            # escaped quotes inside literals don't derail the scanner
+            rows = a.run_raw_sql(
+                spark,
+                "SELECT 'it\\'s fine' AS lit, COUNT(*) AS n "
+                "FROM sales.orders_v",
+                results_format="list",
+            )
+            assert rows[0].lit == "it's fine" and rows[0].n == 4
             assert a.tt_resolve_name(spark, "SALES.ORDERS_V") == root
             # the PYTHON tt_* surface accepts the name too
             assert a.tt_read(spark, "sales.orders_v").count() == 4

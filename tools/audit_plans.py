@@ -134,8 +134,6 @@ def _at_most_one_row(node) -> bool:
             return int(str(node.numElements())) <= 1
         except Exception:
             return False
-    if name == "SubqueryBroadcastExec":
-        return True  # DPP key relation: bounded by the dim's keys
     return False
 
 
@@ -162,7 +160,9 @@ def _bounded_rows(node) -> bool:
             except Exception:
                 continue
         return False
-    if name in ("GlobalLimitExec", "LocalLimitExec"):
+    if name == "GlobalLimitExec":
+        # NOT LocalLimitExec: a local limit caps rows PER PARTITION, so
+        # it proves nothing about the relation's total size
         try:
             return int(node.limit()) <= _BOUNDED_LIMIT
         except Exception:
