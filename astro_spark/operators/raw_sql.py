@@ -54,6 +54,8 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         RESTORE TABLE '<root>' TO VERSION|TIMESTAMP AS OF <n|ts|'iso'>
         INSERT INTO|OVERWRITE '<root>' <select-or-values>
         ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
+        ALTER TABLE '<root>' SET|UNSET TBLPROPERTIES (...)
+        SHOW TBLPROPERTIES '<root>'
         ALTER TABLE '<root>' DROP CONSTRAINT <name>
         OPTIMIZE '<root>' [ZORDER BY (c1, c2, ...)]
         VACUUM '<root>' [RETAIN <n> VERSIONS] [DRY RUN]
@@ -167,6 +169,50 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             spark, m.group(1), validate_identifier(m.group(2)), m.group(3)
         )
         return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*alter\s+table\s+'([^']+)'\s+set\s+tblproperties\s*"
+        r"\((.+)\)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from .timetravel import tt_set_properties
+
+        props = {}
+        for piece in _split_top_level(m.group(2)):
+            pm = re.match(
+                r"(?s)^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", piece
+            )
+            if not pm:
+                return None  # not the TBLPROPERTIES grammar: fall through
+            props[pm.group(1)] = pm.group(2)
+        v = tt_set_properties(spark, m.group(1), props)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*alter\s+table\s+'([^']+)'\s+unset\s+tblproperties\s*"
+        r"(?:if\s+exists\s*)?\((.+)\)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from .timetravel import tt_unset_properties
+
+        keys = []
+        for piece in _split_top_level(m.group(2)):
+            pm = re.match(r"(?s)^\s*'([^']+)'\s*$", piece)
+            if not pm:
+                return None
+            keys.append(pm.group(1))
+        v = tt_unset_properties(spark, m.group(1), keys)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
+        r"(?is)^\s*show\s+tblproperties\s+'([^']+)'\s*;?\s*$", stmt
+    )
+    if m:
+        from .timetravel import tt_properties
+
+        props = tt_properties(spark, m.group(1))
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+drop\s+constraint\s+"
         r"`?(\w+)`?\s*;?\s*$",

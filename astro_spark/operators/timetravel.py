@@ -555,6 +555,11 @@ def _carry_constraints(manifest: dict) -> dict:
     return {"constraints": c} if c else {}
 
 
+def _carry_props(manifest: dict) -> dict:
+    p = manifest.get("properties")
+    return {"properties": p} if p else {}
+
+
 def tt_add_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> int:
@@ -599,6 +604,64 @@ def tt_drop_constraint(spark: SparkSession, root: str, name: str) -> int:
         new_manifest["constraints"] = cons
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
+
+
+def tt_set_properties(
+    spark: SparkSession, root: str, props: dict[str, str]
+) -> int:
+    """Delta ``ALTER TABLE ... SET TBLPROPERTIES``: merge ``props`` into
+    the table's property map with a metadata-only commit (no data files
+    touched); properties carry across every later commit and RESTORE
+    restores the version's map."""
+    root = _named_root(spark, root)
+    if not props:
+        raise ValueError("tt_set_properties: empty property map")
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    merged = {**(manifest.get("properties") or {})}
+    merged.update({str(k): str(v) for k, v in props.items()})
+    new_manifest = {
+        **manifest,
+        "op": "set_properties",
+        "ts": time.time(),
+        "properties": merged,
+    }
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
+def tt_unset_properties(
+    spark: SparkSession, root: str, keys: list[str]
+) -> int:
+    """Delta ``ALTER TABLE ... UNSET TBLPROPERTIES``: metadata-only
+    commit dropping the keys (missing keys are ignored, Delta's IF
+    EXISTS behavior)."""
+    root = _named_root(spark, root)
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    props = {
+        k: v
+        for k, v in (manifest.get("properties") or {}).items()
+        if k not in set(keys)
+    }
+    new_manifest = {
+        **manifest,
+        "op": "unset_properties",
+        "ts": time.time(),
+    }
+    new_manifest.pop("properties", None)
+    if props:
+        new_manifest["properties"] = props
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
+def tt_properties(spark: SparkSession, root: str) -> dict[str, str]:
+    """The head version's table-property map (empty if none set)."""
+    root = _named_root(spark, root)
+    HPath, _p, fs = _fs(spark, root)
+    _v, manifest = _head(spark, fs, HPath, root)
+    return dict(manifest.get("properties") or {})
 
 
 def _stats_cols_of(manifest: dict) -> list[str]:
@@ -667,6 +730,7 @@ def tt_append(
             "schema": evolved,
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_props(prev),
         }
         try:
             _publish(spark, fs, HPath, root, head + 1, manifest)
@@ -725,6 +789,7 @@ def tt_commit_files(
             "schema": _schema_json(df),
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_props(prev),
         }
         _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
         return versions[-1] + 1
@@ -753,6 +818,7 @@ def tt_commit_files(
             "schema": evolved,
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_props(prev),
         }
         try:
             _publish(spark, fs, HPath, root, head + 1, manifest)
@@ -792,6 +858,7 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
         "schema": _schema_json(df),  # overwrite replaces the schema too
         **_carry_constraints(prev),
         **_carry_stats_cols(prev),
+            **_carry_props(prev),
     }
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
@@ -1034,6 +1101,8 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
         manifest["constraints"] = src["constraints"]  # and the checks
     if src.get("stats_cols") is not None:
         manifest["stats_cols"] = src["stats_cols"]
+    if src.get("properties") is not None:
+        manifest["properties"] = src["properties"]
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
 
@@ -1134,11 +1203,12 @@ def tt_detail(spark: SparkSession, root: str) -> DataFrame:
                 float(manifest.get("ts") or 0.0),
                 json.dumps(manifest.get("constraints") or {}),
                 list(_stats_cols_of(manifest)),
+                json.dumps(manifest.get("properties") or {}),
             )
         ],
         "format string, location string, version long, num_files long, "
         "size_bytes long, last_commit_ts double, constraints string, "
-        "stats_cols array<string>",
+        "stats_cols array<string>, properties string",
     )
 
 
@@ -1251,6 +1321,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         ),
         **_carry_constraints(manifest),  # deletes can't violate; carry
         **_carry_stats_cols(manifest),
+        **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
@@ -1333,6 +1404,7 @@ def tt_update_where(
         ),
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
+        **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
@@ -1411,6 +1483,7 @@ def tt_merge(
         ),
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
+        **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
@@ -1472,6 +1545,7 @@ def tt_optimize(
         ),
         **_carry_constraints(manifest),  # rows identical; carry
         **_carry_stats_cols(manifest),
+        **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
@@ -1556,6 +1630,8 @@ def tt_clone(
         manifest["constraints"] = m["constraints"]
     if m.get("stats_cols") is not None:
         manifest["stats_cols"] = m["stats_cols"]
+    if m.get("properties") is not None:
+        manifest["properties"] = m["properties"]
     _publish(spark, dfs, dHPath, dst_root, 0, manifest)
     return 0
 

@@ -294,7 +294,25 @@ class _TTStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         start = options.get("startingversion")
-        if start is None:
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass at most one of startingVersion / startingTimestamp"
+            )
+        if start_ts is not None:
+            # Delta's startingTimestamp: stream every commit whose
+            # timestamp is AT or AFTER the given clock (the first such
+            # version streams inclusively); if none exists yet, only
+            # future commits stream.
+            versions = _list_versions(root)
+            if not versions:
+                raise ValueError(f"no versioned table at {root}")
+            ts = float(start_ts)
+            later = [
+                v for v in versions if _read_manifest(root, v)["ts"] >= ts
+            ]
+            self._start = (later[0] - 1) if later else versions[-1]
+        elif start is None:
             versions = _list_versions(root)
             if not versions:
                 raise ValueError(f"no versioned table at {root}")
@@ -623,6 +641,11 @@ def _commit_files_arrow(
             "ts": _time.time(),
             "schema": json.dumps(file_schema.jsonValue()),
             **({"stats_cols": carry} if carry else {}),
+            **(
+                {"properties": prev["properties"]}
+                if prev.get("properties")
+                else {}
+            ),
         }
         _atomic_publish_arrow(path, versions[-1] + 1, manifest)
         return versions[-1] + 1
@@ -646,6 +669,11 @@ def _commit_files_arrow(
             "ts": _time.time(),
             "schema": evolved,
             **({"stats_cols": carry} if carry else {}),
+            **(
+                {"properties": prev["properties"]}
+                if prev.get("properties")
+                else {}
+            ),
         }
         try:
             _atomic_publish_arrow(path, head + 1, manifest)

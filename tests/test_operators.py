@@ -3236,6 +3236,98 @@ class TestDmlSql:
         with pytest.raises(a.exceptions.AstroSparkError):
             a.tt_register(spark, "bad name; drop", root)
 
+    def test_table_properties(self, spark, tmp_path):
+        """TBLPROPERTIES on versioned tables: SET merges via a
+        metadata-only commit, UNSET drops (missing keys ignored),
+        SHOW lists, properties CARRY across data commits (appends, DML,
+        stream commits via the Arrow path) and RESTORE restores the
+        version's map."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from astro_spark.sources.tt_datasource import _commit_files_arrow
+
+        root = str(tmp_path / "props")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10)], "k long, v long"), root
+        )
+        a.run_raw_sql(
+            spark,
+            f"ALTER TABLE '{root}' SET TBLPROPERTIES "
+            "('owner'='ml-team', 'retention'='30d')",
+        )
+        assert a.tt_properties(spark, root) == {
+            "owner": "ml-team",
+            "retention": "30d",
+        }
+        # carries across a data commit and across the ARROW commit path
+        a.tt_append(
+            spark, spark.createDataFrame([(2, 20)], "k long, v long"), root
+        )
+        os.makedirs(f"{root}/files/pbatch")
+        pq.write_table(
+            pa.table({"k": pa.array([3], pa.int64()),
+                      "v": pa.array([30], pa.int64())}),
+            f"{root}/files/pbatch/part-0.parquet",
+        )
+        _commit_files_arrow(root, ["files/pbatch/part-0.parquet"], "append")
+        assert a.tt_properties(spark, root) == {
+            "owner": "ml-team",
+            "retention": "30d",
+        }
+        rows = a.run_raw_sql(
+            spark, f"SHOW TBLPROPERTIES '{root}'", results_format="list"
+        )
+        assert [(r.key, r.value) for r in rows] == [
+            ("owner", "ml-team"),
+            ("retention", "30d"),
+        ]
+        a.run_raw_sql(
+            spark,
+            f"ALTER TABLE '{root}' UNSET TBLPROPERTIES ('retention', 'nope')",
+        )
+        assert a.tt_properties(spark, root) == {"owner": "ml-team"}
+        assert '"owner"' in a.tt_detail(spark, root).first().properties
+        # RESTORE brings the old map back
+        a.tt_restore(spark, root, 3)
+        assert a.tt_properties(spark, root) == {
+            "owner": "ml-team",
+            "retention": "30d",
+        }
+        with pytest.raises(ValueError):
+            a.tt_set_properties(spark, root, {})
+
+    def test_stream_starting_timestamp(self, spark, tmp_path):
+        """readStream option startingTimestamp: commits AT or AFTER the
+        clock stream (Delta's contract); a future timestamp means only
+        future commits; combining with startingVersion errors."""
+        import time as _t
+
+        from astro_spark.sources.tt_datasource import _TTStreamReader
+
+        root = str(tmp_path / "sts")
+        a.tt_create(spark, spark.createDataFrame([(1,)], "k long"), root)
+        _t.sleep(0.02)
+        ts_mid = _t.time()
+        _t.sleep(0.02)
+        a.tt_append(spark, spark.createDataFrame([(2,)], "k long"), root)
+        a.tt_append(spark, spark.createDataFrame([(3,)], "k long"), root)
+        rd = _TTStreamReader(root, None, {"startingtimestamp": str(ts_mid)})
+        parts = rd.partitions(rd.initialOffset(), rd.latestOffset())
+        assert sorted({p.commit_version for p in parts}) == [1, 2]
+        future = _TTStreamReader(
+            root, None, {"startingtimestamp": str(_t.time() + 100)}
+        )
+        assert future.initialOffset() == {"version": 2}
+        with pytest.raises(ValueError, match="at most one"):
+            _TTStreamReader(
+                root,
+                None,
+                {"startingtimestamp": "0", "startingversion": "0"},
+            )
+
     def test_describe_detail(self, spark, tmp_path):
         """DESCRIBE DETAIL '<root>'|name: one-row snapshot description —
         format/location/version/file count/bytes/constraints/stats
