@@ -1899,7 +1899,17 @@ def tt_register(spark: SparkSession, name: str, root: str) -> None:
 
     The root need not exist yet (a registered name may be the DST of
     ``CREATE TABLE name SHALLOW CLONE ...`` or an INSERT-create);
-    resolution errors surface at use, exactly as with quoted paths."""
+    resolution errors surface at use, exactly as with quoted paths.
+
+    The PYTHON surface resolves names too: every ``tt_*`` operator's
+    ``root`` argument accepts a registered name (path-shaped strings —
+    anything with a separator — always pass through untouched)."""
+    if "'" in root or "\n" in root or "\r" in root:
+        # the root is substituted into SQL text as a quoted literal —
+        # a quote or newline inside it would break out of the literal
+        raise AstroSparkError(
+            f"tt_register: root may not contain quotes or newlines: {root!r}"
+        )
     _NAME_REGISTRY.setdefault(spark, {})[_validate_table_name(name)] = root
 
 

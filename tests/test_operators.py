@@ -3235,6 +3235,10 @@ class TestDmlSql:
         assert a.tt_registered(spark) == {}
         with pytest.raises(a.exceptions.AstroSparkError):
             a.tt_register(spark, "bad name; drop", root)
+        # roots are interpolated into SQL as quoted literals: quotes and
+        # newlines are rejected at registration (no literal break-out)
+        with pytest.raises(a.exceptions.AstroSparkError, match="quotes"):
+            a.tt_register(spark, "db.t", "/tmp/x' UNION SELECT 1 --")
 
     def test_table_properties(self, spark, tmp_path):
         """TBLPROPERTIES on versioned tables: SET merges via a
