@@ -293,6 +293,9 @@ class _TTStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self._ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
         start = options.get("startingversion")
         start_ts = options.get("startingtimestamp")
         if start is not None and start_ts is not None:
@@ -373,14 +376,26 @@ class _TTStreamReader(DataSourceStreamReader):
             fset = set(files)
             added = [f for f in files if prev is None or f not in prev]
             removed = prev is not None and not prev <= fset
+            if (
+                removed
+                and not added
+                and (self._ignore_deletes or self._ignore_changes)
+            ):
+                # a DELETE-ONLY commit (vacuumed partitions, retention
+                # deletes): Delta's ignoreDeletes skips it silently —
+                # no rows to emit, the file-set baseline just shrinks
+                prev = fset
+                continue
             if removed and not self._ignore_changes:
                 raise ValueError(
                     f"version {v} of {self._root} rewrote data files "
                     "(merge/delete/update/overwrite) — an append "
                     "stream cannot represent it; set "
                     "ignoreChanges=true to stream the added files "
-                    "anyway (carried rows may duplicate), or consume "
-                    "astro_spark.tt_changes_drain for the exact feed"
+                    "anyway (carried rows may duplicate), "
+                    "ignoreDeletes=true to skip DELETE-ONLY commits, "
+                    "or consume astro_spark.tt_changes_drain for the "
+                    "exact feed"
                 )
             out.extend(
                 _FilePartition(_abs_entry(path, rel), v) for rel in added

@@ -645,6 +645,36 @@ class TestVersionedParquetDataSource:
         )
         assert {x.k for x in got.collect()} == {14, 15}
 
+    def test_ignore_deletes_option(self, spark, tmp_path):
+        """ignoreDeletes (Delta source option): a DELETE-ONLY commit
+        (files removed, none added — e.g. a restore to a subset) is
+        skipped silently; mixed rewrites still refuse unless
+        ignoreChanges."""
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import _TTStreamReader
+
+        root = str(tmp_path / "igdel")
+        a.tt_create(spark, spark.createDataFrame([(1,)], "k long"), root)
+        a.tt_append(spark, spark.createDataFrame([(2,)], "k long"), root)
+        a.tt_restore(spark, root, 0)  # v2: removes v1's file, adds none
+        a.tt_append(spark, spark.createDataFrame([(3,)], "k long"), root)
+        rd = _TTStreamReader(
+            root, None, {"startingversion": "1", "ignoredeletes": "true"}
+        )
+        parts = rd.partitions({"version": 0}, {"version": 3})
+        assert sorted({p.commit_version for p in parts}) == [1, 3]
+        with pytest.raises(ValueError, match="rewrote"):
+            _TTStreamReader(root, None, {"startingversion": "1"}).partitions(
+                {"version": 0}, {"version": 3}
+            )
+        # a commit that removes AND adds is not delete-only: still refuses
+        a.tt_delete_where(spark, root, "k = 1")  # rewrites the shared file
+        rd3 = _TTStreamReader(
+            root, None, {"startingversion": "1", "ignoredeletes": "true"}
+        )
+        with pytest.raises(ValueError, match="rewrote"):
+            rd3.partitions({"version": 0}, {"version": 4})
+
     def test_spark_free_stream_commit(self, spark, tmp_path):
         """The stream writer's commit is Arrow-first (no fresh JVM in
     Spark's detached commit runner): same manifest semantics as
