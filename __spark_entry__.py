@@ -1792,6 +1792,149 @@ SELECT 'v0', COUNT(*), SUM(r)::BIGINT, TRUE FROM v0
 """
 
 
+def _op_tt_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-aware versioned tables (round 13, VERDICT r12 #1):
+    ``CONVERT TO DELTA ... PARTITIONED BY`` adopts a Hive ``key=value``
+    layout in place (partition values parsed from paths into degenerate
+    per-file skipping bounds — zero scans), ``DELETE WHERE`` on a
+    partition drops exactly its files, an append mixes engine-layout
+    files (partition values physical, ``__p_`` path split) with the
+    surviving adopted ones, and time travel replays every state.  The
+    folded claims: a partition-predicate read PRUNES to fewer files
+    than the head holds (from the manifest alone), and the pruned read
+    is exact.  Reference: Delta's ``CONVERT TO DELTA ... PARTITIONED
+    BY`` — the adoption front door of a partitioned parquet estate."""
+    import json as _json
+    import os as _os
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    )
+    d = tempfile.mkdtemp(prefix="astro_ttpart_") + "/pt"
+    nation.write.partitionBy("r").parquet(d)  # the Hive estate
+    a.run_raw_sql(spark, f"CONVERT TO DELTA '{d}' PARTITIONED BY (r INT)")
+    a.run_raw_sql(spark, f"DELETE FROM '{d}' WHERE r = 3")  # v1
+    a.tt_append(  # v2: engine layout next to adopted files
+        spark,
+        nation.where("r < 2").select((F.col("k") + 100).alias("k"), "r"),
+        d,
+    )
+    # pruning claims, proven from the HEAD manifest's recorded bounds
+    heads = sorted(
+        f for f in _os.listdir(d + "/_log")
+        if f.startswith("v") and f.endswith(".json")
+    )
+    m = _json.load(open(f"{d}/_log/{heads[-1]}"))
+    files = m.get("files") or []
+    stats = m.get("stats") or {}
+    kept = [
+        f
+        for f in files
+        if stats.get(f, {}).get("r") is None
+        or stats[f]["r"][0] == 1 == stats[f]["r"][1]
+    ]
+    pruned = a.tt_read(spark, d, where="r = 1")
+    # head r=1 rows: v0's partition survives the r=3 delete, the append
+    # adds one more copy of it
+    exp = 2 * nation.where("r = 1").count()
+    claims = _one_row(
+        spark,
+        (
+            bool(m.get("partition_cols") == ["r"]),
+            bool(0 < len(kept) < len(files)),
+            bool(pruned.count() == exp),
+        ),
+        "partition_header boolean, pruned_fewer_files boolean, "
+        "pruned_exact boolean",
+    )
+    out = None
+    for name, df in (
+        ("v0", a.tt_read(spark, d, 0)),
+        ("v1", a.tt_read(spark, d, 1)),
+        ("head", a.tt_read(spark, d)),
+    ):
+        agg = df.agg(
+            F.lit(name).alias("state"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.crossJoin(F.broadcast(claims)).select(
+        "state", "n_rows", "sum_k", "partition_header",
+        "pruned_fewer_files", "pruned_exact",
+    )
+
+
+_OP_TT_PARTITIONED_DUCK = """
+WITH v0 AS (SELECT n_nationkey::BIGINT AS k, n_regionkey::INT AS r
+            FROM nation),
+v1 AS (SELECT * FROM v0 WHERE r <> 3),
+v2 AS (SELECT * FROM v1 UNION ALL SELECT k + 100, r FROM v0 WHERE r < 2)
+SELECT 'v0' AS state, COUNT(*)::BIGINT AS n_rows, SUM(k)::BIGINT AS sum_k,
+       TRUE AS partition_header, TRUE AS pruned_fewer_files,
+       TRUE AS pruned_exact FROM v0
+UNION ALL
+SELECT 'v1', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE, TRUE FROM v1
+UNION ALL
+SELECT 'head', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE, TRUE FROM v2
+"""
+
+
+def _op_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX through the DuckDB gate (round 13, VERDICT r12 #3): export
+    a nation slice to ``.xlsx`` via ``export_to_file`` (stdlib OOXML
+    codec — sources/xlsx.py), ``load_file`` it back, and value-check
+    the roundtrip against the relational identity (reference
+    ``files/types/excel.py:13-46`` reads Excel driver-side the same
+    way)."""
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="astro_xlsx_"), "nation.xlsx")
+    a.export_to_file(spark, nation, path)
+    back = a.load_file(spark, a.File(path))
+    return back.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("name").cast("string").alias("name"),
+        F.col("r").cast("long").alias("r"),
+    )
+
+
+_OP_XLSX_ROUNDTRIP_DUCK = """
+SELECT n_nationkey::BIGINT AS k, n_name AS name, n_regionkey::BIGINT AS r
+FROM nation
+"""
+
+
+def _op_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy binary XLS (BIFF8/CFB stdlib codec — sources/xls.py)
+    through the DuckDB gate: same roundtrip contract as
+    ``op_xlsx_roundtrip`` on the format pandas can no longer write
+    (xlwt retired), proving the codec end-to-end."""
+    _views(spark, sf_dir)
+    region = read_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"),
+        F.col("r_name").alias("name"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="astro_xls_"), "region.xls")
+    a.export_to_file(spark, region, path)
+    back = a.load_file(spark, a.File(path))
+    return back.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("name").cast("string").alias("name"),
+    )
+
+
+_OP_XLS_ROUNDTRIP_DUCK = """
+SELECT r_regionkey::BIGINT AS k, r_name AS name FROM region
+"""
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted shuffle join (plans/skew.py): result must equal the
     plain key join row-for-row — the oracle IS the plain join."""
@@ -7040,6 +7183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tt_convert": _op_tt_convert,
             "op_tt_write": _op_tt_write,
             "op_tt_update_cast": _op_tt_update_cast,
+            "op_tt_partitioned": _op_tt_partitioned,
+            "op_xlsx_roundtrip": _op_xlsx_roundtrip,
+            "op_xls_roundtrip": _op_xls_roundtrip,
             "op_merge_update_part": _op_merge_update_part,
             "op_merge_ignore": _op_merge_ignore,
             "op_merge_exception": _op_merge_exception,
@@ -7231,75 +7377,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return prioritized
 
 
-# Round-12 driver-verification order (the driver checks the FIRST 50
-# entries): the 5 round-12 additions that have never had a driver row
-# lead (never-checked MUST sit in the head-50), then the 47-query
-# r07-stale cohort — its first 45 fit the window; the alphabetically
-# last two (t_pad_encode, t_vocab_encode) sit at slots 51-52 and head
-# next round's stalest cohort together with the 50 r08-stale entries
-# behind them.  Trade accepted: two extra never-checked rows displace
-# two stale re-checks; every displaced row is already multi-round
-# green.  _ROTATION_BUILT_FOR_ROUND pins the r-file horizon
-# this order was computed from, so tests/test_contract.py stays green
-# AFTER the driver publishes CORRECTNESS_r12.json (VERDICT r7 #1).
-_ROTATION_BUILT_FOR_ROUND = 12
+# Round-13 driver-verification order (the driver checks the FIRST 50
+# entries): the 3 round-13 additions that have never had a driver row
+# lead (never-checked MUST sit in the head-50), then the two ex-r07
+# rows displaced in r12 (t_pad_encode / t_vocab_encode — now the
+# stalest on the board, VERDICT r12 #2 says they MUST lead the checked
+# cohort), then the first 45 of the 50-entry r08-stale cohort in its
+# listed (alphabetical) order.  The cohort's alphabetically-last five
+# (st_multi_sink, t_classify, t_cms_top_terms, t_collocations,
+# t_tfidf) sit at slots 51-55 and head next round's stalest cohort —
+# the same documented displacement trade as r12, and the boundary is a
+# same-staleness TIE (r08 on both sides), which test_contract's
+# greedy-by-staleness check explicitly allows.
+# _ROTATION_BUILT_FOR_ROUND pins the r-file horizon this order was
+# computed from, so tests/test_contract.py stays green AFTER the
+# driver publishes CORRECTNESS_r13.json (VERDICT r7 #1).
+_ROTATION_BUILT_FOR_ROUND = 13
 
 _DRIVER_PRIORITY = [
-    # round-12 additions: never driver-checked, must sit in the head-50
-    "op_tt_named",
-    "op_tt_create_sql",
-    "op_tt_convert",
-    "op_tt_write",
-    "op_tt_update_cast",
-    # the full r07-stale cohort (latest driver row r07; 47 entries)
-    "mm_decode",
-    "mm_decode_jpeg",
-    "op_analyze",
-    "op_append",
-    "op_bucketed_join",
-    "op_csv_roundtrip",
-    "op_diff",
-    "op_dpp",
-    "op_load_export_roundtrip",
-    "op_merge_ignore",
-    "op_ndjson_flatten",
-    "op_recover",
-    "op_runtime_bloom",
-    "op_scd2",
-    "op_schema_evolution",
-    "op_skew_aqe",
-    "op_transform_ctas",
-    "op_transform_file",
-    "op_vacuum",
-    "op_zorder",
-    "q10_returned_customers",
-    "q6_revenue_forecast",
-    "q_antijoin_nations",
-    "q_asof_join",
-    "q_correlated_scalar",
-    "q_cube_orders",
-    "q_events_hourly",
-    "q_events_json",
-    "q_events_sessions",
-    "q_exists_big_quantity",
-    "q_explode_positions",
-    "q_funnel",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_having_top_customers",
-    "q_hist_quantiles",
-    "q_multi_distinct",
-    "q_ntile_ranks",
-    "q_percentiles",
-    "s_gram_matrix",
-    "st_apply_changes_ooo",
-    "st_containment",
-    "st_gram",
-    "st_scd2",
-    "st_vocab",
+    # round-13 additions: never driver-checked, must sit in the head-50
+    "op_tt_partitioned",
+    "op_xlsx_roundtrip",
+    "op_xls_roundtrip",
+    # the two ex-r07 rows (stalest checked queries on the board)
     "t_pad_encode",
     "t_vocab_encode",
-    # --- below the 50-slot window: the r08-stale cohort, next in line ---
+    # the r08-stale cohort, first 45 of 50
     "dd_bloom",
     "dd_cross_source",
     "dd_minhash_incr",
@@ -7345,6 +7448,9 @@ _DRIVER_PRIORITY = [
     "st_containment_indexed",
     "st_late_data",
     "st_minhash_indexed",
+    # --- below the 50-slot window: the cohort's last five (r08-stale,
+    # same staleness as the five rows directly above — a tie straddling
+    # the boundary), heading next round's queue ---
     "st_multi_sink",
     "t_classify",
     "t_cms_top_terms",
@@ -7422,6 +7528,9 @@ def oracle_sql() -> dict[str, str]:
             "op_tt_convert": _OP_TT_CONVERT_DUCK,
             "op_tt_write": _OP_TT_WRITE_DUCK,
             "op_tt_update_cast": _OP_TT_UPDATE_CAST_DUCK,
+            "op_tt_partitioned": _OP_TT_PARTITIONED_DUCK,
+            "op_xlsx_roundtrip": _OP_XLSX_ROUNDTRIP_DUCK,
+            "op_xls_roundtrip": _OP_XLS_ROUNDTRIP_DUCK,
             "op_compact": _OP_COMPACT_DUCK,
             "op_scd2": """
 WITH c AS (

@@ -266,30 +266,65 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*create\s+(or\s+replace\s+)?table\s+"
+        r"(if\s+not\s+exists\s+)?"
         r"(?:'([^']+)'|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?))\s+using\s+delta\s+"
+        r"(?:partitioned\s+by\s*\(([^)]+)\)\s+)?"
         r"(?:location\s+'([^']+)'\s+)?as\s+(.+?)\s*;?\s*$",
         stmt,
     )
     if m:
         # the reference's PRIMARY Delta shape: CTAS `USING DELTA` into a
-        # name (databases/databricks/delta.py:168-187) — create a
+        # name — its literal template is
+        # 'CREATE TABLE IF NOT EXISTS {} USING DELTA AS {}'
+        # (databases/databricks/delta.py:31, :168-187) — create a
         # versioned table (at LOCATION, else a warehouse-derived root)
         # and register the name for every later statement.  A registered
         # name re-CTAS'd arrives here already substituted to its quoted
-        # root (OR REPLACE then overwrites in place).
+        # root (OR REPLACE then overwrites in place; IF NOT EXISTS
+        # no-ops against the existing versions without running the
+        # SELECT, Delta's semantics).  PARTITIONED BY lays the table
+        # out per partition value (timetravel partition_cols).
         from ..exceptions import AstroSparkError
+        from ..table import validate_identifier
         from .timetravel import (
             _fs,
             _list_versions,
             tt_create,
             tt_overwrite,
             tt_register,
+            tt_resolve_name,
         )
 
         or_replace = bool(m.group(1))
-        name = m.group(3)
-        root = m.group(2) or m.group(4) or _derived_root(spark, name)
-        src_sql = m.group(5)
+        if_not_exists = bool(m.group(2))
+        if or_replace and if_not_exists:
+            raise AstroSparkError(
+                "CREATE OR REPLACE TABLE IF NOT EXISTS is contradictory"
+            )
+        name = m.group(4)
+        root = m.group(3) or m.group(6)
+        if root is None and name is not None:
+            # IF NOT EXISTS arrives with the bare name unsubstituted
+            # when the target is already registered — resolve it so the
+            # no-op lands on the EXISTING table, not a derived root
+            root = tt_resolve_name(spark, name) or _derived_root(spark, name)
+        pcols = None
+        if m.group(5):
+            pcols = [
+                validate_identifier(c.strip().strip("`"))
+                for c in m.group(5).split(",")
+            ]
+        src_sql = m.group(7)
+        HPath, _p, fs = _fs(spark, root)
+        existing = _list_versions(fs, HPath, root)
+        if existing and if_not_exists:
+            # IF NOT EXISTS no-op: keep the table, (re)register the
+            # name, return the current head — the SELECT never runs
+            if name:
+                tt_register(spark, name, root)
+            return spark.createDataFrame(
+                [(existing[-1],)], "committed_version long"
+            )
         tt_views: list[str] = []
         if _needs_tt_rewrite(src_sql):
             src_sql, tt_views = _rewrite_timetravel_reads(spark, src_sql)
@@ -298,17 +333,16 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         finally:
             for vn in tt_views:
                 spark.catalog.dropTempView(vn)
-        HPath, _p, fs = _fs(spark, root)
-        if _list_versions(fs, HPath, root):
+        if existing:
             if not or_replace:
                 raise AstroSparkError(
                     f"versioned table already exists at {root} — use "
                     "CREATE OR REPLACE TABLE to overwrite (old versions "
-                    "stay readable)"
+                    "stay readable) or IF NOT EXISTS to no-op"
                 )
-            v = tt_overwrite(spark, df, root)
+            v = tt_overwrite(spark, df, root, partition_by=pcols)
         else:
-            v = tt_create(spark, df, root)
+            v = tt_create(spark, df, root, partition_by=pcols)
         if name:
             tt_register(spark, name, root)
         return spark.createDataFrame([(v,)], "committed_version long")
@@ -327,13 +361,23 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         return spark.createDataFrame([(n,)], "deleted_files long")
     m = re.match(
         r"(?is)^\s*convert\s+to\s+delta\s+"
-        r"(?:parquet\s*\.\s*)?(?:'([^']+)'|`([^`]+)`)\s*;?\s*$",
+        r"(?:parquet\s*\.\s*)?(?:'([^']+)'|`([^`]+)`)"
+        r"(?:\s+partitioned\s+by\s*\(([^)]+)\))?\s*;?\s*$",
         stmt,
     )
     if m:
+        from ..table import validate_identifier
         from .timetravel import tt_convert
 
-        tt_convert(spark, m.group(1) or m.group(2))
+        pcols = None
+        if m.group(3):
+            # Delta's clause carries `col type` pairs; the layout is
+            # detected from the paths here, so only the NAMES validate
+            pcols = [
+                validate_identifier(piece.strip().strip("`").split()[0])
+                for piece in m.group(3).split(",")
+            ]
+        tt_convert(spark, m.group(1) or m.group(2), partition_by=pcols)
         return spark.createDataFrame([(0,)], "converted_as_version long")
     return None
 
@@ -368,11 +412,46 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
     kw = {
         "from", "join", "into", "update", "table", "history", "detail",
         "optimize", "vacuum", "clone", "using", "delta",
-    }  # "delta": CONVERT TO DELTA <name>
+        # "delta": CONVERT TO DELTA <name>
+        "tblproperties",  # SHOW TBLPROPERTIES <name>
+        "exists",  # CREATE TABLE IF NOT EXISTS <name> / DROP ... IF EXISTS
+    }
+    # clause keywords that END a FROM list's comma-separated run (so a
+    # later comma — e.g. inside WHERE f(a, b) — never re-enters table
+    # position); parens are tracked by depth
+    from_enders = {
+        "where", "group", "order", "having", "limit", "union",
+        "intersect", "except", "select", "window", "qualify", "on",
+    }
+    # tokens that may follow a FROM/JOIN-position name WITHOUT being a
+    # user alias — safe spots to inject the implicit alias that keeps
+    # `WHERE pt.r = ...` resolvable after the name becomes a temp view
+    alias_safe = from_enders | {
+        "join", "left", "right", "full", "inner", "cross", "outer",
+        "natural", "semi", "anti", "lateral",
+    }
+
+    def _next_token(pos: int) -> str | None:
+        while pos < n and stmt[pos].isspace():
+            pos += 1
+        if pos >= n:
+            return None
+        t = ident.match(stmt, pos)
+        return t.group(0).lower() if t else stmt[pos]
+
+    # implicit aliasing only inside SELECT-shaped statements — routed
+    # command grammars (DELETE FROM '<root>' WHERE, INSERT, MERGE, ...)
+    # expect the bare quoted root right where they parse it
+    hm = re.match(r"\s*\(*\s*([A-Za-z_]\w*)", stmt)
+    aliasing_ok = bool(hm) and hm.group(1).lower() in ("select", "with")
+
     ident = re.compile(r"[A-Za-z_][\w.$]*")
     out: list[str] = []
     i, n = 0, len(stmt)
     prev_token = ""
+    table_pos_ident = False  # last identifier stood in table position
+    depth = 0
+    from_depths: list[int] = []  # stack of open FROM lists' paren depths
     while i < n:
         ch = stmt[i]
         if ch in "'\"":
@@ -391,6 +470,7 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
             out.append(stmt[i : j + 1])
             i = j + 1
             prev_token = ""  # a literal never puts us in table position
+            table_pos_ident = False
             continue
         if ch == "`":
             j = stmt.find("`", i + 1)
@@ -398,13 +478,35 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
             out.append(stmt[i : j + 1])
             i = j + 1
             prev_token = ""
+            table_pos_ident = False
             continue
         m = ident.match(stmt, i)
         if m:
             tok = m.group(0)
             key = tok.lower()
-            if key in reg and prev_token in kw:
-                out.append(f"'{reg[key]}'")
+            table_pos_ident = prev_token in kw
+            if key == "from":
+                if not from_depths or from_depths[-1] != depth:
+                    from_depths.append(depth)
+            elif (
+                key in from_enders
+                and from_depths
+                and from_depths[-1] == depth
+            ):
+                from_depths.pop()
+            if key in reg and table_pos_ident:
+                repl = f"'{reg[key]}'"
+                if aliasing_ok and prev_token in ("from", "join"):
+                    # implicit alias = the name's last part, so the
+                    # user's `WHERE pt.r = ...` qualifiers survive the
+                    # temp-view substitution — added only when nothing
+                    # alias-like (or AS OF) already follows
+                    nxt = _next_token(m.end())
+                    if nxt is None or nxt in alias_safe or not (
+                        nxt[0].isalpha() or nxt[0] == "_"
+                    ):
+                        repl += f" {key.rsplit('.', 1)[-1]}"
+                out.append(repl)
             else:
                 out.append(tok)
             prev_token = key
@@ -412,7 +514,22 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
             continue
         out.append(ch)
         if not ch.isspace():
-            prev_token = ""  # punctuation leaves table position
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                while from_depths and from_depths[-1] > depth:
+                    from_depths.pop()  # the subquery's FROM closed
+            if ch == "," and from_depths and from_depths[-1] == depth:
+                # FROM t1 a, t2 b: a comma in an open FROM list at the
+                # list's own depth puts the NEXT identifier back in
+                # table position, so every name in the list resolves
+                # (SELECT-list and function-argument commas never
+                # qualify: no open FROM, or deeper parens)
+                prev_token = "from"
+            else:
+                prev_token = ""  # punctuation leaves table position
+                table_pos_ident = False
         i += 1
     return "".join(out)
 
@@ -425,7 +542,11 @@ def _needs_tt_rewrite(stmt: str) -> bool:
 
     global _TT_HEAD_RE
     if _TT_HEAD_RE is None:
-        _TT_HEAD_RE = re.compile(r"(?is)\b(from|join)\s+'([^']+)'")
+        # FROM/JOIN position, or a comma inside a FROM list (the
+        # substitution itself verifies the path IS a versioned root
+        # before touching anything, so a string literal after a comma
+        # is only ever rewritten if it exactly names a versioned root)
+        _TT_HEAD_RE = re.compile(r"(?is)(\b(?:from|join)\s+|,\s*)'([^']+)'")
     return "as of" in stmt.lower() or _TT_HEAD_RE.search(stmt) is not None
 
 
@@ -503,10 +624,10 @@ def _rewrite_timetravel_reads(
     if _TT_HEAD_RE is None:
         import re as _re
 
-        _TT_HEAD_RE = _re.compile(r"(?is)\b(from|join)\s+'([^']+)'")
+        _TT_HEAD_RE = _re.compile(r"(?is)(\b(?:from|join)\s+|,\s*)'([^']+)'")
 
     def _head_sub(m: "re.Match[str]") -> str:
-        kw, root = m.group(1), m.group(2)
+        prefix, root = m.group(1), m.group(2)
         try:
             HPath, _p, fs = _fs(spark, root)
             if not _list_versions(fs, HPath, root):
@@ -517,7 +638,7 @@ def _rewrite_timetravel_reads(
         name = f"__tt_read_{_uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(name)
         created.append(name)
-        return f"{kw} {name}"
+        return f"{prefix}{name}"
 
     return _TT_HEAD_RE.sub(_head_sub, stmt), created
 

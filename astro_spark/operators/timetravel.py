@@ -164,19 +164,62 @@ def _publish(
         stream.close()
 
 
+# Hive-style layout prefix for engine-written partitioned commits: the
+# partition column is DUPLICATED into a `__p_<col>` path column before
+# partitionBy, so the real column stays physically in the data files
+# (reads remain plain explicit-file-list scans — no path inference, no
+# mixed-depth basePath conflicts) while files still split one-partition-
+# value-per-file, giving exact per-file [v, v] skipping bounds.
+_PART_PREFIX = "__p_"
+
+
 def _write_data_files(
-    spark: SparkSession, df: DataFrame, root: str, fs, HPath
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fs,
+    HPath,
+    partition_cols: list[str] | None = None,
 ) -> list[str]:
     """Write df's rows as immutable files under files/<uuid>/ and return
     their root-relative paths.  Nothing references them until a manifest
-    is published, so a crash here leaves invisible garbage only."""
+    is published, so a crash here leaves invisible garbage only.  With
+    ``partition_cols`` the layout splits per partition value via
+    ``__p_``-prefixed path columns (see ``_PART_PREFIX``)."""
+    from pyspark.sql import functions as F
+
     commit_dir = f"files/{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(f"{root}/{commit_dir}")
-    out = []
-    for st in fs.listStatus(HPath(f"{root}/{commit_dir}")):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            out.append(f"{commit_dir}/{name}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise AstroSparkError(
+                f"write to a table partitioned by {partition_cols} is "
+                f"missing partition column(s) {missing}"
+            )
+        writer = (
+            df.select(
+                "*",
+                *[
+                    F.col(c).alias(f"{_PART_PREFIX}{c}")
+                    for c in partition_cols
+                ],
+            )
+            .write.mode("overwrite")
+            .partitionBy(*[f"{_PART_PREFIX}{c}" for c in partition_cols])
+        )
+    writer.parquet(f"{root}/{commit_dir}")
+    out: list[str] = []
+
+    def _walk(path, rel_prefix: str) -> None:
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                _walk(st.getPath(), f"{rel_prefix}{name}/")
+            elif name.endswith(".parquet"):
+                out.append(f"{rel_prefix}{name}")
+
+    _walk(HPath(f"{root}/{commit_dir}"), f"{commit_dir}/")
     return sorted(out)
 
 
@@ -471,9 +514,15 @@ class VersionedTable:
 
     columns: tuple = ()  # no explicit-columns shorthand (Table has one)
 
-    def __init__(self, root: str, stats_cols: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ):
         self.root = root
         self.stats_cols = stats_cols
+        self.partition_by = partition_by
 
     def __repr__(self) -> str:  # pragma: no cover - debugging nicety
         return f"VersionedTable(root={self.root!r})"
@@ -494,7 +543,13 @@ def save_dataframe_versioned(
         raise ValueError(f"invalid if_exists: {if_exists!r}")
     HPath, _p, fs = _fs(spark, target.root)
     if not _list_versions(fs, HPath, target.root):
-        return tt_create(spark, df, target.root, stats_cols=target.stats_cols)
+        return tt_create(
+            spark,
+            df,
+            target.root,
+            stats_cols=target.stats_cols,
+            partition_by=getattr(target, "partition_by", None),
+        )
     if if_exists == "append":
         return tt_append(spark, df, target.root)
     return tt_overwrite(spark, df, target.root)
@@ -505,6 +560,7 @@ def tt_create(
     df: DataFrame,
     root: str,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create a versioned table at ``root`` as version 0.
 
@@ -512,23 +568,41 @@ def tt_create(
     manifest (Delta's data-skipping stats — one extra column-pruned
     scan per commit); ``tt_read(skip_by=...)`` then prunes files from
     the MANIFEST, before any footer is touched.  Later commits keep
-    recording stats for the same columns automatically."""
+    recording stats for the same columns automatically.
+
+    ``partition_by``: Delta's ``PARTITIONED BY`` — every commit's files
+    split one-partition-value-per-file (Hive-style ``__p_<col>=``
+    layout that KEEPS the column in the data), and the partition
+    columns automatically join the skipping stats, so
+    ``tt_read(where="dt = ...")`` prunes to the partition's files from
+    the manifest alone."""
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     if _list_versions(fs, HPath, root):
         raise AstroSparkError(f"versioned table already exists at {root}")
-    files = _write_data_files(spark, df, root, fs, HPath)
-    stats = (
-        _file_stats(spark, root, files, stats_cols) if stats_cols else {}
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise AstroSparkError(
+                f"partition_by column {c!r} not in the DataFrame"
+            )
+    files = _write_data_files(
+        spark, df, root, fs, HPath, partition_cols=partition_by
     )
+    header = {
+        **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+        **({"partition_cols": partition_by} if partition_by else {}),
+    }
+    stats = _new_file_stats(
+        spark, root, files, header, df
+    ) if (stats_cols or partition_by) else {}
     manifest = {
         **_body_full(spark, fs, HPath, root, files, stats),
         "op": "create",
         "ts": time.time(),
         "schema": _schema_json(df),
+        **header,
     }
-    if stats_cols:
-        manifest["stats_cols"] = list(stats_cols)
     _publish(spark, fs, HPath, root, 0, manifest)
     return 0
 
@@ -681,6 +755,114 @@ def _carry_stats_cols(manifest: dict) -> dict:
     return {"stats_cols": cols} if cols else {}
 
 
+def _partition_cols_of(manifest: dict) -> list[str]:
+    """The table's partition columns (empty for unpartitioned tables).
+    Partition values are first-class data everywhere EXCEPT adopted
+    (``tt_convert``) Hive files, where they live only in paths."""
+    return list(manifest.get("partition_cols") or [])
+
+
+def _carry_partition(manifest: dict) -> dict:
+    p = manifest.get("partition_cols")
+    return {"partition_cols": list(p)} if p else {}
+
+
+def _typed_partition_value(raw: str):
+    """A Hive path value parsed the way Spark's partition inference
+    would for the common types (int, float, else string); the Hive
+    null sentinel yields None (no skipping bound — absence is never
+    evidence)."""
+    from urllib.parse import unquote
+
+    v = unquote(raw)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def _partition_values(rel: str, partition_cols: list[str]) -> dict:
+    """{col: typed value} parsed from a file's ``key=value`` (adopted
+    Hive layout) or ``__p_key=value`` (engine layout) path segments."""
+    pset = set(partition_cols)
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        k, sep, v = seg.partition("=")
+        if not sep:
+            continue
+        if k.startswith(_PART_PREFIX):
+            k = k[len(_PART_PREFIX):]
+        if k in pset:
+            out[k] = _typed_partition_value(v)
+    return out
+
+
+def _partition_path_stats(files: list[str], partition_cols: list[str]) -> dict:
+    """Degenerate per-file [v, v] skipping bounds from path segments —
+    a partition value IS a min==max range, so ``tt_read(where=)`` and
+    ``skip_by`` prune partitions through the ordinary stats machinery
+    with zero extra scans."""
+    out: dict = {}
+    for f in files:
+        vals = _partition_values(f, partition_cols)
+        entry = {c: [v, v] for c, v in vals.items() if v is not None}
+        if entry:
+            out[f] = entry
+    return out
+
+
+def _path_valued(rel: str, partition_cols: list[str]) -> bool:
+    """True when this file's partition values exist ONLY in its path —
+    an adopted Hive file (raw ``<col>=`` segment).  Engine-written
+    files use ``__p_``-prefixed segments and keep the columns in the
+    data, so they read through the ordinary explicit-file-list scan."""
+    if _is_external(rel):
+        return False
+    pset = set(partition_cols)
+    for seg in rel.split("/")[:-1]:
+        k, sep, _v = seg.partition("=")
+        if sep and k in pset:
+            return True
+    return False
+
+
+def _new_file_stats(
+    spark: SparkSession,
+    root: str,
+    new_files: list[str],
+    manifest: dict,
+    df: DataFrame,
+) -> dict:
+    """Skipping stats for a commit's new files: the table's
+    ``stats_cols`` plus (on partitioned tables) the partition columns —
+    engine-written files carry partition values physically, so ONE
+    column-pruned scan covers both; partition columns of types the
+    stats machinery doesn't order (date, boolean, ...) are skipped
+    quietly (no bounds → never pruned — sound)."""
+    pcols = _partition_cols_of(manifest)
+    want = list(_stats_cols_of(manifest))
+    want += [c for c in pcols if c not in want]
+    scan: list[str] = []
+    for c in want:
+        if c not in df.columns:
+            continue
+        t = df.schema[c].dataType.simpleString()
+        if (
+            c in pcols
+            and t not in _STATS_TYPES
+            and not t.startswith("decimal")
+        ):
+            continue  # auto-added partition col of an unorderable type
+        scan.append(c)
+    return _file_stats(spark, root, new_files, scan) if scan else {}
+
+
 def tt_append(
     spark: SparkSession,
     df: DataFrame,
@@ -696,7 +878,18 @@ def tt_append(
     it, new columns are rejected — Delta's mergeSchema contract."""
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
-    new_files = _write_data_files(spark, df, root, fs, HPath)
+    versions = _list_versions(fs, HPath, root)
+    if not versions:
+        raise AstroSparkError(f"no versioned table at {root}")
+    # partition columns are immutable table metadata (no ALTER): one
+    # head read decides the write layout, the retry loop re-reads only
+    # the racing file-list state
+    pcols = _partition_cols_of(
+        _read_manifest(spark, fs, HPath, root, versions[-1])
+    )
+    new_files = _write_data_files(
+        spark, df, root, fs, HPath, partition_cols=pcols
+    )
     for _ in range(max_retries):
         versions = _list_versions(fs, HPath, root)
         if not versions:
@@ -719,10 +912,7 @@ def tt_append(
         # legitimately missing table columns (they read back as NULL)
         # must not crash the stats scan; absent per-file stats are
         # already treated as "keep" by the skip_by reader
-        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-        new_stats = (
-            _file_stats(spark, root, new_files, cols) if cols else {}
-        )
+        new_stats = _new_file_stats(spark, root, new_files, prev, df)
         manifest = {
             **_body_delta(spark, fs, HPath, root, prev, new_files, [], new_stats),
             "op": "append",
@@ -730,6 +920,7 @@ def tt_append(
             "schema": evolved,
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_partition(prev),
             **_carry_props(prev),
         }
         try:
@@ -778,10 +969,7 @@ def tt_commit_files(
     if mode == "overwrite":
         prev = _read_manifest(spark, fs, HPath, root, versions[-1])
         _check_constraints(df, prev, "overwrite")
-        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-        stats = (
-            _file_stats(spark, root, sorted(new_files), cols) if cols else {}
-        )
+        stats = _new_file_stats(spark, root, sorted(new_files), prev, df)
         manifest = {
             **_body_full(spark, fs, HPath, root, sorted(new_files), stats),
             "op": "overwrite",
@@ -789,6 +977,7 @@ def tt_commit_files(
             "schema": _schema_json(df),
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_partition(prev),
             **_carry_props(prev),
         }
         _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
@@ -805,10 +994,7 @@ def tt_commit_files(
             prev,
             "append",
         )
-        cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-        new_stats = (
-            _file_stats(spark, root, sorted(new_files), cols) if cols else {}
-        )
+        new_stats = _new_file_stats(spark, root, sorted(new_files), prev, df)
         manifest = {
             **_body_delta(
                 spark, fs, HPath, root, prev, sorted(new_files), [], new_stats
@@ -818,6 +1004,7 @@ def tt_commit_files(
             "schema": evolved,
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
+            **_carry_partition(prev),
             **_carry_props(prev),
         }
         try:
@@ -830,17 +1017,27 @@ def tt_commit_files(
     )
 
 
-def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
+def tt_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Commit a new version containing ONLY df's files (old versions
     stay readable).  A lost race raises — the state this overwrite
-    meant to replace is gone."""
+    meant to replace is gone.  ``partition_by=None`` carries the
+    table's existing partition layout; a list (possibly empty) replaces
+    it — Delta's ``CREATE OR REPLACE ... PARTITIONED BY`` re-layout."""
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     versions = _list_versions(fs, HPath, root)
     if not versions:
         raise AstroSparkError(f"no versioned table at {root}")
     prev = _read_manifest(spark, fs, HPath, root, versions[-1])
-    files = _write_data_files(spark, df, root, fs, HPath)
+    pcols = (
+        _partition_cols_of(prev) if partition_by is None else list(partition_by)
+    )
+    files = _write_data_files(spark, df, root, fs, HPath, partition_cols=pcols)
     # validate the ACTUAL written rows (tt_merge pattern) — the files are
     # still invisible, so a rejected overwrite leaves garbage, never a
     # bad version, even for a nondeterministic df
@@ -849,16 +1046,19 @@ def tt_overwrite(spark: SparkSession, df: DataFrame, root: str) -> int:
         prev,
         "overwrite",
     )
-    cols = [c for c in _stats_cols_of(prev) if c in df.columns]
-    stats = _file_stats(spark, root, files, cols) if cols else {}
+    header = {
+        **_carry_stats_cols(prev),
+        **({"partition_cols": pcols} if pcols else {}),
+    }
+    stats = _new_file_stats(spark, root, files, header, df)
     manifest = {
         **_body_full(spark, fs, HPath, root, files, stats),
         "op": "overwrite",
         "ts": time.time(),
         "schema": _schema_json(df),  # overwrite replaces the schema too
         **_carry_constraints(prev),
-        **_carry_stats_cols(prev),
-            **_carry_props(prev),
+        **header,
+        **_carry_props(prev),
     }
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
     return versions[-1] + 1
@@ -1055,27 +1255,20 @@ def tt_read(
         return df.where(where) if where is not None else df
 
     schema_json = manifest.get("schema")
-    if not files:
-        if schema_json is None:
-            raise AstroSparkError(
-                f"version {version} of {root} has no data files "
-                "(empty-write commit) — no schema to serve"
-            )
-        from pyspark.sql.types import StructType
-
-        return _finish(spark.createDataFrame(
-            [], StructType.fromJson(json.loads(schema_json))
-        ))
-    paths = [_abs(root, f) for f in files]
-    if schema_json is None:  # pre-schema-log manifest: footer schema
-        return _finish(spark.read.parquet(*paths))
-    from pyspark.sql.types import StructType
-
+    if not files and schema_json is None:
+        raise AstroSparkError(
+            f"version {version} of {root} has no data files "
+            "(empty-write commit) — no schema to serve"
+        )
     # the LOG owns the schema (Delta's model): files written before a
-    # column existed read it as NULL — no footer merging, no ambiguity
-    return _finish(spark.read.schema(
-        StructType.fromJson(json.loads(schema_json))
-    ).parquet(*paths))
+    # column existed read it as NULL — no footer merging, no ambiguity;
+    # adopted Hive files additionally materialize partition columns
+    # from their paths (_read_file_lists)
+    return _finish(
+        _read_file_lists(
+            spark, root, files, schema_json, _partition_cols_of(manifest)
+        )
+    )
 
 
 def tt_restore(spark: SparkSession, root: str, version: int) -> int:
@@ -1101,6 +1294,8 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
         manifest["constraints"] = src["constraints"]  # and the checks
     if src.get("stats_cols") is not None:
         manifest["stats_cols"] = src["stats_cols"]
+    if src.get("partition_cols") is not None:
+        manifest["partition_cols"] = src["partition_cols"]
     if src.get("properties") is not None:
         manifest["properties"] = src["properties"]
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
@@ -1124,17 +1319,33 @@ def tt_restore_to_ts(spark: SparkSession, root: str, as_of_ts: float) -> int:
     return tt_restore(spark, root, eligible[-1])
 
 
-def tt_convert(spark: SparkSession, root: str) -> int:
+def tt_convert(
+    spark: SparkSession,
+    root: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Delta ``CONVERT TO DELTA``: adopt an existing plain-parquet
     directory as a versioned table IN PLACE — version 0's manifest
     references the directory's parquet files by relative path, zero
     bytes rewritten.  Later commits behave normally (appends land under
     ``files/<uuid>/``, DML copies-on-write, vacuum may reclaim the
-    adopted files once no live version references them).  Refuses an
-    already-versioned root, an empty directory, and Hive-partitioned
-    layouts (``key=value`` subdirs carry values in PATHS, which the
-    manifest's file-list model does not represent — read such data
-    through ``load_file`` instead)."""
+    adopted files once no live version references them).
+
+    HIVE-PARTITIONED layouts (``key=value`` subdirs) are adopted too —
+    Delta's ``CONVERT TO DELTA ... PARTITIONED BY``: the partition
+    columns are detected from the paths (outer→inner dir order),
+    recorded as the table's ``partition_cols``, and each adopted file
+    gets degenerate [v, v] skipping bounds parsed from its path, so
+    partition pruning works from the manifest with zero scans.
+    Adopted files keep their values in PATHS (read through one
+    ``basePath`` scan); every later rewrite migrates touched files to
+    the engine layout, which carries the columns in the data.
+    ``partition_by`` (column names; Delta's clause carries types — the
+    path values type themselves here) is optional validation: when
+    given it must match the detected layout.
+
+    Refuses an already-versioned root, an empty directory, and a
+    layout whose files disagree on the partition column set."""
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     if _list_versions(fs, HPath, root):
@@ -1149,12 +1360,6 @@ def tt_convert(spark: SparkSession, root: str) -> int:
             if st.isDirectory():
                 if name == _LOG:
                     continue
-                if "=" in name:
-                    raise AstroSparkError(
-                        "tt_convert: Hive-partitioned layout "
-                        f"({rel_prefix}{name}/) — partition values live "
-                        "in paths; convert is file-list based"
-                    )
                 _walk(st.getPath(), f"{rel_prefix}{name}/")
             elif name.endswith(".parquet"):
                 files.append(f"{rel_prefix}{name}")
@@ -1165,12 +1370,41 @@ def tt_convert(spark: SparkSession, root: str) -> int:
     if not files:
         raise AstroSparkError(f"tt_convert: no parquet files under {root}")
     files = sorted(files)
-    df = spark.read.parquet(*[_abs(root, f) for f in files])
+
+    # detect the Hive layout: every file's ordered key tuple must agree
+    def _keys_of(rel: str) -> tuple[str, ...]:
+        return tuple(
+            seg.partition("=")[0]
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        )
+
+    layouts = {_keys_of(f) for f in files}
+    if len(layouts) > 1:
+        raise AstroSparkError(
+            "tt_convert: inconsistent Hive layout — files disagree on "
+            f"their partition columns: {sorted(layouts)}"
+        )
+    pcols = list(layouts.pop())
+    if partition_by is not None and list(partition_by) != pcols:
+        raise AstroSparkError(
+            f"tt_convert: PARTITIONED BY {list(partition_by)} does not "
+            f"match the directory layout {pcols}"
+        )
+    abs_files = [_abs(root, f) for f in files]
+    if pcols:
+        # basePath materializes the partition columns (and their
+        # inferred types) into the adopted schema
+        df = spark.read.option("basePath", root).parquet(*abs_files)
+    else:
+        df = spark.read.parquet(*abs_files)
+    stats = _partition_path_stats(files, pcols) if pcols else {}
     manifest = {
-        **_body_full(spark, fs, HPath, root, files, {}),
+        **_body_full(spark, fs, HPath, root, files, stats),
         "op": "convert",
         "ts": time.time(),
         "schema": _schema_json(df),
+        **({"partition_cols": pcols} if pcols else {}),
     }
     _publish(spark, fs, HPath, root, 0, manifest)
     return 0
@@ -1234,24 +1468,72 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _read_file_lists(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema_json: str | None,
+    partition_cols: list[str],
+) -> DataFrame:
+    """The engine's file-list scan, partition-aware: engine-written
+    files (partition values physically in the data) go to the ordinary
+    explicit-file-list parquet source; adopted Hive files (values only
+    in ``key=value`` paths) go through ONE uniform-depth
+    ``basePath=root`` scan so Spark materializes the partition columns
+    from the paths; both sides read the LOG's schema and union.  Steady
+    state after churn is a single plain scan — every rewrite moves
+    files to the engine layout."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(json.loads(schema_json))
+        if schema_json is not None
+        else None
+    )
+    if not files:
+        if schema is None:
+            raise AstroSparkError("no data files and no schema to serve")
+        return spark.createDataFrame([], schema)
+    adopted = (
+        [f for f in files if _path_valued(f, partition_cols)]
+        if partition_cols
+        else []
+    )
+    plain = [f for f in files if f not in set(adopted)]
+    parts: list[DataFrame] = []
+    if plain:
+        r = spark.read if schema is None else spark.read.schema(schema)
+        parts.append(r.parquet(*[_abs(root, f) for f in plain]))
+    if adopted:
+        r = spark.read.option("basePath", root)
+        if schema is not None:
+            r = r.schema(schema)
+        parts.append(r.parquet(*[_abs(root, f) for f in adopted]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
     """Read a manifest's (resolved) file list through its stored schema
     (files written before a column existed read it as NULL).  Accepts
     both real manifests (inline or checkpointed) and synthetic
-    ``{"files": [...]}`` dicts internal callers build."""
+    ``{"files": [...]}`` dicts internal callers build (synthetic dicts
+    for PARTITIONED tables must carry ``partition_cols`` so adopted
+    files materialize their path values)."""
     if "base" in manifest:
         HPath, _p, fs = _fs(spark, root)
         files, _stats = _resolve(spark, fs, HPath, root, manifest)
     else:
         files = manifest.get("files") or []
-    paths = [_abs(root, f) for f in files]
-    if manifest.get("schema") is None:
-        return spark.read.parquet(*paths)
-    from pyspark.sql.types import StructType
-
-    return spark.read.schema(
-        StructType.fromJson(json.loads(manifest["schema"]))
-    ).parquet(*paths)
+    return _read_file_lists(
+        spark,
+        root,
+        files,
+        manifest.get("schema"),
+        _partition_cols_of(manifest),
+    )
 
 
 def _head(spark: SparkSession, fs, HPath, root: str) -> tuple[int, dict]:
@@ -1302,12 +1584,20 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     touched = _touched_relative(spark, root, files, flagged)
     if not touched:
         return head_v  # nothing matched: no new version
+    pcols = _partition_cols_of(manifest)
     kept = _read_files(
-        spark, root, {"files": touched, "schema": manifest.get("schema")}
+        spark,
+        root,
+        {
+            "files": touched,
+            "schema": manifest.get("schema"),
+            **({"partition_cols": pcols} if pcols else {}),
+        },
     ).where(f"NOT ({predicate})")
-    new_files = _write_data_files(spark, kept, root, fs, HPath)
-    cols = _stats_cols_of(manifest)
-    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
+    new_files = _write_data_files(
+        spark, kept, root, fs, HPath, partition_cols=pcols
+    )
+    new_stats = _new_file_stats(spark, root, new_files, manifest, kept)
     new_manifest = {
         **_body_delta(
             spark, fs, HPath, root, manifest, new_files, touched, new_stats
@@ -1321,6 +1611,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         ),
         **_carry_constraints(manifest),  # deletes can't violate; carry
         **_carry_stats_cols(manifest),
+        **_carry_partition(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1360,8 +1651,18 @@ def tt_update_where(
     touched = _touched_relative(spark, root, files, flagged)
     if not touched:
         return head_v  # nothing matched: no new version
+    # partition-column SET works too: values are physical data here, so
+    # the rewrite simply re-lays the touched rows under their new
+    # partition dirs — no path-only state to migrate
+    pcols = _partition_cols_of(manifest)
     touched_df = _read_files(
-        spark, root, {"files": touched, "schema": manifest.get("schema")}
+        spark,
+        root,
+        {
+            "files": touched,
+            "schema": manifest.get("schema"),
+            **({"partition_cols": pcols} if pcols else {}),
+        },
     )
     # Cast each assignment back to the EXISTING column type (Delta's
     # store-assignment policy): a widening expression (``SET r = r / 2``
@@ -1381,7 +1682,9 @@ def tt_update_where(
             for c in touched_df.columns
         ]
     )
-    new_files = _write_data_files(spark, rewritten, root, fs, HPath)
+    new_files = _write_data_files(
+        spark, rewritten, root, fs, HPath, partition_cols=pcols
+    )
     _check_constraints(
         _read_files(
             spark, root, {"files": new_files, "schema": manifest.get("schema")}
@@ -1389,8 +1692,7 @@ def tt_update_where(
         manifest,
         "update",
     )
-    cols = _stats_cols_of(manifest)
-    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
+    new_stats = _new_file_stats(spark, root, new_files, manifest, rewritten)
     new_manifest = {
         **_body_delta(
             spark, fs, HPath, root, manifest, new_files, touched, new_stats
@@ -1404,6 +1706,7 @@ def tt_update_where(
         ),
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
+        **_carry_partition(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1449,15 +1752,24 @@ def tt_merge(
         .distinct()
     )
     touched = _touched_relative(spark, root, files, flagged)
+    pcols = _partition_cols_of(manifest)
     base = (
         _read_files(
-            spark, root, {"files": touched, "schema": manifest.get("schema")}
+            spark,
+            root,
+            {
+                "files": touched,
+                "schema": manifest.get("schema"),
+                **({"partition_cols": pcols} if pcols else {}),
+            },
         )
         if touched
         else target.limit(0)
     )
     merged = _upsert(base, source, keys)
-    new_files = _write_data_files(spark, merged, root, fs, HPath)
+    new_files = _write_data_files(
+        spark, merged, root, fs, HPath, partition_cols=pcols
+    )
     # validate the rewrite's ACTUAL rows (updates included) against the
     # CHECK constraints before anything publishes — one read-back of
     # the just-written files, which are still invisible
@@ -1468,8 +1780,7 @@ def tt_merge(
         manifest,
         "merge",
     )
-    cols = _stats_cols_of(manifest)
-    new_stats = _file_stats(spark, root, new_files, cols) if cols else {}
+    new_stats = _new_file_stats(spark, root, new_files, manifest, merged)
     new_manifest = {
         **_body_delta(
             spark, fs, HPath, root, manifest, new_files, touched, new_stats
@@ -1483,6 +1794,7 @@ def tt_merge(
         ),
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
+        **_carry_partition(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1517,19 +1829,27 @@ def tt_optimize(
                 int(spark.conf.get("spark.sql.shuffle.partitions")),
             ),
         )
+    pcols = _partition_cols_of(manifest)
     if zorder_by:
         df = (
             with_zorder_key(df, zorder_by)
             .repartitionByRange(target_files, F_col("__zorder"))
             .drop("__zorder")
         )
+    elif pcols:
+        # compact WITHIN partitions: shuffle by partition value so each
+        # partition's rows land together before partitionBy re-splits —
+        # coalesce would glue unrelated partitions into one task whose
+        # writer then re-splits them anyway
+        df = df.repartition(target_files, *[F_col(c) for c in pcols])
     else:
         df = df.coalesce(target_files)
-    new_files = _write_data_files(spark, df, root, fs, HPath)
+    new_files = _write_data_files(
+        spark, df, root, fs, HPath, partition_cols=pcols
+    )
     # zorder makes files cover COMPACT ranges — exactly when skipping
     # stats pay off; recompute them over the new layout
-    cols = _stats_cols_of(manifest)
-    stats = _file_stats(spark, root, new_files, cols) if cols else {}
+    stats = _new_file_stats(spark, root, new_files, manifest, df)
     new_manifest = {
         **_body_full(spark, fs, HPath, root, new_files, stats),
         "op": (
@@ -1545,6 +1865,7 @@ def tt_optimize(
         ),
         **_carry_constraints(manifest),  # rows identical; carry
         **_carry_stats_cols(manifest),
+        **_carry_partition(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1613,6 +1934,15 @@ def tt_clone(
         raise AstroSparkError(f"version {version} not found in {src_root}")
     m = _read_manifest(spark, fs, HPath, src_root, version)
     files, stats = _resolve(spark, fs, HPath, src_root, m)
+    src_pcols = _partition_cols_of(m)
+    if src_pcols and any(_path_valued(f, src_pcols) for f in files):
+        raise AstroSparkError(
+            "tt_clone: the source version still references ADOPTED Hive "
+            "files whose partition values live only in their paths — a "
+            "clone's absolute refs would lose the basePath those values "
+            "resolve against.  OPTIMIZE the source first (rewrites "
+            "adopted files into the engine layout), then clone."
+        )
     abs_files = [_abs(src_root, f) for f in files]
     abs_stats = {_abs(src_root, f): s for f, s in stats.items()}
     dst_root = _named_root(spark, dst_root)
@@ -1630,6 +1960,8 @@ def tt_clone(
         manifest["constraints"] = m["constraints"]
     if m.get("stats_cols") is not None:
         manifest["stats_cols"] = m["stats_cols"]
+    if m.get("partition_cols") is not None:
+        manifest["partition_cols"] = m["partition_cols"]
     if m.get("properties") is not None:
         manifest["properties"] = m["properties"]
     _publish(spark, dfs, dHPath, dst_root, 0, manifest)
@@ -1678,14 +2010,17 @@ def tt_changes(
         # read BOTH sides through the newer schema (the log owns it:
         # pre-evolution files read new columns as NULL), so the
         # multiset compare is well-typed across schema evolution
-        schema = cur_m.get("schema")
+        synth = {
+            "schema": cur_m.get("schema"),
+            **_carry_partition(cur_m),  # adopted files: path values
+        }
         added_df = (
-            _read_files(spark, root, {"files": added, "schema": schema})
+            _read_files(spark, root, {"files": added, **synth})
             if added
             else None
         )
         removed_df = (
-            _read_files(spark, root, {"files": removed, "schema": schema})
+            _read_files(spark, root, {"files": removed, **synth})
             if removed
             else None
         )
@@ -1834,9 +2169,19 @@ def tt_vacuum(
         )
     except Exception:  # pragma: no cover - exotic conf backend
         grace_s = 600.0
-    now_ms = (
-        spark._jvm.java.lang.System.currentTimeMillis()
-    )  # FS clock, not driver clock
+    # derive "now" from the FILESYSTEM's clock, not the driver JVM's:
+    # touch a probe file under _log and read back its mtime, so
+    # driver/storage clock skew beyond the grace window can never make
+    # an in-flight commit's checkpoint look old enough to delete.
+    # Fall back to the JVM clock only if the FS won't stamp the probe.
+    try:
+        probe = HPath(f"{root}/{_LOG}/.clock-probe-{uuid.uuid4().hex}")
+        stream = fs.create(probe, True)
+        stream.close()
+        now_ms = fs.getFileStatus(probe).getModificationTime()
+        fs.delete(probe, False)
+    except Exception:  # pragma: no cover - read-only or exotic FS
+        now_ms = spark._jvm.java.lang.System.currentTimeMillis()
     log = HPath(f"{root}/{_LOG}")
     if fs.exists(log):
         for st in fs.listStatus(log):

@@ -169,17 +169,69 @@ def _spark_schema(manifest: dict) -> StructType:
 class _FilePartition(InputPartition):
     path: str
     commit_version: int = -1
+    # JSON {col: value} for ADOPTED Hive files (tt_convert), whose
+    # partition values live only in their key=value path segments —
+    # engine-written files carry the columns physically and leave this
+    # empty
+    part_json: str = ""
 
 
-def _arrow_batches(abs_path: str, schema: StructType, commit_version: int):
+def _partition_path_values(rel: str, partition_cols: list[str]) -> dict:
+    """{col: typed value} parsed from ``key=value`` path segments —
+    mirrors ``timetravel._partition_values`` without a SparkSession.
+    Only ADOPTED files need this (engine layout uses ``__p_`` segments
+    AND keeps the column in the data)."""
+    from urllib.parse import unquote
+
+    pset = set(partition_cols)
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        k, sep, v = seg.partition("=")
+        if not sep:
+            continue
+        if k.startswith("__p_"):
+            k = k[len("__p_"):]
+        if k not in pset:
+            continue
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+    return out
+
+
+def _part_json_for(rel: str, partition_cols: list[str]) -> str:
+    """Serialized path values for a manifest entry, or '' when the
+    file carries its partition columns physically."""
+    if not partition_cols or rel.startswith("files/"):
+        return ""
+    vals = _partition_path_values(rel, partition_cols)
+    return json.dumps(vals) if vals else ""
+
+
+def _arrow_batches(
+    abs_path: str,
+    schema: StructType,
+    commit_version: int,
+    part_json: str = "",
+):
     """Decode one data file into Arrow batches aligned to the LOG's
     schema: missing columns (pre-evolution files) materialize as NULL,
     extra file columns drop — the same log-owned-schema contract as
-    ``tt_read``."""
+    ``tt_read``.  Adopted Hive files materialize their path-derived
+    partition values (``part_json``) as constants."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    part_vals = json.loads(part_json) if part_json else {}
     want = to_arrow_schema(schema)
     f, path = _fs_of(abs_path)
     with f.open_input_file(path) as fh:
@@ -192,6 +244,12 @@ def _arrow_batches(abs_path: str, schema: StructType, commit_version: int):
             )
         elif field.name in table.column_names:
             cols.append(table.column(field.name).cast(field.type))
+        elif field.name in part_vals and part_vals[field.name] is not None:
+            cols.append(
+                pa.array([part_vals[field.name]] * len(table)).cast(
+                    field.type
+                )
+            )
         else:
             cols.append(pa.nulls(len(table), type=field.type))
     out = pa.table(dict(zip([f.name for f in want], cols)))
@@ -270,8 +328,13 @@ class _TTBatchReader(DataSourceReader):
 
             files = [rel for rel in files if _keep(rel)]
         _f, path = _fs_of(self._root)
+        pcols = list(manifest.get("partition_cols") or [])
         return [
-            _FilePartition(_abs_entry(path, rel), self._version)
+            _FilePartition(
+                _abs_entry(path, rel),
+                self._version,
+                _part_json_for(rel, pcols),
+            )
             for rel in files
         ] or [_FilePartition("")]
 
@@ -279,7 +342,10 @@ class _TTBatchReader(DataSourceReader):
         if not partition.path:
             return
         yield from _arrow_batches(
-            partition.path, self._schema, partition.commit_version
+            partition.path,
+            self._schema,
+            partition.commit_version,
+            partition.part_json,
         )
 
 
@@ -306,15 +372,31 @@ class _TTStreamReader(DataSourceStreamReader):
             # Delta's startingTimestamp: stream every commit whose
             # timestamp is AT or AFTER the given clock (the first such
             # version streams inclusively); if none exists yet, only
-            # future commits stream.
+            # future commits stream.  Accepts unix-epoch numerics AND
+            # the timestamp-string form Delta's option takes
+            # ('2026-08-16 00:00:00' — session-local, like the RESTORE
+            # route).
             versions = _list_versions(root)
             if not versions:
                 raise ValueError(f"no versioned table at {root}")
-            ts = float(start_ts)
+            try:
+                ts = float(start_ts)
+            except (TypeError, ValueError):
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(str(start_ts)).timestamp()
             later = [
                 v for v in versions if _read_manifest(root, v)["ts"] >= ts
             ]
-            self._start = (later[0] - 1) if later else versions[-1]
+            if later and later[0] - 1 >= 0 and (later[0] - 1) not in versions:
+                # the version preceding the first qualifying commit was
+                # vacuumed: later[0] is the oldest SURVIVING state, so
+                # stream it as a full replay (lo == -1 semantics) —
+                # raising the vacuumed-offset error here would wedge a
+                # brand-new stream that never had an offset to lose
+                self._start = -1 if later[0] == versions[0] else later[0] - 1
+            else:
+                self._start = (later[0] - 1) if later else versions[-1]
         elif start is None:
             versions = _list_versions(root)
             if not versions:
@@ -373,6 +455,7 @@ class _TTStreamReader(DataSourceStreamReader):
         for v in [v for v in all_versions if lo < v <= hi]:
             manifest = _read_manifest(self._root, v)
             files = _resolve_files(self._root, manifest)
+            pcols = list(manifest.get("partition_cols") or [])
             fset = set(files)
             added = [f for f in files if prev is None or f not in prev]
             removed = prev is not None and not prev <= fset
@@ -398,7 +481,10 @@ class _TTStreamReader(DataSourceStreamReader):
                     "exact feed"
                 )
             out.extend(
-                _FilePartition(_abs_entry(path, rel), v) for rel in added
+                _FilePartition(
+                    _abs_entry(path, rel), v, _part_json_for(rel, pcols)
+                )
+                for rel in added
             )
             prev = fset
         return out or [_FilePartition("")]
@@ -407,7 +493,10 @@ class _TTStreamReader(DataSourceStreamReader):
         if not partition.path:
             return
         yield from _arrow_batches(
-            partition.path, self._schema, partition.commit_version
+            partition.path,
+            self._schema,
+            partition.commit_version,
+            partition.part_json,
         )
 
     def commit(self, end: dict) -> None:
@@ -471,16 +560,23 @@ def _atomic_publish_arrow(path: str, version: int, manifest: dict) -> None:
 
 
 def _files_schema_arrow(path: str, files: list[str]):
-    """Unified Spark StructType of the just-written files' footers."""
+    """Unified Spark StructType of the just-written files' footers.
+    pyarrow-level failures (conflicting footers → ArrowInvalid, footer
+    read → OSError) defer to the session path, which produces the
+    authoritative result or error — the documented 'falls back so
+    semantics never fork' contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    merged = None
-    for rel in files:
-        s = pq.read_schema(f"{path}/{rel}")
-        merged = s if merged is None else pa.unify_schemas([merged, s])
-    return from_arrow_schema(merged)
+    try:
+        merged = None
+        for rel in files:
+            s = pq.read_schema(f"{path}/{rel}")
+            merged = s if merged is None else pa.unify_schemas([merged, s])
+        return from_arrow_schema(merged)
+    except (pa.ArrowInvalid, OSError) as exc:
+        raise _ArrowCommitUnsupported(f"footer schema: {exc}") from exc
 
 
 def _evolved_schema_arrow(prev_json: str | None, file_schema) -> str:
@@ -515,31 +611,37 @@ def _file_stats_arrow(
     import pyarrow.parquet as pq
 
     out: dict = {}
-    for rel in files:
-        schema = pq.read_schema(f"{path}/{rel}")
-        present = [c for c in stats_cols if c in schema.names]
-        if not present:
-            continue  # absence is never evidence: reader keeps the file
-        for c in present:
-            t = schema.field(c).type
-            if not (
-                pa.types.is_integer(t)
-                or pa.types.is_floating(t)
-                or pa.types.is_string(t)
-                or pa.types.is_large_string(t)
-            ):
-                raise _ArrowCommitUnsupported(f"stats col {c!r} type {t}")
-        table = pq.read_table(f"{path}/{rel}", columns=present)
-        entry = {}
-        for c in present:
-            mm = pc.min_max(table.column(c))
-            lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if lo is None or hi is None:
-                continue  # all-NULL column: no bound to record
-            entry[c] = [lo, hi]
-        if entry:
-            out[rel] = entry
-    return out
+    try:
+        for rel in files:
+            schema = pq.read_schema(f"{path}/{rel}")
+            present = [c for c in stats_cols if c in schema.names]
+            if not present:
+                continue  # absence is never evidence: reader keeps the file
+            for c in present:
+                t = schema.field(c).type
+                if not (
+                    pa.types.is_integer(t)
+                    or pa.types.is_floating(t)
+                    or pa.types.is_string(t)
+                    or pa.types.is_large_string(t)
+                ):
+                    raise _ArrowCommitUnsupported(
+                        f"stats col {c!r} type {t}"
+                    )
+            table = pq.read_table(f"{path}/{rel}", columns=present)
+            entry = {}
+            for c in present:
+                mm = pc.min_max(table.column(c))
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is None or hi is None:
+                    continue  # all-NULL column: no bound to record
+                entry[c] = [lo, hi]
+            if entry:
+                out[rel] = entry
+        return out
+    except (pa.ArrowInvalid, OSError) as exc:
+        # pyarrow-level stats failure: defer to the session path
+        raise _ArrowCommitUnsupported(f"stats scan: {exc}") from exc
 
 
 def _write_checkpoint_arrow(path: str, files: list[str], stats: dict) -> str:
@@ -643,12 +745,23 @@ def _commit_files_arrow(
             return 0
         except _ArrowCommitRace:
             versions = _list_versions(root)  # lost create: append below
+    def _scan_cols(prev: dict) -> tuple[list[str], list[str], list[str]]:
+        """(stats_cols header, partition_cols header, columns to scan):
+        partition columns join the stats scan — stream-written files
+        carry them physically, and their bounds drive partition
+        pruning exactly like the session path's ``_new_file_stats``."""
+        carry = _manifest_stats_cols(prev)
+        pcarry = list(prev.get("partition_cols") or [])
+        present = {f.name for f in file_schema.fields}
+        cols = [c for c in carry if c in present]
+        cols += [c for c in pcarry if c in present and c not in cols]
+        return carry, pcarry, cols
+
     if mode == "overwrite":
         prev = _read_manifest(root, versions[-1])
         if prev.get("constraints"):
             raise _ArrowCommitUnsupported("table has CHECK constraints")
-        carry = _manifest_stats_cols(prev)
-        cols = [c for c in carry if c in {f.name for f in file_schema.fields}]
+        carry, pcarry, cols = _scan_cols(prev)
         stats = _file_stats_arrow(path, sorted(new_files), cols) if cols else {}
         manifest = {
             **_body_full_arrow(path, sorted(new_files), stats, inline_max),
@@ -656,6 +769,7 @@ def _commit_files_arrow(
             "ts": _time.time(),
             "schema": json.dumps(file_schema.jsonValue()),
             **({"stats_cols": carry} if carry else {}),
+            **({"partition_cols": pcarry} if pcarry else {}),
             **(
                 {"properties": prev["properties"]}
                 if prev.get("properties")
@@ -671,8 +785,7 @@ def _commit_files_arrow(
         if prev.get("constraints"):
             raise _ArrowCommitUnsupported("table has CHECK constraints")
         evolved = _evolved_schema_arrow(prev.get("schema"), file_schema)
-        carry = _manifest_stats_cols(prev)
-        cols = [c for c in carry if c in {f.name for f in file_schema.fields}]
+        carry, pcarry, cols = _scan_cols(prev)
         new_stats = (
             _file_stats_arrow(path, sorted(new_files), cols) if cols else {}
         )
@@ -684,6 +797,7 @@ def _commit_files_arrow(
             "ts": _time.time(),
             "schema": evolved,
             **({"stats_cols": carry} if carry else {}),
+            **({"partition_cols": pcarry} if pcarry else {}),
             **(
                 {"properties": prev["properties"]}
                 if prev.get("properties")

