@@ -228,6 +228,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*optimize\s+'([^']+)'"
+        r"(?:\s+where\s+(.+?))?"
         r"(?:\s+zorder\s+by\s*\(([^)]+)\))?\s*;?\s*$",
         stmt,
     )
@@ -236,12 +237,14 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         from .timetravel import tt_optimize
 
         zcols = None
-        if m.group(2):
+        if m.group(3):
             zcols = [
                 validate_identifier(c.strip().strip("`"))
-                for c in m.group(2).split(",")
+                for c in m.group(3).split(",")
             ]
-        v = tt_optimize(spark, m.group(1), zorder_by=zcols)
+        v = tt_optimize(
+            spark, m.group(1), zorder_by=zcols, where=m.group(2)
+        )
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*create\s+table\s+"
@@ -503,8 +506,8 @@ def _substitute_registered_names(spark: SparkSession, stmt: str) -> str:
                     # alias-like (or AS OF) already follows
                     nxt = _next_token(m.end())
                     if nxt is None or nxt in alias_safe or not (
-                        nxt[0].isalpha() or nxt[0] == "_"
-                    ):
+                        nxt[0].isalpha() or nxt[0] in "_`"
+                    ):  # backtick = quoted user alias: don't double up
                         repl += f" {key.rsplit('.', 1)[-1]}"
                 out.append(repl)
             else:

@@ -1145,6 +1145,11 @@ def _skip_bounds_from_predicate(where: str) -> dict:
     btw_re = re.compile(
         rf"(?is)^\s*`?(\w+)`?\s+between\s+{lit_re}\s+and\s+{lit_re}\s*$"
     )
+    in_re = re.compile(
+        rf"(?is)^\s*`?(\w+)`?\s+in\s*\(\s*{lit_re}"
+        rf"(?:\s*,\s*{lit_re})*\s*\)\s*$"
+    )
+    in_lit_re = re.compile(lit_re)
     for piece in parts:
         try:
             m = cmp_re.match(piece)
@@ -1160,7 +1165,18 @@ def _skip_bounds_from_predicate(where: str) -> dict:
             m = btw_re.match(piece)
             if m:
                 _tighten(m.group(1), _lit(m.group(2)), _lit(m.group(3)))
-        except ValueError:
+                continue
+            m = in_re.match(piece)
+            if m:
+                # col IN (a, b, c): [min, max] of the list — Delta
+                # prunes IN lists the same way; mixed-type lists raise
+                # on min/max and contribute nothing (sound)
+                vals = [
+                    _lit(t.group(0))
+                    for t in in_lit_re.finditer(piece[piece.index("(") :])
+                ]
+                _tighten(m.group(1), min(vals), max(vals))
+        except (ValueError, TypeError):
             continue  # unparseable literal: conjunct contributes nothing
     return {c: (lo, hi) for c, (lo, hi) in out.items()}
 
@@ -1806,30 +1822,91 @@ def tt_optimize(
     root: str,
     target_files: int | None = None,
     zorder_by: list[str] | None = None,
+    where: str | None = None,
 ) -> int:
-    """Delta ``OPTIMIZE [ZORDER BY]`` on the versioned log: rewrite the
-    head version's rows into ``target_files`` files (default: the
-    session shuffle-partition count capped at the current file count),
-    optionally range-partitioned on a Morton key over ``zorder_by``
-    columns so files cover compact hyper-rectangles (row-group pruning
-    on any clustered dimension), and commit the layout as a new
-    version.  Rows are IDENTICAL to the head version — only the file
-    layout changes; old versions stay readable."""
+    """Delta ``OPTIMIZE [WHERE] [ZORDER BY]`` on the versioned log:
+    rewrite the head version's rows into ``target_files`` files
+    (default: the session shuffle-partition count capped at the
+    current file count), optionally range-partitioned on a Morton key
+    over ``zorder_by`` columns so files cover compact hyper-rectangles
+    (row-group pruning on any clustered dimension), and commit the
+    layout as a new version.  Rows are IDENTICAL to the head version —
+    only the file layout changes; old versions stay readable.
+
+    ``where`` scopes the rewrite to a PARTITION subset — Delta's
+    ``OPTIMIZE ... WHERE``, the only way to compact a 100 TB table
+    incrementally: only files whose recorded partition value satisfies
+    the predicate (partition columns only, the sargable shapes
+    ``_skip_bounds_from_predicate`` understands) are rewritten; every
+    other file carries over by manifest reference, so the commit costs
+    O(selected partition), never O(table)."""
     from ..plans.zorder import with_zorder_key
 
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
-    df = _read_files(spark, root, manifest)
+    pcols = _partition_cols_of(manifest)
+    selected: list[str] | None = None
+    if where is not None:
+        if not pcols:
+            raise AstroSparkError(
+                "tt_optimize(where=): the table is not partitioned — "
+                "OPTIMIZE WHERE selects whole partitions (Delta's rule)"
+            )
+        bounds = _skip_bounds_from_predicate(where)
+        if not bounds or any(c not in pcols for c in bounds):
+            raise AstroSparkError(
+                "tt_optimize(where=): the predicate must be a sargable "
+                f"conjunction over partition columns {pcols}, got "
+                f"{where!r}"
+            )
+        files, stats = _resolve(spark, fs, HPath, root, manifest)
+        # a file is selected iff its RECORDED partition value provably
+        # satisfies every bound (degenerate [v, v] stats — partition
+        # values are always recorded, so no file is ambiguous)
+        selected = []
+        for f in files:
+            st = stats.get(f) or {}
+            take = True
+            for col, (lo, hi) in bounds.items():
+                rng = st.get(col)
+                try:
+                    if (
+                        rng is None
+                        or rng[0] != rng[1]
+                        or (lo is not None and rng[0] < lo)
+                        or (hi is not None and rng[1] > hi)
+                    ):
+                        take = False
+                        break
+                except TypeError:  # cross-type bound: not provable
+                    take = False
+                    break
+            if take:
+                selected.append(f)
+        if not selected:
+            return head_v  # nothing in scope: no new version
+        df = _read_files(
+            spark,
+            root,
+            {
+                "files": selected,
+                "schema": manifest.get("schema"),
+                **({"partition_cols": pcols} if pcols else {}),
+            },
+        )
+    else:
+        df = _read_files(spark, root, manifest)
     if target_files is None:
+        n_scope = (
+            len(selected)
+            if selected is not None
+            else int(manifest.get("n_files", len(manifest.get("files") or [])))
+        )
         target_files = max(
             1,
-            min(
-                int(manifest.get("n_files", len(manifest.get("files") or []))),
-                int(spark.conf.get("spark.sql.shuffle.partitions")),
-            ),
+            min(n_scope, int(spark.conf.get("spark.sql.shuffle.partitions"))),
         )
-    pcols = _partition_cols_of(manifest)
     if zorder_by:
         df = (
             with_zorder_key(df, zorder_by)
@@ -1850,6 +1927,27 @@ def tt_optimize(
     # zorder makes files cover COMPACT ranges — exactly when skipping
     # stats pay off; recompute them over the new layout
     stats = _new_file_stats(spark, root, new_files, manifest, df)
+    if selected is not None:
+        # partition-scoped: unselected files carry over by reference —
+        # an O(delta) commit exactly like DML's copy-on-write
+        new_manifest = {
+            **_body_delta(
+                spark, fs, HPath, root, manifest, new_files, selected, stats
+            ),
+            "op": f"optimize(where={where})",
+            "ts": time.time(),
+            **(
+                {"schema": manifest["schema"]}
+                if manifest.get("schema") is not None
+                else {}
+            ),
+            **_carry_constraints(manifest),
+            **_carry_stats_cols(manifest),
+            **_carry_partition(manifest),
+            **_carry_props(manifest),
+        }
+        _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+        return head_v + 1
     new_manifest = {
         **_body_full(spark, fs, HPath, root, new_files, stats),
         "op": (

@@ -157,6 +157,10 @@ HEADLINE = [
     "op_tt_convert",
     "op_tt_write",
     "op_tt_update_cast",
+    # round-13 additions
+    "op_tt_partitioned",
+    "op_xlsx_roundtrip",
+    "op_xls_roundtrip",
 ]
 
 # Plan-property probes: they exist to ASSERT an executed-plan shape

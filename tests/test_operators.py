@@ -3926,6 +3926,12 @@ class TestDmlSql:
         assert bounds("s = 'x' AND length(s) > 0") == {"s": ("x", "x")}
         assert bounds("k = 1 OR k = 9") == {}
         assert bounds("v = 'where and or'") == {"v": ("where and or", "where and or")}
+        # IN lists (round 13): [min, max] of the list, Delta-style
+        assert bounds("k IN (3, 9, 5)") == {"k": (3, 9)}
+        assert bounds("s IN ('a', 'c') AND k > 1") == {
+            "s": ("a", "c"), "k": (1, None),
+        }
+        assert bounds("k IN (1, 'x')") == {}  # mixed types: nothing
 
         root = str(tmp_path / "ttwhere")
         a.tt_create(
@@ -4518,3 +4524,85 @@ class TestPartitionedVersioned:
         # adopted files: path values materialize through Arrow
         assert df.count() == 9
         assert df.where("r = 1").agg({"k": "sum"}).collect()[0][0] == 12
+
+    def test_optimize_where_partition_scoped(self, spark, tmp_path):
+        """Delta ``OPTIMIZE ... WHERE``: compact ONE partition — only
+        files whose recorded partition value satisfies the predicate
+        rewrite; everything else carries by manifest reference
+        (O(selected partition) commit, the only way to compact a
+        100 TB table incrementally)."""
+        import json as _json
+
+        root = str(tmp_path / "ow")
+        df = spark.range(40).selectExpr("id AS k", "id % 4 AS r")
+        # many small files per partition
+        a.tt_create(
+            spark, df.repartition(10), root, partition_by=["r"]
+        )
+        m0 = _json.load(open(root + "/_log/v00000000.json"))
+        r1_before = [f for f in m0["files"] if m0["stats"][f]["r"] == [1, 1]]
+        other_before = [f for f in m0["files"] if f not in set(r1_before)]
+        assert len(r1_before) > 1
+        v = a.run_raw_sql(
+            spark, f"OPTIMIZE '{root}' WHERE r = 1", results_format="list"
+        )[0].committed_version
+        assert v == 1
+        heads = sorted(
+            p.name for p in (tmp_path / "ow" / "_log").glob("v*.json")
+        )
+        m1 = _json.load(open(root + f"/_log/{heads[-1]}"))
+        from astro_spark.operators.timetravel import _fs, _resolve
+
+        HPath, _p, fs = _fs(spark, root)
+        files1, stats1 = _resolve(spark, fs, HPath, root, m1)
+        # r=1 compacted into fewer files; every other file untouched
+        r1_after = [f for f in files1 if stats1[f]["r"] == [1, 1]]
+        assert len(r1_after) < len(r1_before)
+        assert set(other_before) <= set(files1)
+        # rows identical, time travel intact
+        assert a.tt_read(spark, root).count() == 40
+        assert sorted(
+            r.k for r in a.tt_read(spark, root).where("r = 1").collect()
+        ) == sorted(range(1, 40, 4))
+        # guardrails: non-partition predicate and unpartitioned table
+        with pytest.raises(a.exceptions.AstroSparkError, match="partition"):
+            a.tt_optimize(spark, root, where="k > 3")
+        flat = str(tmp_path / "flat")
+        a.tt_create(spark, spark.range(4).selectExpr("id AS k"), flat)
+        with pytest.raises(a.exceptions.AstroSparkError, match="partitioned"):
+            a.tt_optimize(spark, flat, where="k = 1")
+        # empty scope: no new version
+        assert a.tt_optimize(spark, root, where="r = 99") == 1
+
+    def test_substitution_alias_edges(self, spark, tmp_path):
+        """The implicit FROM-alias never doubles a user alias
+        (backticked included), never touches AS-OF reads, and never
+        fires outside SELECT-shaped statements."""
+        from astro_spark.operators.raw_sql import (
+            _substitute_registered_names as S,
+        )
+
+        root = str(tmp_path / "sub")
+        a.tt_create(spark, spark.range(3).selectExpr("id AS k"), root)
+        a.tt_register(spark, "db.pt", root)
+        try:
+            cases = [
+                ("SELECT * FROM db.pt `x`", f"SELECT * FROM '{root}' `x`"),
+                (
+                    "SELECT * FROM db.pt VERSION AS OF 0",
+                    f"SELECT * FROM '{root}' VERSION AS OF 0",
+                ),
+                ("SELECT * FROM db.pt", f"SELECT * FROM '{root}' pt"),
+                (
+                    "DELETE FROM db.pt WHERE k = 1",
+                    f"DELETE FROM '{root}' WHERE k = 1",
+                ),
+                (
+                    "SELECT (SELECT 1 FROM x), y FROM q",
+                    "SELECT (SELECT 1 FROM x), y FROM q",
+                ),
+            ]
+            for sql, want in cases:
+                assert S(spark, sql) == want, sql
+        finally:
+            a.tt_unregister(spark, "db.pt")
