@@ -3331,6 +3331,37 @@ class TestDmlSql:
                 None,
                 {"startingtimestamp": "0", "startingversion": "0"},
             )
+        # r13 (ADVICE r12 #4): Delta's timestamp-STRING form parses
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(ts_mid).isoformat(sep=" ")
+        rd_iso = _TTStreamReader(root, None, {"startingtimestamp": iso})
+        parts_iso = rd_iso.partitions(
+            rd_iso.initialOffset(), rd_iso.latestOffset()
+        )
+        assert sorted({p.commit_version for p in parts_iso}) == [1, 2]
+
+    def test_stream_starting_timestamp_vacuumed_boundary(
+        self, spark, tmp_path
+    ):
+        """ADVICE r12 #4 second half: when the version PRECEDING the
+        first qualifying commit was vacuumed, a brand-new stream must
+        replay the oldest SURVIVING snapshot (lo == -1 semantics)
+        instead of raising the vacuumed-offset error — that error
+        protects existing checkpoints, not fresh starts."""
+        from astro_spark.sources.tt_datasource import _TTStreamReader
+
+        root = str(tmp_path / "stsv")
+        a.tt_create(spark, spark.createDataFrame([(1,)], "k long"), root)
+        a.tt_append(spark, spark.createDataFrame([(2,)], "k long"), root)
+        a.tt_append(spark, spark.createDataFrame([(3,)], "k long"), root)
+        spark.conf.set("spark.astro.tt.vacuumCkptGraceSec", "0")
+        a.tt_vacuum(spark, root, keep_last=2)  # drops v0
+        rd = _TTStreamReader(root, None, {"startingtimestamp": "0"})
+        assert rd.initialOffset() == {"version": -1}
+        parts = rd.partitions(rd.initialOffset(), rd.latestOffset())
+        # full replay of v1 (oldest surviving: rows 1,2) + v2's delta
+        assert sorted({p.commit_version for p in parts}) == [1, 2]
 
     def test_describe_detail(self, spark, tmp_path):
         """DESCRIBE DETAIL '<root>'|name: one-row snapshot description —

@@ -903,3 +903,52 @@ class TestVersionedParquetDataSource:
             spark.read.format("versioned_parquet").option("path", root) \
                 .option("timestampAsOf", str(mid)) \
                 .option("versionAsOf", "0").load().count()
+
+    def test_arrow_commit_corrupt_footer_defers(self, spark, tmp_path):
+        """ADVICE r12 #5: pyarrow-level failures (unreadable footer →
+        ArrowInvalid/OSError) must surface as _ArrowCommitUnsupported so
+        the stream sink falls back to the session commit path — never
+        fail the stream with a raw pyarrow error."""
+        import os
+
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import (
+            _ArrowCommitUnsupported,
+            _commit_files_arrow,
+        )
+
+        root = str(tmp_path / "corrupt")
+        a.tt_create(
+            spark, spark.createDataFrame([(1,)], "k long"), root
+        )
+        os.makedirs(f"{root}/files/bad")
+        with open(f"{root}/files/bad/part-0.parquet", "wb") as fh:
+            fh.write(b"this is not parquet")
+        with pytest.raises(_ArrowCommitUnsupported):
+            _commit_files_arrow(root, ["files/bad/part-0.parquet"], "append")
+        # the table is untouched — no version published
+        assert a.tt_history(spark, root).count() == 1
+
+    def test_format_reader_adopted_partition_values(self, spark, tmp_path):
+        """Adopted Hive files read through the FORMAT reader materialize
+        their path-only partition values as Arrow constants (round 13);
+        pushFilters prunes on them from the manifest's degenerate
+        bounds."""
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        root = str(tmp_path / "fmtpart")
+        spark.range(12).selectExpr("id AS k", "id % 3 AS r").write.partitionBy(
+            "r"
+        ).parquet(root)
+        a.tt_convert(spark, root)
+        df = (
+            spark.read.format("versioned_parquet")
+            .option("path", root)
+            .load()
+        )
+        assert df.count() == 12
+        got = df.where("r = 2")
+        assert got.count() == 4
+        assert {x.k % 3 for x in got.collect()} == {2}
