@@ -69,11 +69,14 @@ def load_file(
 
     if isinstance(output_table, VersionedTable):
         # the reference's CTAS USING DELTA shape: loading into a
-        # versioned root commits a version instead of replacing files
+        # versioned root commits a version instead of replacing files.
+        # partition_by maps to the log's PARTITIONED BY (round 13) —
+        # one partition value per file, manifest-pruned reads; the
+        # other layout levers stay table-write-only (use
+        # tt_optimize(zorder_by=) for clustering after the load).
         ignored = [
             n
             for n, v in (
-                ("partition_by", partition_by),
                 ("bucket_by", bucket_by),
                 ("cluster_by", cluster_by),
                 ("zorder_by", zorder_by),
@@ -90,6 +93,16 @@ def load_file(
             )
         from .timetravel import save_dataframe_versioned
 
+        if partition_by:
+            if (
+                output_table.partition_by is not None
+                and list(output_table.partition_by) != list(partition_by)
+            ):
+                raise ValueError(
+                    "load_file: partition_by disagrees with the "
+                    "VersionedTable's own partition_by"
+                )
+            output_table.partition_by = list(partition_by)
         save_dataframe_versioned(spark, df, output_table, if_exists=if_exists)
         return output_table
 

@@ -834,12 +834,60 @@ class _TTArrowWriter(DataSourceArrowWriter):
     failed/aborted job leaves invisible garbage only (``tt_vacuum``
     reclaims it) — exactly the engine-native writers' guarantee."""
 
+    # a micro-batch spanning MANY partitions would explode into tiny
+    # files; past this many distinct values the task writes one file
+    # (stats simply record the wider [min, max] — sound, less pruning)
+    _MAX_PARTITION_SPLITS = 32
+
     def __init__(self, root: str, overwrite: bool):
         import uuid as _uuid
 
         self._root = root
         self._overwrite = overwrite
         self._commit_dir = f"files/{_uuid.uuid4().hex}"
+        # partitioned table? split each task's output one-file-per-
+        # partition-value so the commit's scanned stats are exact
+        # degenerate bounds — streaming ingest into a date-partitioned
+        # table stays manifest-prunable.  Driver-side lookup; absent
+        # table (create) or unpartitioned → no splitting.
+        try:
+            versions = _list_versions(root)
+            self._pcols = (
+                list(
+                    _read_manifest(root, versions[-1]).get("partition_cols")
+                    or []
+                )
+                if versions
+                else []
+            )
+        except Exception:
+            self._pcols = []
+
+    def _split_tables(self, table):
+        """[(sub-table)] split by distinct partition tuple (pyarrow),
+        or [table] when unpartitioned / too many distinct values."""
+        import pyarrow.compute as pc
+
+        pcols = [c for c in self._pcols if c in table.column_names]
+        if not pcols or not len(table):
+            return [table]
+        distinct = table.select(pcols).group_by(pcols).aggregate([])
+        n = distinct.num_rows
+        if n <= 1 or n > self._MAX_PARTITION_SPLITS:
+            return [table]
+        out = []
+        for i in range(n):
+            mask = None
+            for c in pcols:
+                v = distinct.column(c)[i]
+                m = (
+                    pc.is_null(table.column(c))
+                    if not v.is_valid
+                    else pc.equal(table.column(c), v)
+                )
+                mask = m if mask is None else pc.and_(mask, m)
+            out.append(table.filter(mask))
+        return out
 
     def write(self, iterator):
         import uuid as _uuid
@@ -851,12 +899,17 @@ class _TTArrowWriter(DataSourceArrowWriter):
         if not batches:
             return _TTWriteMessage([])
         table = pa.Table.from_batches(batches)
-        rel = f"{self._commit_dir}/part-{_uuid.uuid4().hex[:12]}.parquet"
         f, path = _fs_of(self._root)
         f.create_dir(f"{path}/{self._commit_dir}", recursive=True)
-        with f.open_output_stream(f"{path}/{rel}") as out:
-            pq.write_table(table, out)
-        return _TTWriteMessage([rel])
+        rels = []
+        for part in self._split_tables(table):
+            if not len(part):
+                continue
+            rel = f"{self._commit_dir}/part-{_uuid.uuid4().hex[:12]}.parquet"
+            with f.open_output_stream(f"{path}/{rel}") as out:
+                pq.write_table(part, out)
+            rels.append(rel)
+        return _TTWriteMessage(rels)
 
     def _all_files(self, messages) -> list[str]:
         return [rel for m in messages if m is not None for rel in m.files]

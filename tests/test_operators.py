@@ -4637,3 +4637,39 @@ class TestPartitionedVersioned:
                 assert S(spark, sql) == want, sql
         finally:
             a.tt_unregister(spark, "db.pt")
+
+    def test_load_file_partition_by_versioned_target(self, spark, tmp_path):
+        """load_file(partition_by=) into a VersionedTable maps to the
+        log's PARTITIONED BY (round 13); a disagreement with the
+        target's own partition_by raises; other layout levers still
+        reject."""
+        import json as _json
+
+        src = str(tmp_path / "src.parquet")
+        spark.range(9).selectExpr("id AS k", "id % 3 AS r").write.parquet(src)
+        root = str(tmp_path / "vt")
+        a.load_file(
+            spark,
+            src,
+            output_table=a.VersionedTable(root),
+            partition_by=["r"],
+        )
+        m = _json.load(open(root + "/_log/v00000000.json"))
+        assert m["partition_cols"] == ["r"]
+        assert a.tt_read(spark, root, where="r = 0").count() == 3
+        with pytest.raises(ValueError, match="disagrees"):
+            a.load_file(
+                spark,
+                src,
+                output_table=a.VersionedTable(
+                    str(tmp_path / "vt2"), partition_by=["k"]
+                ),
+                partition_by=["r"],
+            )
+        with pytest.raises(ValueError, match="do not apply"):
+            a.load_file(
+                spark,
+                src,
+                output_table=a.VersionedTable(str(tmp_path / "vt3")),
+                zorder_by=["k"],
+            )

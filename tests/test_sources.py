@@ -952,3 +952,40 @@ class TestVersionedParquetDataSource:
         got = df.where("r = 2")
         assert got.count() == 4
         assert {x.k % 3 for x in got.collect()} == {2}
+
+    def test_format_writer_splits_partitions(self, spark, tmp_path):
+        """Format writes INTO a partitioned table split each task's
+        output one-file-per-partition-value (round 13), so streaming
+        ingest keeps exact degenerate pruning bounds — no partition's
+        rows hide inside a wide-bounds file."""
+        import json as _json
+        import os
+
+        import astro_spark as a
+        from astro_spark.sources.tt_datasource import register
+
+        register(spark)
+        root = str(tmp_path / "split")
+        a.tt_create(
+            spark,
+            spark.range(12).selectExpr("id AS k", "id % 3 AS r"),
+            root,
+            partition_by=["r"],
+        )
+        spark.range(6).selectExpr("id + 100 AS k", "id % 3 AS r").coalesce(
+            1
+        ).write.format("versioned_parquet").option("path", root).mode(
+            "append"
+        ).save()
+        heads = sorted(
+            f for f in os.listdir(root + "/_log") if f.endswith(".json")
+        )
+        m = _json.load(open(f"{root}/_log/{heads[-1]}"))
+        new = {
+            f: st
+            for f, st in (m.get("stats") or {}).items()
+            if "__p_" not in f
+        }
+        assert len(new) == 3  # one file per r value from the ONE task
+        assert all(st["r"][0] == st["r"][1] for st in new.values())
+        assert a.tt_read(spark, root, where="r = 1").count() == 6
