@@ -1454,11 +1454,13 @@ def tt_detail(spark: SparkSession, root: str) -> DataFrame:
                 json.dumps(manifest.get("constraints") or {}),
                 list(_stats_cols_of(manifest)),
                 json.dumps(manifest.get("properties") or {}),
+                list(_partition_cols_of(manifest)),
             )
         ],
         "format string, location string, version long, num_files long, "
         "size_bytes long, last_commit_ts double, constraints string, "
-        "stats_cols array<string>, properties string",
+        "stats_cols array<string>, properties string, "
+        "partition_cols array<string>",
     )
 
 
