@@ -4673,3 +4673,63 @@ class TestPartitionedVersioned:
                 output_table=a.VersionedTable(str(tmp_path / "vt3")),
                 zorder_by=["k"],
             )
+
+    def test_convert_two_level_hive_layout(self, spark, tmp_path):
+        """Multi-level Hive layouts (year=/month=) adopt with BOTH
+        partition columns detected in outer→inner order and pruned
+        independently."""
+        root = str(tmp_path / "ym")
+        spark.range(120).selectExpr(
+            "id AS k", "2020 + id % 2 AS year", "1 + id % 3 AS month"
+        ).write.partitionBy("year", "month").parquet(root)
+        a.tt_convert(spark, root)
+        import json as _json
+
+        m = _json.load(open(root + "/_log/v00000000.json"))
+        assert m["partition_cols"] == ["year", "month"]
+        got = a.tt_read(spark, root, where="year = 2021 AND month = 2")
+        assert got.count() == 20
+        assert len(got.inputFiles()) < len(m["files"])
+        # inconsistent layouts refuse
+        bad = str(tmp_path / "bad")
+        spark.range(3).selectExpr("id AS k", "id AS p").write.partitionBy(
+            "p"
+        ).parquet(bad + "/a")
+        spark.range(3).selectExpr("id AS k").write.parquet(bad + "/b")
+        with pytest.raises(a.exceptions.AstroSparkError, match="disagree"):
+            a.tt_convert(spark, bad)
+
+    def test_optimize_where_with_zorder(self, spark, tmp_path):
+        """OPTIMIZE WHERE + ZORDER BY compose: the selected partition's
+        rows re-cluster on the Morton key while every other partition's
+        files carry untouched."""
+        root = str(tmp_path / "owz")
+        a.tt_create(
+            spark,
+            spark.range(400).selectExpr(
+                "id AS k", "id % 4 AS r", "(id * 37) % 100 AS x"
+            ).repartition(8),
+            root,
+            partition_by=["r"],
+            stats_cols=["x"],
+        )
+        import json as _json
+
+        m0 = _json.load(open(root + "/_log/v00000000.json"))
+        untouched = [f for f in m0["files"] if m0["stats"][f]["r"] != [3, 3]]
+        v = a.run_raw_sql(
+            spark,
+            f"OPTIMIZE '{root}' WHERE r = 3 ZORDER BY (x)",
+            results_format="list",
+        )[0].committed_version
+        assert v == 1
+        from astro_spark.operators.timetravel import _fs, _head, _resolve
+
+        HPath, _p, fs = _fs(spark, root)
+        _v, m1 = _head(spark, fs, HPath, root)
+        files1, stats1 = _resolve(spark, fs, HPath, root, m1)
+        assert set(untouched) <= set(files1)
+        assert a.tt_read(spark, root).count() == 400
+        assert sorted(
+            x.k for x in a.tt_read(spark, root).where("r = 3").collect()
+        ) == sorted(range(3, 400, 4))
