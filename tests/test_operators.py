@@ -3356,7 +3356,10 @@ class TestDmlSql:
         a.tt_append(spark, spark.createDataFrame([(2,)], "k long"), root)
         a.tt_append(spark, spark.createDataFrame([(3,)], "k long"), root)
         spark.conf.set("spark.astro.tt.vacuumCkptGraceSec", "0")
-        a.tt_vacuum(spark, root, keep_last=2)  # drops v0
+        try:
+            a.tt_vacuum(spark, root, keep_last=2)  # drops v0
+        finally:
+            spark.conf.unset("spark.astro.tt.vacuumCkptGraceSec")
         rd = _TTStreamReader(root, None, {"startingtimestamp": "0"})
         assert rd.initialOffset() == {"version": -1}
         parts = rd.partitions(rd.initialOffset(), rd.latestOffset())
@@ -4221,12 +4224,15 @@ class TestDmlSql:
             assert got == want, pred
 
     def test_versioned_target_rejects_layout_args(self, spark, sf_dir, tmp_path):
+        # partition_by maps to the log's PARTITIONED BY since round 13
+        # (see test_load_file_partition_by_versioned_target); the other
+        # layout levers still have no versioned-log meaning and reject
         with pytest.raises(ValueError, match="do not apply"):
             a.load_file(
                 spark,
                 f"{sf_dir}/nation.parquet",
                 output_table=a.VersionedTable(str(tmp_path / "vt")),
-                partition_by=["n_regionkey"],
+                bucket_by=(4, ["n_regionkey"]),
             )
 
     def test_clone_of_clone_chains(self, spark, tmp_path):
