@@ -1815,3 +1815,41 @@ class TestVersionedStream:
         got = {(r.k, r.v) for r in a.tt_read(spark, root).collect()}
         assert (0, "seed") in got and (2, "b2") in got
         assert hist >= 3  # the new file committed
+
+    def test_streaming_into_partitioned_root(self, spark, tmp_path):
+        """Streaming ingest into a PARTITIONED versioned root (round
+        13): each micro-batch's tt_append lays its files out per
+        partition value through the foreachBatch clone session, and the
+        manifest-pruned read scans only the asked partition."""
+        import json as _json
+
+        import astro_spark as a
+        from astro_spark.streaming import load_file_stream_versioned
+
+        root = str(tmp_path / "ptstream")
+        a.tt_create(
+            spark,
+            spark.range(6).selectExpr("id AS k", "id % 2 AS r"),
+            root,
+            partition_by=["r"],
+        )
+        src = tmp_path / "src"
+        spark.range(4).selectExpr("id + 100 AS k", "id % 2 AS r").coalesce(
+            1
+        ).write.parquet(str(src))
+        load_file_stream_versioned(
+            spark, str(src), root, checkpoint_dir=str(tmp_path / "ck")
+        )
+        assert a.tt_read(spark, root).count() == 10
+        import os
+
+        heads = sorted(
+            f for f in os.listdir(root + "/_log") if f.endswith(".json")
+        )
+        m = _json.load(open(f"{root}/_log/{heads[-1]}"))
+        # the appended batch's files are partition-split engine files
+        appended = [f for f in m["files"] if "__p_r=" in f]
+        assert len(appended) == len(m["files"])  # every file value-split
+        pruned = a.tt_read(spark, root, where="r = 1")
+        assert pruned.count() == 5
+        assert len(pruned.inputFiles()) < len(m["files"])
