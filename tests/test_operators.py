@@ -4739,3 +4739,33 @@ class TestPartitionedVersioned:
         assert sorted(
             x.k for x in a.tt_read(spark, root).where("r = 3").collect()
         ) == sorted(range(3, 400, 4))
+
+    def test_partitioned_schema_evolution(self, spark, tmp_path):
+        """merge_schema on a partitioned table: the new column appends
+        to the log schema, pre-evolution files (including adopted ones)
+        read it as NULL, and the partition layout carries."""
+        root = str(tmp_path / "pse")
+        spark.range(6).selectExpr("id AS k", "id % 2 AS r").write.partitionBy(
+            "r"
+        ).parquet(root)
+        a.tt_convert(spark, root)
+        add = spark.range(2).selectExpr(
+            "id + 10 AS k", "CAST(id % 2 AS INT) AS r", "'new' AS tag"
+        )
+        with pytest.raises(a.exceptions.AstroSparkError, match="merge_schema"):
+            a.tt_append(spark, add, root)
+        a.tt_append(spark, add, root, merge_schema=True)
+        got = a.tt_read(spark, root)
+        assert set(got.columns) == {"k", "r", "tag"}
+        assert got.where("tag IS NULL").count() == 6  # adopted files
+        assert got.where("tag = 'new'").count() == 2
+        # pruning still works across the evolved mixed table
+        assert a.tt_read(spark, root, where="r = 1").count() == 4
+        import json as _json
+        import os
+
+        heads = sorted(
+            f for f in os.listdir(root + "/_log") if f.endswith(".json")
+        )
+        m = _json.load(open(f"{root}/_log/{heads[-1]}"))
+        assert m["partition_cols"] == ["r"]
