@@ -1051,22 +1051,77 @@ class TestTimeTravelProperties:
             if inline_max is not None:
                 spark.conf.unset("spark.astro.tt.inlineFilesMax")
 
-    def _run(self, spark, tmp_path_factory, ops):
+    @SETTINGS
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("append"),
+                    st.lists(
+                        st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                        min_size=1,
+                        max_size=4,
+                    ),
+                ),
+                st.tuples(
+                    st.just("merge"),
+                    st.lists(
+                        st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                        min_size=1,
+                        max_size=4,
+                        unique_by=lambda t: t[0],
+                    ),
+                ),
+                st.tuples(st.just("delete"), st.integers(0, 9)),
+                st.tuples(st.just("restore"), st.integers(0, 20)),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @pytest.mark.parametrize("seed_mode", ["partition_by", "adopted"])
+    def test_partitioned_versions_match_model(
+        self, spark, tmp_path_factory, ops, seed_mode
+    ):
+        """The SAME model must hold when the table is PARTITIONED
+        (round 13) — whether created with partition_by (values physical
+        under the __p_ layout) or ADOPTED from a Hive estate (values
+        path-only until churn migrates them).  The partition column is
+        derived (p = k % 3), so history immutability, COW delete/merge
+        scoping, and restore must all be layout-invariant."""
+        self._run(spark, tmp_path_factory, ops, seed_mode=seed_mode)
+
+    def _run(self, spark, tmp_path_factory, ops, seed_mode=None):
         import uuid as _uuid
 
         import astro_spark as a
 
         root = str(tmp_path_factory.mktemp("ttprop") / _uuid.uuid4().hex)
         seed = [(1, 7), (2, 8), (3, 9)]
-        a.tt_create(
-            spark,
-            spark.createDataFrame(seed, "k long, v long").repartition(2),
-            root,
-        )
-        model: list[list[tuple[int, int]]] = [sorted(seed)]
+        # adopted Hive values re-type through Spark's partition
+        # inference (int); the engine layout keeps the column physical
+        ptype = "INT" if seed_mode == "adopted" else "BIGINT"
 
         def df_of(rows):
-            return spark.createDataFrame(rows, "k long, v long")
+            df = spark.createDataFrame(rows, "k long, v long")
+            if seed_mode:
+                df = df.selectExpr("k", "v", f"CAST(k % 3 AS {ptype}) AS p")
+            return df
+
+        if seed_mode == "adopted":
+            df_of(seed).write.partitionBy("p").parquet(root)
+            a.tt_convert(spark, root)
+        elif seed_mode == "partition_by":
+            a.tt_create(
+                spark, df_of(seed).repartition(2), root, partition_by=["p"]
+            )
+        else:
+            a.tt_create(
+                spark,
+                spark.createDataFrame(seed, "k long, v long").repartition(2),
+                root,
+            )
+        model: list[list[tuple[int, int]]] = [sorted(seed)]
 
         for op, arg in ops:
             if op == "append":
@@ -1104,10 +1159,14 @@ class TestTimeTravelProperties:
         hist = {r.version for r in a.tt_history(spark, root).collect()}
         assert hist == set(range(len(model)))
         for ver, expect in enumerate(model):
-            got = sorted(
-                (r.k, r.v) for r in a.tt_read(spark, root, ver).collect()
-            )
+            rows = a.tt_read(spark, root, ver).select("k", "v").collect()
+            got = sorted((r.k, r.v) for r in rows)
             assert got == expect, (ver, ops)
+        if seed_mode:
+            # the derived partition column reads back correctly from
+            # BOTH layouts (path-only adopted files included)
+            head = a.tt_read(spark, root)
+            assert head.where("p != CAST(k % 3 AS INT)").count() == 0
 
 
 class TestArrowCommitEquivalence:
