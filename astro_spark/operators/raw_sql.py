@@ -170,6 +170,25 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         )
         return spark.createDataFrame([(v,)], "committed_version long")
     m = re.match(
+        r"(?is)^\s*alter\s+table\s+'([^']+)'\s+add\s+columns?\s*"
+        r"\((.+)\)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from ..table import validate_identifier
+        from .timetravel import tt_add_columns
+
+        cols: list[tuple[str, str]] = []
+        for piece in _split_top_level(m.group(2)):
+            cm = re.match(r"(?s)^\s*`?(\w+)`?\s+(.+?)\s*$", piece)
+            if not cm:
+                return None  # not the ADD COLUMNS grammar: fall through
+            cols.append(
+                (validate_identifier(cm.group(1)), cm.group(2))
+            )
+        v = tt_add_columns(spark, m.group(1), cols)
+        return spark.createDataFrame([(v,)], "committed_version long")
+    m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+set\s+tblproperties\s*"
         r"\((.+)\)\s*;?\s*$",
         stmt,

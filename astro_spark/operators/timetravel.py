@@ -225,6 +225,7 @@ def _write_data_files(
 
 _STATS_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double", "string",
+    "date", "timestamp", "timestamp_ntz",
 )
 
 
@@ -232,7 +233,12 @@ def _json_safe_bound(v, side: int):
     """Manifest stats must survive ``json.dumps`` — Decimal bounds become
     floats, widened OUTWARD (``side`` -1 for a min, +1 for a max) when
     the nearest float would narrow the range, so file skipping stays
-    sound: a widened range can only keep extra files, never drop one."""
+    sound: a widened range can only keep extra files, never drop one.
+    date/timestamp bounds become their canonical strings ('2024-03-01',
+    '2024-03-01 10:00:00' — space separator), which order
+    lexicographically exactly like the values, so string predicate
+    literals prune them directly."""
+    import datetime as _dt
     import math
     from decimal import Decimal
 
@@ -243,6 +249,8 @@ def _json_safe_bound(v, side: int):
         elif side > 0 and Decimal(f) < v:
             f = math.nextafter(f, math.inf)
         return f
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return str(v)
     return v
 
 
@@ -561,6 +569,7 @@ def tt_create(
     root: str,
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """Create a versioned table at ``root`` as version 0.
 
@@ -575,12 +584,31 @@ def tt_create(
     layout that KEEPS the column in the data), and the partition
     columns automatically join the skipping stats, so
     ``tt_read(where="dt = ...")`` prunes to the partition's files from
-    the manifest alone."""
+    the manifest alone.
+
+    ``generated_cols``: ``{name: spark-sql-expr}`` — Delta's
+    ``GENERATED ALWAYS AS``: every write derives missing generated
+    columns automatically (the time-partitioned-ingest pattern:
+    ``partition_by=["day"], generated_cols={"day":
+    "CAST(date_trunc('DAY', ts) AS DATE)"}`` — appends only carry
+    ``ts``); a write that SUPPLIES the column must satisfy the
+    expression or fails before publishing."""
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     if _list_versions(fs, HPath, root):
         raise AstroSparkError(f"versioned table already exists at {root}")
     partition_by = list(partition_by or [])
+    header = {
+        **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+        **({"partition_cols": partition_by} if partition_by else {}),
+        **(
+            {"generated_cols": dict(generated_cols)}
+            if generated_cols
+            else {}
+        ),
+    }
+    df = _apply_generated(df, header)
+    _check_generated(df, header, "create")
     for c in partition_by:
         if c not in df.columns:
             raise AstroSparkError(
@@ -589,10 +617,6 @@ def tt_create(
     files = _write_data_files(
         spark, df, root, fs, HPath, partition_cols=partition_by
     )
-    header = {
-        **({"stats_cols": list(stats_cols)} if stats_cols else {}),
-        **({"partition_cols": partition_by} if partition_by else {}),
-    }
     stats = _new_file_stats(
         spark, root, files, header, df
     ) if (stats_cols or partition_by) else {}
@@ -676,6 +700,52 @@ def tt_drop_constraint(spark: SparkSession, root: str, name: str) -> int:
     new_manifest.pop("constraints", None)
     if cons:
         new_manifest["constraints"] = cons
+    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+    return head_v + 1
+
+
+def tt_add_columns(
+    spark: SparkSession, root: str, columns: list[tuple[str, str]]
+) -> int:
+    """Delta ``ALTER TABLE ... ADD COLUMNS (c TYPE, ...)``: metadata-only
+    commit appending nullable columns to the LOG-owned schema — zero
+    data files touched; every existing file reads the new columns as
+    NULL (the same contract as ``tt_append(merge_schema=True)``, minus
+    the write).  Duplicate names (case-insensitive, Spark's resolution)
+    raise."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    root = _named_root(spark, root)
+    if not columns:
+        raise ValueError("tt_add_columns: no columns given")
+    HPath, _p, fs = _fs(spark, root)
+    head_v, manifest = _head(spark, fs, HPath, root)
+    if manifest.get("schema") is None:
+        raise AstroSparkError(
+            "tt_add_columns: pre-schema-log table — commit a write "
+            "first so the log owns a schema"
+        )
+    prev = StructType.fromJson(json.loads(manifest["schema"]))
+    have = {f.name.lower() for f in prev.fields}
+    new_fields = []
+    for name, type_str in columns:
+        if name.lower() in have:
+            raise AstroSparkError(
+                f"tt_add_columns: column {name!r} already exists"
+            )
+        have.add(name.lower())
+        new_fields.append(
+            StructField(name, _parse_datatype_string(type_str), True)
+        )
+    new_manifest = {
+        **manifest,
+        "op": f"add_columns({','.join(n for n, _t in columns)})",
+        "ts": time.time(),
+        "schema": json.dumps(
+            StructType(prev.fields + new_fields).jsonValue()
+        ),
+    }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
     return head_v + 1
 
@@ -832,6 +902,68 @@ def _path_valued(rel: str, partition_cols: list[str]) -> bool:
     return False
 
 
+def _generated_cols_of(manifest: dict) -> dict:
+    """{col: spark-sql expr} of the table's GENERATED columns (Delta's
+    ``GENERATED ALWAYS AS``) — typically the partition column of a
+    time-partitioned table (``day = date_trunc('DAY', ts)``), so
+    ingest never has to pre-derive it."""
+    return dict(manifest.get("generated_cols") or {})
+
+
+def _carry_generated(manifest: dict) -> dict:
+    g = manifest.get("generated_cols")
+    return {"generated_cols": dict(g)} if g else {}
+
+
+def _require_generated_present(df: DataFrame, manifest: dict, what: str) -> None:
+    """Pre-written files (format writes) cannot derive columns after
+    the fact — a generated column missing from them would read back
+    NULL and silently break the generation invariant, so refuse."""
+    missing = [
+        c for c in _generated_cols_of(manifest) if c not in df.columns
+    ]
+    if missing:
+        raise AstroSparkError(
+            f"{what}: files are missing GENERATED column(s) {missing} — "
+            "format writes must carry them (the tt_append path derives "
+            "them automatically)"
+        )
+
+
+def _apply_generated(df: DataFrame, manifest: dict) -> DataFrame:
+    """Derive any generated column a write's df is missing — Delta's
+    write-side generation.  Columns the df DOES carry are validated
+    against the expression later (``_check_generated``)."""
+    from pyspark.sql import functions as F
+
+    for name, expr in _generated_cols_of(manifest).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def _check_generated(df: DataFrame, manifest: dict, what: str) -> None:
+    """A write that SUPPLIES a generated column must satisfy its
+    expression on every row (Delta enforces the same) — checked on the
+    still-invisible files, so a violation leaves garbage, never a bad
+    version."""
+    from pyspark.sql import functions as F
+
+    for name, expr in _generated_cols_of(manifest).items():
+        if name not in df.columns:
+            continue
+        bad = (
+            df.where(~F.col(name).eqNullSafe(F.expr(expr)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"{what} violates GENERATED column {name!r}: supplied "
+                f"values differ from ({expr})"
+            )
+
+
 def _new_file_stats(
     spark: SparkSession,
     root: str,
@@ -884,9 +1016,9 @@ def tt_append(
     # partition columns are immutable table metadata (no ALTER): one
     # head read decides the write layout, the retry loop re-reads only
     # the racing file-list state
-    pcols = _partition_cols_of(
-        _read_manifest(spark, fs, HPath, root, versions[-1])
-    )
+    head_m = _read_manifest(spark, fs, HPath, root, versions[-1])
+    pcols = _partition_cols_of(head_m)
+    df = _apply_generated(df, head_m)
     new_files = _write_data_files(
         spark, df, root, fs, HPath, partition_cols=pcols
     )
@@ -903,11 +1035,11 @@ def tt_append(
         # Reading the still-invisible files through the evolved schema
         # also means columns df omits are checked as the NULLs they will
         # read back as.
-        _check_constraints(
-            _read_files(spark, root, {"files": new_files, "schema": evolved}),
-            prev,
-            "append",
+        written = _read_files(
+            spark, root, {"files": new_files, "schema": evolved}
         )
+        _check_constraints(written, prev, "append")
+        _check_generated(written, prev, "append")
         # stats only for columns the new files actually carry — a df
         # legitimately missing table columns (they read back as NULL)
         # must not crash the stats scan; absent per-file stats are
@@ -921,6 +1053,7 @@ def tt_append(
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
             **_carry_partition(prev),
+            **_carry_generated(prev),
             **_carry_props(prev),
         }
         try:
@@ -968,7 +1101,9 @@ def tt_commit_files(
         return 0
     if mode == "overwrite":
         prev = _read_manifest(spark, fs, HPath, root, versions[-1])
+        _require_generated_present(df, prev, "tt_commit_files")
         _check_constraints(df, prev, "overwrite")
+        _check_generated(df, prev, "overwrite")
         stats = _new_file_stats(spark, root, sorted(new_files), prev, df)
         manifest = {
             **_body_full(spark, fs, HPath, root, sorted(new_files), stats),
@@ -978,6 +1113,7 @@ def tt_commit_files(
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
             **_carry_partition(prev),
+            **_carry_generated(prev),
             **_carry_props(prev),
         }
         _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
@@ -986,14 +1122,13 @@ def tt_commit_files(
         versions = _list_versions(fs, HPath, root)
         head = versions[-1]
         prev = _read_manifest(spark, fs, HPath, root, head)
+        _require_generated_present(df, prev, "tt_commit_files")
         evolved = _evolved_schema(prev.get("schema"), df, False)
-        _check_constraints(
-            _read_files(
-                spark, root, {"files": sorted(new_files), "schema": evolved}
-            ),
-            prev,
-            "append",
+        committed = _read_files(
+            spark, root, {"files": sorted(new_files), "schema": evolved}
         )
+        _check_constraints(committed, prev, "append")
+        _check_generated(committed, prev, "append")
         new_stats = _new_file_stats(spark, root, sorted(new_files), prev, df)
         manifest = {
             **_body_delta(
@@ -1005,6 +1140,7 @@ def tt_commit_files(
             **_carry_constraints(prev),
             **_carry_stats_cols(prev),
             **_carry_partition(prev),
+            **_carry_generated(prev),
             **_carry_props(prev),
         }
         try:
@@ -1037,18 +1173,20 @@ def tt_overwrite(
     pcols = (
         _partition_cols_of(prev) if partition_by is None else list(partition_by)
     )
+    df = _apply_generated(df, prev)
     files = _write_data_files(spark, df, root, fs, HPath, partition_cols=pcols)
     # validate the ACTUAL written rows (tt_merge pattern) — the files are
     # still invisible, so a rejected overwrite leaves garbage, never a
     # bad version, even for a nondeterministic df
-    _check_constraints(
-        _read_files(spark, root, {"files": files, "schema": _schema_json(df)}),
-        prev,
-        "overwrite",
+    written = _read_files(
+        spark, root, {"files": files, "schema": _schema_json(df)}
     )
+    _check_constraints(written, prev, "overwrite")
+    _check_generated(written, prev, "overwrite")
     header = {
         **_carry_stats_cols(prev),
         **({"partition_cols": pcols} if pcols else {}),
+        **_carry_generated(prev),
     }
     stats = _new_file_stats(spark, root, files, header, df)
     manifest = {
@@ -1181,6 +1319,50 @@ def _skip_bounds_from_predicate(where: str) -> dict:
     return {c: (lo, hi) for c, (lo, hi) in out.items()}
 
 
+def _parse_temporal(s):
+    """datetime for a canonical date/timestamp string, else None."""
+    from datetime import datetime
+
+    if not isinstance(s, str):
+        return None
+    try:
+        return datetime.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def _skip_provable(rng, lo, hi) -> bool:
+    """True iff a file's recorded [rng] provably cannot intersect
+    [lo, hi].  Temporal bounds (stats store date/timestamp ranges as
+    their canonical strings) compare in TIME space — a lexicographic
+    compare would mis-prune against shorter or non-canonical predicate
+    literals ('2024-03-01' vs '2024-03-01 00:00:00'); a predicate
+    literal that doesn't parse proves nothing on its side (the file is
+    kept — sound)."""
+    r0, r1 = rng[0], rng[1]
+    t0, t1 = _parse_temporal(r0), _parse_temporal(r1)
+    if t0 is not None and t1 is not None:
+        if hi is not None:
+            th = _parse_temporal(hi)
+            if th is not None and t0 > th:
+                return True
+        if lo is not None:
+            tl = _parse_temporal(lo)
+            if tl is not None and t1 < tl:
+                return True
+        return False
+    try:
+        if hi is not None and r0 > hi:
+            return True
+        if lo is not None and r1 < lo:
+            return True
+    except TypeError:
+        # cross-type bound (e.g. a string literal against numeric
+        # stats, where SQL would cast): can't prove skippable
+        return False
+    return False
+
+
 def tt_read(
     spark: SparkSession,
     root: str,
@@ -1253,16 +1435,8 @@ def tt_read(
                 rng = st.get(col)
                 if rng is None or rng[0] is None or rng[1] is None:
                     continue  # no/NULL-only stats: can't prove skippable
-                try:
-                    if (hi is not None and rng[0] > hi) or (
-                        lo is not None and rng[1] < lo
-                    ):
-                        return False
-                except TypeError:
-                    # cross-type bound (e.g. a string literal against
-                    # numeric stats, where SQL would cast): can't prove
-                    # skippable — keep the file, the .where stays exact
-                    continue
+                if _skip_provable(rng, lo, hi):
+                    return False
             return True
 
         files = [f for f in files if _keep(f)]
@@ -1312,6 +1486,8 @@ def tt_restore(spark: SparkSession, root: str, version: int) -> int:
         manifest["stats_cols"] = src["stats_cols"]
     if src.get("partition_cols") is not None:
         manifest["partition_cols"] = src["partition_cols"]
+    if src.get("generated_cols") is not None:
+        manifest["generated_cols"] = src["generated_cols"]
     if src.get("properties") is not None:
         manifest["properties"] = src["properties"]
     _publish(spark, fs, HPath, root, versions[-1] + 1, manifest)
@@ -1630,6 +1806,7 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         **_carry_constraints(manifest),  # deletes can't violate; carry
         **_carry_stats_cols(manifest),
         **_carry_partition(manifest),
+        **_carry_generated(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1700,6 +1877,11 @@ def tt_update_where(
             for c in touched_df.columns
         ]
     )
+    # recompute generated columns over the rewritten rows (Delta does
+    # the same): a SET on a source column must move its generated
+    # partition value too
+    for g_name, g_expr in _generated_cols_of(manifest).items():
+        rewritten = rewritten.withColumn(g_name, F.expr(g_expr))
     new_files = _write_data_files(
         spark, rewritten, root, fs, HPath, partition_cols=pcols
     )
@@ -1725,6 +1907,7 @@ def tt_update_where(
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
         **_carry_partition(manifest),
+        **_carry_generated(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1754,6 +1937,7 @@ def tt_merge(
     head_v, manifest = _head(spark, fs, HPath, root)
     files, _stats = _resolve(spark, fs, HPath, root, manifest)
     target = _read_files(spark, root, manifest)
+    source = _apply_generated(source, manifest)
     source = source.select(*target.columns)  # align column order
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in source.columns])
     source = (
@@ -1791,13 +1975,11 @@ def tt_merge(
     # validate the rewrite's ACTUAL rows (updates included) against the
     # CHECK constraints before anything publishes — one read-back of
     # the just-written files, which are still invisible
-    _check_constraints(
-        _read_files(
-            spark, root, {"files": new_files, "schema": manifest.get("schema")}
-        ),
-        manifest,
-        "merge",
+    merged_back = _read_files(
+        spark, root, {"files": new_files, "schema": manifest.get("schema")}
     )
+    _check_constraints(merged_back, manifest, "merge")
+    _check_generated(merged_back, manifest, "merge")
     new_stats = _new_file_stats(spark, root, new_files, manifest, merged)
     new_manifest = {
         **_body_delta(
@@ -1813,6 +1995,7 @@ def tt_merge(
         **_carry_constraints(manifest),
         **_carry_stats_cols(manifest),
         **_carry_partition(manifest),
+        **_carry_generated(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1946,6 +2129,7 @@ def tt_optimize(
             **_carry_constraints(manifest),
             **_carry_stats_cols(manifest),
             **_carry_partition(manifest),
+            **_carry_generated(manifest),
             **_carry_props(manifest),
         }
         _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -1966,6 +2150,7 @@ def tt_optimize(
         **_carry_constraints(manifest),  # rows identical; carry
         **_carry_stats_cols(manifest),
         **_carry_partition(manifest),
+        **_carry_generated(manifest),
         **_carry_props(manifest),
     }
     _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
@@ -2062,6 +2247,8 @@ def tt_clone(
         manifest["stats_cols"] = m["stats_cols"]
     if m.get("partition_cols") is not None:
         manifest["partition_cols"] = m["partition_cols"]
+    if m.get("generated_cols") is not None:
+        manifest["generated_cols"] = m["generated_cols"]
     if m.get("properties") is not None:
         manifest["properties"] = m["properties"]
     _publish(spark, dfs, dHPath, dst_root, 0, manifest)

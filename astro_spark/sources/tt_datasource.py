@@ -132,6 +132,44 @@ def _resolve_files_stats(
     return files, stats
 
 
+def _parse_temporal_ds(v):
+    """datetime for a canonical date/timestamp string, else None —
+    mirrors ``timetravel._parse_temporal`` without a SparkSession."""
+    from datetime import datetime
+
+    if not isinstance(v, str):
+        return None
+    try:
+        return datetime.fromisoformat(v)
+    except ValueError:
+        return None
+
+
+def _skip_provable_ds(rng, lo, hi) -> bool:
+    """``timetravel._skip_provable``'s exact logic: temporal string
+    bounds compare in time space, cross-type proves nothing."""
+    r0, r1 = rng[0], rng[1]
+    t0, t1 = _parse_temporal_ds(r0), _parse_temporal_ds(r1)
+    if t0 is not None and t1 is not None:
+        if hi is not None:
+            th = _parse_temporal_ds(hi)
+            if th is not None and t0 > th:
+                return True
+        if lo is not None:
+            tl = _parse_temporal_ds(lo)
+            if tl is not None and t1 < tl:
+                return True
+        return False
+    try:
+        if hi is not None and r0 > hi:
+            return True
+        if lo is not None and r1 < lo:
+            return True
+    except TypeError:
+        return False
+    return False
+
+
 def _pick_version(root: str, options: dict) -> int:
     versions = _list_versions(root)
     if not versions:
@@ -314,16 +352,8 @@ class _TTBatchReader(DataSourceReader):
                     rng = st.get(col)
                     if rng is None or rng[0] is None or rng[1] is None:
                         continue
-                    try:
-                        # cross-type bounds (string literal vs numeric
-                        # stats from an older manifest) don't order —
-                        # keep the file, Spark re-applies the predicate
-                        if (hi is not None and rng[0] > hi) or (
-                            lo is not None and rng[1] < lo
-                        ):
-                            return False
-                    except TypeError:
-                        continue
+                    if _skip_provable_ds(rng, lo, hi):
+                        return False
                 return True
 
             files = [rel for rel in files if _keep(rel)]
@@ -624,6 +654,8 @@ def _file_stats_arrow(
                     or pa.types.is_floating(t)
                     or pa.types.is_string(t)
                     or pa.types.is_large_string(t)
+                    or pa.types.is_date(t)
+                    or pa.types.is_timestamp(t)
                 ):
                     raise _ArrowCommitUnsupported(
                         f"stats col {c!r} type {t}"
@@ -635,6 +667,12 @@ def _file_stats_arrow(
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
                 if lo is None or hi is None:
                     continue  # all-NULL column: no bound to record
+                import datetime as _dt
+
+                if isinstance(lo, (_dt.date, _dt.datetime)):
+                    # canonical strings — the session path's exact
+                    # serialization (timetravel._json_safe_bound)
+                    lo, hi = str(lo), str(hi)
                 entry[c] = [lo, hi]
             if entry:
                 out[rel] = entry
@@ -761,6 +799,10 @@ def _commit_files_arrow(
         prev = _read_manifest(root, versions[-1])
         if prev.get("constraints"):
             raise _ArrowCommitUnsupported("table has CHECK constraints")
+        if prev.get("generated_cols"):
+            # GENERATED ALWAYS AS expressions are Spark SQL — the
+            # session path derives/validates them
+            raise _ArrowCommitUnsupported("table has GENERATED columns")
         carry, pcarry, cols = _scan_cols(prev)
         stats = _file_stats_arrow(path, sorted(new_files), cols) if cols else {}
         manifest = {
@@ -784,6 +826,8 @@ def _commit_files_arrow(
         prev = _read_manifest(root, head)
         if prev.get("constraints"):
             raise _ArrowCommitUnsupported("table has CHECK constraints")
+        if prev.get("generated_cols"):
+            raise _ArrowCommitUnsupported("table has GENERATED columns")
         evolved = _evolved_schema_arrow(prev.get("schema"), file_schema)
         carry, pcarry, cols = _scan_cols(prev)
         new_stats = (

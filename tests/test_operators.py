@@ -4769,3 +4769,144 @@ class TestPartitionedVersioned:
         )
         m = _json.load(open(f"{root}/_log/{heads[-1]}"))
         assert m["partition_cols"] == ["r"]
+
+    def test_alter_table_add_columns(self, spark, tmp_path):
+        """ALTER TABLE ADD COLUMNS (round 13): metadata-only schema
+        evolution — existing files read the new columns as NULL, later
+        writes may fill them, history time-travels to the narrow
+        schema, and registered names route the statement."""
+        root = str(tmp_path / "addc")
+        a.tt_create(
+            spark, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            root,
+        )
+        a.tt_register(spark, "db.addc", root)
+        try:
+            out = a.run_raw_sql(
+                spark,
+                "ALTER TABLE db.addc ADD COLUMNS (tag STRING, w DOUBLE)",
+                results_format="list",
+            )
+            assert out[0].committed_version == 1
+            head = a.tt_read(spark, root)
+            assert head.columns == ["k", "v", "tag", "w"]
+            assert head.where("tag IS NULL AND w IS NULL").count() == 2
+            # a later append may fill the new columns
+            a.tt_append(
+                spark,
+                spark.createDataFrame(
+                    [(3, 30, "x", 1.5)], "k long, v long, tag string, w double"
+                ),
+                root,
+            )
+            assert a.tt_read(spark, root).where("tag = 'x'").count() == 1
+            # time travel reaches the pre-evolution schema
+            assert a.tt_read(spark, root, 0).columns == ["k", "v"]
+            # duplicate (case-insensitive) and python-surface errors
+            with pytest.raises(a.exceptions.AstroSparkError, match="exists"):
+                a.tt_add_columns(spark, root, [("TAG", "string")])
+            with pytest.raises(ValueError, match="no columns"):
+                a.tt_add_columns(spark, root, [])
+        finally:
+            a.tt_unregister(spark, "db.addc")
+
+    def test_generated_partition_columns(self, spark, tmp_path):
+        """GENERATED ALWAYS AS (round 13): the time-partitioned-ingest
+        pattern — partition on a derived day column that appends never
+        have to carry; a write that DOES supply it must satisfy the
+        expression; UPDATE on the source column recomputes it; merge
+        sources derive it too."""
+        root = str(tmp_path / "gen")
+        events = spark.createDataFrame(
+            [(1, "2024-03-01 10:00:00"), (2, "2024-03-02 09:30:00")],
+            "k long, ts string",
+        )
+        a.tt_create(
+            spark,
+            events,
+            root,
+            partition_by=["day"],
+            generated_cols={"day": "CAST(date_trunc('DAY', ts) AS DATE)"},
+        )
+        got = a.tt_read(spark, root)
+        assert set(got.columns) == {"k", "ts", "day"}
+        assert got.where("day = DATE '2024-03-01'").count() == 1
+        # appends derive the column automatically
+        a.tt_append(
+            spark,
+            spark.createDataFrame(
+                [(3, "2024-03-01 23:59:59")], "k long, ts string"
+            ),
+            root,
+        )
+        pruned = a.tt_read(spark, root, where="day = '2024-03-01'")
+        assert pruned.count() == 2
+        # a supplied-but-wrong value refuses before publishing
+        from astro_spark.operators.timetravel import ConstraintViolationError
+
+        head_before = a.tt_history(spark, root).count()
+        with pytest.raises(ConstraintViolationError, match="GENERATED"):
+            a.tt_append(
+                spark,
+                spark.createDataFrame(
+                    [(4, "2024-03-05 01:00:00", "2024-01-01")],
+                    "k long, ts string, day string",
+                ).selectExpr("k", "ts", "CAST(day AS DATE) AS day"),
+                root,
+            )
+        assert a.tt_history(spark, root).count() == head_before
+        # UPDATE on the source column moves the generated partition
+        a.tt_update_where(
+            spark, root, {"ts": "'2024-03-09 00:00:01'"}, "k = 1"
+        )
+        assert (
+            a.tt_read(spark, root).where("k = 1").first().day.isoformat()
+            == "2024-03-09"
+        )
+        # merge sources derive too
+        a.tt_merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "2024-04-01 00:00:00"), (9, "2024-04-02 00:00:00")],
+                "k long, ts string",
+            ),
+            root,
+            ["k"],
+        )
+        byk = {r.k: r.day.isoformat() for r in a.tt_read(spark, root).collect()}
+        assert byk[2] == "2024-04-01" and byk[9] == "2024-04-02"
+        # history time-travels: v0 still two rows
+        assert a.tt_read(spark, root, 0).count() == 2
+
+    def test_temporal_partition_stats_sound(self, spark, tmp_path):
+        """DATE/TIMESTAMP bounds serialize as canonical strings and
+        prune in TIME space (round 13): plain string literals prune
+        date partitions; the midnight prefix edge ('2024-03-01' vs
+        '2024-03-01 00:00:00') never mis-prunes; non-canonical literals
+        prove nothing (kept — sound)."""
+        root = str(tmp_path / "tps")
+        events = spark.createDataFrame(
+            [(i, f"2024-03-{(i % 3) + 1:02d} 10:00:00") for i in range(30)],
+            "k long, ts string",
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+        a.tt_create(
+            spark,
+            events,
+            root,
+            partition_by=["day"],
+            generated_cols={"day": "CAST(date_trunc('DAY', ts) AS DATE)"},
+            stats_cols=["ts"],
+        )
+        import json as _json
+
+        m = _json.load(open(root + "/_log/v00000000.json"))
+        st = next(iter(m["stats"].values()))
+        assert isinstance(st["day"][0], str) and isinstance(st["ts"][0], str)
+        pr = a.tt_read(spark, root, where="day = '2024-03-02'")
+        assert pr.count() == 10
+        assert len(pr.inputFiles()) < len(m["files"])
+        # midnight edge: <= 'date-only' literal keeps the midnight file
+        edge = a.tt_read(spark, root, where="ts <= '2024-03-01 10:00:00'")
+        assert edge.count() == 10
+        # non-canonical literal: exact rows, no mis-prune
+        assert a.tt_read(spark, root, where="day >= '2024-3-1'").count() == 30
