@@ -91,8 +91,15 @@ def load_file(
                 "lists, not a Hive layout; use tt_optimize(zorder_by=) "
                 "for clustering after the load"
             )
-        from .timetravel import save_dataframe_versioned
+        from .timetravel import (
+            _fs,
+            _head,
+            _list_versions,
+            _partition_cols_of,
+            save_dataframe_versioned,
+        )
 
+        target = output_table
         if partition_by:
             if (
                 output_table.partition_by is not None
@@ -102,8 +109,30 @@ def load_file(
                     "load_file: partition_by disagrees with the "
                     "VersionedTable's own partition_by"
                 )
-            output_table.partition_by = list(partition_by)
-        save_dataframe_versioned(spark, df, output_table, if_exists=if_exists)
+            # an EXISTING table's layout lives in the head manifest
+            # (the append/overwrite paths read it from there, never
+            # from the handle) — a silent partition_by mismatch would
+            # otherwise commit files laid out by the OLD columns while
+            # the caller believes the new ones apply
+            HPath, _p, fs = _fs(spark, output_table.root)
+            if _list_versions(fs, HPath, output_table.root):
+                _v, head = _head(spark, fs, HPath, output_table.root)
+                actual = _partition_cols_of(head)
+                if list(partition_by) != actual:
+                    raise ValueError(
+                        f"load_file: partition_by={list(partition_by)} "
+                        "disagrees with the existing versioned table's "
+                        f"layout {actual} at {output_table.root} — "
+                        "repartitioning an existing table needs "
+                        "CREATE OR REPLACE ... PARTITIONED BY"
+                    )
+            # don't mutate the caller's handle: carry the layout on a
+            # copy (it only matters for the tt_create path)
+            import copy as _copy
+
+            target = _copy.copy(output_table)
+            target.partition_by = list(partition_by)
+        save_dataframe_versioned(spark, df, target, if_exists=if_exists)
         return output_table
 
     save_dataframe_as_table(

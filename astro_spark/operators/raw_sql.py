@@ -362,7 +362,12 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                     "CREATE OR REPLACE TABLE to overwrite (old versions "
                     "stay readable) or IF NOT EXISTS to no-op"
                 )
-            v = tt_overwrite(spark, df, root, partition_by=pcols)
+            # Delta's CREATE OR REPLACE defines the table from the
+            # statement ALONE: no PARTITIONED BY clause means the new
+            # snapshot is unpartitioned — pass [] (explicit re-layout),
+            # never None (None would CARRY the old layout, which is
+            # tt_overwrite's INSERT OVERWRITE semantics, not CREATE's)
+            v = tt_overwrite(spark, df, root, partition_by=pcols or [])
         else:
             v = tt_create(spark, df, root, partition_by=pcols)
         if name:
@@ -564,10 +569,10 @@ def _needs_tt_rewrite(stmt: str) -> bool:
 
     global _TT_HEAD_RE
     if _TT_HEAD_RE is None:
-        # FROM/JOIN position, or a comma inside a FROM list (the
-        # substitution itself verifies the path IS a versioned root
-        # before touching anything, so a string literal after a comma
-        # is only ever rewritten if it exactly names a versioned root)
+        # FROM/JOIN position, or a comma-prefixed literal (over-matches
+        # SELECT-list commas on purpose — this is only a GATE; the
+        # actual rewrite (_sub_head_reads) is FROM-list aware and never
+        # touches literals outside table position)
         _TT_HEAD_RE = re.compile(r"(?is)(\b(?:from|join)\s+|,\s*)'([^']+)'")
     return "as of" in stmt.lower() or _TT_HEAD_RE.search(stmt) is not None
 
@@ -642,27 +647,109 @@ def _rewrite_timetravel_reads(
     # substitution).  AS-OF references were consumed above, so any
     # quoted path left standing either isn't versioned (untouched —
     # spark.sql surfaces its own error) or is a head read.
-    global _TT_HEAD_RE
-    if _TT_HEAD_RE is None:
-        import re as _re
 
-        _TT_HEAD_RE = _re.compile(r"(?is)(\b(?:from|join)\s+|,\s*)'([^']+)'")
-
-    def _head_sub(m: "re.Match[str]") -> str:
-        prefix, root = m.group(1), m.group(2)
+    def _resolve_head(root: str) -> str | None:
         try:
             HPath, _p, fs = _fs(spark, root)
             if not _list_versions(fs, HPath, root):
-                return m.group(0)
+                return None
         except Exception:
-            return m.group(0)
+            return None
         df = tt_read(spark, root)
         name = f"__tt_read_{_uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(name)
         created.append(name)
-        return f"{prefix}{name}"
+        return name
 
-    return _TT_HEAD_RE.sub(_head_sub, stmt), created
+    return _sub_head_reads(stmt, _resolve_head), created
+
+
+def _sub_head_reads(stmt: str, resolve) -> str:
+    """Substitute single-quoted literals that stand in TABLE position —
+    directly after FROM/JOIN, or after a comma inside an open FROM list
+    at the list's own paren depth — with ``resolve(path)``'s view name
+    (literal kept verbatim when ``resolve`` returns None).  Literals
+    anywhere else (SELECT list, IN lists, WHERE comparisons, function
+    arguments) are never table references and are never touched, even
+    when their text exactly names a versioned root — the FROM-list
+    scanner is the same one ``_substitute_registered_names`` uses, so a
+    ``SELECT k, '/data/pt' AS src`` literal can't be clobbered."""
+    import re
+
+    from_enders = {
+        "where", "group", "order", "having", "limit", "union",
+        "intersect", "except", "select", "window", "qualify", "on",
+    }
+    ident = re.compile(r"[A-Za-z_][\w.$]*")
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    prev_token = ""
+    depth = 0
+    from_depths: list[int] = []
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "\\":
+                    j += 2
+                    continue
+                if stmt[j] == ch:
+                    if j + 1 < n and stmt[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j, n - 1)
+            lit = stmt[i : j + 1]
+            if ch == "'" and prev_token in ("from", "join"):
+                name = resolve(lit[1:-1])
+                out.append(name if name is not None else lit)
+            else:
+                out.append(lit)
+            i = j + 1
+            prev_token = ""
+            continue
+        if ch == "`":
+            j = stmt.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            prev_token = ""
+            continue
+        m = ident.match(stmt, i)
+        if m:
+            tok = m.group(0)
+            key = tok.lower()
+            if key == "from":
+                if not from_depths or from_depths[-1] != depth:
+                    from_depths.append(depth)
+            elif (
+                key in from_enders
+                and from_depths
+                and from_depths[-1] == depth
+            ):
+                from_depths.pop()
+            out.append(tok)
+            prev_token = key
+            i = m.end()
+            continue
+        out.append(ch)
+        if not ch.isspace():
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                while from_depths and from_depths[-1] > depth:
+                    from_depths.pop()
+            if ch == "," and from_depths and from_depths[-1] == depth:
+                # FROM 'p1' a, 'p2' b — the comma re-enters table
+                # position only inside an open FROM list
+                prev_token = "from"
+            else:
+                prev_token = ""
+        i += 1
+    return "".join(out)
 
 
 def _split_top_level(txt: str, sep: str = ",") -> list[str]:

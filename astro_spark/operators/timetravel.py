@@ -44,6 +44,9 @@ an external lock; same caveat Delta's S3 single-writer LogStore
 documents).  Two writers racing to commit version N: one wins, the
 loser gets ``ConcurrentWriteError`` and retries against the new state
 (``tt_append`` auto-retries — its file list is state-independent;
+delete/update/merge/OPTIMIZE-WHERE rebase with file-level conflict
+resolution via ``_publish_cow`` — Delta's WriteSerializable: writers
+on disjoint partitions both land, same-partition rewrites conflict;
 ``tt_overwrite``/``tt_restore`` surface the conflict, because what they
 mean to replace has changed).
 
@@ -162,6 +165,112 @@ def _publish(
         stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         stream.close()
+
+
+def _tt_meta_of(m: dict) -> tuple:
+    """The table-metadata fields a rebased commit would silently
+    clobber if an interleaved commit changed them — read through the
+    NORMALIZED accessors (a v0 manifest stores stats_cols only
+    implicitly in its inline stats; later commits materialize the
+    header — a representation change, not a conflict) and compared as
+    canonical JSON so dict ordering never fakes one either."""
+    return (
+        json.dumps(m.get("schema"), sort_keys=True),
+        json.dumps(m.get("constraints") or {}, sort_keys=True),
+        json.dumps(sorted(_stats_cols_of(m))),
+        json.dumps(_partition_cols_of(m)),
+        json.dumps(_generated_cols_of(m) or {}, sort_keys=True),
+        json.dumps(m.get("properties") or {}, sort_keys=True),
+    )
+
+
+def _cow_extra(manifest: dict) -> dict:
+    """Schema + carried metadata for a copy-on-write commit, from the
+    snapshot the transaction read."""
+    return {
+        **(
+            {"schema": manifest["schema"]}
+            if manifest.get("schema") is not None
+            else {}
+        ),
+        **_carry_constraints(manifest),
+        **_carry_stats_cols(manifest),
+        **_carry_partition(manifest),
+        **_carry_generated(manifest),
+        **_carry_props(manifest),
+    }
+
+
+def _publish_cow(
+    spark: SparkSession,
+    fs,
+    HPath,
+    root: str,
+    head_v: int,
+    manifest: dict,
+    added: list[str],
+    removed: list[str],
+    added_stats: dict,
+    op: str,
+    extra: dict,
+    max_retries: int = 10,
+) -> int:
+    """Commit a copy-on-write rewrite (delete/update/merge/OPTIMIZE
+    WHERE) with Delta's WriteSerializable conflict resolution
+    (reference semantics: the Databricks backend's MERGEs are
+    serializable, ``databases/databricks/delta.py:357-442`` — Delta's
+    default isolation resolves conflicts at FILE granularity).
+
+    A lost ``_publish`` race does NOT automatically fail: the
+    transaction REBASES onto the new head and retries, succeeding iff
+
+    - no interleaved commit removed/rewrote any of THIS transaction's
+      target files (``removed``) — since partitioned tables write
+      partition-pure files, two writers scoped to disjoint partitions
+      always pass this check (partition-level conflict resolution falls
+      out of the file-level rule), while two writers rewriting the same
+      partition conflict and the loser raises; and
+    - no interleaved commit changed table metadata (schema,
+      constraints, layout, generated columns, properties).
+
+    Interleaved APPENDs always survive alongside this commit (their
+    files carry over through the rebased ``_body_delta``) — allowed
+    under WriteSerializable: the rewrite operates on its snapshot, the
+    append's rows were never in scope."""
+    base_meta = _tt_meta_of(manifest)
+    for _ in range(max_retries):
+        new_manifest = {
+            **_body_delta(
+                spark, fs, HPath, root, manifest, added, removed, added_stats
+            ),
+            "op": op,
+            "ts": time.time(),
+            **extra,
+        }
+        try:
+            _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
+            return head_v + 1
+        except ConcurrentWriteError:
+            head_v, manifest = _head(spark, fs, HPath, root)
+            if _tt_meta_of(manifest) != base_meta:
+                raise ConcurrentWriteError(
+                    f"{op} on {root}: a concurrent commit changed table "
+                    "metadata (schema/constraints/layout/properties) — "
+                    "re-run against the new snapshot"
+                )
+            live, _s = _resolve(spark, fs, HPath, root, manifest)
+            live_set = set(live)
+            gone = [f for f in removed if f not in live_set]
+            if gone:
+                raise ConcurrentWriteError(
+                    f"{op} on {root}: a concurrent commit rewrote "
+                    f"{len(gone)} of this transaction's target files "
+                    f"(e.g. {gone[0]!r}) — overlapping partition/file "
+                    "conflict; re-run against the new snapshot"
+                )
+    raise ConcurrentWriteError(
+        f"{op} on {root} lost {max_retries} commit races"
+    )
 
 
 # Hive-style layout prefix for engine-written partitioned commits: the
@@ -1342,14 +1451,21 @@ def _skip_provable(rng, lo, hi) -> bool:
     r0, r1 = rng[0], rng[1]
     t0, t1 = _parse_temporal(r0), _parse_temporal(r1)
     if t0 is not None and t1 is not None:
-        if hi is not None:
-            th = _parse_temporal(hi)
-            if th is not None and t0 > th:
-                return True
-        if lo is not None:
-            tl = _parse_temporal(lo)
-            if tl is not None and t1 < tl:
-                return True
+        # offset-aware vs naive datetimes (e.g. a manifest written by
+        # an older Arrow commit that serialized '+00:00' bounds, read
+        # against a naive predicate literal) raise TypeError on <:
+        # proves nothing — keep the file (sound)
+        try:
+            if hi is not None:
+                th = _parse_temporal(hi)
+                if th is not None and t0 > th:
+                    return True
+            if lo is not None:
+                tl = _parse_temporal(lo)
+                if tl is not None and t1 < tl:
+                    return True
+        except TypeError:
+            return False
         return False
     try:
         if hi is not None and r0 > hi:
@@ -1563,19 +1679,28 @@ def tt_convert(
         raise AstroSparkError(f"tt_convert: no parquet files under {root}")
     files = sorted(files)
 
-    # detect the Hive layout: every file's ordered key tuple must agree
+    # detect the Hive layout: every file's FULL directory segment
+    # sequence must be key=value dirs of equal depth — matching only
+    # the key=value segments would let dt=1/f.parquet and
+    # dt=1/extra/f.parquet agree on ('dt',) and then fail later inside
+    # Spark's basePath partition inference with an opaque 'Conflicting
+    # directory structures' error instead of this message
+    hive = any("=" in s for f in files for s in f.split("/")[:-1])
+
     def _keys_of(rel: str) -> tuple[str, ...]:
-        return tuple(
-            seg.partition("=")[0]
-            for seg in rel.split("/")[:-1]
-            if "=" in seg
-        )
+        segs = rel.split("/")[:-1]
+        if hive and not all("=" in s for s in segs):
+            raise AstroSparkError(
+                "tt_convert: non-partition directory in a Hive layout — "
+                f"every directory segment must be key=value, got {rel!r}"
+            )
+        return tuple(s.partition("=")[0] for s in segs if "=" in s)
 
     layouts = {_keys_of(f) for f in files}
     if len(layouts) > 1:
         raise AstroSparkError(
             "tt_convert: inconsistent Hive layout — files disagree on "
-            f"their partition columns: {sorted(layouts)}"
+            f"their partition columns or depth: {sorted(layouts)}"
         )
     pcols = list(layouts.pop())
     if partition_by is not None and list(partition_by) != pcols:
@@ -1792,25 +1917,10 @@ def tt_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         spark, kept, root, fs, HPath, partition_cols=pcols
     )
     new_stats = _new_file_stats(spark, root, new_files, manifest, kept)
-    new_manifest = {
-        **_body_delta(
-            spark, fs, HPath, root, manifest, new_files, touched, new_stats
-        ),
-        "op": "delete",
-        "ts": time.time(),
-        **(
-            {"schema": manifest["schema"]}
-            if manifest.get("schema") is not None
-            else {}
-        ),
-        **_carry_constraints(manifest),  # deletes can't violate; carry
-        **_carry_stats_cols(manifest),
-        **_carry_partition(manifest),
-        **_carry_generated(manifest),
-        **_carry_props(manifest),
-    }
-    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
-    return head_v + 1
+    return _publish_cow(
+        spark, fs, HPath, root, head_v, manifest,
+        new_files, touched, new_stats, "delete", _cow_extra(manifest),
+    )
 
 
 def tt_update_where(
@@ -1893,25 +2003,10 @@ def tt_update_where(
         "update",
     )
     new_stats = _new_file_stats(spark, root, new_files, manifest, rewritten)
-    new_manifest = {
-        **_body_delta(
-            spark, fs, HPath, root, manifest, new_files, touched, new_stats
-        ),
-        "op": "update",
-        "ts": time.time(),
-        **(
-            {"schema": manifest["schema"]}
-            if manifest.get("schema") is not None
-            else {}
-        ),
-        **_carry_constraints(manifest),
-        **_carry_stats_cols(manifest),
-        **_carry_partition(manifest),
-        **_carry_generated(manifest),
-        **_carry_props(manifest),
-    }
-    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
-    return head_v + 1
+    return _publish_cow(
+        spark, fs, HPath, root, head_v, manifest,
+        new_files, touched, new_stats, "update", _cow_extra(manifest),
+    )
 
 
 def tt_merge(
@@ -1981,25 +2076,10 @@ def tt_merge(
     _check_constraints(merged_back, manifest, "merge")
     _check_generated(merged_back, manifest, "merge")
     new_stats = _new_file_stats(spark, root, new_files, manifest, merged)
-    new_manifest = {
-        **_body_delta(
-            spark, fs, HPath, root, manifest, new_files, touched, new_stats
-        ),
-        "op": "merge",
-        "ts": time.time(),
-        **(
-            {"schema": manifest["schema"]}
-            if manifest.get("schema") is not None
-            else {}
-        ),
-        **_carry_constraints(manifest),
-        **_carry_stats_cols(manifest),
-        **_carry_partition(manifest),
-        **_carry_generated(manifest),
-        **_carry_props(manifest),
-    }
-    _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
-    return head_v + 1
+    return _publish_cow(
+        spark, fs, HPath, root, head_v, manifest,
+        new_files, touched, new_stats, "merge", _cow_extra(manifest),
+    )
 
 
 def tt_optimize(
@@ -2115,25 +2195,11 @@ def tt_optimize(
     if selected is not None:
         # partition-scoped: unselected files carry over by reference —
         # an O(delta) commit exactly like DML's copy-on-write
-        new_manifest = {
-            **_body_delta(
-                spark, fs, HPath, root, manifest, new_files, selected, stats
-            ),
-            "op": f"optimize(where={where})",
-            "ts": time.time(),
-            **(
-                {"schema": manifest["schema"]}
-                if manifest.get("schema") is not None
-                else {}
-            ),
-            **_carry_constraints(manifest),
-            **_carry_stats_cols(manifest),
-            **_carry_partition(manifest),
-            **_carry_generated(manifest),
-            **_carry_props(manifest),
-        }
-        _publish(spark, fs, HPath, root, head_v + 1, new_manifest)
-        return head_v + 1
+        return _publish_cow(
+            spark, fs, HPath, root, head_v, manifest,
+            new_files, selected, stats,
+            f"optimize(where={where})", _cow_extra(manifest),
+        )
     new_manifest = {
         **_body_full(spark, fs, HPath, root, new_files, stats),
         "op": (

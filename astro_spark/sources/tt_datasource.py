@@ -151,14 +151,20 @@ def _skip_provable_ds(rng, lo, hi) -> bool:
     r0, r1 = rng[0], rng[1]
     t0, t1 = _parse_temporal_ds(r0), _parse_temporal_ds(r1)
     if t0 is not None and t1 is not None:
-        if hi is not None:
-            th = _parse_temporal_ds(hi)
-            if th is not None and t0 > th:
-                return True
-        if lo is not None:
-            tl = _parse_temporal_ds(lo)
-            if tl is not None and t1 < tl:
-                return True
+        # offset-aware vs naive datetimes (e.g. a pre-fix manifest
+        # serialized '+00:00' bounds) raise TypeError on <: proves
+        # nothing — keep the file (sound)
+        try:
+            if hi is not None:
+                th = _parse_temporal_ds(hi)
+                if th is not None and t0 > th:
+                    return True
+            if lo is not None:
+                tl = _parse_temporal_ds(lo)
+                if tl is not None and t1 < tl:
+                    return True
+        except TypeError:
+            return False
         return False
     try:
         if hi is not None and r0 > hi:
@@ -670,6 +676,20 @@ def _file_stats_arrow(
                 import datetime as _dt
 
                 if isinstance(lo, (_dt.date, _dt.datetime)):
+                    # Spark's arrow batches carry timestamp[us, tz=…]
+                    # (session tz); str() of the tz-aware value would
+                    # store '… +00:00' strings that disagree with the
+                    # session path's naive session-local strings AND
+                    # parse back offset-aware, poisoning the skip
+                    # compare.  Normalize: tz-aware → local wall time,
+                    # naive — the session path's exact convention
+                    # (Spark's session tz defaults to the JVM/OS tz).
+                    if (
+                        isinstance(lo, _dt.datetime)
+                        and lo.tzinfo is not None
+                    ):
+                        lo = lo.astimezone().replace(tzinfo=None)
+                        hi = hi.astimezone().replace(tzinfo=None)
                     # canonical strings — the session path's exact
                     # serialization (timetravel._json_safe_bound)
                     lo, hi = str(lo), str(hi)

