@@ -1882,6 +1882,177 @@ SELECT 'head', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE, TRUE FROM v2
 """
 
 
+def _op_tt_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer conflict resolution on a partitioned versioned
+    table (round 14, VERDICT r13 #2): two copy-on-write writers racing
+    for the same version slot.  The interleaved commit is INJECTED at
+    the loser's publish point, so the schedule is deterministic:
+
+    - DISJOINT partitions (update r=0 vs delete r=3): the loser
+      rebases onto the interloper's head and BOTH land — Delta's
+      WriteSerializable file-level conflict resolution (reference
+      semantics: Databricks-backend merges are serializable,
+      ``databases/databricks/delta.py:357-442``).
+    - SAME partition (two updates of r=1): the loser surfaces
+      ``ConcurrentWriteError`` and leaves NO trace.
+
+    The oracle replays the surviving commit order (v0 create → v1
+    delete → v2 rebased update → v3 injected update); the claims fold
+    asserts the conflict fired and the history is exactly linear."""
+    import astro_spark.operators.timetravel as _tt
+
+    _views(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("int").alias("r"),
+    )
+    d = tempfile.mkdtemp(prefix="astro_ttconc_") + "/ct"
+    a.tt_create(spark, nation, d, partition_by=["r"])
+
+    def _armed_publish(interleave):
+        orig = _tt._publish
+        armed = {"on": True}
+
+        def racing(spark_, fs, HPath, root, version, manifest):
+            if armed["on"] and manifest.get("op") != "create":
+                armed["on"] = False
+                interleave()
+            return orig(spark_, fs, HPath, root, version, manifest)
+
+        _tt._publish = racing
+        return orig
+
+    # round 1 — disjoint: B (delete r=3) steals A's (update r=0) slot
+    orig = _armed_publish(lambda: a.tt_delete_where(spark, d, "r = 3"))
+    try:
+        a.tt_update_where(spark, d, {"k": "k + 1000"}, "r = 0")
+    finally:
+        _tt._publish = orig
+    # round 2 — same partition: both rewrite r=1; loser must raise
+    orig = _armed_publish(
+        lambda: a.tt_update_where(spark, d, {"k": "k + 77"}, "r = 1")
+    )
+    conflict_surfaced = False
+    try:
+        a.tt_update_where(spark, d, {"k": "k + 500000"}, "r = 1")
+    except _tt.ConcurrentWriteError:
+        conflict_surfaced = True
+    finally:
+        _tt._publish = orig
+    versions = sorted(
+        r.version for r in a.tt_history(spark, d).collect()
+    )
+    claims = _one_row(
+        spark,
+        (bool(conflict_surfaced), bool(versions == [0, 1, 2, 3])),
+        "conflict_surfaced boolean, history_linear boolean",
+    )
+    out = None
+    for name, df in (
+        ("v0", a.tt_read(spark, d, 0)),
+        ("v1", a.tt_read(spark, d, 1)),
+        ("v2", a.tt_read(spark, d, 2)),
+        ("v3", a.tt_read(spark, d, 3)),
+    ):
+        agg = df.agg(
+            F.lit(name).alias("state"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.crossJoin(F.broadcast(claims)).select(
+        "state", "n_rows", "sum_k", "conflict_surfaced", "history_linear"
+    )
+
+
+_OP_TT_CONCURRENT_DUCK = """
+WITH v0 AS (SELECT n_nationkey::BIGINT AS k, n_regionkey::INT AS r
+            FROM nation),
+v1 AS (SELECT * FROM v0 WHERE r <> 3),
+v2 AS (SELECT CASE WHEN r = 0 THEN k + 1000 ELSE k END AS k, r FROM v1),
+v3 AS (SELECT CASE WHEN r = 1 THEN k + 77 ELSE k END AS k, r FROM v2)
+SELECT 'v0' AS state, COUNT(*)::BIGINT AS n_rows, SUM(k)::BIGINT AS sum_k,
+       TRUE AS conflict_surfaced, TRUE AS history_linear FROM v0
+UNION ALL SELECT 'v1', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE FROM v1
+UNION ALL SELECT 'v2', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE FROM v2
+UNION ALL SELECT 'v3', COUNT(*), SUM(k)::BIGINT, TRUE, TRUE FROM v3
+"""
+
+
+def _op_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenLineage facet parity (round 14, VERDICT r13 #5 — the one
+    reference module with no counterpart, ``lineage/facets.py:1-143``):
+    run the four ELT operators with the opt-in lineage collector on and
+    fold each emitted event's ``outputStatistics.rowCount`` and schema
+    field count into a row the DuckDB oracle reproduces relationally —
+    the row-count FACET is being checked against the row count the SQL
+    engine computes from the same inputs."""
+    from astro_spark import lineage
+
+    _views(spark, sf_dir)
+    lineage.enable(spark)
+    lineage.clear(spark)
+    try:
+        for name in ("lin_nation_t", "lin_agg_t", "lin_mtgt", "lin_msrc"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        t = a.Table("lin_nation_t")
+        a.load_file(spark, f"{sf_dir}/nation.parquet", output_table=t)
+        a.run_transform(
+            spark,
+            "SELECT n_regionkey, COUNT(*) AS n FROM {{t}} GROUP BY 1",
+            {"t": t},
+            output_table=a.Table("lin_agg_t"),
+        )
+        nation = read_table(spark, sf_dir, "nation")
+        nation.where("n_nationkey < 10").write.saveAsTable("lin_mtgt")
+        nation.where("n_nationkey BETWEEN 5 AND 14").write.saveAsTable(
+            "lin_msrc"
+        )
+        a.merge(
+            spark,
+            a.Table("lin_msrc"),
+            a.Table("lin_mtgt"),
+            target_conflict_columns=["n_nationkey"],
+            if_conflicts="update",
+        )
+        path = tempfile.mkdtemp(prefix="astro_lin_") + "/nation.csv"
+        a.export_to_file(spark, nation, path, single_file=True)
+        rows = [
+            (
+                e["operator"],
+                int(
+                    e["outputs"][0]["facets"]["outputStatistics"]["rowCount"]
+                ),
+                len(e["outputs"][0]["facets"]["schema"]["fields"]),
+            )
+            for e in lineage.events(spark)
+        ]
+        return spark.createDataFrame(
+            rows, "operator string, row_count long, n_fields int"
+        )
+    finally:
+        lineage.disable(spark)
+        lineage.clear(spark)
+
+
+_OP_LINEAGE_DUCK = """
+WITH nw AS (SELECT COUNT(*)::INTEGER AS w
+            FROM information_schema.columns WHERE table_name = 'nation')
+SELECT 'load_file' AS operator, COUNT(*)::BIGINT AS row_count,
+       (SELECT w FROM nw) AS n_fields FROM nation
+UNION ALL
+SELECT 'transform', COUNT(DISTINCT n_regionkey)::BIGINT, 2::INTEGER
+FROM nation
+UNION ALL
+SELECT 'merge',
+       (SELECT COUNT(*) FROM nation
+        WHERE n_nationkey < 10 OR n_nationkey BETWEEN 5 AND 14)::BIGINT,
+       (SELECT w FROM nw)
+UNION ALL
+SELECT 'export_to_file', COUNT(*)::BIGINT, (SELECT w FROM nw) FROM nation
+"""
+
+
 def _op_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX through the DuckDB gate (round 13, VERDICT r12 #3): export
     a nation slice to ``.xlsx`` via ``export_to_file`` (stdlib OOXML
@@ -7184,6 +7355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tt_write": _op_tt_write,
             "op_tt_update_cast": _op_tt_update_cast,
             "op_tt_partitioned": _op_tt_partitioned,
+            "op_tt_concurrent": _op_tt_concurrent,
+            "op_lineage": _op_lineage,
             "op_xlsx_roundtrip": _op_xlsx_roundtrip,
             "op_xls_roundtrip": _op_xls_roundtrip,
             "op_merge_update_part": _op_merge_update_part,
@@ -7529,6 +7702,8 @@ def oracle_sql() -> dict[str, str]:
             "op_tt_write": _OP_TT_WRITE_DUCK,
             "op_tt_update_cast": _OP_TT_UPDATE_CAST_DUCK,
             "op_tt_partitioned": _OP_TT_PARTITIONED_DUCK,
+            "op_tt_concurrent": _OP_TT_CONCURRENT_DUCK,
+            "op_lineage": _OP_LINEAGE_DUCK,
             "op_xlsx_roundtrip": _OP_XLSX_ROUNDTRIP_DUCK,
             "op_xls_roundtrip": _OP_XLS_ROUNDTRIP_DUCK,
             "op_compact": _OP_COMPACT_DUCK,

@@ -1014,6 +1014,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = None,
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): near-duplicate pairs found by
     clustering embeddings and comparing cosines ONLY within a cluster.
@@ -1027,6 +1028,18 @@ def semantic_dup_pairs(
     write the corpus partitioned by cell so the self-join is
     co-located.  Pass ``centroids=None`` to use the seeded
     ``SEMDEDUP_CENTROIDS`` (deterministic, oracle-replayable).
+
+    ``max_cell_rows`` ENFORCES the "largest cell fits an executor"
+    knob instead of documenting it (round 14, VERDICT r13 #6 — the
+    SemDeDup mirror of the LSH hot-bucket cap): cells whose row count
+    exceeds the cap are routed through the blocked-matmul path (the
+    ``semantic_dup_pairs_np`` / ``cosine_dup_pairs_np`` shape, sliced
+    into ~cap-sized sub-blocks), so ONE degenerate centroid can no
+    longer materialize an |cell|²-row join partition; every other cell
+    keeps the expression self-join that the DuckDB oracle replays
+    bit-exactly.  One count() per cell decides the routing (cell ids
+    are already driver-bounded: len(centroids)).  ``None`` disables
+    the guard.
 
     Returns (cell, id_a, id_b, cos_sim) with id_a < id_b and
     cos_sim >= threshold, rounded to 4dp.
@@ -1045,6 +1058,17 @@ def semantic_dup_pairs(
     unit = base.select(
         "cell", "id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
+    hot_counts: dict = {}
+    if max_cell_rows is not None:
+        hot_counts = {
+            r["cell"]: r["__n"]
+            for r in unit.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_cell_rows)
+            .collect()
+        }
+    if hot_counts:
+        unit = unit.where(~F.col("cell").isin(*hot_counts))
     l, r = unit.alias("l"), unit.alias("r")
     pairs = l.join(
         r, on=[F.col("l.cell") == F.col("r.cell"), F.col("l.id") < F.col("r.id")]
@@ -1054,7 +1078,104 @@ def semantic_dup_pairs(
         F.col("r.id").alias("id_b"),
         F.round(dot(F.col("l.u"), F.col("r.u")), 4).alias("cos_sim"),
     )
-    return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+    pairs = pairs.where(F.col("cos_sim") >= F.lit(threshold))
+    if not hot_counts:
+        return pairs
+    hot = base.where(F.col("cell").isin(*hot_counts)).select("cell", "id", "v")
+    blocked = _blocked_cell_pairs(hot, hot_counts, threshold, max_cell_rows)
+    return pairs.unionByName(
+        blocked.select(
+            F.col("cell").cast(dict(pairs.dtypes)["cell"]).alias("cell"),
+            "id_a",
+            "id_b",
+            "cos_sim",
+        )
+    )
+
+
+def _blocked_cell_pairs(
+    hot: DataFrame, hot_counts: dict, threshold: float, max_cell_rows: int
+) -> DataFrame:
+    """Pairs within OVERSIZED cells, block-matrix form: each hot cell's
+    rows hash into ``ceil(n / cap)`` sub-blocks and every block PAIR
+    computes as one numpy matmul in Arrow-batched ``applyInPandas`` —
+    per-task memory is O(cap²) sims over ≤2·cap rows regardless of the
+    cell's true size (``cosine_dup_pairs_np``'s organization, scoped to
+    a cell).  Input: (cell, id, v) rows of the hot cells only."""
+    import math
+
+    import pandas as pd
+
+    spark = hot.sparkSession
+    nb_rows = [
+        (int(c), int(math.ceil(n / max_cell_rows)))
+        for c, n in hot_counts.items()
+    ]
+    pair_rows = [
+        (c, i, j) for c, nb in nb_rows for i in range(nb) for j in range(i, nb)
+    ]
+    nb_df = spark.createDataFrame(nb_rows, "cell int, nb int")
+    pair_df = spark.createDataFrame(pair_rows, "cell int, bl int, br int")
+    tagged = hot.join(F.broadcast(nb_df), "cell").withColumn(
+        "blk", F.pmod(F.hash("id"), F.col("nb"))
+    )
+    left = tagged.join(
+        F.broadcast(pair_df),
+        on=[tagged["cell"] == pair_df["cell"], tagged["blk"] == pair_df["bl"]],
+    ).select(tagged["cell"], "id", "v", "bl", "br", F.lit(0).alias("side"))
+    right = tagged.join(
+        F.broadcast(pair_df),
+        on=[tagged["cell"] == pair_df["cell"], tagged["blk"] == pair_df["br"]],
+    ).select(tagged["cell"], "id", "v", "bl", "br", F.lit(1).alias("side"))
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        l_ = pdf[pdf["side"] == 0]
+        r_ = pdf[pdf["side"] == 1]
+        if l_.empty or r_.empty:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cos_sim": []}
+            ).astype(
+                {
+                    "cell": "int64",
+                    "id_a": "int64",
+                    "id_b": "int64",
+                    "cos_sim": "float64",
+                }
+            )
+        lm = np.stack(l_["v"].to_numpy())
+        rm = np.stack(r_["v"].to_numpy())
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, 4)
+        lid = l_["id"].to_numpy()
+        rid = r_["id"].to_numpy()
+        ia, ib = np.nonzero(sims >= threshold)
+        id_l, id_r = lid[ia], rid[ib]
+        if pdf["bl"].iat[0] == pdf["br"].iat[0]:
+            keep = id_l < id_r
+            id_a, id_b = id_l[keep], id_r[keep]
+        else:
+            keep = id_l != id_r
+            id_a = np.minimum(id_l, id_r)[keep]
+            id_b = np.maximum(id_l, id_r)[keep]
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(id_a), int(pdf["cell"].iat[0]), dtype="int64"),
+                "id_a": id_a,
+                "id_b": id_b,
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("cell", "bl", "br")
+        .applyInPandas(
+            _block, schema="cell long, id_a long, id_b long, cos_sim double"
+        )
+    )
 
 
 def semantic_dedup(

@@ -46,6 +46,10 @@ def export_to_file(
         partition_by=partition_by,
         target_file_mb=target_file_mb,
     )
+    from .. import lineage
+
+    if lineage.is_enabled(spark):
+        lineage.emit_export(spark, df, output_file, if_exists)
     return output_file
 
 

@@ -64,7 +64,11 @@ def load_file(
         rescue_malformed=rescue_malformed,
     )
 
+    from .. import lineage
+
     if output_table is None:
+        if lineage.is_enabled(spark):
+            lineage.emit_load_file(spark, input_file, df, df)
         return df
 
     if isinstance(output_table, VersionedTable):
@@ -133,6 +137,8 @@ def load_file(
             target = _copy.copy(output_table)
             target.partition_by = list(partition_by)
         save_dataframe_versioned(spark, df, target, if_exists=if_exists)
+        if lineage.is_enabled(spark):
+            lineage.emit_load_file(spark, input_file, output_table, df)
         return output_table
 
     save_dataframe_as_table(
@@ -145,6 +151,8 @@ def load_file(
         zorder_by=zorder_by,
         target_file_mb=target_file_mb,
     )
+    if lineage.is_enabled(spark):
+        lineage.emit_load_file(spark, input_file, output_table, df)
     return output_table
 
 

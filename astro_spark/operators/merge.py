@@ -119,6 +119,32 @@ def merge(
     columns=None,
     if_conflicts: str = "exception",
 ) -> Table:
+    result = _merge_impl(
+        spark,
+        source_table,
+        target_table,
+        target_conflict_columns,
+        columns,
+        if_conflicts,
+    )
+    from .. import lineage
+
+    if lineage.is_enabled(spark):
+        lineage.emit_merge(
+            spark, source_table, target_table, target_conflict_columns,
+            if_conflicts,
+        )
+    return result
+
+
+def _merge_impl(
+    spark: SparkSession,
+    source_table: Table,
+    target_table: Table,
+    target_conflict_columns: list[str],
+    columns=None,
+    if_conflicts: str = "exception",
+) -> Table:
     if if_conflicts not in ("ignore", "update", "exception"):
         raise ValueError(f"invalid if_conflicts: {if_conflicts!r}")
     if not spark.catalog.tableExists(target_table.qualified_name):

@@ -49,11 +49,19 @@ def run_transform(
         # drop-then-CTAS below is the plain-catalog analog; here history
         # is the point, so nothing is dropped
         save_dataframe_versioned(spark, df, output_table, if_exists="replace")
+        from .. import lineage
+
+        if lineage.is_enabled(spark):
+            lineage.emit_transform(spark, rendered, output_table)
         return output_table
     out = output_table or TempTable()
     # reference drops the output table before CTAS (transform.py:60-61)
     drop_table(spark, out)
     save_dataframe_as_table(df, out, if_exists="replace")
+    from .. import lineage
+
+    if lineage.is_enabled(spark):
+        lineage.emit_transform(spark, rendered, out)
     return out
 
 

@@ -1549,6 +1549,33 @@ class TestDsir:
         }
         assert fold == np_
 
+    def test_semantic_hot_cell_cap_routes_blocked(self, spark, emb):
+        """Round-14 (VERDICT r13 #6): an oversized cell must be routed
+        through the blocked-matmul path (per-task memory bounded by the
+        cap) while producing the SAME pair set as the uncapped
+        expression self-join — the SemDeDup mirror of the LSH
+        hot-bucket cap."""
+        baseline = {
+            (r.cell, r.id_a, r.id_b)
+            for r in dedup.semantic_dup_pairs(
+                emb, max_cell_rows=None
+            ).collect()
+        }
+        capped_df = dedup.semantic_dup_pairs(emb, max_cell_rows=5)
+        capped = {
+            (r.cell, r.id_a, r.id_b) for r in capped_df.collect()
+        }
+        assert capped == baseline
+        # the blocked path is IN the executed plan
+        plan = capped_df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        # a cap larger than every cell leaves the pure-join plan alone
+        loose_df = dedup.semantic_dup_pairs(emb, max_cell_rows=10**9)
+        loose_plan = (
+            loose_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "FlatMapGroupsInPandas" not in loose_plan
+
 
 class TestBigramLm:
     def test_fluent_text_outscores_scrambled(self, spark):

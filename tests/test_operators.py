@@ -5190,3 +5190,101 @@ class TestConcurrentWriters:
         got = a.tt_read(spark, root)
         assert got.where("p = 2").count() == 0  # delete survived
         assert {r.v for r in got.where("k IN (0, 3)").collect()} == {9}
+
+
+class TestLineageFacets:
+    """Round-14 (VERDICT r13 #5): OpenLineage facet parity — the one
+    reference module with no counterpart (lineage/facets.py:1-143).
+    Each of the four ELT operators emits an OperatorLineage-shaped dict
+    (inputs/outputs with dataSource + schema + outputStatistics facets)
+    into the opt-in session buffer."""
+
+    @pytest.fixture(autouse=True)
+    def _lineage_session(self, spark):
+        from astro_spark import lineage
+
+        lineage.enable(spark)
+        lineage.clear(spark)
+        yield
+        lineage.disable(spark)
+        lineage.clear(spark)
+
+    def test_load_file_facets(self, spark, sf_dir):
+        from astro_spark import lineage
+
+        t = a.Table("lin_region")
+        a.load_file(spark, f"{sf_dir}/region.parquet", output_table=t)
+        ev = lineage.last(spark)
+        assert ev["operator"] == "load_file"
+        inp = ev["inputs"][0]
+        assert inp["facets"]["dataSource"]["uri"].endswith("region.parquet")
+        assert inp["facets"]["input_file_facet"]["number_of_files"] >= 1
+        out = ev["outputs"][0]
+        assert out["facets"]["outputStatistics"]["rowCount"] == 5
+        names = {f["name"] for f in out["facets"]["schema"]["fields"]}
+        assert "r_regionkey" in names
+        # zero overhead when disabled: no event appended
+        lineage.disable(spark)
+        n = len(lineage.events(spark))
+        a.load_file(spark, f"{sf_dir}/region.parquet")
+        assert len(lineage.events(spark)) == n
+
+    def test_transform_facets(self, spark, sf_dir, nation_table):
+        from astro_spark import lineage
+
+        out = a.run_transform(
+            spark,
+            "SELECT n_regionkey, COUNT(*) AS n FROM {{t}} GROUP BY 1",
+            {"t": nation_table},
+        )
+        ev = lineage.last(spark)
+        assert ev["operator"] == "transform"
+        assert "GROUP BY" in ev["job_facets"]["sql"]["query"]
+        assert "{{" not in ev["job_facets"]["sql"]["query"]  # rendered
+        assert ev["outputs"][0]["facets"]["outputStatistics"]["rowCount"] == 5
+        assert out.name in ev["outputs"][0]["name"]
+
+    def test_merge_facets(self, spark, sf_dir):
+        from astro_spark import lineage
+
+        spark.sql("DROP TABLE IF EXISTS lin_tgt")
+        spark.sql("DROP TABLE IF EXISTS lin_src")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).write.saveAsTable("lin_tgt")
+        spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"
+        ).write.saveAsTable("lin_src")
+        a.merge(
+            spark,
+            a.Table("lin_src"),
+            a.Table("lin_tgt"),
+            target_conflict_columns=["k"],
+            if_conflicts="update",
+        )
+        ev = lineage.last(spark)
+        assert ev["operator"] == "merge"
+        src = ev["inputs"][0]["facets"]["table_facet"]
+        assert src["source_table_rows"] == 2
+        assert src["if_conflicts"] == "update"
+        tgt = ev["outputs"][0]["facets"]
+        assert tgt["outputStatistics"]["rowCount"] == 3  # post-merge
+        assert tgt["target_merge_facet"]["target_conflict_columns"] == ["k"]
+
+    def test_export_facets(self, spark, sf_dir, tmp_path):
+        from astro_spark import lineage
+
+        df = read_table(spark, sf_dir, "nation")
+        path = str(tmp_path / "lin_nation.csv")
+        a.export_to_file(spark, df, path, single_file=True)
+        ev = lineage.last(spark)
+        assert ev["operator"] == "export_to_file"
+        out = ev["outputs"][0]["facets"]
+        assert out["outputStatistics"]["rowCount"] == 25
+        assert out["outputStatistics"]["size"] > 0
+        assert out["export_file_facet"]["if_exists"] == "replace"
+        assert out["export_file_facet"]["file_type"] == "csv"
+        # events are JSON-serializable plain dicts (the whole point)
+        import json as _json
+
+        _json.dumps(lineage.events(spark))
