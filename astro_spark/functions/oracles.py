@@ -1515,6 +1515,50 @@ FROM pairs WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
 """
 
 
+def semantic_screen_sql(table: str = "embeddings") -> str:
+    """Mirrors ``streaming.semantic_screen_stream`` over the standard
+    odd-vs-even split: odd vec_ids (the staged batch stream) screened
+    against the even-id corpus index — same seeded-centroid cell
+    assignment and unit-dot cosine as ``semantic_dup_pairs_sql``, but
+    the asymmetric batch→corpus orientation (every qualifying pair,
+    both id orders possible)."""
+    from .constants import SEMDEDUP_CENTROIDS, SEMDEDUP_THRESHOLD
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) + '::DOUBLE' for v in c)}])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table}
+),
+cents(idx, cv) AS (
+  VALUES {cent_rows}
+),
+sims AS (
+  SELECT c.id, cents.idx, {cosine('c.v', 'cents.cv')} AS cs
+  FROM c CROSS JOIN cents
+),
+cell AS (
+  SELECT id, idx AS cell FROM (
+    SELECT id, idx,
+           row_number() OVER (PARTITION BY id ORDER BY cs DESC, idx DESC) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+n AS (SELECT id, v, sqrt({dot('v', 'v')}) AS nrm FROM c),
+u AS (
+  SELECT n.id, cell.cell, list_transform(n.v, x -> x / n.nrm) AS u
+  FROM n JOIN cell ON cell.id = n.id
+)
+SELECT b.id AS batch_id, k.id AS corpus_id,
+       round({dot('b.u', 'k.u')}, 4) AS cos_sim
+FROM u b JOIN u k ON b.cell = k.cell
+WHERE b.id % 2 = 1 AND k.id % 2 = 0
+  AND round({dot('b.u', 'k.u')}, 4) >= {SEMDEDUP_THRESHOLD}
+"""
+
+
 def _bloom_positions(fp_expr: str, m: int | None = None) -> list[str]:
     from .constants import BLOOM_COEFFS, BLOOM_M
 

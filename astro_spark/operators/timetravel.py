@@ -1708,7 +1708,16 @@ def tt_convert(
             f"tt_convert: PARTITIONED BY {list(partition_by)} does not "
             f"match the directory layout {pcols}"
         )
-    abs_files = [_abs(root, f) for f in files]
+    # a fresh estate's dirs are always fully covered, so the adoption
+    # scan collapses to O(partition dirs) paths — at 100k files this is
+    # the difference between a ~3 s and a ~3 min convert (the same
+    # explicit-path plan tax _read_file_lists compacts away)
+    paths = (
+        _compact_paths(spark, root, files)
+        if len(files) >= _dir_compact_min(spark)
+        else files
+    )
+    abs_files = [_abs(root, f) for f in paths]
     if pcols:
         # basePath materializes the partition columns (and their
         # inferred types) into the adopted schema
@@ -1787,6 +1796,89 @@ def tt_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _dir_compact_min(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.astro.tt.dirCompactMin", "256"))
+    except Exception:
+        return 256
+
+
+def _compact_paths(
+    spark: SparkSession, root: str, rel_files: list[str]
+) -> list[str]:
+    """Collapse an explicit file list to parent DIRECTORIES wherever the
+    directory's visible parquet set exactly equals the selected subset
+    (round 14, found by tools/tt_partition_sweep.py): handing Spark's
+    source N explicit paths costs ~1.8 ms/path in py4j marshaling +
+    driver-side listing — 72 s of PLAN time at 40k files, ~30 min at
+    10⁶ — while handing it the parent dirs costs O(dirs) and lets the
+    JVM list children in bulk.  Commit dirs (``files/<uuid>/...``) are
+    immutable and either fully live or partially removed, so on a
+    churn-free table this collapses 10⁵ paths into 10²-10³ dirs; a dir
+    that lost ANY member to copy-on-write (or contains extras) falls
+    back to its explicit files — never a wrong row, only a slower plan.
+    One listStatus per candidate dir decides it.  Only LEAF dirs are
+    collapsed (the file's immediate parent), so Spark never discovers
+    partition key=value segments BELOW a passed path (its default
+    basePath is the dir itself); callers that want path-derived
+    partition columns pass ``basePath`` explicitly and get the same
+    inference for dirs as for files."""
+    import os as _os
+    from collections import defaultdict
+
+    by_dir: dict[str, list[str]] = defaultdict(list)
+    for f in rel_files:
+        d = f.rsplit("/", 1)[0] if "/" in f else ""
+        by_dir[d].append(f)
+
+    def _local(p: str) -> str | None:
+        # local paths list via ONE os.listdir syscall — the py4j loop
+        # over FileStatus objects costs 2 round-trips per FILE (18 s at
+        # 40k files, measured), defeating the point of compaction
+        if "://" not in p:
+            return p
+        if p.startswith("file:"):
+            rest = p[5:]
+            while rest.startswith("//"):
+                rest = rest[1:]
+            return rest if rest.startswith("/") else "/" + rest
+        return None
+
+    fs_tuple = None  # lazily opened only if a non-local dir appears
+    out: list[str] = []
+    for d, members in by_dir.items():
+        if not d or len(members) < 2:
+            out.extend(members)
+            continue
+        ab = _abs(root, d)
+        loc = _local(ab)
+        try:
+            if loc is not None:
+                listed = _os.listdir(loc)
+            else:
+                if fs_tuple is None:
+                    fs_tuple = _fs(spark, root)
+                HPath, _p, fs = fs_tuple
+                listed = [
+                    st.getPath().getName()
+                    for st in fs.listStatus(HPath(ab))
+                    if not st.isDirectory()
+                ]
+        except Exception:
+            out.extend(members)
+            continue
+        # hidden files (_SUCCESS, .crc) are invisible to Spark's file
+        # index — ignore them; any OTHER extra or missing visible entry
+        # disqualifies the dir
+        visible = {n for n in listed if not n.startswith(("_", "."))}
+        names = {m.rsplit("/", 1)[-1] for m in members}
+        if visible == names:
+            out.append(d)
+        else:
+            out.extend(members)
+    return out
+
+
 def _read_file_lists(
     spark: SparkSession,
     root: str,
@@ -1801,7 +1893,11 @@ def _read_file_lists(
     ``basePath=root`` scan so Spark materializes the partition columns
     from the paths; both sides read the LOG's schema and union.  Steady
     state after churn is a single plain scan — every rewrite moves
-    files to the engine layout."""
+    files to the engine layout.
+
+    Above ``spark.astro.tt.dirCompactMin`` files (default 256) the
+    explicit lists collapse to fully-covered parent dirs first
+    (``_compact_paths``) — the 10⁵-file plan-construction lever."""
     from pyspark.sql.types import StructType
 
     schema = (
@@ -1818,16 +1914,31 @@ def _read_file_lists(
         if partition_cols
         else []
     )
-    plain = [f for f in files if f not in set(adopted)]
+    # hoist the set: building it per-element made this comprehension
+    # O(files²) — 78 of the 82 plan-construction seconds at 40k files
+    # (tools/tt_partition_sweep.py profile, round 14)
+    adopted_set = set(adopted)
+    plain = [f for f in files if f not in adopted_set]
+    compact_min = _dir_compact_min(spark)
     parts: list[DataFrame] = []
     if plain:
+        paths = (
+            _compact_paths(spark, root, plain)
+            if len(plain) >= compact_min
+            else plain
+        )
         r = spark.read if schema is None else spark.read.schema(schema)
-        parts.append(r.parquet(*[_abs(root, f) for f in plain]))
+        parts.append(r.parquet(*[_abs(root, f) for f in paths]))
     if adopted:
+        paths = (
+            _compact_paths(spark, root, adopted)
+            if len(adopted) >= compact_min
+            else adopted
+        )
         r = spark.read.option("basePath", root)
         if schema is not None:
             r = r.schema(schema)
-        parts.append(r.parquet(*[_abs(root, f) for f in adopted]))
+        parts.append(r.parquet(*[_abs(root, f) for f in paths]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

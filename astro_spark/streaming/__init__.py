@@ -14,6 +14,8 @@ from .load_stream import (
 )
 from .sessions import (
     bloom_screen_stream,
+    build_semantic_index,
+    semantic_screen_stream,
     containment_screen_stream,
     signature_screen_stream,
     dedup_stream,
@@ -31,6 +33,8 @@ from .windows import (
 __all__ = [
     "aggregate_mv_stream",
     "signature_screen_stream",
+    "build_semantic_index",
+    "semantic_screen_stream",
     "compact_mv_partials",
     "bloom_screen_stream",
     "containment_screen_stream",

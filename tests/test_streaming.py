@@ -1853,3 +1853,121 @@ class TestVersionedStream:
         pruned = a.tt_read(spark, root, where="r = 1")
         assert pruned.count() == 5
         assert len(pruned.inputFiles()) < len(m["files"])
+
+
+class TestSemanticScreenStream:
+    """Round-14 (VERDICT r13 #8): the embedding-based member of the
+    ingest-screen family — IVF cell assignment against static centroids
+    + cell-scoped cosine vs a persisted, cell-partitioned index."""
+
+    C = [[1.0, 0.0], [0.0, 1.0]]
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (100, [1.0, 0.0]),   # cell 0
+                (101, [0.0, 1.0]),   # cell 1
+                (102, [0.6, 0.8]),   # cell 1
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_cell_scoped_screen_and_self_screen(self, spark, tmp_path):
+        from astro_spark.streaming import (
+            build_semantic_index,
+            semantic_screen_stream,
+        )
+
+        novel = (90000, [0.8, 0.6])    # cell 0; cos vs 100 = 0.8 < thr
+        twin = (90001, [0.8, 0.601])   # cell 0; cos vs novel ≈ 1.0
+        hit = (90002, [0.62, 0.78])    # cell 1; cos vs 102 ≈ 0.9997
+        f1 = spark.createDataFrame(
+            [novel], "vec_id long, embedding array<double>"
+        )
+        f2 = spark.createDataFrame(
+            [twin, hit], "vec_id long, embedding array<double>"
+        )
+        src = tmp_path / "in"
+        _write_ordered_files(src, [f1, f2])
+        idx = str(tmp_path / "sem_idx")
+        build_semantic_index(self._corpus(spark), idx, centroids=self.C)
+        n_idx0 = spark.read.parquet(idx).count()
+        assert n_idx0 == 3
+
+        blind = {
+            (r.batch_id, r.corpus_id)
+            for r in semantic_screen_stream(
+                spark, str(src), idx, centroids=self.C, threshold=0.99,
+                max_files_per_trigger=1,
+            ).collect()
+        }
+        # cell scoping: 90002 is flagged ONLY against its cell-1
+        # neighbor; novel+twin both pass (the documented blind spot) —
+        # and the default mode leaves the index untouched
+        assert blind == {(90002, 102)}
+        assert spark.read.parquet(idx).count() == n_idx0
+
+        caught = {
+            (r.batch_id, r.corpus_id)
+            for r in semantic_screen_stream(
+                spark, str(src), idx, centroids=self.C, threshold=0.99,
+                max_files_per_trigger=1, self_screen=True,
+            ).collect()
+        }
+        assert caught == {(90001, 90000), (90002, 102)}
+        # bounded state: acceptance grows the ON-DISK index only, and
+        # only by the accepted (un-flagged) vectors — one here
+        ids = {r.id for r in spark.read.parquet(idx).select("id").collect()}
+        assert ids == {100, 101, 102, 90000}
+
+    def test_drained_union_equals_one_shot(self, spark, tmp_path):
+        """Per-item independence (default mode): a 2-batch drain equals
+        the one-shot screen of all items against the drain-start index."""
+        from astro_spark.functions.similarity import ivf_assign
+        from astro_spark.streaming import (
+            build_semantic_index,
+            semantic_screen_stream,
+        )
+
+        items = [
+            (9000 + i, [0.5 + 0.01 * i, 0.86 - 0.01 * i]) for i in range(8)
+        ]
+        f1 = spark.createDataFrame(
+            items[:4], "vec_id long, embedding array<double>"
+        )
+        f2 = spark.createDataFrame(
+            items[4:], "vec_id long, embedding array<double>"
+        )
+        src = tmp_path / "in2"
+        _write_ordered_files(src, [f1, f2])
+        idx = str(tmp_path / "sem_idx2")
+        build_semantic_index(self._corpus(spark), idx, centroids=self.C)
+        drained = {
+            (r.batch_id, r.corpus_id, r.cos_sim)
+            for r in semantic_screen_stream(
+                spark, str(src), idx, centroids=self.C, threshold=0.9,
+                max_files_per_trigger=1,
+            ).collect()
+        }
+        # one-shot replay: same cell + unit-dot in plain DataFrame ops
+        import numpy as np
+
+        exp = set()
+        corpus_rows = [
+            (100, [1.0, 0.0], 0), (101, [0.0, 1.0], 1), (102, [0.6, 0.8], 1)
+        ]
+        for bid, v in items:
+            cell = int(np.argmax([np.dot(v, c) / np.linalg.norm(v) for c in self.C]))
+            for cid, cv, ccell in corpus_rows:
+                if ccell != cell:
+                    continue
+                cs = round(
+                    float(
+                        np.dot(v, cv)
+                        / (np.linalg.norm(v) * np.linalg.norm(cv))
+                    ),
+                    4,
+                )
+                if cs >= 0.9:
+                    exp.add((bid, cid, cs))
+        assert drained == exp
