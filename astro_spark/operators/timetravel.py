@@ -1740,18 +1740,34 @@ def tt_detail(spark: SparkSession, root: str) -> DataFrame:
     """Delta ``DESCRIBE DETAIL``: one row describing the CURRENT
     snapshot — format, location, head version, file count, total data
     bytes, commit timestamp, and the constraint/stats-column metadata.
-    File sizes come from the filesystem (one getFileStatus per live
-    file; the manifest deliberately stores no sizes — Delta's detail
-    pays the same listing)."""
+    File sizes come from the filesystem (the manifest deliberately
+    stores no sizes — Delta's detail pays the same listing); local
+    roots stat through os.stat (100k files ≈ 0.3 s), remote ones pay
+    one getFileStatus per file through the gateway (the round-14
+    stress run measured that loop at ~0.37 ms/file — fine at 10³
+    files, 37 s at 10⁵; a remote 10⁵-file table should read
+    ``num_files`` from tt_history's free header instead)."""
+    import os as _os
+
     root = _named_root(spark, root)
     HPath, _p, fs = _fs(spark, root)
     head_v, manifest = _head(spark, fs, HPath, root)
     files, _stats = _resolve(spark, fs, HPath, root, manifest)
     size = 0
+    local = "://" not in root or root.startswith("file:")
     for f in files:
-        p = HPath(_abs(root, f))
-        if fs.exists(p):
-            size += int(fs.getFileStatus(p).getLen())
+        ab = _abs(root, f)
+        if local:
+            p = ab[5:].lstrip("/") if ab.startswith("file:") else ab
+            p = p if p.startswith("/") else "/" + p
+            try:
+                size += _os.stat(p).st_size
+            except OSError:
+                pass  # vacuumed/external path: counts zero, like exists()
+        else:
+            jp = HPath(ab)
+            if fs.exists(jp):
+                size += int(fs.getFileStatus(jp).getLen())
     return spark.createDataFrame(
         [
             (
@@ -2593,21 +2609,43 @@ def tt_vacuum(
     deleted = 0
     reclaimed: set[str] = set()
     dead_refs: set[str] = set()
+    # local roots check/delete through the OS (one syscall each) — the
+    # gateway pays 2 round-trips per file (~0.7 ms), which turns a
+    # 10⁵-file reclaim into minutes for no reason
+    import os as _os
+
+    local = "://" not in root or root.startswith("file:")
+
+    def _lpath(f: str) -> str:
+        ab = f"{root}/{f}"
+        if ab.startswith("file:"):
+            ab = ab[5:].lstrip("/")
+            ab = ab if ab.startswith("/") else "/" + ab
+        return ab
+
     for v in drop:
         m = _read_manifest(spark, fs, HPath, root, v)
         fl, _st = _resolve(spark, fs, HPath, root, m)
         for f in fl:
             if _is_external(f):
                 continue  # shallow-clone ref: the SOURCE table owns it
-            if (
-                f not in live
-                and f not in reclaimed  # shared across dropped versions
-                and fs.exists(HPath(f"{root}/{f}"))
-            ):
+            if f in live or f in reclaimed:  # shared across versions
+                continue
+            if local:
+                if not _os.path.exists(_lpath(f)):
+                    continue
+                if not dry_run:
+                    try:
+                        _os.remove(_lpath(f))
+                    except OSError:
+                        continue
+            else:
+                if not fs.exists(HPath(f"{root}/{f}")):
+                    continue
                 if not dry_run:
                     fs.delete(HPath(f"{root}/{f}"), False)
-                reclaimed.add(f)
-                deleted += 1
+            reclaimed.add(f)
+            deleted += 1
         if "base" in m and m["base"] not in live_refs:
             dead_refs.add(m["base"])
         if not dry_run:
