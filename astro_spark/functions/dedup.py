@@ -44,7 +44,14 @@ from .constants import (
     SIMHASH_CHUNKS,
     SIMHASH_MAX_HAMMING,
 )
-from .text import char_poly_hash, fingerprint62, tokens
+from .text import (
+    _char_poly_hash_sql,
+    _frag,
+    _tokens_sql,
+    char_poly_hash,
+    fingerprint62,
+    tokens,
+)
 
 
 # --------------------------------------------------------------------------
@@ -60,7 +67,7 @@ def exact_dedup(
     min(id) — deterministic representative selection.
     """
     return (
-        df.select(F.col(id_col), F.col(text_col), fingerprint62(F.col(text_col)).alias("__fp"))
+        df.select(F.col(id_col), F.col(text_col), fingerprint62(text_col).alias("__fp"))
         .groupBy("__fp", text_col)
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, text_col, "dup_count")
@@ -70,7 +77,23 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 # shingles + minhash
 # --------------------------------------------------------------------------
-def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
+def _shingle_sql(frag: str, k: int = SHINGLE_K) -> str:
+    """SQL fragment of ``shingle_hash_array`` over fragment ``frag`` —
+    same let-binding shape, same folds, bit-identical values."""
+    tok_hashes = (
+        f"transform({_tokens_sql(frag)}, "
+        f"t -> {_char_poly_hash_sql('t', MULT1)})"
+    )
+    shingles = (
+        "array_sort(array_distinct(transform("
+        f"sequence(1, greatest(size(th) - {k - 1}, 1)), "
+        f"i -> aggregate(slice(th, i, {k}), cast(0 as bigint), "
+        f"(acc, h) -> (acc * {MULT2} + h) % {P31}))))"
+    )
+    return f"element_at(transform(array({tok_hashes}), th -> {shingles}), 1)"
+
+
+def shingle_hash_array(text: Column | str, k: int = SHINGLE_K) -> Column:
     """Distinct, sorted hashes of the k-word shingles of ``text``.
 
     Two-level hashing: each token is char-poly-hashed ONCE (mod P31,
@@ -78,7 +101,14 @@ def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
     This is ~10× cheaper than hashing every shingle's characters (each
     char would otherwise be hashed k times) while staying exactly
     reproducible in the DuckDB oracle (oracles.shingle_hashes).
+
+    A ``str`` input renders as ONE SQL parse (see ``text._frag``) — the
+    Python-built twin costs ~2.5 s of py4j per construction and every
+    minhash/containment query pays it; values are bit-identical.
     """
+    frag = _frag(text) if isinstance(text, str) else None
+    if frag is not None:
+        return F.expr(_shingle_sql(frag, k))
     toks = tokens(text)
     tok_hashes = F.transform(toks, lambda t: char_poly_hash(t, MULT1))
 
@@ -108,8 +138,18 @@ def shingle_hash_array(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(shingle_hashes: Column) -> Column:
-    """K-element MinHash signature: min_i over shingles of (a_i*x+b_i)%P."""
+def minhash_signature(shingle_hashes: Column | str) -> Column:
+    """K-element MinHash signature: min_i over shingles of (a_i*x+b_i)%P.
+
+    ``str`` input → one SQL parse for all K=32 permutations instead of
+    ~200 py4j calls (bit-identical; see ``shingle_hash_array``)."""
+    frag = _frag(shingle_hashes) if isinstance(shingle_hashes, str) else None
+    if frag is not None:
+        items = ",".join(
+            f"array_min(transform({frag}, x -> (x * {a} + {b}) % {P31}))"
+            for a, b in MINHASH_COEFFS
+        )
+        return F.expr(f"array({items})")
     sig = [
         F.array_min(
             F.transform(
@@ -122,8 +162,17 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     return F.array(*sig)
 
 
-def _band_hash(sig: Column, band: int, rows: int) -> Column:
+def _band_hash(sig: Column | str, band: int, rows: int) -> Column:
     """Combine one band's signature rows into a single 31-bit hash."""
+    frag = _frag(sig) if isinstance(sig, str) else None
+    if frag is not None:
+        acc = "cast(0 as bigint)"
+        for r in range(rows):
+            acc = (
+                f"((({acc} * {MULT1}) + "
+                f"element_at({frag}, {band * rows + r + 1})) % {P31})"
+            )
+        return F.expr(acc)
     acc = F.lit(0).cast("long")
     for r in range(rows):
         acc = (acc * F.lit(MULT1) + F.element_at(sig, band * rows + r + 1)) % F.lit(P31)
@@ -204,9 +253,9 @@ def minhash_lsh_pairs(
         base = (
             df.select(
                 F.col(id_col).alias("id"),
-                shingle_hash_array(F.col(text_col)).alias("sh"),
+                shingle_hash_array(text_col).alias("sh"),
             )
-            .withColumn("sig", minhash_signature(F.col("sh")))
+            .withColumn("sig", minhash_signature("sh"))
             .persist()
         )
 
@@ -217,7 +266,7 @@ def minhash_lsh_pairs(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(b).alias("band"), _band_hash(F.col("sig"), b, rows).alias("bh")
+                            F.lit(b).alias("band"), _band_hash("sig", b, rows).alias("bh")
                         )
                         for b in range(LSH_BANDS)
                     ]
@@ -290,22 +339,25 @@ def simhash_table(
     h1 = char_poly_hash(F.col("tok"), MULT1)
     h2 = char_poly_hash(F.col("tok"), MULT2)
     hashed = tf.withColumn("h", h1 * F.lit(P31 + 1) + h2)
+    # the 62 conditional sums and the 62-term bit fold render as SQL —
+    # one parse instead of ~600 py4j calls (bit-identical; integer
+    # arithmetic, same CASE/shift shapes)
     weights = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-            ).otherwise(-F.col("tf"))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+            f"THEN tf ELSE -tf END)"
         ).alias(f"w{j}")
         for j in range(62)
     ]
     agg = hashed.groupBy("id").agg(*weights)
     sim = None
     for j in range(62):
-        bit = F.when(F.col(f"w{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        bit = (
+            f"(CASE WHEN w{j} > 0 THEN cast({2 ** j} as bigint) "
+            f"ELSE cast(0 as bigint) END)"
         )
-        sim = bit if sim is None else sim + bit
-    return agg.select("id", sim.alias("simhash"))
+        sim = bit if sim is None else f"({sim} + {bit})"
+    return agg.select("id", F.expr(sim).alias("simhash"))
 
 
 def hash_hamming_pairs(
@@ -508,7 +560,7 @@ def ngram_jaccard_pairs(
     # shingle table feeds both the inverted index and the size lookup —
     # persist so the char-level hashing runs once
     base = df.select(
-        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), shingle_hash_array(text_col).alias("sh")
     ).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("h"))
@@ -590,13 +642,13 @@ def incremental_exact_dedup(
     magnitude smaller than the corpus).
     """
     seen_fp = seen_df.select(
-        fingerprint62(F.col(text_col)).alias("__fp"),
+        fingerprint62(text_col).alias("__fp"),
         F.col(text_col).alias("__seen_text"),
     )
     new_fp = new_df.select(
         F.col(id_col),
         F.col(text_col),
-        fingerprint62(F.col(text_col)).alias("__fp"),
+        fingerprint62(text_col).alias("__fp"),
     )
     # fingerprint match + text equality guard (collision safety), anti
     fresh = new_fp.join(
@@ -637,11 +689,11 @@ def decontaminate(
     is exactly the distinct-shared-shingle count.
     """
     bench = benchmark.select(
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h")
+        F.explode(shingle_hash_array(text_col)).alias("h")
     ).distinct()
     inv = train.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        F.explode(shingle_hash_array(text_col)).alias("h"),
     )
     return (
         inv.join(F.broadcast(bench), "h")
@@ -815,7 +867,7 @@ def cosine_dup_pairs_np(
 # --------------------------------------------------------------------------
 # span-level exact dedup (ExactSubstr-lite)
 # --------------------------------------------------------------------------
-def span_hash_array(text: Column, w: int = None) -> Column:
+def span_hash_array(text: Column | str, w: int = None) -> Column:
     """Hashes of the NON-overlapping w-token windows of ``text``.
 
     Two-level hashing as in shingle_hash_array (token char-hash with
@@ -826,6 +878,22 @@ def span_hash_array(text: Column, w: int = None) -> Column:
     from .constants import SPAN_W
 
     w = w or SPAN_W
+    frag = _frag(text) if isinstance(text, str) else None
+    if frag is not None:
+        tok_hashes = (
+            f"transform({_tokens_sql(frag)}, "
+            f"t -> {_char_poly_hash_sql('t', MULT1)})"
+        )
+        spans = (
+            f"CASE WHEN cast(floor(size(th) / {w}) as int) >= 1 THEN "
+            f"transform(sequence(1, cast(floor(size(th) / {w}) as int)), "
+            f"i -> aggregate(slice(th, (i - 1) * {w} + 1, {w}), "
+            f"cast(0 as bigint), (acc, h) -> (acc * {MULT2} + h) % {P31})) "
+            f"ELSE cast(array() as array<bigint>) END"
+        )
+        return F.expr(
+            f"element_at(transform(array({tok_hashes}), th -> {spans}), 1)"
+        )
     toks = tokens(text)
     tok_hashes = F.transform(toks, lambda t: char_poly_hash(t, MULT1))
 
@@ -870,7 +938,7 @@ def exact_span_dedup(
     w = w or SPAN_W
     min_docs = min_docs or SPAN_MIN_DOCS
     per_doc = df.select(
-        F.col(id_col), span_hash_array(F.col(text_col), w).alias("__spans")
+        F.col(id_col), span_hash_array(text_col, w).alias("__spans")
     )
     exploded = per_doc.select(id_col, F.explode("__spans").alias("__h"))
     shared = (
@@ -924,7 +992,7 @@ def remove_duplicate_spans(
     w = w or SPAN_W
     min_docs = min_docs or SPAN_MIN_DOCS
     spans = df.select(
-        F.col(id_col), span_hash_array(F.col(text_col), w).alias("__spans")
+        F.col(id_col), span_hash_array(text_col, w).alias("__spans")
     )
     win = spans.select(id_col, F.posexplode("__spans").alias("__i", "__h"))
     dup = (
@@ -977,7 +1045,7 @@ def minhash_jaccard_estimates(
     pairs = minhash_lsh_pairs(df, text_col, id_col, threshold)
     sigs = df.select(
         F.col(id_col).alias("sid"),
-        minhash_signature(shingle_hash_array(F.col(text_col))).alias("sig"),
+        minhash_signature(shingle_hash_array(text_col)).alias("sig"),
     )
     matches = F.aggregate(
         F.zip_with(
@@ -1240,7 +1308,7 @@ def bloom_build(
     return (
         corpus.select(
             F.explode(
-                bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+                bloom_bit_positions(fingerprint62(text_col), m, k)
             ).alias("bit")
         )
         .distinct()
@@ -1270,7 +1338,7 @@ def bloom_membership(
         F.col(id_col),
         F.explode(
             F.array_distinct(
-                bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+                bloom_bit_positions(fingerprint62(text_col), m, k)
             )
         ).alias("bit"),
     )
@@ -1420,8 +1488,8 @@ def _banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     rows = MINHASH_K // LSH_BANDS
     base = df.select(
         F.col(id_col).alias("id"),
-        shingle_hash_array(F.col(text_col)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh")))
+        shingle_hash_array(text_col).alias("sh"),
+    ).withColumn("sig", minhash_signature("sh"))
     return base.select(
         "id",
         "sh",
@@ -1430,7 +1498,7 @@ def _banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _band_hash(F.col("sig"), b, rows).alias("bh"),
+                        _band_hash("sig", b, rows).alias("bh"),
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -1513,7 +1581,7 @@ def novelty_scores(
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("sh"),
+        F.explode(shingle_hash_array(text_col)).alias("sh"),
     )
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
     per_doc = (
@@ -1663,7 +1731,7 @@ def containment_pairs(
 def _shingle_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) shingle-hash-array base shared by the containment scans."""
     return df.select(
-        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), shingle_hash_array(text_col).alias("sh")
     )
 
 
@@ -1816,7 +1884,7 @@ def build_containment_index(
     """
     corpus.select(
         F.col(id_col).alias("cid"),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        F.explode(shingle_hash_array(text_col)).alias("h"),
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1831,7 +1899,7 @@ def update_containment_index(
     untouched (the ``ivf_append_index`` pattern)."""
     batch.select(
         F.col(id_col).alias("cid"),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        F.explode(shingle_hash_array(text_col)).alias("h"),
     ).write.mode("append").parquet(path)
 
 
@@ -1858,7 +1926,7 @@ def build_containment_index_table(
     """
     corpus.select(
         F.col(id_col).alias("cid"),
-        F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+        F.explode(shingle_hash_array(text_col)).alias("h"),
     ).write.format("parquet").bucketBy(buckets, "h").sortBy("h").mode(
         "overwrite"
     ).saveAsTable(table_name)
@@ -1891,7 +1959,7 @@ def containment_incremental_pairs(
     """
     b_base = batch.select(
         F.col(id_col).alias("bid"),
-        shingle_hash_array(F.col(text_col)).alias("sh"),
+        shingle_hash_array(text_col).alias("sh"),
     )
     if materialize:
         b_base = b_base.persist()
@@ -1902,7 +1970,7 @@ def containment_incremental_pairs(
         if corpus_inverted is not None
         else corpus.select(
             F.col(id_col).alias("cid"),
-            F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+            F.explode(shingle_hash_array(text_col)).alias("h"),
         )
     )
     shared = (

@@ -181,7 +181,7 @@ def hard_negatives(
                 F.transform(
                     F.slice(
                         F.reverse(
-                            F.array_sort(_centroid_sims(F.col("qv"), centroids))
+                            F.array_sort(_centroid_sims("qv", centroids))
                         ),
                         1,
                         nprobe,
@@ -231,16 +231,21 @@ def hard_negatives(
     )
 
 
-def hyperplane_bucket(vec: Column) -> Column:
-    """LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
-    acc = F.lit(0).cast("long")
+def hyperplane_bucket(vec: str) -> Column:
+    """LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0.
+
+    ``vec`` is a SQL fragment; one ``F.expr`` parse replaces ~500 py4j
+    literal round-trips (see ``_centroid_sims``).  The expression tree —
+    left-nested additions of CASE×power-of-two terms over the same dot
+    folds — is unchanged, so bucket ids are bit-identical."""
+    acc = "cast(0 as bigint)"
     for i, plane in enumerate(HYPERPLANES):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        bit = (
+            f"(CASE WHEN {_dot_sql(vec, _vec_sql(plane))} > 0 "
+            f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END)"
         )
-        acc = acc + bit * F.lit(2**i).cast("long")
-    return acc
+        acc = f"({acc} + {bit} * cast({2 ** i} as bigint))"
+    return F.expr(acc)
 
 
 def lsh_bucket_table(
@@ -249,7 +254,7 @@ def lsh_bucket_table(
     """(id, bucket) assignment — the IVF/LSH partitioning step."""
     return df.select(
         F.col(id_col).alias("id"),
-        hyperplane_bucket(as_double(F.col(vec_col))).alias("bucket"),
+        hyperplane_bucket(_as_double_sql(vec_col)).alias("bucket"),
     )
 
 
@@ -275,7 +280,7 @@ def lsh_cosine_pairs(
     """
     base = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", hyperplane_bucket(F.col("v")))
+    ).withColumn("bucket", hyperplane_bucket("v"))
     if max_bucket_size is not None:
         wb = Window.partitionBy("bucket")
         base = (
@@ -396,17 +401,45 @@ def brute_force_topk_np(
 # --------------------------------------------------------------------------
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of (cos_sim, cell_idx) structs, one per centroid."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(v)) for v in c])).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def _q(name: str) -> str:
+    """Backtick-quote a column name for a SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _vec_sql(c: list[float]) -> str:
+    """SQL double-array literal.  ``repr`` round-trips IEEE doubles, so
+    the parsed literal is bit-identical to ``F.lit(float(v))``."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in c) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of ``dot`` — same left-to-right fold, same lambdas."""
+    return f"aggregate(zip_with({a},{b},(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _as_double_sql(name: str) -> str:
+    """SQL twin of ``as_double(F.col(name))``."""
+    return f"transform({_q(name)}, x -> cast(x as double))"
+
+
+def _centroid_sims(vec: str, centroids: list[list[float]]) -> Column:
+    """Array of (cos_sim, cell_idx) structs, one per centroid.
+
+    ``vec`` is a SQL fragment (column name or expression).  The whole
+    expression is rendered as ONE SQL string and parsed JVM-side: the
+    former per-element ``F.lit``/lambda construction cost ~2.3 s of
+    driver py4j round-trips PER CALL (8 centroids × 64 dims, profiled
+    r14) — two orders of magnitude more than the parse.  Values are
+    bit-identical (same fold order, same literals)."""
+    items = ", ".join(
+        f"named_struct('s', {_cos_sql(vec, _vec_sql(c))}, 'i', {i})"
+        for i, c in enumerate(centroids)
     )
+    return F.expr(f"array({items})")
 
 
 #: target vectors per IVF cell when ``n_cells="auto"`` — holds per-probe
@@ -470,7 +503,10 @@ def ivf_train(
     for _ in range(iterations):
         assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
         stats = assigned.groupBy("cell").agg(
-            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(dim)]
+            *[
+                F.expr(f"avg(cast({_q(vec_col)}[{i}] as double))").alias(f"c{i}")
+                for i in range(dim)
+            ]
         )
         for r in stats.collect():
             centroids[r["cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
@@ -486,7 +522,7 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach the nearest-centroid (max cosine) cell id — a map-only
     projection; the centroid table rides along in the plan (broadcast)."""
-    sims = _centroid_sims(as_double(F.col(vec_col)), centroids)
+    sims = _centroid_sims(_as_double_sql(vec_col), centroids)
     return df.withColumn(out_col, F.array_max(sims)["i"])
 
 
@@ -560,7 +596,7 @@ def ivf_topk(
             F.explode(
                 F.transform(
                     F.slice(
-                        F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                        F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
                         1,
                         nprobe,
                     ),
@@ -650,7 +686,7 @@ def knn_graph(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                    F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
                     1,
                     nprobe,
                 ),
@@ -792,19 +828,18 @@ def quantize_int8(
 # --------------------------------------------------------------------------
 # product quantization (PQ) — compressed-domain shortlist + exact re-rank
 # --------------------------------------------------------------------------
-def _sub_argmin_l2(sv: Column, centroids: list[list[float]]) -> Column:
+def _sub_argmin_l2(sv: str, centroids: list[list[float]]) -> Column:
     """(squared-L2, code) argmin over a subspace codebook — deterministic
-    tie-break on the lower code id via lexicographic struct min."""
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
-        d2 = F.aggregate(
-            F.zip_with(sv, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*entries))["i"]
+    tie-break on the lower code id via lexicographic struct min.
+
+    ``sv`` is a SQL fragment; one parse replaces per-entry py4j literal
+    construction (see ``_centroid_sims``) with bit-identical folds."""
+    entries = ", ".join(
+        "named_struct('d', aggregate(zip_with({sv},{lit},(a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x), 'i', {i})".format(sv=sv, lit=_vec_sql(c), i=i)
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"array_min(array({entries})).i")
 
 
 def pq_train(
@@ -851,7 +886,9 @@ def pq_train(
             parts.append(
                 F.struct(
                     F.lit(s).alias("s"),
-                    _sub_argmin_l2(sv, books[s]).alias("code"),
+                    _sub_argmin_l2(
+                        f"slice(v, {s * dsub + 1}, {dsub})", books[s]
+                    ).alias("code"),
                     sv.alias("sv"),
                 )
             )
@@ -882,10 +919,10 @@ def pq_encode(
     m = len(books)
     dsub = len(books[0][0])
     _check_pq_dim(df, m, dsub, vec_col)
-    v = as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     codes = F.array(
         *[
-            _sub_argmin_l2(F.slice(v, s * dsub + 1, dsub), books[s])
+            _sub_argmin_l2(f"slice({v}, {s * dsub + 1}, {dsub})", books[s])
             for s in range(m)
         ]
     )
@@ -914,24 +951,23 @@ def _adc_exprs(books: list[list[list[float]]]) -> tuple[Column, Column]:
     identical."""
     m = len(books)
     dsub = len(books[0][0])
-    approx = F.lit(0.0)
-    recon_sq = F.lit(0.0)
+    approx = "0.0D"
+    recon_sq = "0.0D"
     for s in range(m):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
+        book_lit = "array(" + ",".join(_vec_sql(c) for c in books[s]) + ")"
+        cent = (
+            f"element_at({book_lit}, "
+            f"cast(element_at(pq_codes, {s + 1}) + 1 as int))"
         )
-        cent = F.element_at(
-            book_lit,
-            (F.element_at(F.col("pq_codes"), s + 1) + F.lit(1)).cast("int"),
+        qs = f"slice(qv, {s * dsub + 1}, {dsub})"
+        approx = (
+            f"({approx} + aggregate(zip_with({qs},{cent},(a, b) -> a * b), "
+            f"0.0D, (x, y) -> x + y))"
         )
-        qs = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        approx = approx + F.aggregate(
-            F.zip_with(qs, cent, lambda a, b: a * b), F.lit(0.0), lambda x, y: x + y
+        recon_sq = (
+            f"({recon_sq} + aggregate({cent}, 0.0D, (x, c2) -> x + c2 * c2))"
         )
-        recon_sq = recon_sq + F.aggregate(
-            cent, F.lit(0.0), lambda x, c2: x + c2 * c2
-        )
-    return approx, recon_sq
+    return F.expr(approx), F.expr(recon_sq)
 
 
 def pq_topk(
@@ -1449,7 +1485,7 @@ def ivf_topk_indexed(
             F.explode(
                 F.transform(
                     F.slice(
-                        F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                        F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
                         1,
                         nprobe,
                     ),
@@ -1513,7 +1549,7 @@ def hard_negatives_indexed(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
+                    F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
                     1,
                     nprobe,
                 ),

@@ -19,6 +19,43 @@ from pyspark.sql.window import Window
 from .constants import BPE_TOKEN_PATTERN, LANG_MARKERS, MULT1, MULT2, P31
 
 
+def _frag(col) -> str | None:
+    """SQL fragment for a ``Column | str`` input, or None for a Column.
+
+    A bare-identifier string is backtick-quoted (the historical "column
+    name" reading); any other string passes through as an expression
+    fragment.  Hot expression builders use the fragment to render ONE
+    ``F.expr`` parse instead of hundreds of py4j ``F.lit``/lambda round
+    trips (profiled r14: ~1-2.5 s of driver time per construction for
+    the minhash/simhash builders); a Column input keeps the original
+    construction path, bit-identical either way."""
+    import re as _re
+
+    if isinstance(col, str):
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+            return "`" + col + "`"
+        return col
+    return None
+
+
+def _tokens_sql(c: str) -> str:
+    return f"split(trim({c}), '\\\\s+')"
+
+
+def _char_poly_hash_sql(c: str, mult: int) -> str:
+    return (
+        f"aggregate(transform(split({c}, ''), ch -> ascii(ch)), "
+        f"cast(0 as bigint), (acc, ch) -> (acc * {mult} + ch) % {P31})"
+    )
+
+
+def _fingerprint62_sql(c: str) -> str:
+    return (
+        f"({_char_poly_hash_sql(c, MULT1)} * {P31 + 1} "
+        f"+ {_char_poly_hash_sql(c, MULT2)})"
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -55,7 +92,10 @@ def fingerprint62(col: Column | str) -> Column:
     """62-bit document fingerprint: two independent 31-bit poly hashes
     concatenated (h1 << 31 | h2).  Reference analog: content hashing for
     change detection; here the base for simhash and exact-dup detection."""
-    c = F.col(col) if isinstance(col, str) else col
+    frag = _frag(col)
+    if frag is not None:
+        return F.expr(_fingerprint62_sql(frag)).alias("fingerprint")
+    c = col
     h1 = char_poly_hash(c, MULT1)
     h2 = char_poly_hash(c, MULT2)
     return (h1 * F.lit(P31 + 1) + h2).alias("fingerprint")
@@ -321,7 +361,19 @@ def hashed_linear_score(col: Column | str) -> Column:
     """
     from .constants import CLASSIFIER_BIAS, CLASSIFIER_BUCKETS, CLASSIFIER_WEIGHTS
 
-    c = F.col(col) if isinstance(col, str) else col
+    frag = _frag(col)
+    if frag is not None:
+        weights = "array(" + ",".join(
+            f"cast({w} as bigint)" for w in CLASSIFIER_WEIGHTS
+        ) + ")"
+        return F.expr(
+            f"aggregate({_tokens_sql(frag)}, "
+            f"cast({CLASSIFIER_BIAS} as bigint), "
+            f"(acc, t) -> acc + element_at({weights}, "
+            f"cast(({_char_poly_hash_sql('t', MULT1)} % {CLASSIFIER_BUCKETS}) "
+            f"+ 1 as int)))"
+        )
+    c = col
     weights = F.array(*[F.lit(w).cast("long") for w in CLASSIFIER_WEIGHTS])
     return F.aggregate(
         tokens(c),
@@ -337,7 +389,7 @@ def classify_quality(
     """Score every document with the hashed linear model and attach a
     keep/drop label (score >= 0 keeps).  Map-only: no shuffle at any
     scale."""
-    score = hashed_linear_score(F.col(text_col))
+    score = hashed_linear_score(text_col)
     return df.select(
         F.col(id_col),
         score.alias("clf_score"),

@@ -979,13 +979,31 @@ class _TTArrowWriter(DataSourceArrowWriter):
         return [rel for m in messages if m is not None for rel in m.files]
 
     def commit(self, messages):
+        files = self._all_files(messages)
+        if not files:
+            return  # all-empty write: no version (matches no-op DML)
+        # Arrow-first, exactly like the stream writer's commit: Spark 4
+        # runs the BATCH writer's commit in a detached Python runner
+        # with no JVM gateway too, where the former
+        # ``SparkSession.builder.getOrCreate()`` booted a whole PRIVATE
+        # local JVM (~10-20 s on first write, measured r14, plus a
+        # second resident JVM for the rest of the process).  The
+        # Spark-free commit publishes an identical manifest; only what
+        # it can't honor (non-local root, CHECK constraints, generated
+        # columns, schema drift, exotic stats) falls back to a session.
+        try:
+            _commit_files_arrow(
+                self._root,
+                files,
+                mode="overwrite" if self._overwrite else "append",
+            )
+            return
+        except _ArrowCommitUnsupported:
+            pass
         from pyspark.sql import SparkSession
 
         from astro_spark.operators.timetravel import tt_commit_files
 
-        files = self._all_files(messages)
-        if not files:
-            return  # all-empty write: no version (matches no-op DML)
         # the commit callback may run on a listener thread without an
         # ACTIVE session; the default session in this driver JVM is the
         # one running the write job

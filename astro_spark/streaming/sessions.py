@@ -160,7 +160,7 @@ def dedup_stream(
     schema = spark.read.parquet(input_path).schema
     stream = spark.readStream.schema(schema).parquet(input_path)
     fp = stream.select(
-        F.col(id_col), fingerprint62(F.col(text_col)).alias("fp"),
+        F.col(id_col), fingerprint62(text_col).alias("fp"),
         *( [F.col(ts_col)] if ts_col else [] ),
     )
     if ts_col:
@@ -266,11 +266,17 @@ def bloom_screen_stream(
         words[r.bit >> 6] |= 1 << (r.bit & 63)
 
     def _mask_literal():
-        return F.array(
-            *[
-                F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("long")
-                for w in words
-            ]
+        # one F.expr parse instead of m/64 (=512 at the default m) py4j
+        # F.lit round-trips — the literal path re-renders PER BATCH
+        # (the mask mutates between batches under self_screen), so the
+        # construction cost is on the drain's critical path.  Values
+        # are bit-identical: SQL `...L` long literals.
+        return F.expr(
+            "array("
+            + ",".join(
+                f"{w - (1 << 64) if w >= 1 << 63 else w}L" for w in words
+            )
+            + ")"
         )
 
     schema = spark.read.parquet(input_path).schema
@@ -282,7 +288,7 @@ def bloom_screen_stream(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
     stream = reader.parquet(input_path)
-    pos = bloom_bit_positions(fingerprint62(F.col(text_col)), m, k)
+    pos = bloom_bit_positions(fingerprint62(text_col), m, k)
 
     def _flag_literal(df):
         mask = _mask_literal()
@@ -388,7 +394,7 @@ def bloom_screen_stream(
             wfp = _W.partitionBy("__fp").orderBy(F.col(id_col).asc())
             flagged = (
                 flagged.withColumn(
-                    "__fp", fingerprint62(F.col(text_col))
+                    "__fp", fingerprint62(text_col)
                 )
                 .withColumn("__rn", F.row_number().over(wfp))
                 .withColumn(
@@ -406,7 +412,7 @@ def bloom_screen_stream(
             .select(
                 F.explode(
                     bloom_bit_positions(
-                        fingerprint62(F.col(text_col)), m, k
+                        fingerprint62(text_col), m, k
                     )
                 ).alias("bit")
             )
@@ -909,7 +915,7 @@ def containment_screen_stream(
     else:
         inv = corpus_df.select(
             F.col(id_col).alias("cid"),
-            F.explode(shingle_hash_array(F.col(text_col))).alias("h"),
+            F.explode(shingle_hash_array(text_col)).alias("h"),
         ).persist()
         inv.count()  # materialize once, not per micro-batch
         id_type = corpus_df.schema[id_col].dataType.simpleString()
