@@ -14,6 +14,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.identifiers import render_sql
+from .timetravel import _literal_rows_df
 
 
 class QueryModifier:
@@ -117,7 +118,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             else:
                 ts = float(val)
             v = tt_restore_to_ts(spark, m.group(1), ts)
-        return spark.createDataFrame([(v,)], "restored_as_version long")
+        return _literal_rows_df(spark, [(v,)], "restored_as_version long")
     m = re.match(
         r"(?is)^\s*insert\s+(into|overwrite)\s+'([^']+)'\s+(.+?)\s*;?\s*$",
         stmt,
@@ -155,7 +156,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             v = tt_append(spark, df, m.group(2))
         else:
             v = tt_overwrite(spark, df, m.group(2))
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+add\s+constraint\s+"
         r"`?(\w+)`?\s+check\s*\((.+)\)\s*;?\s*$",
@@ -168,7 +169,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         v = tt_add_constraint(
             spark, m.group(1), validate_identifier(m.group(2)), m.group(3)
         )
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+add\s+columns?\s*"
         r"\((.+)\)\s*;?\s*$",
@@ -187,7 +188,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 (validate_identifier(cm.group(1)), cm.group(2))
             )
         v = tt_add_columns(spark, m.group(1), cols)
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+set\s+tblproperties\s*"
         r"\((.+)\)\s*;?\s*$",
@@ -205,7 +206,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 return None  # not the TBLPROPERTIES grammar: fall through
             props[pm.group(1)] = pm.group(2)
         v = tt_set_properties(spark, m.group(1), props)
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+unset\s+tblproperties\s*"
         r"(?:if\s+exists\s*)?\((.+)\)\s*;?\s*$",
@@ -221,7 +222,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 return None
             keys.append(pm.group(1))
         v = tt_unset_properties(spark, m.group(1), keys)
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*show\s+tblproperties\s+'([^']+)'\s*;?\s*$", stmt
     )
@@ -229,8 +230,8 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         from .timetravel import tt_properties
 
         props = tt_properties(spark, m.group(1))
-        return spark.createDataFrame(
-            sorted(props.items()) or [], "key string, value string"
+        return _literal_rows_df(
+            spark, sorted(props.items()) or [], "key string, value string"
         )
     m = re.match(
         r"(?is)^\s*alter\s+table\s+'([^']+)'\s+drop\s+constraint\s+"
@@ -244,7 +245,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         v = tt_drop_constraint(
             spark, m.group(1), validate_identifier(m.group(2))
         )
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*optimize\s+'([^']+)'"
         r"(?:\s+where\s+(.+?))?"
@@ -264,7 +265,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         v = tt_optimize(
             spark, m.group(1), zorder_by=zcols, where=m.group(2)
         )
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*create\s+table\s+"
         r"(?:'([^']+)'|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?))\s+shallow\s+clone\s+"
@@ -285,7 +286,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         )
         if dst_name:
             tt_register(spark, dst_name, dst_root)
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*create\s+(or\s+replace\s+)?table\s+"
         r"(if\s+not\s+exists\s+)?"
@@ -344,8 +345,8 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             # name, return the current head — the SELECT never runs
             if name:
                 tt_register(spark, name, root)
-            return spark.createDataFrame(
-                [(existing[-1],)], "committed_version long"
+            return _literal_rows_df(
+                spark, [(existing[-1],)], "committed_version long"
             )
         tt_views: list[str] = []
         if _needs_tt_rewrite(src_sql):
@@ -372,7 +373,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             v = tt_create(spark, df, root, partition_by=pcols)
         if name:
             tt_register(spark, name, root)
-        return spark.createDataFrame([(v,)], "committed_version long")
+        return _literal_rows_df(spark, [(v,)], "committed_version long")
     m = re.match(
         r"(?is)^\s*vacuum\s+'([^']+)'"
         r"(?:\s+retain\s+(\d+)\s+versions)?(\s+dry\s+run)?\s*;?\s*$",
@@ -385,7 +386,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         n = tt_vacuum(
             spark, m.group(1), keep_last=keep, dry_run=bool(m.group(3))
         )
-        return spark.createDataFrame([(n,)], "deleted_files long")
+        return _literal_rows_df(spark, [(n,)], "deleted_files long")
     m = re.match(
         r"(?is)^\s*convert\s+to\s+delta\s+"
         r"(?:parquet\s*\.\s*)?(?:'([^']+)'|`([^`]+)`)"
@@ -405,7 +406,7 @@ def _route_timetravel_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
                 for piece in m.group(3).split(",")
             ]
         tt_convert(spark, m.group(1) or m.group(2), partition_by=pcols)
-        return spark.createDataFrame([(0,)], "converted_as_version long")
+        return _literal_rows_df(spark, [(0,)], "converted_as_version long")
     return None
 
 
@@ -853,7 +854,7 @@ def _route_merge_versioned_sql(
         *[F.col(s_col).alias(t_col) for s_col, t_col in col_map.items()]
     )
     v = tt_merge(spark, source, root, keys)
-    return spark.createDataFrame([(v,)], "committed_version long")
+    return _literal_rows_df(spark, [(v,)], "committed_version long")
 
 
 def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
@@ -924,7 +925,7 @@ def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             from .timetravel import tt_delete_where
 
             v = tt_delete_where(spark, pm.group(1), cond or "true")
-            return spark.createDataFrame([(v,)], "committed_version long")
+            return _literal_rows_df(spark, [(v,)], "committed_version long")
         tm = re.match(r"(?s)^(`?\w+`?(?:\s*\.\s*`?\w+`?)?)(\s.*|$)", rest)
         if not tm:
             return None
@@ -937,7 +938,7 @@ def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
         from .dml import delete_rows
 
         n = delete_rows(spark, t, cond if cond is not None else "true")
-        return spark.createDataFrame([(n,)], "affected_rows long")
+        return _literal_rows_df(spark, [(n,)], "affected_rows long")
 
     if low.startswith("update"):
         pm = re.match(r"(?is)^update\s+'([^']+)'\s+set\s+(.+)$", s)
@@ -977,11 +978,11 @@ def _route_dml_sql(spark: SparkSession, stmt: str) -> DataFrame | None:
             from .timetravel import tt_update_where
 
             v = tt_update_where(spark, pm.group(1), set_map, cond)
-            return spark.createDataFrame([(v,)], "committed_version long")
+            return _literal_rows_df(spark, [(v,)], "committed_version long")
         from .dml import update_rows
 
         n = update_rows(spark, t, set_map, cond)
-        return spark.createDataFrame([(n,)], "affected_rows long")
+        return _literal_rows_df(spark, [(n,)], "affected_rows long")
 
     return None
 
