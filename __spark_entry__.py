@@ -2923,7 +2923,7 @@ def _st_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
     out = containment_screen_stream(
         spark, src_dir, docs.where("doc_id % 7 != 0"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, schema=batch.schema,
     )
     return out.select("batch_id", "corpus_id", "containment")
 
@@ -2950,6 +2950,7 @@ def _st_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
     out = containment_screen_stream(
         spark, src_dir, index_path=idx_dir, max_files_per_trigger=1,
+        schema=batch.schema,
     )
     return out.select("batch_id", "corpus_id", "containment")
 
@@ -2993,7 +2994,7 @@ def _st_screen_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(p, (t0 + 10 * i, t0 + 10 * i))
     out = containment_screen_stream(
         spark, src_dir, index_path=idx_dir,
-        max_files_per_trigger=1, self_screen=True,
+        max_files_per_trigger=1, self_screen=True, schema=f1.schema,
     )
     return out.select("batch_id", "corpus_id", "containment")
 
@@ -3601,7 +3602,10 @@ def _st_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     staged = _staged_table_dir(spark, sf_dir, "documents")
-    return kmv_stream(spark, staged, max_files_per_trigger=1)
+    return kmv_stream(
+        spark, staged, max_files_per_trigger=1,
+        schema=_STAGED_SCHEMAS.get(staged),
+    )
 
 
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3631,6 +3635,7 @@ def _st_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         cols=["doc_id", "lang", "n_chars"],
         max_files_per_trigger=1,
+        schema=_STAGED_SCHEMAS.get(staged),
     )
 
 
@@ -4450,6 +4455,21 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-process cache of staged multi-file table directories
 _STAGED_DIRS: dict[tuple[str, str], str] = {}
 
+# staged-dir path -> schema of the frame that was written there, so the
+# streaming fixtures can hand the file-source stream its schema instead
+# of paying a per-drain batch-read inference (one driver listing +
+# footer job per stream construction — ~0.1 s each here, a full listing
+# of the backlog at real input sizes)
+_STAGED_SCHEMAS: dict[str, T.StructType] = {}
+
+
+def _stage_frame(df: DataFrame, d: str) -> str:
+    """Write ``df`` under ``d`` (overwrite) and remember its schema for
+    ``schema=``-passing at stream construction."""
+    df.write.mode("overwrite").parquet(d)
+    _STAGED_SCHEMAS[d] = df.schema
+    return d
+
 # per-process cache of plan-probe comparison halves (VERDICT r13 #7):
 # op_bucketed_screen's plain-table baseline is deterministic per sf_dir,
 # so repeat bench runs time only the claim-bearing bucketed screen
@@ -4468,7 +4488,7 @@ def _staged_table_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     if d and os.path.isdir(d):
         return d
     d = tempfile.mkdtemp(prefix=f"astro_{name}_stage_")
-    read_table(spark, sf_dir, name).repartition(4).write.mode("overwrite").parquet(d)
+    _stage_frame(read_table(spark, sf_dir, name).repartition(4), d)
     _STAGED_DIRS[(sf_dir, name)] = d
     return d
 
@@ -4490,6 +4510,7 @@ def _st_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.File(path=staged, filetype=a.FileType.PARQUET),
         output_table=out,
         max_files_per_trigger=2,  # force multi-micro-batch draining
+        schema=_STAGED_SCHEMAS.get(staged),
     )
     return spark.table(out.name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -4526,6 +4547,7 @@ def _st_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         if_conflicts="update",
         max_files_per_trigger=2,  # force multi-micro-batch upserts
+        schema=ev.schema,
     )
     return (
         spark.table(tgt.name)
@@ -4582,6 +4604,7 @@ def _st_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         if_conflicts="update",
         max_files_per_trigger=2,
+        schema=ev.schema,
         auto_compact_every_n_batches=1,
         auto_compact_opts={"small_file_mb": 64, "min_small_files": 2},
     )
@@ -4640,6 +4663,7 @@ def _st_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt,
         ["event_id"],
         max_files_per_trigger=1,
+        schema=up.schema,
     )
     return (
         spark.table(tgt.name)
@@ -4704,6 +4728,7 @@ def _st_apply_changes_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         seq_col="seq",
         max_files_per_trigger=1,
+        schema=up.schema,
     )
     return (
         spark.table(tgt.name)
@@ -4726,12 +4751,14 @@ def _st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import interval_join_stream
 
     _views(spark, sf_dir)
+    staged = _staged_events_dir(spark, sf_dir)
     return interval_join_stream(
         spark,
-        _staged_events_dir(spark, sf_dir),
+        staged,
         "event_type = 'view'",
         "event_type = 'purchase'",
         max_gap="1 hour",
+        schema=_STAGED_SCHEMAS.get(staged),
     )
 
 
@@ -4753,13 +4780,15 @@ def _st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    staged = _staged_events_dir(spark, sf_dir)
     rows = stream_static_join(
         spark,
-        _staged_events_dir(spark, sf_dir),
+        staged,
         cust,
         "user_id",
         ["c_mktsegment", "user_id"],
         max_files_per_trigger=2,
+        schema=_STAGED_SCHEMAS.get(staged),
     )
     return (
         rows.groupBy("c_mktsegment")
@@ -4820,9 +4849,11 @@ def _st_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import fan_out_stream
 
     _views(spark, sf_dir)
+    _fan_staged = _staged_events_dir(spark, sf_dir)
     tables = fan_out_stream(
         spark,
-        _staged_events_dir(spark, sf_dir),
+        _fan_staged,
+        schema=_STAGED_SCHEMAS.get(_fan_staged),
         sinks={
             "counts": lambda b: b.groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n")
@@ -4852,7 +4883,10 @@ def _st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import windowed_counts_stream
 
     _views(spark, sf_dir)
-    return windowed_counts_stream(spark, _staged_events_dir(spark, sf_dir))
+    staged = _staged_events_dir(spark, sf_dir)
+    return windowed_counts_stream(
+        spark, staged, schema=_STAGED_SCHEMAS.get(staged)
+    )
 
 
 # GROUPING SETS (distinct from rollup/cube: explicit set list)
@@ -5075,9 +5109,12 @@ def _st_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
-        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _stage_frame(docs.where("doc_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
-    return bloom_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+    return bloom_screen_stream(
+        spark, d, docs.where("doc_id % 2 = 0"),
+        schema=_STAGED_SCHEMAS.get(d),
+    )
 
 
 def _st_bloom_self(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5106,7 +5143,7 @@ def _st_bloom_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(p, (t0 + 10 * i, t0 + 10 * i))
     return bloom_screen_stream(
         spark, src_dir, docs.where("doc_id % 2 = 0"),
-        self_screen=True, max_files_per_trigger=1,
+        self_screen=True, max_files_per_trigger=1, schema=f1.schema,
     )
 
 
@@ -5138,6 +5175,7 @@ def _st_bloom_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_screen_stream(
         spark, src_dir, docs.where("doc_id % 2 = 0"),
         self_screen=True, max_files_per_trigger=1, within_batch=True,
+        schema=f1.schema,
     )
 
 
@@ -5156,10 +5194,11 @@ def _st_bloom_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
-        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _stage_frame(docs.where("doc_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
     return bloom_screen_stream(
-        spark, d, docs.where("doc_id % 2 = 0"), m=1 << 21
+        spark, d, docs.where("doc_id % 2 = 0"), m=1 << 21,
+        schema=_STAGED_SCHEMAS.get(d),
     )
 
 
@@ -5174,9 +5213,12 @@ def _st_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
-        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _stage_frame(docs.where("doc_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
-    return minhash_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+    return minhash_screen_stream(
+        spark, d, docs.where("doc_id % 2 = 0"),
+        schema=_STAGED_SCHEMAS.get(d),
+    )
 
 
 def _st_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5195,11 +5237,13 @@ def _st_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
-        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _stage_frame(docs.where("doc_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
     idx_dir = tempfile.mkdtemp(prefix="astro_mh_idx_")
     dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), idx_dir)
-    return minhash_screen_stream(spark, d, index_path=idx_dir)
+    return minhash_screen_stream(
+        spark, d, index_path=idx_dir, schema=_STAGED_SCHEMAS.get(d)
+    )
 
 
 def _st_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5220,13 +5264,13 @@ def _st_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_embodd_stage_")
-        emb.where("vec_id % 2 = 1").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(d)
+        _stage_frame(emb.where("vec_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
     idx_dir = tempfile.mkdtemp(prefix="astro_sem_idx_")
     build_semantic_index(emb.where("vec_id % 2 = 0"), idx_dir)
-    out = semantic_screen_stream(spark, d, index_path=idx_dir)
+    out = semantic_screen_stream(
+        spark, d, index_path=idx_dir, schema=_STAGED_SCHEMAS.get(d)
+    )
     return out.select("batch_id", "corpus_id", "cos_sim")
 
 
@@ -5243,13 +5287,16 @@ def _st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _STAGED_DIRS.get(key)
     if not (d and os.path.isdir(d)):
         d = tempfile.mkdtemp(prefix="astro_docsodd_stage_")
-        docs.where("doc_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(d)
+        _stage_frame(docs.where("doc_id % 2 = 1").repartition(4), d)
         _STAGED_DIRS[key] = d
     # NO max_files_per_trigger here: the availableNow drain must run as a
     # SINGLE micro-batch, because the st_drift oracle pins batch_id = 0.
     # If the trigger/staging ever changes to multi-batch, re-aggregate the
     # oracle over batches instead of pinning 0.
-    out = drift_screen_stream(spark, d, docs.where("doc_id % 2 = 0"))
+    out = drift_screen_stream(
+        spark, d, docs.where("doc_id % 2 = 0"),
+        schema=_STAGED_SCHEMAS.get(d),
+    )
     n_batches = out.select("batch_id").distinct().count()
     assert n_batches <= 1, (
         f"st_drift drained {n_batches} micro-batches; the oracle assumes one "
@@ -5284,6 +5331,7 @@ def _st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _partial,
         f"mv_evt_{uuid.uuid4().hex[:8]}",
         max_files_per_trigger=1,
+        schema=_STAGED_SCHEMAS.get(staged),
     )
 
 
@@ -5313,6 +5361,7 @@ def _st_mv_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mv_evtc_{uuid.uuid4().hex[:8]}",
         max_files_per_trigger=1,
         compact_partials_over_n_batches=1,
+        schema=_STAGED_SCHEMAS.get(staged),
     )
 
 
@@ -5337,7 +5386,7 @@ def _st_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         odd = tempfile.mkdtemp(prefix="astro_ivfodd_")
         emb.where("vec_id % 2 = 1").repartition(4).write.mode("overwrite").parquet(odd)
-        ivf_index_stream(spark, odd, d)
+        ivf_index_stream(spark, odd, d, schema=emb.schema)
         _STAGED_DIRS[key] = d
     return similarity.ivf_topk_indexed(
         spark, d, emb.where("vec_id < 5"), nprobe=len(SEMDEDUP_CENTROIDS), k=5
@@ -5348,15 +5397,18 @@ def _st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import dedup_stream
 
     _views(spark, sf_dir)
-    return dedup_stream(spark, _staged_table_dir(spark, sf_dir, "documents"))
+    staged = _staged_table_dir(spark, sf_dir, "documents")
+    return dedup_stream(spark, staged, schema=_STAGED_SCHEMAS.get(staged))
 
 
 def _st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_spark.streaming import sessionize_stream
 
     _views(spark, sf_dir)
+    staged = _staged_events_dir(spark, sf_dir)
     return sessionize_stream(
-        spark, _staged_events_dir(spark, sf_dir), shuffle_partitions=8
+        spark, staged, shuffle_partitions=8,
+        schema=_STAGED_SCHEMAS.get(staged),
     )
 
 
@@ -5633,6 +5685,7 @@ def _st_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["o_orderkey"],
         attr_cols=["price_cents"],
         effective_date_col="eff",
+        schema=snap_a.schema,
     )
     return spark.table(tgt.name)
 
@@ -5757,6 +5810,7 @@ def _st_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda batch: linalg.gram_matrix_long(batch),
         f"gram_mv_{uuid.uuid4().hex[:8]}",
         max_files_per_trigger=1,  # force one batch per embedding slice
+        schema=emb.schema,
     )
     return mv.select(
         F.col("i").cast("long").alias("i"),
@@ -5789,6 +5843,7 @@ def _st_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda batch: token_counts_table(batch),
         f"vocab_mv_{uuid.uuid4().hex[:8]}",
         max_files_per_trigger=1,
+        schema=docs.schema,
     )
     return vocab_from_counts(mv, size=_VOCAB_SIZE)
 
@@ -6709,6 +6764,7 @@ def _st_tt_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, root, conflict_columns=["k"],
         max_files_per_trigger=1,
         checkpoint_dir=tempfile.mkdtemp(prefix="astro_ttcdc_ckpt_"),
+        schema=f1.schema,
     )
     out = None
     for v in range(3):
@@ -6889,7 +6945,7 @@ def _st_ahash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
     out = signature_screen_stream(
         spark, src_dir, image_ahash, idx_dir, sig_col="ahash",
-        max_hamming=4, max_files_per_trigger=1,
+        max_hamming=4, max_files_per_trigger=1, schema=batch.schema,
     )
     return out.orderBy("batch_id", "corpus_id")
 
@@ -7216,7 +7272,7 @@ def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src_dir)
     aggregate_mv_stream(
         spark, src_dir, ["o_orderpriority"], agg_fn, mv_name,
-        checkpoint_dir=ckpt,
+        checkpoint_dir=ckpt, schema=orders.schema,
     )
     part_meta = lambda: {  # noqa: E731 - tiny local probe
         r[0]
@@ -7242,7 +7298,7 @@ def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src_dir)
     mv = aggregate_mv_stream(
         spark, src_dir, ["o_orderpriority"], agg_fn, mv_name,
-        checkpoint_dir=ckpt,
+        checkpoint_dir=ckpt, schema=orders.schema,
     )
     files_2 = part_meta()
     batches_2 = spark.table(phys).select("__batch_id").distinct().count()

@@ -45,6 +45,7 @@ def interval_join_stream(
     max_gap: str = "1 hour",
     watermark_delay: str | None = None,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Pair left rows with right rows sharing ``key_col`` where the
     right timestamp falls in ``(left.ts, left.ts + max_gap]``.
@@ -58,7 +59,8 @@ def interval_join_stream(
     mode; see module docstring for the production trade-off.
     """
     delay = watermark_delay or _DETERMINISTIC_DELAY
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
 
     def _side(filter_sql: str, alias: str) -> DataFrame:
         reader = spark.readStream.schema(schema)
@@ -105,6 +107,7 @@ def stream_static_join(
     select_cols: list[str],
     agg_by: str | None = None,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Enrich a file-source stream with a STATIC dimension table — the
     standard streaming-enrichment shape (fact stream ⋈ slowly-changing
@@ -121,7 +124,8 @@ def stream_static_join(
     Drains the backlog with ``availableNow``; returns the enriched rows
     (or a per-``agg_by`` count/sum aggregate) as a batch DataFrame.
     """
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -396,6 +396,7 @@ def fan_out_stream(
     sinks: dict[str, "Callable[[DataFrame], DataFrame]"],
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> dict[str, Table]:
     """One stream read fanned out to MANY sinks inside a single
     ``foreachBatch`` — the single-pass multi-sink pattern.
@@ -419,7 +420,8 @@ def fan_out_stream(
     """
     import uuid as _uuid
 
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -535,6 +537,7 @@ def aggregate_mv_stream(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     compact_partials_over_n_batches: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Incrementally-maintained aggregate materialized view: each
     micro-batch contributes a PARTIAL aggregate; the MV is the
@@ -561,7 +564,8 @@ def aggregate_mv_stream(
 
     Registers the MV as a temp view ``mv_name`` and returns its frame.
     """
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -618,6 +622,7 @@ def ivf_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> int:
     """Streaming ANN index maintenance: each micro-batch of vectors is
     assigned against the index's STORED centroids and appended into its
@@ -637,7 +642,8 @@ def ivf_index_stream(
 
     centroids = ivf_read_centroids(spark, index_path)
     checkpoint = tempfile.mkdtemp(prefix="astro_ivfstream_ckpt_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -145,6 +145,7 @@ def dedup_stream(
     id_col: str = "doc_id",
     ts_col: str | None = None,
     watermark_delay: str = "1 hour",
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: drain the file backlog keeping one row per
     distinct content fingerprint, and return the distinct-doc count.
@@ -157,7 +158,8 @@ def dedup_stream(
     """
     from ..functions.text import fingerprint62
 
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     stream = spark.readStream.schema(schema).parquet(input_path)
     fp = stream.select(
         F.col(id_col), fingerprint62(text_col).alias("fp"),
@@ -194,6 +196,7 @@ def bloom_screen_stream(
     max_files_per_trigger: int | None = None,
     within_batch: bool = False,
     mask_mode: str = "auto",
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming Bloom screen: flag every incoming doc against the
     STATIC corpus Bloom filter, map-only.
@@ -279,7 +282,8 @@ def bloom_screen_stream(
             + ")"
         )
 
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     id_type = schema[id_col].dataType.simpleString()
     text_type = schema[text_col].dataType.simpleString()
     reader = spark.readStream.schema(schema)
@@ -473,6 +477,7 @@ def minhash_screen_stream(
     max_files_per_trigger: int | None = None,
     index_path: str | None = None,
     self_screen: bool = False,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup screen: each micro-batch's MinHash bands join
     the corpus banding relation, with exact-Jaccard verification —
@@ -531,7 +536,8 @@ def minhash_screen_stream(
         id_type = corpus_df.schema[id_col].dataType.simpleString()
 
     out_dir = tempfile.mkdtemp(prefix="astro_mh_screen_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -585,6 +591,7 @@ def kmv_stream(
     k: int = 256,
     shingle: int = 3,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming KMV cardinality: maintain the k smallest distinct
     shingle fingerprints across micro-batches.
@@ -604,7 +611,8 @@ def kmv_stream(
     """
     from ..functions.sketches import kmv_estimate, shingle_fingerprints
 
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -651,6 +659,7 @@ def weighted_sample_stream(
     id_col: str = "doc_id",
     cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming deterministic weighted priority sample: maintain the
     ``n`` rows with the smallest ``hash(id)/weight`` priority keys
@@ -676,7 +685,8 @@ def weighted_sample_stream(
 
     from ..functions.text import char_poly_hash
 
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     cols = cols or [f.name for f in schema.fields]
     if id_col not in cols:
         raise ValueError(
@@ -747,6 +757,7 @@ def signature_screen_stream(
     max_hamming: int = 4,
     max_files_per_trigger: int | None = None,
     self_screen: bool = False,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming PERCEPTUAL near-dup screen: each micro-batch of binary
     payloads (images, audio clips — any modality with a 62-bit
@@ -787,7 +798,8 @@ def signature_screen_stream(
     inv = spark.read.parquet(index_path).select("id", sig_col)
 
     out_dir = tempfile.mkdtemp(prefix="astro_sig_screen_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -848,6 +860,7 @@ def containment_screen_stream(
     max_files_per_trigger: int | None = None,
     index_path: str | None = None,
     self_screen: bool = False,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming containment screen: each micro-batch of incoming docs
     is checked for being mostly CONTAINED in an existing corpus doc
@@ -921,7 +934,8 @@ def containment_screen_stream(
         id_type = corpus_df.schema[id_col].dataType.simpleString()
 
     out_dir = tempfile.mkdtemp(prefix="astro_cont_screen_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -1009,6 +1023,7 @@ def semantic_screen_stream(
     threshold: float | None = None,
     max_files_per_trigger: int | None = None,
     self_screen: bool = False,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming EMBEDDING-based near-dup screen (round 14, VERDICT r13
     #8 — completes the screen matrix: exact / Bloom / MinHash /
@@ -1050,7 +1065,8 @@ def semantic_screen_stream(
     )
 
     out_dir = tempfile.mkdtemp(prefix="astro_sem_screen_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

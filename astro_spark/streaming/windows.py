@@ -34,6 +34,7 @@ def windowed_counts_stream(
     watermark_delay: str = "1 hour",
     output_mode: str = "complete",
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Stream files under ``input_path`` through a watermarked tumbling
     window count; drain the backlog (``availableNow``) and return the
@@ -42,7 +43,8 @@ def windowed_counts_stream(
     Returns columns (hour, n_events) where ``hour`` is the window start
     formatted ``yyyy-MM-dd HH`` (epoch-aligned tumbling windows).
     """
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -108,6 +110,7 @@ def drift_screen_stream(
     ref_df: DataFrame,
     bin_expr: str = "n_chars DIV 100",
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming distribution-drift monitor: every micro-batch's bin
     histogram is compared against a STATIC reference corpus with the
@@ -137,7 +140,8 @@ def drift_screen_stream(
     ref_counts.count()  # materialize once, not per micro-batch
 
     out_dir = tempfile.mkdtemp(prefix="astro_drift_screen_")
-    schema = spark.read.parquet(input_path).schema
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -57,6 +57,18 @@ class TestWindowedCounts:
             map(tuple, windowed_counts_stream(spark, events_dir).collect())
         )
 
+    def test_explicit_schema_matches_inferred(self, spark, events_dir):
+        """schema= skips the per-drain batch-read inference (one driver
+        listing+footer job per stream construction); the result must be
+        identical to the inferred-schema drain."""
+        inferred = windowed_counts_stream(spark, events_dir)
+        explicit = windowed_counts_stream(
+            spark, events_dir, schema=spark.read.parquet(events_dir).schema
+        )
+        assert sorted(map(tuple, explicit.collect())) == sorted(
+            map(tuple, inferred.collect())
+        )
+
 
 class TestLateData:
     def test_stragglers_dropped_open_windows_withheld(self, spark):

@@ -104,8 +104,12 @@ def main() -> None:
             if args.explain and i == 0:
                 os.makedirs(args.explain, exist_ok=True)
                 p = Path(args.explain) / f"{name}_{args.suffix}.txt"
+                jvm = spark._jvm
+                jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
                 with open(p, "w") as f:
-                    f.write(df._jdf.queryExecution().explainString("formatted"))
+                    f.write(df._jdf.queryExecution().explainString(jmode))
         tot = sorted(r[0] for r in runs)[len(runs) // 2]
         print(
             f"{name}: median {tot}s  runs[(total,construct,execute)]={runs} ({n} rows)"
