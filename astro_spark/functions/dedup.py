@@ -179,6 +179,25 @@ def _band_hash(sig: Column | str, band: int, rows: int) -> Column:
     return acc
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow input before a heavy per-row projection (guide
+    §2.5 input skew): the local testdata parquet files are single
+    row-group, so every scan starts as ONE task and the shingle/
+    signature/assign expressions run single-threaded until the first
+    shuffle (profiled r14: 1.7-4.4 s single-task stages under the dedup
+    heavies).  Repartition to the session's parallelism ONLY when the
+    input is narrower than it — at real scale inputs are wider and this
+    is a no-op, so no constant is tuned for local mode."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if nparts < par:
+        return df.repartition(par)
+    return df
+
+
 def _materialize_and_release(result: DataFrame, *bases: DataFrame) -> DataFrame:
     """Eagerly compute ``result`` while the persisted shingle/signature
     bases are live, then release the bases.
@@ -251,7 +270,8 @@ def minhash_lsh_pairs(
         # be a persisted table / shuffle-reused stage, locally a memory
         # cache
         base = (
-            df.select(
+            _spread(df)
+            .select(
                 F.col(id_col).alias("id"),
                 shingle_hash_array(text_col).alias("sh"),
             )
@@ -559,7 +579,7 @@ def ngram_jaccard_pairs(
     """
     # shingle table feeds both the inverted index and the size lookup —
     # persist so the char-level hashing runs once
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"), shingle_hash_array(text_col).alias("sh")
     ).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
@@ -1123,6 +1143,21 @@ def semantic_dup_pairs(
     base = assigned.select(
         "cell", F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
+    # Materialize (cell, id, v, nrm) ONCE before the self-join (guide
+    # §1.2/§5): without the barrier, CollapseProject inlines the 64-term
+    # norm fold INTO the per-element division lambda below (the fold
+    # re-evaluates per element — 64× per row, interpreted), and the
+    # self-join evaluates the whole assign+norm chain once per side.
+    # Profiled r14 (sf0.1, 2000×64): the broadcast build alone ran 4.4 s
+    # on ONE task; with the repartition (parallelism for the tiny
+    # single-file local scan — skipped when the input is already wider
+    # than the cluster) + eager localCheckpoint, assign/norm compute one
+    # parallel pass and the division reads nrm as a plain column.
+    # Values are bit-identical: same expressions, evaluated once.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "cell", "id")
+    base = base.localCheckpoint(eager=True)
     unit = base.select(
         "cell", "id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
@@ -1486,7 +1521,7 @@ def _banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh, band, bh) banding relation for a corpus — the persisted
     layout an incremental dedup service keeps per ingested corpus."""
     rows = MINHASH_K // LSH_BANDS
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hash_array(text_col).alias("sh"),
     ).withColumn("sig", minhash_signature("sh"))
@@ -1730,7 +1765,7 @@ def containment_pairs(
 
 def _shingle_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) shingle-hash-array base shared by the containment scans."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"), shingle_hash_array(text_col).alias("sh")
     )
 

@@ -88,17 +88,114 @@ def char_poly_hash(col: Column | str, mult: int = MULT1) -> Column:
     )
 
 
+#: module-level power tables {mult: np.ndarray of mult^i mod P31}, grown
+#: geometrically and kept across tasks by Python worker reuse (guide §4.5)
+_POW_CACHE: dict = {}
+
+
+def _pow_table(mult: int, n: int):
+    import numpy as np
+
+    tbl = _POW_CACHE.get(mult)
+    if tbl is None or len(tbl) < n:
+        size = max(n, 1024, 0 if tbl is None else 2 * len(tbl))
+        out = np.empty(size, dtype=np.int64)
+        out[0] = 1
+        for i in range(1, size):
+            out[i] = out[i - 1] * mult % P31
+        _POW_CACHE[mult] = tbl = out
+    return tbl
+
+
+def _fingerprint62_np(texts):
+    """Vectorized twin of the char-fold fingerprint over one pandas
+    batch — identical integers by algebra: the fold ``acc = (acc*m + c)
+    % P31`` equals ``Σ c_j · m^(L-1-j) mod P31``; every intermediate
+    here stays below 2^63 (terms are mod-P31 before the segment sum,
+    segments are chunk-bounded), so the arithmetic is exact int64."""
+    import numpy as np
+    import pandas as pd
+
+    null = texts.isna()
+    s = texts.mask(null, "") if null.any() else texts
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(len(s), dtype=np.int64)
+    # chunk rows so Σ terms per chunk stays < 2^62 (terms ≤ P31 < 2^31);
+    # boundaries via searchsorted on the char cumsum — almost every real
+    # batch is one chunk (the loop is per-CHUNK, never per-row)
+    max_chars = 1 << 30
+    if lens.sum() <= max_chars:
+        bounds = [0, len(s)]
+    else:
+        csum = np.cumsum(lens)
+        bounds = [0]
+        while bounds[-1] < len(s):
+            lo = bounds[-1]
+            base = csum[lo - 1] if lo else 0
+            end = int(np.searchsorted(csum, base + max_chars, side="right"))
+            bounds.append(max(end, lo + 1))
+    for start, end in zip(bounds[:-1], bounds[1:]):
+        chunk = s.iloc[start:end]
+        clens = lens[start:end]
+        flat = np.frombuffer(
+            "".join(chunk.tolist()).encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
+        offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum(clens, out=offs[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], clens)
+        rev = np.repeat(clens, clens) - 1 - pos
+        maxlen = int(clens.max()) if len(clens) else 0
+        hs = []
+        for mult in (MULT1, MULT2):
+            pw = _pow_table(mult, maxlen)
+            terms = flat * pw[rev] % P31
+            cs = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(terms, out=cs[1:])
+            hs.append((cs[offs[1:]] - cs[offs[:-1]]) % P31)
+        out[start:end] = hs[0] * (P31 + 1) + hs[1]
+    if null.any():
+        return pd.Series(out).mask(null.to_numpy(), None).astype("Int64")
+    return pd.Series(out)
+
+
+def _fingerprint62_udf() -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    fn = getattr(_fingerprint62_udf, "_fn", None)
+    if fn is None:
+        import pandas as pd
+
+        def _fp(texts):
+            return _fingerprint62_np(texts)
+
+        # module has `from __future__ import annotations`: set real type
+        # objects, not strings, so pandas_udf's signature inference works
+        _fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        fn = pandas_udf("long")(_fp)
+        _fingerprint62_udf._fn = fn
+    return fn
+
+
 def fingerprint62(col: Column | str) -> Column:
     """62-bit document fingerprint: two independent 31-bit poly hashes
     concatenated (h1 << 31 | h2).  Reference analog: content hashing for
-    change detection; here the base for simhash and exact-dup detection."""
+    change detection; here the base for simhash and exact-dup detection.
+
+    Computed by the vectorized Arrow twin (``_fingerprint62_np``; guide
+    §4.2): the former ``aggregate(transform(split(c,''), ascii), ...)``
+    fold is a CodegenFallback chain interpreted per character — profiled
+    r14 at ~0.6-1.1 s per 5000-doc pass (and the streaming self-screens
+    evaluate it 2-3× per micro-batch).  The numpy path is exact int64
+    (see ``_fingerprint62_np``) and pinned bit-identical by the oracle
+    rows of every fingerprint consumer.  ``char_poly_hash`` /
+    ``_fingerprint62_sql`` keep the expression form for SQL-fragment
+    embedding sites."""
     frag = _frag(col)
     if frag is not None:
-        return F.expr(_fingerprint62_sql(frag)).alias("fingerprint")
-    c = col
-    h1 = char_poly_hash(c, MULT1)
-    h2 = char_poly_hash(c, MULT2)
-    return (h1 * F.lit(P31 + 1) + h2).alias("fingerprint")
+        c = F.expr(frag)
+    else:
+        c = col
+    return _fingerprint62_udf()(c).alias("fingerprint")
 
 
 def quality_metrics(col: Column | str) -> dict[str, Column]:
