@@ -181,21 +181,12 @@ def _band_hash(sig: Column | str, band: int, rows: int) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Widen a narrow input before a heavy per-row projection (guide
-    §2.5 input skew): the local testdata parquet files are single
-    row-group, so every scan starts as ONE task and the shingle/
-    signature/assign expressions run single-threaded until the first
-    shuffle (profiled r14: 1.7-4.4 s single-task stages under the dedup
-    heavies).  Repartition to the session's parallelism ONLY when the
-    input is narrower than it — at real scale inputs are wider and this
-    is a no-op, so no constant is tuned for local mode."""
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if nparts < par:
-        return df.repartition(par)
-    return df
+    §2.5 input skew; profiled r14: 1.7-4.4 s single-task stages under
+    the dedup heavies on single-row-group inputs).  Canonical helper:
+    ``similarity.spread_narrow_input``."""
+    from .similarity import spread_narrow_input
+
+    return spread_narrow_input(df)
 
 
 def _materialize_and_release(result: DataFrame, *bases: DataFrame) -> DataFrame:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import as_double
+from .similarity import as_double, spread_narrow_input
 
 
 def _vec(df: DataFrame, vec_col: str):
@@ -79,8 +79,14 @@ def gram_matrix(
             df, vec_col
         )
         v = F.array(*[_vec(df, vec_col)[i] - F.lit(float(means[i])) for i in range(d)])
+    # the double posexplode multiplies rows n·d² — widen a narrow scan
+    # first so the generate stage parallelizes (guide §2.5; quantized
+    # sums are integer-associative, so the result is partition-order
+    # independent; the unquantized double sum never had a guaranteed
+    # order to begin with)
     prods = (
-        df.select(v.alias("v"))
+        spread_narrow_input(df)
+        .select(v.alias("v"))
         .select(F.posexplode("v").alias("i", "x"), F.col("v"))
         .select(
             "i",
@@ -116,7 +122,8 @@ def gram_matrix_long(
     """
     v = _vec(df, vec_col)
     return (
-        df.select(v.alias("v"))
+        spread_narrow_input(df)  # see gram_matrix: parallelize the n·d² generate
+        .select(v.alias("v"))
         .select(F.posexplode("v").alias("i", "x"), F.col("v"))
         .select(
             "i",

@@ -26,6 +26,25 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Widen a narrow input before a heavy per-row projection or a
+    row-multiplying explode (guide §2.5 input skew: repartition right
+    after the read).  The local testdata parquet files are single
+    row-group, so every scan starts as ONE task and heavy expression
+    chains run single-threaded until the first shuffle.  Repartition to
+    the session's parallelism ONLY when the input is narrower than it —
+    at real scale inputs are wider and this is a no-op, so no constant
+    is tuned for local mode."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if nparts < par:
+        return df.repartition(par)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold of element products (deterministic order)."""
     return F.aggregate(

@@ -123,6 +123,74 @@ class TestSessionize:
         assert r.user_id == 1 and r.n_events == 2
         assert r.session_end - r.session_start == 600
 
+    def test_state_fn_vectorized_semantics(self):
+        """Drive the (r14-vectorized) per-key state function directly
+        with a fake GroupState through every carried-state shape: fresh
+        key, carried session EXTENDED by the next batch, carried session
+        CLOSED by a gap, several sessions inside one batch, unsorted
+        arrival with same-second (ts, event_id) ties, and an empty
+        batch.  Expectations are hand-computed from the sessionizer
+        contract (close on gap > threshold, emit all but the trailing
+        open session)."""
+        import numpy as np
+        import pandas as pd
+
+        from astro_spark.streaming.sessions import _make_session_fn
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        def batch(rows):  # rows: (event_id, epoch_sec)
+            return pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime(
+                        [np.datetime64(r[1], "s") for r in rows]
+                    ),
+                }
+            )
+
+        fn = _make_session_fn(10)
+        state = FakeState()
+
+        def drain(b):
+            return [
+                tuple(t)
+                for f in (fn((7,), iter([b]), state) or [])
+                for t in f.itertuples(index=False, name=None)
+            ]
+
+        # batch 1 (shuffled arrival): sessions [100,105] and [200];
+        # the first closes in-batch, [200] stays open
+        assert drain(batch([(2, 200), (0, 100), (1, 105)])) == [
+            (7, 100, 105, 2)
+        ]
+        assert state.get == (200, 200, 1)
+        # batch 2: 205 extends the carried session (gap 5 <= 10)
+        assert drain(batch([(3, 205)])) == []
+        assert state.get == (200, 205, 2)
+        # batch 3: 300 closes the carried 3-event session, stays open
+        assert drain(batch([(4, 300)])) == [(7, 200, 205, 2)]
+        assert state.get == (300, 300, 1)
+        # same-second tie: event_id breaks order deterministically
+        assert drain(batch([(6, 300), (5, 300)])) == []
+        assert state.get == (300, 300, 3)
+        # empty batch: state carried unchanged, nothing emitted
+        assert drain(batch([])) == []
+        assert state.get == (300, 300, 3)
+
 
 class TestDedupStream:
     def test_distinct_count(self, spark, tmp_path):
