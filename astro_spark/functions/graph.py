@@ -203,19 +203,32 @@ def components_star(
         ).collect()[0]
         return (row["n"], row["s"])
 
+    def _symmetric(ed: DataFrame) -> DataFrame:
+        # both orientations from ONE pass over ed (r14, guide §1.2): the
+        # former union of ed with its column-swapped SELF inlined the
+        # whole upstream plan twice — each round evaluated large-star's
+        # groupBy+join TWICE (once per union branch).  explode(array(
+        # (a,b),(b,a))) reads each row once; same rows, then distinct.
+        return (
+            ed.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .distinct()
+        )
+
     cur = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     prev_sig = None
     converged = False
     for _ in range(max_iterations):
-        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        sym = sym.union(
-            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        cur = _small_star(_large_star(sym).select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        ).union(
-            _large_star(sym).select(F.col("b").alias("u"), F.col("a").alias("v"))
-        ).distinct()).localCheckpoint()
+        sym = _symmetric(cur)
+        ls = _large_star(sym)
+        cur = _small_star(_symmetric(ls)).localCheckpoint()
         sig = _sig(cur)
         if sig == prev_sig:
             converged = True

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .constants import KMV_COEFFS, MULT1, MULT2, P31
+from .similarity import spread_narrow_input
 from .text import char_poly_hash, fingerprint62, tokens
 
 #: default number of minimum hash values kept
@@ -92,7 +93,12 @@ def kmv_distinct(
     the value space is too large to DISTINCT-shuffle.
     """
     c = F.col(col) if isinstance(col, str) else col
-    hvs = df.where(c.isNotNull()).select(fingerprint62(c).alias("hv"))
+    # widen a narrow scan before the per-doc fingerprint pass (guide
+    # §2.5; min-selection is order-free, result unchanged)
+    hvs = (
+        spread_narrow_input(df.where(c.isNotNull()))
+        .select(fingerprint62(c).alias("hv"))
+    )
     mins = kmv_mins(hvs, k, pre_aggregate)
     agg = mins.agg(
         F.count(F.lit(1)).alias("k_used"),
@@ -182,6 +188,9 @@ def shingle_fingerprints(
     bits) — the ``shingle_hash_array`` trick: k× cheaper than hashing
     every shingle's characters, and string-free (no concat
     materialization).  Measured 9.5 s → 1.3 s on the sf0.1 sketch."""
+    # widen a narrow scan before the token-hash/fold projection (guide
+    # §2.5; per-row explode output, order-free consumers)
+    df = spread_narrow_input(df)
     tok_arr = tokens(F.col(text_col))
     carry = [F.col(group_col)] if group_col else []
     if shingle <= 1:
