@@ -1744,10 +1744,19 @@ def containment_pairs(
             "(got both or neither)"
         )
     if inverted is not None:
-        inv = inverted.select(F.col("cid").alias("id"), "h")
-        sizes = inv.groupBy("id").agg(F.countDistinct("h").alias("n"))
+        # Dedup the index relation ONCE, then count with plain count(1)
+        # (r14, guide §2.3 aggregate before you shuffle): the former
+        # countDistinct-per-pair aggregate has no map-side partial
+        # phase, so the full candidate blow-up of the h-self-join
+        # shuffled raw; after .distinct() every (id, h) is unique, so
+        # each shared shingle contributes exactly one join row per
+        # DIRECTED pair and count(1) ≡ countDistinct(h) — the same
+        # at-least-once idempotence, paid as one bounded index shuffle
+        # instead of an unshrunk candidate shuffle.
+        inv = inverted.select(F.col("cid").alias("id"), "h").distinct()
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         return _containment_pairs_from_inv(
-            inv, sizes, threshold, max_shingle_df, distinct_shared=True
+            inv, sizes, threshold, max_shingle_df, distinct_shared=False
         )
     base = _shingle_base(df, text_col, id_col).persist()
     out = _containment_pairs_from_base(base, threshold, max_shingle_df)

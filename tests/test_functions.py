@@ -2982,6 +2982,40 @@ class TestContainment:
         }
         assert clean == doubled == {(1, 100, 1.0)}
 
+    def test_containment_pairs_prebuilt_robust_to_duplicate_index_rows(
+        self, spark
+    ):
+        """Same at-least-once contract for the full-pairs prebuilt path
+        (r14: the per-pair countDistinct became an upfront index
+        .distinct() + plain count — scores must still ignore duplicated
+        (cid, h) rows)."""
+        from astro_spark.functions import dedup
+        from astro_spark.functions.dedup import shingle_hash_array
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, quoted), (100, f"{filler} {quoted} {filler}")],
+            ["doc_id", "text"],
+        )
+        inv = docs.select(
+            F.col("doc_id").alias("cid"),
+            F.explode(shingle_hash_array(F.col("text"))).alias("h"),
+        )
+        clean = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                None, threshold=0.5, inverted=inv
+            ).collect()
+        }
+        doubled = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                None, threshold=0.5, inverted=inv.unionAll(inv)
+            ).collect()
+        }
+        assert clean == doubled and (1, 100, 1.0) in clean
+
 class TestPadTokenIds:
     def test_truncates_pads_and_masks(self, spark):
         from astro_spark.functions import text as T
