@@ -149,22 +149,66 @@ def _publish(
     version: int,
     manifest: dict,
 ) -> None:
-    """Atomic put-if-absent of the version manifest — the commit point."""
+    """Atomic put-if-absent of the version manifest — the commit point.
+
+    The manifest must appear atomically WITH its content (r14): the
+    former create(overwrite=False)-then-write claimed the slot
+    atomically but exposed a zero-length file to concurrent readers
+    until the JSON landed (a racing reader got JSONDecodeError — the
+    linearizability property test caught it), and a writer crash inside
+    the window would wedge the slot with an empty manifest.  Local
+    roots write a hidden temp file and ``os.link`` it into place
+    (link(2) fails EEXIST atomically; content is complete from the
+    first visible instant — same local/NFS scope as before).  Remote
+    filesystems write a temp and ``fs.rename`` (HDFS rename is atomic
+    and refuses an existing destination); object stores without atomic
+    rename need a coordination service, exactly Delta's contract."""
+    import os as _os
+    import uuid as _uuid
+
+    payload = json.dumps(manifest).encode("utf-8")
+    name = _manifest_name(version)
+    local = "://" not in root or root.startswith("file:")
+    if local:
+        lroot = root[5:] if root.startswith("file:") else root
+        lroot = lroot if lroot.startswith("/") else "/" + lroot
+        ldir = f"{lroot.rstrip('/')}/{_LOG}"
+        _os.makedirs(ldir, exist_ok=True)
+        tmp = f"{ldir}/.{name}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        try:
+            _os.link(tmp, f"{ldir}/{name}")
+        except FileExistsError as exc:
+            raise ConcurrentWriteError(
+                f"version {version} was committed by another writer"
+            ) from exc
+        finally:
+            try:
+                _os.remove(tmp)
+            except OSError:
+                pass
+        return
     log = HPath(f"{root}/{_LOG}")
     fs.mkdirs(log)
-    path = HPath(f"{root}/{_LOG}/{_manifest_name(version)}")
+    tmp = HPath(f"{root}/{_LOG}/.{name}.tmp-{_uuid.uuid4().hex}")
+    stream = fs.create(tmp, True)
     try:
-        # overwrite=False: atomic create-no-overwrite is the whole
-        # isolation story (HDFS/local semantics)
-        stream = fs.create(path, False)
-    except Exception as exc:  # race lost: someone committed this version
+        stream.write(bytearray(payload))
+    finally:
+        stream.close()
+    try:
+        renamed = fs.rename(tmp, HPath(f"{root}/{_LOG}/{name}"))
+    except Exception as exc:
+        fs.delete(tmp, False)
         raise ConcurrentWriteError(
             f"version {version} was committed by another writer"
         ) from exc
-    try:
-        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        stream.close()
+    if not renamed:
+        fs.delete(tmp, False)
+        raise ConcurrentWriteError(
+            f"version {version} was committed by another writer"
+        )
 
 
 def _tt_meta_of(m: dict) -> tuple:

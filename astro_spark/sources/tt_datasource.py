@@ -582,17 +582,35 @@ def _local_root(root: str) -> str:
 
 
 def _atomic_publish_arrow(path: str, version: int, manifest: dict) -> None:
+    """Put-if-absent of the manifest WITH its content (r14): the former
+    O_CREAT|O_EXCL-then-write claimed the slot atomically but exposed a
+    zero-length file to concurrent readers until the write landed (a
+    reader racing the commit got JSONDecodeError — caught by the
+    linearizability property test), and a writer crash in the window
+    would wedge the version slot.  Write the full JSON to a hidden temp
+    name first, then ``os.link`` it into place: link(2) fails EEXIST
+    atomically and the manifest carries complete content from its first
+    visible instant (works on local and NFS, the same scope as the old
+    O_EXCL story)."""
+    import uuid as _uuid
+
     log_dir = f"{path}/{_LOG}"
     os.makedirs(log_dir, exist_ok=True)
-    target = f"{log_dir}/v{version:0{_PAD}d}.json"
+    name = f"v{version:0{_PAD}d}.json"
+    tmp = f"{log_dir}/.{name}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(json.dumps(manifest).encode("utf-8"))
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, f"{log_dir}/{name}")
     except FileExistsError as exc:
         raise _ArrowCommitRace(
             f"version {version} was committed by another writer"
         ) from exc
-    with os.fdopen(fd, "wb") as fh:
-        fh.write(json.dumps(manifest).encode("utf-8"))
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _files_schema_arrow(path: str, files: list[str]):

@@ -126,6 +126,16 @@ def _at_most_one_row(node) -> bool:
             return node.rows().size() <= 1
         except Exception:
             return False
+    if name == "BroadcastNestedLoopJoinExec":
+        # a CROSS of two provably-≤1-row sides is itself ≤1 row — the
+        # shape `tot.crossJoin(broadcast(quarts))` where both are global
+        # aggregates (r14: check_outliers' rank-selection stats frame)
+        kids = _children(node)
+        if len(kids) == 2:
+            return all(
+                _at_most_one_row(_unwrap_adaptive(k)) for k in kids
+            )
+        return False
     if name == "RangeExec":
         try:
             # spark.range(1).select(F.lit(...)) — the engine's canonical
