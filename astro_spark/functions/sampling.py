@@ -306,10 +306,14 @@ def dsir_scores(
     n_buckets = n_buckets or DSIR_BUCKETS
     scale = scale or DSIR_SCALE
 
-    t_toks = target.select(F.explode(tokens(F.col(text_col))).alias("tok")).select(
-        (char_poly_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket")
-    )
-    r_toks = raw.select(
+    from .similarity import spread_narrow_input
+
+    # widen narrow scans before the token explodes (guide §2.5); bucket
+    # counts and integer weight sums are partition-order independent
+    t_toks = spread_narrow_input(target.select(F.col(text_col))).select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select((char_poly_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket"))
+    r_toks = spread_narrow_input(raw.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select(id_col, (char_poly_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket"))
