@@ -1145,8 +1145,18 @@ def semantic_dup_pairs(
     # than the cluster) + eager localCheckpoint, assign/norm compute one
     # parallel pass and the division reads nrm as a plain column.
     # Values are bit-identical: same expressions, evaluated once.
+    # CONTRACT (ADVICE r14): this function is EAGER — the (cell,id,v,nrm)
+    # relation materializes at call time via localCheckpoint, which also
+    # truncates lineage (an executor loss after this point fails the job
+    # instead of recomputing; re-invoke on failure).  The barrier is the
+    # measured 5.6× win (r14 batch 2) and hot-cell routing below needs
+    # the materialized counts anyway.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        narrow = df.rdd.getNumPartitions() < par
+    except Exception:
+        narrow = False
+    if narrow:
         base = base.repartition(par, "cell", "id")
     base = base.localCheckpoint(eager=True)
     unit = base.select(

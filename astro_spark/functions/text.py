@@ -195,7 +195,11 @@ def fingerprint62(col: Column | str) -> Column:
         c = F.expr(frag)
     else:
         c = col
-    return _fingerprint62_udf()(c).alias("fingerprint")
+    # The former split(c,'') expression implicitly cast any atomic input
+    # to string; the pandas kernel needs that cast made explicit or a
+    # long column crashes the worker (ADVICE r14).  SimplifyCasts drops
+    # the node when the input is already string — bit-identical there.
+    return _fingerprint62_udf()(c.cast("string")).alias("fingerprint")
 
 
 def quality_metrics(col: Column | str) -> dict[str, Column]:

@@ -183,6 +183,23 @@ def _publish(
             raise ConcurrentWriteError(
                 f"version {version} was committed by another writer"
             ) from exc
+        except OSError:
+            # Mounts without hard-link support (SMB/FAT/some FUSE) raise
+            # EPERM/ENOTSUP from link(2) (ADVICE r14): fall back to the
+            # old O_CREAT|O_EXCL open — the empty-file exposure window
+            # is the prior status quo on exactly those filesystems.
+            try:
+                fd = _os.open(
+                    f"{ldir}/{name}", _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                )
+            except FileExistsError as exc:
+                raise ConcurrentWriteError(
+                    f"version {version} was committed by another writer"
+                ) from exc
+            try:
+                _os.write(fd, payload)
+            finally:
+                _os.close(fd)
         finally:
             try:
                 _os.remove(tmp)

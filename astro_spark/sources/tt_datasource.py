@@ -598,19 +598,39 @@ def _atomic_publish_arrow(path: str, version: int, manifest: dict) -> None:
     os.makedirs(log_dir, exist_ok=True)
     name = f"v{version:0{_PAD}d}.json"
     tmp = f"{log_dir}/.{name}.tmp-{_uuid.uuid4().hex}"
+    payload = json.dumps(manifest).encode("utf-8")
     with open(tmp, "wb") as fh:
-        fh.write(json.dumps(manifest).encode("utf-8"))
+        fh.write(payload)
     try:
         os.link(tmp, f"{log_dir}/{name}")
     except FileExistsError as exc:
         raise _ArrowCommitRace(
             f"version {version} was committed by another writer"
         ) from exc
+    except OSError:
+        # Mounts without hard-link support (SMB/FAT/some FUSE) raise
+        # EPERM/ENOTSUP from link(2) (ADVICE r14): fall back to the old
+        # O_CREAT|O_EXCL open — the empty-file exposure window is the
+        # prior status quo on exactly those filesystems.
+        _excl_publish(f"{log_dir}/{name}", payload, version)
     finally:
         try:
             os.remove(tmp)
         except OSError:
             pass
+
+
+def _excl_publish(target: str, payload: bytes, version: int) -> None:
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise _ArrowCommitRace(
+            f"version {version} was committed by another writer"
+        ) from exc
+    try:
+        os.write(fd, payload)
+    finally:
+        os.close(fd)
 
 
 def _files_schema_arrow(path: str, files: list[str]):

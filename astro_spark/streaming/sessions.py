@@ -63,7 +63,18 @@ def _make_session_fn(gap_seconds: int):
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         ts = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
         eid = pdf["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))  # primary ts, tie-break event_id
+        try:
+            order = np.lexsort((eid, ts))  # primary ts, tie-break event_id
+        except TypeError:
+            # null or mixed-type event_id: object-dtype lexsort raises
+            # (ADVICE r14).  Fall back to the pre-r14 pandas sort, which
+            # tolerates nulls (sorted last within each ts tie) — the
+            # tie-break never changes output (segments read only ts).
+            order = (
+                pdf.reset_index(drop=True)
+                .sort_values(["ts", "event_id"])
+                .index.to_numpy()
+            )
         # floor-second epochs (portable: DuckDB floor(epoch(ts)))
         secs = ts[order] // 1_000_000_000
         if state.exists:

@@ -263,33 +263,39 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full per-query map to a sidecar file (the driver's stdout capture
-    # truncates long lines; the headline line must stay tiny)
-    queries_file = str(Path(__file__).resolve().parent / "BENCH_local.json")
-    with open(queries_file, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "probes": {k: round(v, 2) for k, v in probe_timings.items()},
-                "probes_total_sec": probe_total,
-                # VERDICT r13 #7: op_bucketed_screen's plain-table
-                # comparison half now computes once per process (repeat
-                # runs time only the claim-bearing bucketed screen);
-                # op_hamming_plan is a single workload — its ~2-3 s IS
-                # the claim-bearing half.  Revised probe budget: ≤12 s
-                # (floor analysis PERF.md r13: 11.4 s at the old
-                # structure; the cache pulls the median under it).
-                "probes_budget_note": "<=12s; compare-half cached",
-                "runs_per_query": n_runs,
-                "sf": sf_val,
-                "protocol": PROTOCOL,
-            },
-            f,
-            separators=(",", ":"),
-        )
-        f.write("\n")
+    # truncates long lines; the headline line must stay tiny).
+    # VERDICT r14 #2: the driver benches TWICE (32- and 8-core) and the
+    # second run clobbered the single sidecar, erasing per-query
+    # visibility — stamp a per-(cpus, sf) sidecar too and point
+    # queries_file at it; BENCH_local.json stays for compat readers
+    # (it still carries the LAST run).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or str(os.cpu_count())
+    sidecar = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "cpus": cpus,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "probes": {k: round(v, 2) for k, v in probe_timings.items()},
+        "probes_total_sec": probe_total,
+        # VERDICT r13 #7: op_bucketed_screen's plain-table
+        # comparison half now computes once per process (repeat
+        # runs time only the claim-bearing bucketed screen);
+        # op_hamming_plan is a single workload — its ~2-3 s IS
+        # the claim-bearing half.  Revised probe budget: ≤12 s
+        # (floor analysis PERF.md r13: 11.4 s at the old
+        # structure; the cache pulls the median under it).
+        "probes_budget_note": "<=12s; compare-half cached",
+        "runs_per_query": n_runs,
+        "sf": sf_val,
+        "protocol": PROTOCOL,
+    }
+    here = Path(__file__).resolve().parent
+    stamped_name = f"BENCH_local_{cpus}c_sf{sf}.json"
+    for out_path in (here / "BENCH_local.json", here / stamped_name):
+        with open(out_path, "w") as f:
+            json.dump(sidecar, f, separators=(",", ":"))
+            f.write("\n")
     line = json.dumps(
         {
             "metric": "headline_suite_wall_sec",
@@ -299,9 +305,10 @@ def main() -> None:
             "probes_sec": probe_total,
             "n_probes": len(probe_timings),
             "sf": sf_val,
+            "cpus": cpus,
             "runs_per_query": n_runs,
             "protocol": PROTOCOL,
-            "queries_file": "BENCH_local.json",
+            "queries_file": stamped_name,
         },
         separators=(",", ":"),
     )

@@ -2112,6 +2112,27 @@ class TestKmvSketch:
         assert row.exact_distinct > 256
         assert row.err_pct < 25.0, row
 
+    def test_kmv_distinct_on_long_column(self, spark):
+        """ADVICE r15: the fingerprint's pandas kernel needs string
+        input — a bigint column must keep the old implicit-cast
+        contract (split(c,'') cast any atomic type), not crash the
+        Python worker, and match the explicitly-cast run exactly."""
+        from astro_spark.functions.sketches import kmv_distinct
+
+        rows = [(i % 37,) for i in range(400)]
+        got = kmv_distinct(
+            spark.createDataFrame(rows, "v long"), "v", k=64
+        ).collect()[0]
+        want = kmv_distinct(
+            spark.createDataFrame(rows, "v long").selectExpr(
+                "CAST(v AS STRING) AS v"
+            ),
+            "v",
+            k=64,
+        ).collect()[0]
+        assert got == want
+        assert got.k_used == 37
+
     def test_merge_free_determinism(self, spark):
         """Partitioning must not affect the result (the k smallest
         distinct hashes are a set property, not a scan order)."""

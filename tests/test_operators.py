@@ -2493,6 +2493,43 @@ class TestTimeTravel:
         )
         assert v == 2
 
+    def test_publish_falls_back_without_hardlinks(self, spark, tmp_path, monkeypatch):
+        """ADVICE r15: on mounts without hard-link support, link(2)
+        raises EPERM/ENOTSUP — both publish paths must fall back to the
+        old O_CREAT|O_EXCL write (full content, losing race surfaced)."""
+        import json as _json
+        import os as _os
+
+        from astro_spark.operators import timetravel as tt
+        from astro_spark.sources import tt_datasource as ds
+
+        root = self._seed(spark, tmp_path)
+
+        def no_link(src, dst, *args, **kwargs):
+            raise PermissionError("Operation not permitted")
+
+        monkeypatch.setattr(_os, "link", no_link)
+        HPath, _p, fs = tt._fs(spark, root)
+        tt._publish(
+            spark, fs, HPath, root, 1, {"files": [], "op": "nolink", "ts": 0.0}
+        )
+        man = _json.load(
+            open(f"{root}/{tt._LOG}/{tt._manifest_name(1)}")
+        )
+        assert man["op"] == "nolink"
+        with pytest.raises(a.exceptions.AstroSparkError):
+            tt._publish(
+                spark, fs, HPath, root, 1, {"files": [], "op": "loser", "ts": 0.0}
+            )
+        # the Arrow (datasource commit-runner) twin
+        ds._atomic_publish_arrow(root, 2, {"files": [], "op": "arrow", "ts": 0.0})
+        man2 = _json.load(open(f"{root}/{tt._LOG}/{tt._manifest_name(2)}"))
+        assert man2["op"] == "arrow"
+        with pytest.raises(ds._ArrowCommitRace):
+            ds._atomic_publish_arrow(
+                root, 2, {"files": [], "op": "loser", "ts": 0.0}
+            )
+
     def test_vacuum_reclaims_only_dead_files(self, spark, tmp_path):
         root = self._seed(spark, tmp_path)
         a.tt_overwrite(

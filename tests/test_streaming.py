@@ -191,6 +191,48 @@ class TestSessionize:
         assert drain(batch([])) == []
         assert state.get == (300, 300, 3)
 
+    def test_state_fn_tolerates_null_event_id(self):
+        """ADVICE r15: a micro-batch carrying a null (object-dtype)
+        event_id must not fail the lexsort tie-break — the fallback
+        pandas sort tolerates nulls, and output depends only on ts."""
+        import numpy as np
+        import pandas as pd
+
+        from astro_spark.streaming.sessions import _make_session_fn
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        fn = _make_session_fn(10)
+        state = FakeState()
+        b = pd.DataFrame(
+            {
+                "event_id": [None, "e1", "e2"],
+                "ts": pd.to_datetime(
+                    [np.datetime64(s, "s") for s in (100, 105, 200)]
+                ),
+            }
+        )
+        closed = [
+            tuple(t)
+            for f in (fn((7,), iter([b]), state) or [])
+            for t in f.itertuples(index=False, name=None)
+        ]
+        assert closed == [(7, 100, 105, 2)]
+        assert state.get == (200, 200, 1)
+
 
 class TestDedupStream:
     def test_distinct_count(self, spark, tmp_path):
