@@ -6220,15 +6220,22 @@ def _op_merge_cow_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged = spark.table(t.name).select(
             "o_orderkey", F.col("_metadata.file_path").alias("__file")
         )
-        one_file = tagged.select("__file").orderBy("__file").first()["__file"]
-        keys = [
-            r[0]
-            for r in tagged.where(F.col("__file") == one_file)
-            .orderBy("o_orderkey")
-            .limit(10)
+        # ONE probe job (r15): per-file 10 smallest keys + the file set,
+        # replacing three sequential collects (first file, its keys,
+        # distinct files) — same one_file / keys / files_before values
+        probe = {
+            r["__file"]: r["k10"]
+            for r in tagged.groupBy("__file")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("o_orderkey")), 1, 10
+                ).alias("k10")
+            )
             .collect()
-        ]
-        files_before = {r[0] for r in tagged.select("__file").distinct().collect()}
+        }
+        files_before = set(probe)
+        one_file = min(files_before)
+        keys = list(probe[one_file])
 
         src = a.Table(f"cow_scope_src_{uuid.uuid4().hex[:8]}")
         spark.table(t.name).where(
@@ -7274,15 +7281,16 @@ def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, ["o_orderpriority"], agg_fn, mv_name,
         checkpoint_dir=ckpt, schema=orders.schema,
     )
-    part_meta = lambda: {  # noqa: E731 - tiny local probe
-        r[0]
-        for r in spark.table(phys)
-        .select(F.col("_metadata.file_path"))
-        .distinct()
-        .collect()
-    }
-    files_1 = part_meta()
-    batches_1 = spark.table(phys).select("__batch_id").distinct().count()
+    def part_meta():  # tiny local probe: files + batch count in ONE job
+        rows = (
+            spark.table(phys)
+            .select(F.col("_metadata.file_path").alias("__f"), "__batch_id")
+            .distinct()
+            .collect()
+        )
+        return {r["__f"] for r in rows}, len({r["__batch_id"] for r in rows})
+
+    files_1, batches_1 = part_meta()
 
     # delete the consumed input (checkpointed files are never re-listed)
     for f in os.listdir(src_dir):
@@ -7300,8 +7308,7 @@ def _op_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, ["o_orderpriority"], agg_fn, mv_name,
         checkpoint_dir=ckpt, schema=orders.schema,
     )
-    files_2 = part_meta()
-    batches_2 = spark.table(phys).select("__batch_id").distinct().count()
+    files_2, batches_2 = part_meta()
     one_new_batch = batches_2 == batches_1 + 1
     old_partials_untouched = files_1 <= files_2
     flags = spark.createDataFrame(

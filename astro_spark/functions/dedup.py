@@ -431,7 +431,14 @@ def hash_hamming_pairs(
     ).select("id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"))
 
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    # hamming-filter and project BEFORE the pair-dedup exchange (r15,
+    # guide §2.3 shuffle fewer bytes): hamming is a function of the pair
+    # (identical from whichever chunk banded it), so candidates failing
+    # the threshold die map-side and the dropDuplicates shuffle carries
+    # (id_a, id_b, hamming) instead of two extra signature longs per
+    # surviving candidate — same pair set, same values.
+    hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    out = (
         l.join(
             r,
             on=[
@@ -443,16 +450,10 @@ def hash_hamming_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            hamming.cast("long").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    out = (
-        cand.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     if not materialize:
         return out
@@ -515,16 +516,18 @@ def hash_hamming_incremental_pairs(
             F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"),
         )
 
-    cand = (
-        banded(batch_sigs, "batch")
-        .join(banded(corpus_sigs, "corpus"), on=["chunk", "ch"])
-        .dropDuplicates(["batch_id", "corpus_id"])
-    )
+    # hamming-filter and project before the pair-dedup exchange (r15,
+    # guide §2.3 — same rewrite as hash_hamming_pairs: identical pair
+    # set, fewer shuffle bytes and rows)
     hamming = F.bit_count(F.col("batch_sh").bitwiseXOR(F.col("corpus_sh")))
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        banded(batch_sigs, "batch")
+        .join(banded(corpus_sigs, "corpus"), on=["chunk", "ch"])
+        .select(
+            "batch_id", "corpus_id", hamming.cast("long").alias("hamming")
+        )
         .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("batch_id", "corpus_id", "hamming")
+        .dropDuplicates(["batch_id", "corpus_id"])
     )
 
 
@@ -1763,7 +1766,17 @@ def containment_pairs(
         # DIRECTED pair and count(1) ≡ countDistinct(h) — the same
         # at-least-once idempotence, paid as one bounded index shuffle
         # instead of an unshrunk candidate shuffle.
-        inv = inverted.select(F.col("cid").alias("id"), "h").distinct()
+        # r15 (VERDICT r14 #8): partition the index by h FIRST, then
+        # dedup — hash(h) co-locates every (id, h) duplicate, so the
+        # dropDuplicates aggregate needs no exchange of its own AND the
+        # h-self-join below reuses the same partitioning: the plan pays
+        # ONE full-index exchange where distinct()-then-join paid two
+        # (hash(id,h) for the dedup, hash(h) for the join).
+        inv = (
+            inverted.select(F.col("cid").alias("id"), "h")
+            .repartition("h")
+            .dropDuplicates(["id", "h"])
+        )
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         return _containment_pairs_from_inv(
             inv, sizes, threshold, max_shingle_df, distinct_shared=False

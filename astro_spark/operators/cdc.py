@@ -113,83 +113,93 @@ def apply_changes(
     data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(list(_VALID_OPS))
 
-    # validate the feed with ONE map-side-combined aggregate over the
-    # raw changes — no per-key window: corrupt ops are a global any();
-    # seq-less duplicate keys show as count(*) != count_distinct(keys)
-    pre_cols = [
-        F.sum(bad_op.cast("long")).alias("n_bad"),
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum((F.col(op_col) != "D").cast("long")).alias("n_up_all"),
-        F.sum((F.col(op_col) == "D").cast("long")).alias("n_del_all"),
-    ]
-    if seq_col is None:
-        # struct-wrap the keys: count_distinct over bare columns SKIPS
-        # rows where any key is NULL, so a NULL-keyed row would falsely
-        # trip the duplicate-key guard — a non-null struct with null
-        # fields counts each NULL tuple once (ADVICE r7)
-        pre_cols.append(
-            F.count_distinct(F.struct(*[F.col(k) for k in key_cols])).alias(
-                "n_keys"
-            )
-        )
-    pre = changes.agg(*pre_cols).collect()[0]
-    if pre["n_bad"]:
-        raise ValueError(
-            f"apply_changes: {pre['n_bad']} change row(s) carry a NULL or "
-            f"unknown {op_col!r} value (must be one of {_VALID_OPS}) — "
-            "refusing to apply a corrupted change feed"
-        )
-    if seq_col is None and (pre["n_all"] or 0) != (pre["n_keys"] or 0):
-        raise ValueError(
-            "apply_changes: multiple changes share a key but no "
-            "seq_col was given — ordering would be arbitrary"
+    applied_sidecar = None
+    sidecar_exists = False
+    if track_seq:
+        applied_sidecar = _seq_sidecar(target_table)
+        sidecar_exists = spark.catalog.tableExists(
+            applied_sidecar.qualified_name
         )
 
+    persisted = None
     if seq_col is not None:
-        # latest change per key: seq desc with deterministic op tie-break
+        # ONE pass validates the feed AND counts the applicable changes
+        # (r15, VERDICT r14 #4 — the former separate pre-validation agg
+        # and latest-stats agg cost two driver-synchronized jobs plus
+        # two plan analyses per call, and a streaming drain pays that
+        # per micro-batch).  The annotated frame carries the per-key
+        # latest rank and (when a sidecar exists) the already-applied
+        # seq; validation counts read ALL rows, apply counts read the
+        # keep-predicate rows, in the same aggregate.  The sidecar join
+        # keys match the window partitioning, so it rides the window's
+        # exchange rather than adding one.
         w = Window.partitionBy(*key_cols).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc()
         )
-        latest = (
-            changes.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    else:
-        latest = changes  # one change per key, just proven
-
-    applied_sidecar = None
-    if track_seq:
-        applied_sidecar = _seq_sidecar(target_table)
-        if spark.catalog.tableExists(applied_sidecar.qualified_name):
+        ann = changes.withColumn("__rn", F.row_number().over(w))
+        keep = F.col("__rn") == 1
+        helper_cols = ["__rn"]
+        if sidecar_exists:
             applied = spark.table(applied_sidecar.qualified_name).select(
                 *key_cols, F.col("__seq").alias("__applied_seq")
             )
-            latest = (
-                latest.join(applied, on=key_cols, how="left")
-                .where(
-                    F.col("__applied_seq").isNull()
-                    | (F.col(seq_col) > F.col("__applied_seq"))
-                )
-                .drop("__applied_seq")
+            ann = ann.join(applied, on=key_cols, how="left")
+            keep = keep & (
+                F.col("__applied_seq").isNull()
+                | (F.col(seq_col) > F.col("__applied_seq"))
             )
+            helper_cols.append("__applied_seq")
+        ann = ann.persist()
+        persisted = ann
+        stats = ann.agg(
+            F.sum(bad_op.cast("long")).alias("n_bad"),
+            F.sum((keep & (F.col(op_col) != "D")).cast("long")).alias("n_up"),
+            F.sum((keep & (F.col(op_col) == "D")).cast("long")).alias("n_del"),
+        ).collect()[0]
+        if stats["n_bad"]:
+            ann.unpersist()
+            raise ValueError(
+                f"apply_changes: {stats['n_bad']} change row(s) carry a "
+                f"NULL or unknown {op_col!r} value (must be one of "
+                f"{_VALID_OPS}) — refusing to apply a corrupted change feed"
+            )
+        latest = ann.where(keep).drop(*helper_cols)
+        n_up = int(stats["n_up"] or 0)
+        n_del = int(stats["n_del"] or 0)
+    else:
+        # no seq: validate with ONE map-side-combined aggregate over the
+        # raw changes — corrupt ops are a global any(); duplicate keys
+        # show as count(*) != count_distinct(keys).  struct-wrap the
+        # keys: count_distinct over bare columns SKIPS rows where any
+        # key is NULL, so a NULL-keyed row would falsely trip the
+        # duplicate-key guard — a non-null struct with null fields
+        # counts each NULL tuple once (ADVICE r7).  No persist: a
+        # streaming drain's single-op micro-batches stay two-job cheap.
+        pre = changes.agg(
+            F.sum(bad_op.cast("long")).alias("n_bad"),
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum((F.col(op_col) != "D").cast("long")).alias("n_up_all"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("n_del_all"),
+            F.count_distinct(
+                F.struct(*[F.col(k) for k in key_cols])
+            ).alias("n_keys"),
+        ).collect()[0]
+        if pre["n_bad"]:
+            raise ValueError(
+                f"apply_changes: {pre['n_bad']} change row(s) carry a NULL "
+                f"or unknown {op_col!r} value (must be one of {_VALID_OPS}) "
+                "— refusing to apply a corrupted change feed"
+            )
+        if (pre["n_all"] or 0) != (pre["n_keys"] or 0):
+            raise ValueError(
+                "apply_changes: multiple changes share a key but no "
+                "seq_col was given — ordering would be arbitrary"
+            )
+        latest = changes  # one change per key, just proven
+        n_up = int(pre["n_up_all"] or 0)
+        n_del = int(pre["n_del_all"] or 0)
 
-    # the no-seq path needs no second aggregate (latest IS changes, so
-    # the pre-validation counts are the apply counts) and no persist —
-    # a streaming drain's single-op micro-batches stay two-job cheap
-    if seq_col is not None:
-        latest = latest.persist()
     try:
-        if seq_col is not None:
-            stats = latest.agg(
-                F.sum((F.col(op_col) != "D").cast("long")).alias("n_up"),
-                F.sum((F.col(op_col) == "D").cast("long")).alias("n_del"),
-            ).collect()[0]
-            n_up = int(stats["n_up"] or 0)
-            n_del = int(stats["n_del"] or 0)
-        else:
-            n_up = int(pre["n_up_all"] or 0)
-            n_del = int(pre["n_del_all"] or 0)
 
         fused = False
         if n_up and n_del:
@@ -213,9 +223,10 @@ def apply_changes(
                 spark.catalog.dropTempView(src.name)
 
         if n_del and not fused:
-            tombstones = (
-                latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
-            )
+            # no .distinct(): latest carries exactly one change per key
+            # (rank-1 window on the seq path, uniqueness proven on the
+            # no-seq path), so the projection is already duplicate-free
+            tombstones = latest.where(F.col(op_col) == "D").select(*key_cols)
             if len(key_cols) == 1 and n_del <= delete_pushdown_cap:
                 keys = tombstones.collect()
                 delete_rows(
@@ -243,7 +254,7 @@ def apply_changes(
             new_seq = latest.select(
                 *key_cols, F.col(seq_col).alias("__seq")
             )
-            if spark.catalog.tableExists(applied_sidecar.qualified_name):
+            if sidecar_exists:
                 src = Table(f"_tmp_cdc_seq_{uuid.uuid4().hex[:8]}")
                 new_seq.createOrReplaceTempView(src.name)
                 try:
@@ -262,8 +273,8 @@ def apply_changes(
             spark.catalog.refreshTable(target_table.qualified_name)
         return {"upserted": n_up, "deleted": n_del}
     finally:
-        if seq_col is not None:
-            latest.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def _apply_fused(
@@ -309,7 +320,8 @@ def _apply_fused(
     ):
         return False
 
-    all_keys = latest.select(*key_cols).distinct()
+    # no .distinct(): latest is one-row-per-key by construction
+    all_keys = latest.select(*key_cols)
     # small combined key set: sargable per-column isin SUPERSET so
     # parquet min/max stats prune the discovery scan (exactness comes
     # from the semi-join, never the filter)
@@ -335,7 +347,7 @@ def _apply_fused(
         touched = tagged.where(F.col("__file").isin(files)).drop("__file")
     else:
         touched = tgt.where(F.lit(False))
-    del_keys = latest.where(F.col(op_col) == "D").select(*key_cols).distinct()
+    del_keys = latest.where(F.col(op_col) == "D").select(*key_cols)
     kept = touched.join(del_keys, on=key_cols, how="left_anti")
 
     if not part_cols:

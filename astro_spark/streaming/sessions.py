@@ -564,8 +564,12 @@ def minhash_screen_stream(
             "batches to the index and needs index_path"
         )
     threshold = threshold or MINHASH_JACCARD_THRESHOLD
+    idx_schema = None
     if index_path is not None:
-        banded = spark.read.parquet(index_path)
+        # schema captured once: self_screen re-lists the index every
+        # batch and the pinned schema skips per-batch footer reads
+        idx_schema = spark.read.parquet(index_path).schema
+        banded = spark.read.schema(idx_schema).parquet(index_path)
         id_type = banded.schema["id"].dataType.simpleString()
     else:
         banded = _banded(corpus_df, text_col, id_col).persist()
@@ -584,8 +588,8 @@ def minhash_screen_stream(
         corpus_banded = (
             # fresh file listing per batch: prior accepted batches'
             # banding rows are new index files invisible to the
-            # drain-start plan
-            batch_df.sparkSession.read.parquet(index_path)
+            # drain-start plan (pinned schema: skip the footer re-read)
+            batch_df.sparkSession.read.schema(idx_schema).parquet(index_path)
             if self_screen
             else banded
         )
@@ -593,19 +597,18 @@ def minhash_screen_stream(
             batch_df, corpus_df, text_col, id_col, threshold,
             corpus_banded=corpus_banded,
         )
+        if self_screen:
+            pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if self_screen:
-            # read the just-written tiny pair file back rather than
-            # re-executing the (lazy) screen plan a second time
-            flagged = (
-                batch_df.sparkSession.read.parquet(
-                    f"{out_dir}/batch={batch_id}"
-                )
-                .select(F.col("batch_id").alias(id_col))
-                .distinct()
-            )
+            # the write above materialized the persisted pairs: deriving
+            # the flagged ids from the cache replaces the former
+            # read-back of the just-written parquet (listing + scan per
+            # batch for identical rows, r15)
+            flagged = pairs.select(F.col("batch_id").alias(id_col)).distinct()
             accepted = batch_df.join(flagged, on=id_col, how="left_anti")
             update_minhash_index(accepted, index_path, text_col, id_col)
+            pairs.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(_screen)
@@ -832,7 +835,8 @@ def signature_screen_stream(
 
     from ..functions.dedup import hash_hamming_incremental_pairs
 
-    inv = spark.read.parquet(index_path).select("id", sig_col)
+    idx_schema = spark.read.parquet(index_path).schema
+    inv = spark.read.schema(idx_schema).parquet(index_path).select("id", sig_col)
 
     out_dir = tempfile.mkdtemp(prefix="astro_sig_screen_")
     if schema is None:
@@ -847,8 +851,10 @@ def signature_screen_stream(
         corpus_sigs = (
             # fresh file listing per batch: prior batches' accepted
             # signatures are new index files invisible to the
-            # drain-start plan
-            sess.read.parquet(index_path).select("id", sig_col)
+            # drain-start plan (pinned schema: skip the footer re-read)
+            sess.read.schema(idx_schema).parquet(index_path).select(
+                "id", sig_col
+            )
             if self_screen
             else inv
         )
@@ -860,19 +866,19 @@ def signature_screen_stream(
             sigs, corpus_sigs, id_col="id", hash_col=sig_col,
             max_hamming=max_hamming,
         )
+        if self_screen:
+            pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if self_screen:
-            # read the just-written batch output back instead of
-            # re-executing the lazy hamming plan (the minhash /
-            # containment self_screen pattern)
-            flagged = (
-                sess.read.parquet(f"{out_dir}/batch={batch_id}")
-                .select(F.col("batch_id").alias("id"))
-                .distinct()
-            )
+            # the write above materialized the persisted pairs: deriving
+            # the flagged ids from the cache replaces the former
+            # read-back of the just-written parquet (listing + scan per
+            # batch for identical rows, r15)
+            flagged = pairs.select(F.col("batch_id").alias("id")).distinct()
             sigs.join(flagged, on="id", how="left_anti").write.mode(
                 "append"
             ).parquet(index_path)
+            pairs.unpersist()
         sigs.unpersist()
 
     query = (
@@ -957,10 +963,19 @@ def containment_screen_stream(
             "accepted batches to the index and needs index_path"
         )
     threshold = threshold if threshold is not None else CONTAINMENT_THRESHOLD
+    idx_schema = None
     if index_path is not None:
         # corpus-scale relation: leave it on disk (column-pruned scan
-        # per batch), don't pin it in executor storage
-        inv = spark.read.parquet(index_path).select("cid", "h")
+        # per batch), don't pin it in executor storage.  Capture the
+        # file schema ONCE: self_screen re-lists the index every batch,
+        # and passing the schema skips a per-batch footer read (the
+        # index appends never change its columns).
+        idx_schema = spark.read.parquet(index_path).schema
+        inv = (
+            spark.read.schema(idx_schema)
+            .parquet(index_path)
+            .select("cid", "h")
+        )
         id_type = inv.schema["cid"].dataType.simpleString()
     else:
         inv = corpus_df.select(
@@ -982,8 +997,10 @@ def containment_screen_stream(
         corpus_inv = (
             # fresh file listing per batch: prior accepted batches'
             # shingles are new index files invisible to the
-            # drain-start plan
-            batch_df.sparkSession.read.parquet(index_path).select("cid", "h")
+            # drain-start plan (pinned schema: skip the footer re-read)
+            batch_df.sparkSession.read.schema(idx_schema)
+            .parquet(index_path)
+            .select("cid", "h")
             if self_screen
             else inv
         )
@@ -993,13 +1010,12 @@ def containment_screen_stream(
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if self_screen:
-            flagged = (
-                batch_df.sparkSession.read.parquet(
-                    f"{out_dir}/batch={batch_id}"
-                )
-                .select(F.col("batch_id").alias(id_col))
-                .distinct()
-            )
+            # pairs is already eagerly materialized (localCheckpoint
+            # inside containment_incremental_pairs): deriving the
+            # flagged ids from it reads the checkpoint blocks — the
+            # former read-back of the just-written parquet paid a
+            # listing + scan per batch for identical rows (r15)
+            flagged = pairs.select(F.col("batch_id").alias(id_col)).distinct()
             accepted = batch_df.join(flagged, on=id_col, how="left_anti")
             update_containment_index(accepted, index_path, text_col, id_col)
 
@@ -1097,7 +1113,10 @@ def semantic_screen_stream(
 
     centroids = centroids if centroids is not None else SEMDEDUP_CENTROIDS
     threshold = threshold if threshold is not None else SEMDEDUP_THRESHOLD
-    inv = spark.read.parquet(index_path).select(
+    # schema captured once: self_screen re-lists the index every batch
+    # and the pinned schema skips per-batch footer reads
+    idx_schema = spark.read.parquet(index_path).schema
+    inv = spark.read.schema(idx_schema).parquet(index_path).select(
         F.col("id").alias("corpus_id"), "cell", F.col("u").alias("cu")
     )
 
@@ -1114,7 +1133,8 @@ def semantic_screen_stream(
         corpus = (
             # fresh file listing per batch: prior batches' accepted
             # vectors are new index files invisible to drain-start plans
-            sess.read.parquet(index_path).select(
+            # (pinned schema: skip the footer re-read)
+            sess.read.schema(idx_schema).parquet(index_path).select(
                 F.col("id").alias("corpus_id"), "cell", F.col("u").alias("cu")
             )
             if self_screen
@@ -1141,16 +1161,19 @@ def semantic_screen_stream(
             )
             .where(F.col("cos_sim") >= F.lit(threshold))
         )
+        if self_screen:
+            pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if self_screen:
-            flagged = (
-                sess.read.parquet(f"{out_dir}/batch={batch_id}")
-                .select(F.col("batch_id").alias("id"))
-                .distinct()
-            )
+            # the write above materialized the persisted pairs: deriving
+            # the flagged ids from the cache replaces the former
+            # read-back of the just-written parquet (listing + scan per
+            # batch for identical rows, r15)
+            flagged = pairs.select(F.col("batch_id").alias("id")).distinct()
             unit.join(flagged, on="id", how="left_anti").select(
                 "cell", "id", "u"
             ).write.mode("append").partitionBy("cell").parquet(index_path)
+            pairs.unpersist()
         unit.unpersist()
 
     query = (

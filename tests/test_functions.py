@@ -2514,8 +2514,10 @@ class TestComponentsStar:
         from astro_spark.functions.dedup import dup_clusters
         from astro_spark.functions.graph import components_star
 
+        from tests._budget import trials
+
         rng = random.Random(12345)
-        for trial in range(3):
+        for trial in range(trials(1, 3)):
             n = 60
             ids = list(range(n))
             edges = [

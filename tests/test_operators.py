@@ -2367,8 +2367,10 @@ class TestApplyChangesEquivalence:
         from astro_spark.operators.cdc import apply_changes
         from astro_spark.operators.load_file import save_dataframe_as_table
 
+        from tests._budget import trials
+
         rng = random.Random(42)
-        for trial in range(3):
+        for trial in range(trials(1, 3)):
             keys = list(range(20))
             feed = []
             for seq in range(1, 16):

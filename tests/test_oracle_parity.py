@@ -89,21 +89,44 @@ def duck(sf_dir):
 
 
 def test_oracle_dtype_parity(spark, sf_dir, duck):
+    # The sequential sweep of all ~258 queries was the single largest
+    # test (501 s of the 40-minute suite, r15) — the work is hundreds
+    # of independent tiny jobs, so a small driver thread pool overlaps
+    # them (guide §2.6: actions are only sequential because the driver
+    # calls them sequentially).  DuckDB runs per-thread through cursors
+    # of the shared connection; result checking is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    bad: list[str] = []
-    for name, fn in queries.items():
-        sql = oracles.get(name)
-        if sql is None:
-            continue
-        spdf = fn(spark, sf_dir).toPandas()
-        opdf = duck.sql(sql).fetchdf()
+    names = [n for n in queries if n in oracles]
+
+    def check(name: str) -> list[str]:
+        spdf = queries[name](spark, sf_dir).toPandas()
+        opdf = duck.cursor().sql(oracles[name]).fetchdf()
         scls = {c: _dclass(spdf[c]) for c in spdf.columns}
         ocls = {c: _dclass(opdf[c]) for c in opdf.columns}
+        out = []
         for c in sorted(set(scls) | set(ocls)):
             a, b = scls.get(c, "MISSING"), ocls.get(c, "MISSING")
             # an all-null / empty column constrains nothing
             if a == b or "all-null" in (a, b):
                 continue
-            bad.append(f"{name}.{c}: spark={a} oracle={b}")
+            out.append(f"{name}.{c}: spark={a} oracle={b}")
+        return out
+
+    def check_or_name(name: str):
+        try:
+            return check(name)
+        except Exception:
+            # a fixture-heavy query can trip on concurrent catalog /
+            # stream setup — queue it for a clean sequential retry; a
+            # deterministic failure still fails below
+            return name
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(check_or_name, names))
+    bad = [line for r in results if isinstance(r, list) for line in r]
+    for name in (r for r in results if isinstance(r, str)):
+        bad.extend(check(name))
     assert bad == [], "\n".join(bad)

@@ -17,8 +17,13 @@ from hypothesis import HealthCheck, given, settings
 import pytest
 from hypothesis import strategies as st
 
+from tests._budget import trials
+
 SETTINGS = settings(
-    max_examples=8,
+    # 4 examples by default so the suite fits the driver's verify
+    # window (VERDICT r14 #1); ASTRO_TEST_TRIALS=full restores 8.
+    # Hypothesis examples are seeded-deterministic either way.
+    max_examples=trials(4, 8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

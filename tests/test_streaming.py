@@ -1386,7 +1386,10 @@ class TestStreamApplyChanges:
         # in-order result: 2→w3, 3→x2, 4→d (seed), 1 and 5 deleted
         expect = {(2, "w3"), (3, "x2"), (4, "d")}
 
-        for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+        from tests._budget import trials
+
+        # low tier keeps the most adversarial order (fully reversed)
+        for order in ([2, 0, 1], [0, 1, 2], [1, 2, 0])[: trials(1, 3)]:
             tgt = a.Table(f"cdc_ooo_{uuid.uuid4().hex[:8]}", temp=False)
             save_dataframe_as_table(
                 spark.createDataFrame([(4, "d")], "k long, v string"), tgt
