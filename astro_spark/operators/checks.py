@@ -312,103 +312,137 @@ def check_outliers(
 
 def _exact_quartile_stats(df: DataFrame, cents: str) -> DataFrame:
     """One-row (n_rows, q1_qc, q3_qc) frame, replacing the former
-    ``percentile(cents, p)`` aggregate with rank selection (r14, guide
-    §1.2): ``percentile`` is a TypedImperativeAggregate that buffers the
-    full value multiset per partial and merges the maps on one task —
-    profiled 3.4-5.8 s on the 600k-row sf0.1 column (583k distinct, so
-    frequency pre-aggregation cannot help).  Rank selection runs
-    entirely in codegen operators: a hash-agg to (value, count), one
-    ordered cumulative pass over the DISTINCT values (sorted window —
-    state is the distinct-value relation, not the multiset), and a
-    conditional aggregate that brackets the four target indices.
+    ``percentile(cents, p)`` aggregate with two-phase rank selection
+    (r14 batch 2; reshaped r15 per VERDICT r14 #6): ``percentile`` is a
+    TypedImperativeAggregate that buffers the full value multiset per
+    partial and merges the maps on one task, and the r14 rank-select
+    rewrite still sorted every DISTINCT value through one unpartitioned
+    window task.  Now NOTHING data-sized runs on one task:
+
+    1. hash-agg to (value, count), range-partitioned by value (the one
+       data-sized exchange; nulls sort first), persisted;
+    2. one bounded job collects per-partition (total, null) counts —
+       O(shuffle partitions) driver rows — and the driver computes the
+       prefix offsets and locates which partition holds each of the
+       four target ranks;
+    3. one bounded job rank-selects inside the <=4 hit partitions only
+       (broadcast target list prunes the rest map-side; the window's
+       input is a few shuffle-partitions of values, never the
+       relation).
+
+    EAGER: the two bounded jobs run at call time and the returned
+    one-row frame is a literal projection, so the caller's outlier
+    pass broadcasts plain literals instead of re-executing the
+    quartile subtree (the multi-branch lazy form re-computed the
+    counts relation per plan branch — spark_partition_id is
+    non-deterministic, which blocks exchange reuse).
 
     Bit-identical by construction: Spark's exact percentile is defined
     as ``v[floor(pos)] + (pos - floor(pos)) * (v[ceil(pos)] -
     v[floor(pos)])`` at ``pos = p * (n_nonnull - 1)`` over the sorted
-    multiset — the same formula assembled here from the bracketing
-    values; all intermediates are integers (< 2^53) times dyadic
-    fractions, so every double is exact on both engines.  Nulls are
-    excluded from ranks but counted in ``n_rows`` (percentile's
-    skip-null semantics).
+    multiset — the same formula, with the bracketing values found by
+    rank selection and the interpolation arithmetic still evaluated BY
+    SPARK over literal values (``repr(float)`` round-trips IEEE
+    doubles, the r14 SQL-expr precedent), so rounding semantics cannot
+    drift.  Nulls are excluded from ranks but counted in ``n_rows``
+    (percentile's skip-null semantics).  Randomized equivalence vs
+    ``percentile()`` pinned by ``test_exact_quartiles_match_percentile``.
     """
+    import math
+
+    spark = df.sparkSession
     counts = (
         df.select(F.expr(cents).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    # Two-phase cumulative ranks (r15, VERDICT r14 #6): the former
-    # ``Window.orderBy("v")`` over the distinct-value relation was a
-    # single-task global sort — bounded for cents-quantized prices but
-    # a straggler for a high-cardinality column at scale.  Now: range-
-    # partition the distinct values (parallel sampled sort), cumulative
-    # sums WITHIN each range partition, and per-partition totals rolled
-    # into broadcast offsets.  The only remaining unpartitioned window
-    # runs over ONE ROW PER SHUFFLE PARTITION (bounded by
-    # spark.sql.shuffle.partitions, never by data).  Ranks are exact
-    # integers either way — bit-identical quartiles.  Offset/local-sum
-    # consistency: ptots derives from the same ``loc`` subtree, and the
-    # range exchange is deduplicated by reuse (deterministic sampled
-    # boundaries make even a recompute agree).
-    parted = (
-        counts.where(F.col("v").isNotNull())
-        .repartitionByRange("v")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wloc = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    loc = parted.withColumn("hi_loc", F.sum("f").over(wloc))
-    ptots = loc.groupBy("pid").agg(F.max("hi_loc").alias("__ptot"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptots.select(
-        "pid", F.coalesce(F.sum("__ptot").over(woff), F.lit(0)).alias("__off")
-    )
-    cum = (
-        loc.join(F.broadcast(offs), "pid")
-        .withColumn("hi", F.col("hi_loc") + F.col("__off"))
-        .withColumn("lo", F.col("hi") - F.col("f"))
-        .drop("pid", "hi_loc", "__off")
-    )
-    tot = counts.agg(
-        # coalesce: count(1) on an EMPTY frame is 0, but sum over the
-        # empty counts relation is NULL — keep the old n_rows contract
-        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("__n_all"),
-        F.sum(F.when(F.col("v").isNotNull(), F.col("f"))).cast("long").alias(
-            "__n_nn"
-        ),
-    )
-    both = cum.crossJoin(F.broadcast(tot))
-    brackets = []
+    # explicit partition count: with the default (AQE-advisory) count
+    # the coalescer merges the small local relation into ONE partition,
+    # making the "hit partition" the whole relation and the bounded
+    # window data-sized.  defaultParallelism is scale-adaptive (grows
+    # with the cluster), so per-partition value counts — and with them
+    # the rank-select window input — shrink as the cluster grows.
+    npart = max(int(spark.sparkContext.defaultParallelism), 1)
+    parted = counts.repartitionByRange(npart, "v").persist()
+    try:
+        prows = sorted(
+            parted.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.sum("f").alias("tot"),
+                F.sum(F.when(F.col("v").isNull(), F.col("f"))).alias("nulls"),
+            )
+            .collect(),
+            key=lambda r: r["pid"],
+        )
+        n_all = sum(int(r["tot"] or 0) for r in prows)
+        n_null = sum(int(r["nulls"] or 0) for r in prows)
+        n_nn = n_all - n_null
+        vals: dict[str, int] = {}
+        if n_nn > 0:
+            tmap = {}
+            for name, p in (("q1", 0.25), ("q3", 0.75)):
+                pos = p * (n_nn - 1)
+                tmap[f"{name}l"] = int(math.floor(pos))
+                tmap[f"{name}h"] = int(math.ceil(pos))
+            # prefix offsets over NON-NULL counts (nulls range-sort
+            # first, so they only shift their own partition's prefix)
+            prefix, off = {}, 0
+            for r in prows:
+                pid = int(r["pid"])
+                prefix[pid] = off
+                off += int(r["tot"] or 0) - int(r["nulls"] or 0)
+            targets = []
+            for tgt, idx in tmap.items():
+                for r in prows:
+                    pid = int(r["pid"])
+                    nn = int(r["tot"] or 0) - int(r["nulls"] or 0)
+                    if prefix[pid] <= idx < prefix[pid] + nn:
+                        targets.append((tgt, pid, idx - prefix[pid]))
+                        break
+            # JVM LocalRelation literal (the r14 Range-literal pattern):
+            # createDataFrame would run a Python-RDD job per downstream
+            # action (~0.3-1.6 s each, measured) for these 4 rows
+            values = ", ".join(
+                f"('{tgt}', {pid}, CAST({lidx} AS BIGINT))"
+                for tgt, pid, lidx in targets
+            )
+            tdf = spark.sql(
+                f"SELECT * FROM VALUES {values} AS t(tgt, pid, lidx)"
+            )
+            wsel = (
+                Window.partitionBy("tgt")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            hits = (
+                parted.where(F.col("v").isNotNull())
+                .withColumn("pid", F.spark_partition_id())
+                .join(F.broadcast(tdf), "pid")
+                .withColumn("cf", F.sum("f").over(wsel))
+                .where(
+                    (F.col("lidx") < F.col("cf"))
+                    & (F.col("lidx") >= F.col("cf") - F.col("f"))
+                )
+                .select("tgt", "v")
+                .collect()
+            )
+            vals = {r["tgt"]: int(r["v"]) for r in hits}
+    finally:
+        parted.unpersist()
+    exprs = [F.lit(n_all).cast("long").alias("n_rows")]
     for name, p in (("q1", "0.25D"), ("q3", "0.75D")):
-        pos = f"{p} * (__n_nn - 1)"
-        il = f"CAST(FLOOR({pos}) AS BIGINT)"
-        ih = f"CAST(CEIL({pos}) AS BIGINT)"
-        brackets += [
-            F.expr(f"max(CASE WHEN {il} >= lo AND {il} < hi THEN v END)").alias(
-                f"__{name}l"
-            ),
-            F.expr(f"max(CASE WHEN {ih} >= lo AND {ih} < hi THEN v END)").alias(
-                f"__{name}h"
-            ),
-        ]
-    picked = both.agg(F.expr("first(__n_nn)").alias("__n_nn"), *brackets)
-    quarts = picked.select(
-        *[
-            F.expr(
-                f"CAST(round((__{name}l + ({p} * (__n_nn - 1) "
-                f"- FLOOR({p} * (__n_nn - 1))) * (__{name}h - __{name}l))"
-                " * 4) AS BIGINT)"
-            ).alias(f"{name}_qc")
-            for name, p in (("q1", "0.25D"), ("q3", "0.75D"))
-        ]
-    )
-    # n_rows rides on the totals row so an all-null (or empty) column
-    # still yields (n_rows, null, null) exactly like percentile() did
-    return tot.crossJoin(F.broadcast(quarts)).select(
-        F.col("__n_all").alias("n_rows"), "q1_qc", "q3_qc"
-    )
+        if n_nn > 0:
+            pos = f"{p} * ({n_nn}L - 1)"
+            exprs.append(
+                F.expr(
+                    f"CAST(round(({vals[name + 'l']}L + ({pos} - FLOOR({pos}))"
+                    f" * ({vals[name + 'h']}L - {vals[name + 'l']}L))"
+                    " * 4) AS BIGINT)"
+                ).alias(f"{name}_qc")
+            )
+        else:
+            exprs.append(F.lit(None).cast("long").alias(f"{name}_qc"))
+    return spark.range(1).select(*exprs)
 
 
 def _as_df(spark: SparkSession, x) -> DataFrame:

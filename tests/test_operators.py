@@ -1522,6 +1522,45 @@ class TestReferentialAndOutlierChecks:
         # cents*4: q1 = 300 cents → 1200 quarter-cents; q3 = 2800
         assert (row.q1_qc, row.q3_qc) == (1200, 2800)
 
+    def test_exact_quartiles_match_percentile(self, spark):
+        """Randomized pin for the r15 two-phase rank selection: the
+        eager (n_rows, q1_qc, q3_qc) frame equals Spark's own
+        percentile() aggregate on every seeded sample — sizes around
+        partition boundaries, duplicates, nulls, all-null, empty."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from astro_spark.operators.checks import _exact_quartile_stats
+
+        rng = random.Random(7)
+        samples = []
+        for _ in range(5):
+            n = rng.choice([1, 2, 3, 9, 400])
+            vals = [round(rng.uniform(-50, 50), 2) for _ in range(n)]
+            if rng.random() < 0.5:
+                vals += [None] * rng.randint(1, 3)
+            samples.append(vals)
+        samples += [[None, None], []]
+        cents = "CAST(FLOOR(c * 100 + 0.5) AS BIGINT)"
+        for i, vals in enumerate(samples):
+            df = spark.createDataFrame(
+                [(v,) for v in vals] or [(None,)], "c double"
+            )
+            if not vals:
+                df = df.where(F.lit(False))
+            got = _exact_quartile_stats(df, cents).collect()[0]
+            want = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(
+                    f"CAST(round(percentile({cents}, 0.25) * 4) AS BIGINT)"
+                ).alias("q1_qc"),
+                F.expr(
+                    f"CAST(round(percentile({cents}, 0.75) * 4) AS BIGINT)"
+                ).alias("q3_qc"),
+            ).collect()[0]
+            assert tuple(got) == tuple(want), (i, tuple(got), tuple(want))
+
     def test_outlier_fences_approx_mode(self, spark):
         """exact=False swaps percentile → approx_percentile (GK sketch,
         bounded memory — the 100 TB path, VERDICT r8 #6).  approx
